@@ -1,0 +1,104 @@
+package graft.transforms
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.model.Envelope
+
+/** Ports of the reference's 4 DropField tests (`DropFieldTest.java:26-161`,
+  * fixture map FIXTURES.md §A1-A2) plus engine-specific edge cases.
+  */
+class DropFieldSpec extends SparkTestBase {
+
+  // DropFieldTest.java:28-37 — k1 INT32, parent.child.k2 STRING
+  private val valueType = StructType(Seq(
+    StructField("k1", IntegerType),
+    StructField("parent", StructType(Seq(
+      StructField("child", StructType(Seq(
+        StructField("k2", StringType)))))))))
+  private val valueRow = Row(123, Row(Row("123")))
+
+  private def input = envelopeDf(StringType, valueType, "key0", valueRow)
+
+  test("with schema: drop nested leaf leaves empty child struct (DropFieldTest.java:56-64)") {
+    val out = DropField.value(Seq("parent.child.k2"))(input)
+    val vt = out.schema(Envelope.ValueCol).dataType.asInstanceOf[StructType]
+    assert(vt.fieldNames.toSeq == Seq("k1", "parent"))
+    val child = vt("parent").dataType.asInstanceOf[StructType]("child").dataType
+      .asInstanceOf[StructType]
+    assert(child.fields.isEmpty, "child must become an EMPTY struct, not disappear")
+    val row = out.select("value").head()
+    assert(row.getStruct(0).getInt(0) == 123)
+    assert(row.getStruct(0).getStruct(1).getStruct(0).length == 0)
+  }
+
+  test("with schema: drop struct path removes whole subtree (DropFieldTest.java:97-103)") {
+    val out = DropField.value(Seq("parent.child"))(input)
+    val vt = out.schema(Envelope.ValueCol).dataType.asInstanceOf[StructType]
+    val parent = vt("parent").dataType.asInstanceOf[StructType]
+    assert(parent.fields.isEmpty, "parent must become empty after dropping child subtree")
+    assert(out.select("value.k1").head().getInt(0) == 123)
+  }
+
+  test("schemaless: drop nested leaf (DropFieldTest.java:117-127)") {
+    val in = envelopeDf(StringType, StringType,
+      "key0", """{"k1":123,"parent":{"child":{"k2":"123"}}}""")
+    val out = DropField.value(Seq("parent.child.k2"))(in)
+    assert(out.select("value").head().getString(0) ==
+      """{"k1":123,"parent":{"child":{}}}""")
+  }
+
+  test("schemaless: drop subtree (DropFieldTest.java:150-161)") {
+    val in = envelopeDf(StringType, StringType,
+      "key0", """{"k1":123,"parent":{"child":{"k2":"123"}}}""")
+    val out = DropField.value(Seq("parent.child"))(in)
+    assert(out.select("value").head().getString(0) == """{"k1":123,"parent":{}}""")
+  }
+
+  test("null value passes through (DropField.java:45-46)") {
+    val out = DropField.value(Seq("parent.child"))(
+      envelopeDf(StringType, valueType, "key0", null))
+    assert(out.select("value").head().isNullAt(0))
+    val outJson = DropField.value(Seq("k1"))(
+      envelopeDf(StringType, StringType, "key0", null))
+    assert(outJson.select("value").head().isNullAt(0))
+  }
+
+  test("nonexistent path is identity; empty fields list is identity (DropField.java:27-28)") {
+    val out = DropField.value(Seq("no.such.path", "alsoMissing"))(input)
+    assert(out.select("value").head() == input.select("value").head())
+    assert(DropField.value(Nil)(input).schema == input.schema)
+  }
+
+  test("schemaless non-object datum throws, mirroring requireMap (DropField.java:56)") {
+    val in = envelopeDf(StringType, StringType, "key0", "42")
+    val ex = intercept[Exception] {
+      DropField.value(Seq("k1"))(in).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("key targeting: DropField$Key rewrites key, not value (DropField.java:137-152)") {
+    val in = envelopeDf(valueType, StringType, valueRow, "v")
+    val out = DropField.key(Seq("parent"))(in)
+    val kt = out.schema(Envelope.KeyCol).dataType.asInstanceOf[StructType]
+    assert(kt.fieldNames.toSeq == Seq("k1"))
+    assert(out.select("value").head().getString(0) == "v")
+  }
+
+  test("envelope fidelity: topic/partition/timestamp/headers survive (fixes DropField.java:151)") {
+    val out = DropField.value(Seq("parent.child"))(input)
+    val r = out.select("topic", "partition", "timestamp").head()
+    assert(r.getString(0) == "test" && r.getInt(1) == 0 && r.getLong(2) == 1700000000000L)
+    assert(out.select("headers").head().getSeq[Row](0).head.getString(0) == "h1")
+  }
+
+  test("null nested struct propagates null (defined sanely vs reference NPE, SURVEY §2.3.3)") {
+    val in = envelopeDf(StringType, valueType, "key0", Row(7, null))
+    val out = DropField.value(Seq("parent.child.k2"))(in)
+    val v = out.select("value").head().getStruct(0)
+    assert(v.getInt(0) == 7)
+    assert(v.isNullAt(1), "null parent struct must stay null, not become struct(null)")
+  }
+}
