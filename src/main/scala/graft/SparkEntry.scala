@@ -1,13 +1,332 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.ConnectProps
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJsonString}
+
+/** Driver contract: one demonstration query per implemented operator
+  * (SURVEY.md §2 + the LLM-pipeline extensions), each with a DuckDB
+  * oracle where the semantics are ANSI-SQL-expressible.
+  *
+  * Oracle-parity ground rules (learned the hard way, documented for
+  * future queries):
+  *  - alias every computed column identically in Spark and SQL — the
+  *    driver sorts columns BY NAME before hashing;
+  *  - no raw double arithmetic in outputs — cast to DECIMAL(18,2) before
+  *    aggregating (binary-float sums are order-dependent), passthrough
+  *    doubles from parquet are fine;
+  *  - `events.ts` is BIGINT nanos under `nanosAsLong` (Spark) but
+  *    TIMESTAMP_NS in DuckDB — compare via `epoch_ns()` or day-truncation;
+  *  - hash/fingerprint parity uses `md5` (identical everywhere);
+  *    engine-internal paths use `xxhash64` (fast, Spark-only) and those
+  *    queries get rows-only checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: schema-ful nested drop over events (the P1 slice). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("drop_nested")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ helpers
+
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** events rows wrapped into a Kafka-style value struct:
+    * value = {event_id, meta: {user: {user_id, event_type}, v}}.
+    */
+  private def eventsAsValueStruct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      struct(
+        struct(col("user_id"), col("event_type")).as("user"),
+        col("value").as("v")).as("meta"))
+      .select(col("event_id").as("__id"),
+        struct(col("event_id"), col("meta")).as("value"))
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- parity: DropField (schema-ful, schemaless), SURVEY §2.1 #1
+    "drop_nested" -> ((s, dir) => {
+      val dropped = DropField("value", Seq("meta.user.event_type"))(eventsAsValueStruct(s, dir))
+      dropped.select(
+        col("value.event_id").as("event_id"),
+        col("value.meta.user.user_id").as("user_id"),
+        col("value.meta.v").as("v"))
+    }),
+    "drop_subtree" -> ((s, dir) => {
+      val dropped = DropField("value", Seq("meta.user"))(eventsAsValueStruct(s, dir))
+      dropped.select(
+        col("value.event_id").as("event_id"),
+        col("value.meta.v").as("v"))
+    }),
+    "drop_schemaless" -> ((s, dir) => {
+      val in = events(s, dir).select(col("event_id"),
+        to_json(struct(col("user_id"),
+          struct(col("event_type"), col("event_id").as("k")).as("meta"))).as("payload"))
+      DropField("payload", Seq("meta.k"))(in)
+        .select(col("event_id"), col("payload").as("dropped"))
+    }),
+
+    // ---- parity: ExtendedHoistField, SURVEY §2.1 #2
+    "hoist_keep" -> ((s, dir) => {
+      val in = events(s, dir).select(col("event_id"), struct(
+        col("event_id").as("id"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("user_id")).as("ma"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("event_id")).as("mb"))
+        .as("key"))
+      ExtendedHoistField("key", "payload", Seq("id"))(in).select(
+        col("event_id"),
+        col("key.payload").isNull.as("payload_is_null"),
+        col("key.payload.ma").as("pa"),
+        col("key.payload.mb").as("pb"))
+    }),
+    "hoist_passthrough" -> ((s, dir) => {
+      val in = events(s, dir).select(col("event_id"),
+        struct(col("event_id").as("id"), col("user_id").as("uid")).as("key"))
+      ExtendedHoistField("key", "payload", Seq("id", "uid"))(in)
+        .select(col("event_id"), col("key.uid").as("user_id"))
+    }),
+    "hoist_schemaless" -> ((s, dir) =>
+      ExtendedHoistField("props", "wrapped")(events(s, dir))
+        .select(col("event_id"), col("props").as("wrapped"))),
+    "hoist_schemaless_keep" -> ((s, dir) =>
+      ExtendedHoistField("props", "wrapped", Seq("k"))(events(s, dir))
+        .select(col("event_id"), col("props").as("kept"))),
+
+    // ---- parity: StructuredSchemalessToJsonString, SURVEY §2.1 #3
+    "to_json_map" -> ((s, dir) => {
+      val in = events(s, dir).select(col("event_id"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      StructuredToJsonString("m")(in).select(col("event_id"), col("m").as("j"))
+    }),
+
+    // ---- parity: config-driven chain (configure + TransformationChain)
+    "chain_props" -> ((s, dir) => {
+      val fn = ConnectProps.compile(Map(
+        "transforms" -> "dropK,wrap",
+        "transforms.dropK.type" -> "DropField$Value",
+        "transforms.dropK.column" -> "props",
+        "transforms.dropK.fields" -> "k",
+        "transforms.wrap.type" -> "ExtendedHoistField$Value",
+        "transforms.wrap.column" -> "props",
+        "transforms.wrap.field" -> "wrapped"))
+      fn(events(s, dir)).select(col("event_id"), col("event_type"), col("props"))
+    }),
+
+    // ---- analytics over the star schema (free from Catalyst; here to
+    // prove pushdown/broadcast/shuffle shapes at scale)
+    "q1_agg" -> ((s, dir) => Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_price"),
+        count(lit(1)).as("cnt"))),
+    "q3_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.table(s, dir, "nation")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"),
+          count(lit(1)).as("n_orders"))
+    }),
+    "q_topk_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rank"))
+    }),
+    "q_events_daily" -> ((s, dir) => events(s, dir)
+      .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))),
+
+    // ---- LLM pipeline: dedup
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "text", "doc_id")),
+    "dedup_rows" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatureMd5(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 8)),
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      // planted near-dups: perturbed copies of docs 0..19 (id + 100000,
+      // last word dropped) unioned in; the operator must find them via
+      // LSH banding, never all-pairs. xxhash64-based → rows-only check.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      Dedup.minhashNearDupPairs(d.union(planted), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text")),
+    "jaccard_adjacent" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ts"))
+      val a = t.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"))
+      val b = t.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ts_a"), col("ts_b"))).cast("long").as("inter_cnt"),
+          size(array_union(col("ts_a"), col("ts_b"))).cast("long").as("union_cnt"))
+    }),
+
+    // ---- LLM pipeline: similarity search
+    "ann_cosine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.lshTopK(e, q, "vec_id", "embedding", 5, numPlanes = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ---- LLM pipeline: text analysis
+    "text_tokens" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
+    "text_quality" -> ((s, dir) => {
+      val feats = TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+      docs(s, dir).select(col("doc_id") +: feats: _*)
+    }),
+    "text_langid" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- LLM pipeline: multimodal columns
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.attachFakeMedia(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("media.mime").as("mime"),
+          col("media.width").as("width"), col("media.duration_ms").as("duration_ms"),
+          octet_length(col("media.bytes")).cast("long").as("byte_len"))),
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.attachFakeMedia(docs(s, dir), "doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("byte_len"))),
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.attachFakeMedia(docs(s, dir), "doc_id", "text"), "doc_id", 4)
+        .select(col("doc_id"), col("frame_idx"),
+          hex(col("frame_bytes")).as("frame_hex"))))
+
+  // ------------------------------------------------------------ oracles
+
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private def langIdSql: String = {
+    def cnt(m: String) =
+      s"((length(pad) - length(replace(pad, ' $m ', ''))) / ${m.length + 2})"
+    val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+      l -> ms.map(cnt).mkString("(", " + ", ")")
+    }
+    val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+    val cases = scores.map { case (l, e) =>
+      s"WHEN $e = $best AND $e > 0 THEN '$l'"
+    }.mkString(" ")
+    s"SELECT doc_id, (CASE $cases ELSE 'und' END) AS lang_pred FROM " +
+      s"(SELECT doc_id, ' ' || $normSql || ' ' AS pad FROM documents)"
+  }
+
+  private def minhashSql: String = {
+    val mh = (0 until 8).map(i =>
+      s"list_min(list_transform(sh, x -> substr(md5('$i:' || x), 1, 16))) AS mh$i")
+      .mkString(", ")
+    s"""SELECT doc_id, $mh FROM (
+       |  SELECT doc_id, CASE WHEN len(toks) >= 3
+       |    THEN list_distinct(list_transform(range(0, len(toks) - 2),
+       |         i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+       |    ELSE [array_to_string(toks, ' ')] END AS sh FROM (
+       |    SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents))""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "drop_nested" -> "SELECT event_id, user_id, value AS v FROM events",
+    "drop_subtree" -> "SELECT event_id, value AS v FROM events",
+    "drop_schemaless" -> ("SELECT event_id, concat('{\"user_id\":', user_id, " +
+      "',\"meta\":{\"event_type\":\"', event_type, '\"}}') AS dropped FROM events"),
+    "hoist_keep" -> ("SELECT event_id, (event_type = 'error') AS payload_is_null, " +
+      "CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS pa, " +
+      "CASE WHEN event_type = 'error' THEN NULL ELSE event_id END AS pb FROM events"),
+    "hoist_passthrough" -> "SELECT event_id, user_id FROM events",
+    "hoist_schemaless" ->
+      "SELECT event_id, concat('{\"wrapped\":', replace(props, ' ', ''), '}') AS wrapped FROM events",
+    "hoist_schemaless_keep" ->
+      "SELECT event_id, replace(props, ' ', '') AS kept FROM events",
+    "to_json_map" -> "SELECT event_id, replace(props, ' ', '') AS j FROM events",
+    "chain_props" ->
+      "SELECT event_id, event_type, '{\"wrapped\":{}}' AS props FROM events",
+    "q1_agg" -> ("SELECT l_returnflag, l_linestatus, " +
+      "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
+      "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, " +
+      "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q3_join" -> ("SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, " +
+      "count(*) AS n_orders FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "q_topk_window" -> ("SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (" +
+      "SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (" +
+      "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank " +
+      "FROM customer) WHERE rank <= 3"),
+    "q_events_daily" -> ("SELECT user_id, date_trunc('day', ts)::DATE AS day, " +
+      "count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value " +
+      "FROM events GROUP BY user_id, date_trunc('day', ts)::DATE"),
+    "dedup_exact" -> ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, " +
+      "count(*) AS dup_count FROM documents GROUP BY md5(text)"),
+    "dedup_rows" -> ("SELECT doc_id, lang, source FROM documents WHERE doc_id IN " +
+      "(SELECT min(doc_id) FROM documents GROUP BY text)"),
+    "dedup_minhash" -> minhashSql,
+    "jaccard_adjacent" -> ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "len(list_intersect(a.ts, b.ts)) AS inter_cnt, " +
+      "len(list_distinct(a.ts || b.ts)) AS union_cnt FROM " +
+      s"(SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents) a " +
+      s"JOIN (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents) b " +
+      "ON b.doc_id = a.doc_id + 1"),
+    "ann_cosine" -> ("SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
+      "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS INT) AS rank " +
+      "FROM embeddings e, embeddings q WHERE q.vec_id < 8 " +
+      "QUALIFY rank <= 10"),
+    "text_tokens" -> ("SELECT doc_id, " +
+      s"len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens_ws, " +
+      "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens_bpe FROM documents"),
+    "text_quality" -> ("SELECT doc_id, length(n)::BIGINT AS n_chars_norm, " +
+      "len(string_split(n, ' '))::BIGINT AS n_tokens, " +
+      "(length(n) - length(translate(n, '.,!?;:', '')))::BIGINT AS punct_cnt, " +
+      "(length(n) - length(translate(n, '0123456789', '')))::BIGINT AS digit_cnt, " +
+      "floor(length(replace(n, ' ', '')) * 100.0 / len(string_split(n, ' ')))::BIGINT AS mean_tok_len_x100 " +
+      "FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents)"),
+    "text_langid" -> langIdSql,
+    "text_fingerprint" -> s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    "multimodal_meta" -> ("SELECT doc_id, 'application/octet-stream' AS mime, " +
+      "CAST(octet_length(encode(text)) % 1024 AS INT) AS width, " +
+      "octet_length(encode(text)) * 10 AS duration_ms, " +
+      "octet_length(encode(text))::BIGINT AS byte_len FROM documents"),
+    "multimodal_features" ->
+      "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len FROM documents",
+    // DuckDB lacks substr on BLOB: slice the hex string instead (byte n
+    // starts at hex position 2n+1; both engines clamp past-the-end).
+    "multimodal_frames" -> ("SELECT doc_id, CAST(i AS INT) AS frame_idx, " +
+      "substr(hex(encode(text)), CAST(i * greatest(octet_length(encode(text)) // 4, 1) * 2 + 1 AS BIGINT), 32) AS frame_hex " +
+      "FROM documents, range(0, 4) t(i)"))
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * Every function is a pure, codegen-friendly Column expression — narrow,
+  * zero-shuffle, runs at parquet-scan speed. Counting tricks use
+  * plain-string `replace` + `length` arithmetic (not regex backrefs) so
+  * the DuckDB correctness oracles can replicate results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed, trimmed text. */
+  def normWs(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+
+  /** Lower-cased normalized text, padded with one space on each side so
+    * whole-word occurrence counting via substring replace is exact.
+    */
+  def padded(c: Column): Column = concat(lit(" "), lower(normWs(c)), lit(" "))
+
+  /** Occurrences of literal `m` in `c` via replace-length arithmetic
+    * (identical semantics in any engine with all-occurrence replace).
+    */
+  def countOccurrences(c: Column, m: String): Column =
+    ((length(c) - length(call_function("replace", c, lit(m), lit("")))) / m.length)
+      .cast("long")
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(split(normWs(c), " ")).cast("long")
+
+  /** BPE-ish token count: word pieces + standalone non-word chars —
+    * `\w+|[^\w\s]` — the classic pre-tokenizer regex.
+    */
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
+  /** Distinct word-token set (input to n-gram Jaccard similarity). */
+  def tokenSet(c: Column): Column = array_distinct(split(lower(normWs(c)), " "))
+
+  /** Quality-scoring feature bundle, all integer-valued for exact
+    * cross-engine comparison: lengths, space/punct/digit counts, and the
+    * mean token length ×100 (floored).
+    */
+  def qualityFeatures(c: Column): Seq[(String, Column)] = {
+    val n = normWs(c)
+    val noSpace = call_function("replace", n, lit(" "), lit(""))
+    val toks = size(split(n, " ")).cast("long")
+    Seq(
+      "n_chars_norm" -> length(n).cast("long"),
+      "n_tokens" -> toks,
+      "punct_cnt" -> (length(n) - length(translate(n, ".,!?;:", ""))).cast("long"),
+      "digit_cnt" -> (length(n) - length(translate(n, "0123456789", ""))).cast("long"),
+      "mean_tok_len_x100" ->
+        floor(length(noSpace).cast("double") * 100.0 / toks.cast("double")).cast("long"))
+  }
+
+  /** Language-ID marker words. Deliberately tiny and deterministic: this
+    * is the n-gram/stopword heuristic of pipeline lore, not a model.
+    * Order matters — ties resolve to the earliest entry.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "des"),
+    "zh" -> Seq("wo", "shi", "bu"))
+
+  /** Score for one language: total whole-word marker occurrences. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    markers.map(m => countOccurrences(padded(c), " " + m + " ")).reduce(_ + _)
+
+  /** Predicted language: argmax of marker scores, ties to the earlier
+    * language in [[langMarkers]]; all-zero scores fall back to "und".
+    */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> langScore(c, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s === best && s > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Stable content fingerprint of normalized text (md5 — portable across
+    * engines; see [[graft.functions.RollingHash]] for the cheaper
+    * non-cryptographic engine-side variant).
+    */
+  def fingerprint(c: Column): Column = md5(lower(normWs(c)))
+
+  /** Full per-document text-analysis projection. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val feats = qualityFeatures(t).map { case (n, c) => c.as(n) }
+    df.select(Seq(col(idCol), langId(t).as("lang_pred"), fingerprint(t).as("fp"),
+      tokenCountBpe(t).as("n_tokens_bpe")) ++ feats: _*)
+  }
+}
