@@ -54,12 +54,27 @@ object PipelineRunner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val out = run(spark, input, opts.get("--props"), Map.empty)
-      opts.get("--show").foreach(n => out.show(n.toInt, truncate = false))
-      opts.get("--explain").foreach(mode => out.explain(mode))
-      opts.get("--output").foreach { dir =>
-        out.write.mode("overwrite").parquet(dir)
-        println(s"[graft] wrote ${spark.read.parquet(dir).count()} rows to $dir")
+      if (opts.contains("--stream")) {
+        // streaming mode: file-stream source → same chain → parquet sink
+        val outDir = opts.getOrElse("--output",
+          sys.error("--output <dir> is required with --stream"))
+        val ckpt = opts.getOrElse("--checkpoint", outDir + "_ckpt")
+        spark.conf.set(graft.sources.Tables.NanosConf, "true")
+        val schema = spark.read.parquet(input).schema
+        val src = graft.streaming.StreamRunner.fileSource(spark, input, schema)
+        val props = opts.get("--props").map(loadProps).getOrElse(Map.empty)
+        val q = graft.streaming.StreamRunner.fileSink(
+          graft.streaming.StreamRunner.applyChain(src, props), outDir, ckpt)
+        q.awaitTermination()
+        println(s"[graft] stream wrote ${spark.read.parquet(outDir).count()} rows to $outDir")
+      } else {
+        val out = run(spark, input, opts.get("--props"), Map.empty)
+        opts.get("--show").foreach(n => out.show(n.toInt, truncate = false))
+        opts.get("--explain").foreach(mode => out.explain(mode))
+        opts.get("--output").foreach { dir =>
+          out.write.mode("overwrite").parquet(dir)
+          println(s"[graft] wrote ${spark.read.parquet(dir).count()} rows to $dir")
+        }
       }
     } finally spark.stop()
   }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.config.ConnectProps
+import graft.transforms.Transform
+
+/** Streaming execution: the reference IS a stream processor (Kafka Connect
+  * SMTs), and every transform in this engine is a stateless narrow map —
+  * so streaming parity is literally the same `Transform` chain applied to
+  * a streaming DataFrame (SURVEY.md §2.2: no watermark, no state store,
+  * no `(flatMap)GroupsWithState` required for parity).
+  *
+  * Sources/sinks:
+  *  - [[kafkaSource]]/[[kafkaSink]] — the production pair; emits exactly
+  *    the reference's record envelope (key, value, topic, partition,
+  *    timestamp, headers). Requires the spark-sql-kafka connector jar on
+  *    the cluster classpath (not present in this dev container, so these
+  *    are exercised only by compilation here; file/memory paths below are
+  *    the tested ones).
+  *  - [[fileSource]]/[[fileSink]] — parquet-dir streaming, used by tests
+  *    and usable for backfill replays.
+  *  - [[memorySink]] — test sink.
+  *
+  * Scale: a Kafka-source stream has one Spark partition per topic
+  * partition and the chain is shuffle-free, so throughput scales linearly
+  * with topic partitions — the same parallelism contract as a Connect
+  * worker fleet, minus the per-record envelope rebuild.
+  */
+object StreamRunner {
+
+  def kafkaSource(spark: SparkSession, bootstrapServers: String, topics: String,
+                  startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .option("includeHeaders", "true")
+      .load()
+
+  def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
+                checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  def fileSource(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  def fileSink(df: DataFrame, dir: String, checkpoint: String,
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  def memorySink(df: DataFrame, queryName: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+
+  /** Apply a Connect-style chain to a streaming DataFrame — identical code
+    * path to batch ([[ConnectProps.compile]]); Structured Streaming
+    * accepts it because every transform is a narrow projection.
+    */
+  def applyChain(stream: DataFrame, props: Map[String, String]): DataFrame =
+    ConnectProps.compile(props)(stream)
+
+  def applyTransforms(stream: DataFrame, transforms: Seq[Transform]): DataFrame =
+    Transform.chain(transforms)(stream)
+}

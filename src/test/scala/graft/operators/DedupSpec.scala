@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+
+  private def docsDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "a completely different document about spark query engines and columnar data"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank"),       // near dup of 0
+      (4L, "unrelated text with entirely distinct vocabulary for testing purposes only"),
+      (5L, "a completely different document about spark query engines and columnar info")) // near dup of 1
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps smallest id per duplicate group") {
+    val out = Dedup.exact(docsDf, Seq("text"), "doc_id")
+    assert(out.count() == 5)
+    assert(out.filter(col("doc_id") === 2).count() == 0, "doc 2 is the dup, doc 0 survives")
+    assert(out.filter(col("doc_id") === 0).count() == 1)
+  }
+
+  test("exactGroups reports multiplicity") {
+    val g = Dedup.exactGroups(docsDf, "text", "doc_id").collect()
+    assert(g.length == 5)
+    val dupGroup = g.find(_.getAs[Long]("keep_id") == 0L).get
+    assert(dupGroup.getAs[Long]("dup_count") == 2L)
+  }
+
+  test("minhash near-dup finds planted near-duplicates via LSH, not all-pairs") {
+    val pairs = Dedup.minhashNearDupPairs(docsDf, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)), "exact dup pair must surface (jaccard 1.0)")
+    assert(pairs.contains((0L, 3L)) || pairs.contains((2L, 3L)),
+      s"near-dup of doc 0 must surface, got $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 1L) },
+      "unrelated docs must not pair")
+  }
+
+  test("minhash jaccard estimate is exact-1.0 for identical docs") {
+    val pairs = Dedup.minhashNearDupPairs(docsDf, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.9)
+      .filter(col("id_a") === 0 && col("id_b") === 2).collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs get identical hashes, near-dups small hamming") {
+    val sim = Dedup.simhash(docsDf, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sim(0L) == sim(2L), "identical text ⇒ identical simhash")
+    assert(java.lang.Long.bitCount(sim(0L) ^ sim(3L)) <= 12,
+      "near-dup should be within a small hamming distance")
+    assert(java.lang.Long.bitCount(sim(0L) ^ sim(4L)) > 12,
+      "unrelated docs should be far apart")
+  }
+
+  test("simhash near-dup pairs via chunk blocking") {
+    val sim = Dedup.simhash(docsDf, "doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(sim, "doc_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("shingles: short documents fall back to whole-text shingle") {
+    val s = spark
+    import s.implicits._
+    val short = Seq((0L, "tiny doc")).toDF("doc_id", "text")
+    val sh = Dedup.explodedShingles(short, "doc_id", "text", 3).collect()
+    assert(sh.map(_.getString(1)).toSeq == Seq("tiny doc"))
+  }
+
+  test("explodedShingles matches the array formulation content-wise") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val viaWindow = Dedup.explodedShingles(df, "doc_id", "text", 3)
+      .collect().map(_.getString(1)).toSet
+    assert(viaWindow == Set("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  private def embDf = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def jitter(eps: Float) = base.zipWithIndex.map { case (v, i) =>
+      v + (if (i % 3 == 0) eps else 0f)
+    }.toSeq
+    (Seq(
+      0L -> base.toSeq,              // query
+      1L -> jitter(0.01f),           // very close
+      2L -> jitter(0.3f),            // close-ish
+      3L -> base.map(-_).toSeq) ++   // opposite
+      (4L until 40L).map(i => i -> Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks the planted near-neighbor first") {
+    val q = embDf.filter(col("vec_id") === 0)
+    val got = Similarity.bruteForceTopK(embDf, q, "vec_id", "embedding", 4)
+      .orderBy("rank").collect()
+    assert(got.head.getAs[Long]("neighbor_id") == 0L, "self is rank 1 (sim 1.0)")
+    assert(got(1).getAs[Long]("neighbor_id") == 1L, "planted near-dup is rank 2")
+    assert(got.forall(_.getAs[Long]("neighbor_id") != 3L), "opposite vector never in top-4")
+    val sims = got.map(_.getAs[Double]("sim"))
+    assert(sims.head > 0.9999 && sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("LSH top-k: same bucket contains the planted neighbor; recall vs brute force") {
+    val q = embDf.filter(col("vec_id") === 0)
+    val lsh = Similarity.lshTopK(embDf, q, "vec_id", "embedding", 4, numPlanes = 4)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(lsh.contains(0L) && lsh.contains(1L),
+      s"sign-bucket of the query must contain itself and the 0.01-jitter copy, got $lsh")
+  }
+
+  test("cosine expression: orthonormal sanity") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f), Seq(2f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("a"), col("c")).as("ac")).head()
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("lshBucket is deterministic across invocations (seeded planes)") {
+    val planes = Similarity.hyperplanes(8, 16, seed = 42L)
+    val planes2 = Similarity.hyperplanes(8, 16, seed = 42L)
+    assert(planes.flatten.toSeq == planes2.flatten.toSeq)
+    val b1 = embDf.select(Similarity.lshBucket(col("embedding"), planes).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val b2 = embDf.select(Similarity.lshBucket(col("embedding"), planes).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b1 == b2)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "The quick  brown fox, the lazy dog!"),
+      (1L, "der hund und die katze und der vogel"),
+      (2L, "el gato la casa los perros"),
+      (3L, "numbers 123 and 456 here."),
+      (4L, "   spaced     out    text   "))
+      .toDF("doc_id", "text")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val r = df.select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("bpe"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 7) // ws tokens
+    assert(r(0).getLong(2) == 9) // 7 words + comma + bang
+    assert(r(4).getLong(1) == 3) // normalization collapses runs
+  }
+
+  test("quality features are integers and consistent") {
+    val feats = TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+    val r = df.filter(col("doc_id") === 3).select(feats: _*).head()
+    assert(r.getAs[Long]("digit_cnt") == 6)
+    assert(r.getAs[Long]("punct_cnt") == 1)
+    assert(r.getAs[Long]("n_tokens") == 5)
+  }
+
+  test("langId picks marker-dominant language, und on no markers") {
+    val r = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(r(0) == "en")
+    assert(r(1) == "de")
+    assert(r(2) == "es")
+    assert(r(4) == "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive stable") {
+    val s = spark
+    import s.implicits._
+    val pair = Seq(("A  B c", "a b C")).toDF("x", "y")
+      .select(TextAnalysis.fingerprint(col("x")).as("fx"),
+        TextAnalysis.fingerprint(col("y")).as("fy")).head()
+    assert(pair.getString(0) == pair.getString(1))
+  }
+
+  test("analyze() bundles all features per doc") {
+    val out = TextAnalysis.analyze(df, "doc_id", "text")
+    assert(out.count() == 5)
+    assert(out.columns.toSet == Set("doc_id", "lang_pred", "fp", "n_tokens_bpe",
+      "n_chars_norm", "n_tokens", "punct_cnt", "digit_cnt", "mean_tok_len_x100"))
+  }
+}

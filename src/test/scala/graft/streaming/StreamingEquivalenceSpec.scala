@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.transforms.{DropField, ExtendedHoistField, StructuredToJsonString}
+
+// top-level: Spark encoders can't reach case classes nested in a test class
+case class U(user_id: Long, event_type: String)
+case class V(event_id: Long, user: U, props: String)
+
+/** Streaming equivalence (SURVEY.md §5 item 3): each transform applied to
+  * a stream yields exactly the rows the batch run yields — the engine's
+  * claim that parity transforms are execution-mode-agnostic.
+  */
+class StreamingEquivalenceSpec extends SparkTestBase {
+
+  private val rows = Seq(
+    V(1L, U(10L, "view"), """{"k":1,"nested":{"x":2}}"""),
+    V(2L, U(20L, "click"), """{"k":2,"nested":{"x":3}}"""),
+    V(3L, U(30L, "error"), """{"k":3,"nested":{"x":4}}"""))
+
+  private def chain = Seq(
+    DropField("user", Seq("event_type")),
+    DropField("props", Seq("nested.x")),
+    ExtendedHoistField("props", "wrapped", Seq("k")))
+
+  test("MemoryStream: transform chain output is identical to batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[V]
+    mem.addData(rows: _*)
+
+    val streamed = StreamRunner.applyTransforms(mem.toDF(), chain)
+    val q = StreamRunner.memorySink(streamed, "stream_equiv_out")
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = StreamRunner.applyTransforms(rows.toDF(), chain)
+    val got = spark.table("stream_equiv_out").orderBy("event_id").collect().toSeq
+    val want = batch.orderBy("event_id").collect().toSeq
+    assert(got == want)
+    assert(got.map(_.getAs[Row]("user").length) == Seq(1, 1, 1)) // event_type dropped
+    assert(got.head.getAs[String]("props") == """{"k":1,"wrapped":{"nested":{}}}""")
+  }
+
+  test("file-stream source → chain → parquet sink round-trips (AvailableNow)") {
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF().write.mode("overwrite").parquet(srcDir)
+
+    val src = StreamRunner.fileSource(spark, srcDir, rows.toDF().schema)
+    val q = StreamRunner.fileSink(
+      StreamRunner.applyTransforms(src, chain), outDir, ckpt)
+    q.awaitTermination(60000)
+
+    val got = spark.read.parquet(outDir).orderBy("event_id").collect().toSeq
+    val want = StreamRunner.applyTransforms(rows.toDF(), chain)
+      .orderBy("event_id").collect().toSeq
+    assert(got == want)
+  }
+
+  test("map→json transform works on a stream (to_json parity op)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, """{"k": 5}"""), (2L, """{"k": 6}"""))
+    val df = mem.toDF().toDF("id", "props")
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)))
+    val q = StreamRunner.memorySink(
+      StructuredToJsonString("m")(df).select("id", "m"), "stream_tojson_out")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_tojson_out").orderBy("id")
+      .collect().map(_.getString(1)).toSeq
+    assert(got == Seq("""{"k":5}""", """{"k":6}"""))
+  }
+}
