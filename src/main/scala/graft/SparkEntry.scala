@@ -212,6 +212,10 @@ object SparkEntry {
       TextAnalysis.langId(col("text")).as("lang_pred"))),
     "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // custom codegen'd Catalyst Expression flavor (engine hash → rows-only)
+    "text_fingerprint_fast" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
+      graft.functions.RollingHash.rolling_hash(lower(TextAnalysis.normWs(col("text"))))
+        .as("fp_fast"))),
 
     // ---- LLM pipeline: multimodal columns
     "multimodal_meta" -> ((s, dir) =>
