@@ -193,6 +193,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      // embedding-cosine near-dup: planted jittered copies (vec_id+100000,
+      // tiny per-dim perturbation) must pair with their originals through
+      // LSH sign-bucket blocking. Engine-internal hashing → rows-only.
+      val e = Tables.embeddings(s, dir)
+      val planted = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+      Similarity.cosineNearDupPairs(e.select(col("vec_id"), col("embedding")).union(planted),
+        "vec_id", "embedding", minCosine = 0.98, numPlanes = 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 8)

@@ -67,6 +67,39 @@ object Similarity {
       when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: rows whose vectors are closer
+    * than `minCosine`. Candidates come from LSH sign-buckets (plus no
+    * corpus self-shuffle tricks): two near-identical vectors agree on
+    * every hyperplane sign with high probability, so bucket-equality
+    * blocking finds them without an all-pairs cross join. `numPlanes`
+    * trades recall for bucket size; pathological buckets are capped.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double = 0.95, numPlanes: Int = 8,
+                         seed: Long = 42L, maxBucket: Int = 256): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val withBucket = df.select(col(idCol), col(vecCol).as("__v"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val bucketed = withBucket
+      .groupBy("__bucket")
+      .agg(collect_list(struct(col(idCol).as("id"), col("__v").as("v"))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+    val pairs = bucketed
+      .select(explode(pairStructsOf(col("xs"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        cosine(col("p.a.v"), col("p.b.v")).as("cosine"))
+    pairs.filter(col("cosine") >= minCosine).distinct()
+  }
+
+  /** All unordered pairs (a<b by id) of an array of {id, v} structs. */
+  private def pairStructsOf(xs: Column): Column = {
+    val sorted = array_sort(xs)
+    flatten(transform(sequence(lit(0), size(sorted) - 2), i =>
+      transform(slice(sorted, i + lit(2), size(sorted)), b =>
+        struct(element_at(sorted, i + lit(1)).as("a"), b.as("b")))))
+  }
+
   /** Approximate top-k: candidates = same LSH bucket, exact cosine re-rank
     * within the bucket. Note the single shuffle on the (small) bucket id;
     * with `numPlanes` ≈ log2(corpus/bucketTarget) buckets stay executor-

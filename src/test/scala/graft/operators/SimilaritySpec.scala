@@ -42,6 +42,15 @@ class SimilaritySpec extends SparkTestBase {
       s"sign-bucket of the query must contain itself and the 0.01-jitter copy, got $lsh")
   }
 
+  test("cosineNearDupPairs finds planted jittered copy, skips unrelated") {
+    val pairs = Similarity.cosineNearDupPairs(embDf, "vec_id", "embedding",
+      minCosine = 0.98, numPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"0 and its 0.01-jitter must pair, got $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 3L) },
+      "opposite vectors must not pair")
+  }
+
   test("cosine expression: orthonormal sanity") {
     val s = spark
     import s.implicits._
