@@ -147,6 +147,12 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rank"))
     }),
+    // same semantics as q_topk_window, executed by the custom
+    // TopKPerKeyExec (bounded per-key heaps, no sort) — plans/TopKPerKey
+    "q_topk_custom" -> ((s, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(Tables.customer(s, dir),
+        Seq("c_mktsegment"), Seq("c_acctbal" -> false, "c_custkey" -> true), 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rank"))),
     "q_events_daily" -> ((s, dir) => events(s, dir)
       .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
       .groupBy(col("user_id"), col("day"))
@@ -302,6 +308,10 @@ object SparkEntry {
       "JOIN customer ON o_custkey = c_custkey " +
       "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
     "q_topk_window" -> ("SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (" +
+      "SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (" +
+      "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank " +
+      "FROM customer) WHERE rank <= 3"),
+    "q_topk_custom" -> ("SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (" +
       "SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (" +
       "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank " +
       "FROM customer) WHERE rank <= 3"),
