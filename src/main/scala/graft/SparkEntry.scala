@@ -107,6 +107,14 @@ object SparkEntry {
       StructuredToJsonString("m")(in).select(col("event_id"), col("m").as("j"))
     }),
 
+    // ---- Spark 4 Variant: schemaless extraction without re-parsing
+    "variant_extract" -> ((s, dir) => {
+      val withV = transforms.VariantOps.withVariant(events(s, dir), "props", "v")
+      withV.select(col("event_id"),
+        transforms.VariantOps.extract(col("v"), "$.k", "bigint").as("k_val"),
+        transforms.VariantOps.extractLenient(col("v"), "$.missing", "bigint").as("missing_val"))
+    }),
+
     // ---- parity: config-driven chain (configure + TransformationChain)
     "chain_props" -> ((s, dir) => {
       val fn = ConnectProps.compile(Map(
@@ -299,6 +307,8 @@ object SparkEntry {
     "to_json_map" -> "SELECT event_id, replace(props, ' ', '') AS j FROM events",
     "chain_props" ->
       "SELECT event_id, event_type, '{\"wrapped\":{}}' AS props FROM events",
+    "variant_extract" -> ("SELECT event_id, (props::JSON ->> 'k')::BIGINT AS k_val, " +
+      "(props::JSON ->> 'missing')::BIGINT AS missing_val FROM events"),
     "q1_agg" -> ("SELECT l_returnflag, l_linestatus, " +
       "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
       "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, " +
