@@ -26,15 +26,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      // min of 2 timed runs: a single sample still catches stray JIT/GC
+      // pauses (observed 0.4s queries reading as 7s once per session)
+      var best = Double.MaxValue
+      var ok = true
+      var i = 0
+      while (i < 2 && ok) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
-          false
+          ok = false
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best) best = dt
+        i += 1
+      }
+      name -> (if (ok) best else -best)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -216,7 +216,7 @@ object SparkEntry {
         (col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
       Similarity.cosineNearDupPairs(e.select(col("vec_id"), col("embedding")).union(planted),
-        "vec_id", "embedding", minCosine = 0.98, numPlanes = 8)
+        "vec_id", "embedding", minCosine = 0.98, numPlanes = 8, numTables = 3)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),

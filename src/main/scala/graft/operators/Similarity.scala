@@ -76,13 +76,18 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double = 0.95, numPlanes: Int = 8,
-                         seed: Long = 42L, maxBucket: Int = 256): DataFrame = {
+                         seed: Long = 42L, maxBucket: Int = 256,
+                         numTables: Int = 1): DataFrame = {
     val dim = 64
-    val planes = hyperplanes(numPlanes, dim, seed)
+    // band-OR: each extra hash table (independent plane set) gives a
+    // near-dup pair another chance to collide — recall 1-(1-p)^T for
+    // per-table collision probability p, at T× candidate cost.
+    val allPlanes = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t))
     val withBucket = df.select(col(idCol), col(vecCol).as("__v"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
+      posexplode(array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*))
+        .as(Seq("__table", "__bucket")))
     val bucketed = withBucket
-      .groupBy("__bucket")
+      .groupBy("__table", "__bucket")
       .agg(collect_list(struct(col(idCol).as("id"), col("__v").as("v"))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
     val pairs = bucketed

@@ -46,7 +46,10 @@ case class DropField(
       case st: StructType =>
         df.withColumn(targetCol, NestedOps.dropFieldsCol(col(targetCol), st, paths))
       case StringType if schemaless.getOrElse(true) =>
-        df.withColumn(targetCol, JsonOps.dropJson(col(targetCol), fields))
+        // native codegen'd Expression, not a ScalaUDF (JsonOps keeps the
+        // UDF flavor for comparison/tests)
+        df.withColumn(targetCol,
+          graft.functions.JsonDropFields(col(targetCol), fields))
       case other => throw new IllegalArgumentException(
         s"DropField supports struct columns (schema-ful) or JSON string columns " +
           s"(schemaless); column '$targetCol' is $other")

@@ -51,8 +51,9 @@ case class ExtendedHoistField(
         else df.withColumn(targetCol,
           NestedOps.hoistCol(col(targetCol), st, field, keepInRootFieldNames))
       case StringType if schemaless.getOrElse(true) =>
+        // native codegen'd Expression, not a ScalaUDF
         df.withColumn(targetCol,
-          JsonOps.hoistJson(col(targetCol), field, keepInRootFieldNames))
+          graft.functions.JsonHoistField(col(targetCol), field, keepInRootFieldNames))
       case _ =>
         df.withColumn(targetCol, struct(col(targetCol).as(field)))
     }
