@@ -226,6 +226,14 @@ object SparkEntry {
       Similarity.lshTopK(e, q, "vec_id", "embedding", 5, numPlanes = 6)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "ann_ivf" -> ((s, dir) => {
+      // IVF scale path: bucket by nearest centroid, probe 3 of 8 cells.
+      // Engine-internal quantizer → rows-only check.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, nlist = 8, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
 
     // ---- LLM pipeline: text analysis
     "text_tokens" -> ((s, dir) => docs(s, dir).select(col("doc_id"),

@@ -105,6 +105,105 @@ object Similarity {
         struct(element_at(sorted, i + lit(1)).as("a"), b.as("b")))))
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** Train an IVF coarse quantizer: k-means on a driver-collected sample.
+    * The sample is bounded (`sampleSize`), so driver memory is constant
+    * regardless of corpus scale; iterations run locally (centroids are
+    * tiny). Deterministic under `seed`.
+    */
+  def trainIvfCentroids(df: DataFrame, vecCol: String, nlist: Int,
+                        iters: Int = 5, sampleSize: Int = 2000,
+                        seed: Long = 42L): Array[Array[Double]] = {
+    val sample = df.select(col(vecCol)).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val rnd = new Random(seed)
+    var centroids = Array.fill(nlist)(sample(rnd.nextInt(sample.length)).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nlist)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell id (argmin L2 distance to a centroid) as a Column expression:
+    * centroids ride into the plan as literals (they are tiny), so the
+    * assignment is a narrow map over the corpus — no shuffle, no UDF.
+    */
+  def ivfCellCol(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.map { c =>
+      aggregate(
+        zip_with(vec, typedlit(c.toSeq), (x, y) => {
+          val d = x.cast("double") - y; d * d
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val minDist = dists.reduce((a, b) => least(a, b))
+    dists.zipWithIndex.foldRight(lit(-1): Column) { case ((d, i), els) =>
+      when(d === minDist, lit(i)).otherwise(els)
+    }
+  }
+
+  /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    * once (narrow map); each query probes its `nprobe` nearest cells and
+    * exact-ranks only those cells' rows. The classic recall/cost dial:
+    * nprobe=nlist degenerates to exact brute force.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 3,
+              seed: Long = 42L): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, vecCol, nlist, seed = seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      ivfCellCol(col(vecCol), centroids).as("__cell"))
+    // queries: explode the nprobe nearest cells per query (driver-side
+    // math is per-query-row on executors via the same literal centroids)
+    val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cells", ivfProbeCellsCol(col("__qv"), centroids, nprobe))
+      .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+    val scored = c.join(broadcast(qCells), "__cell")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** The `nprobe` nearest cell ids for a vector, as an array Column. */
+  def ivfProbeCellsCol(vec: Column, centroids: Array[Array[Double]],
+                       nprobe: Int): Column = {
+    val distStructs = centroids.zipWithIndex.map { case (cArr, i) =>
+      struct(
+        aggregate(zip_with(vec, typedlit(cArr.toSeq), (x, y) => {
+          val d = x.cast("double") - y; d * d
+        }), lit(0.0), (acc, v) => acc + v).as("d"),
+        lit(i).as("cell"))
+    }
+    slice(transform(array_sort(array(distStructs: _*)), s => s.getField("cell")),
+      1, nprobe)
+  }
+
   /** Approximate top-k: candidates = same LSH bucket, exact cosine re-rank
     * within the bucket. Note the single shuffle on the (small) bucket id;
     * with `numPlanes` ≈ log2(corpus/bucketTarget) buckets stay executor-

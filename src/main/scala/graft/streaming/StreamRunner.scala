@@ -66,6 +66,32 @@ object StreamRunner {
     df.writeStream.format("memory").queryName(queryName)
       .outputMode("append").start()
 
+  /** Beyond-parity capability: event-time tumbling/sliding windowed
+    * aggregation with a watermark (counts + value sums per group). The
+    * reference surface needs none of this (all transforms are stateless),
+    * but a training-data ingest pipeline does — and it composes with the
+    * transform chain: `windowedStats(applyChain(stream, props), ...)`.
+    *
+    * State scale: state store keys = groups × open windows; the watermark
+    * bounds open windows, so state is O(active keys), independent of
+    * stream length.
+    */
+  def windowedStats(events: DataFrame, tsCol: String, valueCol: String,
+                    groupCol: String, windowLen: String, watermarkDelay: String,
+                    slide: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowLen, s)
+      case None => window(col(tsCol), windowLen)
+    }
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(win.as("win"), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col(groupCol), col("n"), col("sum_value"))
+  }
+
   /** Apply a Connect-style chain to a streaming DataFrame — identical code
     * path to batch ([[ConnectProps.compile]]); Structured Streaming
     * accepts it because every transform is a narrow projection.

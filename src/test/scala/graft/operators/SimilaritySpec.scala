@@ -63,6 +63,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("IVF top-k: high recall vs brute force at nprobe=nlist/2; planted neighbor found") {
+    val q = embDf.filter(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(embDf, q, "vec_id", "embedding", 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val ivf = Similarity.ivfTopK(embDf, q, "vec_id", "embedding", 5,
+      nlist = 4, nprobe = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ivf.contains(0L) && ivf.contains(1L),
+      s"query cell must contain self and the jittered copy, got $ivf")
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low; brute=$brute ivf=$ivf")
+  }
+
+  test("IVF centroids are deterministic and cell assignment is exhaustive") {
+    val c1 = Similarity.trainIvfCentroids(embDf, "embedding", 4, seed = 9L)
+    val c2 = Similarity.trainIvfCentroids(embDf, "embedding", 4, seed = 9L)
+    assert(c1.flatten.toSeq == c2.flatten.toSeq)
+    val cells = embDf.select(Similarity.ivfCellCol(col("embedding"), c1).as("c"))
+      .collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 4))
+  }
+
   test("lshBucket is deterministic across invocations (seeded planes)") {
     val planes = Similarity.hyperplanes(8, 16, seed = 42L)
     val planes2 = Similarity.hyperplanes(8, 16, seed = 42L)

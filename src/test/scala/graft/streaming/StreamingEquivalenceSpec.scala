@@ -67,6 +67,30 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("windowed aggregation with watermark emits closed windows (append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamRunner.windowedStats(df, "ts", "value", "event_type",
+      "5 minutes", "1 minute")
+    val q = StreamRunner.memorySink(agg, "stream_window_out")
+    try {
+      mem.addData((ts(0), "view", 1.0), (ts(1), "view", 2.0), (ts(3), "click", 5.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the 10:00-10:05 window
+      mem.addData((ts(30), "view", 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_window_out")
+      .orderBy("event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value"))).toSeq
+    assert(rows == Seq(("click", 1L, 5.0), ("view", 2L, 3.0)))
+  }
+
   test("map→json transform works on a stream (to_json parity op)") {
     val s = spark
     import s.implicits._
