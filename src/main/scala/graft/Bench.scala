@@ -47,8 +47,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    val errJson = errors.map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "'") + "\"")
-      .mkString("[", ",", "]")
+    // escape like Verify.q(): control chars in exception messages (plan
+    // dumps contain newlines) would otherwise break the one-line JSON
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val errJson = errors.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$errJson%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }

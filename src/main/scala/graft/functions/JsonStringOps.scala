@@ -38,13 +38,19 @@ object JsonStringOps {
     * empty keep-list wraps any JSON value; non-empty requires an object;
     * empty inner object is genuinely omitted.
     */
-  def hoistJson(s: UTF8String, field: String, keep: Array[String]): UTF8String = {
-    if (s == null) return null
-    val node = mapper.readTree(s.toString)
+  def hoistJson(s: UTF8String, field: String, keep: Array[String]): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(hoistJsonString(s.toString, field, keep))
+
+  /** String flavor — single source of truth shared with the UDF wrappers
+    * in [[graft.transforms.JsonOps]].
+    */
+  def hoistJsonString(str: String, field: String, keep: Array[String]): String = {
+    val node = mapper.readTree(str)
     if (keep.isEmpty) {
       val out = mapper.createObjectNode()
       out.set[com.fasterxml.jackson.databind.JsonNode](field, node)
-      UTF8String.fromString(mapper.writeValueAsString(out))
+      mapper.writeValueAsString(out)
     } else node match {
       case obj: ObjectNode =>
         val keepSet = keep.toSet
@@ -57,22 +63,28 @@ object JsonStringOps {
         }
         if (inner.size() > 0)
           root.set[com.fasterxml.jackson.databind.JsonNode](field, inner)
-        UTF8String.fromString(mapper.writeValueAsString(root))
+        mapper.writeValueAsString(root)
       case _ => throw new IllegalArgumentException(
-        "Only Map (JSON object) values are supported if keepInRootFieldNames is configured, found: " + s)
+        "Only Map (JSON object) values are supported if keepInRootFieldNames is configured, found: " + str)
     }
   }
 
   /** Static entry point used by both eval and generated code. */
-  def dropJson(s: UTF8String, paths: Array[Array[String]]): UTF8String = {
-    if (s == null) return null
-    val node = mapper.readTree(s.toString)
+  def dropJson(s: UTF8String, paths: Array[Array[String]]): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(dropJsonString(s.toString, paths))
+
+  /** String flavor — single source of truth shared with the UDF wrappers
+    * in [[graft.transforms.JsonOps]].
+    */
+  def dropJsonString(str: String, paths: Array[Array[String]]): String = {
+    val node = mapper.readTree(str)
     node match {
       case obj: ObjectNode =>
         dropRec(obj, paths.toSeq.map(_.toList))
-        UTF8String.fromString(mapper.writeValueAsString(obj))
+        mapper.writeValueAsString(obj)
       case _ => throw new IllegalArgumentException(
-        "Only Map (JSON object) values are supported by schemaless DropField, found: " + s)
+        "Only Map (JSON object) values are supported by schemaless DropField, found: " + str)
     }
   }
 }

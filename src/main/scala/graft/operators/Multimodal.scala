@@ -52,9 +52,9 @@ object Multimodal {
     * batch loop around it are the real contract.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    var h = 1125899906842597L // ??? real decoder goes here — deterministic fake
-    var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    // ??? real decoder goes here — deterministic fake derived from the
+    // engine's rolling hash (single source of truth for the byte loop)
+    val h = graft.functions.RollingHash.hashBytes(bytes)
     Array.tabulate(featureDim) { d =>
       val v = (h ^ (h >>> (d + 1))) * 0x9E3779B97F4A7C15L
       ((v >>> 40).toFloat / (1 << 24).toFloat) - 0.5f
@@ -76,7 +76,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val bytes = r.getAs[Array[Byte]]("__b")
-          Row(r.get(0), bytes.length.toLong, decodeStub(bytes))
+          if (bytes == null) Row(r.get(0), 0L, null) // missing payload → null features
+          else Row(r.get(0), bytes.length.toLong, decodeStub(bytes))
         }
       }
   }

@@ -53,6 +53,14 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding dimensionality, probed from one row (tiny driver action —
+    * constant cost at any corpus scale). Hardcoding a dim would make
+    * zip_with silently null-pad mismatched vectors and collapse every
+    * row into bucket 0.
+    */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
+
   /** Deterministic random hyperplanes (driver-side, tiny, broadcast as a
     * literal into the plan).
     */
@@ -78,7 +86,7 @@ object Similarity {
                          minCosine: Double = 0.95, numPlanes: Int = 8,
                          seed: Long = 42L, maxBucket: Int = 256,
                          numTables: Int = 1): DataFrame = {
-    val dim = 64
+    val dim = vecDim(df, vecCol)
     // band-OR: each extra hash table (independent plane set) gives a
     // near-dup pair another chance to collide — recall 1-(1-p)^T for
     // per-table collision probability p, at T× candidate cost.
@@ -91,18 +99,10 @@ object Similarity {
       .agg(collect_list(struct(col(idCol).as("id"), col("__v").as("v"))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
     val pairs = bucketed
-      .select(explode(pairStructsOf(col("xs"))).as("p"))
+      .select(explode(Dedup.sortedPairs(col("xs"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         cosine(col("p.a.v"), col("p.b.v")).as("cosine"))
     pairs.filter(col("cosine") >= minCosine).distinct()
-  }
-
-  /** All unordered pairs (a<b by id) of an array of {id, v} structs. */
-  private def pairStructsOf(xs: Column): Column = {
-    val sorted = array_sort(xs)
-    flatten(transform(sequence(lit(0), size(sorted) - 2), i =>
-      transform(slice(sorted, i + lit(2), size(sorted)), b =>
-        struct(element_at(sorted, i + lit(1)).as("a"), b.as("b")))))
   }
 
   // ------------------------------------------------------------- IVF
@@ -212,7 +212,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = 64
+    val dim = vecDim(corpus, vecCol)
     val planes = hyperplanes(numPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       lshBucket(col(vecCol), planes).as("__bucket"))

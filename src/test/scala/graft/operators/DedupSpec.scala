@@ -26,6 +26,19 @@ class DedupSpec extends SparkTestBase {
     assert(out.filter(col("doc_id") === 0).count() == 1)
   }
 
+  test("exact dedup: NULLs in multi-column keys do not collide distinct rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Some("x"), None: Option[String]),
+      (1L, None: Option[String], Some("x")),
+      (2L, Some("x"), None: Option[String])) // true dup of 0
+      .toDF("id", "a", "b")
+    val out = Dedup.exact(df, Seq("a", "b"), "id")
+    assert(out.count() == 2, "(x,NULL) and (NULL,x) are distinct; only the true dup drops")
+    assert(out.filter(col("id") === 1).count() == 1)
+  }
+
   test("exactGroups reports multiplicity") {
     val g = Dedup.exactGroups(docsDf, "text", "doc_id").collect()
     assert(g.length == 5)
