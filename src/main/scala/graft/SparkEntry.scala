@@ -167,6 +167,38 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))),
 
+    // ---- remaining §2.2 categories: rollup, sort/limit, set ops, scalars
+    "q_rollup" -> ((s, dir) => Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      // subtotal rows carry NULL group keys → sentinel for stable compare
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("g_rf"), col("g_ls"), col("sum_qty"), col("cnt"))),
+    "q_sort_limit" -> ((s, dir) => Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))),
+    "q_setops" -> ((s, dir) => {
+      // INTERSECT + EXCEPT: BUILDING-segment customers with orders, minus
+      // those with any order above 400k (non-empty at every SF)
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey"))
+      c.intersect(o).except(big)
+    }),
+    "q_scalar_funcs" -> ((s, dir) => Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+      length(col("o_orderstatus")).cast("int").as("status_len"),
+      floor(col("o_totalprice")).cast("long").as("price_floor"),
+      month(col("o_orderdate")).cast("int").as("order_month"))),
+
     // ---- LLM pipeline: dedup
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "text", "doc_id")),
@@ -336,6 +368,21 @@ object SparkEntry {
     "q_events_daily" -> ("SELECT user_id, date_trunc('day', ts)::DATE AS day, " +
       "count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value " +
       "FROM events GROUP BY user_id, date_trunc('day', ts)::DATE"),
+    "q_rollup" -> ("SELECT coalesce(l_returnflag, '(all)') AS l_returnflag, " +
+      "coalesce(l_linestatus, '(all)') AS l_linestatus, " +
+      "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, " +
+      "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, " +
+      "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt " +
+      "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "q_sort_limit" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q_setops" -> ("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+      "INTERSECT SELECT o_custkey AS c_custkey FROM orders " +
+      "EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000"),
+    "q_scalar_funcs" -> ("SELECT o_orderkey, upper(substr(o_orderpriority, 1, 3)) AS prio3, " +
+      "CAST(length(o_orderstatus) AS INT) AS status_len, " +
+      "CAST(floor(o_totalprice) AS BIGINT) AS price_floor, " +
+      "CAST(month(o_orderdate) AS INT) AS order_month FROM orders"),
     "dedup_exact" -> ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, " +
       "count(*) AS dup_count FROM documents GROUP BY md5(text)"),
     "dedup_rows" -> ("SELECT doc_id, lang, source FROM documents WHERE doc_id IN " +
