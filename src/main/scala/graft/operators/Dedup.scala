@@ -152,13 +152,19 @@ object Dedup {
                           maxBucket: Int = maxBucketDefault): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    // one codegen'd aggregate produces signature AND shingle set per doc
+    // one codegen'd aggregate produces signature AND shingle set per doc;
+    // persisted because three downstream branches reference it (banding +
+    // both candidate join-backs) and Catalyst does not CSE subplans — the
+    // materialized form is small (per doc: one row of hashes + shingle
+    // set), disk-spillable, and at cluster scale this is the table you
+    // would checkpoint anyway.
     val base = explodedShingles(df.select(col(idCol).as("__id"), col(textCol)),
       "__id", textCol, shingleSize)
       .groupBy(col("__id"))
       .agg(
         array((0 until numHashes).map(s => min(xxhash64(lit(s), col("__sh")))): _*).as("sig"),
         collect_set(col("__sh")).as("__shset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("__id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
