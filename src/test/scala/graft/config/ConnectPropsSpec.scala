@@ -50,6 +50,21 @@ class ConnectPropsSpec extends SparkTestBase {
     assert(ex.getMessage.contains("NoSuchTransform"))
   }
 
+  test("schemaless=false forbids the JSON interpretation of a string column") {
+    import graft.transforms.DropField
+    val t = ConnectProps.parseOne(Map(
+      "type" -> "DropField$Value", "fields" -> "k", "schemaless" -> "false"))
+      .asInstanceOf[DropField]
+    val in = envelopeDf(StringType, StringType, "k", """{"k":1}""")
+    val ex = intercept[IllegalArgumentException] { t(in) }
+    assert(ex.getMessage.contains("string") || ex.getMessage.contains("Struct"))
+    // explicit true keeps the JSON path
+    val t2 = ConnectProps.parseOne(Map(
+      "type" -> "DropField$Value", "fields" -> "k", "schemaless" -> "true"))
+      .asInstanceOf[DropField]
+    assert(t2(in).select("value").head().getString(0) == "{}")
+  }
+
   test("bare type name targets value; $Key suffix targets key; column override wins") {
     import graft.transforms.DropField
     assert(ConnectProps.parseOne(Map("type" -> "DropField"))
