@@ -133,8 +133,11 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_price"),
+        // Spark's sum(DECIMAL(18,2)) is DECIMAL(28,2); DuckDB's is
+        // DECIMAL(38,2) — cast to Spark's max precision so the declared
+        // type (and the type-sensitive oracle hash) matches exactly.
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"),
         count(lit(1)).as("cnt"))),
     "q3_join" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -143,7 +146,7 @@ object SparkEntry {
       o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"),
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("rev"),
           count(lit(1)).as("n_orders"))
     }),
     "q_topk_window" -> ((s, dir) => {
@@ -165,19 +168,28 @@ object SparkEntry {
       .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))),
 
     // ---- remaining §2.2 categories: rollup, sort/limit, set ops, scalars
     "q_rollup" -> ((s, dir) => Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
         grouping(col("l_linestatus")).cast("int").as("g_ls"),
-        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
         count(lit(1)).as("cnt"))
       // subtotal rows carry NULL group keys → sentinel for stable compare
       .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
         col("g_rf"), col("g_ls"), col("sum_qty"), col("cnt"))),
+    // salted two-stage aggregation over the (skewed) events user_id —
+    // results must be indistinguishable from a plain GROUP BY (the oracle
+    // IS a plain GROUP BY); salting only changes the physical shuffle shape
+    "q_skew_salted" -> ((s, dir) => graft.operators.Skew.saltedAggregate(
+      events(s, dir), Seq("user_id"), saltBuckets = 16,
+      partialAggs = Seq(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value")),
+      mergeAggs = Seq(sum(col("n_events")).as("n_events"),
+        sum(col("sum_value")).cast(DecimalType(38, 2)).as("sum_value")))),
     "q_sort_limit" -> ((s, dir) => Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
@@ -220,7 +232,10 @@ object SparkEntry {
         shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // portable md5 flavor (oracle-checked); _fast = production xxhash64
     "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashMd5(docs(s, dir), "doc_id", "text")),
+    "dedup_simhash_fast" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text")),
     "jaccard_adjacent" -> ((s, dir) => {
       val t = docs(s, dir).select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ts"))
@@ -320,15 +335,43 @@ object SparkEntry {
   }
 
   private def minhashSql: String = {
+    // mirror of Dedup.minhashSignatureMd5: one md5 per shingle, lane i =
+    // min over the digest's i-th disjoint 4-hex-char slice
     val mh = (0 until 8).map(i =>
-      s"list_min(list_transform(sh, x -> substr(md5('$i:' || x), 1, 16))) AS mh$i")
+      s"list_min(list_transform(ds, d -> substr(d, ${i * 4 + 1}, 4))) AS mh$i")
       .mkString(", ")
     s"""SELECT doc_id, $mh FROM (
+       |  SELECT doc_id, list_transform(sh, x -> md5(x)) AS ds FROM (
        |  SELECT doc_id, CASE WHEN len(toks) >= 3
        |    THEN list_distinct(list_transform(range(0, len(toks) - 2),
        |         i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
        |    ELSE [array_to_string(toks, ' ')] END AS sh FROM (
-       |    SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents))""".stripMargin
+       |    SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)))""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    // mirror of Dedup.simhashMd5: 64 bit-votes from md5(token) nibbles,
+    // rendered as a 16-hex-char signature
+    def asciiNib(h: Int) = {
+      val a = s"ascii(substr(dg, ${h + 1}, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END) AS n$h"
+    }
+    val nibs = (0 until 16).map(asciiNib).mkString(", ")
+    val votes = (0 until 64).map(j =>
+      s"sum(CASE WHEN ((n${j / 4} >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val chars = (0 until 16).map { h =>
+      val nibVal = (0 until 4).map(b =>
+        s"(CASE WHEN v${4 * h + b} > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+      s"substr('0123456789abcdef', ($nibVal) + 1, 1)"
+    }.mkString(", ")
+    s"""SELECT doc_id, concat($chars) AS simhash_hex FROM (
+       |  SELECT doc_id, $votes FROM (
+       |    SELECT doc_id, $nibs FROM (
+       |      SELECT doc_id, substr(md5(t), 1, 16) AS dg FROM (
+       |        SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+       |        FROM documents)))
+       |  GROUP BY doc_id)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -374,6 +417,8 @@ object SparkEntry {
       "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, " +
       "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt " +
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "q_skew_salted" -> ("SELECT user_id, count(*) AS n_events, " +
+      "sum(CAST(value AS DECIMAL(18,2))) AS sum_value FROM events GROUP BY user_id"),
     "q_sort_limit" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
     "q_setops" -> ("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
@@ -388,6 +433,7 @@ object SparkEntry {
     "dedup_rows" -> ("SELECT doc_id, lang, source FROM documents WHERE doc_id IN " +
       "(SELECT min(doc_id) FROM documents GROUP BY text)"),
     "dedup_minhash" -> minhashSql,
+    "dedup_simhash" -> simhashSql,
     "jaccard_adjacent" -> ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
       "len(list_intersect(a.ts, b.ts)) AS inter_cnt, " +
       "len(list_distinct(a.ts || b.ts)) AS union_cnt FROM " +

@@ -10,15 +10,20 @@ import org.apache.spark.sql.functions._
   * never materialize all-pairs. Exact dedup is a single hash-shuffle on a
   * digest; near-dup goes shingle → MinHash signature → LSH band buckets →
   * bucket-local candidate pairs → exact-Jaccard verification. Candidate
-  * generation touches only rows that collide in a band, and pathological
-  * buckets are capped ([[maxBucketDefault]]) so one hot bucket cannot
-  * produce O(n²) pairs on a skewed corpus.
+  * generation touches only rows that collide in a band; buckets larger
+  * than [[maxBucketDefault]] switch from all-pairs to star pairs (every
+  * member vs the bucket's min-id representative), so one hot bucket costs
+  * O(b) instead of O(b²) while keeping its duplicate group connected.
   */
 object Dedup {
 
-  /** Default cap on LSH bucket size before a bucket is dropped (skew
-    * guard): a bucket of b docs yields b(b-1)/2 pairs, so 64 caps the
-    * per-bucket cost at ~2k pairs regardless of corpus skew.
+  /** Bucket size above which LSH candidate generation switches from
+    * all-pairs (b(b-1)/2 pairs) to star pairs (b-1 pairs against the
+    * bucket's min-id member). 64 caps the per-bucket all-pairs cost at
+    * ~2k pairs; beyond that, star pairing keeps cost linear and — unlike
+    * dropping the bucket — still links every member of a giant duplicate
+    * cluster to its representative (connected-components recall is
+    * preserved; only the within-cluster pair *enumeration* is thinned).
     */
   val maxBucketDefault = 64
 
@@ -113,15 +118,27 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(array((0 until numHashes).map(s => min(xxhash64(lit(s), col("__sh")))): _*).as("sig"))
 
-  /** Portable signature flavor: lexicographic min of the first 16 hex
-    * chars of `md5(seed:shingle)` — bit-identical in any engine with md5;
-    * this is what the DuckDB correctness oracle reproduces.
+  /** Portable signature flavor: ONE `md5(shingle)` per exploded row, with
+    * lane `i` = lexicographic min of the digest's i-th disjoint 4-hex-char
+    * (16-bit) slice — bit-identical in any engine with md5; this is what
+    * the DuckDB correctness oracle reproduces.
+    *
+    * One digest (not one per lane) is the whole trick: md5 dominates the
+    * stage cost, and its 128 bits are already well-mixed, so disjoint
+    * slices act as independent hash functions. The tradeoff is lane width:
+    * 16-bit lanes give a ~m/65536 min-collision bias for m-shingle docs
+    * (<1% at typical document sizes) — fine for signatures/banding. The
+    * production engine flavor ([[minhashSignature]]) keeps full 64-bit
+    * xxhash64 lanes.
     */
   def minhashSignatureMd5(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
-    val aggs = (0 until numHashes).map(s =>
-      min(substring(md5(concat(lit(s + ":"), col("__sh"))), 1, 16)).as(s"mh$s"))
+    require(numHashes * 4 <= 32, "md5 is 32 hex chars: at most 8 disjoint 4-char lanes")
+    val aggs = (0 until numHashes).map(i =>
+      min(substring(col("__d"), i * 4 + 1, 4)).as(s"mh$i"))
     explodedShingles(df, idCol, textCol, shingleSize)
+      // digest once per shingle in a projection so no aggregate re-hashes
+      .select(col(idCol), md5(col("__sh")).as("__d"))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -169,13 +186,23 @@ object Dedup {
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
       .as(Seq("band", "bh")))
-    val bucketed = banded
+    // bucket size + representative via an unordered window (spills to
+    // disk row-by-row, unlike collect_list of a giant bucket), then:
+    //   small buckets → all pairs; oversized → star pairs to the min id.
+    val w = Window.partitionBy("band", "bh")
+    val withStats = banded
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rep", min(col("__id")).over(w))
+    val smallPairs = withStats
+      .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
+      // groupBy reuses the window's (band, bh) exchange — no extra shuffle
       .groupBy("band", "bh").agg(collect_list(col("__id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-    val cand = bucketed
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
+    val starPairs = withStats
+      .filter(col("__cnt") > maxBucket && col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"))
+    val cand = smallPairs.union(starPairs).distinct()
     val a = base.select(col("__id").as("id_a"), col("__shset").as("sh_a"))
     val b = base.select(col("__id").as("id_b"), col("__shset").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
@@ -206,6 +233,38 @@ object Dedup {
 
   private def pow2(j: Int): Column = lit(if (j == 63) Long.MinValue else 1L << j)
 
+  /** Portable SimHash flavor: 64 bit-votes from the first 16 hex chars of
+    * `md5(token)`, emitted as a 16-hex-char string — bit-identical in any
+    * engine with md5 (the DuckDB oracle reproduces it). A hex-string
+    * output sidesteps cross-engine signed-64-bit shift/overflow semantics
+    * entirely; the production path stays [[simhash]] (xxhash64, BIGINT).
+    *
+    * Nibble decoding is `ascii(c) - (c >= 'a' ? 87 : 48)` — portable where
+    * hex→int conversion functions are not.
+    */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(normText(col(textCol)), " ")).as("__t"))
+      .select(col(idCol), substring(md5(col("__t")), 1, 16).as("__dg"))
+    val nibs = (0 until 16).map { h =>
+      val a = ascii(substring(col("__dg"), h + 1, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).as(s"__n$h")
+    }
+    val withNibs = tok.select(col(idCol) +: nibs: _*)
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col(s"__n${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val agg = withNibs.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val hexChars = (0 until 16).map { h =>
+      val nibVal = (0 until 4).map(b =>
+        when(col(s"v${4 * h + b}") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+      substr(lit("0123456789abcdef"), nibVal + 1, lit(1))
+    }
+    agg.select(col(idCol), concat(hexChars: _*).as("simhash_hex"))
+  }
+
   /** SimHash near-dup candidates: docs within `maxHamming` bits. Blocking
     * on 16-bit chunks (a pair within Hamming distance 3 must agree on at
     * least one of 4 chunks) — bucket-join, never all-pairs.
@@ -217,14 +276,28 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "cv")))
-    val bucketed = chunks.groupBy("chunk", "cv")
+    // same oversized-bucket policy as minhashNearDupPairs: all pairs up to
+    // maxBucket, star pairs against the min-id member beyond it. The
+    // representative's simhash rides along via min(struct(id, sh)) —
+    // struct ordering is field-by-field and ids are unique, so the min
+    // struct is exactly (min id, its simhash).
+    val w = Window.partitionBy("chunk", "cv")
+    val withStats = chunks
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rep",
+        min(struct(col(idCol).as("id"), col("simhash").as("sh"))).over(w))
+    val smallPairs = withStats
+      .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
+      .groupBy("chunk", "cv")
       .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
-    val pairs = bucketed.select(explode(sortedPairs(col("xs"))).as("p"))
+      .select(explode(sortedPairs(col("xs"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         col("p.a.sh").as("sh_a"), col("p.b.sh").as("sh_b"))
-      .distinct()
-    pairs
+    val starPairs = withStats
+      .filter(col("__cnt") > maxBucket && col(idCol) =!= col("__rep.id"))
+      .select(col("__rep.id").as("id_a"), col(idCol).as("id_b"),
+        col("__rep.sh").as("sh_a"), col("simhash").as("sh_b"))
+    smallPairs.union(starPairs).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

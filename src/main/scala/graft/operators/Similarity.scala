@@ -80,7 +80,9 @@ object Similarity {
     * corpus self-shuffle tricks): two near-identical vectors agree on
     * every hyperplane sign with high probability, so bucket-equality
     * blocking finds them without an all-pairs cross join. `numPlanes`
-    * trades recall for bucket size; pathological buckets are capped.
+    * trades recall for bucket size; buckets past `maxBucket` fall back to
+    * star pairs against the bucket's min-id member (linear, connectivity-
+    * preserving) instead of being dropped.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double = 0.95, numPlanes: Int = 8,
@@ -94,15 +96,24 @@ object Similarity {
     val withBucket = df.select(col(idCol), col(vecCol).as("__v"),
       posexplode(array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*))
         .as(Seq("__table", "__bucket")))
-    val bucketed = withBucket
+    val w = Window.partitionBy("__table", "__bucket")
+    val withStats = withBucket
+      .withColumn("__cnt", count(lit(1)).over(w))
+      // min(struct) = (min id, its vector): struct order is field-by-field
+      // and ids are unique, so the vector never participates in the compare
+      .withColumn("__rep", min(struct(col(idCol).as("id"), col("__v").as("v"))).over(w))
+    val smallPairs = withStats
+      .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
       .groupBy("__table", "__bucket")
       .agg(collect_list(struct(col(idCol).as("id"), col("__v").as("v"))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
-    val pairs = bucketed
       .select(explode(Dedup.sortedPairs(col("xs"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         cosine(col("p.a.v"), col("p.b.v")).as("cosine"))
-    pairs.filter(col("cosine") >= minCosine).distinct()
+    val starPairs = withStats
+      .filter(col("__cnt") > maxBucket && col(idCol) =!= col("__rep.id"))
+      .select(col("__rep.id").as("id_a"), col(idCol).as("id_b"),
+        cosine(col("__rep.v"), col("__v")).as("cosine"))
+    smallPairs.union(starPairs).filter(col("cosine") >= minCosine).distinct()
   }
 
   // ------------------------------------------------------------- IVF
@@ -115,7 +126,15 @@ object Similarity {
   def trainIvfCentroids(df: DataFrame, vecCol: String, nlist: Int,
                         iters: Int = 5, sampleSize: Int = 2000,
                         seed: Long = 42L): Array[Array[Double]] = {
-    val sample = df.select(col(vecCol)).limit(sampleSize).collect()
+    // unbiased bounded sample: limit(n) is prefix-biased (first file
+    // splits only), so take a seeded Bernoulli sample across the whole
+    // corpus instead. count() on parquet is metadata-cheap; the 1.2×
+    // oversample absorbs Bernoulli variance before the final limit.
+    // Deterministic for a fixed input layout + seed.
+    val n = df.count()
+    val fraction = math.min(1.0, if (n == 0) 1.0 else sampleSize * 1.2 / n)
+    val sample = df.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
+      .limit(sampleSize).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val rnd = new Random(seed)

@@ -27,9 +27,13 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
                       partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
-    // deterministic salt (hash of the full row's key + a uniform spreader):
-    // spark_partition_id ensures same-key rows co-located in one input
-    // partition still spread across reducers
+    // per-row salt from hash(monotonically_increasing_id()): unique per
+    // row within the job, so a hot key's rows spread uniformly across all
+    // saltBuckets reducers even when they arrive co-located in one input
+    // partition. Row-identity salting is safe ONLY because the aggregates
+    // are algebraic (stage 2 merges partials regardless of how rows were
+    // split); it is NOT usable for joins, which need a key-deterministic
+    // salt on both sides.
     val salted = df.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
     val stage1 = salted

@@ -81,6 +81,61 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("oversized LSH bucket: star pairs still link every member of a giant dup cluster") {
+    val s = spark
+    import s.implicits._
+    // 10 identical docs with maxBucket=4: every band bucket holds all 10,
+    // far past the cap. Dropping the bucket (the old policy) would find
+    // ZERO pairs; star pairing must link docs 1..9 to representative 0.
+    val cluster = (0L until 10L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    val df = (cluster :+ (99L, "totally unrelated content about columnar engines and shuffles"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.9, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1L until 10L).forall(i => pairs.contains((0L, i))),
+      s"every cluster member must pair with the representative, got $pairs")
+    assert(!pairs.exists { case (a, b) => a == 99L || b == 99L })
+  }
+
+  test("oversized simhash bucket: star pairs preserve connectivity") {
+    val s = spark
+    import s.implicits._
+    val cluster = (0L until 8L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    val df = (cluster :+ (99L, "totally unrelated content about columnar engines and shuffles"))
+      .toDF("doc_id", "text")
+    val sim = Dedup.simhash(df, "doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(sim, "doc_id", maxHamming = 3, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1L until 8L).forall(i => pairs.contains((0L, i))),
+      s"identical docs past the bucket cap must still pair via the star, got $pairs")
+  }
+
+  test("simhashMd5: identical docs identical hex; matches a JVM-side reference bit count") {
+    val sim = Dedup.simhashMd5(docsDf, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sim.values.forall(h => h.length == 16 && h.matches("[0-9a-f]{16}")))
+    assert(sim(0L) == sim(2L), "identical text ⇒ identical signature")
+    def ham(a: String, b: String): Int =
+      java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16))
+    assert(ham(sim(0L), sim(3L)) <= 12, "near-dup within small hamming")
+    assert(ham(sim(0L), sim(4L)) > 12, "unrelated docs far apart")
+  }
+
+  test("minhashSignatureMd5: lanes are 4-hex slices, identical docs identical sigs") {
+    val out = Dedup.minhashSignatureMd5(docsDf, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(out.values.flatten.forall(l => l.length == 4 && l.matches("[0-9a-f]{4}")))
+    assert(out(0L) == out(2L), "identical text ⇒ identical signature")
+    assert(out(0L) != out(1L), "different text ⇒ different signature (whp)")
+    // near-dup of doc 0 should agree on most lanes (high estimated jaccard)
+    val agree = out(0L).zip(out(3L)).count { case (a, b) => a == b }
+    assert(agree >= 5, s"near-dup should share most minhash lanes, shared $agree/8")
+  }
+
   test("shingles: short documents fall back to whole-text shingle") {
     val s = spark
     import s.implicits._

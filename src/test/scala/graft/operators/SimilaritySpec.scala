@@ -51,6 +51,23 @@ class SimilaritySpec extends SparkTestBase {
       "opposite vectors must not pair")
   }
 
+  test("oversized cosine bucket: star pairs link all planted identical vectors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    // 8 identical vectors with maxBucket=3: every bucket overflows; the
+    // old drop policy would return nothing, star pairing links 1..7 to 0
+    val df = ((0L until 8L).map(i => i -> base) :+
+      (99L -> Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      minCosine = 0.999, numPlanes = 4, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1L until 8L).forall(i => pairs.contains((0L, i))),
+      s"every identical vector must pair with the representative, got $pairs")
+  }
+
   test("cosine expression: orthonormal sanity") {
     val s = spark
     import s.implicits._
