@@ -26,27 +26,32 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-      // min of 2 timed runs: a single sample still catches stray JIT/GC
-      // pauses (observed 0.4s queries reading as 7s once per session)
-      var best = Double.MaxValue
+      // 3 timed runs: report the min (stable signal, immune to stray
+      // JIT/GC pauses — observed 0.4s queries reading as 7s once per
+      // session) AND the p50 (damps min-lottery under machine load)
+      var times = List.empty[Double]
       var ok = true
       var i = 0
-      while (i < 2 && ok) {
+      while (i < 3 && ok) {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
           ok = false
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < best) best = dt
+        times ::= (System.nanoTime() - t0) / 1e9
         i += 1
       }
-      name -> (if (ok) best else -best)
+      val sorted = times.sorted
+      val best = sorted.head
+      val p50 = sorted(sorted.size / 2)
+      (name, if (ok) best else -best, p50)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, v) => math.abs(v) }.sum
+    val qsP50 = results.map { case (k, _, p) => "\"" + k + "\":" + f"$p%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v, _) => math.abs(v) }.sum
     // escape like Verify.q(): control chars in exception messages (plan
     // dumps contain newlines) would otherwise break the one-line JSON
     def esc(s: String): String = s.flatMap {
@@ -56,7 +61,7 @@ object Bench {
       case c => c.toString
     }
     val errJson = errors.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$errJson%s,"sf":"$sfDir%s"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_p50":$qsP50%s,"failed":$errJson%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

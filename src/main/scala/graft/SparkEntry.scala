@@ -190,6 +190,14 @@ object SparkEntry {
         sum(col("value").cast(DecimalType(18, 2))).as("sum_value")),
       mergeAggs = Seq(sum(col("n_events")).as("n_events"),
         sum(col("sum_value")).cast(DecimalType(38, 2)).as("sum_value")))),
+    // gaps-and-islands sessionization over events, 1-hour gap. Times are
+    // epoch MICROS on both sides: DuckDB reads the nanos parquet timestamp
+    // truncated to micros, so `ts div 1000` == `epoch_us(ts)` exactly.
+    "q_sessionize" -> ((s, dir) => graft.operators.Sessionize.sessions(
+      events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "value", gap = 3600L * 1000000L)
+      .select(col("user_id"), col("sid"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))),
     "q_sort_limit" -> ((s, dir) => Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
@@ -419,6 +427,15 @@ object SparkEntry {
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
     "q_skew_salted" -> ("SELECT user_id, count(*) AS n_events, " +
       "sum(CAST(value AS DECIMAL(18,2))) AS sum_value FROM events GROUP BY user_id"),
+    "q_sessionize" -> ("SELECT user_id, CAST(sid AS BIGINT) AS sid, " +
+      "min(us) AS session_start, max(us) AS session_end, " +
+      "count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value FROM (" +
+      "SELECT user_id, value, us, " +
+      "sum(CASE WHEN prev IS NULL OR us - prev > 3600000000 THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM (" +
+      "SELECT user_id, value, epoch_us(ts) AS us, " +
+      "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev " +
+      "FROM events)) GROUP BY user_id, sid"),
     "q_sort_limit" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
     "q_setops" -> ("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +

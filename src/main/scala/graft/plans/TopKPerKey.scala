@@ -22,6 +22,17 @@ import graft.plans.{TopKPerKey => LogicalTopK}
   * most k rows per key (O(n log k), no sort, no spill proportional to
   * input), which is the shape that survives a 100×-skewed key at 100 TB.
   *
+  * MEMORY BOUND (the operator's one sizing rule): the per-partition heap
+  * map is O(distinct keys in the partition × k) rows and does NOT spill.
+  * That is exactly the regime the operator targets — low/medium key
+  * cardinality with arbitrarily many rows per key (segments, tenants,
+  * categories), where the window plan wastes a full sort. With D distinct
+  * keys per partition the resident set is ~D × k × rowSize; at k=3 and
+  * 1 KiB rows, 1M keys/partition ≈ 3 GiB — size executors accordingly, or
+  * use the `row_number().over(window)` formulation instead when keys are
+  * high-cardinality (it sort-spills gracefully). The output side streams
+  * (no buffering beyond one key's k rows).
+  *
   * Pieces: logical node ([[TopKPerKey]]) → strategy ([[TopKStrategy]],
   * injectable via `spark.experimental.extraStrategies` at runtime or
   * `SparkSessionExtensions.injectPlannerStrategy` at session build) →
@@ -99,21 +110,32 @@ case class TopKPerKeyExec(
           heap.poll(); heap.add(row.copy())
         }
       }
+      // stream the output: sort one key's ≤k rows at a time instead of
+      // materializing every partition result in an ArrayBuffer (that
+      // buffer doubled the resident set and is pure waste — downstream
+      // operators copy if they buffer, same contract as ProjectExec)
       val joiner = UnsafeProjection.create(outAttrs, childOutput :+ rankAttrLocal)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.forEach { (_, heap) =>
-        val arr = new java.util.ArrayList[InternalRow](heap)
-        arr.sort(rowOrdering)
-        var i = 0
-        while (i < arr.size()) {
+      val heapIt = heaps.values().iterator()
+      new Iterator[InternalRow] {
+        private var cur: java.util.ArrayList[InternalRow] = _
+        private var i = 0
+        private def advance(): Unit =
+          while ((cur == null || i >= cur.size()) && heapIt.hasNext) {
+            cur = new java.util.ArrayList[InternalRow](heapIt.next())
+            cur.sort(rowOrdering)
+            i = 0
+          }
+        override def hasNext: Boolean = { advance(); cur != null && i < cur.size() }
+        override def next(): InternalRow = {
+          advance()
           rankRow.update(0, i + 1)
-          out += joiner(joined(arr.get(i), rankRow)).copy()
+          val r = joiner(joined(cur.get(i), rankRow))
           i += 1
+          r
         }
       }
-      out.iterator
     }
   }
 

@@ -41,6 +41,28 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(got.toSeq == Seq(("a", 2, 1), ("a", 1, 2), ("b", 5, 1)))
   }
 
+  test("high key cardinality: 100k distinct keys stay correct (documented memory regime)") {
+    val s = spark
+    import s.implicits._
+    // 100k keys × 3 rows each; k=2. Exercises the O(keys × k) heap-map
+    // bound end-to-end and the streaming output path (no partition-level
+    // output buffer). Correctness checked against the window formulation.
+    val n = 300000L
+    val df = spark.range(n).select(
+      (col("id") % 100000).as("k"),
+      (col("id") * 2654435761L % 1000003L).as("v"),
+      col("id"))
+    val viaCustom = TopKPerKey.topKPerKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 2)
+    assert(viaCustom.count() == 200000L, "2 rows per key for 100k keys")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+    val sample = viaCustom.filter(col("k") < 50)
+      .orderBy("k", "rank").collect().toSeq
+    val expected = viaWindow.filter(col("k") < 50)
+      .orderBy("k", "rank").collect().toSeq
+    assert(sample == expected)
+  }
+
   test("ties broken by the secondary sort column deterministically") {
     val s = spark
     import s.implicits._
