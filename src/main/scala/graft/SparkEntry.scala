@@ -241,6 +241,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     // portable md5 flavor (oracle-checked); _fast = production xxhash64
+    // near-dup pairs → duplicate GROUPS via connected components
+    // (hooking + shortcutting, O(log diameter) rounds). Edges: adjacent
+    // docs with jaccard >= 0.5, tested in INTEGER arithmetic
+    // (inter*2 >= union) so the threshold has no float-boundary risk.
+    "q_dedup_groups" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ts"))
+      val a = t.select(col("doc_id").as("a"), col("ts").as("ts_a"))
+      val b = t.select(col("doc_id").as("b"), col("ts").as("ts_b"))
+      val edges = a.join(b, col("b") === col("a") + 1)
+        .filter(size(array_intersect(col("ts_a"), col("ts_b"))) * 2 >=
+          size(array_union(col("ts_a"), col("ts_b"))))
+        .select(col("a"), col("b"))
+      graft.operators.Components.connectedComponents(edges, "a", "b")
+        .select(col("id"), col("component"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashMd5(docs(s, dir), "doc_id", "text")),
     "dedup_simhash_fast" -> ((s, dir) =>
@@ -289,6 +304,23 @@ object SparkEntry {
       Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, nlist = 8, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+
+    // ---- LLM pipeline: deterministic sampling / splits / profiling
+    "q_split" -> ((s, dir) => graft.operators.Sampling.deterministicSplit(
+      docs(s, dir), "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))),
+    "q_stratified" -> ((s, dir) => graft.operators.Sampling.stratifiedSample(
+      docs(s, dir), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+      .select(col("doc_id"), col("lang"))),
+    "q_vocab" -> ((s, dir) => TextAnalysis.topTokens(docs(s, dir), "text", 50)),
+    "q_profile" -> ((s, dir) => docs(s, dir)
+      .select(col("lang"), TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("n_tokens"), lit(0.25)).as("p25"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50"),
+        percentile(col("n_tokens"), lit(0.75)).as("p75"))),
 
     // ---- LLM pipeline: text analysis
     "text_tokens" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
@@ -451,6 +483,18 @@ object SparkEntry {
       "(SELECT min(doc_id) FROM documents GROUP BY text)"),
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
+    // recursive-CTE mirror of hooking+shortcutting CC: a label c may hop
+    // to any larger-id neighbor; min over all reachable labels per node
+    "q_dedup_groups" -> ("WITH RECURSIVE " +
+      s"t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents), " +
+      "e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 " +
+      "WHERE len(list_intersect(a.ts, b.ts)) * 2 >= len(list_distinct(a.ts || b.ts))), " +
+      "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
+      "cc(id, comp) AS (" +
+      "SELECT DISTINCT a, a FROM sym " +
+      "UNION " +
+      "SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.id WHERE c.comp < s.b) " +
+      "SELECT id, min(comp) AS component FROM cc GROUP BY id"),
     "jaccard_adjacent" -> ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
       "len(list_intersect(a.ts, b.ts)) AS inter_cnt, " +
       "len(list_distinct(a.ts || b.ts)) AS union_cnt FROM " +
@@ -462,6 +506,25 @@ object SparkEntry {
       "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS INT) AS rank " +
       "FROM embeddings e, embeddings q WHERE q.vec_id < 8 " +
       "QUALIFY rank <= 10"),
+    // hash-bucket arithmetic mirror of Sampling.hashBucket: first 8 hex
+    // chars of md5(id-as-string) as a 32-bit integer; thresholds are
+    // floor(fraction × 2^32) integer literals on both sides
+    "q_split" -> ("SELECT doc_id, (CASE " +
+      "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3435973836 THEN 'train' " +
+      "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566 THEN 'val' " +
+      "ELSE 'test' END) AS split FROM documents"),
+    "q_stratified" -> ("SELECT doc_id, lang FROM documents WHERE " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < (CASE " +
+      "WHEN lang = 'en' THEN 2147483648 WHEN lang = 'de' THEN 1073741824 " +
+      "ELSE 429496729 END)"),
+    "q_vocab" -> ("SELECT token, count(*) AS cnt FROM (" +
+      s"SELECT unnest(string_split($normSql, ' ')) AS token FROM documents) " +
+      "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
+    "q_profile" -> ("SELECT lang, count(*) AS n_docs, " +
+      "quantile_cont(n_tokens, 0.25) AS p25, quantile_cont(n_tokens, 0.5) AS p50, " +
+      "quantile_cont(n_tokens, 0.75) AS p75 FROM (" +
+      "SELECT lang, len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens " +
+      "FROM documents) GROUP BY lang"),
     "text_tokens" -> ("SELECT doc_id, " +
       s"len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens_ws, " +
       "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens_bpe FROM documents"),

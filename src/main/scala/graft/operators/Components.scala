@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a pair list — the step that turns near-dup
+  * PAIRS (from MinHash/SimHash/embedding LSH) into duplicate GROUPS, so a
+  * pipeline can keep one representative per group.
+  *
+  * Algorithm: hooking + shortcutting. Every node starts labeled with its
+  * own id; each round (1) HOOKS: a node adopts the smallest label among
+  * itself and its neighbors, then (2) SHORTCUTS: a node jumps to its
+  * label's label (pointer doubling). Shortcutting makes label chains
+  * collapse exponentially, so convergence is O(log diameter) rounds — a
+  * 1000-hop chain resolves in ~10 rounds, not 1000. The driver loop is a
+  * loop of DISTRIBUTED jobs (the canonical Spark iterative-graph shape,
+  * same as GraphX Pregel): two shuffles per round, state persisted and
+  * lineage cut (localCheckpoint) so plans don't snowball.
+  */
+object Components {
+
+  /** (id, component) for every node appearing in `edges`; component = the
+    * smallest node id reachable from `id`.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // symmetrize once; hash-partition by the join key BEFORE caching so
+    // the per-round hook join never reshuffles the (big) edge side — only
+    // the (small) label table moves each round
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .repartition(col("a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // monotone convergence witness: sum of labels strictly decreases while
+    // any label can still shrink (decimal accumulator — no long overflow)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // hook: min label over self + neighbors. Persisted because the
+      // shortcut self-join reads it twice — without the persist the whole
+      // hook subplan (2 shuffles) executes once per join side.
+      val hooked = sym.join(labels, col("a") === col("id"))
+        .select(col("b").as("id"), col("comp"))
+        .union(labels.select(col("id"), col("comp")))
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // shortcut: comp ← comp(comp). Every comp value is a node id (labels
+      // start as ids and only copy existing labels), so the inner self-join
+      // always matches, and comp(comp) ≤ comp by construction.
+      val next = hooked.join(
+        hooked.select(col("id").as("__cid"), col("comp").as("__ccomp")),
+        col("comp") === col("__cid"))
+        .select(col("id"), col("__ccomp").as("comp"))
+      // localCheckpoint cuts lineage so plans don't grow per round (it
+      // caches internally — no extra persist needed)
+      val materialized = next.localCheckpoint(eager = true)
+      hooked.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      labels = materialized
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Keep one row per duplicate group: rows of `df` whose id is NOT in a
+    * component, or IS its component's representative (the min id). The
+    * standard tail step of near-dup dedup: pairs → components → filter.
+    */
+  def keepRepresentatives(df: DataFrame, idCol: String,
+                          components: DataFrame): DataFrame = {
+    val dupIds = components.filter(col("id") =!= col("component"))
+      .select(col("id").as("__dup_id"))
+    df.join(dupIds, df(idCol) === col("__dup_id"), "left_anti")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * Everything keys off [[hashBucket]]: a uniform 32-bit integer derived
+  * from `md5(id)`. That makes every operation here
+  *  - deterministic (same row → same decision, across runs AND engines —
+  *    no seed state, no partition-layout dependence, unlike `df.sample`),
+  *  - stable under re-partitioning / incremental reprocessing (a doc keeps
+  *    its split when the corpus grows — critical for avoiding train/test
+  *    leakage across dataset versions),
+  *  - a narrow map: no shuffle, no driver state; filters push into the
+  *    scan.
+  * Thresholds are precomputed integer literals (floor(fraction·2³²)), so
+  * membership tests are pure integer compares — no float-boundary
+  * ambiguity between engines.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 2³²) from the first 8 hex chars of md5(id). */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  private def threshold(fraction: Double): Long =
+    math.floor(fraction * 4294967296.0).toLong
+
+  /** Assign each row to a named split by cumulative hash ranges —
+    * `deterministicSplit(df, "doc_id", Seq("train" -> 0.8, "val" -> 0.1,
+    * "test" -> 0.1))`. Weights must sum to 1 (±1e-9).
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         weights: Seq[(String, Double)],
+                         splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val b = hashBucket(col(idCol))
+    val cums = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    // last branch is the otherwise — the final threshold is 2^32 exactly
+    val assigned = weights.init.zip(cums.init).foldRight(
+      lit(weights.last._1): Column) { case (((name, _), cum), els) =>
+      when(b < threshold(cum), name).otherwise(els)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Keep a deterministic `fraction` of rows per stratum (stratum missing
+    * from the map → `defaultFraction`). The per-stratum decision is the
+    * same integer compare as [[deterministicSplit]], so a row's fate never
+    * depends on which other rows exist.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    val thr = fractions.foldRight(lit(threshold(defaultFraction)): Column) {
+      case ((stratum, f), els) =>
+        when(col(stratumCol) === stratum, threshold(f)).otherwise(els)
+    }
+    df.filter(hashBucket(col(idCol)) < thr)
+  }
+}

@@ -89,6 +89,18 @@ object TextAnalysis {
     */
   def fingerprint(c: Column): Column = md5(lower(normWs(c)))
 
+  /** Global top-k vocabulary: most frequent whitespace tokens, ties broken
+    * by token order. The shape that scales: explode → hash-aggregate with
+    * map-side partial counts (the shuffle moves one row per distinct token
+    * per partition, not per occurrence), then `orderBy.limit` plans as
+    * TakeOrdered — k rows to the driver, never the full vocabulary.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(lower(normWs(col(textCol))), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
   /** Full per-document text-analysis projection. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ComponentsSpec extends SparkTestBase {
+
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two separate components resolve to their min ids") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long chain collapses in O(log n) rounds (shortcutting)") {
+    // a 63-hop path; plain min-propagation would need 63 rounds — the
+    // hooking+shortcutting loop must finish within maxIter=10
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = cc(edges, maxIter = 10)
+    assert(got.size == 64 && got.values.forall(_ == 0L),
+      s"all 64 chain nodes must label 0, got ${got.toSeq.sortBy(_._1).take(8)}...")
+  }
+
+  test("clique and star shapes; ids need not be contiguous") {
+    val clique = Seq((5L, 9L), (5L, 7L), (7L, 9L))
+    val star = Seq((100L, 200L), (100L, 300L), (100L, 400L))
+    val got = cc(clique ++ star)
+    assert(got(5L) == 5L && got(7L) == 5L && got(9L) == 5L)
+    assert(Seq(100L, 200L, 300L, 400L).forall(got(_) == 100L))
+  }
+
+  test("keepRepresentatives drops all but the min id per group") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "x"), (2L, "x2"), (3L, "x3"), (10L, "y"), (50L, "z"))
+      .toDF("doc_id", "text")
+    val comps = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+    val kept = Components.keepRepresentatives(df, "doc_id", comps)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 and 3 drop (dupes of 1); 10 and 50 are untouched non-members
+    assert(kept == Set(1L, 10L, 50L))
+  }
+}

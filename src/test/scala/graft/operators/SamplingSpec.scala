@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SamplingSpec extends SparkTestBase {
+
+  private def docsDf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("deterministicSplit covers every row and lands near the weights") {
+    val split = Sampling.deterministicSplit(docsDf, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val total = docsDf.count().toDouble
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum.toDouble == total, "every row gets a split")
+    assert(byName("train") / total > 0.7 && byName("train") / total < 0.9,
+      s"train share ${byName("train") / total} should be ≈0.8")
+    assert(byName.contains("val") && byName.contains("test"))
+  }
+
+  test("split is deterministic and independent of which other rows exist") {
+    val full = Sampling.deterministicSplit(docsDf, "doc_id",
+      Seq("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // splitting a SUBSET must give each row the same assignment — the
+    // property that prevents train/test leakage across dataset versions
+    val subset = Sampling.deterministicSplit(
+      docsDf.filter(col("doc_id") % 3 === 0), "doc_id",
+      Seq("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+  }
+
+  test("stratifiedSample keeps per-stratum fractions, deterministically") {
+    val s1 = Sampling.stratifiedSample(docsDf, "doc_id", "lang",
+      Map("en" -> 1.0), defaultFraction = 0.0)
+    val langs = s1.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"), s"fraction-1 stratum only, got $langs")
+    assert(s1.count() == docsDf.filter(col("lang") === "en").count())
+    val s2 = Sampling.stratifiedSample(docsDf, "doc_id", "lang",
+      Map("en" -> 0.5), defaultFraction = 0.1)
+    val again = Sampling.stratifiedSample(docsDf, "doc_id", "lang",
+      Map("en" -> 0.5), defaultFraction = 0.1)
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("topTokens counts and tie-breaks deterministically") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("b b a", "A c b", "c  a").toDF("text")
+    val got = TextAnalysis.topTokens(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // counts: a=3 (case-folded), b=3, c=2 → ties broken by token asc
+    assert(got == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
+  test("hashBucket stays in [0, 2^32)") {
+    val b = docsDf.select(Sampling.hashBucket(col("doc_id")).as("b"))
+      .agg(min("b"), max("b")).head
+    assert(b.getLong(0) >= 0L && b.getLong(1) < 4294967296L)
+  }
+}
