@@ -92,6 +92,19 @@ object StreamRunner {
         col(groupCol), col("n"), col("sum_value"))
   }
 
+  /** Streaming exact dedup: drop rows whose `keyCols` repeat within the
+    * watermark horizon. The streaming face of [[graft.operators.Dedup]]:
+    * state holds one entry per distinct key seen inside the horizon and is
+    * evicted by the watermark, so state size is O(keys per horizon) — the
+    * required bound for an unbounded stream (an un-watermarked
+    * dropDuplicates would grow state forever on a 100 TB/day feed).
+    */
+  def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                     watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Apply a Connect-style chain to a streaming DataFrame — identical code
     * path to batch ([[ConnectProps.compile]]); Structured Streaming
     * accepts it because every transform is a narrow projection.

@@ -1,0 +1,92 @@
+package graft.plans
+
+import graft.SparkTestBase
+
+/** Plan-shape regression tests: the scale properties SURVEY.md §2.4 claims
+  * (pushdown, pruning, broadcast, bounded shuffles) asserted against the
+  * actual executed plans, so a refactor that silently de-optimizes a
+  * query fails CI instead of only showing up in a 100 TB run.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).size
+
+  test("drop_nested: dropped leaf never read (column pruning reaches the scan)") {
+    val p = plan("drop_nested")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("event_type"),
+      s"dropped field must be pruned from the parquet scan:\n$p")
+    assert(countOf(p, "Exchange") == 0, s"pure projection, no shuffle:\n$p")
+  }
+
+  test("q3_join: dimensions broadcast, fact side streams, one aggregate exchange") {
+    val p = plan("q3_join")
+    assert(countOf(p, "BroadcastHashJoin") == 2,
+      s"nation AND customer should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join expected:\n$p")
+  }
+
+  test("q1_agg: partial aggregation before the exchange (map-side combine)") {
+    val p = plan("q1_agg")
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_sum")
+    assert(partialIdx >= 0, s"expected partial_sum in plan:\n$p")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial aggregate must sit below (after, in tree print) the exchange:\n$p")
+  }
+
+  test("q_scalar_funcs: zero shuffles, scan-and-project only") {
+    val p = plan("q_scalar_funcs")
+    assert(countOf(p, "Exchange") == 0, s"narrow projection expected:\n$p")
+  }
+
+  test("dedup_minhash: exactly one real exchange tree (repartition reused by window + agg)") {
+    val p = plan("dedup_minhash")
+    // one explicit repartition exchange; the window and signature groupBy
+    // reuse its (doc_id) clustering rather than re-shuffling
+    val exchanges = countOf(p, "Exchange hashpartitioning")
+    assert(exchanges <= 2, s"minhash should not cascade shuffles, got $exchanges:\n$p")
+    assert(p.contains("partial_min"), s"map-side partial min expected:\n$p")
+  }
+
+  test("ann_cosine: corpus side never exchanges (query side broadcast)") {
+    val p = plan("ann_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+    // the only hash exchange allowed is the final per-query window rank
+    assert(countOf(p, "Exchange hashpartitioning") <= 1,
+      s"corpus must not shuffle before ranking:\n$p")
+  }
+
+  test("q_split / q_stratified: narrow maps — filter/project only, no exchange") {
+    assert(countOf(plan("q_split"), "Exchange") == 0)
+    assert(countOf(plan("q_stratified"), "Exchange") == 0)
+  }
+
+  test("q_vocab: top-k plans as TakeOrdered, never a global sort") {
+    val p = plan("q_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit+orderBy should collapse to TakeOrdered:\n$p")
+  }
+
+  test("q_sessionize: single exchange feeds lag, cumsum, and final aggregate") {
+    val p = plan("q_sessionize")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"window clustering must be reused by the aggregate:\n$p")
+  }
+
+  test("parity surface plans contain no UDF nodes (codegen everywhere)") {
+    Seq("drop_nested", "hoist_keep", "to_json_map", "drop_schemaless").foreach { q =>
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+        s"$q must not use UDFs:\n$p")
+    }
+  }
+}

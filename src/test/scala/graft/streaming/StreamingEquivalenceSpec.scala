@@ -91,6 +91,28 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     assert(rows == Seq(("click", 1L, 5.0), ("view", 2L, 3.0)))
   }
 
+  test("streaming dedup: duplicate keys within the watermark horizon are dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1704100000000L + sec * 1000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "k", "value")
+    val deduped = StreamRunner.streamingDedup(df, "ts", Seq("k"), "10 seconds")
+    val q = StreamRunner.memorySink(deduped, "stream_dedup_out")
+    try {
+      // k=a arrives 3× within the horizon (once in a later batch), k=b once
+      mem.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(2), "b", 3.0))
+      q.processAllAvailable()
+      mem.addData((ts(3), "a", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_dedup_out").orderBy("k")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 1.0), ("b", 3.0)),
+      s"first arrival per key survives, got $got")
+  }
+
   test("map→json transform works on a stream (to_json parity op)") {
     val s = spark
     import s.implicits._
