@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Library entry point for cluster deployment: register everything the
+  * engine adds to Catalyst in one place, the way Spark intends extension
+  * libraries to ship —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or in code:
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * }}}
+  *
+  * Injects:
+  *  - [[graft.plans.TopKStrategy]] — the planner strategy for the custom
+  *    TopKPerKey operator (the per-DataFrame fallback in
+  *    `TopKPerKey.topKPerKey` self-registers via
+  *    `experimental.extraStrategies` for sessions built without
+  *    extensions; both paths plan the same physical node);
+  *  - `rolling_hash(expr)` — the codegen fingerprint Expression, usable
+  *    from SQL text, not just the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    extensions.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[graft.functions.RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_hash takes exactly one argument")
+        graft.functions.RollingHash(args.head)
+      }))
+  }
+}

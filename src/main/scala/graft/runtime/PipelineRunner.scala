@@ -51,6 +51,9 @@ object PipelineRunner {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's official registration path: custom planner strategy
+      // + SQL functions, same as spark.sql.extensions=graft.GraftExtensions
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

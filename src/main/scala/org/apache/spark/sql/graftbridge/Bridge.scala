@@ -26,4 +26,16 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  // test access to the (private[sql]) SparkSessionExtensions build hooks,
+  // so extension wiring is verifiable without tearing down the shared
+  // test session (extensions only apply at session construction)
+  def buildStrategies(exts: org.apache.spark.sql.SparkSessionExtensions,
+                      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    exts.buildPlannerStrategies(spark)
+  def applyExtensionFunctions(exts: org.apache.spark.sql.SparkSessionExtensions,
+                              spark: SparkSession): Unit =
+    exts.registerFunctions(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry)
 }
