@@ -305,6 +305,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // as-of join: each purchase event picks up the user's most recent
+    // PRIOR error-event timestamp (point-in-time lookup). Epoch micros on
+    // both sides; DuckDB oracles it with a native ASOF LEFT JOIN.
+    "q_asof" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("us", expr("ts div 1000"))
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val r = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("us"))
+      graft.operators.AsOf.asofJoin(l, r, Seq("user_id"), "us", "us", Seq("us"))
+        .select(col("event_id"), col("asof.us").as("prior_error_us"))
+    }),
+
     // ---- LLM pipeline: deterministic sampling / splits / profiling
     "q_split" -> ((s, dir) => graft.operators.Sampling.deterministicSplit(
       docs(s, dir), "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -506,6 +519,11 @@ object SparkEntry {
       "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS INT) AS rank " +
       "FROM embeddings e, embeddings q WHERE q.vec_id < 8 " +
       "QUALIFY rank <= 10"),
+    "q_asof" -> ("SELECT l.event_id, r.us AS prior_error_us FROM " +
+      "(SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase') l " +
+      "ASOF LEFT JOIN " +
+      "(SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error') r " +
+      "ON l.user_id = r.user_id AND l.us >= r.us"),
     // hash-bucket arithmetic mirror of Sampling.hashBucket: first 8 hex
     // chars of md5(id-as-string) as a 32-bit integer; thresholds are
     // floor(fraction × 2^32) integer literals on both sides
