@@ -318,6 +318,23 @@ object SparkEntry {
         .select(col("event_id"), col("asof.us").as("prior_error_us"))
     }),
 
+    // range join: purchases counted against the 5-minute windows opened
+    // by each of the user's error events — bin-bucketed equi-join, exact
+    // predicate re-checked; left join back preserves zero-match purchases
+    "q_range" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("us", expr("ts div 1000"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val iv = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("us").as("start"),
+          (col("us") + 300000000L).as("end"))
+      val matches = graft.operators.RangeJoin.pointInInterval(
+        p, iv, Seq("user_id"), "us", "start", "end", binWidth = 300000000L)
+      val counts = matches.groupBy(col("event_id")).agg(count(lit(1)).as("n_intervals"))
+      p.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n_intervals"), lit(0L)).as("n_intervals"))
+    }),
+
     // ---- LLM pipeline: deterministic sampling / splits / profiling
     "q_split" -> ((s, dir) => graft.operators.Sampling.deterministicSplit(
       docs(s, dir), "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -524,6 +541,11 @@ object SparkEntry {
       "ASOF LEFT JOIN " +
       "(SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error') r " +
       "ON l.user_id = r.user_id AND l.us >= r.us"),
+    "q_range" -> ("SELECT p.event_id, count(i.us) AS n_intervals FROM " +
+      "(SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase') p " +
+      "LEFT JOIN (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error') i " +
+      "ON i.user_id = p.user_id AND p.us >= i.us AND p.us <= i.us + 300000000 " +
+      "GROUP BY p.event_id"),
     // hash-bucket arithmetic mirror of Sampling.hashBucket: first 8 hex
     // chars of md5(id-as-string) as a 32-bit integer; thresholds are
     // floor(fraction × 2^32) integer literals on both sides
