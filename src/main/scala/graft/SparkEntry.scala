@@ -335,6 +335,11 @@ object SparkEntry {
         .select(col("event_id"), coalesce(col("n_intervals"), lit(0L)).as("n_intervals"))
     }),
 
+    // sketch tier: HLL++ approx distinct per group (engine-internal
+    // hashing → rows-only check; SketchesSpec bounds the error vs exact)
+    "q_approx_stats" -> ((s, dir) => graft.operators.Sketches
+      .approxDistinctByGroup(events(s, dir), "event_type", "user_id")),
+
     // ---- LLM pipeline: deterministic sampling / splits / profiling
     "q_split" -> ((s, dir) => graft.operators.Sampling.deterministicSplit(
       docs(s, dir), "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
