@@ -43,13 +43,13 @@ object Components {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      // hook: min label over self + neighbors. Persisted because the
-      // shortcut self-join reads it twice — without the persist the whole
-      // hook subplan (2 shuffles) executes once per join side.
-      val hooked = sym.join(labels, col("a") === col("id"))
+    // one hook + shortcut pass. hooked is persisted because the shortcut
+    // self-join reads it twice — without the persist the whole hook
+    // subplan (2 shuffles) would execute once per join side.
+    def round(cur: DataFrame): (DataFrame, DataFrame) = {
+      val hooked = sym.join(cur, col("a") === col("id"))
         .select(col("b").as("id"), col("comp"))
-        .union(labels.select(col("id"), col("comp")))
+        .union(cur.select(col("id"), col("comp")))
         .groupBy("id").agg(min("comp").as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // shortcut: comp ← comp(comp). Every comp value is a node id (labels
@@ -59,10 +59,20 @@ object Components {
         hooked.select(col("id").as("__cid"), col("comp").as("__ccomp")),
         col("comp") === col("__cid"))
         .select(col("id"), col("__ccomp").as("comp"))
+      (next, hooked)
+    }
+    while (!converged && iter < maxIter) {
+      // TWO logical rounds per materialization + convergence check: the
+      // driver-side actions (checkpoint job + sum job) dominate each loop
+      // turn at low data volume, and doubling the work between actions
+      // halves them — worst case is one wasted (already-converged) round.
+      val (mid, h1) = round(labels)
+      val (next, h2) = round(mid)
       // localCheckpoint cuts lineage so plans don't grow per round (it
       // caches internally — no extra persist needed)
       val materialized = next.localCheckpoint(eager = true)
-      hooked.unpersist(blocking = false)
+      h1.unpersist(blocking = false)
+      h2.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = materialized
       val s = labelSum(labels)

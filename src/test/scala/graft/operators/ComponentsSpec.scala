@@ -35,6 +35,36 @@ class ComponentsSpec extends SparkTestBase {
     assert(Seq(100L, 200L, 300L, 400L).forall(got(_) == 100L))
   }
 
+  test("random graphs match a JVM union-find reference") {
+    val rnd = new scala.util.Random(17)
+    val n = 400
+    val edges = Seq.fill(350)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: plain union-find with path compression
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> {
+        // component = min node id in the component, restricted to nodes
+        // that appear in edges (isolated ids never reach the operator)
+        val root = find(id.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .filter(o => find(o.toInt) == root).min
+      }).toMap
+    val got = cc(edges)
+    assert(got == want)
+  }
+
   test("keepRepresentatives drops all but the min id per group") {
     val s = spark
     import s.implicits._

@@ -113,6 +113,38 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       s"first arrival per key survives, got $got")
   }
 
+  test("transformWithState running totals accumulate across micro-batches (RocksDB)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val df = mem.toDF().toDF("user_id", "value")
+      val q = RunningTotals.runningTotals(df, "user_id", "value")
+        .writeStream.format("memory").queryName("stream_totals_out")
+        .outputMode("update").start()
+      try {
+        mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+        q.processAllAvailable()
+        mem.addData((1L, 4.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val byBatch = spark.table("stream_totals_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(byBatch.contains((1L, 2L, 3.0)), s"batch-1 totals for user 1 in $byBatch")
+      assert(byBatch.contains((1L, 3L, 7.0)), s"state carried into batch 2: $byBatch")
+      assert(byBatch.contains((2L, 1L, 5.0)))
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   test("map→json transform works on a stream (to_json parity op)") {
     val s = spark
     import s.implicits._
