@@ -181,6 +181,20 @@ object SparkEntry {
       .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
         col("g_rf"), col("g_ls"), col("sum_qty"), col("cnt"))),
+    // pivot: per-user event-type counts as columns. Fixed value list so
+    // the output schema is static (Spark's inferred pivot would scan once
+    // to discover values — a 100 TB anti-pattern); oracle = conditional
+    // aggregation, the relational-algebra equivalent.
+    "q_pivot" -> ((s, dir) => events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .select(col("user_id"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("error"), lit(0L)).as("n_error"))),
     // salted two-stage aggregation over the (skewed) events user_id —
     // results must be indistinguishable from a plain GROUP BY (the oracle
     // IS a plain GROUP BY); salting only changes the physical shuffle shape
@@ -492,6 +506,13 @@ object SparkEntry {
       "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, " +
       "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt " +
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "q_pivot" -> ("SELECT user_id, " +
+      "count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view, " +
+      "count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click, " +
+      "count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase, " +
+      "count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup, " +
+      "count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error " +
+      "FROM events GROUP BY user_id"),
     "q_skew_salted" -> ("SELECT user_id, count(*) AS n_events, " +
       "sum(CAST(value AS DECIMAL(18,2))) AS sum_value FROM events GROUP BY user_id"),
     "q_sessionize" -> ("SELECT user_id, CAST(sid AS BIGINT) AS sid, " +
