@@ -195,6 +195,42 @@ object SparkEntry {
         coalesce(col("purchase"), lit(0L)).as("n_purchase"),
         coalesce(col("signup"), lit(0L)).as("n_signup"),
         coalesce(col("error"), lit(0L)).as("n_error"))),
+    // unpivot (melt): wide per-user counts back to (user, metric, value)
+    // rows — the inverse of q_pivot, oracled by UNION ALL
+    "q_unpivot" -> ((s, dir) => {
+      val wide = events(s, dir).groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "error", 1)).as("n_error"))
+      wide.unpivot(Array(col("user_id")),
+        Array(col("n_view"), col("n_error")), "metric", "n")
+    }),
+    // anti/semi joins: customers with no orders (anti) — the dedup/orphan
+    // primitive; plans as a broadcast/shuffled semi-join, never a product
+    "q_anti_join" -> ((s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))),
+    // data-quality checks: one row per rule with its violation count —
+    // the "expectations" pattern; every rule is one conditional aggregate,
+    // so the whole suite is a single scan per table
+    "q_quality_checks" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).agg(
+        sum(when(col("l_quantity") <= 0, 1).otherwise(0)).as("nonpositive_qty"),
+        sum(when(col("l_extendedprice") < 0, 1).otherwise(0)).as("negative_price"),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("null_orderkey"))
+        .select(lit("lineitem").as("tbl"),
+          explode(map(
+            lit("nonpositive_qty"), col("nonpositive_qty"),
+            lit("negative_price"), col("negative_price"),
+            lit("null_orderkey"), col("null_orderkey"))).as(Seq("rule", "violations")))
+      val orphans = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders").as("tbl"), lit("orphan_custkey").as("rule"),
+          col("violations"))
+      li.unionByName(orphans)
+    }),
     // salted two-stage aggregation over the (skewed) events user_id —
     // results must be indistinguishable from a plain GROUP BY (the oracle
     // IS a plain GROUP BY); salting only changes the physical shuffle shape
@@ -513,6 +549,22 @@ object SparkEntry {
       "count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup, " +
       "count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error " +
       "FROM events GROUP BY user_id"),
+    "q_unpivot" -> ("WITH wide AS (SELECT user_id, " +
+      "count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view, " +
+      "count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error " +
+      "FROM events GROUP BY user_id) " +
+      "SELECT user_id, 'n_view' AS metric, n_view AS n FROM wide " +
+      "UNION ALL SELECT user_id, 'n_error' AS metric, n_error AS n FROM wide"),
+    "q_anti_join" -> ("SELECT c_custkey, c_mktsegment FROM customer " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "q_quality_checks" -> ("SELECT 'lineitem' AS tbl, 'nonpositive_qty' AS rule, " +
+      "CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem " +
+      "UNION ALL SELECT 'lineitem', 'negative_price', " +
+      "CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem " +
+      "UNION ALL SELECT 'lineitem', 'null_orderkey', " +
+      "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem " +
+      "UNION ALL SELECT 'orders', 'orphan_custkey', count(*) FROM orders " +
+      "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)"),
     "q_skew_salted" -> ("SELECT user_id, count(*) AS n_events, " +
       "sum(CAST(value AS DECIMAL(18,2))) AS sum_value FROM events GROUP BY user_id"),
     "q_sessionize" -> ("SELECT user_id, CAST(sid AS BIGINT) AS sid, " +
