@@ -26,6 +26,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // rewrite row_number()<=k window filters into the bounded-heap TopK
+    // operator (guarded by spark.graft.topkRewrite.maxK)
+    extensions.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     extensions.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[graft.functions.RollingHash].getName, "rolling_hash"),
