@@ -290,6 +290,21 @@ object SparkEntry {
         shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // end-to-end near-dup dedup: pairs → connected components → keep one
+    // representative per group. Engine-hash LSH inside → rows-only check;
+    // the planted +100000 copies must all be eliminated.
+    "dedup_e2e" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      val all = d.union(planted)
+      val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      val comps = graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      graft.operators.Components.keepRepresentatives(all, "doc_id", comps)
+        .select(col("doc_id"))
+    }),
     // portable md5 flavor (oracle-checked); _fast = production xxhash64
     // near-dup pairs → duplicate GROUPS via connected components
     // (hooking + shortcutting, O(log diameter) rounds). Edges: adjacent
@@ -339,6 +354,19 @@ object SparkEntry {
         "vec_id", "embedding", minCosine = 0.98, numPlanes = 8, numTables = 3)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // int8 quantization: storage-size path for ANN corpora. Quantized
+    // codes oracle-checked — floor(x/scale + 0.5) is engine-portable
+    // (round() would banker's-round differently across engines)
+    "q_quantize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val scale = Similarity.quantizeScale(col("embedding"))
+      // codes joined to a string: the driver's hash compare (and pandas)
+      // can't hash array-typed cells, and "1,-3,5" is engine-neutral
+      e.select(col("vec_id"), col("embedding"), scale.as("s"))
+        .select(col("vec_id"),
+          concat_ws(",", Similarity.quantize(col("embedding"), col("s"))
+            .cast("array<string>")).as("q_str"))
     }),
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -643,6 +671,12 @@ object SparkEntry {
       "quantile_cont(n_tokens, 0.75) AS p75 FROM (" +
       "SELECT lang, len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens " +
       "FROM documents) GROUP BY lang"),
+    "q_quantize" -> ("SELECT vec_id, array_to_string((CASE WHEN s = 0 THEN " +
+      "list_transform(embedding, x -> 0) ELSE " +
+      "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INT)) END), ',') AS q_str " +
+      "FROM (SELECT vec_id, embedding, " +
+      "CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS s " +
+      "FROM embeddings)"),
     "text_tokens" -> ("SELECT doc_id, " +
       s"len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens_ws, " +
       "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens_bpe FROM documents"),

@@ -116,6 +116,26 @@ object Similarity {
     smallPairs.union(starPairs).filter(col("cosine") >= minCosine).distinct()
   }
 
+  // ---------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 quantization of a float-vector column: per-vector
+    * scale = max|x|/127, elements rounded half-up — 4× smaller storage
+    * for ANN corpora at a ~0.4%-of-range error. Pure narrow map.
+    * Rounding is `floor(x/scale + 0.5)` explicitly (not `round`) so any
+    * engine reproduces it bit-for-bit — banker's rounding differs between
+    * engines, floor doesn't.
+    */
+  def quantizeScale(vec: Column): Column =
+    (array_max(transform(vec, x => abs(x))).cast("double") / 127.0).as("scale")
+
+  def quantize(vec: Column, scale: Column): Column =
+    when(scale === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") / scale + 0.5).cast("int")))
+
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => (x.cast("double") * scale).cast("float"))
+
   // ------------------------------------------------------------- IVF
 
   /** Train an IVF coarse quantizer: k-means on a driver-collected sample.

@@ -136,6 +136,17 @@ class DedupSpec extends SparkTestBase {
     assert(agree >= 5, s"near-dup should share most minhash lanes, shared $agree/8")
   }
 
+  test("end-to-end: pairs → components → one representative per dup group") {
+    val pairs = Dedup.minhashNearDupPairs(docsDf, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+    val kept = Components.keepRepresentatives(docsDf, "doc_id", comps)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 0/2/3 are one near-dup group (keep 0), 1/5 another (keep 1),
+    // 4 is unique
+    assert(kept == Set(0L, 1L, 4L), s"got $kept")
+  }
+
   test("shingles: short documents fall back to whole-text shingle") {
     val s = spark
     import s.implicits._

@@ -68,6 +68,30 @@ class SimilaritySpec extends SparkTestBase {
       s"every identical vector must pair with the representative, got $pairs")
   }
 
+  test("int8 quantization round-trip preserves cosine within 1%") {
+    val df = embDf.select(col("vec_id"), col("embedding"),
+      Similarity.quantizeScale(col("embedding")).as("s"))
+      .select(col("vec_id"), col("embedding"),
+        Similarity.quantize(col("embedding"), col("s")).as("q"), col("s"))
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"),
+          Similarity.dequantize(col("q"), col("s"))).as("c"),
+        array_max(transform(col("q"), x => abs(x))).as("qmax"))
+    val rows = df.collect()
+    assert(rows.forall(_.getDouble(1) > 0.99),
+      s"dequantized vectors must stay cosine-close: ${rows.map(_.getDouble(1)).min}")
+    assert(rows.forall(_.getInt(2) <= 127), "codes fit int8 range")
+  }
+
+  test("quantize handles the all-zero vector") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantize(col("embedding"),
+        Similarity.quantizeScale(col("embedding"))).as("q"))
+    assert(df.head.getSeq[Int](0) == Seq(0, 0, 0))
+  }
+
   test("cosine expression: orthonormal sanity") {
     val s = spark
     import s.implicits._
