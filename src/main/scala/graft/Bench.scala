@@ -29,23 +29,29 @@ object Bench {
       // 3 timed runs: report the min (stable signal, immune to stray
       // JIT/GC pauses — observed 0.4s queries reading as 7s once per
       // session) AND the p50 (damps min-lottery under machine load)
+      // only SUCCESSFUL runs enter the samples — a fast abort would
+      // otherwise pose as the best time; both maps carry the negative
+      // failure marker so neither reads as healthy
       var times = List.empty[Double]
+      var failDur = 0.0
       var ok = true
       var i = 0
       while (i < 3 && ok) {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          times ::= (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+          failDur = (System.nanoTime() - t0) / 1e9
           ok = false
         }
-        times ::= (System.nanoTime() - t0) / 1e9
         i += 1
       }
       val sorted = times.sorted
-      val best = sorted.head
-      val p50 = sorted(sorted.size / 2)
-      (name, if (ok) best else -best, p50)
+      val best = if (sorted.nonEmpty) sorted.head else failDur
+      val p50 = if (sorted.nonEmpty) sorted(sorted.size / 2) else failDur
+      (name, if (ok) best else -best, if (ok) p50 else -p50)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

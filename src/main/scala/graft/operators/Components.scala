@@ -37,9 +37,13 @@ object Components {
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // monotone convergence witness: sum of labels strictly decreases while
-    // any label can still shrink (decimal accumulator — no long overflow)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    // any label can still shrink (decimal accumulator — no long overflow).
+    // sum of an EMPTY table is NULL — map it to zero so a pair-less input
+    // (a clean corpus) converges immediately instead of NPE-ing
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -11,19 +11,24 @@ import org.apache.spark.sql.functions._
   * digest; near-dup goes shingle → MinHash signature → LSH band buckets →
   * bucket-local candidate pairs → exact-Jaccard verification. Candidate
   * generation touches only rows that collide in a band; buckets larger
-  * than [[maxBucketDefault]] switch from all-pairs to star pairs (every
-  * member vs the bucket's min-id representative), so one hot bucket costs
-  * O(b) instead of O(b²) while keeping its duplicate group connected.
+  * than [[maxBucketDefault]] switch from all-pairs to signature-sorted
+  * CHAIN pairs (each member linked to its neighbor in signature order),
+  * so one hot bucket costs O(b) instead of O(b²) while keeping each
+  * duplicate cluster inside it internally connected.
   */
 object Dedup {
 
   /** Bucket size above which LSH candidate generation switches from
-    * all-pairs (b(b-1)/2 pairs) to star pairs (b-1 pairs against the
-    * bucket's min-id member). 64 caps the per-bucket all-pairs cost at
-    * ~2k pairs; beyond that, star pairing keeps cost linear and — unlike
-    * dropping the bucket — still links every member of a giant duplicate
-    * cluster to its representative (connected-components recall is
-    * preserved; only the within-cluster pair *enumeration* is thinned).
+    * all-pairs (b(b-1)/2 pairs) to chain pairs: members sorted by a hash
+    * of their FULL signature and linked consecutively (b-1 pairs). 64
+    * caps the per-bucket all-pairs cost at ~2k pairs; beyond that, the
+    * chain keeps cost linear and — unlike dropping the bucket — keeps
+    * duplicate clusters connected, because identical/near-identical
+    * signatures sort adjacent, so a cluster occupies a consecutive run
+    * whose internal links survive exact verification (links BETWEEN
+    * unrelated clusters fail verification harmlessly). Best-effort for
+    * cluster members whose signatures diverge; exact enumeration only
+    * below the cap.
     */
   val maxBucketDefault = 64
 
@@ -182,27 +187,33 @@ object Dedup {
         array((0 until numHashes).map(s => min(xxhash64(lit(s), col("__sh")))): _*).as("sig"),
         collect_set(col("__sh")).as("__shset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = base.select(col("__id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
-      .as(Seq("band", "bh")))
-    // bucket size + representative via an unordered window (spills to
-    // disk row-by-row, unlike collect_list of a giant bucket), then:
-    //   small buckets → all pairs; oversized → star pairs to the min id.
+    val banded = base.select(col("__id"),
+      // full-signature hash: the chain sort key for oversized buckets —
+      // identical signatures (true dup clusters) sort adjacent
+      xxhash64(concat_ws(",", col("sig").cast("array<string>"))).as("__sk"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
+        .as(Seq("band", "bh")))
+    // bucket size via an unordered window (spills to disk row-by-row,
+    // unlike collect_list of a giant bucket), then: small buckets → all
+    // pairs; oversized → signature-sorted chain pairs.
     val w = Window.partitionBy("band", "bh")
-    val withStats = banded
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .withColumn("__rep", min(col("__id")).over(w))
+    val withStats = banded.withColumn("__cnt", count(lit(1)).over(w))
     val smallPairs = withStats
       .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
       // groupBy reuses the window's (band, bh) exchange — no extra shuffle
       .groupBy("band", "bh").agg(collect_list(col("__id")).as("ids"))
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-    val starPairs = withStats
-      .filter(col("__cnt") > maxBucket && col("__id") =!= col("__rep"))
-      .select(col("__rep").as("id_a"), col("__id").as("id_b"))
-    val cand = smallPairs.union(starPairs).distinct()
+    val wOrd = Window.partitionBy("band", "bh").orderBy(col("__sk"), col("__id"))
+    val chainPairs = withStats
+      .filter(col("__cnt") > maxBucket)
+      .withColumn("__next", lead(col("__id"), 1).over(wOrd))
+      .filter(col("__next").isNotNull)
+      .select(least(col("__id"), col("__next")).as("id_a"),
+        greatest(col("__id"), col("__next")).as("id_b"))
+    val cand = smallPairs.union(chainPairs).distinct()
     val a = base.select(col("__id").as("id_a"), col("__shset").as("sh_a"))
     val b = base.select(col("__id").as("id_b"), col("__shset").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
@@ -276,16 +287,12 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "cv")))
-    // same oversized-bucket policy as minhashNearDupPairs: all pairs up to
-    // maxBucket, star pairs against the min-id member beyond it. The
-    // representative's simhash rides along via min(struct(id, sh)) —
-    // struct ordering is field-by-field and ids are unique, so the min
-    // struct is exactly (min id, its simhash).
+    // same oversized-bucket policy as minhashNearDupPairs: all pairs up
+    // to maxBucket, chain pairs beyond it — sorted by the simhash value
+    // itself, so identical/near-identical hashes (the actual duplicates)
+    // sort adjacent and stay linked.
     val w = Window.partitionBy("chunk", "cv")
-    val withStats = chunks
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .withColumn("__rep",
-        min(struct(col(idCol).as("id"), col("simhash").as("sh"))).over(w))
+    val withStats = chunks.withColumn("__cnt", count(lit(1)).over(w))
     val smallPairs = withStats
       .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
       .groupBy("chunk", "cv")
@@ -293,11 +300,17 @@ object Dedup {
       .select(explode(sortedPairs(col("xs"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         col("p.a.sh").as("sh_a"), col("p.b.sh").as("sh_b"))
-    val starPairs = withStats
-      .filter(col("__cnt") > maxBucket && col(idCol) =!= col("__rep.id"))
-      .select(col("__rep.id").as("id_a"), col(idCol).as("id_b"),
-        col("__rep.sh").as("sh_a"), col("simhash").as("sh_b"))
-    smallPairs.union(starPairs).distinct()
+    val wOrd = Window.partitionBy("chunk", "cv").orderBy(col("simhash"), col(idCol))
+    val chainPairs = withStats
+      .filter(col("__cnt") > maxBucket)
+      .withColumn("__nx", lead(struct(col(idCol).as("id"), col("simhash").as("sh")), 1).over(wOrd))
+      .filter(col("__nx").isNotNull)
+      .select(
+        least(col(idCol), col("__nx.id")).as("id_a"),
+        greatest(col(idCol), col("__nx.id")).as("id_b"),
+        when(col(idCol) < col("__nx.id"), col("simhash")).otherwise(col("__nx.sh")).as("sh_a"),
+        when(col(idCol) < col("__nx.id"), col("__nx.sh")).otherwise(col("simhash")).as("sh_b"))
+    smallPairs.union(chainPairs).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

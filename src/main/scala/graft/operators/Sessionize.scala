@@ -83,18 +83,28 @@ object Sessionize {
             Iterator.single(Session(user, s.start, s.end, s.n, s.sum))
           } else {
             // late (pre-watermark) rows were already dropped by Spark;
-            // within the batch, order by event time and fold into sessions
+            // within the batch, order by event time and fold into sessions.
+            // Cross-batch arrivals can still be older than the open
+            // session: an event within `gapMs` of the open [start, end]
+            // interval merges (lowering start if needed); one older than
+            // start - gapMs belongs to a DISTINCT earlier session and is
+            // emitted as a singleton — an approximation (two such
+            // stragglers won't merge with each other) bounded by the
+            // watermark delay; keep watermarkDelay ≤ gap to rule it out.
             val sorted = rows.toSeq.sortBy(_._2.getTime)
             val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
             var cur = state.getOption
             sorted.foreach { case (_, ts, v) =>
               val t = ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.sum + v))
-                case Some(s) =>
+                case Some(s) if t > s.end + gapMs =>
                   closed += Session(user, s.start, s.end, s.n, s.sum)
                   cur = Some(OpenSession(t, t, 1L, v))
+                case Some(s) if t < s.start - gapMs =>
+                  closed += Session(user, t, t, 1L, v)
+                case Some(s) =>
+                  cur = Some(OpenSession(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.sum + v))
                 case None =>
                   cur = Some(OpenSession(t, t, 1L, v))
               }

@@ -97,11 +97,7 @@ object Similarity {
       posexplode(array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*))
         .as(Seq("__table", "__bucket")))
     val w = Window.partitionBy("__table", "__bucket")
-    val withStats = withBucket
-      .withColumn("__cnt", count(lit(1)).over(w))
-      // min(struct) = (min id, its vector): struct order is field-by-field
-      // and ids are unique, so the vector never participates in the compare
-      .withColumn("__rep", min(struct(col(idCol).as("id"), col("__v").as("v"))).over(w))
+    val withStats = withBucket.withColumn("__cnt", count(lit(1)).over(w))
     val smallPairs = withStats
       .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
       .groupBy("__table", "__bucket")
@@ -109,11 +105,19 @@ object Similarity {
       .select(explode(Dedup.sortedPairs(col("xs"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         cosine(col("p.a.v"), col("p.b.v")).as("cosine"))
-    val starPairs = withStats
-      .filter(col("__cnt") > maxBucket && col(idCol) =!= col("__rep.id"))
-      .select(col("__rep.id").as("id_a"), col(idCol).as("id_b"),
-        cosine(col("__rep.v"), col("__v")).as("cosine"))
-    smallPairs.union(starPairs).filter(col("cosine") >= minCosine).distinct()
+    // oversized buckets: chain pairs sorted by a hash of the raw vector —
+    // identical vectors (the actual duplicates) sort adjacent and stay
+    // linked; links between unrelated members fail the cosine filter
+    val wOrd = Window.partitionBy("__table", "__bucket")
+      .orderBy(xxhash64(col("__v")), col(idCol))
+    val chainPairs = withStats
+      .filter(col("__cnt") > maxBucket)
+      .withColumn("__nx", lead(struct(col(idCol).as("id"), col("__v").as("v")), 1).over(wOrd))
+      .filter(col("__nx").isNotNull)
+      .select(least(col(idCol), col("__nx.id")).as("id_a"),
+        greatest(col(idCol), col("__nx.id")).as("id_b"),
+        cosine(col("__v"), col("__nx.v")).as("cosine"))
+    smallPairs.union(chainPairs).filter(col("cosine") >= minCosine).distinct()
   }
 
   // ---------------------------------------------------- int8 quantization

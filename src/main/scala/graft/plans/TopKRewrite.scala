@@ -48,7 +48,10 @@ object TopKRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, w: Window) =>
+    // partitionSpec must be non-empty: TopKPerKeyExec declares
+    // ClusteredDistribution(keys), which rejects an empty clustering —
+    // a global (un-partitioned) top-k keeps the window plan
+    case f @ Filter(cond, w: Window) if w.partitionSpec.nonEmpty =>
       val maxK = conf.getConfString("spark.graft.topkRewrite.maxK", "1000").toInt
       w.windowExpressions match {
         case Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)) =>

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Output-layout control: hive-style partitioned parquet, the read-side
   * complement of [[Bucketing]]. A predicate on the partition column prunes
@@ -18,13 +18,17 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        filesPerPartition: Int = 1): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must not be empty")
+    // file-split salt = hash of the whole row, NOT spark_partition_id():
+    // a row-content hash spreads rows regardless of incoming partition
+    // count (a 1-partition input would make partition_id constant and the
+    // parameter a no-op) and is deterministic under task retry
+    // (repartitioning on a nondeterministic key risks row loss on
+    // shuffle-retry, SPARK-23207)
     val arranged =
       if (filesPerPartition == 1) df.repartition(partitionCols.map(col): _*)
       else df.repartition(
         partitionCols.map(col) :+
-          (org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.spark_partition_id(),
-            org.apache.spark.sql.functions.lit(filesPerPartition))): _*)
+          pmod(hash(df.columns.map(col): _*), lit(filesPerPartition)): _*)
     arranged.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)

@@ -35,6 +35,13 @@ class ComponentsSpec extends SparkTestBase {
     assert(Seq(100L, 200L, 300L, 400L).forall(got(_) == 100L))
   }
 
+  test("empty edge set returns an empty component table (clean corpus)") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(empty, "a", "b").count() == 0)
+  }
+
   test("random graphs match a JVM union-find reference") {
     val rnd = new scala.util.Random(17)
     val n = 400

@@ -81,12 +81,12 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((0L, 2L)))
   }
 
-  test("oversized LSH bucket: star pairs still link every member of a giant dup cluster") {
+  test("oversized LSH bucket: chain pairs keep a giant dup cluster connected") {
     val s = spark
     import s.implicits._
     // 10 identical docs with maxBucket=4: every band bucket holds all 10,
     // far past the cap. Dropping the bucket (the old policy) would find
-    // ZERO pairs; star pairing must link docs 1..9 to representative 0.
+    // ZERO pairs; the signature-sorted chain must connect all of 0..9.
     val cluster = (0L until 10L).map(i =>
       (i, "the quick brown fox jumps over the lazy dog near the river bank today"))
     val df = (cluster :+ (99L, "totally unrelated content about columnar engines and shuffles"))
@@ -94,12 +94,12 @@ class DedupSpec extends SparkTestBase {
     val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "text",
       shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.9, maxBucket = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert((1L until 10L).forall(i => pairs.contains((0L, i))),
-      s"every cluster member must pair with the representative, got $pairs")
+    assert(connected(pairs, 0L until 10L),
+      s"cluster must be one connected component, got $pairs")
     assert(!pairs.exists { case (a, b) => a == 99L || b == 99L })
   }
 
-  test("oversized simhash bucket: star pairs preserve connectivity") {
+  test("oversized simhash bucket: chain pairs preserve connectivity") {
     val s = spark
     import s.implicits._
     val cluster = (0L until 8L).map(i =>
@@ -109,8 +109,22 @@ class DedupSpec extends SparkTestBase {
     val sim = Dedup.simhash(df, "doc_id", "text")
     val pairs = Dedup.simhashNearDupPairs(sim, "doc_id", maxHamming = 3, maxBucket = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert((1L until 8L).forall(i => pairs.contains((0L, i))),
-      s"identical docs past the bucket cap must still pair via the star, got $pairs")
+    assert(connected(pairs, 0L until 8L),
+      s"identical docs past the bucket cap must stay connected, got $pairs")
+  }
+
+  /** true iff `members` form one connected component under `pairs`. */
+  private def connected(pairs: Set[(Long, Long)], members: Seq[Long]): Boolean = {
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seen = scala.collection.mutable.Set(members.head)
+    val stack = scala.collection.mutable.Stack(members.head)
+    while (stack.nonEmpty) {
+      adj.getOrElse(stack.pop(), Nil).foreach { n =>
+        if (seen.add(n)) stack.push(n)
+      }
+    }
+    members.forall(seen.contains)
   }
 
   test("simhashMd5: identical docs identical hex; matches a JVM-side reference bit count") {

@@ -71,6 +71,37 @@ class SessionizeSpec extends SparkTestBase {
       s"timeout-closed session missing from $got")
   }
 
+  test("cross-batch straggler older than the open session does not fuse into it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1704100000000L + sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    // generous watermark so the straggler is NOT dropped; gap 30s
+    val q = Sessionize.sessionizeStream(df, "user_id", "ts", "value",
+      gapMs = 30000L, watermarkDelay = "20 minutes")
+      .writeStream.format("memory").queryName("stream_sessions_late")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(600), 1.0))          // open session at 12:10
+      q.processAllAvailable()
+      mem.addData((1L, ts(0), 9.0))            // straggler from 12:00
+      q.processAllAvailable()
+      mem.addData((2L, ts(30000), 0.0))        // watermark push
+      q.processAllAvailable()
+      mem.addData((2L, ts(60000), 0.0))        // timeout flush
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("stream_sessions_late")
+      .filter(col("user_id") === 1L)
+      .select("session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val t0 = 1704100000000L
+    assert(sessions == Set((t0, t0, 1L), (t0 + 600000L, t0 + 600000L, 1L)),
+      s"10-minute-apart events must be two sessions, got $sessions")
+  }
+
   test("streaming sessions agree with batch gaps-and-islands on the same data") {
     val s = spark
     import s.implicits._

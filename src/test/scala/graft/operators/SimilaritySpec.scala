@@ -51,21 +51,29 @@ class SimilaritySpec extends SparkTestBase {
       "opposite vectors must not pair")
   }
 
-  test("oversized cosine bucket: star pairs link all planted identical vectors") {
+  test("oversized cosine bucket: chain pairs link all planted identical vectors") {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
     // 8 identical vectors with maxBucket=3: every bucket overflows; the
-    // old drop policy would return nothing, star pairing links 1..7 to 0
+    // old drop policy would return nothing, the vector-hash-sorted chain
+    // must connect all of 0..7 (identical vectors sort adjacent)
     val df = ((0L until 8L).map(i => i -> base) :+
       (99L -> Seq.fill(16)(rnd.nextGaussian().toFloat)))
       .toDF("vec_id", "embedding")
     val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
       minCosine = 0.999, numPlanes = 4, maxBucket = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert((1L until 8L).forall(i => pairs.contains((0L, i))),
-      s"every identical vector must pair with the representative, got $pairs")
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seen = scala.collection.mutable.Set(0L)
+    val stack = scala.collection.mutable.Stack(0L)
+    while (stack.nonEmpty) {
+      adj.getOrElse(stack.pop(), Nil).foreach(n => if (seen.add(n)) stack.push(n))
+    }
+    assert((0L until 8L).forall(seen.contains),
+      s"identical vectors must form one component, got $pairs")
   }
 
   test("int8 quantization round-trip preserves cosine within 1%") {

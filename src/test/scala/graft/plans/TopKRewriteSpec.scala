@@ -53,6 +53,18 @@ class TopKRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("global (un-partitioned) top-k keeps the window plan and still runs") {
+    withRule {
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val df = custDf.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).select("c_custkey", "rank")
+      // TopKPerKeyExec requires a non-empty clustering — the rule must
+      // leave this shape alone instead of producing an unplannable node
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(df.collect().length == 3)
+    }
+  }
+
   test("does not fire for rank(), large k, or non-rank filters") {
     withRule {
       // rank() is not row_number(): ties share ranks, heap semantics differ
