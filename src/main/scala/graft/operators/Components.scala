@@ -27,11 +27,19 @@ object Components {
                           maxIter: Int = 20): DataFrame = {
     // symmetrize once; hash-partition by the join key BEFORE caching so
     // the per-round hook join never reshuffles the (big) edge side — only
-    // the (small) label table moves each round
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // the (small) label table moves each round. Partition count adapts to
+    // the MEASURED edge count (the count materializes the cache we need
+    // anyway): an iterative loop's per-round cost at small scale is task
+    // scheduling, not data, so a 4k-edge graph runs on 1 partition while
+    // a billion-edge graph still gets full parallelism (~1M edges each).
+    val symRaw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
-      .repartition(col("a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = symRaw.count()
+    val defaultP = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val p = math.max(1L, math.min(defaultP.toLong, edgeCount / 1000000L + 1L)).toInt
+    val sym = symRaw.repartition(p, col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -85,6 +93,7 @@ object Components {
       iter += 1
     }
     sym.unpersist(blocking = false)
+    symRaw.unpersist(blocking = false)
     labels.select(col("id"), col("comp").as("component"))
   }
 
