@@ -43,7 +43,7 @@ object PipelineRunner {
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val input = opts.getOrElse("--input",
-      sys.error("--input <parquet path> is required"))
+      if (opts.contains("--sql")) "" else sys.error("--input <parquet path> is required"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -57,7 +57,21 @@ object PipelineRunner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      if (opts.contains("--stream")) {
+      if (opts.contains("--sql")) {
+        // SQL mode: register the star schema (--tables <sfDir>) as views
+        // and run arbitrary SQL text — extension functions (rolling_hash)
+        // are available because the session is built withExtensions
+        val sfDir = opts.getOrElse("--tables",
+          sys.error("--tables <sfDir> is required with --sql"))
+        val registered = graft.sources.Tables.registerViews(spark, sfDir)
+        println(s"[graft] registered views: ${registered.mkString(", ")}")
+        val out = spark.sql(opts("--sql"))
+        out.show(opts.get("--show").map(_.toInt).getOrElse(20), truncate = false)
+        opts.get("--output").foreach { dir =>
+          out.write.mode("overwrite").parquet(dir)
+          println(s"[graft] wrote ${spark.read.parquet(dir).count()} rows to $dir")
+        }
+      } else if (opts.contains("--stream")) {
         // streaming mode: file-stream source → same chain → parquet sink
         val outDir = opts.getOrElse("--output",
           sys.error("--output <dir> is required with --stream"))

@@ -20,6 +20,20 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** All star-schema table names present in an sf directory. */
+  val allNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table found in `sfDir` as a temp view (missing files
+    * are skipped), so `spark.sql` text can query the star schema.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Seq[String] =
+    allNames.filter { n =>
+      val exists = new java.io.File(s"$sfDir/$n.parquet").exists()
+      if (exists) table(spark, sfDir, n).createOrReplaceTempView(n)
+      exists
+    }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

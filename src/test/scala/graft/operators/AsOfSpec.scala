@@ -38,6 +38,26 @@ class AsOfSpec extends SparkTestBase {
       s"single key exchange expected:\n$p")
   }
 
+  test("randomized: agrees with the naive formulation on 500 rows") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val left = (0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (0 until 200).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "ts", "rid")
+    val viaAsof = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("ts"))
+      .select(col("lid"), col("asof.ts").as("m"))
+      .orderBy("lid").collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    val viaJoin = left.as("l")
+      .join(right.as("r"), col("l.k") === col("r.k") && col("l.ts") >= col("r.ts"), "left")
+      .groupBy(col("lid")).agg(max(col("r.ts")).as("m"))
+      .orderBy("lid").collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(viaAsof == viaJoin)
+  }
+
   test("matches the equivalent (but unscalable) join-window formulation") {
     val (left, right) = sides
     val viaAsof = AsOf.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("ts"))
