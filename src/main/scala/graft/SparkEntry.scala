@@ -290,6 +290,36 @@ object SparkEntry {
         shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // fully ORACLE-CHECKED near-dup pairs: the md5-portable flavor of the
+    // whole LSH pipeline — sliced-lane signatures → 2-lane bands →
+    // band-equality candidates → integer-arithmetic shingle-jaccard
+    // verify (2*inter >= union, no float threshold). The production
+    // operator (minhashNearDupPairs) keeps xxhash64 + bucket caps; this
+    // flavor trades the caps for exact cross-engine reproducibility.
+    "dedup_pairs_md5" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      val all = d.union(planted)
+      val sig = Dedup.minhashSignatureMd5(all, "doc_id", "text",
+        shingleSize = 3, numHashes = 8)
+      val banded = sig.select(col("doc_id"), posexplode(array(
+        (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+        .as(Seq("band", "bv")))
+      val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val ts = all.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      cand
+        .join(ts.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(ts.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 2 >=
+          size(array_union(col("sh_a"), col("sh_b"))))
+        .select(col("id_a"), col("id_b"))
+    }),
     // end-to-end near-dup dedup: pairs → connected components → keep one
     // representative per group. Engine-hash LSH inside → rows-only check;
     // the planted +100000 copies must all be eliminated.
@@ -527,7 +557,45 @@ object SparkEntry {
        |  GROUP BY doc_id)""".stripMargin
   }
 
+  private def pairsMd5Sql: String = {
+    // mirror of the dedup_pairs_md5 pipeline over documents ∪ planted
+    val mh = (0 until 8).map(i =>
+      s"list_min(list_transform(ds, d -> substr(d, ${i * 4 + 1}, 4))) AS mh$i")
+      .mkString(", ")
+    // band index baked into the value string ('0'||lanes): joining on the
+    // combined string equals joining on (band, value) without needing an
+    // unnest ordinal
+    val bandArr = (0 until 4).map(b => s"'$b' || mh${2 * b} || mh${2 * b + 1}").mkString(", ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |         regexp_replace(text, '\\s+\\S+$$', '') AS text
+       |  FROM documents WHERE doc_id < 20),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= 3
+       |    THEN list_distinct(list_transform(range(0, len(toks) - 2),
+       |         i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+       |    ELSE [array_to_string(toks, ' ')] END AS sh FROM (
+       |    SELECT doc_id, string_split($normSql, ' ') AS toks FROM all_docs)),
+       |sig AS (
+       |  SELECT doc_id, $mh FROM (
+       |    SELECT doc_id, list_transform(sh, x -> md5(x)) AS ds FROM sh)),
+       |banded AS (
+       |  SELECT doc_id, unnest(bands) AS bv
+       |  FROM (SELECT doc_id, [$bandArr] AS bands FROM sig)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT c.id_a, c.id_b FROM cand c
+       |JOIN sh a ON a.doc_id = c.id_a
+       |JOIN sh b ON b.doc_id = c.id_b
+       |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(a.sh || b.sh))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_pairs_md5" -> pairsMd5Sql,
     "drop_nested" -> "SELECT event_id, user_id, value AS v FROM events",
     "drop_subtree" -> "SELECT event_id, value AS v FROM events",
     "drop_schemaless" -> ("SELECT event_id, concat('{\"user_id\":', user_id, " +
