@@ -92,6 +92,21 @@ object StreamRunner {
         col(groupCol), col("n"), col("sum_value"))
   }
 
+  /** Watermarked stream-stream join. Both sides get the same watermark
+    * delay; `condition` must include an event-time bound between the two
+    * ts columns (e.g. `r.ts BETWEEN l.ts - INTERVAL x AND l.ts`) — that
+    * bound plus the watermarks is what lets Spark evict join state, so
+    * state is O(rows per watermark horizon), not O(stream). Rename
+    * overlapping columns before calling (standard stream-stream join
+    * hygiene).
+    */
+  def streamStreamJoin(left: DataFrame, leftTsCol: String,
+                       right: DataFrame, rightTsCol: String,
+                       watermarkDelay: String,
+                       condition: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTsCol, watermarkDelay)
+      .join(right.withWatermark(rightTsCol, watermarkDelay), condition)
+
   /** Streaming exact dedup: drop rows whose `keyCols` repeat within the
     * watermark horizon. The streaming face of [[graft.operators.Dedup]]:
     * state holds one entry per distinct key seen inside the horizon and is

@@ -113,6 +113,34 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       s"first arrival per key survives, got $got")
   }
 
+  test("stream-stream interval join matches purchases to their recent errors") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1704100000000L + sec * 1000L)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp)]
+    val p = purchases.toDF().toDF("p_user", "p_ts")
+    val e = errors.toDF().toDF("e_user", "e_ts")
+    val joined = StreamRunner.streamStreamJoin(p, "p_ts", e, "e_ts", "5 seconds",
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 30 seconds") &&
+        col("e_ts") <= col("p_ts"))
+    val q = StreamRunner.memorySink(
+      joined.select("p_user", "p_ts", "e_ts"), "stream_ssjoin_out")
+    try {
+      // user 1: error 10s before purchase (match); user 2: error 60s
+      // before purchase (outside the 30s lookback — no match)
+      errors.addData((1L, ts(0)), (2L, ts(0)))
+      purchases.addData((1L, ts(10)), (2L, ts(60)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_ssjoin_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime)).toSeq
+    assert(got == Seq((1L, 1704100000000L)),
+      s"only user 1's in-window error should join, got $got")
+  }
+
   test("transformWithState running totals accumulate across micro-batches (RocksDB)") {
     val s = spark
     import s.implicits._
