@@ -17,14 +17,24 @@ import org.apache.spark.storage.StorageLevel
   * loop of DISTRIBUTED jobs (the canonical Spark iterative-graph shape,
   * same as GraphX Pregel): two shuffles per round, state persisted and
   * lineage cut (localCheckpoint) so plans don't snowball.
+  *
+  * SMALL-GRAPH FAST PATH: below `localThreshold` measured edges (default
+  * 1M ≈ 32 MB on the driver, the same bounded-driver-action budget as
+  * the IVF training sample), the edge list is collected and solved with
+  * a local union-find — identical output, none of the per-round job
+  * latency that dominates iterative loops on small data. The distributed
+  * loop is the ≥threshold path and the only one that touches
+  * unbounded-scale graphs.
   */
 object Components {
 
   /** (id, component) for every node appearing in `edges`; component = the
-    * smallest node id reachable from `id`.
+    * smallest node id reachable from `id`. Ids are normalized to LONG in
+    * the output (both paths), so callers can join on them uniformly.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          localThreshold: Long = 1000000L): DataFrame = {
     // symmetrize once; hash-partition by the join key BEFORE caching so
     // the per-round hook join never reshuffles the (big) edge side — only
     // the (small) label table moves each round. Partition count adapts to
@@ -32,11 +42,19 @@ object Components {
     // anyway): an iterative loop's per-round cost at small scale is task
     // scheduling, not data, so a 4k-edge graph runs on 1 partition while
     // a billion-edge graph still gets full parallelism (~1M edges each).
-    val symRaw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    val symRaw = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = symRaw.count()
+    if (edgeCount <= localThreshold) {
+      val result = localUnionFind(symRaw.collect().map(r => (r.getLong(0), r.getLong(1))))
+      symRaw.unpersist(blocking = false)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return result.toSeq.toDF("id", "component")
+    }
     val defaultP = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val p = math.max(1L, math.min(defaultP.toLong, edgeCount / 1000000L + 1L)).toInt
     val sym = symRaw.repartition(p, col("a"))
@@ -95,6 +113,26 @@ object Components {
     sym.unpersist(blocking = false)
     symRaw.unpersist(blocking = false)
     labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Union-find with path halving; roots are always the component MIN id
+    * (unions link the larger root under the smaller), so `find` yields
+    * the same component labels as the distributed loop.
+    */
+  private def localUnionFind(sym: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    sym.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toArray.map(id => id -> find(id))
   }
 
   /** Keep one row per duplicate group: rows of `df` whose id is NOT in a

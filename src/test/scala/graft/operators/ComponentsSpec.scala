@@ -6,10 +6,12 @@ import graft.SparkTestBase
 
 class ComponentsSpec extends SparkTestBase {
 
-  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] = {
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 20,
+                 localThreshold: Long = 1000000L): Map[Long, Long] = {
     val s = spark
     import s.implicits._
-    Components.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter,
+      localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -18,13 +20,20 @@ class ComponentsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("long chain collapses in O(log n) rounds (shortcutting)") {
+  test("long chain collapses in O(log n) rounds (shortcutting, distributed path)") {
     // a 63-hop path; plain min-propagation would need 63 rounds — the
-    // hooking+shortcutting loop must finish within maxIter=10
+    // hooking+shortcutting loop must finish within maxIter=10.
+    // localThreshold=0 forces the distributed loop (the default would take
+    // the small-graph union-find fast path)
     val edges = (0L until 63L).map(i => (i, i + 1))
-    val got = cc(edges, maxIter = 10)
+    val got = cc(edges, maxIter = 10, localThreshold = 0L)
     assert(got.size == 64 && got.values.forall(_ == 0L),
       s"all 64 chain nodes must label 0, got ${got.toSeq.sortBy(_._1).take(8)}...")
+  }
+
+  test("fast path and distributed path agree on the same graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))
+    assert(cc(edges) == cc(edges, localThreshold = 0L))
   }
 
   test("clique and star shapes; ids need not be contiguous") {
