@@ -304,15 +304,19 @@ object SparkEntry {
       val all = d.union(planted)
       val sig = Dedup.minhashSignatureMd5(all, "doc_id", "text",
         shingleSize = 3, numHashes = 8)
+      // persisted: the self-join reads banded twice, and without the cache
+      // the whole shingle+md5 signature pipeline would execute per side
       val banded = sig.select(col("doc_id"), posexplode(array(
         (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
         .as(Seq("band", "bv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
       val ts = all.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cand
         .join(ts.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(ts.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
