@@ -23,35 +23,39 @@ object Bench {
     // the heaviest plan shapes and would otherwise dominate the timings of
     // what are sub-second queries (measured: 9s cold → 0.9s warm).
     val warmDir = "/root/testdata/sf0.001"
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-      // 3 timed runs: report the min (stable signal, immune to stray
-      // JIT/GC pauses — observed 0.4s queries reading as 7s once per
-      // session) AND the p50 (damps min-lottery under machine load)
-      // only SUCCESSFUL runs enter the samples — a fast abort would
-      // otherwise pose as the best time; both maps carry the negative
-      // failure marker so neither reads as healthy
-      var times = List.empty[Double]
-      var failDur = 0.0
-      var ok = true
-      var i = 0
-      while (i < 3 && ok) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          times ::= (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
-          failDur = (System.nanoTime() - t0) / 1e9
-          ok = false
-        }
-        i += 1
+    }
+    // 3 timed reps, run ROUND-ROBIN across queries (rep 1 of everything,
+    // then rep 2, then rep 3) rather than back-to-back per query: a
+    // transient machine-load burst then inflates one rep of many queries
+    // instead of all reps of one query, so neither the min nor the p50 of
+    // any single query can be poisoned by a single burst (r3 recorded a
+    // 1.4s query at 45s that way). Report min (stable signal, immune to
+    // stray JIT/GC pauses) AND p50 (damps min-lottery under load). Only
+    // SUCCESSFUL runs enter the samples — a fast abort would otherwise
+    // pose as the best time; failures carry a negative marker so they
+    // never read as healthy.
+    val times = scala.collection.mutable.Map(queries.map(_._1 -> List.empty[Double]): _*)
+    val failed = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 0 until 3; (name, fn) <- queries if !failed.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        times(name) ::= (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+        failed(name) = (System.nanoTime() - t0) / 1e9
       }
-      val sorted = times.sorted
-      val best = if (sorted.nonEmpty) sorted.head else failDur
-      val p50 = if (sorted.nonEmpty) sorted(sorted.size / 2) else failDur
-      (name, if (ok) best else -best, if (ok) p50 else -p50)
+    }
+    val results = queries.map { case (name, _) =>
+      val sorted = times(name).sorted
+      failed.get(name) match {
+        case Some(d) => (name, -d, -d)
+        case None => (name, sorted.head, sorted(sorted.size / 2))
+      }
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -17,9 +17,13 @@ import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJso
   * future queries):
   *  - alias every computed column identically in Spark and SQL — the
   *    driver sorts columns BY NAME before hashing;
-  *  - no raw double arithmetic in outputs — cast to DECIMAL(18,2) before
-  *    aggregating (binary-float sums are order-dependent), passthrough
-  *    doubles from parquet are fine;
+  *  - no raw double arithmetic in outputs — and NEVER emit DECIMAL either:
+  *    the driver reads Spark parquet through pyarrow (decimal.Decimal
+  *    objects) but the oracle through DuckDB's .df() (float64), so a
+  *    DECIMAL column hash-diverges on representation even when every
+  *    value is identical. Money goes through [[cents]]: per-row
+  *    `CAST(x AS DECIMAL(18,2)) * 100` → BIGINT, summed as plain longs
+  *    (exact, order-independent, map-side-combinable) on both sides;
   *  - `events.ts` is BIGINT nanos under `nanosAsLong` (Spark) but
   *    TIMESTAMP_NS in DuckDB — compare via `epoch_ns()` or day-truncation;
   *  - hash/fingerprint parity uses `md5` (identical everywhere);
@@ -36,6 +40,26 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** Money column → exact integer cents (BIGINT). The double→DECIMAL(18,2)
+    * rounding step is HALF_UP in both Spark and DuckDB (verified identical
+    * on every sf0.01 money column); ×100 on a scale-2 decimal is exact, so
+    * the cast to long never truncates anything. Summing longs afterwards
+    * is order-independent — no decimal ever reaches an output schema.
+    */
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(18, 2)) * 100).cast("long")
+
+  /** DuckDB mirror of [[cents]]. */
+  private def centsSql(x: String): String =
+    s"CAST(CAST($x AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** DuckDB `sum(BIGINT)` returns HUGEINT, which `.df()` renders as
+    * float64 — the same repr trap as DECIMAL. Every integer sum in an
+    * oracle must come back down to BIGINT explicitly.
+    */
+  private def sumCentsSql(x: String): String =
+    s"CAST(sum(${centsSql(x)}) AS BIGINT)"
 
   /** events rows wrapped into a Kafka-style value struct:
     * value = {event_id, meta: {user: {user_id, event_type}, v}}.
@@ -133,11 +157,8 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        // Spark's sum(DECIMAL(18,2)) is DECIMAL(28,2); DuckDB's is
-        // DECIMAL(38,2) — cast to Spark's max precision so the declared
-        // type (and the type-sensitive oracle hash) matches exactly.
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
         count(lit(1)).as("cnt"))),
     "q3_join" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -146,7 +167,7 @@ object SparkEntry {
       o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("rev"),
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"),
           count(lit(1)).as("n_orders"))
     }),
     "q_topk_window" -> ((s, dir) => {
@@ -168,19 +189,19 @@ object SparkEntry {
       .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))),
+        sum(cents(col("value"))).as("sum_value_cents"))),
 
     // ---- remaining §2.2 categories: rollup, sort/limit, set ops, scalars
     "q_rollup" -> ((s, dir) => Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
         grouping(col("l_linestatus")).cast("int").as("g_ls"),
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
         count(lit(1)).as("cnt"))
       // subtotal rows carry NULL group keys → sentinel for stable compare
       .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
-        col("g_rf"), col("g_ls"), col("sum_qty"), col("cnt"))),
+        col("g_rf"), col("g_ls"), col("sum_qty_cents"), col("cnt"))),
     // pivot: per-user event-type counts as columns. Fixed value list so
     // the output schema is static (Spark's inferred pivot would scan once
     // to discover values — a 100 TB anti-pattern); oracle = conditional
@@ -237,17 +258,20 @@ object SparkEntry {
     "q_skew_salted" -> ((s, dir) => graft.operators.Skew.saltedAggregate(
       events(s, dir), Seq("user_id"), saltBuckets = 16,
       partialAggs = Seq(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).as("sum_value")),
+        sum(cents(col("value"))).as("sum_value_cents")),
       mergeAggs = Seq(sum(col("n_events")).as("n_events"),
-        sum(col("sum_value")).cast(DecimalType(38, 2)).as("sum_value")))),
+        sum(col("sum_value_cents")).as("sum_value_cents")))),
     // gaps-and-islands sessionization over events, 1-hour gap. Times are
     // epoch MICROS on both sides: DuckDB reads the nanos parquet timestamp
     // truncated to micros, so `ts div 1000` == `epoch_us(ts)` exactly.
     "q_sessionize" -> ((s, dir) => graft.operators.Sessionize.sessions(
-      events(s, dir).withColumn("ts_us", expr("ts div 1000")),
-      "user_id", "ts_us", "value", gap = 3600L * 1000000L)
+      events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("value_cents", cents(col("value"))),
+      "user_id", "ts_us", "value_cents", gap = 3600L * 1000000L)
       .select(col("user_id"), col("sid"), col("session_start"),
-        col("session_end"), col("n_events"), col("sum_value"))),
+        col("session_end"), col("n_events"),
+        col("sum_value").as("sum_value_cents"))),
     "q_sort_limit" -> ((s, dir) => Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
@@ -261,6 +285,22 @@ object SparkEntry {
       val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
         .select(col("o_custkey").as("c_custkey"))
       c.intersect(o).except(big)
+    }),
+    // write-side Layout exercised end-to-end: events land hive-partitioned
+    // by event_type, the read-back predicate prunes to ONE directory at
+    // planning time (PartitionFilters in the scan — plan-asserted in
+    // LayoutSpec), and only that slice is returned. At 100 TB this is the
+    // difference between scanning the table and scanning 1/5th of it
+    // before any row-level work.
+    "q_partition_prune" -> ((s, dir) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_layout_q_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      graft.sources.Layout.writePartitioned(
+        events(s, dir).select(col("event_id"), col("user_id"), col("event_type")),
+        out, Seq("event_type"))
+      graft.sources.Layout.readPartitioned(s, out)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
     }),
     "q_scalar_funcs" -> ((s, dir) => Tables.orders(s, dir).select(
       col("o_orderkey"),
@@ -598,7 +638,32 @@ object SparkEntry {
        |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(a.sh || b.sh))""".stripMargin
   }
 
+  private def annLshSql: String = {
+    // mirror of Similarity.lshTopK(k = 5, numPlanes = 6, seed = 42): the
+    // hyperplanes are deterministic driver-side arrays, so they embed as
+    // double literals (Double.toString round-trips exactly) and DuckDB
+    // computes the same sign-bit buckets. Both engines take the dot
+    // product as a sequential left-to-right double sum in element order,
+    // so the sign comparison sees the same value; dim = 64, the
+    // embeddings table's fixed width at every SF.
+    val planes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 42L)
+    def dotSql(p: Array[Double]) = {
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ($arr)[i]))"
+    }
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rank
+       |FROM b c JOIN b q ON c.bucket = q.bucket AND q.vec_id < 8
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ann_lsh" -> annLshSql,
     "dedup_pairs_md5" -> pairsMd5Sql,
     "drop_nested" -> "SELECT event_id, user_id, value AS v FROM events",
     "drop_subtree" -> "SELECT event_id, value AS v FROM events",
@@ -618,10 +683,10 @@ object SparkEntry {
     "variant_extract" -> ("SELECT event_id, (props::JSON ->> 'k')::BIGINT AS k_val, " +
       "(props::JSON ->> 'missing')::BIGINT AS missing_val FROM events"),
     "q1_agg" -> ("SELECT l_returnflag, l_linestatus, " +
-      "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
-      "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, " +
+      s"${sumCentsSql("l_quantity")} AS sum_qty_cents, " +
+      s"${sumCentsSql("l_extendedprice")} AS sum_price_cents, " +
       "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"),
-    "q3_join" -> ("SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, " +
+    "q3_join" -> (s"SELECT n_name, ${sumCentsSql("o_totalprice")} AS rev_cents, " +
       "count(*) AS n_orders FROM orders " +
       "JOIN customer ON o_custkey = c_custkey " +
       "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
@@ -634,13 +699,13 @@ object SparkEntry {
       "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank " +
       "FROM customer) WHERE rank <= 3"),
     "q_events_daily" -> ("SELECT user_id, date_trunc('day', ts)::DATE AS day, " +
-      "count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value " +
+      s"count(*) AS n_events, ${sumCentsSql("value")} AS sum_value_cents " +
       "FROM events GROUP BY user_id, date_trunc('day', ts)::DATE"),
     "q_rollup" -> ("SELECT coalesce(l_returnflag, '(all)') AS l_returnflag, " +
       "coalesce(l_linestatus, '(all)') AS l_linestatus, " +
       "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, " +
       "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, " +
-      "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt " +
+      s"${sumCentsSql("l_quantity")} AS sum_qty_cents, count(*) AS cnt " +
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
     "q_pivot" -> ("SELECT user_id, " +
       "count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view, " +
@@ -666,10 +731,10 @@ object SparkEntry {
       "UNION ALL SELECT 'orders', 'orphan_custkey', count(*) FROM orders " +
       "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)"),
     "q_skew_salted" -> ("SELECT user_id, count(*) AS n_events, " +
-      "sum(CAST(value AS DECIMAL(18,2))) AS sum_value FROM events GROUP BY user_id"),
+      s"${sumCentsSql("value")} AS sum_value_cents FROM events GROUP BY user_id"),
     "q_sessionize" -> ("SELECT user_id, CAST(sid AS BIGINT) AS sid, " +
       "min(us) AS session_start, max(us) AS session_end, " +
-      "count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value FROM (" +
+      s"count(*) AS n_events, ${sumCentsSql("value")} AS sum_value_cents FROM (" +
       "SELECT user_id, value, us, " +
       "sum(CASE WHEN prev IS NULL OR us - prev > 3600000000 THEN 1 ELSE 0 END) " +
       "OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM (" +
@@ -681,6 +746,8 @@ object SparkEntry {
     "q_setops" -> ("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
       "INTERSECT SELECT o_custkey AS c_custkey FROM orders " +
       "EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000"),
+    "q_partition_prune" ->
+      "SELECT event_id, user_id FROM events WHERE event_type = 'purchase'",
     "q_scalar_funcs" -> ("SELECT o_orderkey, upper(substr(o_orderpriority, 1, 3)) AS prio3, " +
       "CAST(length(o_orderstatus) AS INT) AS status_len, " +
       "CAST(floor(o_totalprice) AS BIGINT) AS price_floor, " +

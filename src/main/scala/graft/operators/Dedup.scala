@@ -229,8 +229,14 @@ object Dedup {
     * is a plain SUM) — scales linearly in corpus size.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(split(normText(col(textCol)), " ")).as("__t"))
+    // same fixed-width repartition guard as explodedShingles: the
+    // hash+vote stage is CPU-bound and would otherwise inherit the scan's
+    // partition count (1 for a single small file) — and AQE exempts
+    // fixed-numPartitions repartitions from coalescing it back down.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val tok = df.repartition(p, col(idCol))
+      .select(col(idCol),
+        explode(split(normText(col(textCol)), " ")).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
     val votes = (0 until 64).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
@@ -254,8 +260,11 @@ object Dedup {
     * hex→int conversion functions are not.
     */
   def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(split(normText(col(textCol)), " ")).as("__t"))
+    // fixed-width repartition guard — see simhash
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val tok = df.repartition(p, col(idCol))
+      .select(col(idCol),
+        explode(split(normText(col(textCol)), " ")).as("__t"))
       .select(col(idCol), substring(md5(col("__t")), 1, 16).as("__dg"))
     val nibs = (0 until 16).map { h =>
       val a = ascii(substring(col("__dg"), h + 1, 1))

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.DecimalType
 
 /** Sessionization: group a user's events into sessions separated by gaps
   * of more than `gap` time units.
@@ -28,6 +27,9 @@ object Sessionize {
   /** Batch sessionization. `tsCol` must be a numeric (orderable,
     * subtractable) event time — e.g. epoch micros; `gap` is in the same
     * unit. Output: one row per (user, sid) with start/end/count/sum.
+    * `valueCol` is summed as-is — the caller picks the representation
+    * (pass integer cents for exact cross-engine money sums; a decimal or
+    * double column works too, with that type's usual caveats).
     */
   def sessions(df: DataFrame, userCol: String, tsCol: String, valueCol: String,
                gap: Long): DataFrame = {
@@ -42,7 +44,7 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+        sum(col(valueCol)).as("sum_value"))
   }
 
   /** One closed session (streaming output row). Times are epoch millis. */

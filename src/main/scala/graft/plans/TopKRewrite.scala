@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Expression, LessThan, LessThanOrEqual, Literal, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, LessThan, LessThanOrEqual, Literal, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.RowNumber
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -29,18 +29,44 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
+  /** The rank attribute, possibly behind the widening cast type coercion
+    * inserts when the literal side was a LONG (`rank <= 3L` analyzes to
+    * `cast(rank as bigint) <= 3L`).
+    */
+  private object RankRef {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case Cast(a: Attribute, _, _, _) => Some(a)
+      case _ => None
+    }
+  }
+
+  /** An integer-valued literal bound of any integral width. A long bound
+    * past Int.MaxValue doesn't match — such a k would never pass the maxK
+    * guard anyway, so the window plan (which spills) keeps it.
+    */
+  private object IntBound {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, _) => Some(v)
+      case Literal(v: Long, _) if v <= Int.MaxValue && v >= Int.MinValue => Some(v.toInt)
+      case Literal(v: Short, _) => Some(v.toInt)
+      case Literal(v: Byte, _) => Some(v.toInt)
+      case _ => None
+    }
+  }
+
   /** (k, leftover conjuncts) when cond contains a usable rank bound. */
   private def rankLimit(cond: Expression, rank: Attribute): Option[(Int, Seq[Expression])] = {
     val cs = conjuncts(cond)
     val ks = cs.collect {
-      case LessThanOrEqual(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rank) => v
-      case LessThan(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rank) => v - 1
+      case LessThanOrEqual(RankRef(a), IntBound(v)) if a.semanticEquals(rank) => v
+      case LessThan(RankRef(a), IntBound(v)) if a.semanticEquals(rank) => v - 1
     }
     if (ks.isEmpty) None
     else {
       val rest = cs.filterNot {
-        case LessThanOrEqual(a: Attribute, Literal(_: Int, _)) => a.semanticEquals(rank)
-        case LessThan(a: Attribute, Literal(_: Int, _)) => a.semanticEquals(rank)
+        case LessThanOrEqual(RankRef(a), IntBound(_)) => a.semanticEquals(rank)
+        case LessThan(RankRef(a), IntBound(_)) => a.semanticEquals(rank)
         case _ => false
       }
       Some((ks.min, rest))

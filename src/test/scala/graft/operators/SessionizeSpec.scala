@@ -20,7 +20,7 @@ class SessionizeSpec extends SparkTestBase {
       .orderBy("user_id", "sid")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getDecimal(5).doubleValue()))
+        r.getLong(4), r.getDouble(5)))
     assert(got.toSeq == Seq(
       (1L, 1L, 0L, 25L, 3L, 6.0),
       (1L, 2L, 100L, 100L, 1L, 4.0),

@@ -42,6 +42,21 @@ class TopKRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("long-literal bound (rank <= 3L) rewrites too, through the coercion cast") {
+    val want = windowTopK.orderBy("c_mktsegment", "rank").collect().toSeq
+    withRule {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      // the long literal makes type coercion wrap rank in cast(... as bigint)
+      val df = custDf.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= lit(3L))
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rank")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"rewrite should fire on a long bound:\n$plan")
+      assert(df.orderBy("c_mktsegment", "rank").collect().toSeq == want)
+    }
+  }
+
   test("extra conjuncts survive as a residual filter") {
     withRule {
       val df = windowTopK.filter(col("c_acctbal") > 0)

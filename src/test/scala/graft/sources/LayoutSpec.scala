@@ -31,6 +31,20 @@ class LayoutSpec extends SparkTestBase {
       s"day is a partition column, not a data column:\n$plan")
   }
 
+  test("driver query q_partition_prune prunes at the scan and matches a plain filter") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("q_partition_prune")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"partition predicate must prune at the scan:\n$plan")
+    val want = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("round-trip preserves data across the partition split") {
     val s = spark
     import s.implicits._

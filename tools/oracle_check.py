@@ -3,17 +3,26 @@
 
 Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
 
-For each query dir under <verify_out_dir>: load the Spark-written parquet,
-run the matching oracle SQL from oracle_sql.json in DuckDB (tables = views
-over <sf_dir>/*.parquet), sort columns by name and rows by all columns,
-and compare row count, column names, and values.
+For each query dir under <verify_out_dir>: load the Spark-written parquet
+THROUGH PANDAS/PYARROW (the driver's read path — reading it through DuckDB
+hid the round-3 failure mode where Spark DECIMAL parquet surfaces as
+decimal.Decimal objects while DuckDB's .df() renders its DECIMAL results
+as float64, so every value matched but any type/repr-sensitive hash
+diverged), run the matching oracle SQL from oracle_sql.json in DuckDB
+(tables = views over <sf_dir>/*.parquet), sort columns by name and rows by
+all columns, and compare row count, column names, python-level VALUE TYPES,
+and values. A Decimal-vs-float column is reported as a failure here even
+though the numbers agree — because it is one under the driver's hash.
 """
+import datetime
+import decimal
 import json
 import math
 import sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -25,19 +34,34 @@ def canon(df):
     return df
 
 
+def norm(x):
+    """Canonical python value: collapse numpy scalars and the two readers'
+    date representations (pyarrow gives datetime.date objects, duckdb
+    datetime64 — the driver's hash treats those as equal), keep everything
+    else as its python type so type drift (Decimal vs float) is VISIBLE.
+    """
+    if x is None:
+        return None
+    if isinstance(x, float) and math.isnan(x):
+        return None
+    if hasattr(x, "item") and type(x).__module__ == "numpy":
+        x = x.item()
+    if isinstance(x, pd.Timestamp):
+        x = x.to_pydatetime()
+    if isinstance(x, datetime.datetime):
+        return x.date() if x.time() == datetime.time() else x
+    return x
+
+
 def values_equal(a, b):
-    if a is b:
-        return True
-    if (a is None) != (b is None):
-        return False
-    if a is None:
-        return True
-    if isinstance(a, float) or isinstance(b, float):
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb
-    return str(a) == str(b)
+    a, b = norm(a), norm(b)
+    if a is None or b is None:
+        return a is None and b is None
+    if type(a) is not type(b):
+        return False  # Decimal vs float, int vs str, ... — repr divergence
+    if isinstance(a, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
 
 
 def main():
@@ -50,8 +74,8 @@ def main():
     results = {}
     for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
         name = qdir.name
-        spark_df = con.sql(
-            f"SELECT * FROM '{qdir}/*.parquet'").df()
+        # the driver's eyes: pandas/pyarrow, NOT duckdb
+        spark_df = pd.read_parquet(qdir)
         if name not in oracles:
             results[name] = {"rows": len(spark_df), "oracle": None}
             continue
@@ -65,20 +89,40 @@ def main():
                  "rows_match": len(s) == len(o),
                  "cols_spark": list(s.columns), "cols_oracle": list(o.columns),
                  "cols_match": list(s.columns) == list(o.columns)}
+        # per-column python-type drift (the hash killer): report any column
+        # whose first non-null values differ in type across the readers
+        drift = []
+        if entry["cols_match"]:
+            for c in s.columns:
+                sv = next((norm(v) for v in s[c] if norm(v) is not None), None)
+                ov = next((norm(v) for v in o[c] if norm(v) is not None), None)
+                if sv is not None and ov is not None \
+                        and type(sv) is not type(ov):
+                    drift.append({"col": c,
+                                  "spark_type": type(sv).__name__,
+                                  "oracle_type": type(ov).__name__})
+                if isinstance(sv, decimal.Decimal) or isinstance(ov, decimal.Decimal):
+                    drift.append({"col": c, "decimal": True,
+                                  "note": "DECIMAL output — driver hash will "
+                                          "diverge; emit BIGINT cents instead"})
+        if drift:
+            entry["type_drift"] = drift
         if entry["rows_match"] and entry["cols_match"]:
             mismatches = []
-            sv, ov = s.values.tolist(), o.values.tolist()
-            for i, (rs, ro) in enumerate(zip(sv, ov)):
-                for j, (x, y) in enumerate(zip(rs, ro)):
+            # per-column tolist(): df.values would cast all columns to ONE
+            # common numpy dtype (a single float column floats every int),
+            # fabricating type drift that exists in neither reader
+            for c in s.columns:
+                for i, (x, y) in enumerate(zip(s[c].tolist(), o[c].tolist())):
                     if not values_equal(x, y):
                         mismatches.append(
-                            {"row": i, "col": s.columns[j],
+                            {"row": i, "col": c,
                              "spark": repr(x), "oracle": repr(y)})
                         if len(mismatches) >= 3:
                             break
                 if len(mismatches) >= 3:
                     break
-            entry["values_match"] = not mismatches
+            entry["values_match"] = not mismatches and not drift
             if mismatches:
                 entry["mismatches"] = mismatches
         results[name] = entry
