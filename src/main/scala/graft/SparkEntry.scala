@@ -202,6 +202,39 @@ object SparkEntry {
       .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
         col("g_rf"), col("g_ls"), col("sum_qty_cents"), col("cnt"))),
+    // cube: all four grouping combinations in one pass (rollup's superset;
+    // Catalyst plans ONE Expand + one aggregate — not four scans)
+    "q_cube" -> ((s, dir) => Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("g_rf"), col("g_ls"), col("sum_qty_cents"), col("cnt"))),
+    // window-function family beyond row_number: lag/lead navigation,
+    // ntile bucketing, and a running count, all over one window spec —
+    // one shuffle + one sort serves all four (integer outputs only; the
+    // (o_orderdate, o_orderkey) order is unique so every engine agrees)
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        count(lit(1)).over(cum).as("n_so_far"))
+    }),
+    // distinct aggregation: Catalyst plans Expand + two-phase aggregate,
+    // so the distinct runs distributed (never a driver-side set)
+    "q_distinct_agg" -> ((s, dir) => events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))),
     // pivot: per-user event-type counts as columns. Fixed value list so
     // the output schema is static (Spark's inferred pivot would scan once
     // to discover values — a 100 TB anti-pattern); oracle = conditional
@@ -526,6 +559,49 @@ object SparkEntry {
       graft.functions.RollingHash.rolling_hash(lower(TextAnalysis.normWs(col("text"))))
         .as("fp_fast"))),
 
+    // TF-IDF scaffold: per-doc top-3 tokens by term frequency, joined to
+    // each token's document frequency — the (tf, df) table IS the tf-idf
+    // input; the final float multiply is left to the caller so every
+    // emitted column stays integer-exact across engines. Shape: explode →
+    // per-(doc,token) count → per-doc window top-k + per-token doc count,
+    // both reusing the first aggregate's output.
+    "q_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // pre-partition by doc BEFORE the explode (narrower rows) — the
+      // (doc_id, token) aggregate AND the per-doc ranking window are both
+      // satisfied by doc_id clustering, so the whole tf → top-3 path runs
+      // off this one exchange (plan-asserted in PlanShapeSpec); only the
+      // df branch re-shuffles, by token, at vocab size.
+      val pPar = s.sparkContext.defaultParallelism
+      val tok = docs(s, dir).repartition(pPar, col("doc_id"))
+        .select(col("doc_id"),
+          explode(split(Dedup.normText(col("text")), " ")).as("token"))
+      // persisted: the df branch would otherwise re-run the whole
+      // tokenize + count subtree (Catalyst does not CSE subplans) — at
+      // scale that is a second full scan; the (doc, token, tf) table is
+      // the natural checkpoint and both branches read it
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("token"))
+      tf.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .join(dfreq, "token")
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("rnk").cast("int").as("rnk"))
+    }),
+    // Gopher-style repetition filter: fraction of duplicated 3-grams per
+    // doc, in integer permille (no float boundary anywhere). Reuses the
+    // minhash pipeline's exploded-shingle stage — total vs distinct counts
+    // of the SAME rows, one aggregate.
+    "q_ngram_repeat" -> ((s, dir) => Dedup
+      .explodedShingles(docs(s, dir), "doc_id", "text", shingleSize = 3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_3grams"),
+        countDistinct(col("__sh")).as("distinct_3grams"))
+      .select(col("doc_id"), col("total_3grams"), col("distinct_3grams"),
+        expr("(total_3grams - distinct_3grams) * 1000 div total_3grams")
+          .as("dup_permille"))),
+
     // ---- LLM pipeline: multimodal columns
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.attachFakeMedia(docs(s, dir), "doc_id", "text")
@@ -707,6 +783,38 @@ object SparkEntry {
       "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, " +
       s"${sumCentsSql("l_quantity")} AS sum_qty_cents, count(*) AS cnt " +
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "q_cube" -> ("SELECT coalesce(l_returnflag, '(all)') AS l_returnflag, " +
+      "coalesce(l_linestatus, '(all)') AS l_linestatus, " +
+      "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, " +
+      "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, " +
+      s"${sumCentsSql("l_quantity")} AS sum_qty_cents, count(*) AS cnt " +
+      "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
+    "q_window_funcs" -> ("SELECT o_orderkey, o_custkey, " +
+      "lag(o_orderkey) OVER w AS prev_orderkey, " +
+      "lead(o_orderkey) OVER w AS next_orderkey, " +
+      "CAST(ntile(4) OVER w AS INT) AS quartile, " +
+      "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS UNBOUNDED PRECEDING) AS n_so_far " +
+      "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),
+    "q_distinct_agg" -> ("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
+      "count(*) AS n_events FROM events GROUP BY event_type"),
+    "q_tfidf" -> ("WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (" +
+      s"SELECT doc_id, unnest(string_split($normSql, ' ')) AS token FROM documents) " +
+      "GROUP BY doc_id, token), " +
+      "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+      "ranked AS (SELECT doc_id, token, tf, " +
+      "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS INT) AS rnk FROM tf) " +
+      "SELECT r.doc_id, r.token, r.tf, d.df, r.rnk " +
+      "FROM ranked r JOIN dfreq d ON r.token = d.token WHERE r.rnk <= 3"),
+    "q_ngram_repeat" -> ("SELECT doc_id, count(*) AS total_3grams, " +
+      "count(DISTINCT sh) AS distinct_3grams, " +
+      "(count(*) - count(DISTINCT sh)) * 1000 // count(*) AS dup_permille " +
+      "FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(range(0, len(toks) - 2), " +
+      "i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) " +
+      "ELSE [array_to_string(toks, ' ')] END) AS sh " +
+      s"FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)) " +
+      "GROUP BY doc_id"),
     "q_pivot" -> ("SELECT user_id, " +
       "count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view, " +
       "count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click, " +

@@ -82,6 +82,42 @@ class PlanShapeSpec extends SparkTestBase {
       s"window clustering must be reused by the aggregate:\n$p")
   }
 
+  test("q_cube: one Expand + one aggregate exchange (not four scans)") {
+    val p = plan("q_cube")
+    assert(countOf(p, "Expand") == 1, s"cube should plan a single Expand:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"one aggregate shuffle:\n$p")
+  }
+
+  test("q_window_funcs: one exchange + one sort serve all four window functions") {
+    val p = plan("q_window_funcs")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"lag/lead/ntile/count must share the (custkey, orderdate) shuffle:\n$p")
+    assert(countOf(p, "Sort ") <= 1, s"one sort for every frame:\n$p")
+  }
+
+  test("q_tfidf: tokenize runs once (cached), ranking shuffle is answer-sized") {
+    val p = plan("q_tfidf")
+    // every FileScan / repartition in the printout sits INSIDE a cached
+    // subtree (each InMemoryRelation reference re-prints its build plan,
+    // so counts are per-reference): no scan or raw shuffle outside it
+    val caches = countOf(p, "InMemoryRelation")
+    assert(caches >= 1 && countOf(p, "InMemoryTableScan") >= 2,
+      s"both tf consumers must read the cache:\n$p")
+    assert(countOf(p, "FileScan") == caches && countOf(p, "REPARTITION_BY_NUM") == caches,
+      s"df branch must reuse the cached tf, not re-tokenize:\n$p")
+    // the post-cache window exchange moves only WindowGroupLimit-pruned
+    // rows (<= 3 per doc), not the full (doc, token) table
+    assert(p.contains("row_number(), 3, Partial"),
+      s"partial group-limit must prune before the rank shuffle:\n$p")
+  }
+
+  test("q_ngram_repeat: shingle window + distinct-count aggregate in one exchange") {
+    val p = plan("q_ngram_repeat")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"everything clusters by doc_id off one shuffle:\n$p")
+  }
+
   test("parity surface plans contain no UDF nodes (codegen everywhere)") {
     Seq("drop_nested", "hoist_keep", "to_json_map", "drop_schemaless").foreach { q =>
       val p = plan(q)
