@@ -589,6 +589,31 @@ object SparkEntry {
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           col("rnk").cast("int").as("rnk"))
     }),
+    // PII redaction: inject deterministic synthetic PII per doc, audit
+    // match counts, mask, and fingerprint the masked text — all narrow
+    // codegen'd regexp work, zero shuffle.
+    "q_pii_redact" -> ((s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"), col("doc_id"), lit(".")).as("t"))
+      withPii.select(col("doc_id"),
+        TextAnalysis.patternCount(col("t"), TextAnalysis.emailPattern).as("n_emails"),
+        TextAnalysis.patternCount(col("t"), TextAnalysis.phonePattern).as("n_phones"),
+        md5(TextAnalysis.redactPii(col("t"))).as("masked_md5"))
+    }),
+    // benchmark decontamination: docs 0-24 act as the "eval set"; the
+    // corpus is everything else ∪ planted contaminated copies (eval texts
+    // re-id'd +200000). A corpus doc flags with the count of distinct
+    // 8-gram digests it shares with the eval set — the ten planted docs
+    // must all surface (natural 8-gram collisions are ~0 in this corpus).
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val ev = d.filter(col("doc_id") < 25)
+      val corpus = d.filter(col("doc_id") >= 25)
+        .union(ev.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      graft.operators.Decontaminate.overlapCounts(corpus, ev, "doc_id", "text", n = 8)
+    }),
     // Gopher-style repetition filter: fraction of duplicated 3-grams per
     // doc, in integer permille (no float boundary anywhere). Reuses the
     // minhash pipeline's exploded-shingle stage — total vs distinct counts
@@ -806,6 +831,31 @@ object SparkEntry {
       "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS INT) AS rnk FROM tf) " +
       "SELECT r.doc_id, r.token, r.tf, d.df, r.rnk " +
       "FROM ranked r JOIN dfreq d ON r.token = d.token WHERE r.rnk <= 3"),
+    "q_pii_redact" -> {
+      val em = TextAnalysis.emailPattern
+      val ph = TextAnalysis.phonePattern
+      s"SELECT doc_id, len(regexp_extract_all(t, '$em'))::BIGINT AS n_emails, " +
+        s"len(regexp_extract_all(t, '$ph'))::BIGINT AS n_phones, " +
+        s"md5(regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'), " +
+        s"'$ph', '<PHONE>', 'g')) AS masked_md5 " +
+        "FROM (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@example.com or 555-' || doc_id || '.' AS t FROM documents)"
+    },
+    "q_decontaminate" -> {
+      def grams(src: String) =
+        "SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 " +
+          "THEN list_transform(range(0, len(toks) - 7), " +
+          "i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')) " +
+          "ELSE [array_to_string(toks, ' ')] END) AS sh " +
+          s"FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM $src)"
+      "WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 25), " +
+        "corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25 " +
+        "UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM ev WHERE doc_id < 10), " +
+        s"eg AS (SELECT DISTINCT md5(sh) AS g FROM (${grams("ev")})), " +
+        s"cg AS (SELECT DISTINCT doc_id, md5(sh) AS g FROM (${grams("corpus")})) " +
+        "SELECT cg.doc_id, count(*) AS n_overlap FROM cg JOIN eg ON cg.g = eg.g " +
+        "GROUP BY cg.doc_id"
+    },
     "q_ngram_repeat" -> ("SELECT doc_id, count(*) AS total_3grams, " +
       "count(DISTINCT sh) AS distinct_3grams, " +
       "(count(*) - count(DISTINCT sh)) * 1000 // count(*) AS dup_permille " +

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find corpus documents that share word
+  * n-grams with an evaluation set — the standard pre-training hygiene
+  * check (a training doc containing an eval benchmark's text inflates
+  * downstream scores).
+  *
+  * Scale shape: both sides reduce to DISTINCT (id, md5(n-gram)) rows
+  * before anything shuffles, so the join moves 16-byte digests — never
+  * text. The eval side is benchmark-sized (thousands of docs) regardless
+  * of corpus scale, so at 100 TB it broadcast-joins and the corpus grams
+  * stream past it without a corpus shuffle; the digest `distinct`s reuse
+  * the shingle stage's doc-id clustering for their first phase.
+  */
+object Decontaminate {
+
+  /** Per-corpus-doc count of distinct `n`-gram digests shared with the
+    * eval set. Docs shorter than `n` tokens contribute their whole text
+    * as one gram (same fallback as the minhash shingler — matching a
+    * whole short eval doc verbatim is exactly what should flag).
+    * Returns (idCol, n_overlap) for docs with at least one shared gram.
+    */
+  def overlapCounts(corpus: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = Dedup.explodedShingles(
+      eval.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(md5(col("__sh")).as("__g")).distinct()
+    val corpusGrams = Dedup.explodedShingles(
+      corpus.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col(idCol), md5(col("__sh")).as("__g")).distinct()
+    corpusGrams.join(evalGrams, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+}

@@ -83,6 +83,25 @@ object TextAnalysis {
     }
   }
 
+  /** PII redaction patterns. Deliberately simple, engine-portable regex
+    * (no lookarounds, no backrefs — identical under Java regex and RE2):
+    * production pipelines swap in their compliance-approved patterns, the
+    * operator shape (narrow codegen'd regexp_replace chain) is the point.
+    */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]+"
+
+  /** Redact emails then phone numbers (order matters: the email pattern
+    * would otherwise partially match an already-placed token boundary).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Count of matches for a pattern — the redaction audit column. */
+  def patternCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
   /** Stable content fingerprint of normalized text (md5 — portable across
     * engines; see [[graft.functions.RollingHash]] for the cheaper
     * non-cryptographic engine-side variant).

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DecontaminateSpec extends SparkTestBase {
+
+  test("contaminated docs flag with their shared-gram count; clean docs don't") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim copy of eval doc 1 → every one of its 2 distinct 8-grams
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      // contains eval doc 2's first 8 tokens → exactly 1 shared 8-gram
+      (11L, "prefix one two three four five six seven eight suffix"),
+      // clean
+      (12L, "totally unrelated words that never appear in the eval set at all"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.overlapCounts(corpus, ev, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(10L -> 2L, 11L -> 1L), s"got $got")
+  }
+
+  test("short docs match as whole-text grams (verbatim short eval doc flags)") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, "tiny eval prompt")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "tiny eval prompt"),
+      (11L, "tiny eval prompt with extra words making it long enough to differ"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.overlapCounts(corpus, ev, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 11 is >= 8 tokens so its grams are true 8-grams — none equals
+    // the eval's whole-text gram; only the verbatim copy flags
+    assert(got == Map(10L -> 1L), s"got $got")
+  }
+
+  test("overlap join shuffles digests, not text (no text column past the explode)") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val plan = Decontaminate.overlapCounts(ev, ev, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // every exchange must carry only id/digest columns — the raw text
+    // stays partition-local before the first shuffle
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).foreach { m =>
+      assert(!m.group(1).contains("text"), s"text must not shuffle:\n$plan")
+    }
+  }
+}

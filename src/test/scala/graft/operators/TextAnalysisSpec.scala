@@ -54,6 +54,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(pair.getString(0) == pair.getString(1))
   }
 
+  test("redactPii masks emails and phones; patternCount audits them") {
+    val s = spark
+    import s.implicits._
+    val row = Seq("mail a.user@host.org or b@x.io, call 555-1234 not 55-1")
+      .toDF("t")
+      .select(TextAnalysis.redactPii(col("t")).as("masked"),
+        TextAnalysis.patternCount(col("t"), TextAnalysis.emailPattern).as("ne"),
+        TextAnalysis.patternCount(col("t"), TextAnalysis.phonePattern).as("np"))
+      .head()
+    assert(row.getString(0) == "mail <EMAIL> or <EMAIL>, call <PHONE> not 55-1")
+    assert(row.getLong(1) == 2L && row.getLong(2) == 1L)
+  }
+
   test("analyze() bundles all features per doc") {
     val out = TextAnalysis.analyze(df, "doc_id", "text")
     assert(out.count() == 5)
