@@ -92,6 +92,22 @@ object StreamRunner {
         col(groupCol), col("n"), col("sum_value"))
   }
 
+  /** Stream-static enrichment join: look each streaming row up against a
+    * batch dimension table. Stateless (the static side is re-planned per
+    * micro-batch, no state store), and with a small dimension Spark
+    * broadcasts it — so at scale each micro-batch is a map-side hash join,
+    * the same shape as the batch star-schema queries. `broadcastHint`
+    * forces the broadcast for dimension tables whose stats undershoot the
+    * auto threshold.
+    */
+  def streamStaticJoin(stream: DataFrame, static: DataFrame,
+                       keys: Seq[String], joinType: String = "inner",
+                       broadcastHint: Boolean = true): DataFrame = {
+    val dim = if (broadcastHint) org.apache.spark.sql.functions.broadcast(static)
+              else static
+    stream.join(dim, keys, joinType)
+  }
+
   /** Watermarked stream-stream join. Both sides get the same watermark
     * delay; `condition` must include an event-time bound between the two
     * ts columns (e.g. `r.ts BETWEEN l.ts - INTERVAL x AND l.ts`) — that

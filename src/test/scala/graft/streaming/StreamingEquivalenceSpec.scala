@@ -141,6 +141,29 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       s"only user 1's in-window error should join, got $got")
   }
 
+  test("stream-static join enriches streaming rows from a broadcast dimension") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (20L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long)]
+    val df = mem.toDF().toDF("event_id", "user_id")
+    val joined = StreamRunner.streamStaticJoin(df, dim, Seq("user_id"), "left")
+    val q = StreamRunner.memorySink(joined, "stream_enrich_out")
+    try {
+      mem.addData((1L, 10L), (2L, 20L), (3L, 30L))
+      q.processAllAvailable()
+      // second micro-batch re-reads the same static side
+      mem.addData((4L, 10L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_enrich_out")
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)).getOrElse("none")))
+      .toSeq.sorted
+    assert(got == Seq((1L, "gold"), (2L, "silver"), (3L, "none"), (4L, "gold")),
+      s"each micro-batch row must pick up its dim attributes, got $got")
+  }
+
   test("transformWithState running totals accumulate across micro-batches (RocksDB)") {
     val s = spark
     import s.implicits._
