@@ -229,6 +229,32 @@ object SparkEntry {
         ntile(4).over(w).cast("int").as("quartile"),
         count(lit(1)).over(cum).as("n_so_far"))
     }),
+    // explicit GROUPING SETS (Spark 4 Dataset.groupingSets): the two
+    // one-dimension subtotals only — the shape rollup/cube can't express
+    "q_grouping_sets" -> ((s, dir) => Tables.lineitem(s, dir)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("g_rf"), col("g_ls"), col("sum_qty_cents"), col("cnt"))),
+    // full outer join: users seen on either side survive with zero-filled
+    // counts — the reconciliation shape (left/anti/semi live in q_range /
+    // q_anti_join / q_setops)
+    "q_full_outer" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchase"))
+      val r = e.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_error"))
+      p.join(r, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("n_error"), lit(0L)).as("n_error"))
+    }),
     // distinct aggregation: Catalyst plans Expand + two-phase aggregate,
     // so the distinct runs distributed (never a driver-side set)
     "q_distinct_agg" -> ((s, dir) => events(s, dir)
@@ -823,6 +849,18 @@ object SparkEntry {
       "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),
     "q_distinct_agg" -> ("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
       "count(*) AS n_events FROM events GROUP BY event_type"),
+    "q_grouping_sets" -> ("SELECT coalesce(l_returnflag, '(all)') AS l_returnflag, " +
+      "coalesce(l_linestatus, '(all)') AS l_linestatus, " +
+      "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, " +
+      "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, " +
+      s"${sumCentsSql("l_quantity")} AS sum_qty_cents, count(*) AS cnt " +
+      "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"),
+    "q_full_outer" -> ("SELECT coalesce(p.user_id, r.user_id) AS user_id, " +
+      "coalesce(n_purchase, 0) AS n_purchase, coalesce(n_error, 0) AS n_error " +
+      "FROM (SELECT user_id, count(*) AS n_purchase FROM events " +
+      "WHERE event_type = 'purchase' GROUP BY user_id) p " +
+      "FULL OUTER JOIN (SELECT user_id, count(*) AS n_error FROM events " +
+      "WHERE event_type = 'error' GROUP BY user_id) r ON p.user_id = r.user_id"),
     "q_tfidf" -> ("WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (" +
       s"SELECT doc_id, unnest(string_split($normSql, ' ')) AS token FROM documents) " +
       "GROUP BY doc_id, token), " +
