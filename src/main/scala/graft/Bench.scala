@@ -41,6 +41,11 @@ object Bench {
     val times = scala.collection.mutable.Map(queries.map(_._1 -> List.empty[Double]): _*)
     val failed = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 0 until 3; (name, fn) <- queries if !failed.contains(name)) {
+      // queries that persist intermediates (dedup_pairs_md5, q_tfidf)
+      // would otherwise serve reps 2-3 from the cache — clearing between
+      // reps keeps every rep an honest full-query measurement and bounds
+      // cache residency across the run
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()

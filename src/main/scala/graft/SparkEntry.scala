@@ -784,7 +784,8 @@ object SparkEntry {
     s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rank
+       |list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |c.vec_id) AS INT) AS rank
        |FROM b c JOIN b q ON c.bucket = q.bucket AND q.vec_id < 8
        |QUALIFY rank <= 5""".stripMargin
   }
@@ -972,9 +973,13 @@ object SparkEntry {
       s"(SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents) a " +
       s"JOIN (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents) b " +
       "ON b.doc_id = a.doc_id + 1"),
+    // ::DOUBLE[] before the cosine: the stored embeddings are FLOAT[], and
+    // list_cosine_similarity computes in the element type — float32 ranks
+    // can swap near-tied neighbors vs Spark's double-precision cosine
     "ann_cosine" -> ("SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
       "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS INT) AS rank " +
+      "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, " +
+      "e.vec_id) AS INT) AS rank " +
       "FROM embeddings e, embeddings q WHERE q.vec_id < 8 " +
       "QUALIFY rank <= 10"),
     "q_asof" -> ("SELECT l.event_id, r.us AS prior_error_us FROM " +

@@ -31,12 +31,14 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   /** The rank attribute, possibly behind the widening cast type coercion
     * inserts when the literal side was a LONG (`rank <= 3L` analyzes to
-    * `cast(rank as bigint) <= 3L`).
+    * `cast(rank as bigint) <= 3L`). ONLY the lossless int→long widening
+    * matches: a narrowing cast (e.g. `rank.cast("byte") <= 3`) changes
+    * values, so treating it as a plain rank bound would drop rows.
     */
   private object RankRef {
     def unapply(e: Expression): Option[Attribute] = e match {
       case a: Attribute => Some(a)
-      case Cast(a: Attribute, _, _, _) => Some(a)
+      case Cast(a: Attribute, org.apache.spark.sql.types.LongType, _, _) => Some(a)
       case _ => None
     }
   }

@@ -48,9 +48,13 @@ class DecontaminateSpec extends SparkTestBase {
     val plan = Decontaminate.overlapCounts(ev, ev, "doc_id", "text")
       .queryExecution.executedPlan.toString
     // every exchange must carry only id/digest columns — the raw text
-    // stays partition-local before the first shuffle
-    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).foreach { m =>
-      assert(!m.group(1).contains("text"), s"text must not shuffle:\n$plan")
+    // stays partition-local before the first shuffle. Scan whole Exchange
+    // LINES (a nested-paren regex group would stop at the first ')') and
+    // require at least one, so the assert can't pass vacuously.
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected at least one exchange:\n$plan")
+    exchanges.foreach { l =>
+      assert(!l.contains("text"), s"text must not shuffle: $l\n$plan")
     }
   }
 }

@@ -44,6 +44,10 @@ def norm(x):
         return None
     if isinstance(x, float) and math.isnan(x):
         return None
+    # pd.NaT passes isinstance(datetime) but raises on .time(); treat every
+    # scalar NA (NaT, NA, nan boxed in numpy) as None up front
+    if not isinstance(x, (list, tuple)) and pd.isna(x):
+        return None
     if hasattr(x, "item") and type(x).__module__ == "numpy":
         x = x.item()
     if isinstance(x, pd.Timestamp):
@@ -98,10 +102,16 @@ def main():
                 ov = next((norm(v) for v in o[c] if norm(v) is not None), None)
                 if sv is not None and ov is not None \
                         and type(sv) is not type(ov):
-                    drift.append({"col": c,
-                                  "spark_type": type(sv).__name__,
-                                  "oracle_type": type(ov).__name__})
-                if isinstance(sv, decimal.Decimal) or isinstance(ov, decimal.Decimal):
+                    entry_drift = {"col": c,
+                                   "spark_type": type(sv).__name__,
+                                   "oracle_type": type(ov).__name__}
+                    if isinstance(sv, decimal.Decimal) or isinstance(ov, decimal.Decimal):
+                        entry_drift["note"] = ("DECIMAL output — driver hash "
+                                               "will diverge; emit BIGINT cents instead")
+                    drift.append(entry_drift)
+                elif isinstance(sv, decimal.Decimal) or isinstance(ov, decimal.Decimal):
+                    # same type on both sides but still Decimal: the driver
+                    # hash may survive, but the repr-trap class remains
                     drift.append({"col": c, "decimal": True,
                                   "note": "DECIMAL output — driver hash will "
                                           "diverge; emit BIGINT cents instead"})
