@@ -401,24 +401,32 @@ object SparkEntry {
         (col("doc_id") + 100000).as("doc_id"),
         regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
       val all = d.union(planted)
-      val sig = Dedup.minhashSignatureMd5(all, "doc_id", "text",
-        shingleSize = 3, numHashes = 8)
-      // persisted: the self-join reads banded twice, and without the cache
-      // the whole shingle+md5 signature pipeline would execute per side
-      val banded = sig.select(col("doc_id"), posexplode(array(
+      // ONE exploded-shingle pass feeds BOTH the 8-lane md5 signature and
+      // the exact shingle sets the verify step needs (a single aggregate
+      // computes min-slices + collect_set) — the previous formulation ran
+      // the shingle pipeline twice, once through the interpreted array
+      // `transform` path (~10× slower than this codegen'd explode).
+      // Persisted because banding self-joins it and the verify step
+      // join-backs read it twice more.
+      val aggs = (0 until 8).map(i =>
+        min(substring(col("__d"), i * 4 + 1, 4)).as(s"mh$i")) :+
+        collect_set(col("__sh")).as("sh")
+      val base = Dedup.explodedShingles(all, "doc_id", "text", shingleSize = 3)
+        .select(col("doc_id"), col("__sh"), md5(col("__sh")).as("__d"))
+        .groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = base.select(col("doc_id"), posexplode(array(
         (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
         .as(Seq("band", "bv")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
-      val ts = all.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cand
-        .join(ts.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(ts.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 2 >=
           size(array_union(col("sh_a"), col("sh_b"))))
         .select(col("id_a"), col("id_b"))

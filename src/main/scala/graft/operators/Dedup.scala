@@ -114,14 +114,36 @@ object Dedup {
     }
   }
 
+  /** Per-lane hash columns via double hashing: TWO xxhash64 evaluations
+    * per shingle expanded to `numHashes` lanes as
+    * `lane_i = h1 XOR rotl(h2, i)` — the rotate-XOR variant of
+    * Kirsch-Mitzenmacher (the classic `h1 + i·h2` needs wrapping long
+    * arithmetic, which ANSI mode rejects; rotation + XOR is overflow-free
+    * and keeps each lane a distinct mixing of the 128 hash bits). Hashing
+    * dominates the signature stage, so 2 string hashes + bitwise ops beat
+    * `numHashes` seeded string hashes while preserving minhash's
+    * per-lane collision statistics.
+    */
+  private def kmLanes(sh: Column, numHashes: Int): Seq[Column] = {
+    require(numHashes <= 64, "rotate-distinct lanes cap at 64")
+    val h1 = xxhash64(sh)
+    val h2 = xxhash64(lit(1), sh)
+    (0 until numHashes).map {
+      case 0 => h1
+      case i => h1.bitwiseXOR(
+        shiftleft(h2, i).bitwiseOR(shiftrightunsigned(h2, 64 - i)))
+    }
+  }
+
   /** doc → MinHash signature (array of `numHashes` longs), one codegen'd
-    * aggregate over exploded shingles. Engine flavor: seeded `xxhash64`.
+    * aggregate over exploded shingles. Engine flavor: two `xxhash64`
+    * evaluations per shingle expanded to all lanes via [[kmLanes]].
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, numHashes: Int = 16): DataFrame =
     explodedShingles(df, idCol, textCol, shingleSize)
       .groupBy(col(idCol))
-      .agg(array((0 until numHashes).map(s => min(xxhash64(lit(s), col("__sh")))): _*).as("sig"))
+      .agg(array(kmLanes(col("__sh"), numHashes).map(min): _*).as("sig"))
 
   /** Portable signature flavor: ONE `md5(shingle)` per exploded row, with
     * lane `i` = lexicographic min of the digest's i-th disjoint 4-hex-char
@@ -184,7 +206,7 @@ object Dedup {
       "__id", textCol, shingleSize)
       .groupBy(col("__id"))
       .agg(
-        array((0 until numHashes).map(s => min(xxhash64(lit(s), col("__sh")))): _*).as("sig"),
+        array(kmLanes(col("__sh"), numHashes).map(min): _*).as("sig"),
         collect_set(col("__sh")).as("__shset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("__id"),
