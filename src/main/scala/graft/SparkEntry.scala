@@ -661,6 +661,24 @@ object SparkEntry {
         expr("(total_3grams - distinct_3grams) * 1000 div total_3grams")
           .as("dup_permille"))),
 
+    // context-window packing (concat-then-chunk): docs are concatenated in
+    // id order WITHIN their shard (lang) and split every `cap` tokens; a
+    // doc's bin is its start-offset div cap. Partitioned by shard — the
+    // window never needs a global sort, so packing scales with shards the
+    // way production pretraining packers do. Pure integer arithmetic.
+    "q_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("start_off div 2048").as("bin"),
+          expr("start_off % 2048").as("bin_offset"))
+    }),
+
     // ---- LLM pipeline: multimodal columns
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.attachFakeMedia(docs(s, dir), "doc_id", "text")
@@ -1025,6 +1043,15 @@ object SparkEntry {
       "FROM (SELECT vec_id, embedding, " +
       "CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS s " +
       "FROM embeddings)"),
+    // CAST the window sum: DuckDB sum(BIGINT) OVER → HUGEINT → float64
+    "q_pack" -> ("SELECT doc_id, lang, n_tokens, " +
+      "start_off // 2048 AS bin, start_off % 2048 AS bin_offset FROM (" +
+      "SELECT doc_id, lang, n_tokens, " +
+      "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off " +
+      "FROM (SELECT doc_id, lang, " +
+      "len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens " +
+      "FROM documents))"),
     "text_tokens" -> ("SELECT doc_id, " +
       s"len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens_ws, " +
       "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens_bpe FROM documents"),
