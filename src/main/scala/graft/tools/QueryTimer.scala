@@ -25,6 +25,9 @@ object QueryTimer {
     val fn = graft.SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
+      // same honesty rule as Bench: queries that persist intermediates
+      // must not serve later reps from the cache
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"[timer] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
