@@ -54,6 +54,12 @@ object SparkEntry {
   private def centsSql(x: String): String =
     s"CAST(CAST($x AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
+  /** q_pack's context-window capacity in tokens — one constant
+    * interpolated into BOTH the Spark expressions and the DuckDB oracle
+    * so the pair can't drift.
+    */
+  private val packCap = 2048L
+
   /** DuckDB `sum(BIGINT)` returns HUGEINT, which `.df()` renders as
     * float64 — the same repr trap as DECIMAL. Every integer sum in an
     * oracle must come back down to BIGINT explicitly.
@@ -402,19 +408,10 @@ object SparkEntry {
         regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
       val all = d.union(planted)
       // ONE exploded-shingle pass feeds BOTH the 8-lane md5 signature and
-      // the exact shingle sets the verify step needs (a single aggregate
-      // computes min-slices + collect_set) — the previous formulation ran
-      // the shingle pipeline twice, once through the interpreted array
-      // `transform` path (~10× slower than this codegen'd explode).
-      // Persisted because banding self-joins it and the verify step
-      // join-backs read it twice more.
-      val aggs = (0 until 8).map(i =>
-        min(substring(col("__d"), i * 4 + 1, 4)).as(s"mh$i")) :+
-        collect_set(col("__sh")).as("sh")
-      val base = Dedup.explodedShingles(all, "doc_id", "text", shingleSize = 3)
-        .select(col("doc_id"), col("__sh"), md5(col("__sh")).as("__d"))
-        .groupBy(col("doc_id"))
-        .agg(aggs.head, aggs.tail: _*)
+      // the exact shingle sets the verify step needs. Persisted because
+      // banding self-joins it and the verify join-backs read it twice more.
+      val base = Dedup.minhashSignatureMd5WithSets(all, "doc_id", "text",
+        shingleSize = 3, numHashes = 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = base.select(col("doc_id"), posexplode(array(
         (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
@@ -675,8 +672,8 @@ object SparkEntry {
           TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
         .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
-          expr("start_off div 2048").as("bin"),
-          expr("start_off % 2048").as("bin_offset"))
+          expr(s"start_off div $packCap").as("bin"),
+          expr(s"start_off % $packCap").as("bin_offset"))
     }),
 
     // ---- LLM pipeline: multimodal columns
@@ -1045,7 +1042,7 @@ object SparkEntry {
       "FROM embeddings)"),
     // CAST the window sum: DuckDB sum(BIGINT) OVER → HUGEINT → float64
     "q_pack" -> ("SELECT doc_id, lang, n_tokens, " +
-      "start_off // 2048 AS bin, start_off % 2048 AS bin_offset FROM (" +
+      s"start_off // $packCap AS bin, start_off % $packCap AS bin_offset FROM (" +
       "SELECT doc_id, lang, n_tokens, " +
       "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off " +

@@ -64,18 +64,6 @@ object Dedup {
     */
   def normText(c: Column): Column = lower(regexp_replace(trim(c), "\\s+", " "))
 
-  /** Distinct word n-gram shingles. Documents shorter than `n` tokens
-    * contribute their whole text as a single shingle.
-    */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = split(normText(c), " ")
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
-
   /** (id, shingle) exploded rows — the input shape for signature
     * aggregation. Formulated as posexplode(tokens) + window `lead` rather
     * than array higher-order functions: `transform`/`slice` do NOT
@@ -85,7 +73,7 @@ object Dedup {
     * the downstream groupBy (one shuffle total).
     *
     * Documents shorter than `shingleSize` tokens contribute their whole
-    * text as a single shingle (same semantics as [[shingles]]).
+    * text as a single shingle.
     */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int): DataFrame = {
@@ -158,14 +146,35 @@ object Dedup {
     * production engine flavor ([[minhashSignature]]) keeps full 64-bit
     * xxhash64 lanes.
     */
+  /** The md5 lane aggregates shared by both md5-flavor entry points:
+    * lane i = lexicographic min of the digest's i-th 4-hex-char slice.
+    */
+  private def md5LaneAggs(numHashes: Int): Seq[Column] = {
+    require(numHashes * 4 <= 32, "md5 is 32 hex chars: at most 8 disjoint 4-char lanes")
+    (0 until numHashes).map(i =>
+      min(substring(col("__d"), i * 4 + 1, 4)).as(s"mh$i"))
+  }
+
   def minhashSignatureMd5(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
-    require(numHashes * 4 <= 32, "md5 is 32 hex chars: at most 8 disjoint 4-char lanes")
-    val aggs = (0 until numHashes).map(i =>
-      min(substring(col("__d"), i * 4 + 1, 4)).as(s"mh$i"))
+    val aggs = md5LaneAggs(numHashes)
     explodedShingles(df, idCol, textCol, shingleSize)
       // digest once per shingle in a projection so no aggregate re-hashes
       .select(col(idCol), md5(col("__sh")).as("__d"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[minhashSignatureMd5]] plus each doc's exact distinct shingle set
+    * (`sh`), from ONE exploded pass and one aggregate — the shape a
+    * candidate-verify step wants, so the shingle pipeline never runs
+    * twice (and never through the ~10× slower interpreted array path).
+    */
+  def minhashSignatureMd5WithSets(df: DataFrame, idCol: String, textCol: String,
+                                  shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
+    val aggs = md5LaneAggs(numHashes) :+ collect_set(col("__sh")).as("sh")
+    explodedShingles(df, idCol, textCol, shingleSize)
+      .select(col(idCol), col("__sh"), md5(col("__sh")).as("__d"))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
   }
