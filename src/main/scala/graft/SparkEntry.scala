@@ -555,6 +555,22 @@ object SparkEntry {
     // hashing → rows-only check; SketchesSpec bounds the error vs exact)
     "q_approx_stats" -> ((s, dir) => graft.operators.Sketches
       .approxDistinctByGroup(events(s, dir), "event_type", "user_id")),
+    // Bloom-prefiltered selective join: the big side is filtered by a
+    // broadcast bitmap of the small side's keys BEFORE the shuffle (where
+    // a selective 100 TB join spends its time); false positives are
+    // removed by the real join, so the result is EXACT and hash-checks
+    // against the plain-join oracle.
+    "q_bloom_join" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      val small = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      val pre = graft.operators.Sketches.bloomPrefilter(
+        big, "l_orderkey", small, "o_orderkey", expectedItems = 100000L)
+      pre.join(small.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+    }),
 
     // ---- LLM pipeline: deterministic sampling / splits / profiling
     "q_split" -> ((s, dir) => graft.operators.Sampling.deterministicSplit(
@@ -961,6 +977,10 @@ object SparkEntry {
       "SELECT user_id, value, epoch_us(ts) AS us, " +
       "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev " +
       "FROM events)) GROUP BY user_id, sid"),
+    "q_bloom_join" -> ("SELECT l_orderkey, count(*) AS n_items, " +
+      s"${sumCentsSql("l_quantity")} AS sum_qty_cents " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE o_totalprice > 400000 GROUP BY l_orderkey"),
     "q_sort_limit" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
     "q_setops" -> ("SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
