@@ -599,6 +599,11 @@ object SparkEntry {
     }),
     "text_langid" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"))),
+    // the one-scan bundle: every text feature (lang-id, fingerprint, BPE
+    // tokens, quality stats) in a single projection — how the text suite
+    // actually runs at 100 TB (one pass, not one scan per feature)
+    "text_analyze_all" -> ((s, dir) =>
+      TextAnalysis.analyze(docs(s, dir), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))),
     // custom codegen'd Catalyst Expression flavor (engine hash → rows-only)
@@ -713,7 +718,11 @@ object SparkEntry {
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
-  private def langIdSql: String = {
+  /** The language-ID argmax as a SQL CASE over a space-padded normalized
+    * column named `pad` — shared by the standalone and the one-scan
+    * bundled oracle.
+    */
+  private def langCaseSql: String = {
     def cnt(m: String) =
       s"((length(pad) - length(replace(pad, ' $m ', ''))) / ${m.length + 2})"
     val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
@@ -723,9 +732,26 @@ object SparkEntry {
     val cases = scores.map { case (l, e) =>
       s"WHEN $e = $best AND $e > 0 THEN '$l'"
     }.mkString(" ")
-    s"SELECT doc_id, (CASE $cases ELSE 'und' END) AS lang_pred FROM " +
-      s"(SELECT doc_id, ' ' || $normSql || ' ' AS pad FROM documents)"
+    s"(CASE $cases ELSE 'und' END)"
   }
+
+  private def langIdSql: String =
+    s"SELECT doc_id, $langCaseSql AS lang_pred FROM " +
+      s"(SELECT doc_id, ' ' || $normSql || ' ' AS pad FROM documents)"
+
+  /** One-scan mirror of TextAnalysis.analyze: every text feature from a
+    * single pass over a shared normalized projection.
+    */
+  private def analyzeAllSql: String =
+    s"SELECT doc_id, $langCaseSql AS lang_pred, md5(lower(n)) AS fp, " +
+      "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens_bpe, " +
+      "length(n)::BIGINT AS n_chars_norm, " +
+      "len(string_split(n, ' '))::BIGINT AS n_tokens, " +
+      "(length(n) - length(translate(n, '.,!?;:', '')))::BIGINT AS punct_cnt, " +
+      "(length(n) - length(translate(n, '0123456789', '')))::BIGINT AS digit_cnt, " +
+      "floor(length(replace(n, ' ', '')) * 100.0 / len(string_split(n, ' ')))::BIGINT AS mean_tok_len_x100 " +
+      "FROM (SELECT doc_id, text, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n, " +
+      s"' ' || $normSql || ' ' AS pad FROM documents)"
 
   private def minhashSql: String = {
     // mirror of Dedup.minhashSignatureMd5: one md5 per shingle, lane i =
@@ -1079,6 +1105,7 @@ object SparkEntry {
       "floor(length(replace(n, ' ', '')) * 100.0 / len(string_split(n, ' ')))::BIGINT AS mean_tok_len_x100 " +
       "FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents)"),
     "text_langid" -> langIdSql,
+    "text_analyze_all" -> analyzeAllSql,
     "text_fingerprint" -> s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     "multimodal_meta" -> ("SELECT doc_id, 'application/octet-stream' AS mime, " +
       "CAST(octet_length(encode(text)) % 1024 AS INT) AS width, " +
