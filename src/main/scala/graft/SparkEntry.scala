@@ -559,7 +559,10 @@ object SparkEntry {
     // broadcast bitmap of the small side's keys BEFORE the shuffle (where
     // a selective 100 TB join spends its time); false positives are
     // removed by the real join, so the result is EXACT and hash-checks
-    // against the plain-join oracle.
+    // against the plain-join oracle. NOTE: constructing this DataFrame
+    // runs the bloom-build job (an inherent action, same as Spark's own
+    // runtime filters building during execution) — the one queries-map
+    // entry whose plan is not free to construct.
     "q_bloom_join" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
       val small = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
@@ -750,8 +753,9 @@ object SparkEntry {
       "(length(n) - length(translate(n, '.,!?;:', '')))::BIGINT AS punct_cnt, " +
       "(length(n) - length(translate(n, '0123456789', '')))::BIGINT AS digit_cnt, " +
       "floor(length(replace(n, ' ', '')) * 100.0 / len(string_split(n, ' ')))::BIGINT AS mean_tok_len_x100 " +
-      "FROM (SELECT doc_id, text, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n, " +
-      s"' ' || $normSql || ' ' AS pad FROM documents)"
+      // pad reuses n (lower(n) ≡ the shared normSql) — one regex per row
+      "FROM (SELECT doc_id, text, n, ' ' || lower(n) || ' ' AS pad FROM " +
+      "(SELECT doc_id, text, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents))"
 
   private def minhashSql: String = {
     // mirror of Dedup.minhashSignatureMd5: one md5 per shingle, lane i =

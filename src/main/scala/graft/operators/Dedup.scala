@@ -61,8 +61,10 @@ object Dedup {
 
   /** Whitespace-collapsed, lower-cased text — the normalization every
     * text operator shares (and the DuckDB oracles replicate verbatim).
+    * Collapse BEFORE trim — see [[TextAnalysis.normWs]] for why the order
+    * is a cross-engine contract.
     */
-  def normText(c: Column): Column = lower(regexp_replace(trim(c), "\\s+", " "))
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** (id, shingle) exploded rows — the input shape for signature
     * aggregation. Formulated as posexplode(tokens) + window `lead` rather

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace-collapsed, trimmed text. */
-  def normWs(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+  /** Whitespace-collapsed, trimmed text. Collapse BEFORE trim: `trim`
+    * strips spaces only, so trim-first would leave a trailing space
+    * behind a trailing tab/newline — and the DuckDB oracles normalize
+    * collapse-then-trim, so the order is also a cross-engine contract.
+    */
+  def normWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
   /** Lower-cased normalized text, padded with one space on each side so
     * whole-word occurrence counting via substring replace is exact.

@@ -54,6 +54,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(pair.getString(0) == pair.getString(1))
   }
 
+  test("normWs collapses before trimming: edge tab/newline leaves no residue") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("\tthe  value\n").toDF("t")
+      .select(TextAnalysis.normWs(col("t"))).head().getString(0)
+    // trim strips spaces only — collapsing first turns the edge tab and
+    // newline into spaces trim CAN remove (the DuckDB oracle convention)
+    assert(got == "the value")
+  }
+
   test("redactPii masks emails and phones; patternCount audits them") {
     val s = spark
     import s.implicits._

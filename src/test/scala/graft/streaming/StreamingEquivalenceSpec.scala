@@ -80,7 +80,7 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     val q1 = StreamRunner.fileSink(
       StreamRunner.applyTransforms(StreamRunner.fileSource(spark, srcDir, schema), chain),
       outDir, ckpt)
-    q1.awaitTermination(60000)
+    assert(q1.awaitTermination(60000), "run 1 must terminate before restart")
 
     // more input lands while no query is running; run 2 resumes from the
     // SAME checkpoint — it must process only the new file
@@ -88,7 +88,7 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     val q2 = StreamRunner.fileSink(
       StreamRunner.applyTransforms(StreamRunner.fileSource(spark, srcDir, schema), chain),
       outDir, ckpt)
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(60000), "run 2 must terminate")
 
     val got = spark.read.parquet(outDir).orderBy("event_id").collect().toSeq
     val want = StreamRunner.applyTransforms(rows.toDF(), chain)
