@@ -54,6 +54,10 @@ object SparkEntry {
   private def centsSql(x: String): String =
     s"CAST(CAST($x AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
+  /** q_chunk's window geometry — constants interpolated into BOTH sides. */
+  private val chunkSize = 64
+  private val chunkOverlap = 16
+
   /** q_pack's context-window capacity in tokens — one constant
     * interpolated into BOTH the Spark expressions and the DuckDB oracle
     * so the pair can't drift.
@@ -682,6 +686,11 @@ object SparkEntry {
         expr("(total_3grams - distinct_3grams) * 1000 div total_3grams")
           .as("dup_permille"))),
 
+    // overlapping token-window chunking: the RAG/pretraining windowing op
+    // (64-token chunks, 16-token overlap; trailing chunk short, not
+    // padded) — narrow map + explode, no shuffle
+    "q_chunk" -> ((s, dir) => TextAnalysis.chunkDocs(
+      docs(s, dir), "doc_id", "text", chunkSize, chunkOverlap)),
     // context-window packing (concat-then-chunk): docs are concatenated in
     // id order WITHIN their shard (lang) and split every `cap` tokens; a
     // doc's bin is its start-offset div cap. Partitioned by shard — the
@@ -1090,6 +1099,15 @@ object SparkEntry {
       "FROM (SELECT vec_id, embedding, " +
       "CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS s " +
       "FROM embeddings)"),
+    "q_chunk" -> {
+      val step = chunkSize - chunkOverlap
+      s"SELECT doc_id, CAST(start // $step AS INT) AS chunk_idx, " +
+        s"array_to_string(list_slice(toks, start + 1, start + $chunkSize), ' ') AS chunk_text, " +
+        s"CAST(least($chunkSize, n - start) AS BIGINT) AS n_chunk_tokens " +
+        "FROM (SELECT doc_id, toks, len(toks) AS n, " +
+        s"unnest(range(0, greatest(len(toks) - $chunkOverlap, 1), $step)) AS start " +
+        s"FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents))"
+    },
     // CAST the window sum: DuckDB sum(BIGINT) OVER → HUGEINT → float64
     "q_pack" -> ("SELECT doc_id, lang, n_tokens, " +
       s"start_off // $packCap AS bin, start_off % $packCap AS bin_offset FROM (" +

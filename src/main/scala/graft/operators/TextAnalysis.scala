@@ -124,6 +124,32 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Split each document into overlapping token windows — the chunking
+    * step RAG indexes and context-window datasets run over a corpus.
+    * Chunks start every `chunkSize - overlap` tokens; the final chunk is
+    * short rather than padded; docs shorter than a window yield one
+    * chunk. Narrow map + explode, no shuffle — chunk_idx is derived from
+    * the start offset (`start / step`) so no window ordinal is needed and
+    * any engine reproduces it bit-for-bit.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunkSize > overlap,
+      "chunkSize must exceed overlap (the step must be positive)")
+    val step = chunkSize - overlap
+    df.select(col(idCol), split(lower(normWs(col(textCol))), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          greatest(col("__n") - overlap - 1, lit(0)), lit(step))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / step).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), col("__n") - col("__start")).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -64,6 +64,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == "the value")
   }
 
+  test("chunkDocs: overlapping windows, short trailing chunk, short docs = one chunk") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(df, "doc_id", "text", chunkSize = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4 t5", 5L),
+      (1L, 1, "t4 t5 t6 t7 t8", 5L),
+      (1L, 2, "t7 t8 t9 t10", 4L),
+      (2L, 0, "a b", 2L)))
+  }
+
   test("redactPii masks emails and phones; patternCount audits them") {
     val s = spark
     import s.implicits._
