@@ -41,6 +41,34 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
+  /** q_partition_prune's layout write, once per (JVM, sfDir), into a
+    * process-unique tmp directory. A fixed path keyed only by sfDir let
+    * two concurrent drivers (Bench vs Verify vs PlanAudit) race: one
+    * process's mode(overwrite) deletes the directory while the other is
+    * mid-read. The UUID tag isolates processes; the memoization makes
+    * repeated constructions (bench reps, plan audits) reuse the written
+    * layout instead of re-running the job; the shutdown hook cleans up so
+    * directories don't accumulate per run.
+    */
+  private val layoutTag = java.util.UUID.randomUUID().toString.take(8)
+  private val layoutDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def prunedLayoutDir(s: SparkSession, dir: String): String =
+    layoutDirs.computeIfAbsent(dir, _ => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_layout_${layoutTag}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.sources.Layout.writePartitioned(
+        events(s, dir).select(col("event_id"), col("user_id"), col("event_type")),
+        out.getAbsolutePath, Seq("event_type"))
+      sys.addShutdownHook(deleteRecursively(out))
+      out.getAbsolutePath
+    })
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Money column → exact integer cents (BIGINT). The double→DECIMAL(18,2)
     * rounding step is HALF_UP in both Spark and DuckDB (verified identical
     * on every sf0.01 money column); ×100 on a scale-2 decimal is exact, so
@@ -360,17 +388,13 @@ object SparkEntry {
     // planning time (PartitionFilters in the scan — plan-asserted in
     // LayoutSpec), and only that slice is returned. At 100 TB this is the
     // difference between scanning the table and scanning 1/5th of it
-    // before any row-level work.
-    "q_partition_prune" -> ((s, dir) => {
-      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_layout_q_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
-      graft.sources.Layout.writePartitioned(
-        events(s, dir).select(col("event_id"), col("user_id"), col("event_type")),
-        out, Seq("event_type"))
-      graft.sources.Layout.readPartitioned(s, out)
+    // before any row-level work. The write runs once per JVM into a
+    // process-unique directory (see prunedLayoutDir) so concurrent
+    // drivers can't race on a shared overwrite.
+    "q_partition_prune" -> ((s, dir) =>
+      graft.sources.Layout.readPartitioned(s, prunedLayoutDir(s, dir))
         .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"))
-    }),
+        .select(col("event_id"), col("user_id"))),
     "q_scalar_funcs" -> ((s, dir) => Tables.orders(s, dir).select(
       col("o_orderkey"),
       upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
@@ -565,8 +589,10 @@ object SparkEntry {
     // removed by the real join, so the result is EXACT and hash-checks
     // against the plain-join oracle. NOTE: constructing this DataFrame
     // runs the bloom-build job (an inherent action, same as Spark's own
-    // runtime filters building during execution) — the one queries-map
-    // entry whose plan is not free to construct.
+    // runtime filters building during execution). Map invariant:
+    // construction may run jobs for q_bloom_join (every construction) and
+    // q_partition_prune (first construction per JVM+sfDir — see
+    // prunedLayoutDir); every other entry's plan is free to construct.
     "q_bloom_join" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
       val small = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)

@@ -22,6 +22,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -44,9 +45,16 @@ def norm(x):
         return None
     if isinstance(x, float) and math.isnan(x):
         return None
+    # array-valued cells (pyarrow list columns arrive as numpy arrays,
+    # duckdb's as lists): normalize elementwise — pd.isna on an ndarray is
+    # elementwise and would make the `and` below raise
+    if isinstance(x, np.ndarray):
+        return [norm(v) for v in x.tolist()]
+    if isinstance(x, (list, tuple)):
+        return [norm(v) for v in x]
     # pd.NaT passes isinstance(datetime) but raises on .time(); treat every
     # scalar NA (NaT, NA, nan boxed in numpy) as None up front
-    if not isinstance(x, (list, tuple)) and pd.isna(x):
+    if np.ndim(x) == 0 and pd.isna(x):
         return None
     if hasattr(x, "item") and type(x).__module__ == "numpy":
         x = x.item()
@@ -65,6 +73,11 @@ def values_equal(a, b):
         return False  # Decimal vs float, int vs str, ... — repr divergence
     if isinstance(a, float):
         return a == b or (math.isnan(a) and math.isnan(b))
+    if isinstance(a, list):
+        # elementwise, through values_equal: plain == would call
+        # Decimal('1.0') == 1.0 True and hide repr drift inside arrays
+        return len(a) == len(b) and all(
+            values_equal(x, y) for x, y in zip(a, b))
     return a == b
 
 
