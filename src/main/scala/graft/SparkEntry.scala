@@ -542,10 +542,23 @@ object SparkEntry {
     }),
     "ann_ivf" -> ((s, dir) => {
       // IVF scale path: bucket by nearest centroid, probe 3 of 8 cells.
-      // Engine-internal quantizer → rows-only check.
+      // Trained (data-dependent) quantizer → rows-only check; the same
+      // search path is hash-checked via ann_ivf_fixed below.
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 8)
       Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, nlist = 8, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    "ann_ivf_fixed" -> ((s, dir) => {
+      // IVF with the deterministic data-INDEPENDENT coarse quantizer:
+      // identical search path to ann_ivf (cell assign → probe 3 of 8 →
+      // in-cell exact rank), but the centroids are seeded literals that
+      // embed in the DuckDB oracle, so the whole IVF mechanism
+      // hash-checks instead of rows-only.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.ivfTopKWith(e, q, "vec_id", "embedding", 5,
+        Similarity.fixedCentroids(nlist = 8, dim = 64, seed = 7L), nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -894,8 +907,42 @@ object SparkEntry {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  private def annIvfFixedSql: String = {
+    // mirror of Similarity.ivfTopKWith(k = 5, nprobe = 3) over
+    // fixedCentroids(nlist = 8, dim = 64, seed = 7): centroids embed as
+    // double literals (Double.toString round-trips exactly). Cell = FIRST
+    // index of the minimum squared-L2 distance — list_position finds the
+    // first occurrence of list_min, matching ivfCellCol's lowest-index
+    // tie-break; both engines sum the squared diffs sequentially in
+    // element order. Probe list = the 3 lexicographically-least (d, cell)
+    // per query, matching ivfProbeCellsCol's array_sort on (d, cell)
+    // structs.
+    val cents = Similarity.fixedCentroids(nlist = 8, dim = 64, seed = 7L)
+    def distSql(cArr: Array[Double]) = {
+      val arr = cArr.map(_.toString).mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, 65), i -> " +
+        s"(embedding[i]::DOUBLE - ($arr)[i]) * (embedding[i]::DOUBLE - ($arr)[i])))"
+    }
+    val dl = cents.map(distSql).mkString("[", ",\n", "]")
+    s"""WITH d AS (SELECT vec_id, embedding, $dl AS dl FROM embeddings),
+       |cells AS (SELECT vec_id, embedding,
+       |  list_position(dl, list_min(dl)) - 1 AS cell FROM d),
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |         unnest(dl) AS pd, unnest(range(0, 8)) AS cell
+       |  FROM d WHERE vec_id < 8)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY pd, cell) <= 3)
+       |SELECT p.query_id, c.vec_id AS neighbor_id,
+       |CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |list_cosine_similarity(p.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |c.vec_id) AS INT) AS rank
+       |FROM probes p JOIN cells c ON c.cell = p.cell
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshSql,
+    "ann_ivf_fixed" -> annIvfFixedSql,
     "dedup_pairs_md5" -> pairsMd5Sql,
     "drop_nested" -> "SELECT event_id, user_id, value AS v FROM events",
     "drop_subtree" -> "SELECT event_id, value AS v FROM events",

@@ -210,6 +210,19 @@ object Similarity {
     }
   }
 
+  /** Deterministic data-INDEPENDENT coarse quantizer: seeded Gaussian
+    * centroids, the IVF analogue of [[hyperplanes]]. Cells are less
+    * balanced than trained ones, but the whole pipeline becomes
+    * engine-reproducible (the centroids embed as literals in another
+    * engine's SQL), which is what lets the driver hash-check the IVF
+    * mechanism itself (`ann_ivf_fixed`). For production recall, prefer
+    * [[trainIvfCentroids]].
+    */
+  def fixedCentroids(nlist: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(nlist)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
     * once (narrow map); each query probes its `nprobe` nearest cells and
     * exact-ranks only those cells' rows. The classic recall/cost dial:
@@ -217,8 +230,16 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 3,
-              seed: Long = 42L): DataFrame = {
-    val centroids = trainIvfCentroids(corpus, vecCol, nlist, seed = seed)
+              seed: Long = 42L): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      trainIvfCentroids(corpus, vecCol, nlist, seed = seed), nprobe)
+
+  /** [[ivfTopK]] with a caller-supplied coarse quantizer (trained or
+    * [[fixedCentroids]]); search path only, no driver sample.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, centroids: Array[Array[Double]],
+                  nprobe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       ivfCellCol(col(vecCol), centroids).as("__cell"))
     // queries: explode the nprobe nearest cells per query (driver-side

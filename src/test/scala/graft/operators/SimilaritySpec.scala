@@ -134,6 +134,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(cells.forall(c => c >= 0 && c < 4))
   }
 
+  test("fixed-quantizer IVF: self+planted found; probing all cells equals brute force") {
+    val q = embDf.filter(col("vec_id") === 0)
+    val cents = Similarity.fixedCentroids(nlist = 4, dim = 16, seed = 7L)
+    val ivf = Similarity.ivfTopKWith(embDf, q, "vec_id", "embedding", 5, cents, nprobe = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ivf.contains(0L) && ivf.contains(1L),
+      s"query cell must contain self and the jittered copy, got $ivf")
+    // nprobe = nlist degenerates to exact brute force — same ranked list
+    val all = Similarity.ivfTopKWith(embDf, q, "vec_id", "embedding", 5, cents, nprobe = 4)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val brute = Similarity.bruteForceTopK(embDf, q, "vec_id", "embedding", 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(all == brute, s"nprobe=nlist must equal brute force: $all vs $brute")
+    assert(Similarity.fixedCentroids(4, 16, 7L).flatten.toSeq ==
+      cents.flatten.toSeq, "fixed centroids are deterministic")
+  }
+
   test("lshBucket is deterministic across invocations (seeded planes)") {
     val planes = Similarity.hyperplanes(8, 16, seed = 42L)
     val planes2 = Similarity.hyperplanes(8, 16, seed = 42L)
