@@ -521,6 +521,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "dedup_emb_pairs_ora" -> ((s, dir) => {
+      // DuckDB-mirrorable flavor of dedup_embedding_pairs: identical
+      // planted jitter and 3-table sign-bucket blocking + cosine >= 0.98
+      // verify, but maxBucket unbounded so the xxhash64 chain-overflow
+      // path (engine-internal; covered rows-only by
+      // dedup_embedding_pairs) never fires — every candidate is an
+      // in-bucket sorted pair the oracle reproduces literally, so the
+      // whole blocking+verify mechanism hash-checks.
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+      Similarity.cosineNearDupPairs(e.union(planted), "vec_id", "embedding",
+        minCosine = 0.98, numPlanes = 8, numTables = 3,
+        maxBucket = Int.MaxValue)
+        .select(col("id_a"), col("id_b"))
+    }),
     // int8 quantization: storage-size path for ANN corpora. Quantized
     // codes oracle-checked — floor(x/scale + 0.5) is engine-portable
     // (round() would banker's-round differently across engines)
@@ -940,9 +957,46 @@ object SparkEntry {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  private def embPairsSql: String = {
+    // mirror of dedup_emb_pairs_ora: Similarity.cosineNearDupPairs over
+    // embeddings ∪ jittered copies, numPlanes = 8, numTables = 3 (seeds
+    // 42..44), minCosine = 0.98, no chain overflow. The +0.001f jitter is
+    // reproduced as CAST(x::DOUBLE + (0.001f:Double) AS REAL): a binary64
+    // add of two binary32 values rounded once back to binary32 equals the
+    // direct binary32 add (53 >= 2*24+2 double-rounding safety), so the
+    // planted vectors are bit-identical across engines. Buckets are the
+    // same sign-bit sums as annLshSql, one per table.
+    val jitter = 0.001f.toDouble
+    def dotSql(p: Array[Double]) = {
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ($arr)[i]))"
+    }
+    def bucketSql(seed: Long) =
+      Similarity.hyperplanes(numPlanes = 8, dim = 64, seed = seed).zipWithIndex
+        .map { case (p, i) =>
+          s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |         list_transform(embedding, x -> CAST(x::DOUBLE + $jitter AS REAL))
+       |  FROM embeddings WHERE vec_id < 10),
+       |bk AS (SELECT vec_id, embedding, ${bucketSql(42L)} AS b0,
+       |  ${bucketSql(43L)} AS b1, ${bucketSql(44L)} AS b2 FROM corpus),
+       |e AS (SELECT vec_id, embedding, unnest([0, 1, 2]) AS tbl,
+       |  unnest([b0, b1, b2]) AS bucket FROM bk)
+       |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM e a JOIN e b
+       |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+       |  b.embedding::DOUBLE[]) >= 0.98""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshSql,
     "ann_ivf_fixed" -> annIvfFixedSql,
+    "dedup_emb_pairs_ora" -> embPairsSql,
     "dedup_pairs_md5" -> pairsMd5Sql,
     "drop_nested" -> "SELECT event_id, user_id, value AS v FROM events",
     "drop_subtree" -> "SELECT event_id, value AS v FROM events",
