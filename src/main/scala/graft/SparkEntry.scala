@@ -643,6 +643,25 @@ object SparkEntry {
       docs(s, dir), "doc_id", "lang",
       Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
       .select(col("doc_id"), col("lang"))),
+    "q_weighted_sample" -> ((s, dir) => {
+      // quality-weighted deterministic sampling: keep probability =
+      // min(n_tokens, 80)/80 — longer docs kept more often; same doc →
+      // same decision at any corpus size, partition layout, or engine.
+      val toks = TextAnalysis.tokenCountWs(col("text"))
+      graft.operators.Sampling.weightedSample(
+        docs(s, dir).select(col("doc_id"),
+          (least(toks, lit(80L)).cast("double") / 80.0).as("w")),
+        "doc_id", "w")
+        .select(col("doc_id"))
+    }),
+    "q_quantiles" -> ((s, dir) => graft.operators.Stats.discreteQuantilesByKey(
+      Tables.orders(s, dir).select(col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_cents")),
+      "o_orderpriority", "price_cents",
+      Seq("p50_cents" -> 0.5, "p90_cents" -> 0.9, "p99_cents" -> 0.99))),
+    "q_histogram" -> ((s, dir) => graft.operators.Stats.histogram(
+      Tables.orders(s, dir).select(cents(col("o_totalprice")).as("price_cents")),
+      "price_cents", width = 2500000L, nBuckets = 20)),
     "q_vocab" -> ((s, dir) => TextAnalysis.topTokens(docs(s, dir), "text", 50)),
     "q_profile" -> ((s, dir) => docs(s, dir)
       .select(col("lang"), TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
@@ -662,6 +681,19 @@ object SparkEntry {
     }),
     "text_langid" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "q_filter_funnel" -> ((s, dir) => {
+      // Gopher-style curation funnel: survivors after each cumulative
+      // rule, all integer-exact over the normalized text features
+      // (word-count bounds, mean token length, type-token ratio).
+      val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+      val toks = feats("n_tokens")
+      val uniq = size(array_distinct(
+        split(TextAnalysis.normWs(col("text")), " "))).cast("long")
+      TextAnalysis.filterFunnel(docs(s, dir), Seq(
+        "word_count" -> toks.between(20, 90),
+        "mean_tok_len" -> feats("mean_tok_len_x100").between(400, 520),
+        "ttr" -> (uniq * 1000 >= toks * 450)))
+    }),
     // the one-scan bundle: every text feature (lang-id, fingerprint, BPE
     // tokens, quality stats) in a single projection — how the text suite
     // actually runs at 100 TB (one pass, not one scan per feature)
@@ -1204,6 +1236,37 @@ object SparkEntry {
     // hash-bucket arithmetic mirror of Sampling.hashBucket: first 8 hex
     // chars of md5(id-as-string) as a 32-bit integer; thresholds are
     // floor(fraction × 2^32) integer literals on both sides
+    "q_weighted_sample" -> ("SELECT doc_id FROM (SELECT doc_id, " +
+      "least(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')), 80) / 80.0 AS w " +
+      "FROM documents) WHERE " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < w * 4294967296.0"),
+    "q_quantiles" -> ("SELECT o_orderpriority, " +
+      "max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN price_cents END) AS p50_cents, " +
+      "max(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1 THEN price_cents END) AS p90_cents, " +
+      "max(CASE WHEN rn = CAST(floor((n - 1) * 0.99) AS BIGINT) + 1 THEN price_cents END) AS p99_cents " +
+      "FROM (SELECT o_orderpriority, price_cents, " +
+      "row_number() OVER (PARTITION BY o_orderpriority ORDER BY price_cents) AS rn, " +
+      "count(*) OVER (PARTITION BY o_orderpriority) AS n " +
+      s"FROM (SELECT o_orderpriority, ${centsSql("o_totalprice")} AS price_cents FROM orders)) " +
+      "GROUP BY o_orderpriority"),
+    "q_histogram" -> ("SELECT least(price_cents // 2500000, 19) AS bucket, " +
+      "count(*) AS cnt FROM " +
+      s"(SELECT ${centsSql("o_totalprice")} AS price_cents FROM orders) " +
+      "GROUP BY bucket"),
+    "q_filter_funnel" -> ("WITH f AS (SELECT " +
+      "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents), " +
+      "g AS (SELECT len(string_split(n, ' '))::BIGINT AS toks, " +
+      "floor(length(replace(n, ' ', '')) * 100.0 / len(string_split(n, ' ')))::BIGINT AS mtl, " +
+      "len(list_distinct(string_split(n, ' ')))::BIGINT AS uniq FROM f), " +
+      "s AS (SELECT count(*) AS total, " +
+      "CAST(sum(CASE WHEN toks BETWEEN 20 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS s0, " +
+      "CAST(sum(CASE WHEN toks BETWEEN 20 AND 90 AND mtl BETWEEN 400 AND 520 THEN 1 ELSE 0 END) AS BIGINT) AS s1, " +
+      "CAST(sum(CASE WHEN toks BETWEEN 20 AND 90 AND mtl BETWEEN 400 AND 520 " +
+      "AND uniq * 1000 >= toks * 450 THEN 1 ELSE 0 END) AS BIGINT) AS s2 FROM g) " +
+      "SELECT 0 AS stage_idx, 'total' AS stage, total AS n_pass FROM s " +
+      "UNION ALL SELECT 1, 'word_count', s0 FROM s " +
+      "UNION ALL SELECT 2, 'mean_tok_len', s1 FROM s " +
+      "UNION ALL SELECT 3, 'ttr', s2 FROM s"),
     "q_split" -> ("SELECT doc_id, (CASE " +
       "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3435973836 THEN 'train' " +
       "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566 THEN 'val' " +

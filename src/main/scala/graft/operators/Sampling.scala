@@ -46,6 +46,19 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Deterministic per-row weighted Bernoulli sample: keep a row iff
+    * hashBucket(id) < weight·2³², where `weightCol` ∈ [0,1] may vary per
+    * row (e.g. a quality score) — the weighted generalization of
+    * [[stratifiedSample]]'s per-stratum constant. Same properties: no
+    * seed state, re-partition/engine stable, pure narrow filter. The
+    * compare runs in binary64 (hashBucket < 2³² is exactly
+    * representable), so any engine reproduces the decision bit-for-bit
+    * given the same weight expression.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String): DataFrame =
+    df.filter(hashBucket(col(idCol)).cast("double") <
+      col(weightCol).cast("double") * 4294967296.0)
+
   /** Keep a deterministic `fraction` of rows per stratum (stratum missing
     * from the map → `defaultFraction`). The per-stratum decision is the
     * same integer compare as [[deterministicSplit]], so a row's fate never

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distribution statistics over integer-valued columns —
+  * engine-portable by construction (never interpolates, never emits a
+  * float): the complement of `q_profile`'s interpolating
+  * `percentile`/sketch path.
+  */
+object Stats {
+
+  /** Exact lower-discrete quantiles per key in ONE sort-shuffle: for each
+    * probe p, the element of `valCol` at sorted index floor((n-1)·p).
+    * Returns existing values (BIGINT in, BIGINT out) — no interpolation,
+    * so results hash-match across engines.
+    *
+    * Shape at scale: a single exchange on `keyCol` satisfies the rank
+    * window, the count window, AND the final aggregate (all key-clustered)
+    * — the sort inside each key group is the unavoidable cost of an exact
+    * quantile. For extreme group cardinality where a per-key sort is too
+    * much, the sketch path (`percentile_approx`) is the alternative; this
+    * is the exact path.
+    */
+  def discreteQuantilesByKey(df: DataFrame, keyCol: String, valCol: String,
+                             ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    val byKey = Window.partitionBy(keyCol)
+    val ranked = df.select(col(keyCol), col(valCol))
+      .withColumn("__rn", row_number().over(byKey.orderBy(col(valCol))))
+      .withColumn("__n", count(lit(1)).over(byKey))
+    // both engines compute floor((n-1)·p) in binary64 — identical results
+    val aggs = ps.map { case (name, p) =>
+      max(when(col("__rn") === floor((col("__n") - 1) * lit(p)) + 1,
+        col(valCol))).as(name)
+    }
+    ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fixed-width histogram: bucket = min(val div width, nBuckets-1), so
+    * the overflow tail clamps into the last bucket. Pure integer
+    * arithmetic → engine-exact; one map-side-combined aggregation over at
+    * most nBuckets output rows regardless of input scale.
+    */
+  def histogram(df: DataFrame, valCol: String, width: Long,
+                nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0)
+    df.select(least(expr(s"$valCol div $width"), lit(nBuckets - 1L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+}

@@ -157,4 +157,34 @@ object TextAnalysis {
     df.select(Seq(col(idCol), langId(t).as("lang_pred"), fingerprint(t).as("fp"),
       tokenCountBpe(t).as("n_tokens_bpe")) ++ feats: _*)
   }
+
+  /** Quality-filter funnel: how many rows survive each successive rule —
+    * the first artifact any corpus-curation run reports. Rules are
+    * applied CUMULATIVELY in order; the output is one row per stage
+    * (`stage_idx`, `stage`, `n_pass`), with stage 0 = total input.
+    *
+    * One scan, one tiny aggregate: all the cumulative flags are computed
+    * per row and summed map-side, so a 100 TB funnel costs exactly one
+    * pass regardless of how many rules it has (never one scan per rule).
+    */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val cumFlags = rules.scanLeft(lit(true): Column) {
+      case (acc, (_, r)) => acc && r
+    }.tail
+    val aggs = count(lit(1)).as("__total") +:
+      cumFlags.zipWithIndex.map { case (f, i) =>
+        sum(when(f, 1L).otherwise(0L)).as(s"__s$i")
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stages = ("total", "__total") +: rules.zipWithIndex.map {
+      case ((name, _), i) => (name, s"__s$i")
+    }
+    val stackArgs = stages.zipWithIndex.map { case ((name, c), i) =>
+      s"$i, '$name', $c"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_pass)")
+      .select(col("stage_idx").cast("int"), col("stage"), col("n_pass"))
+  }
 }
