@@ -223,6 +223,34 @@ object SparkEntry {
       graft.plans.TopKPerKey.topKPerKey(Tables.customer(s, dir),
         Seq("c_mktsegment"), Seq("c_acctbal" -> false, "c_custkey" -> true), 3)
         .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rank"))),
+    "q_per_key_cap" -> ((s, dir) => {
+      // per-domain quota: keep at most 40 docs per lang, chosen by
+      // deterministic hash order (not "first 40 in file order"), so the
+      // capped sample is unbiased and stable across partition layouts,
+      // corpus versions, and engines — the dedup-adjacent "no single
+      // source dominates" curation step.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(
+        graft.operators.Sampling.hashBucket(col("doc_id")), col("doc_id"))
+      docs(s, dir).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 40)
+        .select(col("doc_id"), col("lang"))
+    }),
+    "q_rolling_window" -> ((s, dir) => {
+      // time-RANGE window frame (value-based, not row-based): per user,
+      // the rolling 1h sum/count of purchase value. Peers with equal
+      // timestamps are all in-frame by definition, so the result is
+      // deterministic even under ts ties. One exchange on user_id.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("us"), cents(col("value")).as("vc"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("vc")).over(w).as("roll_cents"),
+          count(lit(1)).over(w).as("roll_n"))
+    }),
     "q_events_daily" -> ((s, dir) => events(s, dir)
       .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
       .groupBy(col("user_id"), col("day"))
@@ -1063,6 +1091,16 @@ object SparkEntry {
       "SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (" +
       "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank " +
       "FROM customer) WHERE rank <= 3"),
+    "q_per_key_cap" -> ("SELECT doc_id, lang FROM (" +
+      "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn " +
+      "FROM documents) WHERE rn <= 40"),
+    "q_rolling_window" -> ("SELECT event_id, user_id, " +
+      "CAST(sum(vc) OVER w AS BIGINT) AS roll_cents, count(*) OVER w AS roll_n " +
+      "FROM (SELECT event_id, user_id, epoch_us(ts) AS us, " +
+      s"${centsSql("value")} AS vc FROM events) " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY us " +
+      "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"),
     "q_events_daily" -> ("SELECT user_id, date_trunc('day', ts)::DATE AS day, " +
       s"count(*) AS n_events, ${sumCentsSql("value")} AS sum_value_cents " +
       "FROM events GROUP BY user_id, date_trunc('day', ts)::DATE"),
