@@ -41,6 +41,45 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
+  /** documents ∪ planted near-dup copies (doc_id + 100000, last word
+    * dropped) — the shared corpus of the near-dup pipelines.
+    */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+  }
+
+  /** The engine-portable md5-lane LSH near-dup pairs over [[plantedDocs]]
+    * — signature → 2-lane bands → band-equality candidates →
+    * integer-arithmetic shingle-jaccard verify. Shared by
+    * `dedup_pairs_md5` (pairs surface) and `dedup_e2e_md5` (pairs → CC →
+    * representatives).
+    */
+  private def md5Pairs(s: SparkSession, dir: String): DataFrame = {
+    // ONE exploded-shingle pass feeds BOTH the 8-lane md5 signature and
+    // the exact shingle sets the verify step needs. Persisted because
+    // banding self-joins it and the verify join-backs read it twice more.
+    val base = Dedup.minhashSignatureMd5WithSets(plantedDocs(s, dir),
+      "doc_id", "text", shingleSize = 3, numHashes = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("doc_id"), posexplode(array(
+      (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+      .as(Seq("band", "bv")))
+    val cand = banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 2 >=
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** q_partition_prune's layout write, once per (JVM, sfDir), into a
     * process-unique tmp directory. A fixed path keyed only by sfDir let
     * two concurrent drivers (Bench vs Verify vs PlanAudit) race: one
@@ -457,42 +496,22 @@ object SparkEntry {
     // verify (2*inter >= union, no float threshold). The production
     // operator (minhashNearDupPairs) keeps xxhash64 + bucket caps; this
     // flavor trades the caps for exact cross-engine reproducibility.
-    "dedup_pairs_md5" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20).select(
-        (col("doc_id") + 100000).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
-      val all = d.union(planted)
-      // ONE exploded-shingle pass feeds BOTH the 8-lane md5 signature and
-      // the exact shingle sets the verify step needs. Persisted because
-      // banding self-joins it and the verify join-backs read it twice more.
-      val base = Dedup.minhashSignatureMd5WithSets(all, "doc_id", "text",
-        shingleSize = 3, numHashes = 8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = base.select(col("doc_id"), posexplode(array(
-        (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
-        .as(Seq("band", "bv")))
-      val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
-      cand
-        .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 2 >=
-          size(array_union(col("sh_a"), col("sh_b"))))
-        .select(col("id_a"), col("id_b"))
-    }),
+    "dedup_pairs_md5" -> ((s, dir) => md5Pairs(s, dir)),
+    // the same portable pipeline carried to the END of dedup: pairs →
+    // connected components → keep one representative per group. The
+    // composition dedup_e2e runs with production xxhash64 signatures,
+    // here fully hash-checked against a recursive-CTE DuckDB mirror.
+    "dedup_e2e_md5" -> ((s, dir) =>
+      graft.operators.Components.keepRepresentatives(
+        plantedDocs(s, dir), "doc_id",
+        graft.operators.Components.connectedComponents(
+          md5Pairs(s, dir), "id_a", "id_b"))
+        .select(col("doc_id"))),
     // end-to-end near-dup dedup: pairs → connected components → keep one
     // representative per group. Engine-hash LSH inside → rows-only check;
     // the planted +100000 copies must all be eliminated.
     "dedup_e2e" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20).select(
-        (col("doc_id") + 100000).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
-      val all = d.union(planted)
+      val all = plantedDocs(s, dir)
       val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text",
         shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
       val comps = graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
@@ -922,8 +941,11 @@ object SparkEntry {
        |  GROUP BY doc_id)""".stripMargin
   }
 
-  private def pairsMd5Sql: String = {
-    // mirror of the dedup_pairs_md5 pipeline over documents ∪ planted
+  /** CTE chain of the dedup_pairs_md5 mirror (documents ∪ planted →
+    * shingle sets → md5-lane signatures → bands → verified pairs `pr`),
+    * shared by [[pairsMd5Sql]] and [[e2eMd5Sql]].
+    */
+  private def pairsMd5Ctes: String = {
     val mh = (0 until 8).map(i =>
       s"list_min(list_transform(ds, d -> substr(d, ${i * 4 + 1}, 4))) AS mh$i")
       .mkString(", ")
@@ -931,7 +953,7 @@ object SparkEntry {
     // combined string equals joining on (band, value) without needing an
     // unnest ordinal
     val bandArr = (0 until 4).map(b => s"'$b' || mh${2 * b} || mh${2 * b + 1}").mkString(", ")
-    s"""WITH all_docs AS (
+    s"""all_docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 100000 AS doc_id,
@@ -952,12 +974,32 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM banded x JOIN banded y
-       |    ON x.bv = y.bv AND x.doc_id < y.doc_id)
-       |SELECT c.id_a, c.id_b FROM cand c
-       |JOIN sh a ON a.doc_id = c.id_a
-       |JOIN sh b ON b.doc_id = c.id_b
-       |WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(a.sh || b.sh))""".stripMargin
+       |    ON x.bv = y.bv AND x.doc_id < y.doc_id),
+       |pr AS (
+       |  SELECT c.id_a, c.id_b FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(a.sh || b.sh)))""".stripMargin
   }
+
+  private def pairsMd5Sql: String =
+    s"WITH $pairsMd5Ctes\nSELECT id_a, id_b FROM pr"
+
+  private def e2eMd5Sql: String =
+    // pairs → symmetric edge closure → min-label propagation (the same
+    // recursive-CTE component oracle as q_dedup_groups) → drop every
+    // member whose id is not its group's min — the literal mirror of
+    // Components.keepRepresentatives over connectedComponents.
+    s"""WITH RECURSIVE $pairsMd5Ctes,
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pr
+       |        UNION SELECT id_b, id_a FROM pr),
+       |cc(id, comp) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.id WHERE c.comp < s.b),
+       |lab AS (SELECT id, min(comp) AS component FROM cc GROUP BY id)
+       |SELECT doc_id FROM all_docs
+       |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> component)""".stripMargin
 
   private def annLshSql: String = {
     // mirror of Similarity.lshTopK(k = 5, numPlanes = 6, seed = 42): the
@@ -1058,6 +1100,7 @@ object SparkEntry {
     "ann_ivf_fixed" -> annIvfFixedSql,
     "dedup_emb_pairs_ora" -> embPairsSql,
     "dedup_pairs_md5" -> pairsMd5Sql,
+    "dedup_e2e_md5" -> e2eMd5Sql,
     "drop_nested" -> "SELECT event_id, user_id, value AS v FROM events",
     "drop_subtree" -> "SELECT event_id, value AS v FROM events",
     "drop_schemaless" -> ("SELECT event_id, concat('{\"user_id\":', user_id, " +
