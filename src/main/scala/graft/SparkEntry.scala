@@ -462,6 +462,12 @@ object SparkEntry {
       graft.sources.Layout.readPartitioned(s, prunedLayoutDir(s, dir))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"))),
+    "q_zorder" -> ((s, dir) => events(s, dir).select(col("event_id"),
+      // Morton code of (user_id, event_id mod 1024) — the sort key behind
+      // Layout.writeZOrdered's two-dimensional row-group pruning; pure
+      // shift/mask/or integer arithmetic, bit-identical in any engine
+      graft.functions.ZOrder.zValue(col("user_id"),
+        col("event_id").bitwiseAND(lit(1023L)), bits = 16).as("z"))),
     "q_scalar_funcs" -> ((s, dir) => Tables.orders(s, dir).select(
       col("o_orderkey"),
       upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
@@ -1134,6 +1140,9 @@ object SparkEntry {
       "SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (" +
       "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank " +
       "FROM customer) WHERE rank <= 3"),
+    "q_zorder" -> ("SELECT event_id, " +
+      graft.functions.ZOrder.zValueSql("user_id", "(event_id & 1023)", 16) +
+      " AS z FROM events"),
     "q_per_key_cap" -> ("SELECT doc_id, lang FROM (" +
       "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn " +

@@ -36,4 +36,21 @@ object Layout {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Z-ordered parquet layout: range-partition + sort by the Morton code
+    * of two dimension columns, so each output file (and row group) covers
+    * a tight rectangle in (colA, colB) space — predicates on EITHER
+    * column prune via parquet min/max stats, where a plain sort serves
+    * only its leading column. `repartitionByRange` samples the z-values
+    * to balance files; the sort is partition-local (no global sort).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int = 8, bits: Int = 16): Unit = {
+    val withZ = df.withColumn("__z",
+      graft.functions.ZOrder.zValue(col(colA), col(colB), bits))
+    withZ.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
