@@ -57,13 +57,26 @@ object SparkEntry {
     * `dedup_pairs_md5` (pairs surface) and `dedup_e2e_md5` (pairs → CC →
     * representatives).
     */
+  // ONE exploded-shingle pass feeds BOTH the 8-lane md5 signature and the
+  // exact shingle sets the verify step needs. Persisted because banding
+  // self-joins it and the verify join-backs read it twice more. Memoized
+  // per (session, sfDir) so dedup_pairs_md5 and dedup_e2e_md5 share a
+  // single cached copy instead of computing and pinning it twice; the
+  // storageLevel re-check re-pins after an external clearCache (bench
+  // reps clear the cache between runs).
+  private val md5Bases =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def md5Base(s: SparkSession, dir: String): DataFrame = {
+    val base = md5Bases.computeIfAbsent((s, dir), _ =>
+      Dedup.minhashSignatureMd5WithSets(plantedDocs(s, dir),
+        "doc_id", "text", shingleSize = 3, numHashes = 8))
+    if (base.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base
+  }
+
   private def md5Pairs(s: SparkSession, dir: String): DataFrame = {
-    // ONE exploded-shingle pass feeds BOTH the 8-lane md5 signature and
-    // the exact shingle sets the verify step needs. Persisted because
-    // banding self-joins it and the verify join-backs read it twice more.
-    val base = Dedup.minhashSignatureMd5WithSets(plantedDocs(s, dir),
-      "doc_id", "text", shingleSize = 3, numHashes = 8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = md5Base(s, dir)
     val banded = base.select(col("doc_id"), posexplode(array(
       (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
       .as(Seq("band", "bv")))
@@ -673,9 +686,13 @@ object SparkEntry {
     // against the plain-join oracle. NOTE: constructing this DataFrame
     // runs the bloom-build job (an inherent action, same as Spark's own
     // runtime filters building during execution). Map invariant:
-    // construction may run jobs for q_bloom_join (every construction) and
-    // q_partition_prune (first construction per JVM+sfDir — see
-    // prunedLayoutDir); every other entry's plan is free to construct.
+    // construction may run driver-side jobs for q_bloom_join (bloom
+    // build, every construction), q_partition_prune (layout write, first
+    // construction per JVM+sfDir — see prunedLayoutDir), ann_ivf
+    // (bounded centroid-training sample: count + collect), and the
+    // entries probing the embedding dim with a 1-row head (ann_lsh,
+    // dedup_embedding_pairs, dedup_emb_pairs_ora). All are constant-cost
+    // by construction; every other entry's plan is free to construct.
     "q_bloom_join" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
       val small = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)

@@ -41,8 +41,11 @@ object ZOrder {
     * [[zValue]], same shift/mask/or chain over BIGINT.
     */
   def zValueSql(a: String, b: String, bits: Int = 16): String =
+    // operands are parenthesized before the :: cast — an unwrapped
+    // compound operand like "event_id & 1023" would otherwise bind the
+    // cast to its last token and silently shift the mask, not the value
     (0 until bits).flatMap { i =>
-      Seq(s"((($a::BIGINT >> $i) & 1) << ${2 * i + 1})",
-        s"((($b::BIGINT >> $i) & 1) << ${2 * i})")
+      Seq(s"(((($a)::BIGINT >> $i) & 1) << ${2 * i + 1})",
+        s"(((($b)::BIGINT >> $i) & 1) << ${2 * i})")
     }.mkString(" | ")
 }

@@ -218,10 +218,8 @@ object Similarity {
     * mechanism itself (`ann_ivf_fixed`). For production recall, prefer
     * [[trainIvfCentroids]].
     */
-  def fixedCentroids(nlist: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
-    val rnd = new Random(seed)
-    Array.fill(nlist)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  def fixedCentroids(nlist: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =
+    hyperplanes(nlist, dim, seed)
 
   /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
     * once (narrow map); each query probes its `nprobe` nearest cells and

@@ -27,7 +27,12 @@ object Stats {
                              ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
     val byKey = Window.partitionBy(keyCol)
+    // NULLs are excluded up front (standard quantile semantics, matching
+    // DuckDB/ANSI aggregate NULL handling) — leaving them in would also
+    // make the rank indexes engine-dependent: Spark orders NULLS FIRST
+    // ascending, DuckDB NULLS LAST
     val ranked = df.select(col(keyCol), col(valCol))
+      .filter(col(valCol).isNotNull)
       .withColumn("__rn", row_number().over(byKey.orderBy(col(valCol))))
       .withColumn("__n", count(lit(1)).over(byKey))
     // both engines compute floor((n-1)·p) in binary64 — identical results
@@ -38,15 +43,19 @@ object Stats {
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Fixed-width histogram: bucket = min(val div width, nBuckets-1), so
-    * the overflow tail clamps into the last bucket. Pure integer
+  /** Fixed-width histogram: bucket = clamp(val div width, 0, nBuckets-1)
+    * — the overflow tail lands in the last bucket, values below zero in
+    * bucket 0 (the double clamp also absorbs the truncate-vs-floor
+    * integer-division difference between engines on negative inputs:
+    * every negative value clamps to 0 either way). Pure integer
     * arithmetic → engine-exact; one map-side-combined aggregation over at
     * most nBuckets output rows regardless of input scale.
     */
   def histogram(df: DataFrame, valCol: String, width: Long,
                 nBuckets: Int): DataFrame = {
     require(width > 0 && nBuckets > 0)
-    df.select(least(expr(s"$valCol div $width"), lit(nBuckets - 1L)).as("bucket"))
+    df.select(greatest(least(expr(s"$valCol div $width"), lit(nBuckets - 1L)),
+        lit(0L)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 }

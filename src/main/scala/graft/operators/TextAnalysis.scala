@@ -181,7 +181,9 @@ object TextAnalysis {
       case ((name, _), i) => (name, s"__s$i")
     }
     val stackArgs = stages.zipWithIndex.map { case ((name, c), i) =>
-      s"$i, '$name', $c"
+      // stage names are spliced into SQL — escape embedded quotes so a
+      // rule named "tok's ratio" can't break (or become) the expression
+      s"$i, '${name.replace("'", "''")}', $c"
     }.mkString(", ")
     wide.selectExpr(
       s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_pass)")

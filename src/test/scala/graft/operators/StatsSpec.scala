@@ -33,6 +33,22 @@ class StatsSpec extends SparkTestBase {
     assert(got == Map(0L -> 2L, 1L -> 2L, 3L -> 2L),
       s"99 and 1000 both clamp into bucket 3, got $got")
     assert(got.values.sum == 6L)
+    // negative values clamp into bucket 0 — no phantom negative buckets,
+    // and no dependence on truncate-vs-floor integer division
+    val neg = Stats.histogram(Seq(-5L, -15L, 3L).toDF("x"), "x", 10L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(neg == Map(0L -> 3L), s"negatives must clamp to bucket 0, got $neg")
+  }
+
+  test("discreteQuantilesByKey ignores NULL values (standard semantics)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Some(1L)), ("a", None), ("a", Some(3L)), ("a", Some(2L)))
+      .toDF("k", "v")
+    val got = Stats.discreteQuantilesByKey(df, "k", "v",
+      Seq("p0" -> 0.0, "p100" -> 1.0)).collect().head
+    assert(got.getLong(1) == 1L && got.getLong(2) == 3L,
+      "quantiles computed over the 3 non-null values only")
   }
 
   test("filterFunnel stages are monotonically non-increasing and cumulative") {
@@ -50,6 +66,11 @@ class StatsSpec extends SparkTestBase {
     assert(counts(1) == counts(2), "always-true rule keeps the count")
     assert(counts(3) == 0L, "always-false rule ends the funnel at 0")
     assert(counts(0) == docs.count())
+    // rule names with quotes must survive the SQL splice
+    val quoted = TextAnalysis.filterFunnel(docs,
+      Seq("tok's ratio" -> lit(true))).orderBy("stage_idx").collect()
+    assert(quoted.map(_.getAs[String]("stage")).toSeq ==
+      Seq("total", "tok's ratio"))
   }
 
   test("weightedSample: weight 1 keeps all, 0 keeps none, is deterministic") {

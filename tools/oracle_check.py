@@ -31,6 +31,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df):
     df = df[sorted(df.columns)]
+    # array-valued cells (numpy arrays / lists) are unhashable, so
+    # sort_values would raise before the comparison ever ran; make them
+    # tuples (hashable, order-comparable) on BOTH readers identically
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                else tuple(v) if isinstance(v, list) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
