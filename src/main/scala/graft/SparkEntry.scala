@@ -555,6 +555,34 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashMd5(docs(s, dir), "doc_id", "text")),
+    // SimHash pair generation hash-checked end to end: 16-bit chunk
+    // blocking (a pair within Hamming 3 agrees on ≥1 of 4 chunks, so
+    // blocking is lossless at this radius) + per-nibble xor/popcount
+    // Hamming verify. Planted exact copies (+200000) land at distance 0.
+    "dedup_simhash_pairs_md5" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val dup = d.union(d.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val sim = Dedup.simhashMd5(dup, "doc_id", "text")
+      val chunks = sim.select(col("doc_id"), col("simhash_hex"),
+        posexplode(array((0 until 4).map(c =>
+          substring(col("simhash_hex"), c * 4 + 1, 4)): _*))
+          .as(Seq("chunk", "cv")))
+      val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          col("x.simhash_hex").as("ha"), col("y.simhash_hex").as("hb"))
+        .distinct()
+      def nib(c: Column, h: Int) = {
+        val a = ascii(substring(c, h + 1, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val ham = (0 until 16).map(h =>
+        bit_count(nib(col("ha"), h).bitwiseXOR(nib(col("hb"), h))))
+        .reduce(_ + _)
+      cand.filter(ham <= 3).select(col("id_a"), col("id_b"))
+    }),
     "dedup_simhash_fast" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text")),
     "jaccard_adjacent" -> ((s, dir) => {
@@ -939,9 +967,10 @@ object SparkEntry {
        |    SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)))""".stripMargin
   }
 
-  private def simhashSql: String = {
-    // mirror of Dedup.simhashMd5: 64 bit-votes from md5(token) nibbles,
-    // rendered as a 16-hex-char signature
+  /** Mirror of Dedup.simhashMd5 over the relation `src`: 64 bit-votes
+    * from md5(token) nibbles, rendered as a 16-hex-char signature.
+    */
+  private def simhashOverSql(src: String): String = {
     def asciiNib(h: Int) = {
       val a = s"ascii(substr(dg, ${h + 1}, 1))"
       s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END) AS n$h"
@@ -960,8 +989,38 @@ object SparkEntry {
        |    SELECT doc_id, $nibs FROM (
        |      SELECT doc_id, substr(md5(t), 1, 16) AS dg FROM (
        |        SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
-       |        FROM documents)))
+       |        FROM $src)))
        |  GROUP BY doc_id)""".stripMargin
+  }
+
+  private def simhashSql: String = simhashOverSql("documents")
+
+  private def simhashPairsSql: String = {
+    // mirror of dedup_simhash_pairs_md5: signature over documents ∪ exact
+    // copies, 16-bit (4 hex char) chunk blocking — a pair within Hamming
+    // distance 3 must agree on ≥1 of 4 chunks — then per-nibble
+    // xor/bit_count Hamming verification
+    def nib(c: String, h: Int) = {
+      val a = s"ascii(substr($c, ${h + 1}, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+    }
+    val ham = (0 until 16)
+      .map(h => s"bit_count(xor(${nib("ha", h)}, ${nib("hb", h)}))")
+      .mkString(" + ")
+    val chunkArr = (0 until 4).map(c => s"substr(simhash_hex, ${c * 4 + 1}, 4)")
+      .mkString("[", ", ", "]")
+    s"""WITH dup_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 15),
+       |sig AS (${simhashOverSql("dup_docs")}),
+       |ch AS (SELECT doc_id, simhash_hex, unnest([0, 1, 2, 3]) AS chunk,
+       |  unnest($chunkArr) AS cv FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  x.simhash_hex AS ha, y.simhash_hex AS hb
+       |  FROM ch x JOIN ch y
+       |    ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b FROM cand WHERE $ham <= 3""".stripMargin
   }
 
   /** CTE chain of the dedup_pairs_md5 mirror (documents ∪ planted →
@@ -1303,6 +1362,7 @@ object SparkEntry {
       "(SELECT min(doc_id) FROM documents GROUP BY text)"),
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs_md5" -> simhashPairsSql,
     // recursive-CTE mirror of hooking+shortcutting CC: a label c may hop
     // to any larger-id neighbor; min over all reachable labels per node
     "q_dedup_groups" -> ("WITH RECURSIVE " +
