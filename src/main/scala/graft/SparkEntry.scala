@@ -563,24 +563,31 @@ object SparkEntry {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val dup = d.union(d.filter(col("doc_id") < 15)
         .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      // persisted: the chunk self-join references the signature subtree
+      // on both sides, and Catalyst does not CSE subplans — without the
+      // cache the whole tokenize+vote aggregation runs twice
       val sim = Dedup.simhashMd5(dup, "doc_id", "text")
-      val chunks = sim.select(col("doc_id"), col("simhash_hex"),
-        posexplode(array((0 until 4).map(c =>
-          substring(col("simhash_hex"), c * 4 + 1, 4)): _*))
-          .as(Seq("chunk", "cv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // hex → 4×16-bit ints ONCE per doc, so the candidate verify is 4
+      // integer xor/popcounts instead of 16 per-nibble string extractions
+      // — at 16-bit blocking similar docs collide heavily (~190k
+      // candidates for 330 pairs at sf0.1), so per-candidate cost rules
+      val ints = sim.select(col("doc_id") +: (0 until 4).map(c =>
+        conv(substring(col("simhash_hex"), c * 4 + 1, 4), 16, 10)
+          .cast("long").as(s"c$c")): _*)
+      val chunks = ints.select(
+        (col("doc_id") +: (0 until 4).map(c => col(s"c$c"))) :+
+          posexplode(array((0 until 4).map(c => col(s"c$c")): _*))
+            .as(Seq("chunk", "cv")): _*)
       val cand = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          col("x.simhash_hex").as("ha"), col("y.simhash_hex").as("hb"))
+        .select(Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")) ++
+          (0 until 4).map(c => col(s"x.c$c").as(s"a$c")) ++
+          (0 until 4).map(c => col(s"y.c$c").as(s"b$c")): _*)
         .distinct()
-      def nib(c: Column, h: Int) = {
-        val a = ascii(substring(c, h + 1, 1))
-        when(a >= 97, a - 87).otherwise(a - 48)
-      }
-      val ham = (0 until 16).map(h =>
-        bit_count(nib(col("ha"), h).bitwiseXOR(nib(col("hb"), h))))
-        .reduce(_ + _)
+      val ham = (0 until 4).map(c =>
+        bit_count(col(s"a$c").bitwiseXOR(col(s"b$c")))).reduce(_ + _)
       cand.filter(ham <= 3).select(col("id_a"), col("id_b"))
     }),
     "dedup_simhash_fast" -> ((s, dir) =>
@@ -997,27 +1004,24 @@ object SparkEntry {
 
   private def simhashPairsSql: String = {
     // mirror of dedup_simhash_pairs_md5: signature over documents ∪ exact
-    // copies, 16-bit (4 hex char) chunk blocking — a pair within Hamming
-    // distance 3 must agree on ≥1 of 4 chunks — then per-nibble
-    // xor/bit_count Hamming verification
-    def nib(c: String, h: Int) = {
-      val a = s"ascii(substr($c, ${h + 1}, 1))"
-      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
-    }
-    val ham = (0 until 16)
-      .map(h => s"bit_count(xor(${nib("ha", h)}, ${nib("hb", h)}))")
-      .mkString(" + ")
-    val chunkArr = (0 until 4).map(c => s"substr(simhash_hex, ${c * 4 + 1}, 4)")
-      .mkString("[", ", ", "]")
+    // copies, hex → 4×16-bit ints, chunk-equality blocking — a pair
+    // within Hamming distance 3 must agree on ≥1 of 4 chunks — then a
+    // 4-term integer xor/bit_count Hamming verification
+    val toInts = (0 until 4).map(c =>
+      s"('0x' || substr(simhash_hex, ${c * 4 + 1}, 4))::BIGINT AS c$c")
+      .mkString(", ")
+    val ham = (0 until 4).map(c => s"bit_count(xor(a$c, b$c))").mkString(" + ")
+    val xs = (0 until 4).map(c => s"x.c$c AS a$c").mkString(", ")
+    val ys = (0 until 4).map(c => s"y.c$c AS b$c").mkString(", ")
     s"""WITH dup_docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 15),
        |sig AS (${simhashOverSql("dup_docs")}),
-       |ch AS (SELECT doc_id, simhash_hex, unnest([0, 1, 2, 3]) AS chunk,
-       |  unnest($chunkArr) AS cv FROM sig),
-       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-       |  x.simhash_hex AS ha, y.simhash_hex AS hb
+       |si AS (SELECT doc_id, $toInts FROM sig),
+       |ch AS (SELECT doc_id, c0, c1, c2, c3, unnest([0, 1, 2, 3]) AS chunk,
+       |  unnest([c0, c1, c2, c3]) AS cv FROM si),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, $xs, $ys
        |  FROM ch x JOIN ch y
        |    ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id)
        |SELECT id_a, id_b FROM cand WHERE $ham <= 3""".stripMargin
