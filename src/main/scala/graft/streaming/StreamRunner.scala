@@ -119,9 +119,10 @@ object StreamRunner {
   def streamStreamJoin(left: DataFrame, leftTsCol: String,
                        right: DataFrame, rightTsCol: String,
                        watermarkDelay: String,
-                       condition: org.apache.spark.sql.Column): DataFrame =
+                       condition: org.apache.spark.sql.Column,
+                       joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTsCol, watermarkDelay)
-      .join(right.withWatermark(rightTsCol, watermarkDelay), condition)
+      .join(right.withWatermark(rightTsCol, watermarkDelay), condition, joinType)
 
   /** Streaming exact dedup: drop rows whose `keyCols` repeat within the
     * watermark horizon. The streaming face of [[graft.operators.Dedup]]:

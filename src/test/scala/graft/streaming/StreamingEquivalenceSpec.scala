@@ -171,6 +171,46 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       s"only user 1's in-window error should join, got $got")
   }
 
+  test("left-outer stream-stream join emits the unmatched row after watermark eviction") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1704100000000L + sec * 1000L)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp)]
+    val p = purchases.toDF().toDF("p_user", "p_ts")
+    val e = errors.toDF().toDF("e_user", "e_ts")
+    val joined = StreamRunner.streamStreamJoin(p, "p_ts", e, "e_ts", "5 seconds",
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 30 seconds") &&
+        col("e_ts") <= col("p_ts"),
+      joinType = "leftOuter")
+    val q = StreamRunner.memorySink(
+      joined.select("p_user", "p_ts", "e_ts"), "stream_ssjoin_lo_out")
+    try {
+      // user 1 has a matching error; user 2 has none. The null-extended
+      // row for user 2 can only be emitted once BOTH watermarks pass its
+      // join window (t60 + 30s lookback + 5s delay), so later batches
+      // advance event time past that point first.
+      errors.addData((1L, ts(0)))
+      purchases.addData((1L, ts(10)), (2L, ts(60)))
+      q.processAllAvailable()
+      errors.addData((99L, ts(300)))
+      purchases.addData((99L, ts(300)))
+      q.processAllAvailable()
+      errors.addData((98L, ts(600)))
+      purchases.addData((98L, ts(600)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_ssjoin_lo_out")
+      .filter(col("p_user") <= 2L)
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(2)))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq((1L, Some(new java.sql.Timestamp(1704100000000L))),
+      (2L, None)),
+      s"user 1 joins its error, user 2 surfaces null-extended, got $got")
+  }
+
   test("stream-static join enriches streaming rows from a broadcast dimension") {
     val s = spark
     import s.implicits._
