@@ -118,6 +118,28 @@ class PlanShapeSpec extends SparkTestBase {
       s"everything clusters by doc_id off one shuffle:\n$p")
   }
 
+  test("q_filter_funnel: one scan, zero exchanges, partial aggregation") {
+    val p = plan("q_filter_funnel")
+    assert(countOf(p, "Scan parquet") == 1,
+      s"all funnel rules in ONE scan, never one per rule:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 0,
+      s"global agg + stack needs no hash exchange:\n$p")
+    assert(p.contains("partial"), s"map-side partial flags expected:\n$p")
+  }
+
+  test("q_quantiles: rank window, count window, and final agg off one exchange") {
+    val p = plan("q_quantiles")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"key clustering must be reused by both windows and the agg:\n$p")
+  }
+
+  test("q_zorder / q_weighted_sample: narrow maps, zero exchanges") {
+    Seq("q_zorder", "q_weighted_sample").foreach { q =>
+      val p = plan(q)
+      assert(countOf(p, "Exchange") == 0, s"$q must be a narrow map:\n$p")
+    }
+  }
+
   test("parity surface plans contain no UDF nodes (codegen everywhere)") {
     Seq("drop_nested", "hoist_keep", "to_json_map", "drop_schemaless").foreach { q =>
       val p = plan(q)
