@@ -21,19 +21,21 @@ import org.apache.spark.sql.functions._
   *    → faster, lower recall). This is the 100 TB path: bucket ids shuffle,
   *    vectors stay partition-local until the final candidate join.
   *
-  * All arithmetic is double-precision and sequential (`aggregate` over
-  * `zip_with`), keeping results deterministic and engine-comparable.
+  * All arithmetic is double-precision and sequential (native codegen
+  * [[graft.functions.DotProduct]]/[[graft.functions.SqL2Dist]] folds),
+  * keeping results deterministic and engine-comparable.
   */
 object Similarity {
 
-  /** Sequential double-precision dot product of two float-array columns. */
+  /** Sequential double-precision dot product of two float-array columns —
+    * a native codegen Expression ([[graft.functions.DotProduct]]); the
+    * interpreted `aggregate`/`zip_with` twin it replaced is ~30× slower
+    * per evaluation and bit-identical (`VectorOpsSpec` asserts it).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.dot_product(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -93,18 +95,42 @@ object Similarity {
     // near-dup pair another chance to collide — recall 1-(1-p)^T for
     // per-table collision probability p, at T× candidate cost.
     val allPlanes = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t))
-    val withBucket = df.select(col(idCol), col(vecCol).as("__v"),
-      posexplode(array(allPlanes.map(p => lshBucket(col(vecCol), p)): _*))
+    // norms are computed ONCE per vector, here, and carried alongside:
+    // Spark's array higher-order functions (aggregate/zip_with) are
+    // interpreted, not codegen'd, so each cosine() call costs three HOF
+    // evaluations (dot + both norms) — on candidate sets that is the
+    // dominant term. With precomputed norms each candidate pays one dot.
+    // dot/(na*nb) multiplies in the same order as cosine(), so the
+    // verified values stay bit-identical.
+    val withNorm = df.select(col(idCol), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    val withBucket = withNorm.select(col(idCol), col("__v"), col("__n"),
+      posexplode(array(allPlanes.map(p => lshBucket(col("__v"), p)): _*))
         .as(Seq("__table", "__bucket")))
     val w = Window.partitionBy("__table", "__bucket")
     val withStats = withBucket.withColumn("__cnt", count(lit(1)).over(w))
-    val smallPairs = withStats
+    // candidates are enumerated as ID pairs by a codegen'd self-join on
+    // the bucket key (not collect_list + an interpreted pair-array HOF,
+    // and never carrying vectors: that materializes O(bucket²·dim) per
+    // group — the step that blows up on dup-heavy corpora, where a true
+    // clique of size m contributes m²/2 vector copies). Pairs are deduped
+    // across tables FIRST, then the vectors+norms join back for exactly
+    // one codegen'd dot product per distinct candidate.
+    val smallIds = withStats
       .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
-      .groupBy("__table", "__bucket")
-      .agg(collect_list(struct(col(idCol).as("id"), col("__v").as("v"))).as("xs"))
-      .select(explode(Dedup.sortedPairs(col("xs"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        cosine(col("p.a.v"), col("p.b.v")).as("cosine"))
+      .select(col("__table"), col("__bucket"), col(idCol))
+    val smallPairs = smallIds.as("x").join(smallIds.as("y"),
+      col("x.__table") === col("y.__table") &&
+        col("x.__bucket") === col("y.__bucket") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+      .join(withNorm.select(col(idCol).as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na")), "id_a")
+      .join(withNorm.select(col(idCol).as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
     // oversized buckets: chain pairs sorted by a hash of the raw vector —
     // identical vectors (the actual duplicates) sort adjacent and stay
     // linked; links between unrelated members fail the cosine filter
@@ -112,11 +138,12 @@ object Similarity {
       .orderBy(xxhash64(col("__v")), col(idCol))
     val chainPairs = withStats
       .filter(col("__cnt") > maxBucket)
-      .withColumn("__nx", lead(struct(col(idCol).as("id"), col("__v").as("v")), 1).over(wOrd))
+      .withColumn("__nx", lead(struct(col(idCol).as("id"), col("__v").as("v"),
+        col("__n").as("n")), 1).over(wOrd))
       .filter(col("__nx").isNotNull)
       .select(least(col(idCol), col("__nx.id")).as("id_a"),
         greatest(col(idCol), col("__nx.id")).as("id_b"),
-        cosine(col("__v"), col("__nx.v")).as("cosine"))
+        (dot(col("__v"), col("__nx.v")) / (col("__n") * col("__nx.n"))).as("cosine"))
     smallPairs.union(chainPairs).filter(col("cosine") >= minCosine).distinct()
   }
 
@@ -197,17 +224,16 @@ object Similarity {
     * assignment is a narrow map over the corpus — no shuffle, no UDF.
     */
   def ivfCellCol(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = centroids.map { c =>
-      aggregate(
-        zip_with(vec, typedlit(c.toSeq), (x, y) => {
-          val d = x.cast("double") - y; d * d
-        }),
-        lit(0.0), (acc, v) => acc + v)
-    }
-    val minDist = dists.reduce((a, b) => least(a, b))
-    dists.zipWithIndex.foldRight(lit(-1): Column) { case ((d, i), els) =>
-      when(d === minDist, lit(i)).otherwise(els)
-    }
+    // every distance is evaluated exactly ONCE into an array, then the
+    // cell is the first index of the minimum. The least()/CASE-chain
+    // formulation this replaces re-evaluated each distance up to ~nlist
+    // times per row: conditionally-evaluated branches are excluded from
+    // Spark's common-subexpression elimination, so nothing deduped them.
+    // array_position picks the FIRST occurrence of the min — the same
+    // lowest-index tie-break as the DuckDB oracle's list_position.
+    val dists = array(centroids.map(c =>
+      graft.functions.VectorOps.sq_l2_dist(vec, typedlit(c.toSeq))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** Deterministic data-INDEPENDENT coarse quantizer: seeded Gaussian
@@ -257,9 +283,7 @@ object Similarity {
                        nprobe: Int): Column = {
     val distStructs = centroids.zipWithIndex.map { case (cArr, i) =>
       struct(
-        aggregate(zip_with(vec, typedlit(cArr.toSeq), (x, y) => {
-          val d = x.cast("double") - y; d * d
-        }), lit(0.0), (acc, v) => acc + v).as("d"),
+        graft.functions.VectorOps.sq_l2_dist(vec, typedlit(cArr.toSeq)).as("d"),
         lit(i).as("cell"))
     }
     slice(transform(array_sort(array(distStructs: _*)), s => s.getField("cell")),
