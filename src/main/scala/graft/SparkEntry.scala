@@ -93,28 +93,34 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** q_partition_prune's layout write, once per (JVM, sfDir), into a
-    * process-unique tmp directory. A fixed path keyed only by sfDir let
-    * two concurrent drivers (Bench vs Verify vs PlanAudit) race: one
-    * process's mode(overwrite) deletes the directory while the other is
-    * mid-read. The UUID tag isolates processes; the memoization makes
-    * repeated constructions (bench reps, plan audits) reuse the written
-    * layout instead of re-running the job; the shutdown hook cleans up so
-    * directories don't accumulate per run.
+  /** Write-once materialization for queries that exercise a write path
+    * (layout, CSV/JSONL round trips): runs `write` once per
+    * (JVM, key, sfDir) into a process-unique tmp directory. A fixed path
+    * keyed only by sfDir let two concurrent drivers (Bench vs Verify vs
+    * PlanAudit) race: one process's mode(overwrite) deletes the directory
+    * while the other is mid-read. The UUID tag isolates processes; the
+    * memoization makes repeated constructions (bench reps, plan audits)
+    * reuse the written data instead of re-running the job; the shutdown
+    * hook cleans up so directories don't accumulate per run.
     */
   private val layoutTag = java.util.UUID.randomUUID().toString.take(8)
-  private val layoutDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def prunedLayoutDir(s: SparkSession, dir: String): String =
-    layoutDirs.computeIfAbsent(dir, _ => {
+  private val matDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def materializedDir(key: String, dir: String)
+                             (write: String => Unit): String =
+    matDirs.computeIfAbsent((key, dir), _ => {
       val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_layout_${layoutTag}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.sources.Layout.writePartitioned(
-        events(s, dir).select(col("event_id"), col("user_id"), col("event_type")),
-        out.getAbsolutePath, Seq("event_type"))
+        s"graft_${key}_${layoutTag}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      write(out.getAbsolutePath)
       sys.addShutdownHook(deleteRecursively(out))
       out.getAbsolutePath
     })
+
+  private def prunedLayoutDir(s: SparkSession, dir: String): String =
+    materializedDir("layout", dir)(out =>
+      graft.sources.Layout.writePartitioned(
+        events(s, dir).select(col("event_id"), col("user_id"), col("event_type")),
+        out, Seq("event_type")))
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
@@ -481,6 +487,42 @@ object SparkEntry {
       // shift/mask/or integer arithmetic, bit-identical in any engine
       graft.functions.ZOrder.zValue(col("user_id"),
         col("event_id").bitwiseAND(lit(1023L)), bits = 16).as("z"))),
+    // CSV landing-format round trip: orders columns written to headered
+    // CSV once per JVM (process-unique dir, same memoization as
+    // q_partition_prune), read back under an EXPLICIT schema, aggregated.
+    // Doubles survive the text round trip exactly (shortest-round-trip
+    // rendering), so the cents sums match the parquet-side oracle
+    // bit-for-bit.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val path = materializedDir("csv", dir)(out =>
+        graft.sources.Formats.writeCsv(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")), out))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderpriority", StringType),
+        StructField("o_totalprice", DoubleType)))
+      graft.sources.Formats.readCsv(s, path, schema)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+    }),
+    // JSON-lines round trip (the other universal landing format), same
+    // write-once pattern; events' nanos ts column is deliberately not
+    // round-tripped — JSON has no nanos type, the value/type columns do
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val path = materializedDir("jsonl", dir)(out =>
+        graft.sources.Formats.writeJsonl(events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")), out))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      graft.sources.Formats.readJsonl(s, path, schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("sum_value_cents"))
+    }),
     "q_scalar_funcs" -> ((s, dir) => Tables.orders(s, dir).select(
       col("o_orderkey"),
       upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
@@ -602,6 +644,22 @@ object SparkEntry {
           size(array_union(col("ts_a"), col("ts_b"))).cast("long").as("union_cnt"))
     }),
 
+    // incremental ingestion dedup: the planted near-dup batch (docs 0..19
+    // perturbed, id+100000) matched against the EXISTING corpus as an
+    // index — the corpus band table never reshuffles, the batch's bands
+    // broadcast into it. Same md5-portable signature/band/verify
+    // semantics as dedup_pairs_md5, so the whole incremental path
+    // hash-checks against the shared pair oracle restricted to
+    // index→batch pairs.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val batch = d.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      Dedup.dedupAgainstIndex(d, batch, "doc_id", "text",
+        shingleSize = 3, numHashes = 8)
+    }),
+
     // ---- LLM pipeline: similarity search
     "ann_cosine" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -680,6 +738,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // per-label centroid accumulators (the aggregation step of
+    // distributed k-means / a corpus-diversity profile): fixed-point
+    // component sums so the result is reduction-order-independent and
+    // engine-exact; the shuffle is bounded at labels × dims rows per
+    // partition by map-side partial aggregation
+    "q_centroids" -> ((s, dir) =>
+      Similarity.labelCentroidSums(Tables.embeddings(s, dir),
+        "label", "embedding", scaleBits = 20)),
+
     // as-of join: each purchase event picks up the user's most recent
     // PRIOR error-event timestamp (point-in-time lookup). Epoch micros on
     // both sides; DuckDB oracles it with a native ASOF LEFT JOIN.
@@ -722,8 +789,9 @@ object SparkEntry {
     // runs the bloom-build job (an inherent action, same as Spark's own
     // runtime filters building during execution). Map invariant:
     // construction may run driver-side jobs for q_bloom_join (bloom
-    // build, every construction), q_partition_prune (layout write, first
-    // construction per JVM+sfDir — see prunedLayoutDir), ann_ivf
+    // build, every construction), q_partition_prune / q_csv_roundtrip /
+    // q_jsonl_roundtrip (layout/format writes, first construction per
+    // JVM+key+sfDir — see materializedDir), ann_ivf
     // (bounded centroid-training sample: count + collect), and the
     // entries probing the embedding dim with a 1-row head (ann_lsh,
     // dedup_embedding_pairs, dedup_emb_pairs_ora). All are constant-cost
@@ -804,6 +872,23 @@ object SparkEntry {
     // actually runs at 100 TB (one pass, not one scan per feature)
     "text_analyze_all" -> ((s, dir) =>
       TextAnalysis.analyze(docs(s, dir), "doc_id", "text")),
+    // classifier-shaped quality filter: a linear model with integer
+    // weights over the quality features — one narrow codegen'd
+    // projection, zero shuffles; `keep` as 0/1 so the output stays
+    // integer-typed in every reader
+    "q_quality_score" -> ((s, dir) => {
+      val score = TextAnalysis.linearQualityScore(col("text"), Seq(
+        "n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
+        "punct_cnt" -> -5L, "digit_cnt" -> -10L))
+      docs(s, dir).select(col("doc_id"), score.as("q_score"),
+        when(score >= 600L, 1L).otherwise(0L).as("keep"))
+    }),
+    // cross-document boilerplate: distinct 3-grams per doc scored by
+    // corpus-wide document frequency; grams in >= 5 docs count as
+    // boilerplate (the CCNet-style repeated-span signal)
+    "q_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateStats(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, minDocs = 5)),
     "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))),
     // custom codegen'd Catalyst Expression flavor (engine hash → rows-only)
@@ -1187,6 +1272,19 @@ object SparkEntry {
     "dedup_emb_pairs_ora" -> embPairsSql,
     "dedup_pairs_md5" -> pairsMd5Sql,
     "dedup_e2e_md5" -> e2eMd5Sql,
+    // incremental = the shared pair pipeline restricted to index→batch
+    // pairs (old ids < 100000 < planted batch ids), min index match per
+    // batch doc; min(BIGINT) stays BIGINT (no HUGEINT trap)
+    "dedup_incremental" -> (s"WITH $pairsMd5Ctes\n" +
+      "SELECT id_b AS doc_id, min(id_a) AS dup_of FROM pr " +
+      "WHERE id_b >= 100000 AND id_a < 100000 GROUP BY id_b"),
+    // parallel unnests zip positionally; a binary32 float times 2^20 is
+    // exact in double (exponent shift), so floor+sum are engine-exact
+    "q_centroids" -> ("SELECT label, d AS dim, count(*) AS n, " +
+      "CAST(sum(q) AS BIGINT) AS sum_q FROM (" +
+      "SELECT label, unnest(range(0, len(embedding))) AS d, " +
+      "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS q " +
+      "FROM embeddings) GROUP BY label, d"),
     "drop_nested" -> "SELECT event_id, user_id, value AS v FROM events",
     "drop_subtree" -> "SELECT event_id, value AS v FROM events",
     "drop_schemaless" -> ("SELECT event_id, concat('{\"user_id\":', user_id, " +
@@ -1356,6 +1454,14 @@ object SparkEntry {
       "EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000"),
     "q_partition_prune" ->
       "SELECT event_id, user_id FROM events WHERE event_type = 'purchase'",
+    // round trips: the oracle reads the ORIGINAL parquet — any loss in
+    // the engine's text-format write/read path would hash-fail here
+    "q_csv_roundtrip" -> ("SELECT o_orderpriority, count(*) AS n_orders, " +
+      s"${sumCentsSql("o_totalprice")} AS sum_price_cents " +
+      "FROM orders GROUP BY o_orderpriority"),
+    "q_jsonl_roundtrip" -> ("SELECT event_type, count(*) AS n_events, " +
+      s"${sumCentsSql("value")} AS sum_value_cents " +
+      "FROM events GROUP BY event_type"),
     "q_scalar_funcs" -> ("SELECT o_orderkey, upper(substr(o_orderpriority, 1, 3)) AS prio3, " +
       "CAST(length(o_orderstatus) AS INT) AS status_len, " +
       "CAST(floor(o_totalprice) AS BIGINT) AS price_floor, " +
@@ -1489,6 +1595,31 @@ object SparkEntry {
       "FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents)"),
     "text_langid" -> langIdSql,
     "text_analyze_all" -> analyzeAllSql,
+    // mirror of TextAnalysis.linearQualityScore with the q_quality_score
+    // weights: plain BIGINT arithmetic (only sum() aggregates go HUGEINT)
+    "q_quality_score" -> ("SELECT doc_id, q_score, " +
+      "CAST(CASE WHEN q_score >= 600 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM (" +
+      "SELECT doc_id, " +
+      "2 * len(string_split(n, ' '))::BIGINT " +
+      "+ floor(length(replace(n, ' ', '')) * 100.0 / len(string_split(n, ' ')))::BIGINT " +
+      "- 5 * (length(n) - length(translate(n, '.,!?;:', '')))::BIGINT " +
+      "- 10 * (length(n) - length(translate(n, '0123456789', '')))::BIGINT AS q_score " +
+      "FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents))"),
+    // mirror of TextAnalysis.boilerplateStats: DISTINCT 3-grams per doc,
+    // corpus-wide document frequency, >= 5 docs flags boilerplate; `//`
+    // == Spark's `div` on the non-negative operands
+    "q_boilerplate" -> ("WITH sh AS (" +
+      "SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 " +
+      "THEN list_distinct(list_transform(range(0, len(toks) - 2), " +
+      "i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) " +
+      "ELSE [array_to_string(toks, ' ')] END) AS g " +
+      s"FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)), " +
+      "dfreq AS (SELECT g, count(*) AS gdf FROM sh GROUP BY g), " +
+      "per AS (SELECT s.doc_id, count(*) AS n_grams, " +
+      "CAST(sum(CASE WHEN d.gdf >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler " +
+      "FROM sh s JOIN dfreq d ON s.g = d.g GROUP BY s.doc_id) " +
+      "SELECT doc_id, n_grams, n_boiler, " +
+      "(n_boiler * 1000) // n_grams AS boiler_permille FROM per"),
     "text_fingerprint" -> s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     "multimodal_meta" -> ("SELECT doc_id, 'application/octet-stream' AS mime, " +
       "CAST(octet_length(encode(text)) % 1024 AS INT) AS width, " +

@@ -255,6 +255,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental dedup: match a (small) ingestion batch against an
+    * existing corpus INDEX without re-deduping the corpus. Returns one row
+    * per batch document that near-dup-matches an index document:
+    * (`idCol`, `dup_of` = smallest matching index id).
+    *
+    * This is the shape continuous ingestion needs at 100 TB: the corpus
+    * signature/band table is computed once (in production: precomputed and
+    * stored, bucketed by band value) and NEVER reshuffles per batch — the
+    * batch's band table is broadcast into it, so candidate generation is a
+    * map-side join over the index. Verification joins only the candidate
+    * ids back to the two shingle-set tables; the corpus text itself never
+    * moves. Uses the md5-portable signature flavor so the whole path is
+    * oracle-checkable; semantics (3-shingles, 8 lanes, 2-lane bands,
+    * integer-arithmetic jaccard >= 1/2 verify) match [[minhashSignatureMd5]]
+    * / the dedup_pairs_md5 pipeline exactly.
+    */
+  def dedupAgainstIndex(index: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
+    require(numHashes % 2 == 0, "bands are 2 lanes wide: numHashes must be even")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // both sides referenced twice (banding + verify join-back); Catalyst
+    // does not CSE subplans, so persist the signature+set tables
+    val idx = minhashSignatureMd5WithSets(index, idCol, textCol, shingleSize, numHashes).persist(lvl)
+    val bat = minhashSignatureMd5WithSets(batch, idCol, textCol, shingleSize, numHashes).persist(lvl)
+    // band value = band index ++ its two lanes — band-equality join needs
+    // no (band, value) composite key
+    def bands(df: DataFrame, as: String): DataFrame = df.select(col(idCol).as(as),
+      explode(array((0 until numHashes / 2).map(b =>
+        concat(lit(b.toString), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as("bv"))
+    val cand = bands(idx, "index_id")
+      .join(broadcast(bands(bat, "batch_id")), "bv")
+      .select(col("batch_id"), col("index_id")).distinct()
+    cand
+      .join(broadcast(bat.select(col(idCol).as("batch_id"), col("sh").as("sh_b"))), "batch_id")
+      .join(idx.select(col(idCol).as("index_id"), col("sh").as("sh_a")), "index_id")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 2 >=
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .groupBy(col("batch_id").as(idCol))
+      .agg(min(col("index_id")).as("dup_of"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word tokens. Explode + groupBy keeps it one

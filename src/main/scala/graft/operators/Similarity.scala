@@ -310,4 +310,31 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Per-label centroid accumulators — the corpus-diversity profile (and
+    * the aggregation step of distributed k-means): for every (label, dim),
+    * the vector count and the sum of fixed-point-scaled components.
+    *
+    * Components are scaled by 2^`scaleBits` and floored to longs BEFORE
+    * summing: a binary32 float times a power of two is exact in double
+    * (exponent shift, mantissa untouched), and long sums are
+    * order-independent — so the result is bit-identical in any engine,
+    * unlike a double sum whose value depends on reduction order. The mean
+    * is left to the consumer (`sum_q / n` at whatever precision it wants).
+    *
+    * Scale shape: posexplode fans each vector into `dim` rows, but the
+    * hash aggregate's map-side partial reduction bounds the shuffle at
+    * (labels × dims) rows PER PARTITION regardless of corpus size — the
+    * classic combiner pattern; no vector ever crosses the wire whole.
+    */
+  def labelCentroidSums(df: DataFrame, labelCol: String, vecCol: String,
+                        scaleBits: Int = 20): DataFrame = {
+    require(scaleBits > 0 && scaleBits < 40, "scale must stay well inside long range")
+    val scale = (1L << scaleBits).toDouble
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .select(col(labelCol), col("__d").cast("long").as("dim"),
+        floor(col("__v").cast("double") * scale).cast("long").as("__q"))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__q")).as("sum_q"))
+  }
 }

@@ -150,6 +150,53 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  /** Linear quality model over [[qualityFeatures]] — the shape of the
+    * classifier-based filter every curation pipeline runs (fasttext-style
+    * scorers reduce to exactly this after feature extraction: a dot
+    * product with fixed weights). Integer weights over integer features
+    * keep the score exact and engine-portable; swapping in trained
+    * weights changes nothing about the plan — still one narrow codegen'd
+    * projection, zero shuffles, scan-speed at 100 TB.
+    */
+  def linearQualityScore(c: Column, weights: Seq[(String, Long)],
+                         bias: Long = 0L): Column = {
+    val feats = qualityFeatures(c).toMap
+    weights.map { case (name, w) =>
+      require(feats.contains(name), s"unknown quality feature: $name")
+      feats(name) * lit(w)
+    }.reduce(_ + _) + lit(bias)
+  }
+
+  /** Cross-document boilerplate statistics: for each document, how many of
+    * its distinct `shingleSize`-gram spans also appear in at least
+    * `minDocs` documents corpus-wide (headers, footers, licence blocks,
+    * navigation chrome — the spans CCNet-style pipelines strip or
+    * down-weight). Output per doc: distinct-gram count, boilerplate-gram
+    * count, and the ratio in permille (integer, engine-exact).
+    *
+    * Scale shape: grams reduce to DISTINCT (doc, gram) rows first, so a
+    * span repeated inside one document votes once; the document-frequency
+    * aggregate and the flag join are both keyed on the gram, so the
+    * join-back reuses the aggregation's hash partitioning (no extra
+    * exchange between them), and per-doc totals are one further shuffle
+    * on the id. Nothing is ever all-pairs and no gram list is collected
+    * to the driver.
+    */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, minDocs: Int = 5): DataFrame = {
+    val grams = Dedup.explodedShingles(df, idCol, textCol, shingleSize)
+      .select(col(idCol), col("__sh")).distinct()
+    val dfreq = grams.groupBy(col("__sh"))
+      .agg(count(lit(1)).as("__gdf"))
+    grams.join(dfreq, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__gdf") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      // both operands non-negative, so truncating `div` == floor division
+      // — identical to the oracle's `//`
+      .withColumn("boiler_permille", expr("(n_boiler * 1000) div n_grams"))
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Multi-format batch sources/sinks beyond parquet: CSV and JSON-lines —
+  * the two interchange formats every ingestion pipeline meets before data
+  * is columnarized.
+  *
+  * Ground rules at scale, encoded here rather than left to callers:
+  *  - ALWAYS read with an explicit schema. Inference is an extra full
+  *    scan before the real one (2× the 100 TB read) and can silently
+  *    change dtypes between runs as data drifts.
+  *  - Both formats as written here are splittable (uncompressed, one
+  *    record per line), so a 1000-executor cluster parallelizes the scan
+  *    by byte ranges; gzip would serialize each file to one task.
+  *  - These are row formats: no column pruning, no predicate pushdown, no
+  *    min/max skipping. They are the LANDING format — convert to parquet
+  *    once, query forever; never run the analytics tier off CSV.
+  *
+  * Numeric fidelity: Spark writes doubles via shortest-round-trip
+  * rendering (Java `Double.toString` semantics), so a
+  * write→read round trip through either text format reproduces the exact
+  * binary64 values — asserted in `FormatsSpec`.
+  */
+object Formats {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -161,6 +161,39 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(0L, 1L, 4L), s"got $kept")
   }
 
+  test("dedupAgainstIndex matches batch docs to their index originals only") {
+    val s = spark
+    import s.implicits._
+    // batch: a near-dup of doc 0 (one word dropped), an exact copy of
+    // doc 1, and a genuinely novel doc that must NOT match anything
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "a completely different document about spark query engines and columnar data"),
+      (102L, "entirely novel content no index document resembles in any way at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstIndex(docsDf, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(100L, 101L), s"got ${out.keySet}")
+    assert(out(100L) == 0L, "near-dup maps to its smallest index match")
+    assert(out(101L) == 1L, "exact copy maps to its original")
+  }
+
+  test("dedupAgainstIndex on the sf0.001 planted batch finds every plant") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val batch = d.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+    val out = Dedup.dedupAgainstIndex(d, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 20, s"all 20 planted near-dups match, got ${out.size}")
+    // the corpus itself contains duplicate texts among the low ids, so a
+    // plant may match an EARLIER copy of its original — but never a
+    // later doc than the one it was planted from
+    assert(out.forall { case (b, o) => o <= b - 100000 },
+      s"each plant matches no later than its own original: $out")
+  }
+
   test("shingles: short documents fall back to whole-text shingle") {
     val s = spark
     import s.implicits._

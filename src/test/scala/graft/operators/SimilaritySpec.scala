@@ -151,6 +151,26 @@ class SimilaritySpec extends SparkTestBase {
       cents.flatten.toSeq, "fixed centroids are deterministic")
   }
 
+  test("labelCentroidSums matches a local fixed-point reference exactly") {
+    val s = spark
+    import s.implicits._
+    val labeled = embDf.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val got = Similarity.labelCentroidSums(labeled, "label", "embedding", scaleBits = 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // local reference: same floor(v * 2^20) fixed-point accumulation
+    val local = labeled.select("label", "embedding").collect()
+      .flatMap { r =>
+        val l = r.getInt(0)
+        r.getSeq[Float](1).zipWithIndex.map { case (v, d) =>
+          (l, d.toLong) -> math.floor(v.toDouble * (1L << 20)).toLong
+        }
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> (vs.length.toLong, vs.map(_._2).sum) }
+    assert(got == local)
+    assert(got.keys.map(_._1).toSet == Set(0, 1, 2))
+    assert(got.keys.count(_._1 == 0) == 16, "one row per (label, dim)")
+  }
+
   test("lshBucket is deterministic across invocations (seeded planes)") {
     val planes = Similarity.hyperplanes(8, 16, seed = 42L)
     val planes2 = Similarity.hyperplanes(8, 16, seed = 42L)

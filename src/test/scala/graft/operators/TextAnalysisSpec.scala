@@ -93,6 +93,49 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(row.getLong(1) == 2L && row.getLong(2) == 1L)
   }
 
+  test("linearQualityScore is the exact weighted feature sum") {
+    val s = spark
+    import s.implicits._
+    // "ab cd. 12" → n_tokens=3, noSpace=7 chars → mean_x100=233,
+    // punct=1, digit=2
+    val score = Seq("ab cd. 12").toDF("t")
+      .select(TextAnalysis.linearQualityScore(col("t"), Seq(
+        "n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
+        "punct_cnt" -> -5L, "digit_cnt" -> -10L), bias = 7L).as("q"))
+      .head().getLong(0)
+    assert(score == 2 * 3 + 233 - 5 * 1 - 10 * 2 + 7, s"got $score")
+  }
+
+  test("linearQualityScore rejects unknown feature names") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.linearQualityScore(col("t"), Seq("no_such_feature" -> 1L))
+    }
+  }
+
+  test("boilerplateStats flags grams shared across enough documents") {
+    val s = spark
+    import s.implicits._
+    // "c1 c2 c3" appears in docs 0,1,2 (and twice inside doc 0 — must
+    // count once); docs 3,4 share nothing with anyone
+    val corpus = Seq(
+      (0L, "c1 c2 c3 x1 x2 c1 c2 c3"),
+      (1L, "c1 c2 c3 y1 y2 y3"),
+      (2L, "z1 c1 c2 c3 z2"),
+      (3L, "u1 u2 u3 u4"),
+      (4L, "v1 v2 v3 v4"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStats(corpus, "doc_id", "text",
+      shingleSize = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 0: 8 tokens → 6 gram positions, 'c1 c2 c3' occurs twice →
+    //        5 distinct grams, 1 of them boilerplate → 200 permille
+    assert(out(0L) == ((5L, 1L, 200L)), s"got ${out(0L)}")
+    assert(out(1L) == ((4L, 1L, 250L)))
+    assert(out(2L) == ((3L, 1L, 333L)))
+    assert(out(3L) == ((2L, 0L, 0L)) && out(4L) == ((2L, 0L, 0L)))
+  }
+
   test("analyze() bundles all features per doc") {
     val out = TextAnalysis.analyze(df, "doc_id", "text")
     assert(out.count() == 5)
