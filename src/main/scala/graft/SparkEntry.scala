@@ -523,6 +523,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(cents(col("value"))).as("sum_value_cents"))
     }),
+    // ORC round trip: columnar, self-describing (schema + stats embedded)
+    // — the read side gets pruning/pushdown like parquet, asserted in
+    // FormatsSpec; binary column values survive exactly, so the oracle
+    // off the original parquet hash-matches
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = materializedDir("orc", dir)(out =>
+        graft.sources.Formats.writeOrc(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")), out))
+      graft.sources.Formats.readOrc(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+    }),
     "q_scalar_funcs" -> ((s, dir) => Tables.orders(s, dir).select(
       col("o_orderkey"),
       upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
@@ -789,9 +802,9 @@ object SparkEntry {
     // runs the bloom-build job (an inherent action, same as Spark's own
     // runtime filters building during execution). Map invariant:
     // construction may run driver-side jobs for q_bloom_join (bloom
-    // build, every construction), q_partition_prune / q_csv_roundtrip /
-    // q_jsonl_roundtrip (layout/format writes, first construction per
-    // JVM+key+sfDir — see materializedDir), ann_ivf
+    // build, every construction), q_partition_prune and the
+    // q_csv/jsonl/orc_roundtrip family (layout/format writes, first
+    // construction per JVM+key+sfDir — see materializedDir), ann_ivf
     // (bounded centroid-training sample: count + collect), and the
     // entries probing the embedding dim with a 1-row head (ann_lsh,
     // dedup_embedding_pairs, dedup_emb_pairs_ora). All are constant-cost
@@ -1462,6 +1475,9 @@ object SparkEntry {
     "q_jsonl_roundtrip" -> ("SELECT event_type, count(*) AS n_events, " +
       s"${sumCentsSql("value")} AS sum_value_cents " +
       "FROM events GROUP BY event_type"),
+    "q_orc_roundtrip" -> ("SELECT l_returnflag, count(*) AS n_items, " +
+      s"${sumCentsSql("l_quantity")} AS sum_qty_cents " +
+      "FROM lineitem GROUP BY l_returnflag"),
     "q_scalar_funcs" -> ("SELECT o_orderkey, upper(substr(o_orderpriority, 1, 3)) AS prio3, " +
       "CAST(length(o_orderstatus) AS INT) AS status_len, " +
       "CAST(floor(o_totalprice) AS BIGINT) AS price_floor, " +

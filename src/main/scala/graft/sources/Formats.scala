@@ -36,4 +36,14 @@ object Formats {
 
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC — the other columnar warehouse format. Unlike the text formats
+    * it embeds its schema and statistics, so reads are self-describing
+    * and get column pruning + predicate pushdown like parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -140,6 +140,37 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q_quality_score: narrow codegen'd projection, zero exchanges") {
+    val p = plan("q_quality_score")
+    assert(countOf(p, "Exchange") == 0, s"scorer must be a narrow map:\n$p")
+    assert(!p.contains("ScalaUDF"), s"scorer must be codegen'd:\n$p")
+  }
+
+  test("dedup_incremental: batch side broadcasts, index bands never reshuffle for candidates") {
+    val p = plan("dedup_incremental")
+    assert(countOf(p, "BroadcastHashJoin") >= 2,
+      s"band join AND batch-set verify join must broadcast the batch side:\n$p")
+  }
+
+  test("q_centroids: map-side partial aggregation bounds the centroid shuffle") {
+    val p = plan("q_centroids")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected partial aggregation before the exchange:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"one (label, dim) exchange only:\n$p")
+  }
+
+  test("q_boilerplate: doc-frequency aggregate and flag join share the gram exchange") {
+    val p = plan("q_boilerplate")
+    // distinct (doc,gram) + gram-df agg + join-back + per-doc agg: the
+    // join must reuse the gram-keyed partitioning rather than adding a
+    // cascade of new exchanges
+    val exchanges = countOf(p, "Exchange hashpartitioning")
+    assert(exchanges <= 4, s"boilerplate must not cascade shuffles, got $exchanges:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"flag join expected:\n$p")
+  }
+
   test("parity surface plans contain no UDF nodes (codegen everywhere)") {
     Seq("drop_nested", "hoist_keep", "to_json_map", "drop_schemaless").foreach { q =>
       val p = plan(q)

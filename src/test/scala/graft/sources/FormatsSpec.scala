@@ -55,6 +55,20 @@ class FormatsSpec extends SparkTestBase {
       p => Formats.readJsonl(spark, p, schema).collect().toSeq)
   }
 
+  test("ORC round trip is lossless and the read side prunes + pushes down") {
+    val path = tmp("orc")
+    Formats.writeOrc(sample, path)
+    roundTrip(_ => (), _ => Formats.readOrc(spark, path).collect().toSeq)
+    // columnar read path: a 2-column projection with a filter must show
+    // both a pruned ReadSchema and pushed filters in the scan
+    val p = Formats.readOrc(spark, path)
+      .filter(col("id") > 2L).select("id", "v")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)]"), p)
+    assert(p.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"label column must not be read:\n$p")
+  }
+
   test("reads are schema-first: no inference pass, declared dtypes win") {
     val path = tmp("schema")
     Formats.writeCsv(sample, path)
