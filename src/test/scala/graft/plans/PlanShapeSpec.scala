@@ -160,15 +160,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"one (label, dim) exchange only:\n$p")
   }
 
-  test("q_boilerplate: doc-frequency aggregate and flag join share the gram exchange") {
+  test("q_boilerplate: count window replaces the df join — no join, bounded exchanges") {
     val p = plan("q_boilerplate")
-    // distinct (doc,gram) + gram-df agg + join-back + per-doc agg: the
-    // join must reuse the gram-keyed partitioning rather than adding a
-    // cascade of new exchanges
+    // shingle window (id) + distinct (id, gram) + df window (gram) +
+    // per-doc agg (id): never a join, never a 5-exchange cascade
     val exchanges = countOf(p, "Exchange hashpartitioning")
     assert(exchanges <= 4, s"boilerplate must not cascade shuffles, got $exchanges:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), s"flag join expected:\n$p")
+    assert(!p.contains("Join"), s"document frequency must not join back:\n$p")
   }
 
   test("parity surface plans contain no UDF nodes (codegen everywhere)") {

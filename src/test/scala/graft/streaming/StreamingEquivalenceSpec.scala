@@ -266,6 +266,38 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("curation chain (quality score + PII redact) is stream/batch identical") {
+    // the LLM-curation narrow ops are plain Column expressions, so the
+    // SAME code runs on a stream — the micro-batch ingestion shape: score,
+    // filter, redact as documents arrive
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "a solid document with enough words to pass the quality bar and no pii"),
+      (2L, "short spam 111 222 333 444 555 666 777 888 999 000 111 222"),
+      (3L, "contact me at someone@example.com or 555-0123 for more details"))
+    def curate(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("q_score", graft.operators.TextAnalysis.linearQualityScore(
+        col("text"), Seq("n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
+          "punct_cnt" -> -5L, "digit_cnt" -> -10L)))
+      .filter(col("q_score") >= 300L)
+      .withColumn("clean", graft.operators.TextAnalysis.redactPii(col("text")))
+      .select("doc_id", "q_score", "clean")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = StreamRunner.memorySink(
+      curate(mem.toDF().toDF("doc_id", "text")), "stream_curate_out")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_curate_out").orderBy("doc_id").collect().toSeq
+    val want = curate(docs.toDF("doc_id", "text")).orderBy("doc_id").collect().toSeq
+    assert(got == want)
+    assert(got.map(_.getLong(0)).contains(3L))
+    assert(got.find(_.getLong(0) == 3L).get.getAs[String]("clean")
+      .contains("<EMAIL>"), "PII masked in the streaming output")
+    assert(!got.map(_.getLong(0)).contains(2L), "digit-heavy spam filtered out")
+  }
+
   test("map→json transform works on a stream (to_json parity op)") {
     val s = spark
     import s.implicits._
