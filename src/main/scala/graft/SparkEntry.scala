@@ -848,6 +848,14 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) => graft.operators.Stats.histogram(
       Tables.orders(s, dir).select(cents(col("o_totalprice")).as("price_cents")),
       "price_cents", width = 2500000L, nBuckets = 20)),
+    // contiguous sample ordinals via two-phase zipWithIndex — a global
+    // row_number() window would funnel the corpus through ONE task; this
+    // stays parallel (range partition + partition-local index + offsets)
+    // and produces the identical ranking, which is exactly what the
+    // single-window oracle checks
+    "q_row_ids" -> ((s, dir) => graft.operators.Stats.globalOrdinals(
+      docs(s, dir).select(col("doc_id"), col("lang")), "doc_id",
+      partitions = 8)),
     "q_vocab" -> ((s, dir) => TextAnalysis.topTokens(docs(s, dir), "text", 50)),
     "q_profile" -> ((s, dir) => docs(s, dir)
       .select(col("lang"), TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
@@ -1546,6 +1554,8 @@ object SparkEntry {
       "count(*) AS cnt FROM " +
       s"(SELECT ${centsSql("o_totalprice")} AS price_cents FROM orders) " +
       "GROUP BY bucket"),
+    "q_row_ids" -> ("SELECT doc_id, lang, " +
+      "row_number() OVER (ORDER BY doc_id) - 1 AS ordinal FROM documents"),
     "q_filter_funnel" -> ("WITH f AS (SELECT " +
       "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents), " +
       "g AS (SELECT len(string_split(n, ' '))::BIGINT AS toks, " +

@@ -43,6 +43,34 @@ object Stats {
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Contiguous global ordinals 0..n-1 in `orderCol` order WITHOUT the
+    * single-partition global window: `row_number() OVER (ORDER BY ...)`
+    * funnels the entire table through one task — the canonical 100 TB
+    * scale-killer for sample indexing. This is the two-phase zipWithIndex
+    * pattern instead: range-repartition on the order key (so partition i
+    * holds a contiguous key range), sort within partitions, then add each
+    * partition's start offset (one bounded count job over partition
+    * SIZES, never rows to the driver) to the partition-local index.
+    *
+    * Deterministic for a unique `orderCol` regardless of where the range
+    * boundaries land: the ordinal is the global rank by key, and rank is
+    * boundary-placement-independent. The per-partition imperative index
+    * is the one genuinely RDD-shaped step in the engine (Spark's own
+    * `zipWithIndex`); everything before and after stays columnar.
+    */
+  def globalOrdinals(df: DataFrame, orderCol: String,
+                     partitions: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = df.repartitionByRange(partitions, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val schema = sorted.schema.add("ordinal", LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Fixed-width histogram: bucket = clamp(val div width, 0, nBuckets-1)
     * — the overflow tail lands in the last bucket, values below zero in
     * bucket 0 (the double clamp also absorbs the truncate-vs-floor

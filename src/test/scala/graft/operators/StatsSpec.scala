@@ -51,6 +51,27 @@ class StatsSpec extends SparkTestBase {
       "quantiles computed over the 3 non-null values only")
   }
 
+  test("globalOrdinals equals the global-window rank, stays multi-partition") {
+    val s = spark
+    import s.implicits._
+    // shuffled insertion order — ordinals must follow key order, not
+    // arrival order
+    val rows = scala.util.Random.shuffle((0L until 500L).toList)
+      .map(i => (i, s"p$i"))
+    val df = rows.toDF("id", "payload").repartition(7)
+    val out = Stats.globalOrdinals(df, "id", partitions = 5)
+    assert(out.rdd.getNumPartitions == 5, "no single-partition funnel")
+    val got = out.select("id", "ordinal").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 500L).map(i => i -> i).toMap,
+      "ordinal == rank by id, contiguous from 0")
+    // deterministic across invocations
+    val again = Stats.globalOrdinals(df, "id", partitions = 5)
+      .select("id", "ordinal").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("filterFunnel stages are monotonically non-increasing and cumulative") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val toks = TextAnalysis.tokenCountWs(col("text"))
