@@ -21,7 +21,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    `experimental.extraStrategies` for sessions built without
   *    extensions; both paths plan the same physical node);
   *  - `rolling_hash(expr)` — the codegen fingerprint Expression, usable
-  *    from SQL text, not just the Column API.
+  *    from SQL text, not just the Column API;
+  *  - `dot_product(a, b)` / `sq_l2_dist(a, b)` — the native codegen
+  *    vector folds of the embedding tier, so SQL-text pipelines rank and
+  *    verify embeddings at the same speed as the Column API (the
+  *    interpreted `aggregate`/`zip_with` spelling is ~30× slower per
+  *    evaluation).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -36,5 +41,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "rolling_hash takes exactly one argument")
         graft.functions.RollingHash(args.head)
       }))
+    def binary(name: String, clazz: Class[_],
+               mk: (Expression, Expression) => Expression): Unit =
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"$name takes exactly two arguments")
+          mk(args.head, args(1))
+        }))
+    binary("dot_product", classOf[graft.functions.DotProduct],
+      graft.functions.DotProduct(_, _))
+    binary("sq_l2_dist", classOf[graft.functions.SqL2Dist],
+      graft.functions.SqL2Dist(_, _))
   }
 }

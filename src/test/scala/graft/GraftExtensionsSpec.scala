@@ -12,6 +12,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(strategies.contains(graft.plans.TopKStrategy), strategies.toString)
   }
 
+  test("extensions register the vector folds for SQL text") {
+    val exts = new SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+    Bridge.applyExtensionFunctions(exts, spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "sq_l2_dist(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS l").head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 8.0)
+  }
+
   test("extensions register rolling_hash for SQL text, matching the JVM impl") {
     val exts = new SparkSessionExtensions
     new GraftExtensions().apply(exts)
