@@ -66,6 +66,19 @@ object StreamRunner {
     df.writeStream.format("memory").queryName(queryName)
       .outputMode("append").start()
 
+  /** foreachBatch escape hatch: run an arbitrary BATCH transformation per
+    * micro-batch. This is how the batch-only operators (incremental
+    * dedup against a static index, decontamination, any multi-shuffle
+    * pipeline) run inside continuous ingestion: each micro-batch is a
+    * small DataFrame, so the full batch operator — broadcasts, windows,
+    * aggregates — applies unchanged, and `process` decides the sink.
+    * Spark guarantees `process` sees each batch id at-least-once;
+    * idempotent sinks (overwrite-by-batch-id, merge) make it exactly-once.
+    */
+  def foreachBatchSink(df: DataFrame,
+                       process: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream.foreachBatch(process).start()
+
   /** Beyond-parity capability: event-time tumbling/sliding windowed
     * aggregation with a watermark (counts + value sums per group). The
     * reference surface needs none of this (all transforms are stateless),

@@ -298,6 +298,39 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     assert(!got.map(_.getLong(0)).contains(2L), "digit-heavy spam filtered out")
   }
 
+  test("foreachBatch: incremental dedup against a static index per micro-batch") {
+    // the production ingestion shape: each arriving micro-batch of
+    // documents is matched against the standing corpus index with the
+    // full BATCH operator (broadcasts and all), unchanged
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "a completely different document about spark query engines and columnar data"))
+      .toDF("doc_id", "text")
+    val matches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamRunner.foreachBatchSink(
+      mem.toDF().toDF("doc_id", "text"),
+      (batch, _) => matches.synchronized {
+        matches ++= graft.operators.Dedup
+          .dedupAgainstIndex(index, batch, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      })
+    try {
+      mem.addData(
+        (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (101L, "entirely novel content no index document resembles in any way at all"))
+      q.processAllAvailable()
+      mem.addData(
+        (102L, "a completely different document about spark query engines and columnar data"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(matches.toSet == Set(100L -> 0L, 102L -> 1L),
+      s"near-dups matched per batch, novel doc passed: $matches")
+  }
+
   test("map→json transform works on a stream (to_json parity op)") {
     val s = spark
     import s.implicits._
