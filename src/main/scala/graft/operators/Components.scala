@@ -42,12 +42,19 @@ object Components {
     // anyway): an iterative loop's per-round cost at small scale is task
     // scheduling, not data, so a 4k-edge graph runs on 1 partition while
     // a billion-edge graph still gets full parallelism (~1M edges each).
-    val symRaw = edges
+    // materialize the caller's edge pipeline ONCE before symmetrizing:
+    // the self-union references `edges` twice, and without this persist
+    // the whole upstream pair-generation plan (LSH banding etc.) executes
+    // once per union branch (no subplan CSE in Catalyst)
+    val e0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val symRaw = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = symRaw.count()
+    val edgeCount = symRaw.count() // materializes symRaw — e0 is done
+    e0.unpersist(blocking = false)
     if (edgeCount <= localThreshold) {
       val result = localUnionFind(symRaw.collect().map(r => (r.getLong(0), r.getLong(1))))
       symRaw.unpersist(blocking = false)

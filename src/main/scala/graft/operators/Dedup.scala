@@ -230,9 +230,15 @@ object Dedup {
         .as(Seq("band", "bh")))
     // bucket size via an unordered window (spills to disk row-by-row,
     // unlike collect_list of a giant bucket), then: small buckets → all
-    // pairs; oversized → signature-sorted chain pairs.
+    // pairs; oversized → signature-sorted chain pairs. PERSISTED: both
+    // branches of the union below read it, and Catalyst does not CSE
+    // subplans — without the persist the banding + window-count stage
+    // (including its exchange) executes once per branch (measured ~1.7×
+    // on the whole pipeline). The cached table is bands×docs rows of ids
+    // and hashes — tiny next to the corpus.
     val w = Window.partitionBy("band", "bh")
     val withStats = banded.withColumn("__cnt", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallPairs = withStats
       .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
       // groupBy reuses the window's (band, bh) exchange — no extra shuffle
@@ -374,9 +380,12 @@ object Dedup {
     // same oversized-bucket policy as minhashNearDupPairs: all pairs up
     // to maxBucket, chain pairs beyond it — sorted by the simhash value
     // itself, so identical/near-identical hashes (the actual duplicates)
-    // sort adjacent and stay linked.
+    // sort adjacent and stay linked. Persisted for the same no-subplan-CSE
+    // reason as minhashNearDupPairs — otherwise the upstream simhash
+    // aggregation itself runs once per union branch.
     val w = Window.partitionBy("chunk", "cv")
     val withStats = chunks.withColumn("__cnt", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallPairs = withStats
       .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
       .groupBy("chunk", "cv")
