@@ -150,6 +150,13 @@ object SparkEntry {
     */
   private val packCap = 2048L
 
+  /** q_paragraph_dedup's geometry and planted boilerplate paragraph —
+    * interpolated into BOTH sides so the pair can't drift.
+    */
+  private val paraTokens = 12
+  private val boilerPara =
+    "subscribe to our newsletter and follow us for daily updates"
+
   /** DuckDB `sum(BIGINT)` returns HUGEINT, which `.df()` renders as
     * float64 — the same repr trap as DECIMAL. Every integer sum in an
     * oracle must come back down to BIGINT explicitly.
@@ -910,6 +917,22 @@ object SparkEntry {
     "q_boilerplate" -> ((s, dir) =>
       TextAnalysis.boilerplateStats(docs(s, dir), "doc_id", "text",
         shingleSize = 3, minDocs = 5)),
+    // corpus-level repeated-PARAGRAPH removal (the MassiveText rule):
+    // "paragraphs" = non-overlapping 12-token windows of the normalized
+    // text; every 7th doc gets a planted boilerplate paragraph appended
+    // (as its own paragraph — web boilerplate arrives that way). The
+    // corpus-wide >= 5 occurrences rule must strip exactly the planted
+    // paragraph and reassemble every other doc byte-identically.
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val toks = split(lower(TextAnalysis.normWs(col("text"))), " ")
+      val paras = transform(
+        sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(paraTokens)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(paraTokens))))
+      val withBoiler = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(paras, array(lit(boilerPara))))
+          .otherwise(paras).as("paras"))
+      Dedup.dropRepeatedParagraphs(withBoiler, "doc_id", "paras", minCount = 5)
+    }),
     "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))),
     // custom codegen'd Catalyst Expression flavor (engine hash → rows-only)
@@ -1646,6 +1669,20 @@ object SparkEntry {
       "FROM sh s JOIN dfreq d ON s.g = d.g GROUP BY s.doc_id) " +
       "SELECT doc_id, n_grams, n_boiler, " +
       "(n_boiler * 1000) // n_grams AS boiler_permille FROM per"),
+    // mirror of Dedup.dropRepeatedParagraphs over the same 12-token
+    // paragraphs + planted boilerplate; parallel unnests zip positionally
+    "q_paragraph_dedup" -> ("WITH t AS (SELECT doc_id, " +
+      s"list_transform(range(0, greatest(len(toks), 1), $paraTokens), " +
+      s"i -> array_to_string(list_slice(toks, i + 1, i + $paraTokens), ' ')) AS paras " +
+      s"FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)), " +
+      "t2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+      s"THEN list_append(paras, '$boilerPara') ELSE paras END AS paras FROM t), " +
+      "ex AS (SELECT doc_id, len(paras)::BIGINT AS n_paras, unnest(paras) AS para, " +
+      "unnest(range(1, len(paras) + 1)) AS pos FROM t2), " +
+      "bl AS (SELECT md5(para) AS h FROM ex GROUP BY 1 HAVING count(*) >= 5) " +
+      "SELECT doc_id, max(n_paras) AS n_paras, CAST(count(*) AS BIGINT) AS n_kept, " +
+      "string_agg(para, ' ' ORDER BY pos) AS clean_text " +
+      "FROM ex WHERE md5(para) NOT IN (SELECT h FROM bl) GROUP BY doc_id"),
     "text_fingerprint" -> s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     "multimodal_meta" -> ("SELECT doc_id, 'application/octet-stream' AS mime, " +
       "CAST(octet_length(encode(text)) % 1024 AS INT) AS width, " +

@@ -303,6 +303,49 @@ object Dedup {
       .agg(min(col("index_id")).as("dup_of"))
   }
 
+  // ---------------------------------------------------- paragraph dedup
+
+  /** Corpus-level repeated-paragraph removal (the MassiveText/CCNet
+    * boilerplate rule): drop every paragraph whose exact text occurs at
+    * least `minCount` times across the WHOLE corpus, then reassemble each
+    * document from its surviving paragraphs in original order.
+    *
+    * Input is a pre-split paragraph ARRAY column — the splitting policy
+    * (blank lines, fixed token windows, sentence breaks) is the caller's.
+    * Output: one row per document that keeps at least one paragraph:
+    * (`idCol`, `n_paras`, `n_kept`, `clean_text`).
+    *
+    * Scale shape: the corpus-wide occurrence count aggregates ONLY a
+    * 16-byte md5 digest (paragraph text never enters that shuffle); the
+    * resulting blocklist holds just the digests appearing >= minCount
+    * times — tiny by construction — and is BROADCAST into a left-anti
+    * join, so the corpus itself pays one explode and one per-doc
+    * aggregate. Reassembly sorts within each document's collected
+    * paragraphs; there is no global sort anywhere.
+    */
+  def dropRepeatedParagraphs(df: DataFrame, idCol: String, parasCol: String,
+                             minCount: Long, sep: String = " "): DataFrame = {
+    // fixed-width repartition guard, as in explodedShingles: the explode +
+    // md5 stage is CPU-bound and must not inherit a single-file scan's
+    // partition count
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val ex = df.repartition(p, col(idCol))
+      .select(col(idCol), size(col(parasCol)).cast("long").as("__np"),
+        posexplode(col(parasCol)).as(Seq("__pos", "__para")))
+      .withColumn("__h", md5(col("__para")))
+    val blocklist = ex.select(col("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__h"))
+    ex.join(broadcast(blocklist), Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(max(col("__np")).as("n_paras"),
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+            x => x.getField("__para")), sep).as("clean_text"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word tokens. Explode + groupBy keeps it one

@@ -210,4 +210,38 @@ class DedupSpec extends SparkTestBase {
       .collect().map(_.getString(1)).toSet
     assert(viaWindow == Set("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
   }
+
+  test("dropRepeatedParagraphs strips corpus-repeated paragraphs, keeps order") {
+    val s = spark
+    import s.implicits._
+    val boiler = "click here to subscribe"
+    val df = Seq(
+      (0L, Seq("alpha beta", boiler, "gamma delta")),
+      (1L, Seq(boiler, "epsilon zeta")),
+      (2L, Seq("eta theta", boiler)),
+      (3L, Seq("iota kappa")), // no boiler
+      (4L, Seq(boiler))) // only boiler → doc disappears entirely
+      .toDF("doc_id", "paras")
+    val out = Dedup.dropRepeatedParagraphs(df, "doc_id", "paras", minCount = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(0L) == ((3L, 2L, "alpha beta gamma delta")), "order preserved around the cut")
+    assert(out(1L) == ((2L, 1L, "epsilon zeta")))
+    assert(out(2L) == ((2L, 1L, "eta theta")))
+    assert(out(3L) == ((1L, 1L, "iota kappa")), "untouched doc survives byte-identical")
+    assert(!out.contains(4L), "a doc that was ALL boilerplate yields no row")
+  }
+
+  test("dropRepeatedParagraphs: below-threshold repeats survive") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Seq("shared once", "unique a")),
+      (1L, Seq("shared once", "unique b")))
+      .toDF("doc_id", "paras")
+    val out = Dedup.dropRepeatedParagraphs(df, "doc_id", "paras", minCount = 3)
+    assert(out.agg(sum(col("n_kept"))).head.getLong(0) == 4L,
+      "2 occurrences < minCount=3: nothing removed")
+  }
 }
