@@ -863,6 +863,16 @@ object SparkEntry {
     "q_row_ids" -> ((s, dir) => graft.operators.Stats.globalOrdinals(
       docs(s, dir).select(col("doc_id"), col("lang")), "doc_id",
       partitions = 8)),
+    // deterministic training-order shuffle: global position = rank by a
+    // seeded md5 of the id — reproducible across runs/engines, and scalable
+    // because it reuses globalOrdinals' range-partitioned two-phase ranks
+    // (a row_number() OVER (ORDER BY ...) would funnel 100 TB through one
+    // task). Changing the seed string re-shuffles the whole corpus.
+    "q_shuffle_order" -> ((s, dir) => graft.operators.Stats.globalOrdinals(
+      docs(s, dir).select(col("doc_id"),
+        md5(concat(lit("s42:"), col("doc_id").cast("string"))).as("shuffle_key")),
+      "shuffle_key", partitions = 8)
+      .select(col("doc_id"), col("shuffle_key"), col("ordinal").as("shuffle_pos"))),
     "q_vocab" -> ((s, dir) => TextAnalysis.topTokens(docs(s, dir), "text", 50)),
     "q_profile" -> ((s, dir) => docs(s, dir)
       .select(col("lang"), TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
@@ -1579,6 +1589,10 @@ object SparkEntry {
       "GROUP BY bucket"),
     "q_row_ids" -> ("SELECT doc_id, lang, " +
       "row_number() OVER (ORDER BY doc_id) - 1 AS ordinal FROM documents"),
+    "q_shuffle_order" -> ("SELECT doc_id, " +
+      "md5('s42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key, " +
+      "row_number() OVER (ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR))) - 1 " +
+      "AS shuffle_pos FROM documents"),
     "q_filter_funnel" -> ("WITH f AS (SELECT " +
       "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents), " +
       "g AS (SELECT len(string_split(n, ' '))::BIGINT AS toks, " +
