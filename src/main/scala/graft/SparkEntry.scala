@@ -116,6 +116,36 @@ object SparkEntry {
       out.getAbsolutePath
     })
 
+  /** Process-unique bucketed orders+customer tables for q_bucketed_join,
+    * registered in `s`'s catalog and written once per (session, sfDir).
+    * Gated on catalog existence (not just the path) because a fresh
+    * session in the same JVM needs the saveAsTable registration even when
+    * the files are already on disk — mode(overwrite) makes the re-write
+    * safe. Returns (ordersTable, customerTable).
+    */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val oT = s"graft_bkt_orders_${layoutTag}_$safe"
+    val cT = s"graft_bkt_customer_${layoutTag}_$safe"
+    this.synchronized {
+      if (!s.catalog.tableExists(oT) || !s.catalog.tableExists(cT)) {
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bktjoin_${layoutTag}_$safe")
+        graft.sources.Bucketing.writeBucketed(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")),
+          oT, Seq("o_custkey"), numBuckets = 8, Seq("o_custkey"),
+          Some(new java.io.File(out, "orders").getAbsolutePath))
+        graft.sources.Bucketing.writeBucketed(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+          cT, Seq("c_custkey"), numBuckets = 8, Seq("c_custkey"),
+          Some(new java.io.File(out, "customer").getAbsolutePath))
+        sys.addShutdownHook(deleteRecursively(out))
+      }
+    }
+    (oT, cT)
+  }
+
   private def prunedLayoutDir(s: SparkSession, dir: String): String =
     materializedDir("layout", dir)(out =>
       graft.sources.Layout.writePartitioned(
@@ -488,6 +518,18 @@ object SparkEntry {
       graft.sources.Layout.readPartitioned(s, prunedLayoutDir(s, dir))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"))),
+    // bucketed fact-dim join: both sides written bucketed by custkey once
+    // per process (see bucketedTables), so the equi-join plans WITHOUT a
+    // shuffle exchange on either side — the pay-once answer to repeated
+    // 100 TB joins (BucketingSpec asserts the exchange-free plan; here
+    // the driver hash-checks the VALUES against a plain-join oracle)
+    "q_bucketed_join" -> ((s, dir) => {
+      val (oT, cT) = bucketedTables(s, dir)
+      s.table(oT).join(s.table(cT), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+    }),
     "q_zorder" -> ((s, dir) => events(s, dir).select(col("event_id"),
       // Morton code of (user_id, event_id mod 1024) — the sort key behind
       // Layout.writeZOrdered's two-dimensional row-group pruning; pure
@@ -809,9 +851,10 @@ object SparkEntry {
     // runs the bloom-build job (an inherent action, same as Spark's own
     // runtime filters building during execution). Map invariant:
     // construction may run driver-side jobs for q_bloom_join (bloom
-    // build, every construction), q_partition_prune and the
-    // q_csv/jsonl/orc_roundtrip family (layout/format writes, first
-    // construction per JVM+key+sfDir — see materializedDir), ann_ivf
+    // build, every construction), q_partition_prune, q_bucketed_join and
+    // the q_csv/jsonl/orc_roundtrip family (layout/bucket/format writes,
+    // first construction per JVM+key+sfDir — see materializedDir /
+    // bucketedTables), ann_ivf
     // (bounded centroid-training sample: count + collect), and the
     // entries probing the embedding dim with a 1-row head (ann_lsh,
     // dedup_embedding_pairs, dedup_emb_pairs_ora). All are constant-cost
@@ -1508,6 +1551,12 @@ object SparkEntry {
       "EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000"),
     "q_partition_prune" ->
       "SELECT event_id, user_id FROM events WHERE event_type = 'purchase'",
+    // the oracle joins the ORIGINAL tables — bucketing must not change
+    // a single value, only the physical plan shape
+    "q_bucketed_join" -> ("SELECT c.c_mktsegment, count(*) AS n_orders, " +
+      s"${sumCentsSql("o.o_totalprice")} AS sum_price_cents " +
+      "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "GROUP BY c.c_mktsegment"),
     // round trips: the oracle reads the ORIGINAL parquet — any loss in
     // the engine's text-format write/read path would hash-fail here
     "q_csv_roundtrip" -> ("SELECT o_orderpriority, count(*) AS n_orders, " +

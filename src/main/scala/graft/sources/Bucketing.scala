@@ -13,11 +13,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
+  /** `path` makes the table EXTERNAL at that location (data outlives the
+    * in-memory catalog and can be cleaned up by the caller); without it
+    * the data lands in the session's warehouse directory.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit = {
     var w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    path.foreach(p => w = w.option("path", p))
     w.saveAsTable(table)
   }
 }
