@@ -187,6 +187,9 @@ object SparkEntry {
   private val boilerPara =
     "subscribe to our newsletter and follow us for daily updates"
 
+  /** q_token_budget's per-shard token budget — one constant, both sides. */
+  private val tokenBudgetCap = 3000L
+
   /** DuckDB `sum(BIGINT)` returns HUGEINT, which `.df()` renders as
     * float64 — the same repr trap as DECIMAL. Every integer sum in an
     * oracle must come back down to BIGINT explicitly.
@@ -330,6 +333,31 @@ object SparkEntry {
       docs(s, dir).withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 40)
         .select(col("doc_id"), col("lang"))
+    }),
+    // deterministic data MIXING: per-source quotas from a tiny broadcast
+    // config table (src0..src3 explicit, everything else the default 8)
+    // — the "N parts web, M parts books" step of corpus assembly, with
+    // hash-rank selection so the mix is engine- and layout-stable
+    "q_mix_sources" -> ((s, dir) => {
+      import s.implicits._
+      val quotas = Seq("src0" -> 20L, "src1" -> 15L, "src2" -> 10L, "src3" -> 5L)
+        .toDF("source", "quota")
+      graft.operators.Sampling.mixToQuotas(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", quotas, defaultQuota = 8L)
+    }),
+    // token-BUDGET selection: per lang, the best docs (linear quality
+    // score, ties by id) whose running token total fits the budget —
+    // "the best N tokens", the cut a fixed-size training run makes
+    "q_token_budget" -> ((s, dir) => {
+      val score = TextAnalysis.linearQualityScore(col("text"), Seq(
+        "n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
+        "punct_cnt" -> -5L, "digit_cnt" -> -10L))
+      graft.operators.Sampling.tokenBudget(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+          score.as("q_score")),
+        "lang", "doc_id", "q_score", "n_tokens", budget = tokenBudgetCap)
     }),
     "q_rolling_window" -> ((s, dir) => {
       // time-RANGE window frame (value-based, not row-based): per user,
@@ -1105,6 +1133,16 @@ object SparkEntry {
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** DuckDB mirror of TextAnalysis.linearQualityScore with the
+    * q_quality_score weights, over the normalized-text alias `n` —
+    * shared by the q_quality_score and q_token_budget oracles.
+    */
+  private val qScoreSql =
+    "2 * len(string_split(n, ' '))::BIGINT " +
+      "+ floor(length(replace(n, ' ', '')) * 100.0 / len(string_split(n, ' ')))::BIGINT " +
+      "- 5 * (length(n) - length(translate(n, '.,!?;:', '')))::BIGINT " +
+      "- 10 * (length(n) - length(translate(n, '0123456789', '')))::BIGINT"
+
   /** The language-ID argmax as a SQL CASE over a space-padded normalized
     * column named `pad` — shared by the standalone and the one-scan
     * bundled oracle.
@@ -1711,12 +1749,26 @@ object SparkEntry {
     // weights: plain BIGINT arithmetic (only sum() aggregates go HUGEINT)
     "q_quality_score" -> ("SELECT doc_id, q_score, " +
       "CAST(CASE WHEN q_score >= 600 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM (" +
-      "SELECT doc_id, " +
-      "2 * len(string_split(n, ' '))::BIGINT " +
-      "+ floor(length(replace(n, ' ', '')) * 100.0 / len(string_split(n, ' ')))::BIGINT " +
-      "- 5 * (length(n) - length(translate(n, '.,!?;:', '')))::BIGINT " +
-      "- 10 * (length(n) - length(translate(n, '0123456789', '')))::BIGINT AS q_score " +
+      s"SELECT doc_id, $qScoreSql AS q_score " +
       "FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents))"),
+    "q_mix_sources" -> ("WITH q(source, quota) AS (VALUES " +
+      "('src0', 20), ('src1', 15), ('src2', 10), ('src3', 5)), " +
+      "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+      "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn " +
+      "FROM documents) " +
+      "SELECT doc_id, source FROM r LEFT JOIN q USING (source) " +
+      "WHERE rn <= coalesce(quota, 8)"),
+    // CAST the window sum: DuckDB sum(BIGINT) OVER → HUGEINT → float64
+    "q_token_budget" -> ("WITH t AS (SELECT doc_id, lang, " +
+      "len(string_split(n, ' '))::BIGINT AS n_tokens, " +
+      s"$qScoreSql AS q_score " +
+      "FROM (SELECT doc_id, lang, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents)), " +
+      "c AS (SELECT doc_id, lang, n_tokens, q_score, " +
+      "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang " +
+      "ORDER BY q_score DESC, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) " +
+      s"SELECT doc_id, lang, n_tokens, q_score, cum_before FROM c " +
+      s"WHERE cum_before + n_tokens <= $tokenBudgetCap"),
     // mirror of TextAnalysis.boilerplateStats: DISTINCT 3-grams per doc,
     // corpus-wide document frequency, >= 5 docs flags boilerplate; `//`
     // == Spark's `div` on the non-negative operands

@@ -24,6 +24,42 @@ object Sampling {
   def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** Deterministic data mixing: keep at most `quota(key)` rows per key,
+    * chosen by hash rank (never file order) so the mix is unbiased and
+    * reproducible across engines, corpus versions, and partition layouts.
+    * `quotas` is the mixing CONFIG — (keyCol, quota) rows, always tiny,
+    * broadcast; keys absent from it fall back to `defaultQuota`. One
+    * exchange (the per-key rank window); the config join is map-side.
+    */
+  def mixToQuotas(df: DataFrame, idCol: String, keyCol: String,
+                  quotas: DataFrame, defaultQuota: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotas), Seq(keyCol), "left")
+      .filter(col("__rn") <= coalesce(col("quota"), lit(defaultQuota)))
+      .drop("__rn", "quota")
+  }
+
+  /** Quality-ordered token-budget selection: within each shard, take rows
+    * in (score desc, id) order until the shard's token budget would
+    * overflow — "the best documents that fit in N tokens", the standard
+    * curation cut when a training run has a token target. The kept set is
+    * a true rank-prefix: the running total includes every earlier row
+    * (kept or not), so once one row overflows, all later rows do too.
+    * One exchange; budgets are per shard, so no global sort exists.
+    */
+  def tokenBudget(df: DataFrame, shardCol: String, idCol: String,
+                  scoreCol: String, tokensCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("cum_before") + col(tokensCol) <= budget)
+  }
+
   private def threshold(fraction: Double): Long =
     math.floor(fraction * 4294967296.0).toLong
 

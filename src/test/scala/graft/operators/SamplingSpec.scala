@@ -64,4 +64,48 @@ class SamplingSpec extends SparkTestBase {
       .agg(min("b"), max("b")).head
     assert(b.getLong(0) >= 0L && b.getLong(1) < 4294967296L)
   }
+
+  test("mixToQuotas caps per key, defaults absent keys, and is deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 30L).map(i => (i, if (i < 20) "web" else "books"))
+      .toDF("doc_id", "source")
+    val quotas = Seq(("web", 5L)).toDF("source", "quota")
+    val out = Sampling.mixToQuotas(df, "doc_id", "source", quotas, defaultQuota = 8L)
+    val byKey = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("web" -> 5L, "books" -> 8L),
+      "web capped at its quota; books at the default")
+    val again = Sampling.mixToQuotas(df, "doc_id", "source", quotas, defaultQuota = 8L)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("mixToQuotas keeps everything when the quota exceeds the key's rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "k"), (2L, "k")).toDF("doc_id", "source")
+    val out = Sampling.mixToQuotas(df, "doc_id", "source",
+      Seq(("k", 100L)).toDF("source", "quota"), defaultQuota = 1L)
+    assert(out.count() == 2)
+  }
+
+  test("tokenBudget takes a rank-prefix per shard and stops at the budget") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // lang a: scores 30 > 20 > 10, tokens 40+40 fit in 100, +40 would too
+      (0L, "a", 40L, 30L), (1L, "a", 40L, 20L), (2L, "a", 40L, 10L),
+      // lang b: first doc alone overflows the budget → b keeps nothing
+      (3L, "b", 150L, 99L), (4L, "b", 10L, 1L))
+      .toDF("doc_id", "lang", "n_tokens", "q_score")
+    val out = Sampling.tokenBudget(df, "lang", "doc_id", "q_score", "n_tokens",
+      budget = 100L)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L),
+      s"lang a keeps its two best (80 <= 100 but 120 > 100); lang b's first doc " +
+        s"overflows so later docs are cut too (prefix rule): $kept")
+    val cum = out.filter(col("doc_id") === 1L).head.getAs[Long]("cum_before")
+    assert(cum == 40L)
+  }
 }
