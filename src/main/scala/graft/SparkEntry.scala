@@ -444,6 +444,35 @@ object SparkEntry {
           coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
           coalesce(col("n_error"), lit(0L)).as("n_error"))
     }),
+    // corpus VERSION DIFF — the dataset-versioning primitive: v2 is
+    // simulated from v1 (every 31st doc by hash dropped, every 13th
+    // edited, 10 new ids planted), then a full-outer join on id compares
+    // content digests and counts added/removed/changed/same per source.
+    // Only (id, 16-byte digest, source) enters the join — text never
+    // shuffles, so a 100 TB diff moves ~25 bytes per document.
+    "q_corpus_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"))
+      val v2base = docs(s, dir)
+        .filter(graft.operators.Sampling.hashBucket(col("doc_id")) % 31 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 13 === 0, md5(concat(col("text"), lit(" v2"))))
+            .otherwise(md5(col("text"))).as("h"))
+      val planted = docs(s, dir).filter(col("doc_id") < 10).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("source"),
+        md5(concat(lit("new:"), col("text"))).as("h"))
+      val v2 = v2base.union(planted)
+      v1.as("a").join(v2.as("b"),
+          col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(
+          coalesce(col("a.source"), col("b.source")).as("source"),
+          when(col("a.doc_id").isNull, "added")
+            .when(col("b.doc_id").isNull, "removed")
+            .when(col("a.h") =!= col("b.h"), "changed")
+            .otherwise("same").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     // distinct aggregation: Catalyst plans Expand + two-phase aggregate,
     // so the distinct runs distributed (never a driver-side set)
     "q_distinct_agg" -> ((s, dir) => events(s, dir)
@@ -1502,6 +1531,19 @@ object SparkEntry {
       "WHERE event_type = 'purchase' GROUP BY user_id) p " +
       "FULL OUTER JOIN (SELECT user_id, count(*) AS n_error FROM events " +
       "WHERE event_type = 'error' GROUP BY user_id) r ON p.user_id = r.user_id"),
+    "q_corpus_diff" -> ("WITH v1 AS (SELECT doc_id, source, md5(text) AS h " +
+      "FROM documents), " +
+      "v2 AS (SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 " +
+      "THEN md5(text || ' v2') ELSE md5(text) END AS h FROM documents " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 31 <> 0 " +
+      "UNION ALL SELECT doc_id + 1000000, source, md5('new:' || text) " +
+      "FROM documents WHERE doc_id < 10), " +
+      "j AS (SELECT coalesce(a.source, b.source) AS source, " +
+      "CASE WHEN a.doc_id IS NULL THEN 'added' " +
+      "WHEN b.doc_id IS NULL THEN 'removed' " +
+      "WHEN a.h <> b.h THEN 'changed' ELSE 'same' END AS status " +
+      "FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id) " +
+      "SELECT source, status, count(*) AS n_docs FROM j GROUP BY source, status"),
     "q_tfidf" -> ("WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (" +
       s"SELECT doc_id, unnest(string_split($normSql, ' ')) AS token FROM documents) " +
       "GROUP BY doc_id, token), " +
