@@ -648,6 +648,23 @@ object SparkEntry {
       length(col("o_orderstatus")).cast("int").as("status_len"),
       floor(col("o_totalprice")).cast("long").as("price_floor"),
       month(col("o_orderdate")).cast("int").as("order_month"))),
+    // array/map scalar tier (§2.2): size/distinct/contains/slice/position,
+    // a fold (`aggregate`), and map build+extract — all narrow codegen'd
+    // projections; the DuckDB mirror uses the list_* twins (its
+    // list_position yields NULL-if-absent vs Spark's 0 → coalesce)
+    "q_array_funcs" -> ((s, dir) => {
+      val toks = split(lower(TextAnalysis.normWs(col("text"))), " ")
+      docs(s, dir).select(col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        when(array_contains(toks, "table"), 1L).otherwise(0L).as("has_table"),
+        concat_ws("-", slice(toks, 1, 3)).as("first3"),
+        array_position(toks, "data").as("pos_data"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, b) => a + b).as("sum_len"),
+        element_at(map(lit("uniq"), size(array_distinct(toks)).cast("long"),
+          lit("all"), size(toks).cast("long")), "uniq").as("map_uniq"))
+    }),
 
     // ---- LLM pipeline: dedup
     "dedup_exact" -> ((s, dir) =>
@@ -1648,6 +1665,14 @@ object SparkEntry {
     "q_orc_roundtrip" -> ("SELECT l_returnflag, count(*) AS n_items, " +
       s"${sumCentsSql("l_quantity")} AS sum_qty_cents " +
       "FROM lineitem GROUP BY l_returnflag"),
+    "q_array_funcs" -> ("SELECT doc_id, len(toks)::BIGINT AS n_toks, " +
+      "len(list_distinct(toks))::BIGINT AS n_uniq, " +
+      "CAST(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END AS BIGINT) AS has_table, " +
+      "array_to_string(list_slice(toks, 1, 3), '-') AS first3, " +
+      "CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data, " +
+      "CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len, " +
+      "len(list_distinct(toks))::BIGINT AS map_uniq " +
+      s"FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)"),
     "q_scalar_funcs" -> ("SELECT o_orderkey, upper(substr(o_orderpriority, 1, 3)) AS prio3, " +
       "CAST(length(o_orderstatus) AS INT) AS status_len, " +
       "CAST(floor(o_totalprice) AS BIGINT) AS price_floor, " +
