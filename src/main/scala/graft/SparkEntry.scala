@@ -186,6 +186,14 @@ object SparkEntry {
   private val paraTokens = 12
   private val boilerPara =
     "subscribe to our newsletter and follow us for daily updates"
+  private val paraMinCount = 5
+
+  /** q_mix_sources' config — ONE source of truth rendered into both the
+    * Spark literal DataFrame and the oracle's VALUES list.
+    */
+  private val mixQuotas =
+    Seq("src0" -> 20L, "src1" -> 15L, "src2" -> 10L, "src3" -> 5L)
+  private val mixDefaultQuota = 8L
 
   /** q_token_budget's per-shard token budget — one constant, both sides. */
   private val tokenBudgetCap = 3000L
@@ -340,11 +348,10 @@ object SparkEntry {
     // hash-rank selection so the mix is engine- and layout-stable
     "q_mix_sources" -> ((s, dir) => {
       import s.implicits._
-      val quotas = Seq("src0" -> 20L, "src1" -> 15L, "src2" -> 10L, "src3" -> 5L)
-        .toDF("source", "quota")
+      val quotas = mixQuotas.toDF("source", "quota")
       graft.operators.Sampling.mixToQuotas(
         docs(s, dir).select(col("doc_id"), col("source")),
-        "doc_id", "source", quotas, defaultQuota = 8L)
+        "doc_id", "source", quotas, mixDefaultQuota)
     }),
     // token-BUDGET selection: per lang, the best docs (linear quality
     // score, ties by id) whose running token total fits the budget —
@@ -449,7 +456,10 @@ object SparkEntry {
     // edited, 10 new ids planted), then a full-outer join on id compares
     // content digests and counts added/removed/changed/same per source.
     // Only (id, 16-byte digest, source) enters the join — text never
-    // shuffles, so a 100 TB diff moves ~25 bytes per document.
+    // shuffles, so a 100 TB diff moves ~25 bytes per document. (The
+    // +1000000 planted-id offset assumes the synthetic testdata id space,
+    // same as every other planted query; the diff OPERATOR itself —
+    // join + digest compare — carries no such assumption.)
     "q_corpus_diff" -> ((s, dir) => {
       val v1 = docs(s, dir).select(col("doc_id"), col("source"),
         md5(col("text")).as("h"))
@@ -1058,7 +1068,7 @@ object SparkEntry {
       val withBoiler = docs(s, dir).select(col("doc_id"),
         when(col("doc_id") % 7 === 0, concat(paras, array(lit(boilerPara))))
           .otherwise(paras).as("paras"))
-      Dedup.dropRepeatedParagraphs(withBoiler, "doc_id", "paras", minCount = 5)
+      Dedup.dropRepeatedParagraphs(withBoiler, "doc_id", "paras", paraMinCount)
     }),
     "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -1819,12 +1829,12 @@ object SparkEntry {
       s"SELECT doc_id, $qScoreSql AS q_score " +
       "FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents))"),
     "q_mix_sources" -> ("WITH q(source, quota) AS (VALUES " +
-      "('src0', 20), ('src1', 15), ('src2', 10), ('src3', 5)), " +
+      mixQuotas.map { case (k, v) => s"('$k', $v)" }.mkString(", ") + "), " +
       "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
       "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn " +
       "FROM documents) " +
       "SELECT doc_id, source FROM r LEFT JOIN q USING (source) " +
-      "WHERE rn <= coalesce(quota, 8)"),
+      s"WHERE rn <= coalesce(quota, $mixDefaultQuota)"),
     // CAST the window sum: DuckDB sum(BIGINT) OVER → HUGEINT → float64
     "q_token_budget" -> ("WITH t AS (SELECT doc_id, lang, " +
       "len(string_split(n, ' '))::BIGINT AS n_tokens, " +
@@ -1861,7 +1871,7 @@ object SparkEntry {
       s"THEN list_append(paras, '$boilerPara') ELSE paras END AS paras FROM t), " +
       "ex AS (SELECT doc_id, len(paras)::BIGINT AS n_paras, unnest(paras) AS para, " +
       "unnest(range(1, len(paras) + 1)) AS pos FROM t2), " +
-      "bl AS (SELECT md5(para) AS h FROM ex GROUP BY 1 HAVING count(*) >= 5) " +
+      s"bl AS (SELECT md5(para) AS h FROM ex GROUP BY 1 HAVING count(*) >= $paraMinCount) " +
       "SELECT doc_id, max(n_paras) AS n_paras, CAST(count(*) AS BIGINT) AS n_kept, " +
       "string_agg(para, ' ' ORDER BY pos) AS clean_text " +
       "FROM ex WHERE md5(para) NOT IN (SELECT h FROM bl) GROUP BY doc_id"),

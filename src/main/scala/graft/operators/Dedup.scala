@@ -329,10 +329,14 @@ object Dedup {
     // md5 stage is CPU-bound and must not inherit a single-file scan's
     // partition count
     val p = df.sparkSession.sparkContext.defaultParallelism
+    // persisted: the blocklist build AND the anti-join stream side both
+    // read it, and Catalyst does not CSE subplans — without this the
+    // CPU-bound explode+md5 stage runs twice
     val ex = df.repartition(p, col(idCol))
       .select(col(idCol), size(col(parasCol)).cast("long").as("__np"),
         posexplode(col(parasCol)).as(Seq("__pos", "__para")))
       .withColumn("__h", md5(col("__para")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocklist = ex.select(col("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)

@@ -36,10 +36,14 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol))
       .orderBy(hashBucket(col(idCol)), col(idCol))
+    // the config's quota column is renamed into the engine's __ namespace
+    // before the join so a caller whose df already carries a `quota`
+    // column is neither shadowed nor dropped
+    val q = quotas.select(col(keyCol), col("quota").as("__graft_quota"))
     df.withColumn("__rn", row_number().over(w))
-      .join(broadcast(quotas), Seq(keyCol), "left")
-      .filter(col("__rn") <= coalesce(col("quota"), lit(defaultQuota)))
-      .drop("__rn", "quota")
+      .join(broadcast(q), Seq(keyCol), "left")
+      .filter(col("__rn") <= coalesce(col("__graft_quota"), lit(defaultQuota)))
+      .drop("__rn", "__graft_quota")
   }
 
   /** Quality-ordered token-budget selection: within each shard, take rows
