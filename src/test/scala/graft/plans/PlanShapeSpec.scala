@@ -176,4 +176,42 @@ class PlanShapeSpec extends SparkTestBase {
         s"$q must not use UDFs:\n$p")
     }
   }
+
+  test("q_paragraph_dedup: blocklist broadcasts into a left-anti join") {
+    val p = plan("q_paragraph_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"repeated-paragraph blocklist must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join expected:\n$p")
+  }
+
+  test("q_mix_sources / q_token_budget: one rank window exchange each, config broadcasts") {
+    val pm = plan("q_mix_sources")
+    assert(countOf(pm, "Exchange hashpartitioning") == 1,
+      s"mixing is one per-key window exchange:\n$pm")
+    assert(pm.contains("BroadcastHashJoin"), s"quota config must broadcast:\n$pm")
+    val pt = plan("q_token_budget")
+    assert(countOf(pt, "Exchange hashpartitioning") == 1,
+      s"budget selection is one per-shard window exchange:\n$pt")
+    assert(!pt.contains("Join"), s"no join in the budget cut:\n$pt")
+  }
+
+  test("q_shuffle_order: two-phase ordinals, never a single-partition global window") {
+    // the range exchange lives inside the zipWithIndex RDD lineage; what
+    // the DataFrame plan must show is the ExistingRDD handoff and the
+    // ABSENCE of the row_number()-over-everything shape
+    val p = plan("q_shuffle_order")
+    assert(p.contains("ExistingRDD"), s"expected the two-phase RDD handoff:\n$p")
+    assert(!p.contains("Window") && !p.contains("SinglePartition"),
+      s"a global window/SinglePartition exchange is the 100 TB funnel this " +
+        s"query exists to avoid:\n$p")
+  }
+
+  test("q_corpus_diff / q_array_funcs: digest-only diff join; arrays stay narrow") {
+    val pd = plan("q_corpus_diff")
+    assert(countOf(pd, "CartesianProduct") + countOf(pd, "BroadcastNestedLoopJoin") == 0,
+      s"diff is an equi-join, never a product:\n$pd")
+    val pa = plan("q_array_funcs")
+    assert(countOf(pa, "Exchange") == 0,
+      s"array/map scalar tier is a pure projection:\n$pa")
+  }
 }
