@@ -105,6 +105,27 @@ object StreamRunner {
         col(groupCol), col("n"), col("sum_value"))
   }
 
+  /** Native SESSION windows (gap-based, data-driven extent) over a
+    * stream: a session stays open while events keep arriving within
+    * `gap` of the last one, and closes — emitting one row — once the
+    * watermark passes last_event + gap. Complements the custom
+    * `Sessionize` operator (which carries per-session derived columns):
+    * this is the built-in Catalyst path, state = one merging window per
+    * active key, watermark-bounded.
+    */
+  def sessionStats(events: DataFrame, tsCol: String, valueCol: String,
+                   groupCol: String, gap: String,
+                   watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("win.start").as("session_start"),
+        col("win.end").as("session_end"),
+        col(groupCol), col("n"), col("sum_value"))
+  }
+
   /** Stream-static enrichment join: look each streaming row up against a
     * batch dimension table. Stateless (the static side is re-planned per
     * micro-batch, no state store), and with a small dimension Spark

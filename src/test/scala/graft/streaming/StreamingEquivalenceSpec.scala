@@ -121,6 +121,33 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     assert(rows == Seq(("click", 1L, 5.0), ("view", 2L, 3.0)))
   }
 
+  test("native session windows merge within the gap and close after watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(sec: Int) = new java.sql.Timestamp(1704103200000L + sec * 1000L)
+    val df = mem.toDF().toDF("ts", "user", "value")
+    val agg = StreamRunner.sessionStats(df, "ts", "value", "user",
+      gap = "10 seconds", watermarkDelay = "1 second")
+    val q = StreamRunner.memorySink(agg, "stream_session_out")
+    try {
+      // u1: events at 0s, 5s, 12s chain into ONE session (each within 10s
+      // of the previous); u2: events at 0s and 30s are TWO sessions
+      mem.addData((ts(0), "u1", 1.0), (ts(5), "u1", 2.0), (ts(12), "u1", 4.0),
+        (ts(0), "u2", 8.0), (ts(30), "u2", 16.0))
+      q.processAllAvailable()
+      mem.addData((ts(120), "u3", 0.0)) // advance watermark → close all
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_session_out")
+      .orderBy("user", "session_start").collect()
+      .map(r => (r.getAs[String]("user"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value"))).toSeq
+    assert(rows == Seq(("u1", 3L, 7.0), ("u2", 1L, 8.0), ("u2", 1L, 16.0)),
+      s"u1 one merged session, u2 two: $rows")
+  }
+
   test("streaming dedup: duplicate keys within the watermark horizon are dropped") {
     val s = spark
     import s.implicits._
