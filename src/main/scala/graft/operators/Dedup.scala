@@ -361,13 +361,22 @@ object Dedup {
     // hash+vote stage is CPU-bound and would otherwise inherit the scan's
     // partition count (1 for a single small file) — and AQE exempts
     // fixed-numPartitions repartitions from coalescing it back down.
+    //
+    // Tokens are counted per (doc, distinct token) BEFORE hashing: the
+    // vote sum per occurrence (±1 each) equals ±count per distinct token,
+    // so the hash runs once per distinct token per doc — a 2-5× CPU cut
+    // on natural text. The id-hash partitioning satisfies the (id, token)
+    // clustering (id is a subset of the keys), so neither groupBy adds an
+    // exchange: one shuffle total, as before.
     val p = df.sparkSession.sparkContext.defaultParallelism
     val tok = df.repartition(p, col(idCol))
       .select(col(idCol),
         explode(split(normText(col(textCol)), " ")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
       .withColumn("__h", xxhash64(col("__t")))
     val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, col("__c"))
+        .otherwise(-col("__c"))).as(s"v$j")
     }
     val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     val bits = (0 until 64).map { j =>
@@ -388,20 +397,23 @@ object Dedup {
     * hex→int conversion functions are not.
     */
   def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // fixed-width repartition guard — see simhash
+    // fixed-width repartition guard + count-weighted distinct-token votes
+    // (±count ≡ per-occurrence ±1) — see simhash; md5 dominates this
+    // stage, so hashing once per distinct token per doc is the whole win
     val p = df.sparkSession.sparkContext.defaultParallelism
     val tok = df.repartition(p, col(idCol))
       .select(col(idCol),
         explode(split(normText(col(textCol)), " ")).as("__t"))
-      .select(col(idCol), substring(md5(col("__t")), 1, 16).as("__dg"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .select(col(idCol), col("__c"), substring(md5(col("__t")), 1, 16).as("__dg"))
     val nibs = (0 until 16).map { h =>
       val a = ascii(substring(col("__dg"), h + 1, 1))
       when(a >= 97, a - 87).otherwise(a - 48).as(s"__n$h")
     }
-    val withNibs = tok.select(col(idCol) +: nibs: _*)
+    val withNibs = tok.select(col(idCol) +: col("__c") +: nibs: _*)
     val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col(s"__n${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$j")
+      sum(when(shiftright(col(s"__n${j / 4}"), j % 4).bitwiseAND(1) === 1, col("__c"))
+        .otherwise(-col("__c"))).as(s"v$j")
     }
     val agg = withNibs.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     val hexChars = (0 until 16).map { h =>
