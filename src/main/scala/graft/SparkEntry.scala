@@ -959,6 +959,28 @@ object SparkEntry {
     "q_split" -> ((s, dir) => graft.operators.Sampling.deterministicSplit(
       docs(s, dir), "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select(col("doc_id"), col("split"))),
+    // LEAKAGE-SAFE split: near-dup cluster members must land on the SAME
+    // side of a train/val cut or eval leaks into training. Split key =
+    // the doc's connected-component id (own id when no near-dup), then
+    // the ordinary deterministic hash split — one extra left join over
+    // plain q_split, and the guarantee is structural: same component ⇒
+    // same key ⇒ same split.
+    "q_leakage_split" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ts"))
+      val a = t.select(col("doc_id").as("a"), col("ts").as("ts_a"))
+      val b = t.select(col("doc_id").as("b"), col("ts").as("ts_b"))
+      val edges = a.join(b, col("b") === col("a") + 1)
+        .filter(size(array_intersect(col("ts_a"), col("ts_b"))) * 2 >=
+          size(array_union(col("ts_a"), col("ts_b"))))
+        .select(col("a"), col("b"))
+      val comps = graft.operators.Components.connectedComponents(edges, "a", "b")
+      val keyed = docs(s, dir).select(col("doc_id"))
+        .join(comps.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("split_key"))
+      graft.operators.Sampling.deterministicSplit(keyed, "split_key",
+        Seq("train" -> 0.8, "val" -> 0.2))
+        .select(col("doc_id"), col("split_key"), col("split"))
+    }),
     "q_stratified" -> ((s, dir) => graft.operators.Sampling.stratifiedSample(
       docs(s, dir), "doc_id", "lang",
       Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
@@ -1775,6 +1797,22 @@ object SparkEntry {
       "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3435973836 THEN 'train' " +
       "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566 THEN 'val' " +
       "ELSE 'test' END) AS split FROM documents"),
+    // same component machinery as q_dedup_groups, then the q_split hash
+    // cut applied to the COMPONENT id (own id when no near-dup)
+    "q_leakage_split" -> ("WITH RECURSIVE " +
+      s"t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents), " +
+      "e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 " +
+      "WHERE len(list_intersect(a.ts, b.ts)) * 2 >= len(list_distinct(a.ts || b.ts))), " +
+      "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
+      "cc(id, comp) AS (" +
+      "SELECT DISTINCT a, a FROM sym " +
+      "UNION " +
+      "SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.id WHERE c.comp < s.b), " +
+      "comp AS (SELECT id, min(comp) AS component FROM cc GROUP BY id) " +
+      "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key, " +
+      "(CASE WHEN ('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT " +
+      "< 3435973836 THEN 'train' ELSE 'val' END) AS split " +
+      "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"),
     "q_stratified" -> ("SELECT doc_id, lang FROM documents WHERE " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < (CASE " +
       "WHEN lang = 'en' THEN 2147483648 WHEN lang = 'de' THEN 1073741824 " +
