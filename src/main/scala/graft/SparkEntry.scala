@@ -1488,9 +1488,13 @@ object SparkEntry {
     // incremental = the shared pair pipeline restricted to index→batch
     // pairs (old ids < 100000 < planted batch ids), min index match per
     // batch doc; min(BIGINT) stays BIGINT (no HUGEINT trap)
+    // the batch is EXACTLY ids 100000..100019 (docs 0..19 planted at
+    // +100000): bound id_b on both sides so a corpus whose natural id
+    // space extends past 100000 (e.g. the 10× tiled scale-up corpus)
+    // cannot leak corpus-corpus pairs into the "batch" rows
     "dedup_incremental" -> (s"WITH $pairsMd5Ctes\n" +
       "SELECT id_b AS doc_id, min(id_a) AS dup_of FROM pr " +
-      "WHERE id_b >= 100000 AND id_a < 100000 GROUP BY id_b"),
+      "WHERE id_b >= 100000 AND id_b < 100020 AND id_a < 100000 GROUP BY id_b"),
     // parallel unnests zip positionally; a binary32 float times 2^20 is
     // exact in double (exponent shift), so floor+sum are engine-exact
     "q_centroids" -> ("SELECT label, d AS dim, count(*) AS n, " +
