@@ -157,6 +157,23 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  /** Adjacent-doc near-dup components — the shared machinery of
+    * q_dedup_groups and q_leakage_split: edges between consecutive doc
+    * ids with integer-arithmetic jaccard >= 1/2 (inter*2 >= union — no
+    * float boundary), resolved to (id, component) via pointer-doubling
+    * connected components. Mirrored by [[ccCtes]] on the oracle side.
+    */
+  private def adjacentDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ts"))
+    val a = t.select(col("doc_id").as("a"), col("ts").as("ts_a"))
+    val b = t.select(col("doc_id").as("b"), col("ts").as("ts_b"))
+    val edges = a.join(b, col("b") === col("a") + 1)
+      .filter(size(array_intersect(col("ts_a"), col("ts_b"))) * 2 >=
+        size(array_union(col("ts_a"), col("ts_b"))))
+      .select(col("a"), col("b"))
+    graft.operators.Components.connectedComponents(edges, "a", "b")
+  }
+
   /** Money column → exact integer cents (BIGINT). The double→DECIMAL(18,2)
     * rounding step is HALF_UP in both Spark and DuckDB (verified identical
     * on every sf0.01 money column); ×100 on a scale-2 decimal is exact, so
@@ -730,17 +747,8 @@ object SparkEntry {
     // (hooking + shortcutting, O(log diameter) rounds). Edges: adjacent
     // docs with jaccard >= 0.5, tested in INTEGER arithmetic
     // (inter*2 >= union) so the threshold has no float-boundary risk.
-    "q_dedup_groups" -> ((s, dir) => {
-      val t = docs(s, dir).select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ts"))
-      val a = t.select(col("doc_id").as("a"), col("ts").as("ts_a"))
-      val b = t.select(col("doc_id").as("b"), col("ts").as("ts_b"))
-      val edges = a.join(b, col("b") === col("a") + 1)
-        .filter(size(array_intersect(col("ts_a"), col("ts_b"))) * 2 >=
-          size(array_union(col("ts_a"), col("ts_b"))))
-        .select(col("a"), col("b"))
-      graft.operators.Components.connectedComponents(edges, "a", "b")
-        .select(col("id"), col("component"))
-    }),
+    "q_dedup_groups" -> ((s, dir) =>
+      adjacentDupComponents(s, dir).select(col("id"), col("component"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashMd5(docs(s, dir), "doc_id", "text")),
     // SimHash pair generation hash-checked end to end: 16-bit chunk
@@ -966,14 +974,7 @@ object SparkEntry {
     // plain q_split, and the guarantee is structural: same component ⇒
     // same key ⇒ same split.
     "q_leakage_split" -> ((s, dir) => {
-      val t = docs(s, dir).select(col("doc_id"), TextAnalysis.tokenSet(col("text")).as("ts"))
-      val a = t.select(col("doc_id").as("a"), col("ts").as("ts_a"))
-      val b = t.select(col("doc_id").as("b"), col("ts").as("ts_b"))
-      val edges = a.join(b, col("b") === col("a") + 1)
-        .filter(size(array_intersect(col("ts_a"), col("ts_b"))) * 2 >=
-          size(array_union(col("ts_a"), col("ts_b"))))
-        .select(col("a"), col("b"))
-      val comps = graft.operators.Components.connectedComponents(edges, "a", "b")
+      val comps = adjacentDupComponents(s, dir)
       val keyed = docs(s, dir).select(col("doc_id"))
         .join(comps.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("split_key"))
@@ -1220,6 +1221,21 @@ object SparkEntry {
       "+ floor(length(replace(n, ' ', '')) * 100.0 / len(string_split(n, ' ')))::BIGINT " +
       "- 5 * (length(n) - length(translate(n, '.,!?;:', '')))::BIGINT " +
       "- 10 * (length(n) - length(translate(n, '0123456789', '')))::BIGINT"
+
+  /** DuckDB mirror of [[adjacentDupComponents]] — CTE chain `t/e/sym/cc`
+    * shared by the q_dedup_groups and q_leakage_split oracles (a label
+    * hop per recursion step; min(comp) per id resolves the component).
+    * Callers prepend `WITH RECURSIVE ` and append their SELECT.
+    */
+  private val ccCtes =
+    s"t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents), " +
+      "e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 " +
+      "WHERE len(list_intersect(a.ts, b.ts)) * 2 >= len(list_distinct(a.ts || b.ts))), " +
+      "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
+      "cc(id, comp) AS (" +
+      "SELECT DISTINCT a, a FROM sym " +
+      "UNION " +
+      "SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.id WHERE c.comp < s.b)"
 
   /** The language-ID argmax as a SQL CASE over a space-padded normalized
     * column named `pad` — shared by the standalone and the one-scan
@@ -1491,7 +1507,12 @@ object SparkEntry {
     // the batch is EXACTLY ids 100000..100019 (docs 0..19 planted at
     // +100000): bound id_b on both sides so a corpus whose natural id
     // space extends past 100000 (e.g. the 10× tiled scale-up corpus)
-    // cannot leak corpus-corpus pairs into the "batch" rows
+    // cannot leak corpus-corpus pairs into the "batch" rows. Like every
+    // planted query, the oracle still assumes no NATURAL id occupies the
+    // planted window itself (a natural 100000..100019 doc would alias
+    // the planted one inside the oracle's union while the engine keeps
+    // them distinct) — a testdata-id-space convention, not an operator
+    // limitation.
     "dedup_incremental" -> (s"WITH $pairsMd5Ctes\n" +
       "SELECT id_b AS doc_id, min(id_a) AS dup_of FROM pr " +
       "WHERE id_b >= 100000 AND id_b < 100020 AND id_a < 100000 GROUP BY id_b"),
@@ -1722,15 +1743,7 @@ object SparkEntry {
     "dedup_simhash_pairs_md5" -> simhashPairsSql,
     // recursive-CTE mirror of hooking+shortcutting CC: a label c may hop
     // to any larger-id neighbor; min over all reachable labels per node
-    "q_dedup_groups" -> ("WITH RECURSIVE " +
-      s"t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents), " +
-      "e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 " +
-      "WHERE len(list_intersect(a.ts, b.ts)) * 2 >= len(list_distinct(a.ts || b.ts))), " +
-      "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
-      "cc(id, comp) AS (" +
-      "SELECT DISTINCT a, a FROM sym " +
-      "UNION " +
-      "SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.id WHERE c.comp < s.b) " +
+    "q_dedup_groups" -> (s"WITH RECURSIVE $ccCtes " +
       "SELECT id, min(comp) AS component FROM cc GROUP BY id"),
     "jaccard_adjacent" -> ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
       "len(list_intersect(a.ts, b.ts)) AS inter_cnt, " +
@@ -1801,17 +1814,9 @@ object SparkEntry {
       "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3435973836 THEN 'train' " +
       "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566 THEN 'val' " +
       "ELSE 'test' END) AS split FROM documents"),
-    // same component machinery as q_dedup_groups, then the q_split hash
-    // cut applied to the COMPONENT id (own id when no near-dup)
-    "q_leakage_split" -> ("WITH RECURSIVE " +
-      s"t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS ts FROM documents), " +
-      "e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 " +
-      "WHERE len(list_intersect(a.ts, b.ts)) * 2 >= len(list_distinct(a.ts || b.ts))), " +
-      "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
-      "cc(id, comp) AS (" +
-      "SELECT DISTINCT a, a FROM sym " +
-      "UNION " +
-      "SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.id WHERE c.comp < s.b), " +
+    // the shared component CTEs, then the q_split hash cut applied to
+    // the COMPONENT id (own id when no near-dup)
+    "q_leakage_split" -> (s"WITH RECURSIVE $ccCtes, " +
       "comp AS (SELECT id, min(comp) AS component FROM cc GROUP BY id) " +
       "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key, " +
       "(CASE WHEN ('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT " +
