@@ -207,18 +207,22 @@ object Dedup {
                           maxBucket: Int = maxBucketDefault): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    // one codegen'd aggregate produces signature AND shingle set per doc;
-    // persisted because three downstream branches reference it (banding +
-    // both candidate join-backs) and Catalyst does not CSE subplans — the
-    // materialized form is small (per doc: one row of hashes + shingle
-    // set), disk-spillable, and at cluster scale this is the table you
-    // would checkpoint anyway.
+    // one codegen'd aggregate produces signature AND shingle-DIGEST set
+    // per doc; the verify step intersects 8-byte xxhash64 digests, not
+    // shingle strings — set jaccard over distinct digests equals string
+    // jaccard (collisions are 2^-64-scale), the cached/shuffled rows
+    // shrink ~3×, and array_intersect runs integer-typed. (The
+    // md5-portable flavors keep literal shingle sets because their DuckDB
+    // oracles re-derive them.) Persisted because three downstream
+    // branches reference it (banding + both candidate join-backs) and
+    // Catalyst does not CSE subplans — at cluster scale this is the
+    // table you would checkpoint anyway.
     val base = explodedShingles(df.select(col(idCol).as("__id"), col(textCol)),
       "__id", textCol, shingleSize)
       .groupBy(col("__id"))
       .agg(
         array(kmLanes(col("__sh"), numHashes).map(min): _*).as("sig"),
-        collect_set(col("__sh")).as("__shset"))
+        collect_set(xxhash64(col("__sh"))).as("__shset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("__id"),
       // full-signature hash: the chain sort key for oversized buckets —
