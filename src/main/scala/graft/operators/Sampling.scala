@@ -30,6 +30,15 @@ object Sampling {
     * `quotas` is the mixing CONFIG — (keyCol, quota) rows, always tiny,
     * broadcast; keys absent from it fall back to `defaultQuota`. One
     * exchange (the per-key rank window); the config join is map-side.
+    *
+    * SCALE CAVEAT (shared with every rank-per-key formulation, incl.
+    * q_per_key_cap): the window sorts each key inside one task, so a key
+    * holding a dominant fraction of a 100 TB corpus serializes there.
+    * The mitigation is a two-phase cut: first drop rows above a hash
+    * threshold ≈ quota / est_count(key) × (1+slack) — a NARROW map using
+    * the same [[hashBucket]] values, no shuffle — then exact-rank only
+    * the ~quota×(1+slack) survivors. Selection stays identical because
+    * hash rank and hash threshold order rows the same way.
     */
   def mixToQuotas(df: DataFrame, idCol: String, keyCol: String,
                   quotas: DataFrame, defaultQuota: Long): DataFrame = {
