@@ -212,6 +212,18 @@ object SparkEntry {
     Seq("src0" -> 20L, "src1" -> 15L, "src2" -> 10L, "src3" -> 5L)
   private val mixDefaultQuota = 8L
 
+  /** Shared oracle of q_mix_sources and q_mix_sources_large (the two
+    * engine formulations select identically by construction).
+    */
+  private lazy val mixSourcesSql: String =
+    "WITH q(source, quota) AS (VALUES " +
+      mixQuotas.map { case (k, v) => s"('$k', $v)" }.mkString(", ") + "), " +
+      "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+      "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn " +
+      "FROM documents) " +
+      "SELECT doc_id, source FROM r LEFT JOIN q USING (source) " +
+      s"WHERE rn <= coalesce(quota, $mixDefaultQuota)"
+
   /** q_token_budget's per-shard token budget — one constant, both sides. */
   private val tokenBudgetCap = 3000L
 
@@ -367,6 +379,16 @@ object SparkEntry {
       import s.implicits._
       val quotas = mixQuotas.toDF("source", "quota")
       graft.operators.Sampling.mixToQuotas(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", quotas, mixDefaultQuota)
+    }),
+    // the hot-key-safe two-phase variant (hash-threshold prune → rank →
+    // underfill-verified fallback) — provably the SAME selection, so it
+    // hash-checks against the SAME oracle as q_mix_sources
+    "q_mix_sources_large" -> ((s, dir) => {
+      import s.implicits._
+      val quotas = mixQuotas.toDF("source", "quota")
+      graft.operators.Sampling.mixToQuotasLarge(
         docs(s, dir).select(col("doc_id"), col("source")),
         "doc_id", "source", quotas, mixDefaultQuota)
     }),
@@ -1875,13 +1897,9 @@ object SparkEntry {
       "CAST(CASE WHEN q_score >= 600 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM (" +
       s"SELECT doc_id, $qScoreSql AS q_score " +
       "FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents))"),
-    "q_mix_sources" -> ("WITH q(source, quota) AS (VALUES " +
-      mixQuotas.map { case (k, v) => s"('$k', $v)" }.mkString(", ") + "), " +
-      "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
-      "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn " +
-      "FROM documents) " +
-      "SELECT doc_id, source FROM r LEFT JOIN q USING (source) " +
-      s"WHERE rn <= coalesce(quota, $mixDefaultQuota)"),
+    "q_mix_sources" -> mixSourcesSql,
+    // identical selection by construction — same oracle
+    "q_mix_sources_large" -> mixSourcesSql,
     // CAST the window sum: DuckDB sum(BIGINT) OVER → HUGEINT → float64
     "q_token_budget" -> ("WITH t AS (SELECT doc_id, lang, " +
       "len(string_split(n, ' '))::BIGINT AS n_tokens, " +

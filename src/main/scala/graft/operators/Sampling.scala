@@ -55,6 +55,67 @@ object Sampling {
       .drop("__rn", "__graft_quota")
   }
 
+  /** The hot-key-safe variant of [[mixToQuotas]] — IDENTICAL output,
+    * different physical shape. Phase 1 prunes each key to its ~quota×slack
+    * smallest-hash rows via a per-key hash THRESHOLD (counts shuffle only
+    * the key column; the threshold filter is a join + narrow filter — no
+    * per-key sort), so the rank window in phase 2 sees ~quota×slack rows
+    * per key instead of the key's full corpus share. A key is underfilled
+    * only if its threshold cut below its quota-th smallest hash (P ≈
+    * Poisson tail, vanishing for slack ≥ 2); the verification count
+    * catches exactly those keys and re-ranks just them without the
+    * threshold. Hash rank and hash threshold order rows identically, so
+    * the final selection is provably the same as [[mixToQuotas]]'s.
+    */
+  def mixToQuotasLarge(df: DataFrame, idCol: String, keyCol: String,
+                       quotas: DataFrame, defaultQuota: Long,
+                       slack: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(slack > 0, "slack must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
+    val q = quotas.select(col(keyCol), col("quota").as("__graft_quota"))
+    // per-key hash threshold ≈ quota/cnt × slack of the 2^32 hash space,
+    // clamped to "keep everything" when the quota covers the key anyway
+    val lim = counts.join(broadcast(q), Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("__graft_quota"), lit(defaultQuota)).as("__q"),
+        col("__cnt"))
+      .withColumn("__thr", when(col("__q") >= col("__cnt"), lit(4294967296L))
+        .otherwise(least(lit(4294967296L),
+          ceil(col("__q") * slack * 4294967296.0 / col("__cnt")).cast("long"))))
+      .persist(lvl)
+    val withB = df.withColumn("__hb", hashBucket(col(idCol)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__hb"), col(idCol))
+    val kept = withB.join(lim, Seq(keyCol))
+      .filter(col("__hb") < col("__thr"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__q"))
+      .persist(lvl)
+    // verification: underfilled = kept fewer than min(quota, available).
+    // Anchored on `lim` (every key) with a left join — a key whose
+    // threshold cut so deep that ZERO rows survived has no kept-count row
+    // at all, and an inner join would silently skip exactly the keys most
+    // in need of the fallback
+    val keptCounts = kept.groupBy(col(keyCol)).agg(count(lit(1)).as("__k"))
+    val shortKeys = lim.join(keptCounts, Seq(keyCol), "left")
+      .filter(coalesce(col("__k"), lit(0L)) < least(col("__q"), col("__cnt")))
+      .select(col(keyCol))
+    val helperCols = Seq("__hb", "__q", "__cnt", "__thr", "__rn")
+    if (shortKeys.isEmpty) kept.drop(helperCols: _*)
+    else {
+      // exact re-rank (no threshold) for only the rare underfilled keys
+      val redo = withB.join(broadcast(shortKeys), Seq(keyCol))
+        .join(lim.select(col(keyCol), col("__q")), Seq(keyCol))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= col("__q"))
+        .drop("__hb", "__q", "__rn")
+      kept.join(broadcast(shortKeys), Seq(keyCol), "left_anti")
+        .drop(helperCols: _*)
+        .unionByName(redo)
+    }
+  }
+
   /** Quality-ordered token-budget selection: within each shard, take rows
     * in (score desc, id) order until the shard's token budget would
     * overflow — "the best documents that fit in N tokens", the standard

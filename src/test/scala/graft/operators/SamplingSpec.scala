@@ -90,6 +90,27 @@ class SamplingSpec extends SparkTestBase {
     assert(out.count() == 2)
   }
 
+  test("mixToQuotasLarge equals mixToQuotas, with and without the fallback path") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L).map(i => (i, if (i % 3 == 0) "web" else "books"))
+      .toDF("doc_id", "source")
+    val quotas = Seq(("web", 10L)).toDF("source", "quota")
+    val exact = Sampling.mixToQuotas(df, "doc_id", "source", quotas, defaultQuota = 7L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet
+    // generous slack: threshold path succeeds, no fallback
+    val fast = Sampling.mixToQuotasLarge(df, "doc_id", "source", quotas,
+      defaultQuota = 7L, slack = 2.0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet
+    assert(fast == exact)
+    // pathological slack: thresholds cut below the quota-th hash, forcing
+    // the exact re-rank fallback — output must STILL be identical
+    val fallback = Sampling.mixToQuotasLarge(df, "doc_id", "source", quotas,
+      defaultQuota = 7L, slack = 0.01)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet
+    assert(fallback == exact)
+  }
+
   test("tokenBudget takes a rank-prefix per shard and stops at the budget") {
     val s = spark
     import s.implicits._
