@@ -212,6 +212,22 @@ object SparkEntry {
     Seq("src0" -> 20L, "src1" -> 15L, "src2" -> 10L, "src3" -> 5L)
   private val mixDefaultQuota = 8L
 
+  /** Shared oracle of q_token_budget and q_token_budget_large (the two
+    * engine formulations select identically by construction). CAST the
+    * window sum: DuckDB sum(BIGINT) OVER → HUGEINT → float64.
+    */
+  private lazy val tokenBudgetSql: String =
+    "WITH t AS (SELECT doc_id, lang, " +
+      "len(string_split(n, ' '))::BIGINT AS n_tokens, " +
+      s"$qScoreSql AS q_score " +
+      "FROM (SELECT doc_id, lang, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents)), " +
+      "c AS (SELECT doc_id, lang, n_tokens, q_score, " +
+      "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang " +
+      "ORDER BY q_score DESC, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) " +
+      s"SELECT doc_id, lang, n_tokens, q_score, cum_before FROM c " +
+      s"WHERE cum_before + n_tokens <= $tokenBudgetCap"
+
   /** Shared oracle of q_mix_sources and q_mix_sources_large (the two
     * engine formulations select identically by construction).
     */
@@ -226,6 +242,18 @@ object SparkEntry {
 
   /** q_token_budget's per-shard token budget — one constant, both sides. */
   private val tokenBudgetCap = 3000L
+
+  /** (doc_id, lang, n_tokens, q_score) — the shared input of the two
+    * token-budget query flavors.
+    */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val score = TextAnalysis.linearQualityScore(col("text"), Seq(
+      "n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
+      "punct_cnt" -> -5L, "digit_cnt" -> -10L))
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+      score.as("q_score"))
+  }
 
   /** DuckDB `sum(BIGINT)` returns HUGEINT, which `.df()` renders as
     * float64 — the same repr trap as DECIMAL. Every integer sum in an
@@ -395,16 +423,14 @@ object SparkEntry {
     // token-BUDGET selection: per lang, the best docs (linear quality
     // score, ties by id) whose running token total fits the budget —
     // "the best N tokens", the cut a fixed-size training run makes
-    "q_token_budget" -> ((s, dir) => {
-      val score = TextAnalysis.linearQualityScore(col("text"), Seq(
-        "n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
-        "punct_cnt" -> -5L, "digit_cnt" -> -10L))
-      graft.operators.Sampling.tokenBudget(
-        docs(s, dir).select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
-          score.as("q_score")),
-        "lang", "doc_id", "q_score", "n_tokens", budget = tokenBudgetCap)
-    }),
+    "q_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudget(scoredDocs(s, dir),
+        "lang", "doc_id", "q_score", "n_tokens", budget = tokenBudgetCap)),
+    // the hot-shard-safe two-phase shape (approx score cutoff → rank →
+    // completeness-verified fallback) — identical selection, same oracle
+    "q_token_budget_large" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetLarge(scoredDocs(s, dir),
+        "lang", "doc_id", "q_score", "n_tokens", budget = tokenBudgetCap)),
     "q_rolling_window" -> ((s, dir) => {
       // time-RANGE window frame (value-based, not row-based): per user,
       // the rolling 1h sum/count of purchase value. Peers with equal
@@ -1901,16 +1927,9 @@ object SparkEntry {
     // identical selection by construction — same oracle
     "q_mix_sources_large" -> mixSourcesSql,
     // CAST the window sum: DuckDB sum(BIGINT) OVER → HUGEINT → float64
-    "q_token_budget" -> ("WITH t AS (SELECT doc_id, lang, " +
-      "len(string_split(n, ' '))::BIGINT AS n_tokens, " +
-      s"$qScoreSql AS q_score " +
-      "FROM (SELECT doc_id, lang, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents)), " +
-      "c AS (SELECT doc_id, lang, n_tokens, q_score, " +
-      "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang " +
-      "ORDER BY q_score DESC, doc_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t) " +
-      s"SELECT doc_id, lang, n_tokens, q_score, cum_before FROM c " +
-      s"WHERE cum_before + n_tokens <= $tokenBudgetCap"),
+    "q_token_budget" -> tokenBudgetSql,
+    // identical selection by construction — same oracle
+    "q_token_budget_large" -> tokenBudgetSql,
     // mirror of TextAnalysis.boilerplateStats: DISTINCT 3-grams per doc,
     // corpus-wide document frequency, >= 5 docs flags boilerplate; `//`
     // == Spark's `div` on the non-negative operands

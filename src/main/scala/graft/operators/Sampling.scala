@@ -123,6 +123,8 @@ object Sampling {
     * a true rank-prefix: the running total includes every earlier row
     * (kept or not), so once one row overflows, all later rows do too.
     * One exchange; budgets are per shard, so no global sort exists.
+    * A shard holding a dominant corpus share still sorts in one task —
+    * [[tokenBudgetLarge]] is the hot-shard-safe shape.
     */
   def tokenBudget(df: DataFrame, shardCol: String, idCol: String,
                   scoreCol: String, tokensCol: String, budget: Long): DataFrame = {
@@ -133,6 +135,67 @@ object Sampling {
     df.withColumn("cum_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .filter(col("cum_before") + col(tokensCol) <= budget)
   }
+
+  /** The hot-shard-safe variant of [[tokenBudget]] — IDENTICAL output.
+    * Phase 1 estimates, per shard, the score cutoff that keeps ≈
+    * budget×slack tokens (a fixed approx-percentile grid — the percentage
+    * argument must be a literal) and prunes strictly-lower-scored rows
+    * with a narrow filter, so the rank window sorts only the plausible
+    * prefix instead of the shard's full corpus share. Correctness does
+    * not depend on the estimate: every pruned row scores strictly below
+    * every survivor, so survivor ranks equal global ranks, and a shard's
+    * result is complete iff its budget boundary fell INSIDE the
+    * survivors (some survivor was budget-excluded). Shards where ALL
+    * survivors fit AND rows were pruned re-run exact — the selection is
+    * provably [[tokenBudget]]'s for any threshold quality.
+    */
+  def tokenBudgetLarge(df: DataFrame, shardCol: String, idCol: String,
+                       scoreCol: String, tokensCol: String, budget: Long,
+                       slack: Double = 2.0): DataFrame = {
+    require(slack > 0, "slack must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // grid of keep-fractions {50%, 25%, 10%, 4%, 1%}: pick the deepest
+    // prune whose keep-fraction still covers budget×slack tokens
+    val grid = Seq(0.5, 0.75, 0.9, 0.96, 0.99)
+    val stats = df.groupBy(col(shardCol)).agg(
+      sum(col(tokensCol)).as("__tot"),
+      count(lit(1)).as("__n"),
+      percentile_approx(col(scoreCol),
+        array(grid.map(lit): _*), lit(10000)).as("__ps"))
+    val keepFrac = least(lit(1.0), lit(budget.toDouble * slack) / col("__tot"))
+    val thr = grid.zipWithIndex.reverse
+      .foldLeft(lit(null).cast("double"): Column) { case (els, (q, i)) =>
+        when(keepFrac <= 1.0 - q, element_at(col("__ps"), i + 1)).otherwise(els)
+      }
+    // one row per shard; the planner broadcasts it when small
+    val lim = stats.select(col(shardCol), col("__n"), thr.as("__thr")).persist(lvl)
+    val survivors = df.join(lim, Seq(shardCol))
+      .filter(col("__thr").isNull || col(scoreCol) >= col("__thr"))
+      .persist(lvl)
+    val kept = tokenBudget(survivors, shardCol, idCol, scoreCol, tokensCol, budget)
+      .persist(lvl)
+    // a shard is complete iff some survivor was budget-excluded OR
+    // nothing was pruned; left joins anchored on lim so zero-survivor /
+    // zero-kept shards are still seen
+    def cnt(d: DataFrame, as: String) =
+      d.groupBy(col(shardCol)).agg(count(lit(1)).as(as))
+    val shortShards = lim
+      .join(cnt(survivors, "__s"), Seq(shardCol), "left")
+      .join(cnt(kept, "__k"), Seq(shardCol), "left")
+      .filter(coalesce(col("__k"), lit(0L)) === coalesce(col("__s"), lit(0L)) &&
+        coalesce(col("__s"), lit(0L)) < col("__n"))
+      .select(col(shardCol))
+    val helperCols = Seq("__n", "__thr")
+    if (shortShards.isEmpty) kept.drop(helperCols: _*)
+    else {
+      val redo = tokenBudget(df.join(broadcast(shortShards), Seq(shardCol)),
+        shardCol, idCol, scoreCol, tokensCol, budget)
+      kept.join(broadcast(shortShards), Seq(shardCol), "left_anti")
+        .drop(helperCols: _*)
+        .unionByName(redo)
+    }
+  }
+
 
   private def threshold(fraction: Double): Long =
     math.floor(fraction * 4294967296.0).toLong

@@ -111,6 +111,29 @@ class SamplingSpec extends SparkTestBase {
     assert(fallback == exact)
   }
 
+  test("tokenBudgetLarge equals tokenBudget, with and without the fallback path") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 4 == 0) "small" else "big", 1L + rnd.nextInt(20).toLong,
+        rnd.nextInt(1000).toLong))
+    val df = rows.toDF("doc_id", "lang", "n_tokens", "q_score")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_before"))).toSet
+    val exact = ids(Sampling.tokenBudget(df, "lang", "doc_id", "q_score", "n_tokens", 200L))
+    val fast = ids(Sampling.tokenBudgetLarge(df, "lang", "doc_id", "q_score", "n_tokens",
+      200L, slack = 2.0))
+    assert(fast == exact)
+    // huge budget → every shard keeps everything → the "all survivors
+    // fit" + "rows were pruned" combination must trigger the exact
+    // fallback wherever pruning happened, and still match exactly
+    val exactAll = ids(Sampling.tokenBudget(df, "lang", "doc_id", "q_score", "n_tokens", 100000L))
+    val fbAll = ids(Sampling.tokenBudgetLarge(df, "lang", "doc_id", "q_score", "n_tokens",
+      100000L, slack = 0.001))
+    assert(fbAll == exactAll)
+  }
+
   test("tokenBudget takes a rank-prefix per shard and stops at the budget") {
     val s = spark
     import s.implicits._
