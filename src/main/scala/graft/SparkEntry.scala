@@ -1072,6 +1072,17 @@ object SparkEntry {
       "shuffle_key", partitions = 8)
       .select(col("doc_id"), col("shuffle_key"), col("ordinal").as("shuffle_pos"))),
     "q_vocab" -> ((s, dir) => TextAnalysis.topTokens(docs(s, dir), "text", 50)),
+    // BPE-training prep: corpus-wide ADJACENT-PAIR frequencies — the
+    // merge-candidate table a byte-pair-encoding trainer consumes each
+    // round. Reuses the codegen'd shingle stage at size 2 (a "pair" is a
+    // 2-gram); map-side partial counts; top-k plans as TakeOrdered.
+    "q_bpe_pairs" -> ((s, dir) =>
+      Dedup.explodedShingles(docs(s, dir), "doc_id", "text", shingleSize = 2)
+        .filter(col("__sh").contains(" ")) // short docs fall back to a 1-token whole-text shingle — not a pair
+        .groupBy(col("__sh").as("pair"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(50)),
     "q_profile" -> ((s, dir) => docs(s, dir)
       .select(col("lang"), TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
       .groupBy("lang")
@@ -1877,6 +1888,11 @@ object SparkEntry {
     "q_vocab" -> ("SELECT token, count(*) AS cnt FROM (" +
       s"SELECT unnest(string_split($normSql, ' ')) AS token FROM documents) " +
       "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"),
+    "q_bpe_pairs" -> ("SELECT pair, count(*) AS cnt FROM (" +
+      "SELECT toks[i] || ' ' || toks[i + 1] AS pair " +
+      s"FROM (SELECT string_split($normSql, ' ') AS toks FROM documents), " +
+      "unnest(range(1, greatest(len(toks), 1))) t(i)) " +
+      "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50"),
     "q_profile" -> ("SELECT lang, count(*) AS n_docs, " +
       "quantile_cont(n_tokens, 0.25) AS p25, quantile_cont(n_tokens, 0.5) AS p50, " +
       "quantile_cont(n_tokens, 0.75) AS p75 FROM (" +
