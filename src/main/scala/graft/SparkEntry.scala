@@ -583,6 +583,18 @@ object SparkEntry {
       .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_mktsegment"))),
+    // semi join, exercised through the SQL-TEXT interface: a correlated
+    // EXISTS subquery over registered temp views — Catalyst decorrelates
+    // it into the same LeftSemi hash join the DataFrame API plans, and
+    // the query proves the engine's SQL surface end-to-end
+    "q_semi_join" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+        .createOrReplaceTempView("graft_big_orders")
+      s.sql("""SELECT c_custkey, c_mktsegment FROM graft_customer c
+               WHERE EXISTS (SELECT 1 FROM graft_big_orders o
+                             WHERE o.o_custkey = c.c_custkey)""")
+    }),
     // data-quality checks: one row per rule with its violation count —
     // the "expectations" pattern; every rule is one conditional aggregate,
     // so the whole suite is a single scan per table
@@ -1734,6 +1746,9 @@ object SparkEntry {
       "UNION ALL SELECT user_id, 'n_error' AS metric, n_error AS n FROM wide"),
     "q_anti_join" -> ("SELECT c_custkey, c_mktsegment FROM customer " +
       "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "q_semi_join" -> ("SELECT c_custkey, c_mktsegment FROM customer c " +
+      "WHERE EXISTS (SELECT 1 FROM orders o " +
+      "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"),
     "q_quality_checks" -> ("SELECT 'lineitem' AS tbl, 'nonpositive_qty' AS rule, " +
       "CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem " +
       "UNION ALL SELECT 'lineitem', 'negative_price', " +
