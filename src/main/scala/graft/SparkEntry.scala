@@ -1262,6 +1262,31 @@ object SparkEntry {
           expr(s"start_off % $packCap").as("bin_offset"))
     }),
 
+    // the composite CURATION pipeline, end to end in ONE hash-checked
+    // query: quality filter → exact text dedup (keep min id per digest)
+    // → per-lang hash-rank cap → deterministic train cut. Stage order is
+    // the production order (cheap narrow filters first, dedup before
+    // caps so duplicates can't eat a language's quota); three window
+    // exchanges, everything else narrow.
+    "q_curation_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val score = TextAnalysis.linearQualityScore(col("text"), Seq(
+        "n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
+        "punct_cnt" -> -5L, "digit_cnt" -> -10L))
+      val scored = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        .filter(score >= 600L)
+      val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = scored.withColumn("__rn", row_number().over(wd))
+        .filter(col("__rn") === 1).drop("__rn")
+      val wc = Window.partitionBy(col("lang")).orderBy(
+        graft.operators.Sampling.hashBucket(col("doc_id")), col("doc_id"))
+      val capped = deduped.withColumn("__rn", row_number().over(wc))
+        .filter(col("__rn") <= 40).drop("__rn")
+      capped
+        .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 3435973836L)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // ---- LLM pipeline: multimodal columns
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.attachFakeMedia(docs(s, dir), "doc_id", "text")
@@ -1749,6 +1774,20 @@ object SparkEntry {
     "q_semi_join" -> ("SELECT c_custkey, c_mktsegment FROM customer c " +
       "WHERE EXISTS (SELECT 1 FROM orders o " +
       "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"),
+    // composite curation mirror: same four stages, same order
+    "q_curation_e2e" -> ("WITH scored AS (SELECT doc_id, lang, text FROM (" +
+      s"SELECT doc_id, lang, text, $qScoreSql AS q " +
+      "FROM (SELECT doc_id, lang, text, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n " +
+      "FROM documents)) WHERE q >= 600), " +
+      "dedup AS (SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+      "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM scored) " +
+      "WHERE rn = 1), " +
+      "capped AS (SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn " +
+      "FROM dedup) WHERE rn <= 40) " +
+      "SELECT doc_id, lang FROM capped " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3435973836"),
     "q_quality_checks" -> ("SELECT 'lineitem' AS tbl, 'nonpositive_qty' AS rule, " +
       "CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem " +
       "UNION ALL SELECT 'lineitem', 'negative_price', " +
