@@ -243,13 +243,19 @@ object SparkEntry {
   /** q_token_budget's per-shard token budget — one constant, both sides. */
   private val tokenBudgetCap = 3000L
 
+  /** The ONE quality-model weight vector every scoring query shares
+    * (q_quality_score, q_token_budget*, q_curation_e2e) — mirrored by
+    * [[qScoreSql]]; editing weights means editing BOTH, once each.
+    */
+  private val qualityWeights = Seq(
+    "n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
+    "punct_cnt" -> -5L, "digit_cnt" -> -10L)
+
   /** (doc_id, lang, n_tokens, q_score) — the shared input of the two
     * token-budget query flavors.
     */
   private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
-    val score = TextAnalysis.linearQualityScore(col("text"), Seq(
-      "n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
-      "punct_cnt" -> -5L, "digit_cnt" -> -10L))
+    val score = TextAnalysis.linearQualityScore(col("text"), qualityWeights)
     docs(s, dir).select(col("doc_id"), col("lang"),
       TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
       score.as("q_score"))
@@ -1136,9 +1142,7 @@ object SparkEntry {
     // projection, zero shuffles; `keep` as 0/1 so the output stays
     // integer-typed in every reader
     "q_quality_score" -> ((s, dir) => {
-      val score = TextAnalysis.linearQualityScore(col("text"), Seq(
-        "n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
-        "punct_cnt" -> -5L, "digit_cnt" -> -10L))
+      val score = TextAnalysis.linearQualityScore(col("text"), qualityWeights)
       docs(s, dir).select(col("doc_id"), score.as("q_score"),
         when(score >= 600L, 1L).otherwise(0L).as("keep"))
     }),
@@ -1270,9 +1274,7 @@ object SparkEntry {
     // exchanges, everything else narrow.
     "q_curation_e2e" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val score = TextAnalysis.linearQualityScore(col("text"), Seq(
-        "n_tokens" -> 2L, "mean_tok_len_x100" -> 1L,
-        "punct_cnt" -> -5L, "digit_cnt" -> -10L))
+      val score = TextAnalysis.linearQualityScore(col("text"), qualityWeights)
       val scored = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
         .filter(score >= 600L)
       val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))

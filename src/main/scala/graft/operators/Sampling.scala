@@ -74,10 +74,14 @@ object Sampling {
     require(slack > 0, "slack must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
-    val q = quotas.select(col(keyCol), col("quota").as("__graft_quota"))
+    val q = quotas.select(col(keyCol).as("__qk"), col("quota").as("__graft_quota"))
+    // every join on the key is NULL-SAFE (<=>): a NULL key is a legal
+    // group in mixToQuotas (window partitions group nulls), so it must
+    // survive every phase here too — a plain equi-join would silently
+    // drop NULL-key rows and diverge
     // per-key hash threshold ≈ quota/cnt × slack of the 2^32 hash space,
     // clamped to "keep everything" when the quota covers the key anyway
-    val lim = counts.join(broadcast(q), Seq(keyCol), "left")
+    val lim = counts.join(broadcast(q), col(keyCol) <=> col("__qk"), "left")
       .select(col(keyCol),
         coalesce(col("__graft_quota"), lit(defaultQuota)).as("__q"),
         col("__cnt"))
@@ -85,9 +89,10 @@ object Sampling {
         .otherwise(least(lit(4294967296L),
           ceil(col("__q") * slack * 4294967296.0 / col("__cnt")).cast("long"))))
       .persist(lvl)
+    val limR = lim.select(col(keyCol).as("__lk"), col("__q"), col("__cnt"), col("__thr"))
     val withB = df.withColumn("__hb", hashBucket(col(idCol)))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__hb"), col(idCol))
-    val kept = withB.join(lim, Seq(keyCol))
+    val kept = withB.join(limR, col(keyCol) <=> col("__lk")).drop("__lk")
       .filter(col("__hb") < col("__thr"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__q"))
@@ -98,19 +103,22 @@ object Sampling {
     // at all, and an inner join would silently skip exactly the keys most
     // in need of the fallback
     val keptCounts = kept.groupBy(col(keyCol)).agg(count(lit(1)).as("__k"))
-    val shortKeys = lim.join(keptCounts, Seq(keyCol), "left")
+      .select(col(keyCol).as("__kk"), col("__k"))
+    val shortKeys = lim.join(keptCounts, col(keyCol) <=> col("__kk"), "left")
       .filter(coalesce(col("__k"), lit(0L)) < least(col("__q"), col("__cnt")))
-      .select(col(keyCol))
+      .select(col(keyCol).as("__sk"))
     val helperCols = Seq("__hb", "__q", "__cnt", "__thr", "__rn")
     if (shortKeys.isEmpty) kept.drop(helperCols: _*)
     else {
       // exact re-rank (no threshold) for only the rare underfilled keys
-      val redo = withB.join(broadcast(shortKeys), Seq(keyCol))
-        .join(lim.select(col(keyCol), col("__q")), Seq(keyCol))
+      val redo = withB.join(broadcast(shortKeys), col(keyCol) <=> col("__sk"))
+        .drop("__sk")
+        .join(limR.select(col("__lk"), col("__q")), col(keyCol) <=> col("__lk"))
+        .drop("__lk")
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= col("__q"))
         .drop("__hb", "__q", "__rn")
-      kept.join(broadcast(shortKeys), Seq(keyCol), "left_anti")
+      kept.join(broadcast(shortKeys), col(keyCol) <=> col("__sk"), "left_anti")
         .drop(helperCols: _*)
         .unionByName(redo)
     }
@@ -163,13 +171,20 @@ object Sampling {
       percentile_approx(col(scoreCol),
         array(grid.map(lit): _*), lit(10000)).as("__ps"))
     val keepFrac = least(lit(1.0), lit(budget.toDouble * slack) / col("__tot"))
-    val thr = grid.zipWithIndex.reverse
+    // foldLeft makes the LAST-processed grid point the OUTERMOST when(),
+    // so iterate ascending — the deepest qualifying prune (q=0.99) must
+    // win, not the shallowest (a reversed fold would always stop at the
+    // p50 cutoff and sort 50% of a hot shard instead of ~1%)
+    val thr = grid.zipWithIndex
       .foldLeft(lit(null).cast("double"): Column) { case (els, (q, i)) =>
         when(keepFrac <= 1.0 - q, element_at(col("__ps"), i + 1)).otherwise(els)
       }
-    // one row per shard; the planner broadcasts it when small
+    // one row per shard; the planner broadcasts it when small. Joins on
+    // the shard are NULL-SAFE — a NULL shard is a legal window partition
+    // in tokenBudget and must survive every phase here too
     val lim = stats.select(col(shardCol), col("__n"), thr.as("__thr")).persist(lvl)
-    val survivors = df.join(lim, Seq(shardCol))
+    val limR = lim.select(col(shardCol).as("__ls"), col("__n"), col("__thr"))
+    val survivors = df.join(limR, col(shardCol) <=> col("__ls")).drop("__ls")
       .filter(col("__thr").isNull || col(scoreCol) >= col("__thr"))
       .persist(lvl)
     val kept = tokenBudget(survivors, shardCol, idCol, scoreCol, tokensCol, budget)
@@ -177,20 +192,27 @@ object Sampling {
     // a shard is complete iff some survivor was budget-excluded OR
     // nothing was pruned; left joins anchored on lim so zero-survivor /
     // zero-kept shards are still seen
-    def cnt(d: DataFrame, as: String) =
+    def cnt(d: DataFrame, as: String, keyAs: String) =
       d.groupBy(col(shardCol)).agg(count(lit(1)).as(as))
+        .select(col(shardCol).as(keyAs), col(as))
     val shortShards = lim
-      .join(cnt(survivors, "__s"), Seq(shardCol), "left")
-      .join(cnt(kept, "__k"), Seq(shardCol), "left")
+      .join(cnt(survivors, "__s", "__c1"), col(shardCol) <=> col("__c1"), "left")
+      .join(cnt(kept, "__k", "__c2"), col(shardCol) <=> col("__c2"), "left")
       .filter(coalesce(col("__k"), lit(0L)) === coalesce(col("__s"), lit(0L)) &&
         coalesce(col("__s"), lit(0L)) < col("__n"))
-      .select(col(shardCol))
+      .select(col(shardCol).as("__ss"))
     val helperCols = Seq("__n", "__thr")
-    if (shortShards.isEmpty) kept.drop(helperCols: _*)
+    val complete = shortShards.isEmpty // action: materializes lim+survivors+kept
+    // kept's cache is fully materialized by the counting action above, so
+    // its parent can be released; kept and lim stay pinned because the
+    // RETURNED plan still reads them (callers/bench clearCache() them)
+    survivors.unpersist(blocking = false)
+    if (complete) kept.drop(helperCols: _*)
     else {
-      val redo = tokenBudget(df.join(broadcast(shortShards), Seq(shardCol)),
+      val redo = tokenBudget(
+        df.join(broadcast(shortShards), col(shardCol) <=> col("__ss")).drop("__ss"),
         shardCol, idCol, scoreCol, tokensCol, budget)
-      kept.join(broadcast(shortShards), Seq(shardCol), "left_anti")
+      kept.join(broadcast(shortShards), col(shardCol) <=> col("__ss"), "left_anti")
         .drop(helperCols: _*)
         .unionByName(redo)
     }

@@ -93,7 +93,9 @@ class SamplingSpec extends SparkTestBase {
   test("mixToQuotasLarge equals mixToQuotas, with and without the fallback path") {
     val s = spark
     import s.implicits._
-    val df = (0L until 200L).map(i => (i, if (i % 3 == 0) "web" else "books"))
+    // every 11th key NULL: a legal group that must survive both variants
+    val df = (0L until 200L).map(i => (i,
+      if (i % 11 == 0) null else if (i % 3 == 0) "web" else "books"))
       .toDF("doc_id", "source")
     val quotas = Seq(("web", 10L)).toDF("source", "quota")
     val exact = Sampling.mixToQuotas(df, "doc_id", "source", quotas, defaultQuota = 7L)
@@ -115,9 +117,10 @@ class SamplingSpec extends SparkTestBase {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(7)
+    // every 13th shard NULL: a legal window partition in tokenBudget
     val rows = (0L until 300L).map(i =>
-      (i, if (i % 4 == 0) "small" else "big", 1L + rnd.nextInt(20).toLong,
-        rnd.nextInt(1000).toLong))
+      (i, if (i % 13 == 0) null else if (i % 4 == 0) "small" else "big",
+        1L + rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
     val df = rows.toDF("doc_id", "lang", "n_tokens", "q_score")
     def ids(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_before"))).toSet
