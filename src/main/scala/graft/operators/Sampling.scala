@@ -73,7 +73,12 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(slack > 0, "slack must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
+    // the input plan executes for the counts AND the ranked phase (and a
+    // third time on fallback) — persist it so an expensive upstream
+    // (scoring projections, joins) runs once; Catalyst does not CSE
+    // subplans
+    val in = df.persist(lvl)
+    val counts = in.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
     val q = quotas.select(col(keyCol).as("__qk"), col("quota").as("__graft_quota"))
     // every join on the key is NULL-SAFE (<=>): a NULL key is a legal
     // group in mixToQuotas (window partitions group nulls), so it must
@@ -90,7 +95,7 @@ object Sampling {
           ceil(col("__q") * slack * 4294967296.0 / col("__cnt")).cast("long"))))
       .persist(lvl)
     val limR = lim.select(col(keyCol).as("__lk"), col("__q"), col("__cnt"), col("__thr"))
-    val withB = df.withColumn("__hb", hashBucket(col(idCol)))
+    val withB = in.withColumn("__hb", hashBucket(col(idCol)))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__hb"), col(idCol))
     val kept = withB.join(limR, col(keyCol) <=> col("__lk")).drop("__lk")
       .filter(col("__hb") < col("__thr"))
@@ -162,10 +167,14 @@ object Sampling {
                        slack: Double = 2.0): DataFrame = {
     require(slack > 0, "slack must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the input plan executes for the stats AND the survivors phase (and
+    // a third time on fallback) — persist it so an expensive upstream
+    // (scoring projections) runs once; Catalyst does not CSE subplans
+    val in = df.persist(lvl)
     // grid of keep-fractions {50%, 25%, 10%, 4%, 1%}: pick the deepest
     // prune whose keep-fraction still covers budget×slack tokens
     val grid = Seq(0.5, 0.75, 0.9, 0.96, 0.99)
-    val stats = df.groupBy(col(shardCol)).agg(
+    val stats = in.groupBy(col(shardCol)).agg(
       sum(col(tokensCol)).as("__tot"),
       count(lit(1)).as("__n"),
       percentile_approx(col(scoreCol),
@@ -184,7 +193,7 @@ object Sampling {
     // in tokenBudget and must survive every phase here too
     val lim = stats.select(col(shardCol), col("__n"), thr.as("__thr")).persist(lvl)
     val limR = lim.select(col(shardCol).as("__ls"), col("__n"), col("__thr"))
-    val survivors = df.join(limR, col(shardCol) <=> col("__ls")).drop("__ls")
+    val survivors = in.join(limR, col(shardCol) <=> col("__ls")).drop("__ls")
       .filter(col("__thr").isNull || col(scoreCol) >= col("__thr"))
       .persist(lvl)
     val kept = tokenBudget(survivors, shardCol, idCol, scoreCol, tokensCol, budget)
@@ -210,7 +219,7 @@ object Sampling {
     if (complete) kept.drop(helperCols: _*)
     else {
       val redo = tokenBudget(
-        df.join(broadcast(shortShards), col(shardCol) <=> col("__ss")).drop("__ss"),
+        in.join(broadcast(shortShards), col(shardCol) <=> col("__ss")).drop("__ss"),
         shardCol, idCol, scoreCol, tokensCol, budget)
       kept.join(broadcast(shortShards), col(shardCol) <=> col("__ss"), "left_anti")
         .drop(helperCols: _*)
