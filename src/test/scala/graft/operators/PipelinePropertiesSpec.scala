@@ -91,6 +91,46 @@ class PipelinePropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("property: mixToQuotasLarge equals mixToQuotas for random inputs and slacks") {
+    val gen = for {
+      rows <- rowsGen
+      quota <- Gen.chooseNum(0L, 8L)
+      dflt <- Gen.chooseNum(1L, 8L)
+      slack <- Gen.oneOf(0.05, 0.5, 2.0, 10.0)
+    } yield (rows, quota, dflt, slack)
+    check(6)(Prop.forAll(gen) { case (rows, quota, dflt, slack) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("doc_id", "source")
+      val quotas = Seq(("web", quota)).toDF("source", "quota")
+      def ids(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.getAs[Long]("doc_id")).toSet
+      ids(Sampling.mixToQuotasLarge(df, "doc_id", "source", quotas, dflt, slack)) ==
+        ids(Sampling.mixToQuotas(df, "doc_id", "source", quotas, dflt))
+    })
+  }
+
+  test("property: tokenBudgetLarge equals tokenBudget for random inputs and slacks") {
+    val gen = for {
+      docs <- Gen.listOfN(15, for {
+        t <- Gen.chooseNum(1L, 30L); sc <- Gen.chooseNum(0L, 50L)
+        shard <- Gen.oneOf("a", "b")
+      } yield (t, sc, shard))
+      budget <- Gen.chooseNum(5L, 200L)
+      slack <- Gen.oneOf(0.05, 1.0, 5.0)
+    } yield (docs, budget, slack)
+    check(6)(Prop.forAll(gen) { case (docs, budget, slack) =>
+      val s = spark
+      import s.implicits._
+      val df = docs.zipWithIndex.map { case ((t, sc, sh), i) => (i.toLong, sh, t, sc) }
+        .toDF("doc_id", "lang", "n_tokens", "q_score")
+      def ids(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_before"))).toSet
+      ids(Sampling.tokenBudgetLarge(df, "lang", "doc_id", "q_score", "n_tokens", budget, slack)) ==
+        ids(Sampling.tokenBudget(df, "lang", "doc_id", "q_score", "n_tokens", budget))
+    })
+  }
+
   test("property: tokenBudget never exceeds the budget and keeps a rank prefix") {
     val docGen = Gen.listOfN(12, for {
       tokens <- Gen.chooseNum(1L, 50L)
