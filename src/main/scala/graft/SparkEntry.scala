@@ -422,9 +422,11 @@ object SparkEntry {
     "q_mix_sources_large" -> ((s, dir) => {
       import s.implicits._
       val quotas = mixQuotas.toDF("source", "quota")
+      // cacheInput = false: the input is a 2-column pruned parquet scan —
+      // cheaper to read twice with pushdown than to materialize once
       graft.operators.Sampling.mixToQuotasLarge(
         docs(s, dir).select(col("doc_id"), col("source")),
-        "doc_id", "source", quotas, mixDefaultQuota)
+        "doc_id", "source", quotas, mixDefaultQuota, cacheInput = false)
     }),
     // token-BUDGET selection: per lang, the best docs (linear quality
     // score, ties by id) whose running token total fits the budget —

@@ -69,15 +69,22 @@ object Sampling {
     */
   def mixToQuotasLarge(df: DataFrame, idCol: String, keyCol: String,
                        quotas: DataFrame, defaultQuota: Long,
-                       slack: Double = 2.0): DataFrame = {
+                       slack: Double = 2.0,
+                       cacheInput: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(slack > 0, "slack must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the input plan executes for the counts AND the ranked phase (and a
-    // third time on fallback) — persist it so an expensive upstream
-    // (scoring projections, joins) runs once; Catalyst does not CSE
-    // subplans
-    val in = df.persist(lvl)
+    // third time on fallback); with cacheInput an expensive upstream
+    // (scoring projections, joins) runs once — Catalyst does not CSE
+    // subplans. Pass cacheInput = false when the input is a cheap pruned
+    // scan (caching one would trade pushdown for a pointless cache
+    // write), or when the caller manages df's own persistence. With
+    // cacheInput the operator OWNS the cache: it releases it on the
+    // common path (and every cache the returned plan no longer reads);
+    // the rare fallback path leaves the handles pinned because the
+    // returned plan still reads them.
+    val in = if (cacheInput) df.persist(lvl) else df
     val counts = in.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
     val q = quotas.select(col(keyCol).as("__qk"), col("quota").as("__graft_quota"))
     // every join on the key is NULL-SAFE (<=>): a NULL key is a legal
@@ -113,8 +120,14 @@ object Sampling {
       .filter(coalesce(col("__k"), lit(0L)) < least(col("__q"), col("__cnt")))
       .select(col(keyCol).as("__sk"))
     val helperCols = Seq("__hb", "__q", "__cnt", "__thr", "__rn")
-    if (shortKeys.isEmpty) kept.drop(helperCols: _*)
-    else {
+    val complete = shortKeys.isEmpty // action: materializes in, lim, kept
+    if (complete) {
+      // the returned plan reads ONLY kept's materialized cache — release
+      // everything upstream of it
+      if (cacheInput) in.unpersist(blocking = false)
+      lim.unpersist(blocking = false)
+      kept.drop(helperCols: _*)
+    } else {
       // exact re-rank (no threshold) for only the rare underfilled keys
       val redo = withB.join(broadcast(shortKeys), col(keyCol) <=> col("__sk"))
         .drop("__sk")
@@ -164,13 +177,18 @@ object Sampling {
     */
   def tokenBudgetLarge(df: DataFrame, shardCol: String, idCol: String,
                        scoreCol: String, tokensCol: String, budget: Long,
-                       slack: Double = 2.0): DataFrame = {
+                       slack: Double = 2.0,
+                       cacheInput: Boolean = true): DataFrame = {
     require(slack > 0, "slack must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the input plan executes for the stats AND the survivors phase (and
-    // a third time on fallback) — persist it so an expensive upstream
-    // (scoring projections) runs once; Catalyst does not CSE subplans
-    val in = df.persist(lvl)
+    // a third time on fallback); with cacheInput an expensive upstream
+    // (the scoring projection) runs once — Catalyst does not CSE
+    // subplans. Same ownership contract as mixToQuotasLarge: released on
+    // the common path, pinned on the rare fallback (the returned plan
+    // reads it there); pass false for cheap inputs or caller-managed
+    // persistence.
+    val in = if (cacheInput) df.persist(lvl) else df
     // grid of keep-fractions {50%, 25%, 10%, 4%, 1%}: pick the deepest
     // prune whose keep-fraction still covers budget×slack tokens
     val grid = Seq(0.5, 0.75, 0.9, 0.96, 0.99)
@@ -211,13 +229,16 @@ object Sampling {
         coalesce(col("__s"), lit(0L)) < col("__n"))
       .select(col(shardCol).as("__ss"))
     val helperCols = Seq("__n", "__thr")
-    val complete = shortShards.isEmpty // action: materializes lim+survivors+kept
+    val complete = shortShards.isEmpty // action: materializes in+lim+survivors+kept
     // kept's cache is fully materialized by the counting action above, so
-    // its parent can be released; kept and lim stay pinned because the
-    // RETURNED plan still reads them (callers/bench clearCache() them)
+    // its parent is always releasable; on the complete path the returned
+    // plan reads ONLY kept, so the input and limits caches go too
     survivors.unpersist(blocking = false)
-    if (complete) kept.drop(helperCols: _*)
-    else {
+    if (complete) {
+      if (cacheInput) in.unpersist(blocking = false)
+      lim.unpersist(blocking = false)
+      kept.drop(helperCols: _*)
+    } else {
       val redo = tokenBudget(
         in.join(broadcast(shortShards), col(shardCol) <=> col("__ss")).drop("__ss"),
         shardCol, idCol, scoreCol, tokensCol, budget)
