@@ -673,11 +673,16 @@ object SparkEntry {
     // bucketed fact-dim join: both sides written bucketed by custkey once
     // per process (see bucketedTables), so the equi-join plans WITHOUT a
     // shuffle exchange on either side — the pay-once answer to repeated
-    // 100 TB joins (BucketingSpec asserts the exchange-free plan; here
-    // the driver hash-checks the VALUES against a plain-join oracle)
+    // 100 TB joins. The MERGE hint pins the SortMergeJoin even at bench
+    // SFs where customer fits under the auto-broadcast threshold: the
+    // exchange-free SMJ is the plan this feature exists for, and the hint
+    // is plan-scoped (no session-conf mutation to leak into other
+    // queries). BucketingSpec asserts the exchange-free shape; the driver
+    // hash-checks the VALUES against a plain-join oracle.
     "q_bucketed_join" -> ((s, dir) => {
       val (oT, cT) = bucketedTables(s, dir)
-      s.table(oT).join(s.table(cT), col("o_custkey") === col("c_custkey"))
+      s.table(oT).hint("merge")
+        .join(s.table(cT).hint("merge"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("sum_price_cents"))

@@ -204,7 +204,8 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
                           threshold: Double = 0.6,
-                          maxBucket: Int = maxBucketDefault): DataFrame = {
+                          maxBucket: Int = maxBucketDefault,
+                          tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     // one codegen'd aggregate produces signature AND shingle-DIGEST set
@@ -223,7 +224,8 @@ object Dedup {
       .agg(
         array(kmLanes(col("__sh"), numHashes).map(min): _*).as("sig"),
         collect_set(xxhash64(col("__sh"))).as("__shset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => tracker.own(
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     val banded = base.select(col("__id"),
       // full-signature hash: the chain sort key for oversized buckets —
       // identical signatures (true dup clusters) sort adjacent
@@ -239,10 +241,11 @@ object Dedup {
     // subplans — without the persist the banding + window-count stage
     // (including its exchange) executes once per branch (measured ~1.7×
     // on the whole pipeline). The cached table is bands×docs rows of ids
-    // and hashes — tiny next to the corpus.
+    // and hashes — tiny next to the corpus. Cache ownership: see
+    // [[CacheTracker]] — release via the tracker once materialized.
     val w = Window.partitionBy("band", "bh")
-    val withStats = banded.withColumn("__cnt", count(lit(1)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withStats = tracker.own(banded.withColumn("__cnt", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val smallPairs = withStats
       .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
       // groupBy reuses the window's (band, bh) exchange — no extra shuffle
@@ -283,13 +286,17 @@ object Dedup {
     */
   def dedupAgainstIndex(index: DataFrame, batch: DataFrame,
                         idCol: String, textCol: String,
-                        shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
+                        shingleSize: Int = 3, numHashes: Int = 8,
+                        tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     require(numHashes % 2 == 0, "bands are 2 lanes wide: numHashes must be even")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both sides referenced twice (banding + verify join-back); Catalyst
-    // does not CSE subplans, so persist the signature+set tables
-    val idx = minhashSignatureMd5WithSets(index, idCol, textCol, shingleSize, numHashes).persist(lvl)
-    val bat = minhashSignatureMd5WithSets(batch, idCol, textCol, shingleSize, numHashes).persist(lvl)
+    // does not CSE subplans, so persist the signature+set tables. Cache
+    // ownership: see [[CacheTracker]].
+    val idx = tracker.own(
+      minhashSignatureMd5WithSets(index, idCol, textCol, shingleSize, numHashes).persist(lvl))
+    val bat = tracker.own(
+      minhashSignatureMd5WithSets(batch, idCol, textCol, shingleSize, numHashes).persist(lvl))
     // band value = band index ++ its two lanes — band-equality join needs
     // no (band, value) composite key
     def bands(df: DataFrame, as: String): DataFrame = df.select(col(idCol).as(as),
@@ -321,31 +328,38 @@ object Dedup {
     *
     * Scale shape: the corpus-wide occurrence count aggregates ONLY a
     * 16-byte md5 digest (paragraph text never enters that shuffle); the
-    * resulting blocklist holds just the digests appearing >= minCount
-    * times — tiny by construction — and is BROADCAST into a left-anti
-    * join, so the corpus itself pays one explode and one per-doc
-    * aggregate. Reassembly sorts within each document's collected
+    * blocklist holds just the digests appearing >= minCount times. Its
+    * size is DATA-DEPENDENT — usually tiny, but a boilerplate-heavy
+    * corpus with a small minCount can make it large — so the anti-join
+    * strategy is deliberately left to the planner: AQE broadcasts it when
+    * its runtime size is under the threshold and falls back to a
+    * digest-keyed shuffle join when it is not, instead of a forced
+    * broadcast OOMing the driver at exactly the corpus scale this
+    * operator targets. Reassembly sorts within each document's collected
     * paragraphs; there is no global sort anywhere.
     */
   def dropRepeatedParagraphs(df: DataFrame, idCol: String, parasCol: String,
-                             minCount: Long, sep: String = " "): DataFrame = {
+                             minCount: Long, sep: String = " ",
+                             tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     // fixed-width repartition guard, as in explodedShingles: the explode +
     // md5 stage is CPU-bound and must not inherit a single-file scan's
     // partition count
     val p = df.sparkSession.sparkContext.defaultParallelism
     // persisted: the blocklist build AND the anti-join stream side both
     // read it, and Catalyst does not CSE subplans — without this the
-    // CPU-bound explode+md5 stage runs twice
-    val ex = df.repartition(p, col(idCol))
+    // CPU-bound explode+md5 stage runs twice. Ownership: [[CacheTracker]].
+    val ex = tracker.own(df.repartition(p, col(idCol))
       .select(col(idCol), size(col(parasCol)).cast("long").as("__np"),
         posexplode(col(parasCol)).as(Seq("__pos", "__para")))
       .withColumn("__h", md5(col("__para")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val blocklist = ex.select(col("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
       .select(col("__h"))
-    ex.join(broadcast(blocklist), Seq("__h"), "left_anti")
+    // no broadcast hint — blocklist size is data-dependent (see scaladoc);
+    // AQE picks broadcast when the materialized size allows it
+    ex.join(blocklist, Seq("__h"), "left_anti")
       .groupBy(col(idCol))
       .agg(max(col("__np")).as("n_paras"),
         count(lit(1)).as("n_kept"),
@@ -435,7 +449,8 @@ object Dedup {
     */
   def simhashNearDupPairs(sim: DataFrame, idCol: String,
                           maxHamming: Int = 3,
-                          maxBucket: Int = maxBucketDefault): DataFrame = {
+                          maxBucket: Int = maxBucketDefault,
+                          tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     val chunks = sim.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
@@ -445,10 +460,12 @@ object Dedup {
     // itself, so identical/near-identical hashes (the actual duplicates)
     // sort adjacent and stay linked. Persisted for the same no-subplan-CSE
     // reason as minhashNearDupPairs — otherwise the upstream simhash
-    // aggregation itself runs once per union branch.
+    // aggregation itself runs once per union branch. Ownership:
+    // [[CacheTracker]].
     val w = Window.partitionBy("chunk", "cv")
-    val withStats = chunks.withColumn("__cnt", count(lit(1)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withStats = tracker.own(
+      chunks.withColumn("__cnt", count(lit(1)).over(w))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val smallPairs = withStats
       .filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
       .groupBy("chunk", "cv")

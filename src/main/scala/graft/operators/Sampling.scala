@@ -45,14 +45,30 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol))
       .orderBy(hashBucket(col(idCol)), col(idCol))
-    // the config's quota column is renamed into the engine's __ namespace
-    // before the join so a caller whose df already carries a `quota`
-    // column is neither shadowed nor dropped
-    val q = quotas.select(col(keyCol), col("quota").as("__graft_quota"))
+    val q = quotaConfig(quotas, keyCol)
     df.withColumn("__rn", row_number().over(w))
-      .join(broadcast(q), Seq(keyCol), "left")
+      .join(broadcast(q), col(keyCol) <=> col("__qk"), "left")
       .filter(col("__rn") <= coalesce(col("__graft_quota"), lit(defaultQuota)))
-      .drop("__rn", "__graft_quota")
+      .drop("__rn", "__qk", "__graft_quota")
+  }
+
+  /** Shared mixing-config normalization for [[mixToQuotas]] and
+    * [[mixToQuotasLarge]]: renames into the engine's __ namespace (a
+    * caller whose df already carries `quota` is neither shadowed nor
+    * dropped) and EAGERLY rejects duplicate keys — the config is
+    * broadcast-tiny by contract, so the check costs one small job and
+    * turns what would otherwise be a silent per-variant fan-out
+    * difference into an error. Both variants join it NULL-SAFELY (<=>):
+    * a NULL key is a legal window-partition group, so a NULL config row
+    * must reach it identically in the exact and two-phase shapes.
+    */
+  private def quotaConfig(quotas: DataFrame, keyCol: String): DataFrame = {
+    val q = quotas.select(col(keyCol).as("__qk"), col("quota").as("__graft_quota"))
+    val n = q.count()
+    val d = q.select(col("__qk")).distinct().count() // distinct treats NULLs as equal, matching <=>
+    require(n == d,
+      s"quotas config must have distinct keys: $n rows but $d distinct '$keyCol'")
+    q
   }
 
   /** The hot-key-safe variant of [[mixToQuotas]] — IDENTICAL output,
@@ -86,7 +102,7 @@ object Sampling {
     // returned plan still reads them.
     val in = if (cacheInput) df.persist(lvl) else df
     val counts = in.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
-    val q = quotas.select(col(keyCol).as("__qk"), col("quota").as("__graft_quota"))
+    val q = quotaConfig(quotas, keyCol)
     // every join on the key is NULL-SAFE (<=>): a NULL key is a legal
     // group in mixToQuotas (window partitions group nulls), so it must
     // survive every phase here too — a plain equi-join would silently
@@ -151,15 +167,28 @@ object Sampling {
     * One exchange; budgets are per shard, so no global sort exists.
     * A shard holding a dominant corpus share still sorts in one task —
     * [[tokenBudgetLarge]] is the hot-shard-safe shape.
+    *
+    * PRECONDITION (enforced): `tokensCol` must be non-NULL and >= 0 —
+    * the prefix invariant ("once one row overflows, all later rows do
+    * too") and the two variants' provable equivalence both depend on it.
+    * A NULL would silently drop its row (NULL compare) and a negative
+    * count would un-overflow a later row, so both raise instead. The
+    * guard is a codegen'd per-row branch on a column already being read —
+    * free next to the window sort. [[tokenBudgetLarge]] inherits it
+    * through its phase-2/fallback calls into this method.
     */
   def tokenBudget(df: DataFrame, shardCol: String, idCol: String,
                   scoreCol: String, tokensCol: String, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val toks = when(col(tokensCol).isNotNull && col(tokensCol) >= 0, col(tokensCol))
+      .otherwise(raise_error(concat(
+        lit(s"tokenBudget: '$tokensCol' must be non-NULL and non-negative, got "),
+        coalesce(col(tokensCol).cast("string"), lit("NULL")))))
     val w = Window.partitionBy(col(shardCol))
       .orderBy(col(scoreCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("cum_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
-      .filter(col("cum_before") + col(tokensCol) <= budget)
+    df.withColumn("cum_before", coalesce(sum(toks).over(w), lit(0L)))
+      .filter(col("cum_before") + toks <= budget)
   }
 
   /** The hot-shard-safe variant of [[tokenBudget]] — IDENTICAL output.

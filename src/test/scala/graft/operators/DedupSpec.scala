@@ -244,4 +244,21 @@ class DedupSpec extends SparkTestBase {
     assert(out.agg(sum(col("n_kept"))).head.getLong(0) == 4L,
       "2 occurrences < minCount=3: nothing removed")
   }
+
+  test("CacheTracker releases the MEMORY_AND_DISK blocks an operator pinned") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    val base = sc.getPersistentRDDs.size
+    val tracker = new CacheTracker
+    val pairs = Dedup.minhashNearDupPairs(docsDf, "doc_id", "text",
+      tracker = tracker)
+    pairs.count() // materialize: caches pin here
+    assert(sc.getPersistentRDDs.size > base,
+      "the operator pins shared-subplan caches while the plan is live")
+    tracker.release()
+    assert(sc.getPersistentRDDs.size == base,
+      "release() must unpin every cache the operator created")
+    // idempotent second release
+    tracker.release()
+  }
 }

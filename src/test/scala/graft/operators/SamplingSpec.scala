@@ -155,4 +155,58 @@ class SamplingSpec extends SparkTestBase {
     val cum = out.filter(col("doc_id") === 1L).head.getAs[Long]("cum_before")
     assert(cum == 40L)
   }
+
+  test("a NULL key in the quotas CONFIG reaches both mix variants identically") {
+    val s = spark
+    import s.implicits._
+    // 15 NULL-key rows and 15 "web" rows; the CONFIG assigns the NULL key
+    // quota 3. Before the shared null-safe config join, the exact variant
+    // silently fell back to defaultQuota for NULL while the two-phase one
+    // honored the configured 3 — the advice-flagged parity break.
+    val df = (0L until 30L).map(i => (i, if (i % 2 == 0) null else "web"))
+      .toDF("doc_id", "source")
+    val quotas = Seq((null: String, 3L), ("web", 4L)).toDF("source", "quota")
+    def keyCounts(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("source").count().collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val exact = Sampling.mixToQuotas(df, "doc_id", "source", quotas, defaultQuota = 9L)
+    assert(keyCounts(exact) == Map(None -> 3L, Some("web") -> 4L),
+      "NULL config key must cap the NULL group, not defaultQuota")
+    val fast = Sampling.mixToQuotasLarge(df, "doc_id", "source", quotas,
+      defaultQuota = 9L, slack = 2.0)
+    assert(fast.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      exact.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("duplicate keys in the quotas config are rejected, not fanned out") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "k"), (2L, "k")).toDF("doc_id", "source")
+    val dup = Seq(("k", 1L), ("k", 2L)).toDF("source", "quota")
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.mixToQuotas(df, "doc_id", "source", dup, defaultQuota = 1L))
+    assert(e1.getMessage.contains("distinct"))
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.mixToQuotasLarge(df, "doc_id", "source", dup, defaultQuota = 1L))
+    assert(e2.getMessage.contains("distinct"))
+  }
+
+  test("tokenBudget raises on NULL or negative token counts") {
+    val s = spark
+    import s.implicits._
+    val neg = Seq((1L, "a", 10L, 5L), (2L, "a", -3L, 4L))
+      .toDF("doc_id", "lang", "n_tokens", "q_score")
+    val eNeg = intercept[Exception](
+      Sampling.tokenBudget(neg, "lang", "doc_id", "q_score", "n_tokens", 100L)
+        .collect())
+    assert(eNeg.getMessage.contains("non-negative") ||
+      String.valueOf(eNeg.getCause).contains("non-negative"))
+    val nul = Seq((1L, "a", Some(10L), 5L), (2L, "a", None, 4L))
+      .toDF("doc_id", "lang", "n_tokens", "q_score")
+    val eNul = intercept[Exception](
+      Sampling.tokenBudget(nul, "lang", "doc_id", "q_score", "n_tokens", 100L)
+        .collect())
+    assert(eNul.getMessage.contains("non-negative") ||
+      String.valueOf(eNul.getCause).contains("non-negative"))
+  }
 }
