@@ -1310,7 +1310,18 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.attachFakeMedia(docs(s, dir), "doc_id", "text"), "doc_id", 4)
         .select(col("doc_id"), col("frame_idx"),
-          hex(col("frame_bytes")).as("frame_hex"))))
+          hex(col("frame_bytes")).as("frame_hex"))),
+    // REAL image decode round trip: synthesize a 30×17 BMP per doc (30
+    // exercises the 4-byte row padding), decode it with javax.imageio,
+    // emit exact integer channel sums. The oracle recomputes the sums
+    // from the pixel-formula closed forms with no image library — any
+    // header, padding, channel-order, or pixel-loop bug hash-fails. Two
+    // narrow mapPartitions, zero shuffles; payload bytes never leave the
+    // partition.
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.imageStats(
+        Multimodal.attachSyntheticImages(docs(s, dir), "doc_id", 30, 17),
+        "doc_id")))
 
   // ------------------------------------------------------------ oracles
 
@@ -2049,5 +2060,15 @@ object SparkEntry {
     // starts at hex position 2n+1; both engines clamp past-the-end).
     "multimodal_frames" -> ("SELECT doc_id, CAST(i AS INT) AS frame_idx, " +
       "substr(hex(encode(text)), CAST(i * greatest(octet_length(encode(text)) // 4, 1) * 2 + 1 AS BIGINT), 32) AS frame_hex " +
-      "FROM documents, range(0, 4) t(i)"))
+      "FROM documents, range(0, 4) t(i)"),
+    // mirrors synthesizeBmp's per-pixel channel formulas (r=(id+x+y)%256,
+    // g=(3id+x)%256, b=(7id+y)%256) summed over the 30×17 grid — the
+    // engine side gets these numbers by DECODING the BMP it encoded
+    "multimodal_decode" -> ("SELECT d.doc_id, CAST(30 AS INT) AS img_w, " +
+      "CAST(17 AS INT) AS img_h, " +
+      "CAST(SUM((d.doc_id + x.i + y.j) % 256) AS BIGINT) AS sum_r, " +
+      "CAST(SUM((3 * d.doc_id + x.i) % 256) AS BIGINT) AS sum_g, " +
+      "CAST(SUM((7 * d.doc_id + y.j) % 256) AS BIGINT) AS sum_b " +
+      "FROM documents d, range(0, 30) x(i), range(0, 17) y(j) " +
+      "GROUP BY d.doc_id"))
 }

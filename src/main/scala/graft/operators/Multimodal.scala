@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct; decode / feature-extraction /
   * frame-sampling run as partition-local batch operators.
   *
-  * The Spark side — schema, partition shape, operator signatures, batch
-  * iteration — is real and tested. The actual media decoding is STUBBED
-  * (`decodeStub`): the container has no image/audio codecs, so the decoder
-  * derives deterministic fake features from the bytes. Swapping in a real
-  * decoder changes only the function body, not the pipeline shape.
+  * IMAGE decode is REAL: [[decodeImage]] uses the JDK's `javax.imageio`
+  * (PNG/BMP/GIF/JPEG — zero external dependencies), and [[imageStats]]
+  * emits exact integer channel sums so the result is bit-portable and
+  * oracle-checkable. Payloads that are not decodable images (audio/video
+  * codecs are absent from the JDK) fall back to [[byteHashFeatures]], a
+  * deterministic content-hash vector — honest placeholder features, with
+  * the same shape a real audio/video decoder would fill in.
   *
   * Scale notes: media payloads never shuffle — every operator here is a
   * narrow `mapPartitions`; feature vectors (small) are what downstream
@@ -21,6 +23,10 @@ import org.apache.spark.sql.types._
   * from `spark.sql.files.maxPartitionBytes` at the binary-file source.
   */
 object Multimodal {
+
+  // ImageIO's default stream cache writes spill files per decode; media
+  // payloads are already in executor memory, so cache in-heap
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** media struct: payload + the metadata a real pipeline carries. */
   val mediaType: StructType = StructType(Seq(
@@ -46,14 +52,14 @@ object Multimodal {
         (octet_length(encode(col(textCol), "UTF-8")) * 10L).as("duration_ms"))
         .as("media"))
 
-  /** STUB decoder: deterministic fake feature vector from the payload
-    * bytes. A real implementation would decode pixels/samples here; the
-    * signature (bytes → fixed-dim Array[Float]) and the partition-local
-    * batch loop around it are the real contract.
+  /** Fallback feature vector for payloads with no JDK codec (audio,
+    * video, unknown blobs): deterministic content-hash features derived
+    * from the engine's rolling hash (single source of truth for the byte
+    * loop). The signature (bytes → fixed-dim Array[Float]) matches what a
+    * real decoder produces, so downstream similarity/dedup operators are
+    * agnostic to which path filled the vector.
     */
-  def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    // ??? real decoder goes here — deterministic fake derived from the
-    // engine's rolling hash (single source of truth for the byte loop)
+  def byteHashFeatures(bytes: Array[Byte]): Array[Float] = {
     val h = graft.functions.RollingHash.hashBytes(bytes)
     Array.tabulate(featureDim) { d =>
       val v = (h ^ (h >>> (d + 1))) * 0x9E3779B97F4A7C15L
@@ -61,23 +67,148 @@ object Multimodal {
     }
   }
 
+  /** Exact per-image pixel statistics from a REAL decode. */
+  final case class ImageStats(width: Int, height: Int,
+                              sumR: Long, sumG: Long, sumB: Long)
+
+  /** Decode an image payload with `javax.imageio` (PNG/BMP/GIF/JPEG in
+    * any JDK — no external codecs) and reduce it to exact integer channel
+    * sums. Returns None for bytes that are not a decodable image, letting
+    * callers fall back to [[byteHashFeatures]]. Integer sums rather than
+    * float means: bit-portable across engines, and any pixel-level decode
+    * divergence shifts the sum by a detectable integer amount.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[ImageStats] = {
+    if (bytes == null || bytes.length < 8) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >>> 16) & 0xFF
+          sg += (p >>> 8) & 0xFF
+          sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImageStats(img.getWidth, img.getHeight, sr, sg, sb))
+    }
+  }
+
+  /** Deterministic uncompressed 24-bit BMP: pixel (x, y) has channels
+    * r = (seed + x + y) mod 256, g = (3·seed + x) mod 256,
+    * b = (7·seed + y) mod 256 — closed forms a SQL oracle reproduces
+    * without any image library, so a real encode → [[decodeImage]] →
+    * pixel-sum round trip is hash-checkable end to end. Bottom-up rows,
+    * 4-byte row padding — the standard BITMAPINFOHEADER layout.
+    */
+  def synthesizeBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, "image dimensions must be positive")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up storage: last row first
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val r = java.lang.Math.floorMod(seed + x + y, 256L).toInt
+        val g = java.lang.Math.floorMod(3 * seed + x, 256L).toInt
+        val b = java.lang.Math.floorMod(7 * seed + y, 256L).toInt
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Wrap each row's id as a synthesized BMP payload in the media struct —
+    * the image analogue of [[attachFakeMedia]], except the bytes are a
+    * REAL encoded image that [[decodeImage]] round-trips. Narrow
+    * mapPartitions; payload stays partition-local.
+    */
+  def attachSyntheticImages(df: DataFrame, idCol: String,
+                            w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol), StructField("media", mediaType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol)).mapPartitions { it =>
+      it.map { r =>
+        val seed = r.getAs[Number](0).longValue()
+        Row(r.get(0), Row(synthesizeBmp(seed, w, h), "image/bmp", w, h, 0L))
+      }
+    }
+  }
+
+  /** Partition-local REAL image decode: (id, media) → (id, img_w, img_h,
+    * sum_r, sum_g, sum_b). Rows whose payload does not decode are kept
+    * with NULL stats (an audit query wants to see them, not lose them).
+    * One iterator pass per partition; nothing shuffles.
+    */
+  def imageStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("img_w", IntegerType), StructField("img_h", IntegerType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("media.bytes").as("__b"))
+      .mapPartitions { it =>
+        it.map { r =>
+          decodeImage(r.getAs[Array[Byte]]("__b")) match {
+            case Some(s) => Row(r.get(0), s.width, s.height, s.sumR, s.sumG, s.sumB)
+            case None => Row(r.get(0), null, null, null, null, null)
+          }
+        }
+      }
+  }
+
   /** Partition-local decode + feature extraction: (id, media) →
-    * (id, byte_len, features ARRAY<FLOAT>). Batch shape: one iterator
-    * pass per partition, no per-row task overhead, nothing shuffles.
+    * (id, byte_len, features ARRAY<FLOAT>). Image payloads (mime
+    * starting with `image/`) go through the REAL [[decodeImage]] path — features are
+    * dimensions + mean channels; everything else gets
+    * [[byteHashFeatures]]. Batch shape: one iterator pass per partition,
+    * no per-row task overhead, nothing shuffles.
     */
   def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("byte_len", LongType),
       StructField("features", ArrayType(FloatType))))
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.select(col(idCol), col("media.bytes").as("__b"))
+    df.select(col(idCol), col("media.bytes").as("__b"), col("media.mime").as("__m"))
       .mapPartitions { it =>
         it.map { r =>
           val bytes = r.getAs[Array[Byte]]("__b")
+          val mime = r.getAs[String]("__m")
           if (bytes == null) Row(r.get(0), 0L, null) // missing payload → null features
-          else Row(r.get(0), bytes.length.toLong, decodeStub(bytes))
+          else {
+            val feats = (if (mime != null && mime.startsWith("image/"))
+              decodeImage(bytes) else None) match {
+              case Some(s) =>
+                val n = s.width.toLong * s.height
+                Array(s.width.toFloat, s.height.toFloat,
+                  (s.sumR.toDouble / n).toFloat, (s.sumG.toDouble / n).toFloat,
+                  (s.sumB.toDouble / n).toFloat,
+                  ((0.299 * s.sumR + 0.587 * s.sumG + 0.114 * s.sumB) / n).toFloat,
+                  bytes.length.toFloat, 1f)
+              case None => byteHashFeatures(bytes)
+            }
+            Row(r.get(0), bytes.length.toLong, feats)
+          }
         }
       }
   }

@@ -34,6 +34,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(f0 == again.getSeq[Float](again.fieldIndex("features")).toList)
   }
 
+  test("synthesizeBmp → decodeImage round-trips dimensions and exact pixel sums") {
+    // local (no Spark) check of the codec pair: decode what we encoded
+    // and compare against the closed-form channel sums
+    val (seed, w, h) = (42L, 30, 17) // w=30: row stride 90 → padded to 92
+    val stats = Multimodal.decodeImage(Multimodal.synthesizeBmp(seed, w, h)).get
+    assert(stats.width == w && stats.height == h)
+    def sumOver(f: (Int, Int) => Long): Long =
+      (for (x <- 0 until w; y <- 0 until h) yield f(x, y)).sum
+    assert(stats.sumR == sumOver((x, y) => (seed + x + y) % 256))
+    assert(stats.sumG == sumOver((x, _) => (3 * seed + x) % 256))
+    assert(stats.sumB == sumOver((_, y) => (7 * seed + y) % 256))
+  }
+
+  test("decodeImage rejects non-image bytes instead of throwing") {
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte]()).isEmpty)
+  }
+
+  test("imageStats decodes synthesized images distributively; image mime routes extractFeatures") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 7L, 300L).toDF("doc_id")
+    val withImgs = Multimodal.attachSyntheticImages(ids, "doc_id", 8, 5)
+    val stats = Multimodal.imageStats(withImgs, "doc_id").orderBy("doc_id").collect()
+    assert(stats.length == 3 && stats.forall(_.getInt(1) == 8))
+    // row for id 0: sum_g = sum over x of (0*3+x)%256 × h = (0+..+7)*5
+    assert(stats(0).getLong(3 + 1) == 28L * 5)
+    // extractFeatures uses the decode path for image/* — features carry
+    // real dimensions, not hash noise
+    val feats = Multimodal.extractFeatures(withImgs, "doc_id")
+      .orderBy("doc_id").collect()
+    val f = feats(0).getSeq[Float](feats(0).fieldIndex("features"))
+    assert(f(0) == 8f && f(1) == 5f && f(7) == 1f)
+  }
+
   test("sampleFrames emits n frames with in-range offsets") {
     val frames = Multimodal.sampleFrames(mediaDf, "doc_id", 4)
       .filter(col("doc_id") === 1).orderBy("frame_idx").collect()
