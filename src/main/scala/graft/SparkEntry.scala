@@ -345,6 +345,31 @@ object SparkEntry {
         transforms.VariantOps.extract(col("v"), "$.k", "bigint").as("k_val"),
         transforms.VariantOps.extractLenient(col("v"), "$.missing", "bigint").as("missing_val"))
     }),
+    // the reference's schemaless-Map MUTATIONS on VariantType end to end:
+    // build a JSON payload, parse ONCE to variant, rewrite via the
+    // map<string,variant> cast (drop a nested field / hoist with a
+    // keep-list), serialize back. Variant canonicalizes object keys to
+    // sorted order, so payload keys are chosen pre-sorted and the oracle
+    // string-builds the same canonical text.
+    "drop_variant" -> ((s, dir) => {
+      val in = events(s, dir).select(col("event_id"),
+        transforms.VariantOps.parseJson(to_json(struct(
+          col("event_id").as("k"),
+          struct(col("event_type").as("t"), col("user_id").as("u")).as("meta"))))
+          .as("v"))
+      in.select(col("event_id"),
+        to_json(transforms.VariantOps.dropField(col("v"), Seq("meta", "t")))
+          .as("dropped"))
+    }),
+    "hoist_variant" -> ((s, dir) => {
+      val in = events(s, dir).select(col("event_id"),
+        transforms.VariantOps.parseJson(to_json(struct(
+          col("event_id").as("id"), col("event_type").as("t"),
+          col("user_id").as("u")))).as("v"))
+      in.select(col("event_id"),
+        to_json(transforms.VariantOps.hoist(col("v"), "wrapped", Seq("id")))
+          .as("hoisted"))
+    }),
 
     // ---- parity: config-driven chain (configure + TransformationChain)
     "chain_props" -> ((s, dir) => {
@@ -1656,6 +1681,11 @@ object SparkEntry {
       "SELECT event_id, event_type, '{\"wrapped\":{}}' AS props FROM events",
     "variant_extract" -> ("SELECT event_id, (props::JSON ->> 'k')::BIGINT AS k_val, " +
       "(props::JSON ->> 'missing')::BIGINT AS missing_val FROM events"),
+    "drop_variant" -> ("SELECT event_id, concat('{\"k\":', event_id, " +
+      "',\"meta\":{\"u\":', user_id, '}}') AS dropped FROM events"),
+    "hoist_variant" -> ("SELECT event_id, concat('{\"id\":', event_id, " +
+      "',\"wrapped\":{\"t\":\"', event_type, '\",\"u\":', user_id, '}}') " +
+      "AS hoisted FROM events"),
     "q1_agg" -> ("SELECT l_returnflag, l_linestatus, " +
       s"${sumCentsSql("l_quantity")} AS sum_qty_cents, " +
       s"${sumCentsSql("l_extendedprice")} AS sum_price_cents, " +

@@ -9,10 +9,19 @@ import org.apache.spark.sql.functions._
   * instead of a re-parse per extraction, which matters when many
   * extractions hit the same schemaless payload at scale.
   *
-  * Variant is read-oriented: there is no public variant *rebuild* surface
-  * in Spark 4.1, so the mutating schemaless operators (drop/hoist) stay
-  * on the Jackson path ([[JsonOps]]); Variant covers the
-  * extract/filter/type-inspection side.
+  * Spark 4.1 has no direct variant *builder* surface, but a variant
+  * OBJECT casts to `map<string, variant>`, and that map round-trips back
+  * to variant via `to_json` → `parse_json`. [[dropField]] and [[hoist]]
+  * use exactly that to run the reference's schemaless-Map mutations
+  * (`DropField.java:67-82`, `ExtendedHoistField.java:76-96`) natively on
+  * `VariantType`: cast → rewrite entries with `map_filter` /
+  * `transform_values` → re-serialize. Every step is a built-in codegen
+  * expression — zero shuffles, no UDF, and only the rewritten level of
+  * the tree is re-serialized (siblings ride along as opaque variant
+  * values). One semantic note: variant objects store keys SORTED, so a
+  * rebuilt payload serializes with lexicographic key order — same data,
+  * canonical order (JSON object key order is not semantically
+  * significant, but byte-compare oracles must expect sorted keys).
   */
 object VariantOps {
 
@@ -33,4 +42,48 @@ object VariantOps {
   def withVariant(df: DataFrame, jsonCol: String, asCol: String,
                   lenient: Boolean = false): DataFrame =
     df.withColumn(asCol, parseJson(col(jsonCol), lenient))
+
+  /** The variant object's entries as `map<string, variant>` — the
+    * mutation surface. Strict like the reference's schemaless mode: a
+    * non-object input (scalar/array variant) is a cast error, mirroring
+    * `DropField.java:67` requiring a Map.
+    */
+  def entries(v: Column): Column = variant_get(v, "$", "map<string, variant>")
+
+  /** Drop a (possibly nested) field from a variant object, returning the
+    * rewritten VARIANT — `DropField`'s schemaless-Map semantics on
+    * `VariantType`. For a nested path only the ancestor chain is
+    * rebuilt; sibling subtrees pass through as opaque variant values
+    * (never re-parsed). Dropping a path whose parent chain exists but
+    * whose leaf does not is a no-op, as in the reference.
+    */
+  def dropField(v: Column, path: Seq[String]): Column = {
+    require(path.nonEmpty, "drop path must have at least one segment")
+    val rewritten = path match {
+      case Seq(leaf) => map_filter(entries(v), (k, _) => k =!= leaf)
+      case head +: rest =>
+        transform_values(entries(v), (k, value) =>
+          when(k === head, dropField(value, rest)).otherwise(value))
+    }
+    parse_json(to_json(rewritten))
+  }
+
+  /** `ExtendedHoistField`'s schemaless semantics on `VariantType`: wrap
+    * the payload under `field`, keeping `keepInRoot` names at root. With
+    * an empty keep-list ANY variant (even a scalar) wraps —
+    * `ExtendedHoistField.java:76-79`; with a non-empty keep-list the
+    * input must be an object, and the inner field is added only when at
+    * least one entry moved (`ExtendedHoistField.java:94-96`).
+    */
+  def hoist(v: Column, field: String, keepInRoot: Seq[String] = Nil): Column =
+    if (keepInRoot.isEmpty) parse_json(to_json(map(lit(field), v)))
+    else {
+      val m = entries(v)
+      val kept = map_filter(m, (k, _) => k.isin(keepInRoot: _*))
+      val moved = map_filter(m, (k, _) => !k.isin(keepInRoot: _*))
+      val out = when(size(moved) > 0,
+        map_concat(kept, map(lit(field), parse_json(to_json(moved)))))
+        .otherwise(kept)
+      parse_json(to_json(out))
+    }
 }
