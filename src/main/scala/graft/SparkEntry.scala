@@ -484,6 +484,55 @@ object SparkEntry {
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"),
         sum(cents(col("value"))).as("sum_value_cents"))),
+    // STREAMING execution made driver-visible: the events table replays
+    // through a file STREAM (readStream → the same Connect-style
+    // transform chain as chain_props → event-time 1-day tumbling windowed
+    // aggregate → foreachBatch parquet sink), then the sink is read back
+    // as a batch table for the oracle. The filter on the post-chain props
+    // is the chain witness: if either transform failed to run in the
+    // stream, zero rows survive and the hash check fails. Complete-mode +
+    // overwrite-per-batch makes the result independent of micro-batch
+    // boundaries (see foreachBatchSink). Runs once per process into a
+    // process-unique dir, same memoization as q_partition_prune.
+    "q_stream_daily" -> ((s, dir) => {
+      val out = materializedDir("streamdaily", dir) { outPath =>
+        val schema = events(s, dir).schema
+        val runner = graft.streaming.StreamRunner
+        // the file-stream source needs a DIRECTORY to watch (a production
+        // landing zone); the testdata table is a single parquet file, so
+        // stage it into a process-unique input dir once
+        val srcDir = materializedDir("streamsrc", dir) { inPath =>
+          new java.io.File(inPath).mkdirs()
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(dir, "events.parquet"),
+            java.nio.file.Paths.get(inPath, "events.parquet")): Unit
+        }
+        val src = runner.fileSource(s, srcDir, schema)
+        val chained = runner.applyChain(src, Map(
+          "transforms" -> "dropK,wrap",
+          "transforms.dropK.type" -> "DropField$Value",
+          "transforms.dropK.column" -> "props",
+          "transforms.dropK.fields" -> "k",
+          "transforms.wrap.type" -> "ExtendedHoistField$Value",
+          "transforms.wrap.column" -> "props",
+          "transforms.wrap.field" -> "wrapped"))
+        val prepared = chained
+          .filter(col("props") === lit("{\"wrapped\":{}}"))
+          .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+            col("event_type"), cents(col("value")).as("vc"))
+        val agg = runner.windowedStats(prepared, "ets", "vc", "event_type",
+          windowLen = "1 day", watermarkDelay = "0 seconds")
+        runner.foreachBatchSink(agg,
+          (batch, _) => batch.write.mode("overwrite").parquet(outPath),
+          outputMode = "complete",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .awaitTermination()
+      }
+      s.read.parquet(out)
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n").as("n_events"),
+          col("sum_value").as("sum_value_cents"))
+    }),
 
     // ---- remaining §2.2 categories: rollup, sort/limit, set ops, scalars
     "q_rollup" -> ((s, dir) => Tables.lineitem(s, dir)
@@ -1718,6 +1767,13 @@ object SparkEntry {
     "q_events_daily" -> ("SELECT user_id, date_trunc('day', ts)::DATE AS day, " +
       s"count(*) AS n_events, ${sumCentsSql("value")} AS sum_value_cents " +
       "FROM events GROUP BY user_id, date_trunc('day', ts)::DATE"),
+    // the streaming path must land on exactly the batch daily aggregate;
+    // the chain witness means a silently-unapplied transform shows up as
+    // zero rows, not as a plausible-looking partial result
+    "q_stream_daily" -> ("SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) " +
+      "AS win_start_us, event_type, count(*) AS n_events, " +
+      s"${sumCentsSql("value")} AS sum_value_cents " +
+      "FROM events GROUP BY 1, 2"),
     "q_rollup" -> ("SELECT coalesce(l_returnflag, '(all)') AS l_returnflag, " +
       "coalesce(l_linestatus, '(all)') AS l_linestatus, " +
       "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, " +

@@ -76,8 +76,18 @@ object StreamRunner {
     * idempotent sinks (overwrite-by-batch-id, merge) make it exactly-once.
     */
   def foreachBatchSink(df: DataFrame,
-                       process: (DataFrame, Long) => Unit): StreamingQuery =
-    df.writeStream.foreachBatch(process).start()
+                       process: (DataFrame, Long) => Unit,
+                       outputMode: String = "append",
+                       trigger: Option[Trigger] = None): StreamingQuery = {
+    // outputMode "complete" + an overwrite in `process` is the replay
+    // shape: every batch re-emits the whole aggregate, the sink keeps the
+    // last one — deterministic regardless of how the source splits into
+    // micro-batches (append-mode windowed aggs only flush windows the
+    // watermark has passed, so a bounded replay's final windows would
+    // never land in the sink)
+    val w = df.writeStream.outputMode(outputMode).foreachBatch(process)
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** Beyond-parity capability: event-time tumbling/sliding windowed
     * aggregation with a watermark (counts + value sums per group). The
