@@ -1078,10 +1078,13 @@ object SparkEntry {
         .select(col("event_id"), coalesce(col("n_intervals"), lit(0L)).as("n_intervals"))
     }),
 
-    // sketch tier: HLL++ approx distinct per group (engine-internal
-    // hashing → rows-only check; SketchesSpec bounds the error vs exact)
+    // sketch tier: HLL++ approx distinct per group, audited in-query —
+    // the emitted columns are the exact counts plus a within-bound
+    // boolean (expected TRUE for every group), so the oracle HASH-checks
+    // the sketch's error contract without pretending the approx value
+    // itself is portable across engines
     "q_approx_stats" -> ((s, dir) => graft.operators.Sketches
-      .approxDistinctByGroup(events(s, dir), "event_type", "user_id")),
+      .approxDistinctAudit(events(s, dir), "event_type", "user_id")),
     // Bloom-prefiltered selective join: the big side is filtered by a
     // broadcast bitmap of the small side's keys BEFORE the shuffle (where
     // a selective 100 TB join spends its time); false positives are
@@ -1774,6 +1777,11 @@ object SparkEntry {
       "AS win_start_us, event_type, count(*) AS n_events, " +
       s"${sumCentsSql("value")} AS sum_value_cents " +
       "FROM events GROUP BY 1, 2"),
+    // the sketch's error CONTRACT is the portable fact: every group must
+    // land within tolerance x rsd of exact, so the oracle expects TRUE
+    "q_approx_stats" -> ("SELECT event_type, " +
+      "count(DISTINCT user_id) AS exact_distinct, count(*) AS n_rows, " +
+      "TRUE AS within_rsd FROM events GROUP BY event_type"),
     "q_rollup" -> ("SELECT coalesce(l_returnflag, '(all)') AS l_returnflag, " +
       "coalesce(l_linestatus, '(all)') AS l_linestatus, " +
       "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, " +

@@ -22,6 +22,27 @@ object Sketches {
       .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"),
         count(lit(1)).as("n_rows"))
 
+  /** [[approxDistinctByGroup]] audited against the exact count in one
+    * query: emits per group the exact distinct, row count, and a boolean
+    * `within_rsd` = |approx − exact| ≤ `tolerance`·rsd·exact. The approx
+    * VALUE itself is engine-internal (HLL++ register hashing differs per
+    * engine) and deliberately not emitted — the portable contract is the
+    * bound, so a cross-engine oracle expects every group TRUE and any
+    * estimator drift breaks a hash compare instead of hiding in a
+    * rows-only check. The exact count is benchmark scaffolding: at
+    * 100 TB you run only the sketch; this shape exists to PROVE the
+    * sketch's bound where exact is still affordable.
+    */
+  def approxDistinctAudit(df: DataFrame, groupCol: String, valueCol: String,
+                          rsd: Double = 0.05, tolerance: Double = 3.0): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("__approx"),
+        countDistinct(col(valueCol)).as("exact_distinct"),
+        count(lit(1)).as("n_rows"))
+      .select(col(groupCol), col("exact_distinct"), col("n_rows"),
+        (abs(col("__approx") - col("exact_distinct")).cast("double") <=
+          lit(tolerance * rsd) * col("exact_distinct")).as("within_rsd"))
+
   /** Point estimates for `items` frequencies from ONE CountMinSketch pass
     * (`eps` relative error over the stream length, `confidence` the
     * probability bound). The sketch is built distributed (merged across

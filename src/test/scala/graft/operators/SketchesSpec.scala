@@ -21,6 +21,20 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("approxDistinctAudit emits exact counts and an all-true bound flag") {
+    val out = Sketches.approxDistinctAudit(eventsDf, "event_type", "user_id")
+      .collect()
+    val exact = eventsDf.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.length == exact.size)
+    out.foreach { r =>
+      val (d, n) = exact(r.getString(0))
+      assert(r.getLong(1) == d && r.getLong(2) == n)
+      assert(r.getBoolean(3), s"${r.getString(0)}: approx outside the bound")
+    }
+  }
+
   test("count-min estimates are never below exact, and close at this scale") {
     val exact = eventsDf.groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
