@@ -358,7 +358,7 @@ object SparkEntry {
           struct(col("event_type").as("t"), col("user_id").as("u")).as("meta"))))
           .as("v"))
       in.select(col("event_id"),
-        to_json(transforms.VariantOps.dropField(col("v"), Seq("meta", "t")))
+        transforms.VariantOps.dropFieldJson(col("v"), Seq("meta", "t"))
           .as("dropped"))
     }),
     "hoist_variant" -> ((s, dir) => {
@@ -367,7 +367,7 @@ object SparkEntry {
           col("event_id").as("id"), col("event_type").as("t"),
           col("user_id").as("u")))).as("v"))
       in.select(col("event_id"),
-        to_json(transforms.VariantOps.hoist(col("v"), "wrapped", Seq("id")))
+        transforms.VariantOps.hoistJson(col("v"), "wrapped", Seq("id"))
           .as("hoisted"))
     }),
 

@@ -55,20 +55,25 @@ object Sampling {
   /** Shared mixing-config normalization for [[mixToQuotas]] and
     * [[mixToQuotasLarge]]: renames into the engine's __ namespace (a
     * caller whose df already carries `quota` is neither shadowed nor
-    * dropped) and EAGERLY rejects duplicate keys — the config is
-    * broadcast-tiny by contract, so the check costs one small job and
-    * turns what would otherwise be a silent per-variant fan-out
-    * difference into an error. Both variants join it NULL-SAFELY (<=>):
-    * a NULL key is a legal window-partition group, so a NULL config row
-    * must reach it identically in the exact and two-phase shapes.
+    * dropped) and rejects duplicate keys — a duplicated key would fan
+    * rows out through the join and the two variants would diverge. The
+    * per-key count rides the SAME tiny config plan (a window over the
+    * broadcast-sized config — no separate validation job, so building
+    * the query stays action-free) and raises at execution. NULLs count
+    * as one key (window partitions group them), matching the null-safe
+    * (<=>) joins both variants use: a NULL key is a legal group, so a
+    * NULL config row must reach it identically in both shapes.
     */
   private def quotaConfig(quotas: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = quotas.select(col(keyCol).as("__qk"), col("quota").as("__graft_quota"))
-    val n = q.count()
-    val d = q.select(col("__qk")).distinct().count() // distinct treats NULLs as equal, matching <=>
-    require(n == d,
-      s"quotas config must have distinct keys: $n rows but $d distinct '$keyCol'")
-    q
+    val perKey = count(lit(1)).over(Window.partitionBy(col("__qk")))
+    q.select(col("__qk"),
+      when(perKey === 1, col("__graft_quota"))
+        .otherwise(raise_error(concat(
+          lit("quotas config must have distinct keys; duplicate: "),
+          coalesce(col("__qk").cast("string"), lit("NULL")))))
+        .as("__graft_quota"))
   }
 
   /** The hot-key-safe variant of [[mixToQuotas]] — IDENTICAL output,

@@ -57,7 +57,14 @@ object VariantOps {
     * (never re-parsed). Dropping a path whose parent chain exists but
     * whose leaf does not is a no-op, as in the reference.
     */
-  def dropField(v: Column, path: Seq[String]): Column = {
+  def dropField(v: Column, path: Seq[String]): Column =
+    parse_json(dropFieldJson(v, path))
+
+  /** [[dropField]] serialized to its JSON text — the flavor for callers
+    * whose next step is serialization anyway (sink to string columns):
+    * skips the final `parse_json`, saving one full parse per row.
+    */
+  def dropFieldJson(v: Column, path: Seq[String]): Column = {
     require(path.nonEmpty, "drop path must have at least one segment")
     val rewritten = path match {
       case Seq(leaf) => map_filter(entries(v), (k, _) => k =!= leaf)
@@ -65,7 +72,7 @@ object VariantOps {
         transform_values(entries(v), (k, value) =>
           when(k === head, dropField(value, rest)).otherwise(value))
     }
-    parse_json(to_json(rewritten))
+    to_json(rewritten)
   }
 
   /** `ExtendedHoistField`'s schemaless semantics on `VariantType`: wrap
@@ -76,7 +83,13 @@ object VariantOps {
     * least one entry moved (`ExtendedHoistField.java:94-96`).
     */
   def hoist(v: Column, field: String, keepInRoot: Seq[String] = Nil): Column =
-    if (keepInRoot.isEmpty) parse_json(to_json(map(lit(field), v)))
+    parse_json(hoistJson(v, field, keepInRoot))
+
+  /** [[hoist]] serialized to its JSON text — same final-parse elision as
+    * [[dropFieldJson]].
+    */
+  def hoistJson(v: Column, field: String, keepInRoot: Seq[String] = Nil): Column =
+    if (keepInRoot.isEmpty) to_json(map(lit(field), v))
     else {
       val m = entries(v)
       val kept = map_filter(m, (k, _) => k.isin(keepInRoot: _*))
@@ -84,6 +97,6 @@ object VariantOps {
       val out = when(size(moved) > 0,
         map_concat(kept, map(lit(field), parse_json(to_json(moved)))))
         .otherwise(kept)
-      parse_json(to_json(out))
+      to_json(out)
     }
 }

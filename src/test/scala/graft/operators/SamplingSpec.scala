@@ -183,12 +183,16 @@ class SamplingSpec extends SparkTestBase {
     import s.implicits._
     val df = Seq((1L, "k"), (2L, "k")).toDF("doc_id", "source")
     val dup = Seq(("k", 1L), ("k", 2L)).toDF("source", "quota")
-    val e1 = intercept[IllegalArgumentException](
-      Sampling.mixToQuotas(df, "doc_id", "source", dup, defaultQuota = 1L))
-    assert(e1.getMessage.contains("distinct"))
-    val e2 = intercept[IllegalArgumentException](
-      Sampling.mixToQuotasLarge(df, "doc_id", "source", dup, defaultQuota = 1L))
-    assert(e2.getMessage.contains("distinct"))
+    def msg(e: Throwable): String =
+      e.getMessage + String.valueOf(e.getCause)
+    // raises at execution (the check rides the config plan, not an
+    // eager validation job at build time)
+    val e1 = intercept[Exception](
+      Sampling.mixToQuotas(df, "doc_id", "source", dup, defaultQuota = 1L).collect())
+    assert(msg(e1).contains("duplicate"))
+    val e2 = intercept[Exception](
+      Sampling.mixToQuotasLarge(df, "doc_id", "source", dup, defaultQuota = 1L).collect())
+    assert(msg(e2).contains("duplicate"))
   }
 
   test("tokenBudget raises on NULL or negative token counts") {
