@@ -178,16 +178,30 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q_paragraph_dedup: blocklist broadcasts into a left-anti join") {
+    // no broadcast HINT anymore (a boilerplate-heavy corpus can outgrow
+    // it) — this asserts the planner still picks broadcast from the
+    // blocklist's own stats at benchmark scale, where it is tiny
     val p = plan("q_paragraph_dedup")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"repeated-paragraph blocklist must broadcast, never shuffle the corpus:\n$p")
+      s"planner should broadcast the tiny blocklist at this scale:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no shuffled join expected:\n$p")
+  }
+
+  test("variant mutations and image decode: narrow maps, zero exchanges") {
+    Seq("drop_variant", "hoist_variant", "multimodal_decode").foreach { q =>
+      val p = plan(q)
+      assert(countOf(p, "Exchange") == 0, s"$q must stay a narrow map:\n$p")
+    }
   }
 
   test("q_mix_sources / q_token_budget: one rank window exchange each, config broadcasts") {
     val pm = plan("q_mix_sources")
-    assert(countOf(pm, "Exchange hashpartitioning") == 1,
-      s"mixing is one per-key window exchange:\n$pm")
+    // the CORPUS pays exactly one exchange (the per-key rank window, on
+    // the mixing key). The broadcast-sized quotas CONFIG adds its own
+    // tiny exchange for the duplicate-key validation window — O(config
+    // rows), invisible at any scale, and deliberately not counted here.
+    assert(countOf(pm, "Exchange hashpartitioning\\(source") == 1,
+      s"mixing is one per-key window exchange on the corpus:\n$pm")
     assert(pm.contains("BroadcastHashJoin"), s"quota config must broadcast:\n$pm")
     val pt = plan("q_token_budget")
     assert(countOf(pt, "Exchange hashpartitioning") == 1,
