@@ -54,8 +54,10 @@ object VariantOps {
     * rewritten VARIANT — `DropField`'s schemaless-Map semantics on
     * `VariantType`. For a nested path only the ancestor chain is
     * rebuilt; sibling subtrees pass through as opaque variant values
-    * (never re-parsed). Dropping a path whose parent chain exists but
-    * whose leaf does not is a no-op, as in the reference.
+    * (never re-parsed). Reference parity on the edges: a missing leaf is
+    * a no-op; a path that crosses a NON-OBJECT intermediate is a no-op
+    * too (`JsonStringOps.dropRec` skips non-object children) — only the
+    * ROOT must be an object, as in `DropField.java:56`.
     */
   def dropField(v: Column, path: Seq[String]): Column =
     parse_json(dropFieldJson(v, path))
@@ -66,14 +68,29 @@ object VariantOps {
     */
   def dropFieldJson(v: Column, path: Seq[String]): Column = {
     require(path.nonEmpty, "drop path must have at least one segment")
-    val rewritten = path match {
-      case Seq(leaf) => map_filter(entries(v), (k, _) => k =!= leaf)
-      case head +: rest =>
-        transform_values(entries(v), (k, value) =>
-          when(k === head, dropField(value, rest)).otherwise(value))
-    }
-    to_json(rewritten)
+    to_json(rewriteDrop(entries(v), path)) // strict at root: object required
   }
+
+  /** Entry rewrite for one path level over a `map<string,variant>`. All
+    * map functions propagate a NULL map, so the lenient nested cast below
+    * flows a non-object intermediate straight through to the coalesce.
+    */
+  private def rewriteDrop(m: Column, path: Seq[String]): Column = path match {
+    case Seq(leaf) => map_filter(m, (k, _) => k =!= leaf)
+    case head +: rest =>
+      transform_values(m, (k, value) =>
+        when(k === head, coalesce(dropNested(value, rest), value))
+          .otherwise(value))
+    case _ => throw new IllegalArgumentException("empty drop path")
+  }
+
+  /** Nested-level drop: lenient cast — a non-object child yields NULL
+    * (not an error), which the caller coalesces back to the original
+    * value, mirroring the reference's skip-non-object recursion.
+    */
+  private def dropNested(value: Column, path: Seq[String]): Column =
+    parse_json(to_json(
+      rewriteDrop(try_variant_get(value, "$", "map<string, variant>"), path)))
 
   /** `ExtendedHoistField`'s schemaless semantics on `VariantType`: wrap
     * the payload under `field`, keeping `keepInRoot` names at root. With

@@ -34,6 +34,73 @@ class VariantOpsSpec extends SparkTestBase {
     // missing leaf under an existing parent: no-op
     assert(js(VariantOps.dropField(col("v"), Seq("a", "missing"))) ==
       """{"a":{"b":7,"c":[1,2]},"k":3,"z":"keep"}""")
+    // path crossing a NON-OBJECT intermediate: no-op, like the Jackson
+    // twin (dropRec skips non-object children) — never an error
+    assert(js(VariantOps.dropField(col("v"), Seq("k", "x"))) ==
+      """{"a":{"b":7,"c":[1,2]},"k":3,"z":"keep"}""")
+    assert(js(VariantOps.dropField(col("v"), Seq("a", "c", "x"))) ==
+      """{"a":{"b":7,"c":[1,2]},"k":3,"z":"keep"}""")
+  }
+
+  test("property: variant drop/hoist agree with the Jackson twins on random JSON") {
+    val s = spark
+    import s.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // canonicalize (sort object keys recursively) because variant stores
+    // keys sorted while Jackson preserves input order — same data,
+    // different text
+    def canon(n: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode = n match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        val out = mapper.createObjectNode()
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        o.fieldNames().forEachRemaining(f => names += f)
+        names.sorted.foreach(f => out.set[com.fasterxml.jackson.databind.JsonNode](f, canon(o.get(f))): Unit)
+        out
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val out = mapper.createArrayNode()
+        a.forEach(e => out.add(canon(e)): Unit)
+        out
+      case other => other
+    }
+    def c(jsonText: String): String = mapper.writeValueAsString(canon(mapper.readTree(jsonText)))
+
+    val rnd = new scala.util.Random(20260813L)
+    val keys = Vector("a", "b", "c", "d", "e", "f")
+    def randJson(depth: Int): String = {
+      val n = 1 + rnd.nextInt(4)
+      val fields = rnd.shuffle(keys).take(n).map { k =>
+        val v = rnd.nextInt(6) match {
+          case 0 => rnd.nextLong(1000000).toString
+          case 1 => "\"s" + rnd.nextInt(100) + "\""
+          case 2 => if (rnd.nextBoolean()) "true" else "false"
+          case 3 => "null"
+          case 4 if depth > 0 => randJson(depth - 1)
+          case _ => "[" + Seq.fill(rnd.nextInt(3))(rnd.nextInt(99)).mkString(",") + "]"
+        }
+        "\"" + k + "\":" + v
+      }
+      fields.mkString("{", ",", "}")
+    }
+
+    (1 to 60).foreach { i =>
+      val json = randJson(2)
+      val df = Seq(Tuple1(json)).toDF("j")
+      val v = VariantOps.parseJson(col("j"))
+      // random drop path of 1-3 segments (often missing / crossing scalars)
+      val path = Seq.fill(1 + rnd.nextInt(3))(keys(rnd.nextInt(keys.size)))
+      val (dv, dj) = df.select(
+        VariantOps.dropFieldJson(v, path).as("dv"),
+        graft.transforms.JsonOps.dropJson(col("j"), Seq(path.mkString("."))).as("dj"))
+        .as[(String, String)].head()
+      assert(c(dv) == c(dj), s"iter $i drop $path on $json: variant=$dv jackson=$dj")
+      // random hoist: keep 0-2 names (maybe absent), wrap rest
+      val keep = rnd.shuffle(keys).take(rnd.nextInt(3))
+      val (hv, hj) = df.select(
+        VariantOps.hoistJson(v, "w", keep).as("hv"),
+        graft.transforms.JsonOps.hoistJson(col("j"), "w", keep).as("hj"))
+        .as[(String, String)].head()
+      assert(c(hv) == c(hj), s"iter $i hoist keep=$keep on $json: variant=$hv jackson=$hj")
+    }
   }
 
   test("hoist wraps the payload, honoring keep-in-root and the empty-inner rule") {
