@@ -998,6 +998,20 @@ object SparkEntry {
         maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"))
     }),
+    // SemDeDup: cluster to the 8 fixed literal centroids (the
+    // engine-reproducible quantizer ann_ivf_fixed proved), flag docs with
+    // a lower-id cluster member at cosine >= 0.98. Planted jittered
+    // copies (same construction as dedup_emb_pairs_ora) must come out
+    // flagged; the oracle recomputes cells + the per-doc EXISTS literally
+    "q_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+      Similarity.semDedup(e.union(planted), "vec_id", "embedding",
+        Similarity.fixedCentroids(nlist = 8, dim = 64, seed = 7L),
+        threshold = 0.98)
+    }),
     // int8 quantization: storage-size path for ANN corpora. Quantized
     // codes oracle-checked — floor(x/scale + 0.5) is engine-portable
     // (round() would banker's-round differently across engines)
@@ -1652,6 +1666,38 @@ object SparkEntry {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  private def semDedupSql: String = {
+    // mirror of Similarity.semDedup over embeddings ∪ jittered copies
+    // (same corpus CTE as embPairsSql) with fixedCentroids(8, 64, 7)
+    // (same cell math as annIvfFixedSql) and cosine >= 0.98: a doc is a
+    // semantic dup iff some lower-id doc in its cell reaches the
+    // threshold. list_cosine_similarity over DOUBLE[] matches the
+    // engine's float→double widened, element-ordered dot/norms.
+    val jitter = 0.001f.toDouble
+    val cents = Similarity.fixedCentroids(nlist = 8, dim = 64, seed = 7L)
+    def distSql(cArr: Array[Double]) = {
+      val arr = cArr.map(_.toString).mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, 65), i -> " +
+        s"(embedding[i]::DOUBLE - ($arr)[i]) * (embedding[i]::DOUBLE - ($arr)[i])))"
+    }
+    val dl = cents.map(distSql).mkString("[", ",\n", "]")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |         list_transform(embedding, x -> CAST(x::DOUBLE + $jitter AS REAL))
+       |  FROM embeddings WHERE vec_id < 10),
+       |cells AS (SELECT vec_id, embedding,
+       |  CAST(list_position($dl, list_min($dl)) - 1 AS INT) AS cluster
+       |  FROM corpus)
+       |SELECT c.vec_id, c.cluster,
+       |  EXISTS(SELECT 1 FROM cells c2 WHERE c2.cluster = c.cluster
+       |    AND c2.vec_id < c.vec_id
+       |    AND list_cosine_similarity(c2.embedding::DOUBLE[],
+       |          c.embedding::DOUBLE[]) >= 0.98) AS is_semdup
+       |FROM cells c""".stripMargin
+  }
+
   private def embPairsSql: String = {
     // mirror of dedup_emb_pairs_ora: Similarity.cosineNearDupPairs over
     // embeddings ∪ jittered copies, numPlanes = 8, numTables = 3 (seeds
@@ -1691,6 +1737,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshSql,
     "ann_ivf_fixed" -> annIvfFixedSql,
+    "q_semdedup" -> semDedupSql,
     "dedup_emb_pairs_ora" -> embPairsSql,
     "dedup_pairs_md5" -> pairsMd5Sql,
     "dedup_e2e_md5" -> e2eMd5Sql,

@@ -337,4 +337,51 @@ object Similarity {
       .groupBy(col(labelCol), col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("__q")).as("sum_q"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): assign every vector to its nearest centroid (a
+    * narrow literal-centroid argmin — [[ivfCellCol]], no shuffle, no
+    * UDF), then flag as a semantic duplicate every doc that has a
+    * LOWER-ID cluster member within `threshold` cosine. Returns
+    * (`idCol`, `cluster`, `is_semdup`); callers keep `!is_semdup`.
+    *
+    * The lower-id rule makes pruning a PER-DOC predicate — no connected
+    * components, no iteration — at the price of being slightly more
+    * aggressive than greedy scan-with-removal (a doc is suppressed by a
+    * near-copy even if that copy was itself suppressed). That is the
+    * standard SemDeDup trade: ε-balls around earlier docs, applied
+    * corpus-wide in one pass.
+    *
+    * Scale shape: the pairwise cosine work NEVER crosses cluster
+    * boundaries — one shuffle per side on the cluster id, quadratic only
+    * within a cluster (the IVF cell bounds bucket size the way LSH bands
+    * do in [[cosineNearDupPairs]]; for production, size `nlist` so
+    * clusters stay partition-sized, or pre-cap clusters the same way).
+    * Centroids come from [[trainIvfCentroids]] in production;
+    * [[fixedCentroids]] makes the whole pipeline engine-reproducible.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Double]], threshold: Double,
+               tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
+    // referenced three times (both self-join sides + the final join) and
+    // Catalyst does not CSE subplans; ownership: [[CacheTracker]]
+    val base = tracker.own(
+      df.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"),
+        ivfCellCol(col(vecCol), centroids).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = base.select(col("cluster"), col(idCol).as("__ida"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = base.select(col("cluster"), col(idCol).as("__idb"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    // one codegen'd dot per in-cluster pair; norms precomputed once (the
+    // same dot/(na*nb) = cosine() bit-identity as cosineNearDupPairs)
+    val dupIds = a.join(b, Seq("cluster"))
+      .filter(col("__idb") < col("__ida") &&
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
+      .select(col("__ida").as(idCol)).distinct()
+    base.join(dupIds.withColumn("__d", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__d"), lit(false)).as("is_semdup"))
+  }
 }

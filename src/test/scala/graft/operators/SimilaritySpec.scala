@@ -171,6 +171,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.keys.count(_._1 == 0) == 16, "one row per (label, dim)")
   }
 
+  test("semDedup flags near-copies within a cluster by the lower-id rule") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val v0 = vec(); val v1 = vec()
+    val df = Seq(
+      0L -> v0,
+      1L -> v0.map(x => x + 0.0001f), // near-copy of 0 → flagged
+      2L -> v1,                        // distinct → clean
+      3L -> v0.map(x => x + 0.0002f)  // near-copy of 0 → flagged too
+    ).toDF("id", "v")
+    val cents = Similarity.fixedCentroids(nlist = 4, dim = 16, seed = 7L)
+    val out = Similarity.semDedup(df, "id", "v", cents, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> false, 1L -> true, 2L -> false, 3L -> true))
+    // cluster assignment must agree with the IVF cell column (shared code)
+    val cells = df.select(col("id"),
+      Similarity.ivfCellCol(col("v"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clusters = Similarity.semDedup(df, "id", "v", cents, 0.999)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(clusters == cells)
+  }
+
   test("lshBucket is deterministic across invocations (seeded planes)") {
     val planes = Similarity.hyperplanes(8, 16, seed = 42L)
     val planes2 = Similarity.hyperplanes(8, 16, seed = 42L)
