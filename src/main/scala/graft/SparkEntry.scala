@@ -1107,7 +1107,9 @@ object SparkEntry {
     // runs the bloom-build job (an inherent action, same as Spark's own
     // runtime filters building during execution). Map invariant:
     // construction may run driver-side jobs for q_bloom_join (bloom
-    // build, every construction), q_partition_prune, q_bucketed_join and
+    // build, every construction), q_partition_prune, q_bucketed_join,
+    // q_stream_daily (the streaming replay job, first construction per
+    // JVM+sfDir — later constructions read the sink back) and
     // the q_csv/jsonl/orc_roundtrip family (layout/bucket/format writes,
     // first construction per JVM+key+sfDir — see materializedDir /
     // bucketedTables), ann_ivf
