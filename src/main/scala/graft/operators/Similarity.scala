@@ -356,23 +356,34 @@ object Similarity {
     * Scale shape: the pairwise cosine work NEVER crosses cluster
     * boundaries — one shuffle per side on the cluster id, quadratic only
     * within a cluster (the IVF cell bounds bucket size the way LSH bands
-    * do in [[cosineNearDupPairs]]; for production, size `nlist` so
-    * clusters stay partition-sized, or pre-cap clusters the same way).
-    * Centroids come from [[trainIvfCentroids]] in production;
+    * do in [[cosineNearDupPairs]]). Clusters past `maxCluster` degrade
+    * to REPRESENTATIVE comparison: each member is checked only against
+    * the cluster's min-id row — O(n) per hot cluster instead of O(n²),
+    * the same overflow discipline as the near-dup operators' chain/star
+    * pairs. That mode misses dup pairs where neither side resembles the
+    * representative (recall loss, never false flags) — the standard
+    * SemDeDup degradation for a cell the quantizer failed to split, and
+    * the measured 100× failure mode `tools/SemDedupProbe` demonstrates
+    * (a data-independent quantizer funneling a whole blob into one
+    * cell). Centroids come from [[trainIvfCentroids]] in production;
     * [[fixedCentroids]] makes the whole pipeline engine-reproducible.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Double]], threshold: Double,
+               maxCluster: Int = 10000,
                tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
-    // referenced three times (both self-join sides + the final join) and
-    // Catalyst does not CSE subplans; ownership: [[CacheTracker]]
+    // referenced several times (self-join sides, overflow path, final
+    // join) and Catalyst does not CSE subplans; ownership: [[CacheTracker]]
     val base = tracker.own(
       df.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"),
         ivfCellCol(col(vecCol), centroids).as("cluster"))
+        .withColumn("__cnt",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val a = base.select(col("cluster"), col(idCol).as("__ida"),
+    val small = base.filter(col("__cnt") <= maxCluster)
+    val a = small.select(col("cluster"), col(idCol).as("__ida"),
       col("__v").as("__va"), col("__n").as("__na"))
-    val b = base.select(col("cluster"), col(idCol).as("__idb"),
+    val b = small.select(col("cluster"), col(idCol).as("__idb"),
       col("__v").as("__vb"), col("__n").as("__nb"))
     // one codegen'd dot per in-cluster pair; norms precomputed once (the
     // same dot/(na*nb) = cosine() bit-identity as cosineNearDupPairs)
@@ -380,7 +391,19 @@ object Similarity {
       .filter(col("__idb") < col("__ida") &&
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select(col("__ida").as(idCol)).distinct()
-    base.join(dupIds.withColumn("__d", lit(true)), Seq(idCol), "left")
+    // overflow: min-id representative per hot cluster (the groupBy and
+    // the join-back both reuse the window's cluster exchange), one dot
+    // per member against it
+    val big = base.filter(col("__cnt") > maxCluster)
+    val reps = big.groupBy(col("cluster")).agg(min(col(idCol)).as("__rid"))
+    val bigDups = big.join(reps, Seq("cluster"))
+      .join(base.select(col(idCol).as("__rid"), col("__v").as("__rv"),
+        col("__n").as("__rn")), Seq("__rid"))
+      .filter(col(idCol) =!= col("__rid") &&
+        dot(col("__v"), col("__rv")) / (col("__n") * col("__rn")) >= threshold)
+      .select(col(idCol)).distinct()
+    base.join(dupIds.unionByName(bigDups).withColumn("__d", lit(true)),
+        Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(col("__d"), lit(false)).as("is_semdup"))
   }

@@ -42,7 +42,7 @@ object SemDedupProbe {
       else graft.operators.Similarity.fixedCentroids(nlist, dim, seed = 7L)
     val tracker = new graft.operators.CacheTracker
     val out = graft.operators.Similarity.semDedup(e, "vec_id", "embedding",
-      cents, threshold, tracker)
+      cents, threshold, tracker = tracker)
     val byFlag = out.groupBy(col("is_semdup")).count()
       .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
     val secs = (System.nanoTime() - t0) / 1e9

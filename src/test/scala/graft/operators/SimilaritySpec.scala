@@ -196,6 +196,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(clusters == cells)
   }
 
+  test("semDedup overflow: hot clusters degrade to representative comparison") {
+    val s = spark
+    import s.implicits._
+    // four vectors in one direction (one cell): 1 is a near-copy of 0
+    // (the min-id representative), 2 is a distinct doc in the same cell,
+    // 3 is a near-copy of 2 (NOT of the representative)
+    val v0 = Seq(1f, 0f, 0f, 0f)
+    val v1 = v0.map(_ * 0.99f)
+    val v2 = Seq(0.9f, 0.1f, 0f, 0f)
+    val v3 = v2.map(_ * 0.99f)
+    val df = Seq(0L -> v0, 1L -> v1, 2L -> v2, 3L -> v3).toDF("id", "v")
+    // explicit quantizer: every test vector is nearest the first centroid
+    val cents = Array(Array(1.0, 0, 0, 0), Array(-1.0, 0, 0, 0),
+      Array(0, -1.0, 0, 0), Array(0, 0, -1.0, 0))
+    val cells = df.select(Similarity.ivfCellCol(col("v"), cents))
+      .collect().map(_.getInt(0)).toSet
+    assert(cells == Set(0), s"test precondition: one shared cell, got $cells")
+    def flags(maxCluster: Int) =
+      Similarity.semDedup(df, "id", "v", cents, threshold = 0.999,
+        maxCluster = maxCluster)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // full pairwise: both near-copies flagged
+    assert(flags(10) == Map(0L -> false, 1L -> true, 2L -> false, 3L -> true))
+    // forced overflow (cluster of 4 > maxCluster 2): only the copy of
+    // the REPRESENTATIVE is caught — recall loss, never false flags
+    assert(flags(2) == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("lshBucket is deterministic across invocations (seeded planes)") {
     val planes = Similarity.hyperplanes(8, 16, seed = 42L)
     val planes2 = Similarity.hyperplanes(8, 16, seed = 42L)
