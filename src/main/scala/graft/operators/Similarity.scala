@@ -377,10 +377,14 @@ object Similarity {
     val base = tracker.own(
       df.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"),
         ivfCellCol(col(vecCol), centroids).as("cluster"))
-        .withColumn("__cnt",
-          count(lit(1)).over(Window.partitionBy(col("cluster"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val small = base.filter(col("__cnt") <= maxCluster)
+    // cluster occupancy: at most `centroids.length` rows after map-side
+    // partials, so it broadcast-joins back — the corpus itself never
+    // shuffles for the size check (a per-cluster count WINDOW would have
+    // exchanged every row)
+    val counts = base.groupBy(col("cluster")).agg(count(lit(1)).as("__cnt"))
+    val withCnt = base.join(broadcast(counts), Seq("cluster"))
+    val small = withCnt.filter(col("__cnt") <= maxCluster)
     val a = small.select(col("cluster"), col(idCol).as("__ida"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = small.select(col("cluster"), col(idCol).as("__idb"),
@@ -391,10 +395,9 @@ object Similarity {
       .filter(col("__idb") < col("__ida") &&
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select(col("__ida").as(idCol)).distinct()
-    // overflow: min-id representative per hot cluster (the groupBy and
-    // the join-back both reuse the window's cluster exchange), one dot
-    // per member against it
-    val big = base.filter(col("__cnt") > maxCluster)
+    // overflow: min-id representative per hot cluster, one dot per
+    // member against it
+    val big = withCnt.filter(col("__cnt") > maxCluster)
     val reps = big.groupBy(col("cluster")).agg(min(col(idCol)).as("__rid"))
     val bigDups = big.join(reps, Seq("cluster"))
       .join(base.select(col(idCol).as("__rid"), col("__v").as("__rv"),
