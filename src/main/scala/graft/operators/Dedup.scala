@@ -181,17 +181,6 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** All unordered pairs (a<b by sort order) of an array column, as
-    * structs {a, b}. Works for any orderable element type (ids, structs);
-    * shared by the minhash, simhash, and embedding near-dup pipelines.
-    */
-  def sortedPairs(xs: Column): Column = {
-    val sorted = array_sort(xs)
-    flatten(transform(sequence(lit(0), size(sorted) - 2), i =>
-      transform(slice(sorted, i + lit(2), size(sorted)), b =>
-        struct(element_at(sorted, i + lit(1)).as("a"), b.as("b")))))
-  }
-
   /** Exact Jaccard between two docs' shingle sets (verification step —
     * only ever run on LSH candidate pairs, never all pairs).
     */
@@ -247,7 +236,7 @@ object Dedup {
     val withStats = tracker.own(banded.withColumn("__cnt", count(lit(1)).over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // small-bucket candidates as a CODEGEN'D self-join on the bucket key
-    // — not collect_list + the interpreted sortedPairs HOF, the same
+    // — not collect_list + an interpreted pair-expansion HOF, the same
     // rewrite cosineNearDupPairs carries: the HOF evaluates a boxed
     // lambda per pair slot, which dominates on dup-heavy corpora, and
     // the collected id arrays materialize O(bucket²) rows per group
@@ -475,7 +464,7 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // codegen'd self-join candidate enumeration — same rewrite as
     // minhashNearDupPairs / cosineNearDupPairs (no collect_list + the
-    // interpreted sortedPairs HOF). sortedPairs orders struct pairs by
+    // interpreted pair-expansion HOF). The retired HOF ordered pairs by
     // (id, sh) lexicographically, which equals the id-order the join
     // condition applies (ids are unique within a bucket).
     val smallIds = withStats
