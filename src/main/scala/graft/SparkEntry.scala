@@ -1414,6 +1414,15 @@ object SparkEntry {
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.imageStats(
         Multimodal.attachSyntheticImages(docs(s, dir), "doc_id", 30, 17),
+        "doc_id")),
+    // REAL audio decode round trip, same shape as multimodal_decode:
+    // synthesize a 400-sample 16-bit PCM WAV per doc, decode it with
+    // javax.sound.sampled, emit the exact sample sum the oracle
+    // recomputes from the closed form. Narrow mapPartitions, zero
+    // shuffles.
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.attachSyntheticAudio(docs(s, dir), "doc_id", nSamples = 400),
         "doc_id")))
 
   // ------------------------------------------------------------ oracles
@@ -2207,6 +2216,13 @@ object SparkEntry {
     // mirrors synthesizeBmp's per-pixel channel formulas (r=(id+x+y)%256,
     // g=(3id+x)%256, b=(7id+y)%256) summed over the 30×17 grid — the
     // engine side gets these numbers by DECODING the BMP it encoded
+    // mirrors synthesizeWav's sample formula ((id*31 + i*7) mod 65536 −
+    // 32768) summed over 400 samples — the engine DECODES the WAV it
+    // encoded to get these numbers
+    "multimodal_audio" -> ("SELECT d.doc_id, CAST(8000 AS INT) AS sample_rate, " +
+      "CAST(400 AS BIGINT) AS n_samples, " +
+      "CAST(SUM((d.doc_id * 31 + t.i * 7) % 65536 - 32768) AS BIGINT) AS sum_samples " +
+      "FROM documents d, range(0, 400) t(i) GROUP BY d.doc_id"),
     "multimodal_decode" -> ("SELECT d.doc_id, CAST(30 AS INT) AS img_w, " +
       "CAST(17 AS INT) AS img_h, " +
       "CAST(SUM((d.doc_id + x.i + y.j) % 256) AS BIGINT) AS sum_r, " +

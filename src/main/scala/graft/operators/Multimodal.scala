@@ -136,6 +136,107 @@ object Multimodal {
     buf.array()
   }
 
+  /** Exact per-clip audio statistics from a REAL decode. */
+  final case class AudioStats(sampleRate: Int, channels: Int,
+                              nSamples: Long, sumSamples: Long)
+
+  /** Decode an audio payload with `javax.sound.sampled` (WAV/AIFF/AU in
+    * any JDK — no external codecs) and reduce it to the exact integer
+    * sum of its 16-bit PCM samples. Returns None for bytes that are not
+    * a decodable clip. Same portability argument as [[decodeImage]]:
+    * integer sums are bit-portable, and any header/endianness/frame-loop
+    * bug shifts the sum by a detectable amount.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioStats] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val data = in.readAllBytes()
+        val le = !fmt.isBigEndian
+        var sum = 0L
+        var i = 0
+        while (i + 1 < data.length) {
+          val lo = data(if (le) i else i + 1) & 0xFF
+          val hi = data(if (le) i + 1 else i)
+          sum += (hi << 8) | lo // hi is signed: sign-extends the sample
+          i += 2
+        }
+        Some(AudioStats(fmt.getSampleRate.toInt, fmt.getChannels,
+          data.length / 2, sum))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Deterministic 16-bit mono PCM WAV: sample i =
+    * ((seed·31 + i·7) mod 65536) − 32768 — a closed form a SQL oracle
+    * reproduces with no audio library, so a real encode →
+    * [[decodeAudio]] → sample-sum round trip is hash-checkable. Standard
+    * 44-byte RIFF header, little-endian samples.
+    */
+  def synthesizeWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(nSamples > 0, "nSamples must be positive")
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val s = java.lang.Math.floorMod(seed * 31 + i.toLong * 7, 65536L).toInt - 32768
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Wrap each row's id as a synthesized WAV payload in the media
+    * struct — the audio analogue of [[attachSyntheticImages]].
+    */
+  def attachSyntheticAudio(df: DataFrame, idCol: String, nSamples: Int,
+                           sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol), StructField("media", mediaType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol)).mapPartitions { it =>
+      it.map { r =>
+        val seed = r.getAs[Number](0).longValue()
+        Row(r.get(0), Row(synthesizeWav(seed, nSamples, sampleRate), "audio/wav",
+          null, null, nSamples * 1000L / sampleRate))
+      }
+    }
+  }
+
+  /** Partition-local REAL audio decode: (id, media) → (id, sample_rate,
+    * n_samples, sum_samples); undecodable payloads keep NULL stats.
+    */
+  def audioStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType), StructField("sum_samples", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("media.bytes").as("__b"))
+      .mapPartitions { it =>
+        it.map { r =>
+          decodeAudio(r.getAs[Array[Byte]]("__b")) match {
+            case Some(a) => Row(r.get(0), a.sampleRate, a.nSamples, a.sumSamples)
+            case None => Row(r.get(0), null, null, null)
+          }
+        }
+      }
+  }
+
   /** Wrap each row's id as a synthesized BMP payload in the media struct —
     * the image analogue of [[attachFakeMedia]], except the bytes are a
     * REAL encoded image that [[decodeImage]] round-trips. Narrow

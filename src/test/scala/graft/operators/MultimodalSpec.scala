@@ -47,6 +47,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(stats.sumB == sumOver((_, y) => (7 * seed + y) % 256))
   }
 
+  test("synthesizeWav → decodeAudio round-trips format and exact sample sum") {
+    val (seed, n, rate) = (123L, 400, 8000)
+    val stats = Multimodal.decodeAudio(Multimodal.synthesizeWav(seed, n, rate)).get
+    assert(stats.sampleRate == rate && stats.channels == 1 && stats.nSamples == n)
+    val expect = (0 until n).map(i =>
+      java.lang.Math.floorMod(seed * 31 + i.toLong * 7, 65536L) - 32768).sum
+    assert(stats.sumSamples == expect)
+  }
+
+  test("decodeAudio rejects non-audio bytes instead of throwing") {
+    assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    // a BMP is decodable media but not audio
+    assert(Multimodal.decodeAudio(Multimodal.synthesizeBmp(1L, 8, 8)).isEmpty)
+  }
+
   test("decodeImage rejects non-image bytes instead of throwing") {
     assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
