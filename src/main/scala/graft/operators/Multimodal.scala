@@ -80,9 +80,12 @@ object Multimodal {
     */
   def decodeImage(bytes: Array[Byte]): Option[ImageStats] = {
     if (bytes == null || bytes.length < 8) return None
+    // Corrupt real-world payloads make ImageIO throw more than IOException
+    // (IllegalArgumentException, CMMException, codec AIOOBE…) — any decode
+    // failure must degrade to None, never fail the task at corpus scale.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       var sr = 0L; var sg = 0L; var sb = 0L
@@ -154,7 +157,11 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) return None
+        // Only signed 16-bit PCM is summable as-is; PCM_UNSIGNED or
+        // compressed encodings would sum to silently wrong values.
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
         val data = in.readAllBytes()
         val le = !fmt.isBigEndian
         var sum = 0L
@@ -169,8 +176,10 @@ object Multimodal {
           data.length / 2, sum))
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // UnsupportedAudioFileException, IOException, and any codec runtime
+      // exception on corrupt bytes — all degrade to None, same as images.
+      // (NonFatal never matches the non-local `return` control throwable.)
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

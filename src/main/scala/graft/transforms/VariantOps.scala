@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
   * `transform_values` → re-serialize. Every step is a built-in codegen
   * expression — zero shuffles, no UDF, and only the rewritten level of
   * the tree is re-serialized (siblings ride along as opaque variant
-  * values). One semantic note: variant objects store keys SORTED, so a
-  * rebuilt payload serializes with lexicographic key order — same data,
-  * canonical order (JSON object key order is not semantically
-  * significant, but byte-compare oracles must expect sorted keys).
+  * values). One semantic note: variant objects store keys SORTED, so
+  * any payload that round-trips through `parse_json` ([[dropField]],
+  * [[hoist]], and [[dropFieldJson]]'s rewritten levels) serializes with
+  * lexicographic key order — same data, canonical order (JSON object key
+  * order is not semantically significant, but byte-compare oracles must
+  * expect sorted keys). The one exception is [[hoistJson]], whose whole
+  * point is eliding the final re-parse: it emits kept-root keys (sorted)
+  * FOLLOWED BY the hoist field — i.e. `field` lands last even when it
+  * sorts before a kept key. Callers that need canonical byte-stable
+  * output use [[hoist]] (`to_json(hoist(...))`), which re-canonicalizes.
   */
 object VariantOps {
 
@@ -103,7 +109,11 @@ object VariantOps {
     parse_json(hoistJson(v, field, keepInRoot))
 
   /** [[hoist]] serialized to its JSON text — same final-parse elision as
-    * [[dropFieldJson]].
+    * [[dropFieldJson]]. Key-order contract: kept root keys come first (in
+    * the variant's sorted entry order), then the hoist `field` — NOT full
+    * lexicographic order when `field` sorts before a kept key. Route
+    * through [[hoist]] + `to_json` when canonical byte-stable text is
+    * required (at the cost of the extra parse this method elides).
     */
   def hoistJson(v: Column, field: String, keepInRoot: Seq[String] = Nil): Column =
     if (keepInRoot.isEmpty) to_json(map(lit(field), v))

@@ -67,6 +67,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
     assert(Multimodal.decodeImage(Array[Byte]()).isEmpty)
+    // truncated payload with a valid magic: codecs may throw runtime
+    // exceptions (not just IOException) — must degrade to None
+    assert(Multimodal.decodeImage(
+      Multimodal.synthesizeBmp(5L, 16, 16).take(60)).isEmpty)
+  }
+
+  test("decodeAudio rejects non-PCM_SIGNED 16-bit payloads instead of mis-summing") {
+    // hand-built 8-bit unsigned PCM WAV: valid RIFF, wrong encoding for
+    // the signed-16-bit summing loop → None, not a silently wrong sum
+    val n = 16
+    val buf = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8) // 8-bit PCM (WAV 8-bit is unsigned)
+    buf.put("data".getBytes("US-ASCII")).putInt(n)
+    (0 until n).foreach(i => buf.put((i * 16).toByte))
+    assert(Multimodal.decodeAudio(buf.array()).isEmpty)
+    // truncated WAV: javax.sound streams the bytes that exist — partial
+    // decode (or None) is fine; throwing is not
+    Multimodal.decodeAudio(Multimodal.synthesizeWav(3L, 64).take(50))
   }
 
   test("imageStats decodes synthesized images distributively; image mime routes extractFeatures") {
