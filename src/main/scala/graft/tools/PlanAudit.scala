@@ -3,22 +3,80 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Plan-shape audit: for every `SparkEntry` query, count the
-  * scale-relevant physical operators in its (pre-execution) plan and dump
-  * one markdown table — the evidence behind SURVEY.md §2.4's scale
-  * claims, regenerable with:
+  * scale-relevant physical operators in its plan and dump one markdown
+  * table — the evidence behind SURVEY.md §2.4's scale claims, regenerable
+  * with:
   *
   * {{{
   * sbt 'runMain graft.tools.PlanAudit /root/testdata/sf0.001 PLAN_AUDIT.md'
   * }}}
   *
+  * Counting is STRUCTURAL, not a regex over `executedPlan.toString` —
+  * that string inlines the full cached plan under EVERY
+  * `InMemoryTableScan` that references it (a cache read twice re-prints
+  * its build plan twice → overcounts), and it cannot see work that ran
+  * eagerly while the query function was CONSTRUCTING its DataFrame (the
+  * connected-components fast path counts/collects its pair pipeline
+  * before returning → undercounts to zero). Two mechanisms fix the two
+  * blind spots:
+  *
+  *  1. a [[QueryExecutionListener]] records every action executed during
+  *     `fn(spark, sfDir)` construction, and those executed plans are
+  *     audited alongside the final plan (the `eager execs` column says
+  *     how many there were);
+  *  2. traversal descends `AdaptiveSparkPlanExec.initialPlan` (AQE roots
+  *     have no children pre-execution) and each DISTINCT
+  *     `InMemoryRelation.cachedPlan` exactly ONCE per query — identity
+  *     set shared across all of the query's executions — so an exchange
+  *     under a persisted subtree is counted the one time it runs, no
+  *     matter how many scans reference the cache.
+  *
   * Columns: hash-exchanges (shuffles), broadcast joins, sort-merge joins,
   * products (nested-loop/cartesian — should be brute-force cosine only),
-  * parquet scans with non-empty pushed filters / total scans, and UDF
-  * nodes (should be 0 outside the sanctioned Bloom probe).
+  * parquet scans with non-empty pushed filters / total scans, UDF nodes
+  * (should be 0 outside the sanctioned Bloom probe), and the
+  * construction-time execution count.
   */
 object PlanAudit {
+
+  /** Append one line per physical node to `buf`, descending AQE roots and
+    * unseen cached plans; `seenCached` is identity-keyed and shared
+    * across a query's executions so each cached subtree prints once.
+    */
+  private def nodeLines(root: SparkPlan,
+                        seenCached: java.util.IdentityHashMap[SparkPlan, java.lang.Boolean],
+                        buf: StringBuilder): Unit = root match {
+    case a: AdaptiveSparkPlanExec => nodeLines(a.initialPlan, seenCached, buf)
+    case p =>
+      buf.append(p.simpleString(120)).append('\n')
+      p match {
+        case s: InMemoryTableScanExec =>
+          val cp = s.relation.cachedPlan
+          if (seenCached.put(cp, java.lang.Boolean.TRUE) == null)
+            nodeLines(cp, seenCached, buf)
+        case _ =>
+      }
+      p.children.foreach(nodeLines(_, seenCached, buf))
+  }
+
+  /** One-line-per-node rendering of a single plan with each distinct
+    * cached subtree expanded exactly once — the audit's counting surface,
+    * exposed so plan-shape tests can pin TRUE one-execution counts for
+    * persisted pipelines (raw `toString` re-inlines a cached build plan
+    * under every scan that references it).
+    */
+  def flattenPlan(root: SparkPlan): String = {
+    val sb = new StringBuilder
+    nodeLines(root, new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean](), sb)
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("PLAN_AUDIT.md")
@@ -33,9 +91,33 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     def count(hay: String, needle: String): Int = needle.r.findAllIn(hay).size
     val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // capture actions the query function runs while BUILDING its result
+      // (cache materialization, CC fast-path collects): each is a real
+      // executed job whose plan belongs in this query's audit
+      val constructed = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+      val listener = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit = { constructed.add(qe); () }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
       try {
         val qe = fn(spark, sfDir).queryExecution
-        val plan = qe.executedPlan.toString
+        // the listener bus is async — wait until the queue has been stable
+        // for a few polls (construction actions themselves finished before
+        // fn returned; only event delivery can lag)
+        var stable = 0; var last = -1
+        while (stable < 3) {
+          Thread.sleep(100)
+          val n = constructed.size()
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+        val seenCached = new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]()
+        val sb = new StringBuilder
+        constructed.forEach(c => nodeLines(c.executedPlan, seenCached, sb))
+        nodeLines(qe.executedPlan, seenCached, sb)
+        val plan = sb.toString
         val scans = count(plan, "Scan parquet")
         val pushed = count(plan, "PushedFilters: \\[[^\\]]")
         // Scala UDFs render as "UDF(" in plan strings only when unnamed
@@ -56,17 +138,21 @@ object PlanAudit {
           (count(plan, "BroadcastNestedLoopJoin") + count(plan, "CartesianProduct")).toString,
           s"$pushed/$scans",
           (count(plan, "BatchEvalPython") +
-            math.max(count(plan, "\\bUDF\\("), structuralUdfs)).toString)
+            math.max(count(plan, "\\bUDF\\("), structuralUdfs)).toString,
+          constructed.size().toString)
       } catch {
-        case e: Throwable => Seq(name, "ERR", "", "", "", "", e.getClass.getSimpleName)
-      }
+        case e: Throwable => Seq(name, "ERR", "", "", "", "", e.getClass.getSimpleName, "")
+      } finally spark.listenerManager.unregister(listener)
     }
     val header = Seq("query", "shuffles", "broadcast joins", "sort-merge joins",
-      "products", "pushed-filter scans", "UDF nodes")
+      "products", "pushed-filter scans", "UDF nodes", "eager execs")
     val md = new StringBuilder
     md ++= "# Plan audit (generated by graft.tools.PlanAudit)\n\n"
-    md ++= s"Source: `$sfDir` — static (pre-execution) physical plans; AQE may\n"
-    md ++= "coalesce/re-plan at runtime, only ever reducing these counts.\n\n"
+    md ++= s"Source: `$sfDir` — structural node counts over the query's static\n"
+    md ++= "(pre-execution) physical plan PLUS every action executed during query\n"
+    md ++= "construction (`eager execs`); each distinct cached subplan is counted\n"
+    md ++= "exactly once per query. AQE may coalesce/re-plan at runtime, only ever\n"
+    md ++= "reducing these counts.\n\n"
     md ++= header.mkString("| ", " | ", " |\n")
     md ++= header.map(_ => "---").mkString("| ", " | ", " |\n")
     rows.foreach(r => md ++= r.mkString("| ", " | ", " |\n"))

@@ -220,6 +220,26 @@ class PlanShapeSpec extends SparkTestBase {
         s"query exists to avoid:\n$p")
   }
 
+  test("dedup_pairs_md5: ONE true exchange once cached subplans are counted once") {
+    // raw toString re-inlines the persisted signature pipeline under every
+    // InMemoryTableScan that reads it (8 apparent exchanges); the audit's
+    // flattened view expands each cached subtree exactly once — the count
+    // that reflects what actually executes. Pin it so a refactor that adds
+    // a real shuffle (or drops the cache) fails here, not at 100 TB.
+    val plan = graft.SparkEntry.queries("dedup_pairs_md5")(spark, dir)
+      .queryExecution.executedPlan
+    val flat = graft.tools.PlanAudit.flattenPlan(plan)
+    val real = countOf(flat, "Exchange hashpartitioning")
+    assert(real <= 2,
+      s"cached-once exchange count must stay answer-sized, got $real:\n$flat")
+    assert(countOf(flat, "InMemoryTableScan") >= 1,
+      s"signature pipeline must be persisted (no subplan CSE in Catalyst):\n$flat")
+    // sanity: the flattened view is strictly tighter than the re-inlining
+    // raw string for the same plan
+    assert(real <= countOf(plan.toString, "Exchange hashpartitioning"),
+      "flattenPlan must never count more than the re-inlined rendering")
+  }
+
   test("q_corpus_diff / q_array_funcs: digest-only diff join; arrays stay narrow") {
     val pd = plan("q_corpus_diff")
     assert(countOf(pd, "CartesianProduct") + countOf(pd, "BroadcastNestedLoopJoin") == 0,
