@@ -217,11 +217,15 @@ object Dedup {
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     val banded = base.select(col("__id"),
       // full-signature hash: the chain sort key for oversized buckets —
-      // identical signatures (true dup clusters) sort adjacent
-      xxhash64(concat_ws(",", col("sig").cast("array<string>"))).as("__sk"),
+      // identical signatures (true dup clusters) sort adjacent.
+      // xxhash64 hashes array<long> NATIVELY — hashing the long slices
+      // directly (not cast("array<string>") + concat_ws, which allocates
+      // a string per lane per row) measured ~0.2 s off the sf0.1 pipeline
+      // (tools/MinhashFlavorProbe variant D vs A)
+      xxhash64(col("sig")).as("__sk"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
+          b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r)))))
         .as(Seq("band", "bh")))
     // bucket size via an unordered window (spills to disk row-by-row,
     // unlike collect_list of a giant bucket), then: small buckets → all

@@ -2,14 +2,17 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-iteration helper: time one SparkEntry query N times in a warm
-  * session and optionally dump its formatted plan.
+/** Plan-iteration helper: time one or more SparkEntry queries N times in
+  * a warm session and optionally dump their formatted plans. A
+  * comma-separated name list interleaves the queries per rep —
+  * back-to-back in ONE JVM, which is the honest way to compare two
+  * flavors of the same pipeline (same JIT state, same OS page cache).
   *
-  * {{{ sbt 'runMain graft.tools.QueryTimer dedup_minhash /root/testdata/sf0.01 3 explain' }}}
+  * {{{ sbt 'runMain graft.tools.QueryTimer dedup_minhash_pairs,dedup_pairs_md5 /root/testdata/sf0.1 5' }}}
   */
 object QueryTimer {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val reps = if (args.length > 2) args(2).toInt else 3
     val explain = args.contains("explain")
@@ -22,15 +25,18 @@ object QueryTimer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
-    if (explain) fn(spark, sfDir).explain("formatted")
+    if (explain) names.foreach(n =>
+      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted"))
     (1 to reps).foreach { i =>
-      // same honesty rule as Bench: queries that persist intermediates
-      // must not serve later reps from the cache
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"[timer] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      names.foreach { name =>
+        // same honesty rule as Bench: queries that persist intermediates
+        // must not serve later reps from the cache
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[timer] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }
