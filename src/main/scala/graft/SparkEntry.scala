@@ -816,6 +816,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(cents(col("l_quantity"))).as("sum_qty_cents"))
     }),
+    // Kafka-envelope golden fixture (no broker and no spark-sql-kafka jar
+    // in this sandbox, so the envelope path is proven the testable way):
+    // a parquet fixture shaped EXACTLY like Spark's Kafka source schema —
+    // binary key/value, headers ARRAY<STRUCT<key,value BINARY>>, topic/
+    // partition/timestamp (model/Envelope, SURVEY §1.3) — is written from
+    // events, read back, binary-decoded, and pushed through the FULL
+    // Connect-style chain (DropField + ExtendedHoistField on the
+    // schemaless JSON value, default $Value targeting — the reference's
+    // newRecord envelope contract, DropField.java:151,
+    // ExtendedHoistField.java:193). The output proves per-record fidelity
+    // of every envelope part: key bytes, value fields through the chain,
+    // header bytes, and the timestamp — all hash-checked against the
+    // original events table in DuckDB.
+    "q_kafka_envelope" -> ((s, dir) => {
+      import graft.model.Envelope
+      val path = materializedDir("kafkaenv", dir)(out =>
+        events(s, dir).select(
+          lit("events").as(Envelope.TopicCol),
+          pmod(col("user_id"), lit(4)).cast("int").as(Envelope.PartitionCol),
+          encode(col("user_id").cast("string"), "UTF-8").as(Envelope.KeyCol),
+          encode(to_json(struct(
+            col("event_id"),
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            cents(col("value")).as("amount_cents"))), "UTF-8").as(Envelope.ValueCol),
+          col("ts").as(Envelope.TimestampCol),
+          array(
+            struct(lit("source").as("key"), encode(lit("graft"), "UTF-8").as("value")),
+            struct(lit("etype").as("key"), encode(col("event_type"), "UTF-8").as("value")))
+            .as(Envelope.HeadersCol))
+          .write.mode("overwrite").parquet(out))
+      // Kafka delivers bytes: decode key/value, then run the chain
+      val decoded = s.read.parquet(path)
+        .withColumn(Envelope.KeyCol, decode(col(Envelope.KeyCol), "UTF-8"))
+        .withColumn(Envelope.ValueCol, decode(col(Envelope.ValueCol), "UTF-8"))
+      val chain = ConnectProps.compile(Map(
+        "transforms" -> "dropK,wrap",
+        "transforms.dropK.type" -> "DropField$Value",
+        "transforms.dropK.fields" -> "k",
+        "transforms.wrap.type" -> "ExtendedHoistField$Value",
+        "transforms.wrap.field" -> "payload",
+        "transforms.wrap.keepInRootFieldNames" -> "event_id"))
+      val v = col(Envelope.ValueCol)
+      chain(decoded).select(
+        get_json_object(v, "$.event_id").cast("long").as("event_id"),
+        col(Envelope.KeyCol).cast("long").as("user_key"),
+        get_json_object(v, "$.payload.event_type").as("etype_payload"),
+        get_json_object(v, "$.payload.amount_cents").cast("long").as("amount_cents"),
+        // the chain must have REMOVED k everywhere (root and payload)
+        (get_json_object(v, "$.k").isNull &&
+          get_json_object(v, "$.payload.k").isNull).cast("int").cast("long")
+          .as("k_dropped"),
+        decode(element_at(filter(col(Envelope.HeadersCol),
+          h => h.getField("key") === lit("etype")), 1).getField("value"), "UTF-8")
+          .as("etype_header"),
+        expr(s"${Envelope.TimestampCol} div 1000").as("ts_us"))
+    }),
     "q_scalar_funcs" -> ((s, dir) => Tables.orders(s, dir).select(
       col("o_orderkey"),
       upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
@@ -2007,6 +2064,15 @@ object SparkEntry {
     "q_orc_roundtrip" -> ("SELECT l_returnflag, count(*) AS n_items, " +
       s"${sumCentsSql("l_quantity")} AS sum_qty_cents " +
       "FROM lineitem GROUP BY l_returnflag"),
+    // envelope fidelity: every column the Spark side recovers from the
+    // kafka-shaped fixture (key bytes, chained value JSON, header bytes,
+    // timestamp) must equal what the original events row held
+    "q_kafka_envelope" -> ("SELECT event_id, user_id AS user_key, " +
+      "event_type AS etype_payload, " +
+      s"${centsSql("value")} AS amount_cents, " +
+      "CAST(1 AS BIGINT) AS k_dropped, " +
+      "event_type AS etype_header, " +
+      "epoch_us(ts) AS ts_us FROM events"),
     "q_array_funcs" -> ("SELECT doc_id, len(toks)::BIGINT AS n_toks, " +
       "len(list_distinct(toks))::BIGINT AS n_uniq, " +
       "CAST(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END AS BIGINT) AS has_table, " +
