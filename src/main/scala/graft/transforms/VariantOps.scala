@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * instead of a re-parse per extraction, which matters when many
   * extractions hit the same schemaless payload at scale.
   *
-  * Spark 4.1 has no direct variant *builder* surface, but a variant
-  * OBJECT casts to `map<string, variant>`, and that map round-trips back
-  * to variant via `to_json` → `parse_json`. [[dropField]] and [[hoist]]
-  * use exactly that to run the reference's schemaless-Map mutations
+  * Spark 4.1's variant *builder* surface: a variant OBJECT casts to
+  * `map<string, variant>`, and that map builds back into a variant
+  * natively via `to_variant_object` (no serialize→re-parse text cycle).
+  * [[dropField]] and [[hoist]] use exactly that to run the reference's
+  * schemaless-Map mutations
   * (`DropField.java:67-82`, `ExtendedHoistField.java:76-96`) natively on
   * `VariantType`: cast → rewrite entries with `map_filter` /
   * `transform_values` → re-serialize. Every step is a built-in codegen
@@ -30,6 +31,22 @@ import org.apache.spark.sql.functions._
   * output use [[hoist]] (`to_json(hoist(...))`), which re-canonicalizes.
   */
 object VariantOps {
+
+  /** Bind `c` to a per-row variable: `f`'s body references a lambda
+    * variable, so `c` evaluates ONCE per row no matter how many times the
+    * body uses it. Without this, every reference to the
+    * `map<string,variant>` entries re-runs the whole parse→cast pipeline —
+    * Catalyst's subexpression elimination is conditional-branch-
+    * conservative and does not hoist across `when`/`otherwise` arms
+    * (measured on hoist_variant at sf0.1, `tools/VariantProbe`).
+    * Implementation: a single-element higher-order `transform`. (The
+    * cleaner `With`/CommonExpressionRef builder cannot be constructed from
+    * the Column API — the ref snapshots its dataType before resolution.
+    * This tier is CodegenFallback-heavy anyway — to_json/map_filter/HOFs —
+    * so the interpreted lambda costs nothing extra.)
+    */
+  private def once(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), x => f(x)), 1)
 
   /** Parse a JSON string column to a variant column (fails on malformed
     * JSON; `try_parse_json` yields null instead).
@@ -65,12 +82,17 @@ object VariantOps {
     * too (`JsonStringOps.dropRec` skips non-object children) — only the
     * ROOT must be an object, as in `DropField.java:56`.
     */
-  def dropField(v: Column, path: Seq[String]): Column =
-    parse_json(dropFieldJson(v, path))
+  def dropField(v: Column, path: Seq[String]): Column = {
+    require(path.nonEmpty, "drop path must have at least one segment")
+    // native construction: map<string,variant> → variant object directly
+    // (to_variant_object), no serialize→re-parse text cycle
+    to_variant_object(rewriteDrop(entries(v), path))
+  }
 
   /** [[dropField]] serialized to its JSON text — the flavor for callers
     * whose next step is serialization anyway (sink to string columns):
-    * skips the final `parse_json`, saving one full parse per row.
+    * serializes the rewritten entry map straight to text instead of
+    * building a variant that the sink would re-serialize.
     */
   def dropFieldJson(v: Column, path: Seq[String]): Column = {
     require(path.nonEmpty, "drop path must have at least one segment")
@@ -95,8 +117,8 @@ object VariantOps {
     * value, mirroring the reference's skip-non-object recursion.
     */
   private def dropNested(value: Column, path: Seq[String]): Column =
-    parse_json(to_json(
-      rewriteDrop(try_variant_get(value, "$", "map<string, variant>"), path)))
+    to_variant_object(
+      rewriteDrop(try_variant_get(value, "$", "map<string, variant>"), path))
 
   /** `ExtendedHoistField`'s schemaless semantics on `VariantType`: wrap
     * the payload under `field`, keeping `keepInRoot` names at root. With
@@ -106,7 +128,16 @@ object VariantOps {
     * least one entry moved (`ExtendedHoistField.java:94-96`).
     */
   def hoist(v: Column, field: String, keepInRoot: Seq[String] = Nil): Column =
-    parse_json(hoistJson(v, field, keepInRoot))
+    if (keepInRoot.isEmpty) to_variant_object(map(lit(field), v))
+    else once(entries(v)) { m =>
+      once(map_filter(m, (k, _) => k.isin(keepInRoot: _*))) { kept =>
+        once(map_filter(m, (k, _) => !k.isin(keepInRoot: _*))) { moved =>
+          to_variant_object(when(size(moved) > 0,
+            map_concat(kept, map(lit(field), to_variant_object(moved))))
+            .otherwise(kept))
+        }
+      }
+    }
 
   /** [[hoist]] serialized to its JSON text — same final-parse elision as
     * [[dropFieldJson]]. Key-order contract: kept root keys come first (in
@@ -117,13 +148,17 @@ object VariantOps {
     */
   def hoistJson(v: Column, field: String, keepInRoot: Seq[String] = Nil): Column =
     if (keepInRoot.isEmpty) to_json(map(lit(field), v))
-    else {
-      val m = entries(v)
-      val kept = map_filter(m, (k, _) => k.isin(keepInRoot: _*))
-      val moved = map_filter(m, (k, _) => !k.isin(keepInRoot: _*))
-      val out = when(size(moved) > 0,
-        map_concat(kept, map(lit(field), parse_json(to_json(moved)))))
-        .otherwise(kept)
-      to_json(out)
+    else once(entries(v)) { m =>
+      // m, kept, and moved are each referenced more than once below; the
+      // `once` binding pins the parse→cast pipeline to a single
+      // evaluation, and the nested bindings keep the filtered maps from
+      // re-filtering per reference
+      once(map_filter(m, (k, _) => k.isin(keepInRoot: _*))) { kept =>
+        once(map_filter(m, (k, _) => !k.isin(keepInRoot: _*))) { moved =>
+          to_json(when(size(moved) > 0,
+            map_concat(kept, map(lit(field), to_variant_object(moved))))
+            .otherwise(kept))
+        }
+      }
     }
 }
