@@ -534,6 +534,64 @@ object SparkEntry {
           col("sum_value").as("sum_value_cents"))
     }),
 
+    // APPEND-mode watermarked streaming whose result PROVABLY depends on
+    // watermark semantics (VERDICT r6 task 5). The events table is staged
+    // as three source files replayed as three ordered micro-batches
+    // (maxFilesPerTrigger=1, modification-time order):
+    //   b1 = first two days minus a marked subset;  b2 = everything later
+    //   (advances the watermark to the global max event time);  b3 = the
+    //   marked subset of day-1 rows — now LATE: their window closed when
+    //   b2's watermark passed it, so append mode must DROP every one.
+    // Two watermark facts are visible in the sink and hash-checked:
+    //   1. the b3 late rows are absent from the day-1 aggregate;
+    //   2. the LAST day's window never flushes (the watermark never passes
+    //      its end), so the sink holds exactly days 1..N-1.
+    // If eviction failed, day-1 counts differ; if append flushed eagerly,
+    // day-N appears — either way the hash breaks.
+    "q_stream_append" -> ((s, dir) => {
+      val out = materializedDir("streamappend", dir) { outPath =>
+        val runner = graft.streaming.StreamRunner
+        val ev = events(s, dir).select(
+          timestamp_micros(expr("ts div 1000")).as("ets"),
+          col("user_id"), col("event_type"), cents(col("value")).as("vc"))
+        val minDay = ev.agg(min(date_trunc("DAY", col("ets")))).head.getTimestamp(0)
+        val day2End = new java.sql.Timestamp(minDay.getTime + 2 * 86400000L)
+        val isLate = date_trunc("DAY", col("ets")) === lit(minDay) &&
+          col("user_id") % 7 === 3
+        val srcDir = materializedDir("streamappendsrc", dir) { inPath =>
+          val base = new java.io.File(inPath)
+          base.mkdirs()
+          // one parquet FILE per intended micro-batch; the file stream
+          // source drains oldest-mtime-first, so spaced mtimes pin the
+          // replay order
+          def dump(df: DataFrame, name: String, mtime: Long): Unit = {
+            val tmp = new java.io.File(base, name + "_tmp")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+            val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(base, name + ".parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            deleteRecursively(tmp)
+            dst.setLastModified(mtime): Unit
+          }
+          val t0 = System.currentTimeMillis() - 600000L
+          dump(ev.filter(col("ets") < lit(day2End) && !isLate), "b1", t0)
+          dump(ev.filter(col("ets") >= lit(day2End)), "b2", t0 + 60000L)
+          dump(ev.filter(isLate), "b3", t0 + 120000L)
+        }
+        val src = runner.fileSource(s, srcDir, StructType(Seq(
+          StructField("ets", TimestampType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("vc", LongType))),
+          maxFilesPerTrigger = Some(1))
+        val agg = runner.windowedStats(src, "ets", "vc", "event_type",
+          windowLen = "1 day", watermarkDelay = "0 seconds")
+        runner.fileSink(agg, outPath, outPath + "_ckpt").awaitTermination()
+      }
+      s.read.parquet(out)
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n").as("n_events"),
+          col("sum_value").as("sum_value_cents"))
+    }),
+
     // ---- remaining §2.2 categories: rollup, sort/limit, set ops, scalars
     "q_rollup" -> ((s, dir) => Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1892,6 +1950,16 @@ object SparkEntry {
       "AS win_start_us, event_type, count(*) AS n_events, " +
       s"${sumCentsSql("value")} AS sum_value_cents " +
       "FROM events GROUP BY 1, 2"),
+    // append-mode watermark contract: the marked day-1 subset arrived late
+    // (third micro-batch) so it is EVICTED, and the final day's window
+    // never closes — the oracle states both facts in plain SQL
+    "q_stream_append" -> ("SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) " +
+      "AS win_start_us, event_type, count(*) AS n_events, " +
+      s"${sumCentsSql("value")} AS sum_value_cents FROM events " +
+      "WHERE NOT (date_trunc('day', ts) = " +
+      "(SELECT date_trunc('day', min(ts)) FROM events) AND user_id % 7 = 3) " +
+      "AND date_trunc('day', ts) < (SELECT date_trunc('day', max(ts)) FROM events) " +
+      "GROUP BY 1, 2"),
     // the sketch's error CONTRACT is the portable fact: every group must
     // land within tolerance x rsd of exact, so the oracle expects TRUE
     "q_approx_stats" -> ("SELECT event_type, " +

@@ -50,8 +50,18 @@ object StreamRunner {
       .option("checkpointLocation", checkpoint)
       .start()
 
-  def fileSource(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  /** `maxFilesPerTrigger` bounds each micro-batch to N source files
+    * (oldest modification time first) — production backpressure, and the
+    * deterministic way to replay a landing zone as a KNOWN batch sequence
+    * (AvailableNow honors it, draining the directory in multiple batches)
+    * so watermark advancement between batches is testable.
+    */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+  }
 
   def fileSink(df: DataFrame, dir: String, checkpoint: String,
                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
