@@ -1514,11 +1514,17 @@ object SparkEntry {
       Multimodal.extractFeatures(
         Multimodal.attachFakeMedia(docs(s, dir), "doc_id", "text"), "doc_id")
         .select(col("doc_id"), col("byte_len"))),
+    // REAL multi-frame decode (video tier): synthesize a 4-frame animated
+    // GIF per doc (the one multi-frame container the JDK codecs write),
+    // decode EVERY frame with javax.imageio, emit exact per-frame gray
+    // sums. The oracle recomputes the sums from the frame-pixel closed
+    // form with no image library — a frame-order, palette, or
+    // multi-image-read bug hash-fails. (The byte-slice sampleFrames
+    // operator remains, spec-tested — this query is the decode proof.)
     "multimodal_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(
-        Multimodal.attachFakeMedia(docs(s, dir), "doc_id", "text"), "doc_id", 4)
-        .select(col("doc_id"), col("frame_idx"),
-          hex(col("frame_bytes")).as("frame_hex"))),
+      Multimodal.frameStats(
+        Multimodal.attachSyntheticGifs(docs(s, dir), "doc_id", 8, 5, 4),
+        "doc_id")),
     // REAL image decode round trip: synthesize a 30×17 BMP per doc (30
     // exercises the 4-byte row padding), decode it with javax.imageio,
     // emit exact integer channel sums. The oracle recomputes the sums
@@ -2342,11 +2348,14 @@ object SparkEntry {
       "octet_length(encode(text))::BIGINT AS byte_len FROM documents"),
     "multimodal_features" ->
       "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len FROM documents",
-    // DuckDB lacks substr on BLOB: slice the hex string instead (byte n
-    // starts at hex position 2n+1; both engines clamp past-the-end).
-    "multimodal_frames" -> ("SELECT doc_id, CAST(i AS INT) AS frame_idx, " +
-      "substr(hex(encode(text)), CAST(i * greatest(octet_length(encode(text)) // 4, 1) * 2 + 1 AS BIGINT), 32) AS frame_hex " +
-      "FROM documents, range(0, 4) t(i)"),
+    // mirrors synthesizeGif's frame-pixel formula ((id + 11f + x + y) mod
+    // 256) summed over each 8×5 frame — the engine side gets these
+    // numbers by DECODING every frame of the GIF it encoded
+    "multimodal_frames" -> ("SELECT d.doc_id, CAST(f.i AS INT) AS frame_idx, " +
+      "CAST(8 AS INT) AS fr_w, CAST(5 AS INT) AS fr_h, " +
+      "CAST(SUM((d.doc_id + 11 * f.i + x.j + y.k) % 256) AS BIGINT) AS sum_gray " +
+      "FROM documents d, range(0, 4) f(i), range(0, 8) x(j), range(0, 5) y(k) " +
+      "GROUP BY 1, 2"),
     // mirrors synthesizeBmp's per-pixel channel formulas (r=(id+x+y)%256,
     // g=(3id+x)%256, b=(7id+y)%256) summed over the 30×17 grid — the
     // engine side gets these numbers by DECODING the BMP it encoded

@@ -139,6 +139,129 @@ object Multimodal {
     buf.array()
   }
 
+  /** Deterministic ANIMATED GIF (the one multi-frame container the JDK
+    * writes natively): `frames` full-size grayscale frames where frame f's
+    * pixel (x, y) has gray value (seed + 11·f + x + y) mod 256 — a closed
+    * form a SQL oracle reproduces with no image library. Grayscale keeps
+    * the GIF palette exact (a 256-entry gray ramp, no quantization loss),
+    * so an encode → [[decodeFrames]] → per-frame pixel-sum round trip is
+    * hash-checkable end to end.
+    */
+  def synthesizeGif(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && frames > 0, "gif dimensions must be positive")
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              java.lang.Math.floorMod(seed + 11L * f + x + y, 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Exact per-frame statistics from a REAL multi-frame decode. */
+  final case class FrameStats(frameIdx: Int, width: Int, height: Int,
+                              sumGray: Long)
+
+  /** Decode EVERY frame of a multi-frame image container (animated GIF —
+    * `javax.imageio`'s reader exposes frames via `getNumImages`/`read(i)`)
+    * and reduce each to its exact gray-channel (red) integer sum. Returns
+    * Nil for undecodable payloads — same degrade-not-throw contract as
+    * [[decodeImage]]/[[decodeAudio]]. Frames are read raw (our synthetic
+    * frames are full-size, so no disposal compositing is needed).
+    */
+  def decodeFrames(bytes: Array[Byte]): Seq[FrameStats] = {
+    if (bytes == null || bytes.length < 8) return Nil
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Nil
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n).map { i =>
+            val img = reader.read(i)
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                s += (img.getRGB(x, y) >>> 16) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            FrameStats(i, img.getWidth, img.getHeight, s)
+          }
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => Nil
+    }
+  }
+
+  /** Wrap each row's id as a synthesized animated-GIF payload in the
+    * media struct — the video-tier analogue of [[attachSyntheticImages]].
+    */
+  def attachSyntheticGifs(df: DataFrame, idCol: String, w: Int, h: Int,
+                          frames: Int): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol), StructField("media", mediaType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol)).mapPartitions { it =>
+      it.map { r =>
+        val seed = r.getAs[Number](0).longValue()
+        Row(r.get(0), Row(synthesizeGif(seed, w, h, frames), "image/gif",
+          w, h, frames * 100L))
+      }
+    }
+  }
+
+  /** Partition-local REAL multi-frame decode: (id, media) → one row per
+    * frame (id, frame_idx, fr_w, fr_h, sum_gray). Undecodable payloads
+    * emit no rows (an audit joins back against the id table to find
+    * them). One iterator pass per partition; nothing shuffles.
+    */
+  def frameStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType),
+      StructField("fr_w", IntegerType), StructField("fr_h", IntegerType),
+      StructField("sum_gray", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("media.bytes").as("__b"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeFrames(r.getAs[Array[Byte]]("__b")).map(f =>
+            Row(r.get(0), f.frameIdx, f.width, f.height, f.sumGray))
+        }
+      }
+  }
+
   /** Exact per-clip audio statistics from a REAL decode. */
   final case class AudioStats(sampleRate: Int, channels: Int,
                               nSamples: Long, sumSamples: Long)

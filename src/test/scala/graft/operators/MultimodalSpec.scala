@@ -73,6 +73,28 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.synthesizeBmp(5L, 16, 16).take(60)).isEmpty)
   }
 
+  test("synthesizeGif → decodeFrames round-trips every frame's exact gray sum") {
+    val (seed, w, h, n) = (42L, 8, 5, 4)
+    val frames = Multimodal.decodeFrames(Multimodal.synthesizeGif(seed, w, h, n))
+    assert(frames.length == n)
+    frames.foreach { f =>
+      assert(f.width == w && f.height == h)
+      val expect = (for { y <- 0 until h; x <- 0 until w }
+        yield java.lang.Math.floorMod(seed + 11L * f.frameIdx + x + y, 256L)).sum
+      assert(f.sumGray == expect, s"frame ${f.frameIdx}")
+    }
+    // undecodable → Nil, not a throw
+    assert(Multimodal.decodeFrames("not a gif".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeFrames(null).isEmpty)
+    // distributed: one row per (doc, frame)
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 7L).toDF("doc_id")
+    val stats = Multimodal.frameStats(
+      Multimodal.attachSyntheticGifs(ids, "doc_id", w, h, n), "doc_id")
+    assert(stats.count() == 2L * n)
+  }
+
   test("decodeAudio rejects non-PCM_SIGNED 16-bit payloads instead of mis-summing") {
     // hand-built 8-bit unsigned PCM WAV: valid RIFF, wrong encoding for
     // the signed-16-bit summing loop → None, not a silently wrong sum
