@@ -2,6 +2,7 @@ package graft.transforms
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.SparkTestBase
 import graft.model.Envelope
@@ -92,6 +93,62 @@ class DropFieldSpec extends SparkTestBase {
     val r = out.select("topic", "partition", "timestamp").head()
     assert(r.getString(0) == "test" && r.getInt(1) == 0 && r.getLong(2) == 1700000000000L)
     assert(out.select("headers").head().getSeq[Row](0).head.getString(0) == "h1")
+  }
+
+  // ---- SURVEY §2.3 item 1: a config path splits on '.' unconditionally
+  // (DropField.java:72-75), so a field LITERALLY NAMED "a.b" is
+  // unaddressable and must never be confused with nesting. Property-
+  // tested for random segment names on BOTH the struct and JSON paths.
+
+  private def scCheck(n: Int)(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val segGen: Gen[String] = for {
+    len <- Gen.chooseNum(1, 5)
+    cs <- Gen.listOfN(len, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  private val twoSegs: Gen[(String, String)] =
+    segGen.flatMap(a => segGen.suchThat(b => b != a && a != "zz" && b != "zz")
+      .map(b => (a, b)))
+
+  test("property: path always splits on '.' — parsePath never yields a dotted segment") {
+    scCheck(50)(Prop.forAll(Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, segGen))) {
+      segs =>
+        val parsed = NestedOps.parsePath(segs.mkString("."))
+        parsed == segs && parsed.forall(!_.contains('.'))
+    })
+  }
+
+  test("property: struct path — dropping 'a.b' hits nested a→b, never a literal 'a.b' field") {
+    scCheck(8)(Prop.forAll(twoSegs) { case (s1, s2) =>
+      val vt = StructType(Seq(
+        StructField(s"$s1.$s2", IntegerType), // literal dotted name
+        StructField(s1, StructType(Seq(
+          StructField(s2, IntegerType), StructField("zz", IntegerType))))))
+      val in = envelopeDf(StringType, vt, "key0", Row(11, Row(22, 33)))
+      val out = DropField.value(Seq(s"$s1.$s2"))(in)
+      val ot = out.schema(Envelope.ValueCol).dataType.asInstanceOf[StructType]
+      val nested = ot(s1).dataType.asInstanceOf[StructType]
+      val row = out.select("value").head().getStruct(0)
+      ot.fieldNames.toSeq == Seq(s"$s1.$s2", s1) && // literal field survives
+        nested.fieldNames.toSeq == Seq("zz") &&     // nested s2 dropped
+        row.getInt(0) == 11 && row.getStruct(1).getInt(0) == 33
+    })
+  }
+
+  test("property: JSON path — dropping 'a.b' hits nested a→b, never a literal 'a.b' key") {
+    scCheck(8)(Prop.forAll(twoSegs) { case (s1, s2) =>
+      val json = s"""{"$s1.$s2":11,"$s1":{"$s2":22,"zz":33}}"""
+      val in = envelopeDf(StringType, StringType, "key0", json)
+      val out = DropField.value(Seq(s"$s1.$s2"))(in)
+      // Jackson preserves key order: literal key intact, nested s2 gone
+      out.select("value").head().getString(0) ==
+        s"""{"$s1.$s2":11,"$s1":{"zz":33}}"""
+    })
   }
 
   test("null nested struct propagates null (defined sanely vs reference NPE, SURVEY §2.3.3)") {
