@@ -207,6 +207,56 @@ object Similarity {
     centroids
   }
 
+  /** Executor-side Lloyd refinement of a coarse quantizer — the k-means||
+    * shape: each iteration assigns EVERY corpus vector to its nearest
+    * centroid with [[ivfCellCol]] (a narrow map, centroids ride as plan
+    * literals) and reduces per-cell dimension sums + counts through a
+    * map-side-combined aggregate, so the shuffle carries nlist partial
+    * rows per task and the driver collects exactly `nlist` rows per
+    * iteration — bounded at ANY corpus scale. This removes
+    * [[trainIvfCentroids]]'s sample-bias caveat for 100 TB IVF/SemDeDup:
+    * the bounded driver sample only SEEDS the quantizer; the full corpus
+    * shapes the final cell means. Opt-in (costs `iters` extra scans);
+    * empty cells keep their previous centroid; deterministic for a fixed
+    * input + seed.
+    */
+  def refineCentroidsDistributed(df: DataFrame, vecCol: String,
+                                 centroids: Array[Array[Double]],
+                                 iters: Int = 2): Array[Array[Double]] = {
+    require(centroids.nonEmpty && iters >= 0, "need centroids and iters >= 0")
+    val dim = centroids.head.length
+    var cs = centroids
+    (0 until iters).foreach { _ =>
+      val aggs = count(lit(1)).as("__n") +: (0 until dim).map(i =>
+        sum(element_at(col(vecCol), i + 1).cast("double")).as(s"__s$i"))
+      val rows = df
+        .select(ivfCellCol(col(vecCol), cs).as("__cell"), col(vecCol))
+        .groupBy(col("__cell"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // nlist rows — bounded by construction
+      val next = cs.map(_.clone())
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        if (n > 0) (0 until dim).foreach(i => next(c)(i) = r.getDouble(2 + i) / n)
+      }
+      cs = next
+    }
+    cs
+  }
+
+  /** [[trainIvfCentroids]] + [[refineCentroidsDistributed]]: seed from the
+    * bounded driver sample, then let the WHOLE corpus refine the means on
+    * executors. The production 100 TB training path.
+    */
+  def trainIvfCentroidsDistributed(df: DataFrame, vecCol: String, nlist: Int,
+                                   sampleIters: Int = 5, refineIters: Int = 2,
+                                   sampleSize: Int = 2000,
+                                   seed: Long = 42L): Array[Array[Double]] =
+    refineCentroidsDistributed(df, vecCol,
+      trainIvfCentroids(df, vecCol, nlist, sampleIters, sampleSize, seed),
+      refineIters)
+
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * {{{ SPARK_GRAFT_CPUS=32 sbt 'runMain graft.tools.SemDedupProbe /tmp/sf01_x100 256 0.98 trained' }}}
   *
-  * `trained` selects the k-means quantizer ([[graft.operators.Similarity.trainIvfCentroids]]).
+  * `trained` selects the k-means quantizer
+  * ([[graft.operators.Similarity.trainIvfCentroids]]); `refined` adds the
+  * executor-side full-corpus Lloyd refinement
+  * ([[graft.operators.Similarity.trainIvfCentroidsDistributed]]).
   * On label-clustered corpora (like this testdata: ~10 Gaussian blobs)
   * the data-INDEPENDENT fixed quantizer funnels each whole blob into one
   * cell — 20k-row hot cells → 10⁸-pair quadratic work per cell — while
@@ -38,7 +41,9 @@ object SemDedupProbe {
     val dim = graft.operators.Similarity.vecDim(e, "embedding")
     val t0 = System.nanoTime()
     val cents =
-      if (trained) graft.operators.Similarity.trainIvfCentroids(e, "embedding", nlist)
+      if (args.contains("refined"))
+        graft.operators.Similarity.trainIvfCentroidsDistributed(e, "embedding", nlist)
+      else if (trained) graft.operators.Similarity.trainIvfCentroids(e, "embedding", nlist)
       else graft.operators.Similarity.fixedCentroids(nlist, dim, seed = 7L)
     val tracker = new graft.operators.CacheTracker
     val out = graft.operators.Similarity.semDedup(e, "vec_id", "embedding",

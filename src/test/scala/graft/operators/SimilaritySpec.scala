@@ -224,6 +224,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(flags(2) == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("distributed refinement recovers true cluster means from a biased seed") {
+    val s = spark
+    import s.implicits._
+    // two well-separated clusters; the local sample-trained seed is made
+    // deliberately bad by handing refine a pair of off-center centroids
+    val rnd = new scala.util.Random(3)
+    val data = (0 until 200).map { i =>
+      val center = if (i % 2 == 0) 10f else -10f
+      i.toLong -> Seq.fill(8)(center + rnd.nextGaussian().toFloat * 0.1f)
+    }.toDF("vec_id", "embedding")
+    val seedCs = Array(Array.fill(8)(3.0), Array.fill(8)(-1.0)) // off-center
+    def cost(cs: Array[Array[Double]]): Double =
+      data.select(least((0 until 2).map(c =>
+        graft.functions.VectorOps.sq_l2_dist(col("embedding"),
+          typedlit(cs(c).toSeq))): _*).as("d"))
+        .agg(sum(col("d"))).head.getDouble(0)
+    val refined = Similarity.refineCentroidsDistributed(data, "embedding", seedCs, iters = 3)
+    assert(cost(refined) < cost(seedCs) / 100,
+      "full-corpus Lloyd iterations must collapse the off-center seed onto the true means")
+    refined.foreach(c => assert(math.abs(math.abs(c.head) - 10.0) < 0.2,
+      s"refined centroid must sit on a cluster mean, got ${c.head}"))
+    // deterministic: same input, same result
+    val again = Similarity.refineCentroidsDistributed(data, "embedding", seedCs, iters = 3)
+    assert(refined.flatten.toSeq == again.flatten.toSeq)
+    // end-to-end entry point: same search results as the plain trained path
+    // at full probe (both are exact at nprobe = nlist)
+    val q = embDf.filter(col("vec_id") === 0)
+    val cs = Similarity.trainIvfCentroidsDistributed(embDf, "embedding", 4,
+      refineIters = 1)
+    val got = Similarity.ivfTopKWith(embDf, q, "vec_id", "embedding", 4, cs, nprobe = 4)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(got.head == 0L && got(1) == 1L)
+  }
+
   test("lshBucket is deterministic across invocations (seeded planes)") {
     val planes = Similarity.hyperplanes(8, 16, seed = 42L)
     val planes2 = Similarity.hyperplanes(8, 16, seed = 42L)
