@@ -916,16 +916,25 @@ object SparkEntry {
         "transforms.wrap.type" -> "ExtendedHoistField$Value",
         "transforms.wrap.field" -> "payload",
         "transforms.wrap.keepInRootFieldNames" -> "event_id"))
-      val v = col(Envelope.ValueCol)
-      chain(decoded).select(
-        get_json_object(v, "$.event_id").cast("long").as("event_id"),
+      // ONE parse of the chained value (a struct schema wide enough to
+      // witness the dropped field as null), not one get_json_object
+      // re-parse per extracted column
+      val vt = StructType(Seq(
+        StructField("event_id", LongType), StructField("k", LongType),
+        StructField("payload", StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("amount_cents", LongType),
+          StructField("k", LongType))))))
+      val parsed = chain(decoded)
+        .withColumn("__v", from_json(col(Envelope.ValueCol), vt))
+      parsed.select(
+        col("__v.event_id").as("event_id"),
         col(Envelope.KeyCol).cast("long").as("user_key"),
-        get_json_object(v, "$.payload.event_type").as("etype_payload"),
-        get_json_object(v, "$.payload.amount_cents").cast("long").as("amount_cents"),
+        col("__v.payload.event_type").as("etype_payload"),
+        col("__v.payload.amount_cents").as("amount_cents"),
         // the chain must have REMOVED k everywhere (root and payload)
-        (get_json_object(v, "$.k").isNull &&
-          get_json_object(v, "$.payload.k").isNull).cast("int").cast("long")
-          .as("k_dropped"),
+        (col("__v.k").isNull && col("__v.payload.k").isNull)
+          .cast("int").cast("long").as("k_dropped"),
         decode(element_at(filter(col(Envelope.HeadersCol),
           h => h.getField("key") === lit("etype")), 1).getField("value"), "UTF-8")
           .as("etype_header"),
