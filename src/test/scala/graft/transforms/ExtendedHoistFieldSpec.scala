@@ -106,4 +106,57 @@ class ExtendedHoistFieldSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("field"))
   }
+
+  // ---- dotted-name property tests, the HOIST mirror of DropFieldSpec's:
+  // keepInRootFieldNames entries are exact NAME matches, never paths
+  // (`ExtendedHoistField.java:107-123` compares names with equals), so a
+  // keep entry "a.b" DOES match a literal root field named "a.b" and
+  // does NOT reach into nesting — the opposite of DropField's
+  // split-on-'.' paths. Locked for random segment names on both modes.
+
+  private val segGen: org.scalacheck.Gen[String] = for {
+    len <- org.scalacheck.Gen.chooseNum(1, 5)
+    cs <- org.scalacheck.Gen.listOfN(len, org.scalacheck.Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  private val twoSegs: org.scalacheck.Gen[(String, String)] =
+    segGen.flatMap(a => segGen.suchThat(b => b != a && a != "w" && b != "w")
+      .map(b => (a, b)))
+
+  private def scCheck(n: Int)(prop: org.scalacheck.Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: struct keep — 'a.b' keeps the literal 'a.b' field, nested a.b moves whole") {
+    scCheck(8)(org.scalacheck.Prop.forAll(twoSegs) { case (s1, s2) =>
+      val kt = StructType(Seq(
+        StructField(s"$s1.$s2", IntegerType), // literal dotted name
+        StructField(s1, StructType(Seq(StructField(s2, IntegerType))))))
+      val in = envelopeDf(kt, StringType, Row(11, Row(22)), "v")
+      val out = ExtendedHoistField.key("w", Seq(s"$s1.$s2"))(in)
+      val ot = out.schema(Envelope.KeyCol).dataType.asInstanceOf[StructType]
+      val inner = ot("w").dataType.asInstanceOf[StructType]
+      val row = out.select("key").head().getStruct(0)
+      // literal dotted field stays at root; the s1 STRUCT (with its
+      // nested s2 intact) moves under w
+      ot.fieldNames.toSeq == Seq(s"$s1.$s2", "w") &&
+        inner.fieldNames.toSeq == Seq(s1) &&
+        inner(s1).dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq(s2) &&
+        row.getInt(0) == 11 &&
+        row.getStruct(1).getStruct(0).getInt(0) == 22
+    })
+  }
+
+  test("property: JSON keep — 'a.b' keeps the literal 'a.b' key, nested object moves whole") {
+    scCheck(8)(org.scalacheck.Prop.forAll(twoSegs) { case (s1, s2) =>
+      val json = s"""{"$s1.$s2":11,"$s1":{"$s2":22}}"""
+      val in = envelopeDf(StringType, StringType, json, "v")
+      val out = ExtendedHoistField.key("w", Seq(s"$s1.$s2"))(in)
+      out.select("key").head().getString(0) ==
+        s"""{"$s1.$s2":11,"w":{"$s1":{"$s2":22}}}"""
+    })
+  }
 }
