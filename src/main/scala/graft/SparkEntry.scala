@@ -1429,6 +1429,16 @@ object SparkEntry {
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           col("rnk").cast("int").as("rnk"))
     }),
+    // BM25 retrieval (the ranking tier above q_tfidf): top-5 docs per
+    // query term by EXACT integer fixed-point BM25 saturation — no
+    // doubles, no ln(), so the ranking hash-matches any engine with
+    // 64-bit integer division; idf ingredients (df, n_docs) ride as
+    // exact integers. One explode + one map-side-combined per-doc
+    // aggregate + a broadcast one-row totals join + one window.
+    "q_bm25" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bm25TopK(
+        docs(s, dir), "doc_id", "text",
+        terms = Seq("join", "filter", "slow"), k = 5)),
     // PII redaction: inject deterministic synthetic PII per doc, audit
     // match counts, mask, and fingerprint the masked text — all narrow
     // codegen'd regexp work, zero shuffle.
@@ -2034,6 +2044,32 @@ object SparkEntry {
       "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS INT) AS rnk FROM tf) " +
       "SELECT r.doc_id, r.token, r.tf, d.df, r.rnk " +
       "FROM ranked r JOIN dfreq d ON r.token = d.token WHERE r.rnk <= 3"),
+    // exact-integer BM25: same cleared-rational saturation formula, same
+    // tie-break (sat DESC, doc_id) — DuckDB's // is integer div on
+    // BIGINTs; every sum is CAST back to BIGINT (HUGEINT rule)
+    "q_bm25" -> ("WITH tok AS (SELECT doc_id, " +
+      s"unnest(string_split($normSql, ' ')) AS t FROM documents), " +
+      "pd AS (SELECT doc_id, count(*) AS dl, " +
+      "CAST(sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_join, " +
+      "CAST(sum(CASE WHEN t = 'filter' THEN 1 ELSE 0 END) AS BIGINT) AS tf_filter, " +
+      "CAST(sum(CASE WHEN t = 'slow' THEN 1 ELSE 0 END) AS BIGINT) AS tf_slow " +
+      "FROM tok GROUP BY doc_id), " +
+      "tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tt, " +
+      "CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join, " +
+      "CAST(sum(CASE WHEN tf_filter > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_filter, " +
+      "CAST(sum(CASE WHEN tf_slow > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_slow " +
+      "FROM pd), " +
+      "st AS (SELECT doc_id, dl, 'join' AS term, tf_join AS tf FROM pd " +
+      "UNION ALL SELECT doc_id, dl, 'filter', tf_filter FROM pd " +
+      "UNION ALL SELECT doc_id, dl, 'slow', tf_slow FROM pd), " +
+      "sc AS (SELECT s.doc_id, s.term, s.tf, s.dl, " +
+      "CASE s.term WHEN 'join' THEN t.df_join WHEN 'filter' THEN t.df_filter " +
+      "ELSE t.df_slow END AS df, t.n_docs, " +
+      "(1000000 * 22 * s.tf * t.tt) // (10 * s.tf * t.tt + 3 * t.tt + 9 * s.dl * t.n_docs) AS sat_1e6 " +
+      "FROM st s, tot t WHERE s.tf > 0) " +
+      "SELECT term, doc_id, tf, dl, df, n_docs, sat_1e6, rnk FROM (" +
+      "SELECT *, CAST(row_number() OVER (PARTITION BY term " +
+      "ORDER BY sat_1e6 DESC, doc_id) AS INT) AS rnk FROM sc) WHERE rnk <= 5"),
     "q_pii_redact" -> {
       val em = TextAnalysis.emailPattern
       val ph = TextAnalysis.phonePattern

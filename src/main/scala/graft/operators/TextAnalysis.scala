@@ -239,4 +239,59 @@ object TextAnalysis {
       s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_pass)")
       .select(col("stage_idx").cast("int"), col("stage"), col("n_pass"))
   }
+
+  /** BM25 retrieval over a FIXED query-term set, in EXACT integer
+    * fixed-point — no doubles anywhere, so rankings are bit-identical in
+    * any engine with 64-bit integer division.
+    *
+    * With the standard constants k1 = 1.2, b = 0.75 the tf-saturation
+    * term `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` (avgdl = T/N over the
+    * corpus) clears to the integer rational
+    *
+    *   sat_1e6 = (1 000 000 · 22·tf·T) div (10·tf·T + 3·T + 9·dl·N)
+    *
+    * and per TERM that saturation alone determines the BM25 ranking (the
+    * idf factor is constant within a term); the idf INGREDIENTS — df and
+    * n_docs — ride along as exact integers so a consumer can weigh
+    * multi-term sums with whatever log variant it prefers. BIGINT
+    * arithmetic holds to T ≈ 4·10¹⁰ corpus tokens; past that, widen both
+    * sides to DECIMAL(38,0).
+    *
+    * Scale shape: one explode + ONE map-side-combined per-doc aggregate
+    * (dl and every per-term tf in the same pass — terms are static
+    * columns, not a join), a one-row totals aggregate broadcast back, a
+    * narrow term-stack, and one top-k window per term. The per-doc table
+    * is persisted because totals and the stack both read it (no subplan
+    * CSE) — cache ownership via [[CacheTracker]].
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val tok = df.select(col(idCol),
+      explode(split(Dedup.normText(col(textCol)), " ")).as("__t"))
+    val tfAggs = count(lit(1)).as("dl") +: terms.map(t =>
+      sum(when(col("__t") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = tracker.own(
+      tok.groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("tt") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val totals = perDoc.agg(totAggs.head, totAggs.tail: _*)
+    val stacked = perDoc.select(col(idCol), col("dl"),
+      explode(array(terms.map(t =>
+        struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("q"))
+      .select(col(idCol), col("dl"), col("q.term").as("term"), col("q.tf").as("tf"))
+      .filter(col("tf") > 0)
+    val dfByTerm = map(terms.flatMap(t => Seq(lit(t), col(s"df_$t"))): _*)
+    val scored = stacked.crossJoin(broadcast(totals))
+      .withColumn("df", element_at(dfByTerm, col("term")))
+      .withColumn("sat_1e6", expr(
+        "(1000000 * 22 * tf * tt) div (10 * tf * tt + 3 * tt + 9 * dl * n_docs)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("sat_1e6").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("term"), col(idCol), col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("sat_1e6"), col("rnk").cast("int").as("rnk"))
+  }
 }

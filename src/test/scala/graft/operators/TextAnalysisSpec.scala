@@ -142,4 +142,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.columns.toSet == Set("doc_id", "lang_pred", "fp", "n_tokens_bpe",
       "n_chars_norm", "n_tokens", "punct_cnt", "digit_cnt", "mean_tok_len_x100"))
   }
+
+  test("bm25TopK fixed-point ranking equals real-valued BM25 on a known corpus") {
+    val s = spark
+    import s.implicits._
+    // doc 1: high tf, short; doc 2: same tf, longer (penalized); doc 3:
+    // low tf; doc 4: no hit
+    val corpus = Seq(
+      1L -> "cat cat cat dog",
+      2L -> "cat cat cat dog dog dog dog dog dog dog",
+      3L -> "cat fish fish fish",
+      4L -> "dog dog fish").toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(corpus, "doc_id", "text", Seq("cat"), 10)
+      .orderBy(col("rnk")).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L),
+      "short high-tf doc first, length-penalized second, low-tf third, no-hit absent")
+    // cross-check every saturation value against double-precision BM25
+    val (n, tAll) = (4L, 4L + 10 + 4 + 3)
+    val avgdl = tAll.toDouble / n
+    got.foreach { r =>
+      val (tf, dl) = (r.getAs[Long]("tf").toDouble, r.getAs[Long]("dl").toDouble)
+      val real = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      assert(math.abs(r.getAs[Long]("sat_1e6") - math.floor(real * 1e6)) <= 1,
+        s"fixed-point must equal the real formula to 1e-6: $r vs $real")
+      assert(r.getAs[Long]("df") == 3L && r.getAs[Long]("n_docs") == n)
+    }
+  }
 }
