@@ -277,21 +277,26 @@ object TextAnalysis {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("tt") +:
       terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-    val totals = perDoc.agg(totAggs.head, totAggs.tail: _*)
+    // ONE bounded driver action (a single row off the cached per-doc
+    // table — the same bounded-scalar budget as Components' edge count):
+    // corpus constants then embed as literals, so the scoring stage is a
+    // pure narrow map with no join node at all (a constant-key join's
+    // literals fold to `1=1` and re-plan as a nested loop)
+    val tot = perDoc.agg(totAggs.head, totAggs.tail: _*).head()
+    val nDocs = tot.getLong(0)
+    val tt = tot.getLong(1)
+    val dfByTerm = terms.zipWithIndex.map { case (t, i) => t -> tot.getLong(2 + i) }.toMap
     val stacked = perDoc.select(col(idCol), col("dl"),
       explode(array(terms.map(t =>
-        struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("q"))
-      .select(col(idCol), col("dl"), col("q.term").as("term"), col("q.tf").as("tf"))
+        struct(lit(t).as("term"), col(s"tf_$t").as("tf"),
+          lit(dfByTerm(t)).as("df"))): _*)).as("q"))
+      .select(col(idCol), col("dl"), col("q.term").as("term"),
+        col("q.tf").as("tf"), col("q.df").as("df"))
       .filter(col("tf") > 0)
-    val dfByTerm = map(terms.flatMap(t => Seq(lit(t), col(s"df_$t"))): _*)
-    // constant-key equi-join, not crossJoin: same one-row broadcast, but
-    // plans as a BroadcastHashJoin so the plan audit's "no products"
-    // invariant holds without an exception entry
-    val scored = stacked.withColumn("__k", lit(1))
-      .join(broadcast(totals.withColumn("__k", lit(1))), "__k")
-      .withColumn("df", element_at(dfByTerm, col("term")))
+    val scored = stacked
+      .withColumn("n_docs", lit(nDocs))
       .withColumn("sat_1e6", expr(
-        "(1000000 * 22 * tf * tt) div (10 * tf * tt + 3 * tt + 9 * dl * n_docs)"))
+        s"(1000000 * 22 * tf * $tt) div (10 * tf * $tt + 3 * $tt + 9 * dl * $nDocs)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term")).orderBy(col("sat_1e6").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
