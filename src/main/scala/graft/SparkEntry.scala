@@ -1439,6 +1439,11 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(
         docs(s, dir), "doc_id", "text",
         terms = Seq("join", "filter", "slow"), k = 5)),
+    // bigram fluency: the integer-exact cousin of CCNet's LM-perplexity
+    // quality filter — mean corpus conditional bigram probability per
+    // doc in floor-division fixed point (no floats, no smoothing).
+    "q_ngram_fluency" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bigramFluency(docs(s, dir), "doc_id", "text")),
     // PII redaction: inject deterministic synthetic PII per doc, audit
     // match counts, mask, and fingerprint the masked text — all narrow
     // codegen'd regexp work, zero shuffle.
@@ -2070,6 +2075,19 @@ object SparkEntry {
       "SELECT term, doc_id, tf, dl, df, n_docs, sat_1e6, rnk FROM (" +
       "SELECT *, CAST(row_number() OVER (PARTITION BY term " +
       "ORDER BY sat_1e6 DESC, doc_id) AS INT) AS rnk FROM sc) WHERE rnk <= 5"),
+    // bigram fluency mirror: DuckDB's parallel unnests zip POSITIONALLY,
+    // so two shifted list_slices make the (w1, w2) pairs; sums CAST back
+    // to BIGINT (HUGEINT rule) before the integer divisions
+    "q_ngram_fluency" -> ("WITH bg AS (SELECT doc_id, " +
+      "unnest(list_slice(ts, 1, len(ts) - 1)) AS w1, " +
+      "unnest(list_slice(ts, 2, len(ts))) AS w2 " +
+      s"FROM (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents)), " +
+      "bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2), " +
+      "hd AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bi GROUP BY w1) " +
+      "SELECT g.doc_id, count(*) AS n_bigrams, " +
+      "CAST(sum((1000000 * b.c2) // h.c1) AS BIGINT) // count(*) AS fluency_1e6 " +
+      "FROM bg g JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2 " +
+      "JOIN hd h ON g.w1 = h.w1 GROUP BY g.doc_id"),
     "q_pii_redact" -> {
       val em = TextAnalysis.emailPattern
       val ph = TextAnalysis.phonePattern

@@ -303,4 +303,54 @@ object TextAnalysis {
       .select(col("term"), col(idCol), col("tf"), col("dl"), col("df"),
         col("n_docs"), col("sat_1e6"), col("rnk").cast("int").as("rnk"))
   }
+
+  /** Corpus-conditioned bigram fluency score — the integer-exact cousin
+    * of CCNet's LM-perplexity quality filter: a document reads "fluent"
+    * when its word-to-word transitions are common in the corpus, and
+    * "token salad" when they are rare. Per bigram (w1, w2) the corpus
+    * conditional probability is c(w1,w2) / heads(w1), where heads(w1)
+    * counts w1 as a bigram HEAD (so the per-head probabilities sum to
+    * exactly 1 — a proper conditional distribution, no smoothing knobs);
+    * the doc score is the mean over its bigrams, all in floor-division
+    * fixed point:
+    *
+    *   fluency_1e6(d) = ( Σ_bigrams (1 000 000·c2) div c1 ) div n_bigrams
+    *
+    * — bit-identical in any engine with 64-bit integer division. Docs
+    * with fewer than two tokens have no bigrams and emit no row.
+    *
+    * Scale shape: one exploded pass (fixed-width repartition by doc, as
+    * in `Dedup.explodedShingles` — the lead window and the final per-doc
+    * aggregate share that one exchange), a map-side-combined bigram-count
+    * aggregate (vocab²-bounded, usually far smaller), heads derived FROM
+    * the bigram counts (no second corpus pass), and count-table joins the
+    * planner can broadcast when the vocabulary is small. The bigram rows
+    * and count table are persisted — each feeds two consumers and
+    * Catalyst does not CSE subplans. Cache ownership: [[CacheTracker]].
+    */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String,
+                    tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = tracker.own(df.repartition(p, col(idCol))
+      .select(col(idCol),
+        posexplode(split(Dedup.normText(col(textCol)), " ")).as(Seq("__pos", "__w1")))
+      .withColumn("__w2", lead(col("__w1"), 1).over(w))
+      .filter(col("__w2").isNotNull)
+      .select(col(idCol), col("__w1"), col("__w2"))
+      .persist(lvl))
+    val bi = tracker.own(bigrams.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c2")).persist(lvl))
+    val heads = bi.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+    bigrams
+      .join(bi, Seq("__w1", "__w2"))
+      .join(heads, Seq("__w1"))
+      .select(col(idCol),
+        expr("(1000000 * __c2) div __c1").as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(__s) div count(1)").as("fluency_1e6"))
+  }
 }

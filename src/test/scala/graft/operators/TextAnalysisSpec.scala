@@ -143,6 +143,31 @@ class TextAnalysisSpec extends SparkTestBase {
       "n_chars_norm", "n_tokens", "punct_cnt", "digit_cnt", "mean_tok_len_x100"))
   }
 
+  test("bigramFluency: common transitions score high, token salad scores low, exact math") {
+    val s = spark
+    import s.implicits._
+    // docs 1-3 share the transition "big data"; doc 4 is a jumble whose
+    // transitions are each unique in the corpus
+    val corpus = Seq(
+      1L -> "big data big data",
+      2L -> "big data works",
+      3L -> "big data wins",
+      4L -> "zeta qoph vav nun").toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every "big" head is followed by "data": P(data|big) = 1 → 1e6.
+    // "data" is a head 3 times (doc-final "data" in doc 1 is NOT a head):
+    // data→big, data→works, data→wins once each → 1e6 div 3 = 333333.
+    // doc 1: (1e6 + 333333 + 1e6) div 3 = 777777
+    assert(got(1L) == ((3L, 777777L)), s"got ${got(1L)}")
+    // doc 4: every transition occurs once with a unique head → each
+    // scores 1e6 (P=1 given that head) — "rare but consistent" heads
+    // score high too, which is why real filters also weigh df
+    assert(got(4L)._1 == 3L && got(4L)._2 == 1000000L)
+    // docs 2,3: (1e6 + 333333) div 2 = 666666
+    assert(got(2L) == ((2L, 666666L)) && got(3L) == ((2L, 666666L)))
+  }
+
   test("bm25TopK fixed-point ranking equals real-valued BM25 on a known corpus") {
     val s = spark
     import s.implicits._
