@@ -1439,6 +1439,13 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(
         docs(s, dir), "doc_id", "text",
         terms = Seq("join", "filter", "slow"), k = 5)),
+    // winnowing fingerprints (the MOSS algorithm): sliding-window minima
+    // over md5-lane shingle hashes — any shared run of >= w+k-1 tokens
+    // between two docs shares a fingerprint; kept set ~2/(w+1) of
+    // shingles. Output is the distinct-set digest, fully md5-portable.
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
+        shingleSize = 4, window = 5)),
     // bigram fluency: the integer-exact cousin of CCNet's LM-perplexity
     // quality filter — mean corpus conditional bigram probability per
     // doc in floor-division fixed point (no floats, no smoothing).
@@ -2075,6 +2082,22 @@ object SparkEntry {
       "SELECT term, doc_id, tf, dl, df, n_docs, sat_1e6, rnk FROM (" +
       "SELECT *, CAST(row_number() OVER (PARTITION BY term " +
       "ORDER BY sat_1e6 DESC, doc_id) AS INT) AS rnk FROM sc) WHERE rnk <= 5"),
+    // winnowing mirror: shingle hashes via the portable md5-slice lane,
+    // identical ROWS-frame sliding min, same full-window cutoffs
+    "q_winnow" -> ("WITH t AS (SELECT doc_id, " +
+      s"string_split($normSql, ' ') AS ts FROM documents), " +
+      "pos0 AS (SELECT doc_id, ts, " +
+      "unnest(range(0, greatest(len(ts) - 3, 0))) AS pos FROM t), " +
+      "sh AS (SELECT doc_id, pos, " +
+      "('0x' || substr(md5(array_to_string(list_slice(ts, pos + 1, pos + 4), ' ')), 1, 8))::BIGINT AS h " +
+      "FROM pos0), " +
+      "mn AS (SELECT doc_id, pos, " +
+      "min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS win_min, " +
+      "count(*) OVER (PARTITION BY doc_id) AS m FROM sh) " +
+      "SELECT doc_id, CAST(len(list_distinct(list(win_min))) AS BIGINT) AS n_fp, " +
+      "md5(array_to_string(list_sort(list_distinct(list(win_min))), ',')) AS fp_md5 " +
+      "FROM mn WHERE pos <= m - 5 GROUP BY doc_id"),
     // bigram fluency mirror: DuckDB's parallel unnests zip POSITIONALLY,
     // so two shifted list_slices make the (w1, w2) pairs; sums CAST back
     // to BIGINT (HUGEINT rule) before the integer divisions

@@ -104,6 +104,70 @@ object Dedup {
     }
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    * algorithm): hash every k-token shingle, slide a window of `w`
+    * consecutive shingle hashes, keep each window's MINIMUM, and emit the
+    * per-document DISTINCT fingerprint set. The winnowing guarantee: any
+    * shared token run of length ≥ w + k − 1 between two documents yields
+    * at least one shared fingerprint, while the kept set is ~2/(w+1) of
+    * all shingles — the robust middle ground between full-shingle dedup
+    * (exact but huge) and MinHash (compact but probabilistic).
+    *
+    * Output: (`idCol`, `n_fp`, `fp_md5`) — fingerprint count plus the md5
+    * of the sorted distinct fingerprint list (compact, order-free, and
+    * exactly reproducible: shingle hashes are the first 8 md5 hex chars
+    * as a BIGINT, the engine's portable-lane trick, so any engine with
+    * md5 mirrors the whole pipeline bit-for-bit). Documents shorter than
+    * one full window (< w + k − 1 tokens) emit no row.
+    *
+    * Scale shape: ONE fixed-width exchange by document (as in
+    * [[explodedShingles]]) feeds the shingle window, the sliding-min
+    * window, and the final per-doc aggregate — position windows and the
+    * groupBy all cluster by `idCol`. Nothing shuffles at corpus width but
+    * (doc, hash) rows.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 4, window: Int = 5): DataFrame =
+    winnowFingerprintRows(df, idCol, textCol, shingleSize, window)
+      .groupBy(col(idCol))
+      .agg(size(collect_set(col("fp"))).cast("long").as("n_fp"),
+        md5(concat_ws(",",
+          sort_array(collect_set(col("fp"))).cast("array<string>")))
+          .as("fp_md5"))
+
+  /** The exploded face of [[winnowFingerprints]]: one (`idCol`, `fp`)
+    * row per kept window minimum (NOT deduplicated — the digest flavor
+    * dedupes in its aggregate). This is the join surface for
+    * fingerprint-overlap candidate generation: `rows.join(rows, "fp")`
+    * finds every pair sharing a run, the same bucket-join shape as LSH
+    * banding.
+    */
+  def winnowFingerprintRows(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 4, window: Int = 5): DataFrame = {
+    require(shingleSize >= 1 && window >= 1, "shingle and window must be >= 1")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val toks = split(normText(col(textCol)), " ")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val posTok = df.repartition(p, col(idCol))
+      .select(col(idCol), size(toks).as("__n"),
+        posexplode(toks).as(Seq("__pos", "__t")))
+    val leads = (1 until shingleSize).map(j => lead(col("__t"), j).over(w))
+    val shingled = posTok
+      .withColumn("__sh",
+        if (shingleSize == 1) col("__t")
+        else concat_ws(" ", (col("__t") +: leads): _*))
+      .filter(col("__pos") <= col("__n") - shingleSize)
+      .select(col(idCol), col("__pos"),
+        conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long").as("__h"))
+    // full windows only: window start must have w-1 hashes after it
+    val frame = w.rowsBetween(Window.currentRow, window - 1)
+    shingled
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("__win_min", min(col("__h")).over(frame))
+      .filter(col("__pos") <= col("__m") - window)
+      .select(col(idCol), col("__win_min").as("fp"))
+  }
+
   /** Per-lane hash columns via double hashing: TWO xxhash64 evaluations
     * per shingle expanded to `numHashes` lanes as
     * `lane_i = h1 XOR rotl(h2, i)` — the rotate-XOR variant of

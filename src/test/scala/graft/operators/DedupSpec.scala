@@ -261,4 +261,33 @@ class DedupSpec extends SparkTestBase {
     // idempotent second release
     tracker.release()
   }
+
+  test("winnowing: shared run >= w+k-1 tokens guarantees a shared fingerprint") {
+    val s = spark
+    import s.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 = w+k-1 tokens
+    val corpus = Seq(
+      1L -> s"one two $run three four five six seven",
+      2L -> s"red green blue $run yellow purple orange pink",
+      3L -> "completely different words about nothing shared at all here now",
+      4L -> "tiny doc").toDF("doc_id", "text") // < w+k-1 tokens → no row
+    val rows = Dedup.winnowFingerprintRows(corpus, "doc_id", "text",
+      shingleSize = 4, window = 5)
+    val shared = rows.as("a").join(rows.as("b"),
+      col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shared.contains((1L, 2L)),
+      "the winnowing guarantee: docs sharing the 8-token run must share a fingerprint")
+    assert(!shared.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc shares nothing")
+    val digests = Dedup.winnowFingerprints(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!digests.contains(4L), "sub-window docs emit no fingerprint row")
+    assert(digests(1L) != digests(2L), "different docs, different digests")
+    // determinism: same corpus → same digests
+    val again = Dedup.winnowFingerprints(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(digests == again)
+  }
 }
