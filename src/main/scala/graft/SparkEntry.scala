@@ -1446,6 +1446,20 @@ object SparkEntry {
     "q_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
         shingleSize = 4, window = 5)),
+    // winnow-overlap candidate pairs end to end: planted copies keep the
+    // middle of each short doc (guaranteed >= w+k-1 run) behind changed
+    // edges; pairs = fp-equality join (the LSH-banding shape) with a
+    // >= 2 shared-fingerprint vote to damp single-hash coincidences.
+    // Fully md5-portable, so the WHOLE pipeline is hash-checked.
+    "q_winnow_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 15).select(
+        (col("doc_id") + 300000).as("doc_id"),
+        concat(lit("prefix words changed here "), col("text"),
+          lit(" and a different tail")).as("text"))
+      Dedup.winnowOverlapPairs(d.union(planted), "doc_id", "text",
+        shingleSize = 4, window = 5, minShared = 2L, maxDocFreq = 256L)
+    }),
     // bigram fluency: the integer-exact cousin of CCNet's LM-perplexity
     // quality filter — mean corpus conditional bigram probability per
     // doc in floor-division fixed point (no floats, no smoothing).
@@ -2098,6 +2112,31 @@ object SparkEntry {
       "SELECT doc_id, CAST(len(list_distinct(list(win_min))) AS BIGINT) AS n_fp, " +
       "md5(array_to_string(list_sort(list_distinct(list(win_min))), ',')) AS fp_md5 " +
       "FROM mn WHERE pos <= m - 5 GROUP BY doc_id"),
+    // winnow-pairs mirror: same planted corpus, same md5-lane shingle
+    // hashes, same ROWS-frame sliding min, fp-equality join + >=2 vote
+    "q_winnow_pairs" -> ("WITH docs2 AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 300000 AS doc_id, " +
+      "'prefix words changed here ' || text || ' and a different tail' AS text " +
+      "FROM documents WHERE doc_id < 15), " +
+      "t AS (SELECT doc_id, " +
+      s"string_split($normSql, ' ') AS ts FROM docs2), " +
+      "pos0 AS (SELECT doc_id, ts, " +
+      "unnest(range(0, greatest(len(ts) - 3, 0))) AS pos FROM t), " +
+      "sh AS (SELECT doc_id, pos, " +
+      "('0x' || substr(md5(array_to_string(list_slice(ts, pos + 1, pos + 4), ' ')), 1, 8))::BIGINT AS h " +
+      "FROM pos0), " +
+      "mn AS (SELECT doc_id, pos, " +
+      "min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS win_min, " +
+      "count(*) OVER (PARTITION BY doc_id) AS m FROM sh), " +
+      "fp0 AS (SELECT doc_id, win_min AS fp FROM mn WHERE pos <= m - 5), " +
+      "keep AS (SELECT fp FROM fp0 GROUP BY fp " +
+      "HAVING count(DISTINCT doc_id) <= 256), " +
+      "fp AS (SELECT f.doc_id, f.fp FROM fp0 f JOIN keep k ON f.fp = k.fp) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "count(DISTINCT a.fp) AS n_shared " +
+      "FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2"),
     // bigram fluency mirror: DuckDB's parallel unnests zip POSITIONALLY,
     // so two shifted list_slices make the (w1, w2) pairs; sums CAST back
     // to BIGINT (HUGEINT rule) before the integer divisions

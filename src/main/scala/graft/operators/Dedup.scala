@@ -168,6 +168,39 @@ object Dedup {
       .select(col(idCol), col("__win_min").as("fp"))
   }
 
+  /** Fingerprint-overlap candidate pairs from [[winnowFingerprintRows]]:
+    * (id_a, id_b, n_shared) for pairs sharing at least `minShared`
+    * distinct fingerprints. Hot-bucket discipline, same as every other
+    * bucket join in this file: a fingerprint present in more than
+    * `maxDocFreq` documents is DROPPED before the self-join — corpus-wide
+    * boilerplate grams (a site footer, a license header) would otherwise
+    * make one fp bucket quadratic at corpus scale, and a fingerprint that
+    * common carries no discriminative signal (the same df-capping
+    * argument as stopword removal in MOSS deployments). The doc-frequency
+    * aggregate and the self-join cluster by the same fp key, so the cap
+    * costs one map-side-combined count over rows already in flight.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 4, window: Int = 5,
+                         minShared: Long = 2L, maxDocFreq: Long = 256L,
+                         tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
+    // persisted: the df-cap aggregate and both self-join sides read the
+    // fingerprint rows (no subplan CSE); rows are (id, long) — tiny
+    val rows = tracker.own(
+      winnowFingerprintRows(df, idCol, textCol, shingleSize, window)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val keep = rows.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("fp"))
+    val kept = rows.join(keep, "fp")
+    kept.as("a").join(kept.as("b"),
+      col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(countDistinct(col("a.fp")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-lane hash columns via double hashing: TWO xxhash64 evaluations
     * per shingle expanded to `numHashes` lanes as
     * `lane_i = h1 XOR rotl(h2, i)` — the rotate-XOR variant of
