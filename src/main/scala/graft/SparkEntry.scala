@@ -1458,7 +1458,8 @@ object SparkEntry {
         concat(lit("prefix words changed here "), col("text"),
           lit(" and a different tail")).as("text"))
       Dedup.winnowOverlapPairs(d.union(planted), "doc_id", "text",
-        shingleSize = 4, window = 5, minShared = 2L, maxDocFreq = 256L)
+        shingleSize = 4, window = 5, minShared = 2L,
+        maxBucket = 64L, maxDocFreq = 4096L)
     }),
     // bigram fluency: the integer-exact cousin of CCNet's LM-perplexity
     // quality filter — mean corpus conditional bigram probability per
@@ -2129,14 +2130,18 @@ object SparkEntry {
       "min(h) OVER (PARTITION BY doc_id ORDER BY pos " +
       "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS win_min, " +
       "count(*) OVER (PARTITION BY doc_id) AS m FROM sh), " +
-      "fp0 AS (SELECT doc_id, win_min AS fp FROM mn WHERE pos <= m - 5), " +
-      "keep AS (SELECT fp FROM fp0 GROUP BY fp " +
-      "HAVING count(DISTINCT doc_id) <= 256), " +
-      "fp AS (SELECT f.doc_id, f.fp FROM fp0 f JOIN keep k ON f.fp = k.fp) " +
-      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-      "count(DISTINCT a.fp) AS n_shared " +
-      "FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
-      "GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2"),
+      "fp0 AS (SELECT DISTINCT doc_id, win_min AS fp FROM mn WHERE pos <= m - 5), " +
+      "cn AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS cnt FROM fp0), " +
+      "sm AS (SELECT fp, doc_id FROM cn WHERE cnt > 1 AND cnt <= 64), " +
+      "sp AS (SELECT a.fp, a.doc_id AS id_a, b.doc_id AS id_b FROM sm a " +
+      "JOIN sm b ON a.fp = b.fp AND a.doc_id < b.doc_id), " +
+      "cp AS (SELECT fp, doc_id AS id_a, lead(doc_id) OVER " +
+      "(PARTITION BY fp ORDER BY doc_id) AS id_b FROM cn " +
+      "WHERE cnt > 64 AND cnt <= 4096), " +
+      "cand AS (SELECT * FROM sp UNION ALL " +
+      "SELECT fp, id_a, id_b FROM cp WHERE id_b IS NOT NULL) " +
+      "SELECT id_a, id_b, count(DISTINCT fp) AS n_shared FROM cand " +
+      "GROUP BY 1, 2 HAVING count(DISTINCT fp) >= 2"),
     // bigram fluency mirror: DuckDB's parallel unnests zip POSITIONALLY,
     // so two shifted list_slices make the (w1, w2) pairs; sums CAST back
     // to BIGINT (HUGEINT rule) before the integer divisions

@@ -170,34 +170,54 @@ object Dedup {
 
   /** Fingerprint-overlap candidate pairs from [[winnowFingerprintRows]]:
     * (id_a, id_b, n_shared) for pairs sharing at least `minShared`
-    * distinct fingerprints. Hot-bucket discipline, same as every other
-    * bucket join in this file: a fingerprint present in more than
-    * `maxDocFreq` documents is DROPPED before the self-join — corpus-wide
-    * boilerplate grams (a site footer, a license header) would otherwise
-    * make one fp bucket quadratic at corpus scale, and a fingerprint that
-    * common carries no discriminative signal (the same df-capping
-    * argument as stopword removal in MOSS deployments). The doc-frequency
-    * aggregate and the self-join cluster by the same fp key, so the cap
-    * costs one map-side-combined count over rows already in flight.
+    * distinct fingerprints. Three-tier bucket discipline, the same shape
+    * as [[minhashNearDupPairs]] — measured necessary, not theoretical: an
+    * uncapped fp self-join on a dup-SATURATED corpus (the 100× probe
+    * corpus: ~100 near-copies per doc, each pair sharing ~40
+    * fingerprints) enumerates ~10⁹ pre-aggregation rows and fills local
+    * disk with spill.
+    *
+    *  - bucket ≤ `maxBucket` docs → all pairs (exact n_shared);
+    *  - `maxBucket` < bucket ≤ `maxDocFreq` → id-sorted CHAIN pairs:
+    *    linear in bucket size, connectivity-preserving for CC-style
+    *    grouping; a true dup group is adjacent in every bucket it shares,
+    *    so chain pairs still accumulate n_shared ≥ minShared. n_shared is
+    *    a LOWER BOUND on shared fps for these pairs (adjacency count);
+    *  - bucket > `maxDocFreq` → DROPPED: corpus-wide boilerplate grams (a
+    *    site footer, a license header) carry no discriminative signal —
+    *    the MOSS df-capping argument.
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 4, window: Int = 5,
-                         minShared: Long = 2L, maxDocFreq: Long = 256L,
+                         minShared: Long = 2L, maxBucket: Long = 64L,
+                         maxDocFreq: Long = 4096L,
                          tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
-    // persisted: the df-cap aggregate and both self-join sides read the
-    // fingerprint rows (no subplan CSE); rows are (id, long) — tiny
-    val rows = tracker.own(
+    require(maxBucket <= maxDocFreq, "maxBucket must be <= maxDocFreq")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // distinct (id, fp) once — a doc may emit one fp from many windows;
+    // persisted: the bucket-count window and all pair branches read it
+    // (no subplan CSE); rows are (id, long) — tiny
+    val r = tracker.own(
       winnowFingerprintRows(df, idCol, textCol, shingleSize, window)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val keep = rows.groupBy(col("fp"))
-      .agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") <= maxDocFreq)
-      .select(col("fp"))
-    val kept = rows.join(keep, "fp")
-    kept.as("a").join(kept.as("b"),
+        .distinct().persist(lvl))
+    val wcnt = Window.partitionBy(col("fp"))
+    val withCnt = tracker.own(
+      r.withColumn("__cnt", count(lit(1)).over(wcnt)).persist(lvl))
+    val small = withCnt.filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
+      .select(col("fp"), col(idCol))
+    val smallPairs = small.as("a").join(small.as("b"),
       col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(countDistinct(col("a.fp")).as("n_shared"))
+      .select(col("a.fp").as("fp"),
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val wOrd = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    val chainPairs = withCnt
+      .filter(col("__cnt") > maxBucket && col("__cnt") <= maxDocFreq)
+      .withColumn("__next", lead(col(idCol), 1).over(wOrd))
+      .filter(col("__next").isNotNull)
+      .select(col("fp"), col(idCol).as("id_a"), col("__next").as("id_b"))
+    smallPairs.union(chainPairs)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("fp")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 

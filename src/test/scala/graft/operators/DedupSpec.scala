@@ -290,4 +290,41 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(digests == again)
   }
+
+  test("winnow pairs: chain tier preserves connectivity, drop tier removes boilerplate") {
+    val s = spark
+    import s.implicits._
+    // Ten byte-identical docs → every fp any of them emits is in exactly
+    // the 10-doc bucket; with maxBucket = 3 that forces the CHAIN tier.
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val clones = (1L to 10L).map(i => i -> run)
+    // Two docs sharing a different run → a small bucket (ALL-PAIRS tier).
+    val run2 = "one two three four five six seven eight nine ten eleven twelve"
+    val smallPair = Seq(21L -> s"first copy: $run2", 22L -> s"second copy: $run2")
+    val corpus = (clones ++ smallPair).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(corpus, "doc_id", "text",
+      shingleSize = 4, window = 5, minShared = 1L,
+      maxBucket = 3L, maxDocFreq = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((21L, 22L)), "small bucket: exact all-pairs tier")
+    // chain tier: the 10 clones must stay connected (union-find over the
+    // emitted pairs reaches all ten), though not all 45 pairs appear
+    val parent = scala.collection.mutable.Map((1L to 10L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.filter(p => p._1 <= 10L && p._2 <= 10L)
+      .foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((1L to 10L).map(find).toSet.size == 1,
+      "chain pairs keep every clone in one connected component")
+    assert(pairs.size < 45 + 1, "chain tier emits linear, not quadratic, pairs")
+    // drop tier: maxDocFreq below the clone-bucket size removes those fps
+    // entirely — the clones fall apart, the small pair survives
+    val dropped = Dedup.winnowOverlapPairs(corpus, "doc_id", "text",
+      shingleSize = 4, window = 5, minShared = 1L,
+      maxBucket = 3L, maxDocFreq = 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.contains((21L, 22L)), "small bucket unaffected by the df cap")
+    assert(!dropped.exists(p => p._1 <= 10L && p._2 <= 10L),
+      "fps in more than maxDocFreq docs are dropped before any join")
+  }
 }
