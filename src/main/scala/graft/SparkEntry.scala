@@ -1461,6 +1461,22 @@ object SparkEntry {
         shingleSize = 4, window = 5, minShared = 2L,
         maxBucket = 64L, maxDocFreq = 4096L)
     }),
+    // substring-level dedup (the ExactSubstr shape): every 8-token window
+    // occurring more than once corpus-wide is excised from ALL its
+    // occurrences. Planted copies re-duplicate the first 10 docs behind
+    // changed edges, so each original/copy pair loses its shared middle
+    // while keeping its unique edges; organic exact-dup groups empty out.
+    "q_span_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 500000).as("doc_id"),
+        concat(lit("fresh lead-in words here "), col("text"),
+          lit(" plus an unshared closing remark")).as("text"))
+      Dedup.exciseDuplicateSpans(d.union(planted), "doc_id", "text", k = 8)
+        .filter(col("n_removed") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
     // bigram fluency: the integer-exact cousin of CCNet's LM-perplexity
     // quality filter — mean corpus conditional bigram probability per
     // doc in floor-division fixed point (no floats, no smoothing).
@@ -2142,6 +2158,31 @@ object SparkEntry {
       "SELECT fp, id_a, id_b FROM cp WHERE id_b IS NOT NULL) " +
       "SELECT id_a, id_b, count(DISTINCT fp) AS n_shared FROM cand " +
       "GROUP BY 1, 2 HAVING count(DISTINCT fp) >= 2"),
+    // span-dedup mirror: same planted union, same 8-gram md5 digests;
+    // covered = union of [s, s+8) per duplicated start (range() is
+    // end-exclusive ≡ Spark sequence(s, s+7)); rebuild keeps tokens whose
+    // index escapes the covered list, md5 of the ' '-rejoin
+    "q_span_dedup" -> ("WITH all_docs AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 500000 AS doc_id, " +
+      "'fresh lead-in words here ' || text || ' plus an unshared closing remark' AS text " +
+      "FROM documents WHERE doc_id < 10), " +
+      s"t AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM all_docs), " +
+      "g AS (SELECT doc_id, ts, " +
+      "unnest(range(0, greatest(len(ts) - 7, 0))) AS pos FROM t), " +
+      "g2 AS (SELECT doc_id, pos, " +
+      "md5(array_to_string(list_slice(ts, pos + 1, pos + 8), ' ')) AS dg FROM g), " +
+      "c AS (SELECT dg FROM g2 GROUP BY dg HAVING count(*) > 1), " +
+      "ds AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS st " +
+      "FROM g2 JOIN c USING (dg) GROUP BY doc_id), " +
+      "f AS (SELECT t.doc_id, ts, list_distinct(flatten(" +
+      "list_transform(st, s -> range(s, s + 8)))) AS cov " +
+      "FROM t JOIN ds USING (doc_id)) " +
+      "SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, " +
+      "CAST(len(cov) AS BIGINT) AS n_removed, " +
+      // array_to_string([]) is NULL in DuckDB (Spark concat_ws gives '')
+      "md5(coalesce(array_to_string(list_transform(list_filter(range(0, len(ts)), " +
+      "i -> NOT list_contains(cov, i)), i -> ts[i + 1]), ' '), '')) AS clean_md5 " +
+      "FROM f"),
     // bigram fluency mirror: DuckDB's parallel unnests zip POSITIONALLY,
     // so two shifted list_slices make the (w1, w2) pairs; sums CAST back
     // to BIGINT (HUGEINT rule) before the integer divisions

@@ -221,6 +221,71 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Substring-level dedup (the ExactSubstr shape, Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): remove
+    * every token whose enclosing `k`-token window occurs MORE THAN ONCE
+    * in the corpus — including a second occurrence inside the same
+    * document. Doc-level dedup keeps one copy of a page but leaves the
+    * license header it shares with a million other pages; this excises
+    * the header from all of them while keeping each page's unique prose.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text) for EVERY input
+    * doc, over normalized tokens ([[normText]] — the cross-engine
+    * contract). Docs shorter than `k` tokens have no k-gram and are never
+    * excised; a fully-duplicated doc comes back with clean_text = ''.
+    *
+    * Scale shape — full text crosses the wire exactly ONCE:
+    *  - grams are the codegen posexplode + lead-window pattern (same as
+    *    [[explodedShingles]]; array HOFs would evaluate interpreted);
+    *    the doc-keyed explode exchange is reused by the gram window;
+    *  - the occurrence count shuffles 16-byte digests (map-side
+    *    combined), and the dup-digest join clusters by that same key;
+    *  - surviving (doc, start) rows — proportional to DUPLICATED grams,
+    *    not the corpus — collect to sorted start-lists per doc;
+    *  - one doc-keyed join attaches the start-list to the original row,
+    *    and the rebuild is a narrow per-doc array pass. The interpreted
+    *    `transform`/`filter` here run once per DOC (not per gram);
+    *    per-doc cost is O(tokens × covered) — bounded by document
+    *    length, independent of corpus size.
+    */
+  def exciseDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8,
+                           tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
+    require(k >= 2, "a duplicated span needs at least 2 tokens")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(col(idCol),
+      split(normText(col(textCol)), " ").as("__ts"))
+    val posTok = base.repartition(p, col(idCol))
+      .select(col(idCol), posexplode(col("__ts")).as(Seq("__pos", "__t")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val leads = (1 until k).map(j => lead(col("__t"), j).over(w))
+    // persisted: the occurrence count and the dup-start join both read
+    // the gram rows (no subplan CSE); rows are (id, int, 32-char digest)
+    val grams = tracker.own(posTok
+      .withColumn("__g", md5(concat_ws(" ", (col("__t") +: leads): _*)))
+      .withColumn("__last", leads.last) // window exprs can't sit in filter()
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("__pos"), col("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dup = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .select(col("__g"))
+    val starts = grams.join(dup, "__g")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    base.join(starts, Seq(idCol), "left")
+      .withColumn("__st",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      // start ≤ n−k ⇒ s+k−1 ≤ n−1: sequence never leaves the doc
+      .withColumn("__cov", array_distinct(flatten(
+        transform(col("__st"), s => sequence(s, s + lit(k - 1))))))
+      .select(col(idCol),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("__ts"),
+          (_, i) => !array_contains(col("__cov"), i))).as("clean_text"))
+  }
+
   /** Per-lane hash columns via double hashing: TWO xxhash64 evaluations
     * per shingle expanded to `numHashes` lanes as
     * `lane_i = h1 XOR rotl(h2, i)` — the rotate-XOR variant of

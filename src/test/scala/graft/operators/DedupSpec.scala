@@ -327,4 +327,35 @@ class DedupSpec extends SparkTestBase {
     assert(!dropped.exists(p => p._1 <= 10L && p._2 <= 10L),
       "fps in more than maxDocFreq docs are dropped before any join")
   }
+
+  test("excise duplicate spans: shared runs removed, unique prose kept") {
+    val s = spark
+    import s.implicits._
+    val header = "this license header repeats on every single page of the corpus"
+    val corpus = Seq(
+      1L -> s"$header unique prose about alpha topics written just once",
+      2L -> s"$header different body discussing beta matters entirely original",
+      3L -> "standalone document with no shared spans anywhere in it at all",
+      4L -> s"$header",        // nothing but the shared run → fully excised
+      5L -> "tiny doc").toDF("doc_id", "text") // < k tokens → untouched
+    val out = Dedup.exciseDuplicateSpans(corpus, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the 11-token header occurs in 3 docs → all its tokens are covered
+    assert(out(1L)._3 == "unique prose about alpha topics written just once")
+    assert(out(2L)._3 == "different body discussing beta matters entirely original")
+    assert(out(1L)._2 == 11L, "all 11 header tokens removed")
+    assert(out(3L) == ((11L, 0L,
+      "standalone document with no shared spans anywhere in it at all")),
+      "a doc with no duplicated k-gram is untouched")
+    assert(out(4L) == ((11L, 11L, "")), "a fully-duplicated doc empties out")
+    assert(out(5L) == ((2L, 0L, "tiny doc")), "sub-k docs are never excised")
+    // WITHIN-doc repetition also counts as a duplicate occurrence
+    val run = "one two three four five six seven eight"
+    val selfRep = Seq(10L -> s"$run and then again $run").toDF("doc_id", "text")
+    val rep = Dedup.exciseDuplicateSpans(selfRep, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(rep._2 == 16L && rep._3 == "and then again",
+      "a k-gram repeated inside one doc is excised at both occurrences")
+  }
 }
