@@ -1477,6 +1477,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           md5(col("clean_text")).as("clean_md5"))
     }),
+    // Gopher repetition signals: top-bigram/trigram char mass + repeated-
+    // 5-gram coverage per doc, one corpus exchange for the whole bundle.
+    // Docs 0-19 are doubled (text ‖ text) so the within-doc-repetition
+    // tier has planted mass: a doubled n-token doc repeats every 5-gram
+    // except the 4 seam grams, so dup5_cov == n_tokens for them.
+    "q_gopher_repeat" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") < 20, concat_ws(" ", col("text"), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.repetitionSignals(d, "doc_id", "text")
+    }),
     // bigram fluency: the integer-exact cousin of CCNet's LM-perplexity
     // quality filter — mean corpus conditional bigram probability per
     // doc in floor-division fixed point (no floats, no smoothing).
@@ -2183,6 +2194,38 @@ object SparkEntry {
       "md5(coalesce(array_to_string(list_transform(list_filter(range(0, len(ts)), " +
       "i -> NOT list_contains(cov, i)), i -> ts[i + 1]), ' '), '')) AS clean_md5 " +
       "FROM f"),
+    // repetition-signals mirror: per-(doc, gram) counts from positional
+    // list_slices; top{n}_chars = max(count × gram length) — the same
+    // independent maxima as the Spark side; dup5 cover via the span-dedup
+    // range/list_distinct pattern (end-exclusive range(s, s+5) ≡ Spark
+    // sequence(s, s+4)); sum(c) CAST back from HUGEINT
+    "q_gopher_repeat" -> ("WITH d AS (SELECT doc_id, " +
+      "CASE WHEN doc_id < 20 THEN text || ' ' || text ELSE text END AS text " +
+      "FROM documents), " +
+      s"t AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM d), " +
+      "g AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS pos FROM t), " +
+      "bc AS (SELECT doc_id, array_to_string(list_slice(ts, pos + 1, pos + 2), ' ') AS gr, " +
+      "count(*) AS c FROM g WHERE pos + 2 <= len(ts) GROUP BY 1, 2), " +
+      "b2 AS (SELECT doc_id, max(c) AS top2_count, max(c * length(gr)) AS top2_chars " +
+      "FROM bc GROUP BY 1), " +
+      "tc AS (SELECT doc_id, array_to_string(list_slice(ts, pos + 1, pos + 3), ' ') AS gr, " +
+      "count(*) AS c FROM g WHERE pos + 3 <= len(ts) GROUP BY 1, 2), " +
+      "b3 AS (SELECT doc_id, max(c) AS top3_count, max(c * length(gr)) AS top3_chars " +
+      "FROM tc GROUP BY 1), " +
+      "fc AS (SELECT doc_id, array_to_string(list_slice(ts, pos + 1, pos + 5), ' ') AS gr, " +
+      "count(*) AS c, list(pos) AS ps FROM g WHERE pos + 5 <= len(ts) GROUP BY 1, 2), " +
+      "fd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup5_starts, " +
+      "CAST(len(list_distinct(flatten(list_transform(flatten(list(ps)), " +
+      "s -> range(s, s + 5))))) AS BIGINT) AS dup5_cov FROM fc WHERE c > 1 GROUP BY 1) " +
+      "SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(top2_count, 0) AS BIGINT) AS top2_count, " +
+      "CAST(coalesce(top2_chars, 0) AS BIGINT) AS top2_chars, " +
+      "CAST(coalesce(top3_count, 0) AS BIGINT) AS top3_count, " +
+      "CAST(coalesce(top3_chars, 0) AS BIGINT) AS top3_chars, " +
+      "CAST(coalesce(dup5_starts, 0) AS BIGINT) AS dup5_starts, " +
+      "CAST(coalesce(dup5_cov, 0) AS BIGINT) AS dup5_cov " +
+      "FROM t LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id) " +
+      "LEFT JOIN fd USING (doc_id)"),
     // bigram fluency mirror: DuckDB's parallel unnests zip POSITIONALLY,
     // so two shifted list_slices make the (w1, w2) pairs; sums CAST back
     // to BIGINT (HUGEINT rule) before the integer divisions

@@ -353,4 +353,83 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(__s) div count(1)").as("fluency_1e6"))
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021, Table A1, adapted
+    * to single-line token streams): per document,
+    *  - `top{2,3}_count` — occurrences of the most frequent word
+    *    {bi,tri}gram, and `top{2,3}_chars` — the maximum character mass
+    *    (gram length incl. joining spaces × its count) any single gram
+    *    covers. Gopher's "fraction of characters in the most frequent
+    *    n-gram" is `top{n}_chars / n_chars`; emitting the integer
+    *    numerator keeps the oracle float-free and makes the count-tie
+    *    behavior explicit (take the gram maximizing coverage).
+    *  - `dup5_starts` / `dup5_cov` — occurrences of within-doc REPEATED
+    *    5-grams, and the distinct token positions they cover ("fraction
+    *    of characters in duplicated n-grams" ⇒ `dup5_cov / n_tokens` in
+    *    token space). A doc that stutters the same phrase scores high
+    *    even when no other doc shares it — the signal doc-level and
+    *    span-level dedup both miss.
+    *
+    * Scale shape — ONE corpus exchange for the whole bundle, and it is
+    * deliberately NOT persisted: a cached plan is AQE-wrapped and reports
+    * unknown partitioning, which would force every downstream `groupBy`
+    * to re-shuffle gram TEXT (observed: 7 exchanges). Instead the
+    * doc-keyed `repartition` sits un-cached with statically-known
+    * hash(id) partitioning, so the lead-window gram builder, every
+    * `groupBy(id, gram)` (hash(id) satisfies the (id, gram) clustering —
+    * partitioning-subset rule), the per-doc maxima, and the assembling
+    * joins are all exchange-free, and `ReuseExchange` shares the one
+    * token shuffle's map side across all four branches (the branches
+    * re-run only the partition-local sort). Gram text never crosses the
+    * wire, so no digest step is needed; per-doc collect_lists are bounded
+    * by document length, independent of corpus size.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val posTok = df
+      .select(col(idCol), split(Dedup.normText(col(textCol)), " ").as("__ts"))
+      .repartition(p, col(idCol))
+      .select(col(idCol), posexplode(col("__ts")).as(Seq("__pos", "__t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val l = (1 to 4).map(j => lead(col("__t"), j).over(w))
+    // concat_ws SKIPS nulls (a 1-gram is not a truncated 5-gram), so each
+    // gram column is null-guarded on its last lead
+    val grams = posTok
+      .withColumn("__g2", when(l(0).isNotNull, concat_ws(" ", col("__t"), l(0))))
+      .withColumn("__g3", when(l(1).isNotNull, concat_ws(" ", col("__t"), l(0), l(1))))
+      .withColumn("__g5", when(l(3).isNotNull,
+        concat_ws(" ", (col("__t") +: l): _*)))
+      .select(col(idCol), col("__pos"), col("__g2"), col("__g3"), col("__g5"))
+    def topN(gc: String, out: String): DataFrame =
+      grams.filter(col(gc).isNotNull)
+        .groupBy(col(idCol), col(gc)).agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol)).agg(
+          max(col("__c")).as(s"${out}_count"),
+          max(col("__c") * length(col(gc)).cast("long")).as(s"${out}_chars"))
+    val dup5 = grams.filter(col("__g5").isNotNull)
+      .groupBy(col(idCol), col("__g5"))
+      .agg(count(lit(1)).as("__c"), collect_list(col("__pos")).as("__ps"))
+      .filter(col("__c") > 1)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("dup5_starts"),
+        flatten(collect_list(col("__ps"))).as("__starts"))
+      .select(col(idCol), col("dup5_starts"),
+        size(array_distinct(flatten(transform(col("__starts"),
+          s => sequence(s, s + lit(4)))))).cast("long").as("dup5_cov"))
+    // n_tokens off the same reused exchange (split always yields ≥ 1
+    // token, so every doc has a __pos 0 row and max(__pos)+1 is total)
+    posTok.groupBy(col(idCol))
+      .agg((max(col("__pos")) + 1).cast("long").as("n_tokens"))
+      .join(topN("__g2", "top2"), Seq(idCol), "left")
+      .join(topN("__g3", "top3"), Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("top2_count"), lit(0L)).as("top2_count"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("top3_count"), lit(0L)).as("top3_count"),
+        coalesce(col("top3_chars"), lit(0L)).as("top3_chars"),
+        coalesce(col("dup5_starts"), lit(0L)).as("dup5_starts"),
+        coalesce(col("dup5_cov"), lit(0L)).as("dup5_cov"))
+  }
 }

@@ -193,4 +193,35 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(r.getAs[Long]("df") == 3L && r.getAs[Long]("n_docs") == n)
     }
   }
+
+  test("repetitionSignals: top-gram mass and duplicated-5-gram coverage") {
+    val s = spark
+    import s.implicits._
+    val run = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      // doc 1 stutters "the cat": top2 = ("the cat", 3); every 5-gram
+      // unique (windows differ) → dup5 = 0
+      1L -> "the cat the cat the cat sat",
+      // doc 2 repeats a 5-token run twice with a spacer: the run's lone
+      // 5-gram occurs twice → dup5_starts 2, cover = both spans = 10
+      2L -> s"$run spacer $run",
+      3L -> "all tokens here are completely distinct words",
+      4L -> "tiny").toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long]))
+      .toMap
+    // doc 1: 7 tokens; bigrams: "the cat"×3, "cat the"×2, "cat sat"×1 →
+    // top2_count 3, chars 3×7=21; trigrams: "the cat the"×2,
+    // "cat the cat"×2 (len 11) → count 2, chars 22
+    assert(got(1L) == Seq(7L, 3L, 21L, 2L, 22L, 0L, 0L))
+    // doc 2: 11 tokens; top2 = any run bigram ×2; the chars max over the
+    // ×2 ties is "delta epsilon" (13 chars → 26); top3 ×2; dup5: one
+    // gram twice covering 10 positions
+    val d2 = got(2L)
+    assert(d2.head == 11L && d2(1) == 2L && d2(5) == 2L && d2(6) == 10L)
+    assert(d2(2) == 26L, "chars maximum ranges over count-tied bigrams")
+    // all-distinct doc: counts 1, dup5 empty; sub-2-token doc: all zero
+    assert(got(3L)(1) == 1L && got(3L)(5) == 0L && got(3L)(6) == 0L)
+    assert(got(4L) == Seq(1L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
 }
