@@ -240,6 +240,25 @@ class PlanShapeSpec extends SparkTestBase {
       "flattenPlan must never count more than the re-inlined rendering")
   }
 
+  test("q_gopher_repeat: every exchange keys on doc_id only — gram text never shuffles") {
+    // the signal bundle's one repartition must stay UN-persisted: a cached
+    // plan is AQE-wrapped, reports unknown partitioning, and every
+    // downstream groupBy(id, gram) re-shuffles gram TEXT (measured: 7
+    // exchanges). Pin the property that makes it scale: all hash
+    // partitionings key on the doc id alone, never on a gram column, and
+    // nothing is cached.
+    val p = plan("q_gopher_repeat")
+    val parts = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(parts.nonEmpty, s"expected the doc-keyed repartition:\n$p")
+    parts.foreach { args =>
+      assert(args.contains("doc_id") && !args.contains("__g"),
+        s"exchange must key on doc_id only, got ($args):\n$p")
+    }
+    assert(!p.contains("InMemoryTableScan"),
+      s"un-persisted by design (caching AQE-hides the partitioning):\n$p")
+  }
+
   test("q_corpus_diff / q_array_funcs: digest-only diff join; arrays stay narrow") {
     val pd = plan("q_corpus_diff")
     assert(countOf(pd, "CartesianProduct") + countOf(pd, "BroadcastNestedLoopJoin") == 0,
