@@ -324,9 +324,16 @@ object TextAnalysis {
     * aggregate share that one exchange), a map-side-combined bigram-count
     * aggregate (vocab²-bounded, usually far smaller), heads derived FROM
     * the bigram counts (no second corpus pass), and count-table joins the
-    * planner can broadcast when the vocabulary is small. The bigram rows
-    * and count table are persisted — each feeds two consumers and
-    * Catalyst does not CSE subplans. Cache ownership: [[CacheTracker]].
+    * planner can broadcast when the vocabulary is small. Only the
+    * vocab²-bounded count table is persisted (it feeds two consumers and
+    * Catalyst does not CSE subplans); the corpus-wide bigram rows are
+    * deliberately NOT cached — a cached plan is AQE-wrapped and reports
+    * unknown partitioning, which re-adds a corpus-wide (id, score)
+    * exchange before the final per-doc aggregate. Un-cached, the
+    * repartition's hash(id) is statically known, the count joins
+    * broadcast, and the final aggregate is exchange-free; the two bigram
+    * consumers re-run only the partition-local explode+window above the
+    * stage-reused shuffle. Cache ownership: [[CacheTracker]].
     */
   def bigramFluency(df: DataFrame, idCol: String, textCol: String,
                     tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
@@ -334,13 +341,12 @@ object TextAnalysis {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos"))
-    val bigrams = tracker.own(df.repartition(p, col(idCol))
+    val bigrams = df.repartition(p, col(idCol))
       .select(col(idCol),
         posexplode(split(Dedup.normText(col(textCol)), " ")).as(Seq("__pos", "__w1")))
       .withColumn("__w2", lead(col("__w1"), 1).over(w))
       .filter(col("__w2").isNotNull)
       .select(col(idCol), col("__w1"), col("__w2"))
-      .persist(lvl))
     val bi = tracker.own(bigrams.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__c2")).persist(lvl))
     val heads = bi.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
