@@ -519,6 +519,16 @@ object Dedup {
     * broadcast OOMing the driver at exactly the corpus scale this
     * operator targets. Reassembly sorts within each document's collected
     * paragraphs; there is no global sort anywhere.
+    *
+    * The exploded frame is deliberately NOT persisted even though two
+    * branches read it: a cached plan is AQE-wrapped and reports unknown
+    * partitioning, which re-adds a corpus-wide exchange of PARAGRAPH TEXT
+    * before the final per-doc rebuild. Un-cached, the repartition's
+    * hash(id) stays statically known, so when the blocklist broadcasts
+    * the rebuild is exchange-free and paragraph text never crosses the
+    * wire; the two branches re-run only the partition-local explode+md5
+    * above the stage-reused shuffle (the blocklist branch prunes to the
+    * digest column).
     */
   def dropRepeatedParagraphs(df: DataFrame, idCol: String, parasCol: String,
                              minCount: Long, sep: String = " ",
@@ -527,14 +537,10 @@ object Dedup {
     // md5 stage is CPU-bound and must not inherit a single-file scan's
     // partition count
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // persisted: the blocklist build AND the anti-join stream side both
-    // read it, and Catalyst does not CSE subplans — without this the
-    // CPU-bound explode+md5 stage runs twice. Ownership: [[CacheTracker]].
-    val ex = tracker.own(df.repartition(p, col(idCol))
+    val ex = df.repartition(p, col(idCol))
       .select(col(idCol), size(col(parasCol)).cast("long").as("__np"),
         posexplode(col(parasCol)).as(Seq("__pos", "__para")))
       .withColumn("__h", md5(col("__para")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val blocklist = ex.select(col("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
