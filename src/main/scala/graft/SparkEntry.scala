@@ -1416,12 +1416,15 @@ object SparkEntry {
       val tok = docs(s, dir).repartition(pPar, col("doc_id"))
         .select(col("doc_id"),
           explode(split(Dedup.normText(col("text")), " ")).as("token"))
-      // persisted: the df branch would otherwise re-run the whole
-      // tokenize + count subtree (Catalyst does not CSE subplans) — at
-      // scale that is a second full scan; the (doc, token, tf) table is
-      // the natural checkpoint and both branches read it
+      // deliberately NOT persisted even though the df branch re-reads it:
+      // a cached tf table is AQE-wrapped and reports unknown partitioning,
+      // which re-adds a corpus-wide (doc, token, tf) exchange before the
+      // ranking window. Un-cached, the repartition's hash(doc_id) stays
+      // statically known, so the agg AND the window run off that one
+      // exchange; both branches re-run only the partition-local
+      // tokenize+count above the stage-reused shuffle, and the df branch
+      // prunes to the token column before its vocab-sized re-shuffle.
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("token"))
       tf.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)

@@ -27,6 +27,16 @@ object QueryTimer {
     spark.sparkContext.setLogLevel("WARN")
     if (explain) names.foreach(n =>
       graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted"))
+    // `final` prints the post-execution adaptive plan — the only view
+    // that shows AQE's runtime stage reuse (ReusedExchange nodes never
+    // appear in the static formatted plan when AQE is on)
+    if (args.contains("final")) names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      // collect through the df's OWN QueryExecution (a write spawns a
+      // fresh one and leaves this plan un-finalized)
+      df.collect()
+      println(s"[timer] $n final plan:\n${df.queryExecution.executedPlan}")
+    }
     (1 to reps).foreach { i =>
       names.foreach { name =>
         // same honesty rule as Bench: queries that persist intermediates

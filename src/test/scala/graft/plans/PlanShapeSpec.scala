@@ -96,20 +96,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(countOf(p, "Sort ") <= 1, s"one sort for every frame:\n$p")
   }
 
-  test("q_tfidf: tokenize runs once (cached), ranking shuffle is answer-sized") {
+  test("q_tfidf: window rides the doc-keyed exchange; only the vocab-sized df table shuffles") {
+    // un-persisted by design: a cached tf table is AQE-wrapped, reports
+    // unknown partitioning, and the ranking window re-shuffles the full
+    // (doc, token, tf) table. Un-cached, the window sits directly on the
+    // repartition's hash(doc_id) and the two branches' identical exchange
+    // subtrees stage-reuse at runtime (asserted in the ReusedExchange test
+    // below).
     val p = plan("q_tfidf")
-    // every FileScan / repartition in the printout sits INSIDE a cached
-    // subtree (each InMemoryRelation reference re-prints its build plan,
-    // so counts are per-reference): no scan or raw shuffle outside it
-    val caches = countOf(p, "InMemoryRelation")
-    assert(caches >= 1 && countOf(p, "InMemoryTableScan") >= 2,
-      s"both tf consumers must read the cache:\n$p")
-    assert(countOf(p, "FileScan") == caches && countOf(p, "REPARTITION_BY_NUM") == caches,
-      s"df branch must reuse the cached tf, not re-tokenize:\n$p")
-    // the post-cache window exchange moves only WindowGroupLimit-pruned
-    // rows (<= 3 per doc), not the full (doc, token) table
-    assert(p.contains("row_number(), 3, Partial"),
-      s"partial group-limit must prune before the rank shuffle:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"un-persisted by design (caching AQE-hides the partitioning):\n$p")
+    // doc-keyed repartitions + ONE token-keyed exchange for the vocab-
+    // sized df aggregate — no exchange of the corpus-scale tf table
+    val parts = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(parts.count(_ == "token") == 1 && parts.forall(c => c == "token" || c == "doc_id"),
+      s"expected doc_id repartitions + one token exchange, got $parts:\n$p")
+    // the window group-limit prunes to <= 3 rows per doc before ranking
+    assert(p.contains("row_number(), 3"),
+      s"group-limit must prune the ranking input:\n$p")
   }
 
   test("q_ngram_repeat: shingle window + distinct-count aggregate in one exchange") {
@@ -257,6 +262,24 @@ class PlanShapeSpec extends SparkTestBase {
     }
     assert(!p.contains("InMemoryTableScan"),
       s"un-persisted by design (caching AQE-hides the partitioning):\n$p")
+  }
+
+  test("tfidf + paragraph dedup: AQE stage-reuses the doc-keyed text exchange at runtime") {
+    // the un-persisted two-consumer pipelines rest on AQE exchange reuse:
+    // both branches' repartition subtrees canonicalize identically, so the
+    // corpus text shuffles ONCE and the second branch reads the same
+    // shuffle stage (ReusedExchange). Only the post-execution adaptive
+    // plan shows this — assert there so a refactor that breaks canonical
+    // equality (e.g. divergent column pruning) re-adds a hidden full text
+    // shuffle and fails here, not at 100 TB.
+    Seq("q_tfidf", "q_paragraph_dedup").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize AQE on this df's own QueryExecution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"$name: expected finalized AQE plan:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"$name: both consumers must share one text shuffle stage:\n$p")
+    }
   }
 
   test("q_corpus_diff / q_array_funcs: digest-only diff join; arrays stay narrow") {
