@@ -253,27 +253,45 @@ object Dedup {
                            tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     require(k >= 2, "a duplicated span needs at least 2 tokens")
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.select(col(idCol),
+    // the explicit filter mirrors what Catalyst would infer per-branch
+    // anyway (join-key non-null; posexplode's non-empty/non-null array —
+    // split() never returns an empty array, so nothing real is dropped):
+    // stating it ONCE below the repartition keeps all three consumers'
+    // exchange subtrees canonically identical, which is what lets AQE
+    // stage-reuse the single text shuffle. Null-id / null-text rows are
+    // excluded, as in every dedup operator here (non-null key contract).
+    val based = df.select(col(idCol),
       split(normText(col(textCol)), " ").as("__ts"))
-    val posTok = base.repartition(p, col(idCol))
+      .filter(col(idCol).isNotNull && col("__ts").isNotNull &&
+        size(col("__ts")) > 0)
+      .repartition(p, col(idCol))
+    val posTok = based
       .select(col(idCol), posexplode(col("__ts")).as(Seq("__pos", "__t")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val leads = (1 until k).map(j => lead(col("__t"), j).over(w))
-    // persisted: the occurrence count and the dup-start join both read
-    // the gram rows (no subplan CSE); rows are (id, int, 32-char digest)
-    val grams = tracker.own(posTok
+    // deliberately NOT persisted even though two branches read the gram
+    // rows: the cache would hold (id, pos, digest) per TOKEN — a
+    // corpus-sized working set — and a cached plan is AQE-wrapped with
+    // unknown partitioning. Un-cached, all three consumers of the
+    // repartitioned base (both gram branches and the rebuild join below)
+    // carry canonically identical exchange subtrees, so AQE stage-reuses
+    // ONE text shuffle across them and each branch re-runs only the
+    // partition-local explode + lead-window + md5 above it.
+    val grams = posTok
       .withColumn("__g", md5(concat_ws(" ", (col("__t") +: leads): _*)))
       .withColumn("__last", leads.last) // window exprs can't sit in filter()
       .filter(col("__last").isNotNull)
       .select(col(idCol), col("__pos"), col("__g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dup = grams.groupBy(col("__g"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .select(col("__g"))
     val starts = grams.join(dup, "__g")
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
-    base.join(starts, Seq(idCol), "left")
+    // the rebuild reads the SAME shuffle stage (canonically identical
+    // subtree → ReusedExchange) instead of exchanging the token arrays a
+    // second time; starts is dup-doc-sized, so AQE broadcasts it.
+    based.join(starts, Seq(idCol), "left")
       .withColumn("__st",
         coalesce(col("__starts"), array().cast("array<int>")))
       // start ≤ n−k ⇒ s+k−1 ≤ n−1: sequence never leaves the doc
