@@ -324,31 +324,42 @@ object TextAnalysis {
     * aggregate share that one exchange), a map-side-combined bigram-count
     * aggregate (vocab²-bounded, usually far smaller), heads derived FROM
     * the bigram counts (no second corpus pass), and count-table joins the
-    * planner can broadcast when the vocabulary is small. Only the
-    * vocab²-bounded count table is persisted (it feeds two consumers and
-    * Catalyst does not CSE subplans); the corpus-wide bigram rows are
-    * deliberately NOT cached — a cached plan is AQE-wrapped and reports
-    * unknown partitioning, which re-adds a corpus-wide (id, score)
-    * exchange before the final per-doc aggregate. Un-cached, the
-    * repartition's hash(id) is statically known, the count joins
-    * broadcast, and the final aggregate is exchange-free; the two bigram
-    * consumers re-run only the partition-local explode+window above the
-    * stage-reused shuffle. Cache ownership: [[CacheTracker]].
+    * planner can broadcast when the vocabulary is small. NOTHING is
+    * persisted: a cached plan is AQE-wrapped with unknown partitioning
+    * (which would re-add a corpus-wide exchange before the final per-doc
+    * aggregate), and a cached count table builds in its own query
+    * execution — forcing a SECOND full text shuffle, because AQE stage
+    * reuse never crosses executions. Instead every consumer's exchange
+    * subtree is kept canonically identical (explicit isnotnull filters
+    * where a join would infer them one-sided), so one text shuffle and
+    * one bigram-count shuffle serve all branches via ReusedExchange, and
+    * each branch re-runs only vocab-bounded final aggregates above the
+    * reused map stages.
     */
   def bigramFluency(df: DataFrame, idCol: String, textCol: String,
                     tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p = df.sparkSession.sparkContext.defaultParallelism
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos"))
-    val bigrams = df.repartition(p, col(idCol))
+    // explicit isnotnull filters mirror what the joins below would infer
+    // per-branch: stating them once keeps every consumer's exchange
+    // subtree canonically identical, so AQE stage-reuses BOTH the text
+    // shuffle and the bigram-count shuffle (nothing is persisted — the
+    // old cached count table forced a second full text shuffle because
+    // its build ran as a separate query execution, and stage reuse never
+    // crosses executions)
+    val bigrams = df.filter(col(idCol).isNotNull).repartition(p, col(idCol))
       .select(col(idCol),
         posexplode(split(Dedup.normText(col(textCol)), " ")).as(Seq("__pos", "__w1")))
       .withColumn("__w2", lead(col("__w1"), 1).over(w))
-      .filter(col("__w2").isNotNull)
+      .filter(col("__w1").isNotNull && col("__w2").isNotNull)
       .select(col(idCol), col("__w1"), col("__w2"))
-    val bi = tracker.own(bigrams.groupBy(col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__c2")).persist(lvl))
+    // un-persisted: both consumers sit above the SAME (w1, w2) count
+    // exchange — the exploded partial aggregate (the expensive pass)
+    // executes once in the reused map stage; only the vocab-bounded
+    // final aggregates re-run per consumer
+    val bi = bigrams.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c2"))
     val heads = bi.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
     bigrams
       .join(bi, Seq("__w1", "__w2"))
@@ -392,8 +403,13 @@ object TextAnalysis {
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
+    // explicit isnotnull(id) mirrors what the assembling left-joins infer
+    // for their RIGHT sides only: without it the n_tokens branch (the
+    // preserved side, no inferred filter) canonicalizes differently and
+    // executes its own text shuffle instead of reusing the others' stage
     val posTok = df
       .select(col(idCol), split(Dedup.normText(col(textCol)), " ").as("__ts"))
+      .filter(col(idCol).isNotNull)
       .repartition(p, col(idCol))
       .select(col(idCol), posexplode(col("__ts")).as(Seq("__pos", "__t")))
     val w = org.apache.spark.sql.expressions.Window

@@ -272,7 +272,8 @@ class PlanShapeSpec extends SparkTestBase {
     // plan shows this — assert there so a refactor that breaks canonical
     // equality (e.g. divergent column pruning) re-adds a hidden full text
     // shuffle and fails here, not at 100 TB.
-    Seq("q_tfidf", "q_paragraph_dedup").foreach { name =>
+    Seq("q_tfidf", "q_paragraph_dedup", "q_span_dedup", "q_ngram_fluency",
+        "q_gopher_repeat").foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.collect() // finalize AQE on this df's own QueryExecution
       val p = df.queryExecution.executedPlan.toString
