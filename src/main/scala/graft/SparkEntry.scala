@@ -1521,6 +1521,19 @@ object SparkEntry {
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
       graft.operators.Decontaminate.overlapCounts(corpus, ev, "doc_id", "text", n = 8)
     }),
+    // the flip-side contamination report: per EVAL doc, distinct 8-grams,
+    // how many leaked into the corpus, and the integer-permille fraction.
+    // Docs 0-9 have verbatim planted copies (expect 1000‰); 10-24 are
+    // clean (expect 0 — natural 8-gram collisions are ~0 here). The
+    // corpus side only streams past the broadcast eval digest set.
+    "q_decontam_report" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val ev = d.filter(col("doc_id") < 25)
+      val corpus = d.filter(col("doc_id") >= 25)
+        .union(ev.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      graft.operators.Decontaminate.evalContamination(corpus, ev, "doc_id", "text", n = 8)
+    }),
     // Gopher-style repetition filter: fraction of duplicated 3-grams per
     // doc, in integer permille (no float boundary anywhere). Reuses the
     // minhash pipeline's exploded-shingle stage — total vs distinct counts
@@ -2266,6 +2279,27 @@ object SparkEntry {
         s"cg AS (SELECT DISTINCT doc_id, md5(sh) AS g FROM (${grams("corpus")})) " +
         "SELECT cg.doc_id, count(*) AS n_overlap FROM cg JOIN eg ON cg.g = eg.g " +
         "GROUP BY cg.doc_id"
+    },
+    "q_decontam_report" -> {
+      def grams(src: String) =
+        "SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 " +
+          "THEN list_transform(range(0, len(toks) - 7), " +
+          "i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')) " +
+          "ELSE [array_to_string(toks, ' ')] END) AS sh " +
+          s"FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM $src)"
+      "WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 25), " +
+        "corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25 " +
+        "UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM ev WHERE doc_id < 10), " +
+        s"eg AS (SELECT DISTINCT doc_id, md5(sh) AS g FROM (${grams("ev")})), " +
+        "tot AS (SELECT doc_id, count(*) AS n_grams FROM eg GROUP BY doc_id), " +
+        s"cd AS (SELECT DISTINCT md5(sh) AS g FROM (${grams("corpus")})), " +
+        "hits AS (SELECT eg.doc_id, count(*) AS n_contaminated FROM eg " +
+        "JOIN cd ON eg.g = cd.g GROUP BY eg.doc_id) " +
+        "SELECT tot.doc_id, tot.n_grams, " +
+        "coalesce(hits.n_contaminated, 0) AS n_contaminated, " +
+        "coalesce(hits.n_contaminated, 0) * 1000 // tot.n_grams " +
+        "AS contaminated_permille FROM tot LEFT JOIN hits " +
+        "ON tot.doc_id = hits.doc_id"
     },
     "q_ngram_repeat" -> ("SELECT doc_id, count(*) AS total_3grams, " +
       "count(DISTINCT sh) AS distinct_3grams, " +

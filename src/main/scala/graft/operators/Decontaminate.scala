@@ -35,4 +35,37 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** The flip-side report: per EVAL doc, how much of it leaked into the
+    * corpus — the "is this benchmark compromised" table (the per-eval-set
+    * overlap report of GPT-3 appendix C / PaLM appendix): distinct
+    * `n`-gram count, how many of those grams occur anywhere in the
+    * corpus, and the integer-permille fraction. Every eval doc emits a
+    * row (0 when clean), so the report doubles as the eval manifest.
+    *
+    * Scale shape — the corpus is only ever STREAMED: the distinct
+    * (eval_id, digest) table is benchmark-sized and broadcasts; corpus
+    * gram digests probe it map-side with no corpus shuffle or distinct,
+    * and only matching digests (bounded by contaminated OCCURRENCES, ~0
+    * for a clean corpus) reach the eval-bounded dedup + count. Same
+    * digest discipline as [[overlapCounts]]: 16-byte md5s, never text.
+    */
+  def evalContamination(corpus: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = Dedup.explodedShingles(
+      eval.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col(idCol), md5(col("__sh")).as("__g")).distinct()
+    val totals = evalGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val corpusDigests = Dedup.explodedShingles(
+      corpus.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(md5(col("__sh")).as("__g"))
+    val hits = corpusDigests.join(broadcast(evalGrams), "__g")
+      .select(col(idCol), col("__g")).distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        expr("coalesce(n_contaminated, 0) * 1000 div n_grams")
+          .as("contaminated_permille"))
+  }
 }

@@ -41,6 +41,45 @@ class DecontaminateSpec extends SparkTestBase {
     assert(got == Map(10L -> 1L), s"got $got")
   }
 
+  test("eval report: per-eval-doc fractions, clean docs emit 0, corpus side broadcasts nothing") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // 2 distinct 8-grams, both leaked via the verbatim corpus copy
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      // 4 distinct 8-grams, exactly one (tokens 1-8) in the corpus
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      // clean — still emits a row with 0
+      (3L, "completely clean eval doc with no leaked grams anywhere here"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      // duplicate occurrences of the same leaked gram count ONCE
+      (11L, "prefix one two three four five six seven eight suffix"),
+      (12L, "again one two three four five six seven eight trailer"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.evalContamination(corpus, ev, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1000L)),
+      2L -> ((4L, 1L, 250L)),
+      3L -> ((3L, 0L, 0L))), s"got $got")
+  }
+
+  test("eval report plan: eval digest set broadcasts; corpus never exchanges text") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val corpus = Seq((10L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val plan = Decontaminate.evalContamination(corpus, ev, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"eval grams must broadcast to the corpus stream:\n$plan")
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text"), s"text must not shuffle: $l\n$plan")
+    }
+  }
+
   test("overlap join shuffles digests, not text (no text column past the explode)") {
     val s = spark
     import s.implicits._
