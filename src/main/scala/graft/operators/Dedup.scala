@@ -193,16 +193,21 @@ object Dedup {
                          maxDocFreq: Long = 4096L,
                          tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     require(maxBucket <= maxDocFreq, "maxBucket must be <= maxDocFreq")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // distinct (id, fp) once — a doc may emit one fp from many windows;
-    // persisted: the bucket-count window and all pair branches read it
-    // (no subplan CSE); rows are (id, long) — tiny
-    val r = tracker.own(
-      winnowFingerprintRows(df, idCol, textCol, shingleSize, window)
-        .distinct().persist(lvl))
+    // the distinct aggregate is exchange-free (hash(id) from the winnow
+    // repartition satisfies the (id, fp) clustering). Nothing is
+    // persisted: the explicit isnotnull(fp) mirrors what the small-tier
+    // self-join would infer one-sided, keeping all three tier branches'
+    // fp-exchange subtrees canonically identical — AQE stage-reuses ONE
+    // fp exchange, so the whole winnow pipeline (text shuffle, shingle +
+    // sliding-min windows, distinct, fp-shuffle map side) executes once
+    // and each tier re-runs only its post-shuffle bucket-count window.
+    // (The old double persist re-ran nothing but materialized two
+    // corpus-proportional caches and still shuffled fp rows once.)
+    val r = winnowFingerprintRows(df, idCol, textCol, shingleSize, window)
+      .distinct().filter(col("fp").isNotNull)
     val wcnt = Window.partitionBy(col("fp"))
-    val withCnt = tracker.own(
-      r.withColumn("__cnt", count(lit(1)).over(wcnt)).persist(lvl))
+    val withCnt = r.withColumn("__cnt", count(lit(1)).over(wcnt))
     val small = withCnt.filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
       .select(col("fp"), col(idCol))
     val smallPairs = small.as("a").join(small.as("b"),
