@@ -186,12 +186,16 @@ object TextAnalysis {
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, minDocs: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // digests from the start (the decontaminate discipline): the distinct
+    // stays exchange-free on the shingle stage's doc-id clustering, and
+    // the df-count window — this pipeline's one corpus-wide shuffle —
+    // moves 16-byte md5s instead of raw gram text
     val grams = Dedup.explodedShingles(df, idCol, textCol, shingleSize)
-      .select(col(idCol), col("__sh")).distinct()
+      .select(col(idCol), md5(col("__sh")).as("__g")).distinct()
     grams
       // rows are distinct per (doc, gram), so the per-gram partition count
       // IS the gram's document frequency
-      .withColumn("__gdf", count(lit(1)).over(Window.partitionBy(col("__sh"))))
+      .withColumn("__gdf", count(lit(1)).over(Window.partitionBy(col("__g"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__gdf") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
