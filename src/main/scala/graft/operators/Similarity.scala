@@ -466,9 +466,15 @@ object Similarity {
     // member against it
     val big = withCnt.filter(col("__cnt") > maxCluster)
     val reps = big.groupBy(col("cluster")).agg(min(col(idCol)).as("__rid"))
+    // rep VECTORS are fetched by broadcasting the (≤ nlist) rep-id set
+    // against the cached base and broadcasting the tiny result back —
+    // never by joining the corpus on id, which would shuffle every
+    // vector to fetch a handful of rows
+    val repVecs = base.join(broadcast(reps.select(col("__rid"))),
+        col(idCol) === col("__rid"))
+      .select(col("__rid"), col("__v").as("__rv"), col("__n").as("__rn"))
     val bigDups = big.join(reps, Seq("cluster"))
-      .join(base.select(col(idCol).as("__rid"), col("__v").as("__rv"),
-        col("__n").as("__rn")), Seq("__rid"))
+      .join(broadcast(repVecs), Seq("__rid"))
       .filter(col(idCol) =!= col("__rid") &&
         dot(col("__v"), col("__rv")) / (col("__n") * col("__rn")) >= threshold)
       .select(col(idCol)).distinct()
