@@ -103,7 +103,8 @@ object PlanAudit {
       }
       spark.listenerManager.register(listener)
       try {
-        val qe = fn(spark, sfDir).queryExecution
+        val df = fn(spark, sfDir)
+        val qe = df.queryExecution
         // the listener bus is async — wait until the queue has been stable
         // for a few polls (construction actions themselves finished before
         // fn returned; only event delivery can lag)
@@ -131,6 +132,21 @@ object PlanAudit {
           node.expressions.map(_.collect {
             case e if e.getClass.getSimpleName == "ScalaUDF" => e
           }.size).sum).sum
+        // RUNTIME columns: execute through this df's own QueryExecution
+        // (a write would spawn a fresh one and leave this plan
+        // un-finalized) and read the finalized adaptive plan — the only
+        // view where AQE's cross-branch shuffle-stage reuse is visible.
+        // `live` counts exchanges that actually executed; `reused` counts
+        // branches served by another branch's already-materialized stage.
+        val (live, reused) = try {
+          df.collect()
+          val finalSection = qe.executedPlan.toString
+            .split("== Initial Plan ==").head
+          val r = count(finalSection, "ReusedExchange")
+          val l = finalSection.linesIterator.count(ln =>
+            ln.contains("Exchange hashpartitioning") && !ln.contains("ReusedExchange"))
+          (l.toString, r.toString)
+        } catch { case _: Throwable => ("ERR", "ERR") }
         Seq(name,
           count(plan, "Exchange hashpartitioning").toString,
           count(plan, "BroadcastHashJoin").toString,
@@ -139,20 +155,27 @@ object PlanAudit {
           s"$pushed/$scans",
           (count(plan, "BatchEvalPython") +
             math.max(count(plan, "\\bUDF\\("), structuralUdfs)).toString,
-          constructed.size().toString)
+          constructed.size().toString,
+          live, reused)
       } catch {
-        case e: Throwable => Seq(name, "ERR", "", "", "", "", e.getClass.getSimpleName, "")
+        case e: Throwable => Seq(name, "ERR", "", "", "", "", e.getClass.getSimpleName, "", "", "")
       } finally spark.listenerManager.unregister(listener)
     }
     val header = Seq("query", "shuffles", "broadcast joins", "sort-merge joins",
-      "products", "pushed-filter scans", "UDF nodes", "eager execs")
+      "products", "pushed-filter scans", "UDF nodes", "eager execs",
+      "runtime live shuffles", "runtime reused")
     val md = new StringBuilder
     md ++= "# Plan audit (generated by graft.tools.PlanAudit)\n\n"
     md ++= s"Source: `$sfDir` — structural node counts over the query's static\n"
     md ++= "(pre-execution) physical plan PLUS every action executed during query\n"
     md ++= "construction (`eager execs`); each distinct cached subplan is counted\n"
     md ++= "exactly once per query. AQE may coalesce/re-plan at runtime, only ever\n"
-    md ++= "reducing these counts.\n\n"
+    md ++= "reducing these counts. The two `runtime` columns come from EXECUTING\n"
+    md ++= "the query and reading its finalized adaptive plan: `live` exchanges\n"
+    md ++= "actually ran; `reused` branches were served by another branch's\n"
+    md ++= "already-materialized shuffle stage (AQE stage reuse — invisible in\n"
+    md ++= "static plans, and the mechanism the un-persisted multi-consumer\n"
+    md ++= "pipelines rely on).\n\n"
     md ++= header.mkString("| ", " | ", " |\n")
     md ++= header.map(_ => "---").mkString("| ", " | ", " |\n")
     rows.foreach(r => md ++= r.mkString("| ", " | ", " |\n"))
