@@ -1633,7 +1633,48 @@ object SparkEntry {
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.audioStats(
         Multimodal.attachSyntheticAudio(docs(s, dir), "doc_id", nSamples = 400),
-        "doc_id")))
+        "doc_id")),
+    // Perceptual image hash (aHash) from REAL decode: 200 pattern 32×16
+    // BMPs (near-independent hashes via a per-cell Knuth mix) + 20
+    // planted near twins (+500000: same pattern, two seed-chosen cells
+    // reflected). Emitted as 4×16-bit chunks — the same blocking chunks
+    // the pair query joins on — so the oracle rebuilds the hash from the
+    // pixel closed forms with no image library and any cell-grid,
+    // mean-compare, or bit-order bug hash-fails.
+    "multimodal_ahash" -> ((s, dir) => ahashChunks(s, dir)),
+    // ...and the dedup tier on top: the image analogue of simhash
+    // near-dup pairs — the BIGINT aHash flows through the SAME
+    // chunk-blocked pair generator (maxBucket above the fixed input size
+    // → pure all-pairs tier, exactly mirrorable in SQL; blocking lossless
+    // to Hamming 3 by pigeonhole). Payload bytes never shuffle; blocking
+    // operates on the 8-byte hash.
+    "multimodal_ahash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(
+        ahashed(s, dir).select(col("doc_id"), col("ahash").as("simhash")),
+        "doc_id", maxHamming = 3, maxBucket = 1 << 20)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))))
+
+  /** Pattern-image aHash set shared by the two perceptual-hash queries:
+    * 200 base pattern images (near-independent hashes by the per-cell
+    * Knuth mix) + 20 planted variant-1 twins (+500000: the same pattern
+    * with two seed-chosen cells reflected — a few Hamming bits away). */
+  private def ahashed(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("doc_id").as("__pat"), lit(0).as("__var"))
+    val twins = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        col("doc_id").as("__pat"), lit(1).as("__var"))
+    Multimodal.imageAHashes(
+      Multimodal.attachPatternImages(base.union(twins), "doc_id", "__pat", "__var",
+        32, 16),
+      "doc_id")
+  }
+
+  private def ahashChunks(s: SparkSession, dir: String): DataFrame =
+    ahashed(s, dir).select(col("doc_id") +: (0 until 4).map(k =>
+      shiftrightunsigned(col("ahash"), k * 16).bitwiseAND(0xFFFFL)
+        .cast("long").as(s"c$k")): _*)
 
   // ------------------------------------------------------------ oracles
 
@@ -2623,5 +2664,46 @@ object SparkEntry {
       "CAST(SUM((3 * d.doc_id + x.i) % 256) AS BIGINT) AS sum_g, " +
       "CAST(SUM((7 * d.doc_id + y.j) % 256) AS BIGINT) AS sum_b " +
       "FROM documents d, range(0, 30) x(i), range(0, 17) y(j) " +
-      "GROUP BY d.doc_id"))
+      "GROUP BY d.doc_id"),
+    "multimodal_ahash" -> (ahashSql + "SELECT doc_id, c0, c1, c2, c3 FROM h"),
+    "multimodal_ahash_pairs" -> (ahashSql +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) + " +
+      "bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming " +
+      "FROM h a JOIN h b ON a.doc_id < b.doc_id AND " +
+      "(a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3) " +
+      "WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) + " +
+      "bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3"))
+
+  /** Shared aHash oracle prelude: rebuild the 64-bit average hash from
+    * the pattern-image closed forms (no image library) as the same
+    * 4×16-bit chunks the Spark side emits. Cells are per-cell-constant
+    * gray, so the cross-multiplied average compare the decoder runs
+    * (`cellSum·totalPixels > totalSum·cellPixels` over r+g+b sums)
+    * reduces exactly to `64·g_cell > Σ g_cells` — the grayscale and
+    * equal-cell factors cancel. Bit order: cell (ci, cj) → bit cj·8+ci.
+    */
+  private val ahashSql: String =
+    "WITH imgs AS (SELECT doc_id, doc_id AS pid, 0 AS v FROM documents " +
+      "WHERE doc_id < 200 " +
+      "UNION ALL SELECT doc_id + 500000 AS doc_id, doc_id AS pid, 1 AS v " +
+      "FROM documents WHERE doc_id < 20), " +
+    "cells AS (SELECT doc_id, cj.j * 8 + ci.i AS b, " +
+      "CASE WHEN v = 1 AND (cj.j * 8 + ci.i = pid % 64 " +
+      "OR cj.j * 8 + ci.i = (7 * pid + 13) % 64) " +
+      "THEN 255 - (((73 * pid + 17 * ci.i + 29 * cj.j + 7) * " +
+      "(73 * pid + 17 * ci.i + 29 * cj.j + 7) // 32) % 256) " +
+      "ELSE ((73 * pid + 17 * ci.i + 29 * cj.j + 7) * " +
+      "(73 * pid + 17 * ci.i + 29 * cj.j + 7) // 32) % 256 END AS g " +
+      "FROM imgs, range(0, 8) ci(i), range(0, 8) cj(j)), " +
+    "tot AS (SELECT doc_id, SUM(g) AS ts FROM cells GROUP BY doc_id), " +
+    "bits AS (SELECT c.doc_id, c.b, " +
+      "CASE WHEN 64 * c.g > t.ts THEN 1 ELSE 0 END AS bit " +
+      "FROM cells c JOIN tot t USING (doc_id)), " +
+    "h AS (SELECT doc_id, " +
+      "CAST(SUM(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c0, " +
+      "CAST(SUM(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c1, " +
+      "CAST(SUM(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c2, " +
+      "CAST(SUM(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c3 " +
+      "FROM bits GROUP BY doc_id) "
 }

@@ -112,7 +112,45 @@ object Multimodal {
     * pixel-sum round trip is hash-checkable end to end. Bottom-up rows,
     * 4-byte row padding — the standard BITMAPINFOHEADER layout.
     */
-  def synthesizeBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+  def synthesizeBmp(seed: Long, w: Int, h: Int): Array[Byte] =
+    writeBmp24(w, h) { (x, y) =>
+      (java.lang.Math.floorMod(seed + x + y, 256L).toInt,
+        java.lang.Math.floorMod(3 * seed + x, 256L).toInt,
+        java.lang.Math.floorMod(7 * seed + y, 256L).toInt)
+    }
+
+  /** Deterministic grayscale PATTERN image for perceptual-hash tests:
+    * the 8×8 aHash cell grid maps to per-cell constant gray
+    * `((t²) div 32) mod 256` with `t = 73·id + 17·ci + 29·cj + 7` — the
+    * squared term makes the cell pattern NONLINEAR in (id, ci, cj), so
+    * distinct ids get near-independent hashes (a plain affine-mod-256
+    * mix collapses to structured collisions, and the smooth
+    * [[synthesizeBmp]] gradients are perceptually degenerate outright).
+    * `variant = 1` REFLECTS (255 − g) exactly two seed-chosen cells
+    * (`id mod 64` and `(7·id + 13) mod 64`) — a planted near-twin a few
+    * Hamming bits away. All closed forms, reproducible in SQL with no
+    * image library and no 64-bit overflow (t² < 2⁶³ for any id below
+    * ~4·10⁷).
+    */
+  def synthesizePatternBmp(id: Long, variant: Int, w: Int, h: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "pattern grid needs dims divisible by 8")
+    val f1 = java.lang.Math.floorMod(id, 64L).toInt
+    val f2 = java.lang.Math.floorMod(7 * id + 13, 64L).toInt
+    writeBmp24(w, h) { (x, y) =>
+      val ci = x * 8 / w; val cj = y * 8 / h
+      val t = 73L * id + 17L * ci + 29L * cj + 7L
+      val g0 = ((t * t / 32L) % 256L).toInt
+      val cell = cj * 8 + ci
+      val g = if (variant == 1 && (cell == f1 || cell == f2)) 255 - g0 else g0
+      (g, g, g)
+    }
+  }
+
+  /** Standard 24-bit bottom-up BITMAPINFOHEADER writer; `px(x, y)` gives
+    * (r, g, b). The byte layout (4-byte row padding, BGR order) is the
+    * contract [[decodeImage]] round-trips.
+    */
+  private def writeBmp24(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     require(w > 0 && h > 0, "image dimensions must be positive")
     val rowSize = (w * 3 + 3) / 4 * 4
     val dataSize = rowSize * h
@@ -126,9 +164,7 @@ object Multimodal {
     while (y >= 0) {
       var x = 0
       while (x < w) {
-        val r = java.lang.Math.floorMod(seed + x + y, 256L).toInt
-        val g = java.lang.Math.floorMod(3 * seed + x, 256L).toInt
-        val b = java.lang.Math.floorMod(7 * seed + y, 256L).toInt
+        val (r, g, b) = px(x, y)
         buf.put(b.toByte).put(g.toByte).put(r.toByte)
         x += 1
       }
@@ -384,6 +420,88 @@ object Multimodal {
         Row(r.get(0), Row(synthesizeBmp(seed, w, h), "image/bmp", w, h, 0L))
       }
     }
+  }
+
+  /** [[attachSyntheticImages]] for [[synthesizePatternBmp]]: the pattern
+    * id and the variant flag (0 = base, 1 = two-cell-reflected near
+    * twin) come from columns — the planting knobs for perceptual-dedup
+    * tests.
+    */
+  def attachPatternImages(df: DataFrame, idCol: String, patternCol: String,
+                          variantCol: String, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol), StructField("media", mediaType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(patternCol).cast("long"), col(variantCol).cast("int"))
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.get(0), Row(synthesizePatternBmp(r.getLong(1), r.getInt(2), w, h),
+            "image/bmp", w, h, 0L))
+        }
+      }
+  }
+
+  /** 64-bit average-hash (aHash) from a REAL decode: the image is reduced
+    * to an 8×8 grid of cell gray sums (gray = r+g+b — a sum, not an
+    * average, so everything stays integer-exact) and bit (j·8 + i) is set
+    * when cell (i, j)'s AVERAGE gray exceeds the whole-image average —
+    * compared cross-multiplied (`cellSum · totalPixels > totalSum ·
+    * cellPixels`), so no division ever happens and any engine with 64-bit
+    * integers reproduces the hash bit-for-bit. Perceptually-similar
+    * images agree on most bits; Hamming distance over the hash is the
+    * standard near-dup signal for image corpora (the multimodal analogue
+    * of [[graft.operators.Dedup.simhash]], and `simhashNearDupPairs`
+    * consumes it unchanged). None for undecodable payloads or images
+    * smaller than the 8×8 grid.
+    */
+  def aHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 8) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 8 || img.getHeight < 8) return None
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](64)
+    val pix = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val j = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i = x * 8 / w
+        val p = img.getRGB(x, y)
+        sums(j * 8 + i) += ((p >>> 16) & 0xFF) + ((p >>> 8) & 0xFF) + (p & 0xFF)
+        pix(j * 8 + i) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    val totalPix = w.toLong * h
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) * totalPix > total * pix(b)) hash |= (1L << b)
+      b += 1
+    }
+    Some(hash)
+  }
+
+  /** Partition-local aHash over a media column: (id, media) → (id,
+    * ahash). Undecodable payloads emit no row (they have no perceptual
+    * identity — an audit joins back against the id table to find them).
+    * Nothing shuffles; downstream near-dup blocking operates on the
+    * 8-byte hash, never the payload.
+    */
+  def imageAHashes(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol), StructField("ahash", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("media.bytes").as("__b"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          aHash64(r.getAs[Array[Byte]]("__b")).map(hv => Row(r.get(0), hv))
+        }
+      }
   }
 
   /** Partition-local REAL image decode: (id, media) → (id, img_w, img_h,

@@ -131,6 +131,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(f(0) == 8f && f(1) == 5f && f(7) == 1f)
   }
 
+  test("aHash64: identical images hash identically, pattern twins land a few bits away") {
+    val a = Multimodal.aHash64(Multimodal.synthesizePatternBmp(42L, 0, 32, 16))
+    val a2 = Multimodal.aHash64(Multimodal.synthesizePatternBmp(42L, 0, 32, 16))
+    assert(a.isDefined && a == a2, "same pixels must give the same hash")
+    // the variant-1 twin reflects exactly two cells — its hash stays
+    // within a small Hamming distance while a DIFFERENT pattern id is far
+    val twin = Multimodal.aHash64(Multimodal.synthesizePatternBmp(42L, 1, 32, 16))
+    val other = Multimodal.aHash64(Multimodal.synthesizePatternBmp(43L, 0, 32, 16))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // two direct reflections plus possible mean-shift collateral on
+    // borderline cells — near, but not exactly 2
+    assert(ham(a.get, twin.get) <= 8, s"twin too far: ${ham(a.get, twin.get)}")
+    assert(ham(a.get, other.get) > ham(a.get, twin.get),
+      s"distinct pattern (${ham(a.get, other.get)}) must be farther than the twin")
+  }
+
+  test("aHash64: undecodable and sub-grid payloads yield None, never throw") {
+    assert(Multimodal.aHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.aHash64(null).isEmpty)
+    // 4×5 image is smaller than the 8×8 cell grid
+    assert(Multimodal.aHash64(Multimodal.synthesizeBmp(1L, 4, 5)).isEmpty)
+    // truncated real header must degrade, not throw
+    assert(Multimodal.aHash64(Multimodal.synthesizeBmp(1L, 16, 16).take(40)).isEmpty)
+  }
+
+  test("imageAHashes drops undecodable rows and is exact for the closed form") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 5L).toDF("doc_id")
+    val imgs = Multimodal.attachPatternImages(
+      ids.select(col("doc_id"), col("doc_id").as("p"), lit(0).as("v")),
+      "doc_id", "p", "v", 32, 16)
+    val got = Multimodal.imageAHashes(imgs, "doc_id").orderBy("doc_id").collect()
+    assert(got.length == 2)
+    // mirror the closed form in-process: cell gray ((t²) div 32) mod 256,
+    // bit cj*8+ci set when 64·g > Σg
+    def expected(pid: Long): Long = {
+      val g = for (cj <- 0 until 8; ci <- 0 until 8) yield {
+        val t = 73L * pid + 17L * ci + 29L * cj + 7L
+        (t * t / 32L) % 256L
+      }
+      val tot = g.sum
+      g.zipWithIndex.foldLeft(0L) { case (h, (gv, b)) =>
+        if (64L * gv > tot) h | (1L << b) else h
+      }
+    }
+    assert(got(0).getLong(1) == expected(0L) && got(1).getLong(1) == expected(5L))
+  }
+
   test("sampleFrames emits n frames with in-range offsets") {
     val frames = Multimodal.sampleFrames(mediaDf, "doc_id", 4)
       .filter(col("doc_id") === 1).orderBy("frame_idx").collect()
