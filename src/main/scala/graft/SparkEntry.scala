@@ -29,6 +29,23 @@ import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJso
   *  - hash/fingerprint parity uses `md5` (identical everywhere);
   *    engine-internal paths use `xxhash64` (fast, Spark-only) and those
   *    queries get rows-only checks.
+  *
+  * Caching vs stage reuse (the round-7 design rule): persisting a
+  * multi-consumer subtree is NOT automatically right. A cached plan is
+  * AQE-wrapped with unknown partitioning (downstream groupBy/window
+  * re-shuffles what the repartition already clustered), a cached build
+  * runs in its own query execution (its exchanges can never be
+  * stage-shared with the main plan), and even cache READS block reuse
+  * (each branch wraps its own TableCacheQueryStage, breaking canonical
+  * equality). When the work ABOVE the shared exchange is cheap
+  * (explode/window/hash), prefer UN-persisted branches with canonically
+  * identical exchange subtrees — state the per-branch inferred filters
+  * (join-key isnotnull, posexplode non-empty) EXPLICITLY below the
+  * repartition — and AQE runs the map side once, sharing the shuffle via
+  * ReusedExchange (PlanShapeSpec pins this; PLAN_AUDIT's runtime columns
+  * measure it). Persist only when the recompute above the exchange is
+  * the expensive part (minhash signatures, simhash votes, centroid
+  * assignment feeding differently-pruned consumers).
   */
 object SparkEntry {
 
