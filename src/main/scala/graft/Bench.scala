@@ -62,8 +62,6 @@ object Bench {
         case None => (name, sorted.head, sorted(sorted.size / 2))
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
     // escape like Verify.q(): control chars in exception messages (plan
     // dumps contain newlines) would otherwise break the one-line JSON
@@ -74,19 +72,47 @@ object Bench {
       case c => c.toString
     }
     val errJson = errors.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"failed":$errJson%s,"sf":"$sfDir%s"}""")
-    // The harness that records this run keeps only the LAST 2000 chars of
-    // stdout, and 101 query names alone are ~1800 chars of JSON — the head
-    // of the contract line above is unavoidably cut (p50 map dropped this
-    // round for the same reason; min is the stable signal). So re-emit
-    // every min-timing once more in the densest self-describing form that
-    // fits the window whole: `name=centiseconds`, space-separated (~1750
-    // chars for 101 queries vs ~2290 as JSON). Failures keep their
-    // negative marker. The JSON contract line stays authoritative; this
-    // line is the lossless (10 ms resolution) backstop for tail-window
-    // readers.
-    println(results.map { case (k, v, _) => s"$k=${math.round(v * 100)}" }
-      .mkString("BENCH_ALL_CENTISEC ", " ", ""))
+    // Stop Spark BEFORE emitting the record: any executor/shutdown chatter
+    // must land above our output, never between it and end-of-stream —
+    // the recording harness keeps only the LAST 2000 chars of stdout.
     spark.stop()
+    // That 2000-char tail window is the design constraint for everything
+    // below. At 101 queries the single JSON line was ~2300 chars and its
+    // head was cut (round 5); the centisec backstop line fixed that at
+    // ~1750 chars, then the 118-query surface pushed IT past 2000 too and
+    // round 7 lost its first ~7 queries AND the summary (`"parsed": null`).
+    // No single all-query line can survive query-count growth, so the
+    // record is now three-tier, ordered so the only thing that MUST sit in
+    // the window — the parseable summary — is printed dead last:
+    //   1. BENCH_FULL.json artifact: the complete per-query min AND p50
+    //      map plus failures — the durable full record, any query count.
+    //   2. BENCH_CS i/n chunk lines (≤12 queries each, ~250 chars): the
+    //      full min map in stdout for log readers, each line short enough
+    //      that a window cut loses whole chunks, never splits an entry.
+    //   3. ONE compact summary line, LAST: total + counts + artifact
+    //      pointer + the slowest-15 query map (the entries worth reading
+    //      in a summary). ~700 chars worst case — fits the window with
+    //      room for sbt's trailing [success] banner at any future size.
+    val fullQs = results.map { case (k, mn, p50) =>
+      "\"" + k + "\":" + f"""{"min":$mn%.3f,"p50":$p50%.3f}"""
+    }.mkString("{", ",", "}")
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"queries":$fullQs%s,"failed":$errJson%s,"sf":"$sfDir%s"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val chunks = results.map { case (k, v, _) => s"$k=${math.round(v * 100)}" }
+      .grouped(12).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(c.mkString(s"BENCH_CS ${i + 1}/${chunks.size} ", " ", ""))
+    }
+    val slowest = results.sortBy { case (_, v, _) => -math.abs(v) }.take(15)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    // failed on the summary line is capped at 3 entries (full list in the
+    // artifact) — an everything-broke run must not evict the summary from
+    // the tail window either
+    val errHead = errors.take(3).map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"nfail":${errors.size}%d,"queries":$slowest%s,"failed":$errHead%s,"sf":"$sfDir%s","artifact":"$artifact%s"}""")
   }
 }

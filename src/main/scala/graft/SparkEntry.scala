@@ -584,11 +584,15 @@ object SparkEntry {
           def dump(df: DataFrame, name: String, mtime: Long): Unit = {
             val tmp = new java.io.File(base, name + "_tmp")
             df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-            val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+            // an empty batch slice (possible at tiny SFs) or a failed mtime
+            // stamp would silently break the three-batch replay order that
+            // the watermark semantics hinge on — fail loudly instead
+            val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+              .getOrElse(sys.error(s"q_stream_append: batch slice $name produced no parquet file — SF too small for the replay fixture"))
             val dst = new java.io.File(base, name + ".parquet")
             java.nio.file.Files.move(part.toPath, dst.toPath)
             deleteRecursively(tmp)
-            dst.setLastModified(mtime): Unit
+            require(dst.setLastModified(mtime), s"q_stream_append: setLastModified failed for $name — replay order would be undefined")
           }
           val t0 = System.currentTimeMillis() - 600000L
           dump(ev.filter(col("ets") < lit(day2End) && !isLate), "b1", t0)
@@ -1669,6 +1673,27 @@ object SparkEntry {
       Dedup.simhashNearDupPairs(
         ahashed(s, dir).select(col("doc_id"), col("ahash").as("simhash")),
         "doc_id", maxHamming = 3, maxBucket = 1 << 20)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+    // Perceptual AUDIO hash from REAL decode — closing the multimodal
+    // near-dup matrix (images had aHash since r7; audio had only exact
+    // PCM sums): 200 pattern clips of 64 constant-valued frames
+    // (near-independent frame-energy profiles via the same per-frame
+    // Knuth mix) + 20 planted near twins (+500000: two seed-chosen
+    // frames reflected). javax.sound decodes the WAV the synth encoded;
+    // the 64-bit frame-energy hash emits as the same 4×16-bit blocking
+    // chunks, so the oracle rebuilds it from the frame closed forms with
+    // no audio library — any header, frame-grid, abs-energy, or
+    // bit-order bug hash-fails.
+    "multimodal_audiohash" -> ((s, dir) => audioHashChunks(s, dir)),
+    // ...and the dedup tier: the BIGINT audio hash flows through the SAME
+    // chunk-blocked pair generator as simhash and image aHash — payload
+    // bytes never shuffle, blocking operates on the 8-byte hash. Twin
+    // drift past Hamming 3 is parity-safe: both sides compute identical
+    // hashes, so blocking and the ≤3 filter agree exactly.
+    "multimodal_audiohash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(
+        audioHashed(s, dir).select(col("doc_id"), col("audiohash").as("simhash")),
+        "doc_id", maxHamming = 3, maxBucket = 1 << 20)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))))
 
   /** Pattern-image aHash set shared by the two perceptual-hash queries:
@@ -1691,6 +1716,28 @@ object SparkEntry {
   private def ahashChunks(s: SparkSession, dir: String): DataFrame =
     ahashed(s, dir).select(col("doc_id") +: (0 until 4).map(k =>
       shiftrightunsigned(col("ahash"), k * 16).bitwiseAND(0xFFFFL)
+        .cast("long").as(s"c$k")): _*)
+
+  /** Pattern-clip audio-hash set shared by the two perceptual-audio
+    * queries — the audio mirror of [[ahashed]]: 200 base pattern clips +
+    * 20 planted variant-1 twins (+500000: same pattern, two seed-chosen
+    * frames energy-reflected). 25 samples/frame → 1600-sample clips. */
+  private def audioHashed(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("doc_id").as("__pat"), lit(0).as("__var"))
+    val twins = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        col("doc_id").as("__pat"), lit(1).as("__var"))
+    Multimodal.audioHashes(
+      Multimodal.attachPatternAudio(base.union(twins), "doc_id", "__pat", "__var",
+        samplesPerFrame = 25),
+      "doc_id")
+  }
+
+  private def audioHashChunks(s: SparkSession, dir: String): DataFrame =
+    audioHashed(s, dir).select(col("doc_id") +: (0 until 4).map(k =>
+      shiftrightunsigned(col("audiohash"), k * 16).bitwiseAND(0xFFFFL)
         .cast("long").as(s"c$k")): _*)
 
   // ------------------------------------------------------------ oracles
@@ -2683,14 +2730,24 @@ object SparkEntry {
       "FROM documents d, range(0, 30) x(i), range(0, 17) y(j) " +
       "GROUP BY d.doc_id"),
     "multimodal_ahash" -> (ahashSql + "SELECT doc_id, c0, c1, c2, c3 FROM h"),
-    "multimodal_ahash_pairs" -> (ahashSql +
-      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+    "multimodal_ahash_pairs" -> (ahashSql + chunkPairsSql),
+    "multimodal_audiohash" -> (audioHashSql + "SELECT doc_id, c0, c1, c2, c3 FROM h"),
+    "multimodal_audiohash_pairs" -> (audioHashSql + chunkPairsSql))
+
+  /** Shared chunk-blocked pair tail over a CTE `h(doc_id, c0..c3)`: the
+    * SQL mirror of [[graft.operators.Dedup.simhashNearDupPairs]]'s
+    * 16-bit-chunk blocking + Hamming ≤ 3 filter (pigeonhole: ≤3 differing
+    * bits leave at least one of 4 chunks equal, so the block join is
+    * lossless).
+    */
+  private val chunkPairsSql: String =
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
       "CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) + " +
       "bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming " +
       "FROM h a JOIN h b ON a.doc_id < b.doc_id AND " +
       "(a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3) " +
       "WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) + " +
-      "bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3"))
+      "bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3"
 
   /** Shared aHash oracle prelude: rebuild the 64-bit average hash from
     * the pattern-image closed forms (no image library) as the same
@@ -2700,6 +2757,39 @@ object SparkEntry {
     * reduces exactly to `64·g_cell > Σ g_cells` — the grayscale and
     * equal-cell factors cancel. Bit order: cell (ci, cj) → bit cj·8+ci.
     */
+  /** Shared audio-hash oracle prelude — the audio mirror of [[ahashSql]]:
+    * rebuild the 64-bit frame-energy hash from the pattern-clip closed
+    * forms (no audio library) as the same 4×16-bit chunks the Spark side
+    * emits. Frames are constant-valued, non-negative and equal-sized, so
+    * [[graft.operators.Multimodal.audioHash64]]'s cross-multiplied
+    * compare (`frameSum·totalSamples > totalSum·frameSamples` over
+    * abs-sample sums) reduces exactly to `64·v_f > Σ v_f` — the
+    * per-frame-count factors cancel and abs is the identity. Bit order:
+    * frame f → bit f.
+    */
+  private val audioHashSql: String =
+    "WITH clips AS (SELECT doc_id, doc_id AS pid, 0 AS v FROM documents " +
+      "WHERE doc_id < 200 " +
+      "UNION ALL SELECT doc_id + 500000 AS doc_id, doc_id AS pid, 1 AS v " +
+      "FROM documents WHERE doc_id < 20), " +
+    "frames AS (SELECT doc_id, f.i AS b, " +
+      "CASE WHEN v = 1 AND (f.i = pid % 64 OR f.i = (7 * pid + 13) % 64) " +
+      "THEN 4095 - (((73 * pid + 31 * f.i + 11) * " +
+      "(73 * pid + 31 * f.i + 11) // 32) % 4096) " +
+      "ELSE ((73 * pid + 31 * f.i + 11) * " +
+      "(73 * pid + 31 * f.i + 11) // 32) % 4096 END AS g " +
+      "FROM clips, range(0, 64) f(i)), " +
+    "tot AS (SELECT doc_id, SUM(g) AS ts FROM frames GROUP BY doc_id), " +
+    "bits AS (SELECT c.doc_id, c.b, " +
+      "CASE WHEN 64 * c.g > t.ts THEN 1 ELSE 0 END AS bit " +
+      "FROM frames c JOIN tot t USING (doc_id)), " +
+    "h AS (SELECT doc_id, " +
+      "CAST(SUM(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c0, " +
+      "CAST(SUM(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c1, " +
+      "CAST(SUM(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c2, " +
+      "CAST(SUM(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c3 " +
+      "FROM bits GROUP BY doc_id) "
+
   private val ahashSql: String =
     "WITH imgs AS (SELECT doc_id, doc_id AS pid, 0 AS v FROM documents " +
       "WHERE doc_id < 200 " +

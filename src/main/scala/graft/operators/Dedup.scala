@@ -234,10 +234,13 @@ object Dedup {
     * license header it shares with a million other pages; this excises
     * the header from all of them while keeping each page's unique prose.
     *
-    * Output: (idCol, n_tokens, n_removed, clean_text) for EVERY input
-    * doc, over normalized tokens ([[normText]] — the cross-engine
-    * contract). Docs shorter than `k` tokens have no k-gram and are never
-    * excised; a fully-duplicated doc comes back with clean_text = ''.
+    * Output: (idCol, n_tokens, n_removed, clean_text) for every doc with
+    * a non-null id and non-null text (the same non-null-key contract as
+    * every dedup operator here — null-keyed rows are dropped, so row
+    * counts audit against the non-null input count, not the raw one),
+    * over normalized tokens ([[normText]] — the cross-engine contract).
+    * Docs shorter than `k` tokens have no k-gram and are never excised; a
+    * fully-duplicated doc comes back with clean_text = ''.
     *
     * Scale shape — full text crosses the wire exactly ONCE:
     *  - grams are the codegen posexplode + lead-window pattern (same as

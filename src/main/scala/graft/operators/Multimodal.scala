@@ -350,7 +350,20 @@ object Multimodal {
     */
   def synthesizeWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
     require(nSamples > 0, "nSamples must be positive")
-    val dataSize = nSamples * 2
+    val out = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      out(i) = (java.lang.Math.floorMod(seed * 31 + i.toLong * 7, 65536L).toInt - 32768).toShort
+      i += 1
+    }
+    writeWav16(out, sampleRate)
+  }
+
+  /** Standard 44-byte RIFF header + little-endian 16-bit mono PCM
+    * samples — the byte layout [[decodeAudio]]/[[audioHash64]] round-trip.
+    */
+  private def writeWav16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
@@ -361,12 +374,135 @@ object Multimodal {
       .putShort(2).putShort(16) // block align, bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
     var i = 0
-    while (i < nSamples) {
-      val s = java.lang.Math.floorMod(seed * 31 + i.toLong * 7, 65536L).toInt - 32768
-      buf.putShort(s.toShort)
-      i += 1
-    }
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
     buf.array()
+  }
+
+  /** Deterministic PATTERN clip for perceptual audio-hash tests — the
+    * audio analogue of [[synthesizePatternBmp]]: 64 frames of
+    * `samplesPerFrame` CONSTANT samples each, frame `f`'s value
+    * `((t²) div 32) mod 4096` with `t = 73·id + 31·f + 11` — the squared
+    * term makes the frame-energy profile nonlinear in (id, f), so
+    * distinct ids get near-independent hashes (the smooth
+    * [[synthesizeWav]] ramp is perceptually degenerate: every frame's
+    * mean is nearly identical). Values are non-negative (0..4095), so
+    * energy (Σ|s|) equals the plain sample sum and the SQL oracle needs
+    * no abs. `variant = 1` REFLECTS (4095 − v) exactly two seed-chosen
+    * frames (`id mod 64` and `(7·id + 13) mod 64`) — a planted near twin
+    * a few Hamming bits away. All closed forms, no 64-bit overflow for
+    * any id below ~4·10⁷ (t² < 2⁶³).
+    */
+  def synthesizePatternWav(id: Long, variant: Int, samplesPerFrame: Int,
+                           sampleRate: Int = 8000): Array[Byte] = {
+    require(samplesPerFrame > 0, "samplesPerFrame must be positive")
+    val f1 = java.lang.Math.floorMod(id, 64L).toInt
+    val f2 = java.lang.Math.floorMod(7 * id + 13, 64L).toInt
+    val n = 64 * samplesPerFrame
+    val out = new Array[Short](n)
+    var f = 0
+    while (f < 64) {
+      val t = 73L * id + 31L * f + 11L
+      val v0 = ((t * t / 32L) % 4096L).toInt
+      val v = if (variant == 1 && (f == f1 || f == f2)) 4095 - v0 else v0
+      var i = 0
+      while (i < samplesPerFrame) { out(f * samplesPerFrame + i) = v.toShort; i += 1 }
+      f += 1
+    }
+    writeWav16(out, sampleRate)
+  }
+
+  /** 64-bit frame-energy hash from a REAL decode — the audio analogue of
+    * [[aHash64]]: the clip's 16-bit PCM samples are reduced to 64
+    * frame-energy sums (energy = Σ|sample| per frame; abs, because a
+    * signed sum cancels to ~0 on any zero-mean waveform) and bit `f` is
+    * set when frame `f`'s AVERAGE energy exceeds the whole-clip average —
+    * compared cross-multiplied (`frameSum · totalSamples > totalSum ·
+    * frameSamples`), so no division ever happens and any engine with
+    * 64-bit integers reproduces the hash bit-for-bit (exact to
+    * totalSamples ≈ 5·10⁸ ≈ 18 h at 8 kHz: frameSum·total ≤
+    * 32768·n² < 2⁶³). Perceptually-similar clips — re-encoded, slightly
+    * trimmed, volume-shifted copies — agree on most bits; Hamming
+    * distance over the hash is the near-dup signal, and
+    * [[graft.operators.Dedup.simhashNearDupPairs]] consumes it
+    * unchanged. None for undecodable payloads, non-16-bit-PCM encodings,
+    * or clips shorter than 64 samples (no meaningful frame grid — the
+    * audio analogue of aHash's 8×8 minimum).
+    */
+  def audioHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        if (n < 64) return None
+        val le = !fmt.isBigEndian
+        val sums = new Array[Long](64)
+        val cnt = new Array[Long](64)
+        var i = 0
+        while (i < n) {
+          val lo = data(if (le) 2 * i else 2 * i + 1) & 0xFF
+          val hi = data(if (le) 2 * i + 1 else 2 * i)
+          val s = (hi << 8) | lo // hi is signed: sign-extends the sample
+          val f = (i.toLong * 64 / n).toInt // same grid mapping as aHash64
+          sums(f) += math.abs(s.toLong)
+          cnt(f) += 1L
+          i += 1
+        }
+        val total = sums.sum
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (sums(b) * n > total * cnt(b)) hash |= (1L << b)
+          b += 1
+        }
+        Some(hash)
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Partition-local [[audioHash64]] over a media column: (id, media) →
+    * (id, audiohash). Undecodable payloads emit no row, exactly as
+    * [[imageAHashes]]; nothing shuffles and downstream near-dup blocking
+    * operates on the 8-byte hash, never the payload.
+    */
+  def audioHashes(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol), StructField("audiohash", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("media.bytes").as("__b"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          audioHash64(r.getAs[Array[Byte]]("__b")).map(hv => Row(r.get(0), hv))
+        }
+      }
+  }
+
+  /** [[attachSyntheticAudio]] for [[synthesizePatternWav]]: pattern id
+    * and variant flag come from columns — the planting knobs for
+    * perceptual audio-dedup tests, mirroring [[attachPatternImages]].
+    */
+  def attachPatternAudio(df: DataFrame, idCol: String, patternCol: String,
+                         variantCol: String, samplesPerFrame: Int,
+                         sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol), StructField("media", mediaType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(patternCol).cast("long"), col(variantCol).cast("int"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes = synthesizePatternWav(r.getLong(1), r.getInt(2), samplesPerFrame,
+            sampleRate)
+          Row(r.get(0), Row(bytes, "audio/wav", null, null,
+            64L * samplesPerFrame * 1000L / sampleRate))
+        }
+      }
   }
 
   /** Wrap each row's id as a synthesized WAV payload in the media

@@ -247,6 +247,10 @@ object Similarity {
       val aggs = count(lit(1)).as("__n") +: (0 until dim).map(i =>
         sum(element_at(col(vecCol), i + 1).cast("double")).as(s"__s$i"))
       val rows = df
+        // degrade-not-throw: a null or wrong-dimension vector would yield a
+        // null __cell group / null dimension sums and fail the whole job at
+        // getInt/getDouble below — skip such rows like decodeImage does
+        .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
         .select(ivfCellCol(col(vecCol), cs).as("__cell"), col(vecCol))
         .groupBy(col("__cell"))
         .agg(aggs.head, aggs.tail: _*)
@@ -255,7 +259,8 @@ object Similarity {
       rows.foreach { r =>
         val c = r.getInt(0)
         val n = r.getLong(1)
-        if (n > 0) (0 until dim).foreach(i => next(c)(i) = r.getDouble(2 + i) / n)
+        if (n > 0 && !(2 until 2 + dim).exists(r.isNullAt))
+          (0 until dim).foreach(i => next(c)(i) = r.getDouble(2 + i) / n)
       }
       cs = next
     }

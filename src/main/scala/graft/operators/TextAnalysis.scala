@@ -257,9 +257,14 @@ object TextAnalysis {
     * and per TERM that saturation alone determines the BM25 ranking (the
     * idf factor is constant within a term); the idf INGREDIENTS — df and
     * n_docs — ride along as exact integers so a consumer can weigh
-    * multi-term sums with whatever log variant it prefers. BIGINT
-    * arithmetic holds to T ≈ 4·10¹⁰ corpus tokens; past that, widen both
-    * sides to DECIMAL(38,0).
+    * multi-term sums with whatever log variant it prefers. The BIGINT
+    * bound is tf-DEPENDENT: the numerator is 10⁶·22·tf·T, so safety
+    * requires 2.2·10⁷·tf_max·T < 2⁶³ — T ≈ 4·10¹¹/tf_max corpus tokens
+    * (tf_max = the largest single-doc count of any query term; e.g.
+    * tf_max 100 → T ≈ 4·10⁹). Past that the engines DIVERGE rather than
+    * both failing (non-ANSI Spark wraps silently; DuckDB raises on BIGINT
+    * overflow) — widen both sides to DECIMAL(38,0) before the bound, not
+    * at it.
     *
     * Scale shape: one explode + ONE map-side-combined per-doc aggregate
     * (dl and every per-term tf in the same pass — terms are static

@@ -180,6 +180,64 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(0).getLong(1) == expected(0L) && got(1).getLong(1) == expected(5L))
   }
 
+  test("audioHash64: identical clips hash identically, pattern twins land a few bits away") {
+    val a = Multimodal.audioHash64(Multimodal.synthesizePatternWav(42L, 0, 25))
+    val a2 = Multimodal.audioHash64(Multimodal.synthesizePatternWav(42L, 0, 25))
+    assert(a.isDefined && a == a2, "same samples must give the same hash")
+    val twin = Multimodal.audioHash64(Multimodal.synthesizePatternWav(42L, 1, 25))
+    val other = Multimodal.audioHash64(Multimodal.synthesizePatternWav(43L, 0, 25))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // two direct reflections plus possible mean-shift collateral on
+    // borderline frames — near, but not exactly 2
+    assert(ham(a.get, twin.get) <= 8, s"twin too far: ${ham(a.get, twin.get)}")
+    assert(ham(a.get, other.get) > ham(a.get, twin.get),
+      s"distinct pattern (${ham(a.get, other.get)}) must be farther than the twin")
+  }
+
+  test("audioHash64: undecodable, non-PCM, and sub-grid payloads yield None, never throw") {
+    assert(Multimodal.audioHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.audioHash64(null).isEmpty)
+    // 32 samples is shorter than the 64-frame grid
+    assert(Multimodal.audioHash64(Multimodal.synthesizeWav(1L, 32)).isEmpty)
+    // truncated real header must degrade, not throw
+    assert(Multimodal.audioHash64(Multimodal.synthesizeWav(1L, 400).take(40)).isEmpty)
+  }
+
+  test("audioHashes drops undecodable rows and is exact for the closed form") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 5L).toDF("doc_id")
+    val clips = Multimodal.attachPatternAudio(
+      ids.select(col("doc_id"), col("doc_id").as("p"), lit(0).as("v")),
+      "doc_id", "p", "v", samplesPerFrame = 25)
+    val got = Multimodal.audioHashes(clips, "doc_id").orderBy("doc_id").collect()
+    assert(got.length == 2)
+    // mirror the closed form in-process: frame value ((t²) div 32) mod
+    // 4096, bit f set when 64·v > Σv (equal constant frames: the
+    // cross-multiplied average compare reduces to exactly this)
+    def expected(pid: Long): Long = {
+      val g = (0 until 64).map { f =>
+        val t = 73L * pid + 31L * f + 11L
+        (t * t / 32L) % 4096L
+      }
+      val tot = g.sum
+      g.zipWithIndex.foldLeft(0L) { case (h, (gv, b)) =>
+        if (64L * gv > tot) h | (1L << b) else h
+      }
+    }
+    assert(got(0).getLong(1) == expected(0L) && got(1).getLong(1) == expected(5L))
+  }
+
+  test("audioHash64 abs-energy: a zero-mean waveform does not collapse to an empty hash") {
+    // synthesizeWav's ramp alternates sign; a signed (non-abs) frame sum
+    // would cancel toward 0 on every frame and the compare would set an
+    // arbitrary bit pattern driven by rounding, not energy. With abs the
+    // hash is deterministic and the decode path exercises negatives.
+    val h = Multimodal.audioHash64(Multimodal.synthesizeWav(7L, 6400))
+    val h2 = Multimodal.audioHash64(Multimodal.synthesizeWav(7L, 6400))
+    assert(h.isDefined && h == h2)
+  }
+
   test("sampleFrames emits n frames with in-range offsets") {
     val frames = Multimodal.sampleFrames(mediaDf, "doc_id", 4)
       .filter(col("doc_id") === 1).orderBy("frame_idx").collect()
