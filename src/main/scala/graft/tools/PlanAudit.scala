@@ -90,7 +90,12 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def count(hay: String, needle: String): Int = needle.r.findAllIn(hay).size
-    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional third arg: comma-separated query names — audit a subset
+    // while iterating on one pipeline instead of executing all ~120
+    val only = args.lift(2).map(_.split(",").toSet)
+    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // capture actions the query function runs while BUILDING its result
       // (cache materialization, CC fast-path collects): each is a real
       // executed job whose plan belongs in this query's audit

@@ -264,22 +264,42 @@ class PlanShapeSpec extends SparkTestBase {
       s"un-persisted by design (caching AQE-hides the partitioning):\n$p")
   }
 
-  test("tfidf + paragraph dedup: AQE stage-reuses the doc-keyed text exchange at runtime") {
-    // the un-persisted two-consumer pipelines rest on AQE exchange reuse:
-    // both branches' repartition subtrees canonicalize identically, so the
-    // corpus text shuffles ONCE and the second branch reads the same
-    // shuffle stage (ReusedExchange). Only the post-execution adaptive
-    // plan shows this — assert there so a refactor that breaks canonical
-    // equality (e.g. divergent column pruning) re-adds a hidden full text
-    // shuffle and fails here, not at 100 TB.
-    Seq("q_tfidf", "q_paragraph_dedup", "q_span_dedup", "q_ngram_fluency",
-        "q_gopher_repeat").foreach { name =>
+  test("all nine stage-reuse pipelines keep their exact (live, reused) shuffle counts at runtime") {
+    // the un-persisted multi-consumer pipelines rest on AQE exchange
+    // reuse: every consumer's repartition subtree canonicalizes
+    // identically, so the corpus text shuffles ONCE and the other
+    // branches read the same shuffle stage (ReusedExchange). Only the
+    // post-execution adaptive plan shows this — assert the EXACT
+    // (live, reused) pair for every pipeline that relies on it (the
+    // PLAN_AUDIT.md runtime columns), so a stray inferred filter that
+    // breaks canonical equality — which silently converts a reused
+    // branch into a second full corpus shuffle with no result change —
+    // fails here, not at 100 TB.
+    val expected = Seq( // (query, live exchanges, reused branches)
+      ("dedup_e2e", 0, 1), // cached pair plan: live exchanges sit in eager execs
+      ("dedup_e2e_md5", 0, 1),
+      ("q_decontam_report", 4, 1),
+      ("q_gopher_repeat", 1, 3), // ONE doc-keyed exchange serves all four signals
+      ("q_ngram_fluency", 3, 2),
+      ("q_paragraph_dedup", 2, 1),
+      ("q_span_dedup", 2, 2),
+      ("q_tfidf", 2, 1),
+      ("q_winnow_pairs", 3, 2)) // one fp exchange serves all three tiers
+    expected.foreach { case (name, wantLive, wantReused) =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.collect() // finalize AQE on this df's own QueryExecution
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("isFinalPlan=true"), s"$name: expected finalized AQE plan:\n$p")
-      assert(p.contains("ReusedExchange"),
-        s"$name: both consumers must share one text shuffle stage:\n$p")
+      // same counting rule as PlanAudit's runtime columns: the finalized
+      // section only (the echoed initial plan would double-count)
+      val finalSection = p.split("== Initial Plan ==").head
+      val reused = "ReusedExchange".r.findAllIn(finalSection).size
+      val live = finalSection.linesIterator.count(ln =>
+        ln.contains("Exchange hashpartitioning") && !ln.contains("ReusedExchange"))
+      assert((live, reused) == ((wantLive, wantReused)),
+        s"$name: runtime (live, reused) = ($live, $reused), expected " +
+          s"($wantLive, $wantReused) — a canonical-equality break re-adds " +
+          s"a hidden corpus shuffle:\n$p")
     }
   }
 
