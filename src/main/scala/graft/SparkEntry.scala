@@ -1346,6 +1346,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(50)),
+    // ...and the full trainer loop on top: six sequential merge rounds,
+    // each one corpus scan + a TakeOrdered top-1 (ONE row to the driver
+    // per round). Trains on a deterministic 25% sample — production
+    // tokenizer training samples the corpus anyway, and the sample
+    // bounds the sequential-scan cost in the bench. The oracle replays
+    // the identical greedy double-space merge algebra in DuckDB CTEs.
+    "q_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir).filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", nMerges = 6)),
     "q_profile" -> ((s, dir) => docs(s, dir)
       .select(col("lang"), TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
       .groupBy("lang")
@@ -2615,6 +2624,7 @@ object SparkEntry {
       s"FROM (SELECT string_split($normSql, ' ') AS toks FROM documents), " +
       "unnest(range(1, greatest(len(toks), 1))) t(i)) " +
       "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50"),
+    "q_bpe_train" -> bpeTrainSql(6),
     "q_profile" -> ("SELECT lang, count(*) AS n_docs, " +
       "quantile_cont(n_tokens, 0.25) AS p25, quantile_cont(n_tokens, 0.5) AS p50, " +
       "quantile_cont(n_tokens, 0.75) AS p75 FROM (" +
@@ -2757,6 +2767,40 @@ object SparkEntry {
     * reduces exactly to `64·g_cell > Σ g_cells` — the grayscale and
     * equal-cell factors cancel. Bit order: cell (ci, cj) → bit cj·8+ci.
     */
+  /** DuckDB replay of [[graft.operators.TextAnalysis.bpeTrain]] on the
+    * same deterministic 25% sample: n chained CTE rounds, each counting
+    * adjacent pairs of the current tokenization, taking the top-1
+    * (ORDER BY cnt DESC, pair — binary collation matches Spark's UTF8
+    * comparison, and ordering by the PAIR STRING rather than (a, b)
+    * avoids the tuple-vs-concat divergence when a merged token's U+001F
+    * sorts below the space separator), and applying the identical greedy
+    * double-space merge algebra (` a  b ` consumes one flank space per
+    * match, the replacement restores it — left-to-right non-overlapping,
+    * like Spark's replace).
+    */
+  private def bpeTrainSql(n: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH r0 AS (SELECT $normSql AS s FROM documents WHERE doc_id % 4 = 0)")
+    (0 until n).foreach { k =>
+      sb ++= s", p$k AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair, " +
+        "count(*) AS cnt " +
+        s"FROM (SELECT string_split(s, ' ') AS toks FROM r$k), " +
+        "unnest(range(1, greatest(len(toks), 1))) t(i) GROUP BY pair)"
+      sb ++= s", m$k AS (SELECT CAST($k AS INT) AS merge_idx, " +
+        "string_split(pair, ' ')[1] AS tok_a, " +
+        "string_split(pair, ' ')[2] AS tok_b, cnt " +
+        s"FROM p$k ORDER BY cnt DESC, pair LIMIT 1)"
+      if (k < n - 1)
+        sb ++= s", r${k + 1} AS (SELECT trim(replace(replace(" +
+          "'  ' || replace(s, ' ', '  ') || '  ', " +
+          "' ' || tok_a || '  ' || tok_b || ' ', " +
+          "' ' || tok_a || chr(31) || tok_b || ' '), '  ', ' ')) AS s " +
+          s"FROM r$k, m$k)"
+    }
+    sb ++= " " + (0 until n).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    sb.toString
+  }
+
   /** Shared audio-hash oracle prelude — the audio mirror of [[ahashSql]]:
     * rebuild the 64-bit frame-energy hash from the pattern-clip closed
     * forms (no audio library) as the same 4×16-bit chunks the Spark side

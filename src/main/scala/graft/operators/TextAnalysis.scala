@@ -273,6 +273,78 @@ object TextAnalysis {
     * is persisted because totals and the stack both read it (no subplan
     * CSE) — cache ownership via [[CacheTracker]].
     */
+  /** BPE trainer: learn `nMerges` byte-pair merges from the corpus — the
+    * full training loop on top of `q_bpe_pairs`' one-round candidate
+    * table (Sennrich et al. 2016). Each round counts corpus-wide
+    * ADJACENT-pair frequencies over the CURRENT tokenization, takes the
+    * most frequent pair (ties broken by the pair string — binary
+    * collation in any engine), and merges every occurrence greedily
+    * left-to-right. Returns the merge table (merge_idx, tok_a, tok_b,
+    * cnt) — `cnt` is the pair's corpus frequency when it was chosen;
+    * merged tokens join with U+001F (absent from any corpus token, so a
+    * merge is always reversible).
+    *
+    * Greedy merge via PLAIN string replace — no per-token fold, no
+    * regex, bit-identical in any engine: tokens re-joined with TWO
+    * spaces (+ two-space pads), so the pattern ` a  b ` consumes ONE
+    * space from each flanking separator and the replacement ` ab `
+    * restores it. Chained occurrences (`a b a b`, `a a a`) therefore
+    * merge exactly as the left-to-right non-overlapping scan of
+    * classical BPE: each match leaves the neighbor's boundary space in
+    * place, and self-chains skip the consumed middle token. The
+    * round-k tokenization is the nested replace chain re-derived from
+    * the normalized text each scan — O(nMerges) narrow codegen'd string
+    * ops per row, deliberately NOT cached (a per-round materialized
+    * corpus is corpus-sized; the replace chain is cheaper than the
+    * exchange it would add).
+    *
+    * Scale shape: per round, ONE doc-keyed exchange (the codegen'd
+    * [[Dedup.explodedShingles]] pair stage) + one map-side-combined
+    * count + a TakeOrdered top-1 — exactly ONE row to the driver per
+    * round (the same bounded-scalar budget as [[bm25TopK]]'s totals and
+    * Components' edge count), so the sequential loop is scale-safe by
+    * construction; `nMerges ≤ 8` bounds it. Production tokenizer
+    * training samples the corpus anyway — feed a deterministic sample
+    * for the 100 TB case.
+    *
+    * Contract: every round must see at least one adjacent pair (any
+    * non-degenerate corpus); a pairless round stops the loop early.
+    */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+               nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 8, "driver-bounded loop: 1..8 merges")
+    val spark = df.sparkSession
+    val sep = "\u001f"
+    var cur: Column = Dedup.normText(col(textCol))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 0
+    var stop = false
+    while (k < nMerges && !stop) {
+      // pair counting rides the proven codegen shingle stage at size 2;
+      // normText is idempotent on the re-joined single-space form, and
+      // short docs' whole-text fallback shingle has no space → filtered
+      val top = Dedup.explodedShingles(
+          df.select(col(idCol), cur.as("__bpe")), idCol, "__bpe", 2)
+        .filter(col("__sh").contains(" "))
+        .groupBy(col("__sh")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("__sh")) // plans as TakeOrdered
+        .limit(1).collect()
+      if (top.isEmpty) stop = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        learned += ((k, a, b, top(0).getLong(1)))
+        val enc = concat(lit("  "), replace(cur, lit(" "), lit("  ")), lit("  "))
+        val merged = replace(enc, lit(s" $a  $b "), lit(s" $a$sep$b "))
+        cur = trim(replace(merged, lit("  "), lit(" ")))
+        k += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("merge_idx", "tok_a", "tok_b", "cnt")
+      .select(col("merge_idx").cast("int"), col("tok_a"), col("tok_b"),
+        col("cnt"))
+  }
+
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int,
                tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {

@@ -224,4 +224,39 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3L)(1) == 1L && got(3L)(5) == 0L && got(3L)(6) == 0L)
     assert(got(4L) == Seq(1L, 0L, 0L, 0L, 0L, 0L, 0L))
   }
+
+  test("bpeTrain: greedy merges match the hand-computed sequence, chains merge left-to-right") {
+    val s = spark
+    import s.implicits._
+    // round 0 pairs: "a b"×3, "b c"×2, "b a"×1, "c c"×1 → merge (a,b).
+    // round 1 (docs now "a␟b a␟b c" / "a␟b c c"): "a␟b c"×2 beats
+    // "a␟b a␟b"×1 and "c c"×1 → merge (a␟b, c).
+    val df = Seq((1L, "a b a b c"), (2L, "a b c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "doc_id", "text", nMerges = 2)
+      .orderBy("merge_idx").collect()
+    assert(got.length == 2)
+    assert((got(0).getInt(0), got(0).getString(1), got(0).getString(2),
+      got(0).getLong(3)) == ((0, "a", "b", 3L)))
+    assert((got(1).getInt(0), got(1).getString(1), got(1).getString(2),
+      got(1).getLong(3)) == ((1, "a\u001fb", "c", 2L)))
+  }
+
+  test("bpeTrain: self-chained pairs merge non-overlapping (a a a → [aa, a])") {
+    val s = spark
+    import s.implicits._
+    // "a a a a a": greedy (a,a) consumes pairs left-to-right →
+    // [a␟a, a␟a, a] — so round 1's top pair is (a␟a, a␟a) with count 1
+    // from this doc plus the tie-break against (a␟a, a). The doc with
+    // even run "a a a a" becomes [a␟a, a␟a] cleanly.
+    val df = Seq((1L, "a a a a a"), (2L, "a a a a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "doc_id", "text", nMerges = 2)
+      .orderBy("merge_idx").collect()
+    // round 0: pairs "a a"×7 (4 + 3 adjacent) → merge (a, a)
+    assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) ==
+      (("a", "a", 7L)))
+    // round 1 tokenizations: doc1 [a␟a, a␟a, a], doc2 [a␟a, a␟a] →
+    // pairs: (a␟a,a␟a)×2, (a␟a,a)×1 → merge (a␟a, a␟a) with count 2
+    assert((got(1).getString(1), got(1).getString(2), got(1).getLong(3)) ==
+      (("a\u001fa", "a\u001fa", 2L)))
+  }
 }
