@@ -174,6 +174,26 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  /** Write `df` as ONE parquet file `name.parquet` under `base` with a
+    * pinned mtime — the ordered-replay fixture unit shared by the
+    * streaming queries (the file stream source drains files
+    * oldest-mtime-first, so spaced mtimes pin the micro-batch order).
+    * An empty slice (possible at tiny SFs) or a failed mtime stamp would
+    * silently scramble the replay order the streaming semantics hinge
+    * on — fail loudly instead.
+    */
+  private def dumpBatchFile(base: java.io.File, df: DataFrame, name: String,
+                            mtime: Long): Unit = {
+    val tmp = new java.io.File(base, name + "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"replay fixture: batch slice $name produced no parquet file — SF too small"))
+    val dst = new java.io.File(base, name + ".parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    deleteRecursively(tmp)
+    require(dst.setLastModified(mtime), s"replay fixture: setLastModified failed for $name — replay order would be undefined")
+  }
+
   /** Adjacent-doc near-dup components — the shared machinery of
     * q_dedup_groups and q_leakage_split: edges between consecutive doc
     * ids with integer-arithmetic jaccard >= 1/2 (inter*2 >= union — no
@@ -581,23 +601,10 @@ object SparkEntry {
           // one parquet FILE per intended micro-batch; the file stream
           // source drains oldest-mtime-first, so spaced mtimes pin the
           // replay order
-          def dump(df: DataFrame, name: String, mtime: Long): Unit = {
-            val tmp = new java.io.File(base, name + "_tmp")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-            // an empty batch slice (possible at tiny SFs) or a failed mtime
-            // stamp would silently break the three-batch replay order that
-            // the watermark semantics hinge on — fail loudly instead
-            val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
-              .getOrElse(sys.error(s"q_stream_append: batch slice $name produced no parquet file — SF too small for the replay fixture"))
-            val dst = new java.io.File(base, name + ".parquet")
-            java.nio.file.Files.move(part.toPath, dst.toPath)
-            deleteRecursively(tmp)
-            require(dst.setLastModified(mtime), s"q_stream_append: setLastModified failed for $name — replay order would be undefined")
-          }
           val t0 = System.currentTimeMillis() - 600000L
-          dump(ev.filter(col("ets") < lit(day2End) && !isLate), "b1", t0)
-          dump(ev.filter(col("ets") >= lit(day2End)), "b2", t0 + 60000L)
-          dump(ev.filter(isLate), "b3", t0 + 120000L)
+          dumpBatchFile(base, ev.filter(col("ets") < lit(day2End) && !isLate), "b1", t0)
+          dumpBatchFile(base, ev.filter(col("ets") >= lit(day2End)), "b2", t0 + 60000L)
+          dumpBatchFile(base, ev.filter(isLate), "b3", t0 + 120000L)
         }
         val src = runner.fileSource(s, srcDir, StructType(Seq(
           StructField("ets", TimestampType), StructField("user_id", LongType),
@@ -611,6 +618,58 @@ object SparkEntry {
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("event_type"), col("n").as("n_events"),
           col("sum_value").as("sum_value_cents"))
+    }),
+
+    // STREAMING NEAR-DUP INGESTION — the continuous-ingestion composition
+    // of proven pieces, driver-visible: the dedup_incremental batch (20
+    // truncated near-copies of index docs) split into THREE ordered
+    // micro-batch files (mtime-pinned replay, maxFilesPerTrigger=1), each
+    // drained through foreachBatch running dedupAgainstPreparedIndex
+    // against a STANDING index whose signatures are computed and
+    // persisted ONCE before the stream starts — per trigger only the
+    // small batch is signatured and its bands broadcast into the index.
+    // Batch-vs-index matching has no batch-vs-batch interaction, so the
+    // union of per-batch matches must equal the one-shot batch oracle
+    // (dedup_incremental's algebra) EXACTLY — and n_appends counts how
+    // many micro-batches emitted each doc, so a replayed/duplicated
+    // trigger (a non-idempotent-sink bug) breaks the hash rather than
+    // slipping through.
+    "q_stream_dedup" -> ((s, dir) => {
+      val out = materializedDir("streamdedup", dir) { outPath =>
+        val runner = graft.streaming.StreamRunner
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val batchAll = d.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+        val srcDir = materializedDir("streamdedupsrc", dir) { inPath =>
+          val base = new java.io.File(inPath)
+          base.mkdirs()
+          val t0 = System.currentTimeMillis() - 600000L
+          (0 until 3).foreach { j =>
+            dumpBatchFile(base,
+              batchAll.filter((col("doc_id") - 100000) % 3 === j),
+              s"b$j", t0 + j * 60000L)
+          }
+        }
+        val tracker = new graft.operators.CacheTracker
+        val idx = Dedup.prepareDedupIndex(d, "doc_id", "text",
+          shingleSize = 3, numHashes = 8, tracker = tracker)
+        val src = runner.fileSource(s, srcDir, StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))),
+          maxFilesPerTrigger = Some(1))
+        runner.foreachBatchSink(src, (batch, _) => {
+          val bt = new graft.operators.CacheTracker
+          Dedup.dedupAgainstPreparedIndex(idx, batch, "doc_id", "text",
+            shingleSize = 3, numHashes = 8, tracker = bt)
+            .write.mode("append").parquet(outPath)
+          bt.release()
+        }, trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .awaitTermination()
+        tracker.release()
+      }
+      s.read.parquet(out).groupBy("doc_id")
+        .agg(min(col("dup_of")).as("dup_of"),
+          count(lit(1)).as("n_appends"))
     }),
 
     // ---- remaining §2.2 categories: rollup, sort/limit, set ops, scalars
@@ -2090,6 +2149,13 @@ object SparkEntry {
     // limitation.
     "dedup_incremental" -> (s"WITH $pairsMd5Ctes\n" +
       "SELECT id_b AS doc_id, min(id_a) AS dup_of FROM pr " +
+      "WHERE id_b >= 100000 AND id_b < 100020 AND id_a < 100000 GROUP BY id_b"),
+    // identical algebra: per-micro-batch matching against a static index
+    // has no batch-vs-batch interaction, so the streamed union equals the
+    // one-shot batch result; n_appends = 1 witnesses exactly-once emission
+    "q_stream_dedup" -> (s"WITH $pairsMd5Ctes\n" +
+      "SELECT id_b AS doc_id, min(id_a) AS dup_of, " +
+      "CAST(1 AS BIGINT) AS n_appends FROM pr " +
       "WHERE id_b >= 100000 AND id_b < 100020 AND id_a < 100000 GROUP BY id_b"),
     // parallel unnests zip positionally; a binary32 float times 2^20 is
     // exact in double (exponent shift), so floor+sum are engine-exact

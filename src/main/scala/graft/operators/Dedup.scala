@@ -476,6 +476,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Standing-index signature+set table for
+    * [[dedupAgainstPreparedIndex]]: compute and persist ONCE, then dedup
+    * any number of incoming micro-batches against it — the
+    * continuous-ingestion shape, where re-deriving the index signatures
+    * per batch would re-scan the (large) index on every trigger. The
+    * returned handle is persisted and owned by `tracker`; release it
+    * when ingestion stops.
+    */
+  def prepareDedupIndex(index: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 8,
+                        tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
+    require(numHashes % 2 == 0, "bands are 2 lanes wide: numHashes must be even")
+    tracker.own(
+      minhashSignatureMd5WithSets(index, idCol, textCol, shingleSize, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Incremental dedup: match a (small) ingestion batch against an
     * existing corpus INDEX without re-deduping the corpus. Returns one row
     * per batch document that near-dup-matches an index document:
@@ -495,14 +512,26 @@ object Dedup {
   def dedupAgainstIndex(index: DataFrame, batch: DataFrame,
                         idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 8,
-                        tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
+                        tracker: CacheTracker = CacheTracker.unmanaged): DataFrame =
+    dedupAgainstPreparedIndex(
+      prepareDedupIndex(index, idCol, textCol, shingleSize, numHashes, tracker),
+      batch, idCol, textCol, shingleSize, numHashes, tracker)
+
+  /** [[dedupAgainstIndex]] against a pre-built [[prepareDedupIndex]]
+    * table — the per-micro-batch half of streaming ingestion. Only the
+    * (small) batch side is signatured and persisted here; the index
+    * table arrives already persisted and is never reshuffled (the
+    * candidate join broadcasts the batch bands into it).
+    */
+  def dedupAgainstPreparedIndex(idx: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleSize: Int = 3, numHashes: Int = 8,
+                                tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     require(numHashes % 2 == 0, "bands are 2 lanes wide: numHashes must be even")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // both sides referenced twice (banding + verify join-back); Catalyst
-    // does not CSE subplans, so persist the signature+set tables. Cache
-    // ownership: see [[CacheTracker]].
-    val idx = tracker.own(
-      minhashSignatureMd5WithSets(index, idCol, textCol, shingleSize, numHashes).persist(lvl))
+    // the batch side is referenced twice (banding + verify join-back);
+    // Catalyst does not CSE subplans, so persist the signature+set
+    // table. Cache ownership: see [[CacheTracker]].
     val bat = tracker.own(
       minhashSignatureMd5WithSets(batch, idCol, textCol, shingleSize, numHashes).persist(lvl))
     // band value = band index ++ its two lanes — band-equality join needs

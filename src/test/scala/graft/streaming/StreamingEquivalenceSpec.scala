@@ -358,6 +358,48 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       s"near-dups matched per batch, novel doc passed: $matches")
   }
 
+  test("foreachBatch: prepared standing index matches per-batch, equals the one-shot result") {
+    // the q_stream_dedup shape: index signatures computed and persisted
+    // ONCE before the stream; each micro-batch only signatures itself.
+    // The streamed union must equal running the whole batch at once
+    // (batch-vs-index matching has no batch-vs-batch interaction).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "a completely different document about spark query engines and columnar data"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((100L, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val b2 = Seq(
+      (101L, "entirely novel content no index document resembles in any way at all"),
+      (102L, "a completely different document about spark query engines and columnar data"))
+    val tracker = new graft.operators.CacheTracker
+    val idx = graft.operators.Dedup.prepareDedupIndex(index, "doc_id", "text",
+      tracker = tracker)
+    val matches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamRunner.foreachBatchSink(
+      mem.toDF().toDF("doc_id", "text"),
+      (batch, _) => matches.synchronized {
+        val bt = new graft.operators.CacheTracker
+        matches ++= graft.operators.Dedup
+          .dedupAgainstPreparedIndex(idx, batch, "doc_id", "text", tracker = bt)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        bt.release()
+      })
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally { q.stop(); tracker.release() }
+    val oneShot = graft.operators.Dedup
+      .dedupAgainstIndex(index, (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches.toSet == oneShot,
+      s"streamed union ${matches.toSet} must equal one-shot $oneShot")
+    assert(matches.toSet == Set(100L -> 0L, 102L -> 1L))
+  }
+
   test("map→json transform works on a stream (to_json parity op)") {
     val s = spark
     import s.implicits._
