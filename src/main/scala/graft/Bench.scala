@@ -24,9 +24,17 @@ object Bench {
     // what are sub-second queries (measured: 9s cold → 0.9s warm).
     val warmDir = "/root/testdata/sf0.001"
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    queries.foreach { case (_, fn) =>
+    // Warmup failures are NOT swallowed silently: a query broken at
+    // sf0.001 would otherwise first surface at rep 1 against the bench SF
+    // with a misleading timing context. They are recorded (tagged
+    // `warmup:`) and land in the artifact's warmup_errors field — empty on
+    // a healthy run.
+    var warmupErrors = List.empty[String]
+    queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        warmupErrors ::= s"warmup:$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+      }
     }
     // 3 timed reps, run ROUND-ROBIN across queries (rep 1 of everything,
     // then rep 2, then rep 3) rather than back-to-back per query: a
@@ -72,6 +80,7 @@ object Bench {
       case c => c.toString
     }
     val errJson = errors.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
+    val warmJson = warmupErrors.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
     // Stop Spark BEFORE emitting the record: any executor/shutdown chatter
     // must land above our output, never between it and end-of-stream —
     // the recording harness keeps only the LAST 2000 chars of stdout.
@@ -98,7 +107,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"queries":$fullQs%s,"failed":$errJson%s,"sf":"$sfDir%s"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"queries":$fullQs%s,"failed":$errJson%s,"warmup_errors":$warmJson%s,"sf":"$sfDir%s"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val chunks = results.map { case (k, v, _) => s"$k=${math.round(v * 100)}" }
@@ -112,7 +121,10 @@ object Bench {
     // failed on the summary line is capped at 3 entries (full list in the
     // artifact) — an everything-broke run must not evict the summary from
     // the tail window either
+    // "partial":true marks the summary's queries map as the slowest-15
+    // subset (full map lives in the artifact) so an old-contract parser
+    // can detect it is under-reading rather than silently seeing 15 rows
     val errHead = errors.take(3).map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"nfail":${errors.size}%d,"queries":$slowest%s,"failed":$errHead%s,"sf":"$sfDir%s","artifact":"$artifact%s"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"nfail":${errors.size}%d,"nwarmfail":${warmupErrors.size}%d,"partial":true,"queries":$slowest%s,"failed":$errHead%s,"sf":"$sfDir%s","artifact":"$artifact%s"}""")
   }
 }

@@ -123,15 +123,40 @@ object SparkEntry {
   private val layoutTag = java.util.UUID.randomUUID().toString.take(8)
   private val matDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-  private def materializedDir(key: String, dir: String)
-                             (write: String => Unit): String =
-    matDirs.computeIfAbsent((key, dir), _ => {
-      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_${key}_${layoutTag}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      write(out.getAbsolutePath)
-      sys.addShutdownHook(deleteRecursively(out))
-      out.getAbsolutePath
-    })
+  private val matLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
+  /** NOT computeIfAbsent: `write` may itself call materializedDir for a
+    * nested key (streaming queries stage a source dir inside their sink
+    * builder), and a nested computeIfAbsent on the same CHM is the
+    * "Recursive update" IllegalStateException the CHM contract forbids —
+    * it killed q_stream_dedup in the round-8 bench (bin-collision
+    * dependent, so Verify passed while Bench died). Instead: lock-free
+    * read, then a per-key lock around build+put. The lock map's own
+    * computeIfAbsent never nests (its lambda allocates an Object and
+    * returns), and nested materializedDir calls take DIFFERENT per-key
+    * locks in dependency order (outer→inner, acyclic), so no deadlock.
+    * Callers still hoist inner dirs before outer builders where natural,
+    * but correctness no longer depends on it.
+    */
+  private[graft] def materializedDir(key: String, dir: String)
+                                    (write: String => Unit): String = {
+    val k = (key, dir)
+    val cached = matDirs.get(k)
+    if (cached != null) return cached
+    val lock = matLocks.computeIfAbsent(k, _ => new Object)
+    lock.synchronized {
+      val again = matDirs.get(k)
+      if (again != null) again
+      else {
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_${key}_${layoutTag}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        write(out.getAbsolutePath)
+        sys.addShutdownHook(deleteRecursively(out))
+        matDirs.put(k, out.getAbsolutePath)
+        out.getAbsolutePath
+      }
+    }
+  }
 
   /** Process-unique bucketed orders+customer tables for q_bucketed_join,
     * registered in `s`'s catalog and written once per (session, sfDir).
@@ -532,18 +557,19 @@ object SparkEntry {
     // boundaries (see foreachBatchSink). Runs once per process into a
     // process-unique dir, same memoization as q_partition_prune.
     "q_stream_daily" -> ((s, dir) => {
+      // the file-stream source needs a DIRECTORY to watch (a production
+      // landing zone); the testdata table is a single parquet file, so
+      // stage it into a process-unique input dir once — BEFORE the sink
+      // builder below, so no materializedDir call nests in another
+      val srcDir = materializedDir("streamsrc", dir) { inPath =>
+        new java.io.File(inPath).mkdirs()
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "events.parquet"),
+          java.nio.file.Paths.get(inPath, "events.parquet")): Unit
+      }
       val out = materializedDir("streamdaily", dir) { outPath =>
         val schema = events(s, dir).schema
         val runner = graft.streaming.StreamRunner
-        // the file-stream source needs a DIRECTORY to watch (a production
-        // landing zone); the testdata table is a single parquet file, so
-        // stage it into a process-unique input dir once
-        val srcDir = materializedDir("streamsrc", dir) { inPath =>
-          new java.io.File(inPath).mkdirs()
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(dir, "events.parquet"),
-            java.nio.file.Paths.get(inPath, "events.parquet")): Unit
-        }
         val src = runner.fileSource(s, srcDir, schema)
         val chained = runner.applyChain(src, Map(
           "transforms" -> "dropK,wrap",
@@ -586,26 +612,28 @@ object SparkEntry {
     // If eviction failed, day-1 counts differ; if append flushed eagerly,
     // day-N appears — either way the hash breaks.
     "q_stream_append" -> ((s, dir) => {
-      val out = materializedDir("streamappend", dir) { outPath =>
-        val runner = graft.streaming.StreamRunner
-        val ev = events(s, dir).select(
-          timestamp_micros(expr("ts div 1000")).as("ets"),
-          col("user_id"), col("event_type"), cents(col("value")).as("vc"))
+      val runner = graft.streaming.StreamRunner
+      val ev = events(s, dir).select(
+        timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("user_id"), col("event_type"), cents(col("value")).as("vc"))
+      // stage the replay files BEFORE the sink builder (no nested
+      // materializedDir — see its scaladoc)
+      val srcDir = materializedDir("streamappendsrc", dir) { inPath =>
         val minDay = ev.agg(min(date_trunc("DAY", col("ets")))).head.getTimestamp(0)
         val day2End = new java.sql.Timestamp(minDay.getTime + 2 * 86400000L)
         val isLate = date_trunc("DAY", col("ets")) === lit(minDay) &&
           col("user_id") % 7 === 3
-        val srcDir = materializedDir("streamappendsrc", dir) { inPath =>
-          val base = new java.io.File(inPath)
-          base.mkdirs()
-          // one parquet FILE per intended micro-batch; the file stream
-          // source drains oldest-mtime-first, so spaced mtimes pin the
-          // replay order
-          val t0 = System.currentTimeMillis() - 600000L
-          dumpBatchFile(base, ev.filter(col("ets") < lit(day2End) && !isLate), "b1", t0)
-          dumpBatchFile(base, ev.filter(col("ets") >= lit(day2End)), "b2", t0 + 60000L)
-          dumpBatchFile(base, ev.filter(isLate), "b3", t0 + 120000L)
-        }
+        val base = new java.io.File(inPath)
+        base.mkdirs()
+        // one parquet FILE per intended micro-batch; the file stream
+        // source drains oldest-mtime-first, so spaced mtimes pin the
+        // replay order
+        val t0 = System.currentTimeMillis() - 600000L
+        dumpBatchFile(base, ev.filter(col("ets") < lit(day2End) && !isLate), "b1", t0)
+        dumpBatchFile(base, ev.filter(col("ets") >= lit(day2End)), "b2", t0 + 60000L)
+        dumpBatchFile(base, ev.filter(isLate), "b3", t0 + 120000L)
+      }
+      val out = materializedDir("streamappend", dir) { outPath =>
         val src = runner.fileSource(s, srcDir, StructType(Seq(
           StructField("ets", TimestampType), StructField("user_id", LongType),
           StructField("event_type", StringType), StructField("vc", LongType))),
@@ -635,22 +663,24 @@ object SparkEntry {
     // trigger (a non-idempotent-sink bug) breaks the hash rather than
     // slipping through.
     "q_stream_dedup" -> ((s, dir) => {
-      val out = materializedDir("streamdedup", dir) { outPath =>
-        val runner = graft.streaming.StreamRunner
-        val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val runner = graft.streaming.StreamRunner
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      // stage the replay files BEFORE the sink builder (no nested
+      // materializedDir — the r8 bench died exactly here; see scaladoc)
+      val srcDir = materializedDir("streamdedupsrc", dir) { inPath =>
         val batchAll = d.filter(col("doc_id") < 20).select(
           (col("doc_id") + 100000).as("doc_id"),
           regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
-        val srcDir = materializedDir("streamdedupsrc", dir) { inPath =>
-          val base = new java.io.File(inPath)
-          base.mkdirs()
-          val t0 = System.currentTimeMillis() - 600000L
-          (0 until 3).foreach { j =>
-            dumpBatchFile(base,
-              batchAll.filter((col("doc_id") - 100000) % 3 === j),
-              s"b$j", t0 + j * 60000L)
-          }
+        val base = new java.io.File(inPath)
+        base.mkdirs()
+        val t0 = System.currentTimeMillis() - 600000L
+        (0 until 3).foreach { j =>
+          dumpBatchFile(base,
+            batchAll.filter((col("doc_id") - 100000) % 3 === j),
+            s"b$j", t0 + j * 60000L)
         }
+      }
+      val out = materializedDir("streamdedup", dir) { outPath =>
         val tracker = new graft.operators.CacheTracker
         val idx = Dedup.prepareDedupIndex(d, "doc_id", "text",
           shingleSize = 3, numHashes = 8, tracker = tracker)

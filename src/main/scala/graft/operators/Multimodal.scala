@@ -418,9 +418,11 @@ object Multimodal {
     * set when frame `f`'s AVERAGE energy exceeds the whole-clip average —
     * compared cross-multiplied (`frameSum · totalSamples > totalSum ·
     * frameSamples`), so no division ever happens and any engine with
-    * 64-bit integers reproduces the hash bit-for-bit (exact to
-    * totalSamples ≈ 5·10⁸ ≈ 18 h at 8 kHz: frameSum·total ≤
-    * 32768·n² < 2⁶³). Perceptually-similar clips — re-encoded, slightly
+    * 64-bit integers reproduces the hash bit-for-bit. The 64-bit fast
+    * path is exact to n ≈ 1.3·10⁸ samples (~4.7 h at 8 kHz): frameSum ≤
+    * 32768·(n/64), so frameSum·n ≤ 512·n² < 2⁶³ ⇔ n < 2²⁷; past a
+    * conservative 10⁸ the compare switches to BigInteger — same bits,
+    * never a silent wrap. Perceptually-similar clips — re-encoded, slightly
     * trimmed, volume-shifted copies — agree on most bits; Hamming
     * distance over the hash is the near-dup signal, and
     * [[graft.operators.Dedup.simhashNearDupPairs]] consumes it
@@ -455,10 +457,19 @@ object Multimodal {
           i += 1
         }
         val total = sums.sum
+        // 64-bit products are exact only to n < 2²⁷ (see scaladoc);
+        // longer clips widen to BigInteger rather than silently wrap
+        val wide = n > 100000000
         var hash = 0L
         var b = 0
         while (b < 64) {
-          if (sums(b) * n > total * cnt(b)) hash |= (1L << b)
+          val bit =
+            if (!wide) sums(b) * n > total * cnt(b)
+            else java.math.BigInteger.valueOf(sums(b))
+              .multiply(java.math.BigInteger.valueOf(n))
+              .compareTo(java.math.BigInteger.valueOf(total)
+                .multiply(java.math.BigInteger.valueOf(cnt(b)))) > 0
+          if (bit) hash |= (1L << b)
           b += 1
         }
         Some(hash)

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Regression coverage for the round-8 bench crash: `materializedDir`
+  * memoized via `ConcurrentHashMap.computeIfAbsent`, and the streaming
+  * queries staged their source dir from INSIDE the sink builder — a
+  * nested computeIfAbsent on the same map, which throws
+  * `IllegalStateException: Recursive update` whenever the two keys land
+  * in the same bin (bin-collision dependent, so Verify passed while the
+  * bench process died on q_stream_dedup). The fix is twofold: the
+  * helper now builds outside the map under a per-key lock (reentrancy
+  * is structurally safe), and the three streaming queries hoist their
+  * source staging before the sink builder anyway.
+  */
+class StreamQueryConstructionSpec extends SparkTestBase {
+
+  test("materializedDir tolerates reentrant (nested) builds across many key pairs") {
+    // 64 outer/inner pairs: under the old computeIfAbsent impl a same-bin
+    // collision somewhere in this many keys was near-certain; under the
+    // fixed impl nesting is safe by construction for every pair
+    val tag = java.util.UUID.randomUUID().toString.take(6)
+    (0 until 64).foreach { i =>
+      var inner: String = null
+      val outer = SparkEntry.materializedDir(s"nest_o${i}_$tag", "/nest") { out =>
+        inner = SparkEntry.materializedDir(s"nest_i${i}_$tag", "/nest") { in =>
+          new java.io.File(in).mkdirs(): Unit
+        }
+        new java.io.File(out).mkdirs(): Unit
+      }
+      assert(new java.io.File(outer).isDirectory, s"outer dir $i built")
+      assert(new java.io.File(inner).isDirectory, s"inner dir $i built")
+    }
+    // memoization still holds: a second call must not re-run the writer
+    var reran = false
+    val first = SparkEntry.materializedDir(s"nest_o0_$tag", "/nest")(_ => ())
+    SparkEntry.materializedDir(s"nest_o0_$tag", "/nest")(_ => reran = true)
+    assert(!reran && first.nonEmpty, "second call served from the memo")
+  }
+
+  test("streaming queries construct back-to-back in one session (r8 bench crash pair)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir, "events.parquet").exists(),
+      "driver testdata not present")
+    // the exact pair the r8 bench died on, plus the third carrier of the
+    // same shape — each stages a source dir and then builds a sink dir
+    val daily = SparkEntry.queries("q_stream_daily")(spark, dir)
+    assert(daily.count() > 0, "q_stream_daily rows")
+    val dedup = SparkEntry.queries("q_stream_dedup")(spark, dir)
+    assert(dedup.count() > 0, "q_stream_dedup rows")
+    val append = SparkEntry.queries("q_stream_append")(spark, dir)
+    assert(append.count() > 0, "q_stream_append rows")
+  }
+}
