@@ -1792,7 +1792,86 @@ object SparkEntry {
       Dedup.simhashNearDupPairs(
         audioHashed(s, dir).select(col("doc_id"), col("audiohash").as("simhash")),
         "doc_id", maxHamming = 3, maxBucket = 1 << 20)
-        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))))
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+
+    // STREAMING MEDIA INGESTION against a standing perceptual-hash index —
+    // the multimodal composition of q_stream_dedup's shape (VERDICT r8
+    // task 8): the 200 base pattern images AND the 200 base pattern clips
+    // are decoded ONCE into a standing chunk-blocked hash index
+    // (prepareHashIndex, persisted, modality in the blocking key); the 40
+    // planted twins (20 image + 20 audio, raw BYTES in the files — the
+    // real ingestion payload shape) arrive as three mtime-ordered
+    // micro-batches, and each trigger decodes ONLY its batch, hashes it,
+    // and broadcasts its chunk rows into the index
+    // (hashDedupAgainstPreparedIndex) — the index never reshuffles and
+    // payload bytes never shuffle at all. Batch-vs-index matching has no
+    // batch-vs-batch interaction, so the appended union must equal the
+    // one-shot oracle (closed-form hash rebuild, Hamming ≤ 3) exactly;
+    // n_appends is the exactly-once witness, as in q_stream_dedup.
+    "q_stream_media_dedup" -> ((s, dir) => {
+      val runner = graft.streaming.StreamRunner
+      val d = docs(s, dir)
+      def parts(idLt: Long, shift: Long, varFlag: Int) = d
+        .filter(col("doc_id") < idLt)
+        .select((col("doc_id") + shift).as("doc_id"),
+          col("doc_id").as("__pat"), lit(varFlag).as("__var"))
+      def mediaHashes(df: DataFrame): DataFrame =
+        Multimodal.imageAHashes(
+          Multimodal.attachPatternImages(df, "doc_id", "__pat", "__var", 32, 16),
+          "doc_id")
+          .select(lit("img").as("modality"), col("doc_id"), col("ahash").as("mhash"))
+          .union(Multimodal.audioHashes(
+            Multimodal.attachPatternAudio(df, "doc_id", "__pat", "__var",
+              samplesPerFrame = 25), "doc_id")
+            .select(lit("aud").as("modality"), col("doc_id"),
+              col("audiohash").as("mhash")))
+      // stage the twin payloads BEFORE the sink builder (no nested
+      // materializedDir — see its scaladoc): three files of raw bytes
+      val srcDir = materializedDir("streammediasrc", dir) { inPath =>
+        val twins = parts(20, 500000, 1)
+        val payload = Multimodal
+          .attachPatternImages(twins, "doc_id", "__pat", "__var", 32, 16)
+          .select(lit("img").as("modality"), col("doc_id"),
+            col("media.bytes").as("bytes"))
+          .union(Multimodal.attachPatternAudio(twins, "doc_id", "__pat", "__var",
+            samplesPerFrame = 25)
+            .select(lit("aud").as("modality"), col("doc_id"),
+              col("media.bytes").as("bytes")))
+        val base = new java.io.File(inPath)
+        base.mkdirs()
+        val t0 = System.currentTimeMillis() - 600000L
+        (0 until 3).foreach { j =>
+          dumpBatchFile(base,
+            payload.filter((col("doc_id") - 500000) % 3 === j),
+            s"b$j", t0 + j * 60000L)
+        }
+      }
+      val out = materializedDir("streammedia", dir) { outPath =>
+        val tracker = new graft.operators.CacheTracker
+        val idx = Dedup.prepareHashIndex(mediaHashes(parts(200, 0, 0)),
+          "doc_id", "mhash", extra = Seq("modality"), tracker = tracker)
+        val src = runner.fileSource(s, srcDir, StructType(Seq(
+          StructField("modality", StringType), StructField("doc_id", LongType),
+          StructField("bytes", BinaryType))), maxFilesPerTrigger = Some(1))
+        runner.foreachBatchSink(src, (batch, _) => {
+          // decode ONLY the arriving bytes; imageAHashes/audioHashes read
+          // media.bytes, so wrap the payload column in a 1-field struct
+          val m = batch.withColumn("media", struct(col("bytes").as("bytes")))
+          val bh = Multimodal.imageAHashes(m.filter(col("modality") === "img"), "doc_id")
+            .select(lit("img").as("modality"), col("doc_id"), col("ahash").as("mhash"))
+            .union(Multimodal.audioHashes(m.filter(col("modality") === "aud"), "doc_id")
+              .select(lit("aud").as("modality"), col("doc_id"),
+                col("audiohash").as("mhash")))
+          Dedup.hashDedupAgainstPreparedIndex(idx, bh, "doc_id", "mhash",
+            extra = Seq("modality"), maxHamming = 3)
+            .write.mode("append").parquet(outPath)
+        }, trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .awaitTermination()
+        tracker.release()
+      }
+      s.read.parquet(out).groupBy("modality", "doc_id")
+        .agg(min(col("dup_of")).as("dup_of"), count(lit(1)).as("n_appends"))
+    }))
 
   /** Pattern-image aHash set shared by the two perceptual-hash queries:
     * 200 base pattern images (near-independent hashes by the per-cell
@@ -2838,7 +2917,8 @@ object SparkEntry {
     "multimodal_ahash" -> (ahashSql + "SELECT doc_id, c0, c1, c2, c3 FROM h"),
     "multimodal_ahash_pairs" -> (ahashSql + chunkPairsSql),
     "multimodal_audiohash" -> (audioHashSql + "SELECT doc_id, c0, c1, c2, c3 FROM h"),
-    "multimodal_audiohash_pairs" -> (audioHashSql + chunkPairsSql))
+    "multimodal_audiohash_pairs" -> (audioHashSql + chunkPairsSql),
+    "q_stream_media_dedup" -> streamMediaDedupSql)
 
   /** Shared chunk-blocked pair tail over a CTE `h(doc_id, c0..c3)`: the
     * SQL mirror of [[graft.operators.Dedup.simhashNearDupPairs]]'s
@@ -2907,50 +2987,75 @@ object SparkEntry {
     * per-frame-count factors cancel and abs is the identity. Bit order:
     * frame f → bit f.
     */
-  private val audioHashSql: String =
-    "WITH clips AS (SELECT doc_id, doc_id AS pid, 0 AS v FROM documents " +
+  private def audioHashCtes(p: String): String =
+    s"${p}clips AS (SELECT doc_id, doc_id AS pid, 0 AS v FROM documents " +
       "WHERE doc_id < 200 " +
       "UNION ALL SELECT doc_id + 500000 AS doc_id, doc_id AS pid, 1 AS v " +
       "FROM documents WHERE doc_id < 20), " +
-    "frames AS (SELECT doc_id, f.i AS b, " +
+    s"${p}frames AS (SELECT doc_id, f.i AS b, " +
       "CASE WHEN v = 1 AND (f.i = pid % 64 OR f.i = (7 * pid + 13) % 64) " +
       "THEN 4095 - (((73 * pid + 31 * f.i + 11) * " +
       "(73 * pid + 31 * f.i + 11) // 32) % 4096) " +
       "ELSE ((73 * pid + 31 * f.i + 11) * " +
       "(73 * pid + 31 * f.i + 11) // 32) % 4096 END AS g " +
-      "FROM clips, range(0, 64) f(i)), " +
-    "tot AS (SELECT doc_id, SUM(g) AS ts FROM frames GROUP BY doc_id), " +
-    "bits AS (SELECT c.doc_id, c.b, " +
+      s"FROM ${p}clips, range(0, 64) f(i)), " +
+    s"${p}tot AS (SELECT doc_id, SUM(g) AS ts FROM ${p}frames GROUP BY doc_id), " +
+    s"${p}bits AS (SELECT c.doc_id, c.b, " +
       "CASE WHEN 64 * c.g > t.ts THEN 1 ELSE 0 END AS bit " +
-      "FROM frames c JOIN tot t USING (doc_id)), " +
-    "h AS (SELECT doc_id, " +
+      s"FROM ${p}frames c JOIN ${p}tot t USING (doc_id)), " +
+    s"${p}h AS (SELECT doc_id, " +
       "CAST(SUM(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c0, " +
       "CAST(SUM(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c1, " +
       "CAST(SUM(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c2, " +
       "CAST(SUM(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c3 " +
-      "FROM bits GROUP BY doc_id) "
+      s"FROM ${p}bits GROUP BY doc_id) "
 
-  private val ahashSql: String =
-    "WITH imgs AS (SELECT doc_id, doc_id AS pid, 0 AS v FROM documents " +
+  private val audioHashSql: String = "WITH " + audioHashCtes("")
+
+  private def ahashCtes(p: String): String =
+    s"${p}imgs AS (SELECT doc_id, doc_id AS pid, 0 AS v FROM documents " +
       "WHERE doc_id < 200 " +
       "UNION ALL SELECT doc_id + 500000 AS doc_id, doc_id AS pid, 1 AS v " +
       "FROM documents WHERE doc_id < 20), " +
-    "cells AS (SELECT doc_id, cj.j * 8 + ci.i AS b, " +
+    s"${p}cells AS (SELECT doc_id, cj.j * 8 + ci.i AS b, " +
       "CASE WHEN v = 1 AND (cj.j * 8 + ci.i = pid % 64 " +
       "OR cj.j * 8 + ci.i = (7 * pid + 13) % 64) " +
       "THEN 255 - (((73 * pid + 17 * ci.i + 29 * cj.j + 7) * " +
       "(73 * pid + 17 * ci.i + 29 * cj.j + 7) // 32) % 256) " +
       "ELSE ((73 * pid + 17 * ci.i + 29 * cj.j + 7) * " +
       "(73 * pid + 17 * ci.i + 29 * cj.j + 7) // 32) % 256 END AS g " +
-      "FROM imgs, range(0, 8) ci(i), range(0, 8) cj(j)), " +
-    "tot AS (SELECT doc_id, SUM(g) AS ts FROM cells GROUP BY doc_id), " +
-    "bits AS (SELECT c.doc_id, c.b, " +
+      s"FROM ${p}imgs, range(0, 8) ci(i), range(0, 8) cj(j)), " +
+    s"${p}tot AS (SELECT doc_id, SUM(g) AS ts FROM ${p}cells GROUP BY doc_id), " +
+    s"${p}bits AS (SELECT c.doc_id, c.b, " +
       "CASE WHEN 64 * c.g > t.ts THEN 1 ELSE 0 END AS bit " +
-      "FROM cells c JOIN tot t USING (doc_id)), " +
-    "h AS (SELECT doc_id, " +
+      s"FROM ${p}cells c JOIN ${p}tot t USING (doc_id)), " +
+    s"${p}h AS (SELECT doc_id, " +
       "CAST(SUM(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c0, " +
       "CAST(SUM(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c1, " +
       "CAST(SUM(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c2, " +
       "CAST(SUM(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS c3 " +
-      "FROM bits GROUP BY doc_id) "
+      s"FROM ${p}bits GROUP BY doc_id) "
+
+  private val ahashSql: String = "WITH " + ahashCtes("")
+
+  /** Oracle for q_stream_media_dedup: both closed-form hash rebuilds
+    * (prefixed CTEs so they share one WITH), tagged by modality, twins
+    * (≥ 500000) joined against bases (< 200) within the SAME modality at
+    * Hamming ≤ 3 — the blocking condition is omitted because chunk
+    * blocking is lossless at ≤ 3 (pigeonhole), so the plain Hamming join
+    * is set-equal. n_appends = 1 is the exactly-once witness: each twin
+    * lives in exactly one micro-batch, so a duplicated trigger would
+    * break the hash.
+    */
+  private val streamMediaDedupSql: String =
+    "WITH " + ahashCtes("i_") + ", " + audioHashCtes("a_") + ", " +
+      "hh AS (SELECT 'img' AS modality, doc_id, c0, c1, c2, c3 FROM i_h " +
+      "UNION ALL SELECT 'aud' AS modality, doc_id, c0, c1, c2, c3 FROM a_h) " +
+      "SELECT b.modality, b.doc_id, min(a.doc_id) AS dup_of, " +
+      "CAST(1 AS BIGINT) AS n_appends " +
+      "FROM hh b JOIN hh a ON a.modality = b.modality " +
+      "AND b.doc_id >= 500000 AND a.doc_id < 200 " +
+      "AND bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) + " +
+      "bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3 " +
+      "GROUP BY b.modality, b.doc_id"
 }

@@ -738,4 +738,62 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ------------------------------------ standing 64-bit-hash index probe
+
+  /** Chunk-explode a (`extra`..., id, 64-bit hash) frame into the same
+    * 4×16-bit blocking rows [[simhashNearDupPairs]] buckets on —
+    * (extra..., id, full hash, chunk index, chunk value). `extra` columns
+    * (e.g. a modality tag) join into the blocking key, so an image hash
+    * can never pair with an audio hash that happens to share chunk bits.
+    */
+  private def hashChunkRows(df: DataFrame, idCol: String, hashCol: String,
+                            extra: Seq[String]): DataFrame = {
+    val cols = extra.map(col) ++ Seq(col(idCol), col(hashCol).as("__h"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col(hashCol), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "cv")))
+    df.select(cols: _*)
+  }
+
+  /** The MEDIA analogue of [[prepareDedupIndex]]: chunk-explode the
+    * standing corpus' perceptual hashes (image aHash, audio frame-energy
+    * hash — any 64-bit hash) ONCE and persist the blocking table. At
+    * corpus scale this is 4 small rows per item — the payload bytes are
+    * decoded exactly once upstream and never enter the index. Probe
+    * micro-batches with [[hashDedupAgainstPreparedIndex]]; release via
+    * `tracker` when ingestion stops.
+    */
+  def prepareHashIndex(idx: DataFrame, idCol: String, hashCol: String,
+                       extra: Seq[String] = Nil,
+                       tracker: CacheTracker = CacheTracker.unmanaged): DataFrame =
+    tracker.own(hashChunkRows(idx, idCol, hashCol, extra)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Match a (small) ingestion batch of 64-bit perceptual hashes against
+    * a standing [[prepareHashIndex]] table: one row per batch item within
+    * `maxHamming` bits of some index item — (extra..., `idCol`, `dup_of`
+    * = smallest matching index id). Blocking is lossless for maxHamming
+    * ≤ 3 by pigeonhole (≤3 differing bits leave one of 4 chunks equal).
+    *
+    * Scale shape, mirroring [[dedupAgainstPreparedIndex]]: the batch's
+    * chunk rows are BROADCAST into the persisted index — the index never
+    * reshuffles per trigger, candidate generation is a map-side join,
+    * and only the arriving batch is decoded/hashed. A same pair matching
+    * on several chunks needs no distinct: the min/groupBy absorbs it.
+    */
+  def hashDedupAgainstPreparedIndex(idxChunks: DataFrame, batch: DataFrame,
+                                    idCol: String, hashCol: String,
+                                    extra: Seq[String] = Nil,
+                                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit chunk blocking is lossless only to Hamming 3")
+    val b = hashChunkRows(batch, idCol, hashCol, extra)
+      .withColumnRenamed(idCol, "__bid").withColumnRenamed("__h", "__bh")
+    idxChunks.withColumnRenamed(idCol, "__iid")
+      .join(broadcast(b), extra ++ Seq("chunk", "cv"))
+      .filter(bit_count(col("__h").bitwiseXOR(col("__bh"))) <= maxHamming)
+      .groupBy(extra.map(col) :+ col("__bid"): _*)
+      .agg(min(col("__iid")).as("dup_of"))
+      .withColumnRenamed("__bid", idCol)
+  }
+
 }

@@ -358,4 +358,45 @@ class DedupSpec extends SparkTestBase {
     assert(rep._2 == 16L && rep._3 == "and then again",
       "a k-gram repeated inside one doc is excised at both occurrences")
   }
+
+  test("standing hash index: batch probes match within Hamming 3, per modality") {
+    val s = spark
+    import s.implicits._
+    // index: two image hashes and one audio hash sharing image 10's bits
+    val idx = Seq(
+      ("img", 10L, 0x00000000000000FFL),
+      ("img", 11L, 0x7FFF000000000000L),
+      ("aud", 20L, 0x00000000000000FFL))
+      .toDF("modality", "doc_id", "mhash")
+    val tracker = new CacheTracker
+    val prepared = Dedup.prepareHashIndex(idx, "doc_id", "mhash",
+      extra = Seq("modality"), tracker = tracker)
+    val batch = Seq(
+      ("img", 100L, 0x00000000000000FEL), // Hamming 1 from img 10
+      ("img", 101L, 0x7FFF00000000000FL), // Hamming 4 from img 11 → no match
+      ("aud", 102L, 0x00000000000000FFL), // exact match of aud 20
+      ("aud", 103L, 0x7FFF000000000000L)) // = img 11, but wrong modality
+      .toDF("modality", "doc_id", "mhash")
+    val got = Dedup.hashDedupAgainstPreparedIndex(prepared, batch,
+      "doc_id", "mhash", extra = Seq("modality"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    tracker.release()
+    assert(got == Set(("img", 100L, 10L), ("aud", 102L, 20L)),
+      s"Hamming-1 and exact match, no cross-modality or Hamming-4: $got")
+  }
+
+  test("standing hash index: a batch item matching several chunks/ids dedups to min id") {
+    val s = spark
+    import s.implicits._
+    val idx = Seq(("m", 5L, 0L), ("m", 3L, 1L)).toDF("modality", "doc_id", "mhash")
+    val prepared = Dedup.prepareHashIndex(idx, "doc_id", "mhash", Seq("modality"))
+    // 0L is Hamming 0 from id 5 and Hamming 1 from id 3; all four chunks
+    // agree on both → 8 candidate rows collapse to one (min id 3)
+    val batch = Seq(("m", 9L, 0L)).toDF("modality", "doc_id", "mhash")
+    val got = Dedup.hashDedupAgainstPreparedIndex(prepared, batch,
+      "doc_id", "mhash", Seq("modality")).collect()
+    prepared.unpersist()
+    assert(got.length == 1 && got.head.getLong(2) == 3L,
+      s"one output row, dup_of = min matching index id: ${got.toSeq}")
+  }
 }
