@@ -640,6 +640,10 @@ object SparkEntry {
           maxFilesPerTrigger = Some(1))
         val agg = runner.windowedStats(src, "ets", "vc", "event_type",
           windowLen = "1 day", watermarkDelay = "0 seconds")
+        // the checkpoint is a SIBLING of the materialized dir, so the
+        // memo's shutdown hook doesn't cover it — register its own
+        sys.addShutdownHook(
+          deleteRecursively(new java.io.File(outPath + "_ckpt")))
         runner.fileSink(agg, outPath, outPath + "_ckpt").awaitTermination()
       }
       s.read.parquet(out)
