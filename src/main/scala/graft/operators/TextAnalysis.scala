@@ -307,6 +307,16 @@ object TextAnalysis {
     * training samples the corpus anyway — feed a deterministic sample
     * for the 100 TB case.
     *
+    * Measured per-round cost (tools/BpeCurveProbe, sf0.1 sample, warm
+    * min of 3, local[32]): nMerges 2/4/6/8 → 1.25/2.55/3.91/5.18 s —
+    * marginal cost per round FLAT at 0.63-0.68 s. The deepening
+    * replace chain is theoretically ~quadratic in nMerges, but at these
+    * depths the per-round exchange + count dominates and the chain term
+    * is noise; raising the `nMerges ≤ 8` bound to tokenizer-realistic
+    * depths (thousands) WOULD surface it — at that point switch to a
+    * materialized-corpus-per-round design (trade an exchange per round
+    * for a bounded-depth chain).
+    *
     * Contract: every round must see at least one adjacent pair (any
     * non-degenerate corpus); a pairless round stops the loop early.
     */
