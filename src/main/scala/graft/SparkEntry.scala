@@ -24,8 +24,11 @@ import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJso
   *    value is identical. Money goes through [[cents]]: per-row
   *    `CAST(x AS DECIMAL(18,2)) * 100` → BIGINT, summed as plain longs
   *    (exact, order-independent, map-side-combinable) on both sides;
-  *  - `events.ts` is BIGINT nanos under `nanosAsLong` (Spark) but
-  *    TIMESTAMP_NS in DuckDB — compare via `epoch_ns()` or day-truncation;
+  *  - `events.ts` is normalized to BIGINT epoch nanos at the source
+  *    boundary ([[graft.sources.Tables.normalizeEventTime]]) regardless of
+  *    the parquet writer's physical timestamp encoding; DuckDB reads the
+  *    same file natively as a timestamp — compare via `epoch_us(ts)`
+  *    (== Spark `ts div 1000`) or day-truncation;
   *  - hash/fingerprint parity uses `md5` (identical everywhere);
   *    engine-internal paths use `xxhash64` (fast, Spark-only) and those
   *    queries get rows-only checks.
@@ -558,14 +561,12 @@ object SparkEntry {
     // process-unique dir, same memoization as q_partition_prune.
     "q_stream_daily" -> ((s, dir) => {
       // the file-stream source needs a DIRECTORY to watch (a production
-      // landing zone); the testdata table is a single parquet file, so
-      // stage it into a process-unique input dir once — BEFORE the sink
-      // builder below, so no materializedDir call nests in another
+      // landing zone); stage the NORMALIZED events table into a
+      // process-unique input dir once (a raw file copy would leak the
+      // writer's physical ts encoding past the Tables boundary) — BEFORE
+      // the sink builder below, so no materializedDir call nests in another
       val srcDir = materializedDir("streamsrc", dir) { inPath =>
-        new java.io.File(inPath).mkdirs()
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(dir, "events.parquet"),
-          java.nio.file.Paths.get(inPath, "events.parquet")): Unit
+        events(s, dir).coalesce(1).write.mode("overwrite").parquet(inPath)
       }
       val out = materializedDir("streamdaily", dir) { outPath =>
         val schema = events(s, dir).schema
@@ -880,8 +881,8 @@ object SparkEntry {
       mergeAggs = Seq(sum(col("n_events")).as("n_events"),
         sum(col("sum_value_cents")).as("sum_value_cents")))),
     // gaps-and-islands sessionization over events, 1-hour gap. Times are
-    // epoch MICROS on both sides: DuckDB reads the nanos parquet timestamp
-    // truncated to micros, so `ts div 1000` == `epoch_us(ts)` exactly.
+    // epoch MICROS on both sides: `ts` is normalized BIGINT nanos (micro
+    // precision), so `ts div 1000` == DuckDB's `epoch_us(ts)` exactly.
     "q_sessionize" -> ((s, dir) => graft.operators.Sessionize.sessions(
       events(s, dir)
         .withColumn("ts_us", expr("ts div 1000"))

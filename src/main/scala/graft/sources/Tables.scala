@@ -1,23 +1,66 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Batch source layer over the driver-generated testdata star schema
   * (TESTDATA.md): one parquet file per table under an `sf` directory.
   *
-  * `events.parquet` stores its `ts` as parquet `TIMESTAMP(NANOS)`, which
-  * Spark only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (the column then surfaces as `BIGINT` nanos-since-epoch). The conf is
-  * dynamic, so we set it defensively on every read — this keeps
-  * `SparkEntry.entry`/`queries` correct even under a driver-owned
-  * SparkSession we didn't build.
+  * Event-time normalization: the physical encoding of `events.ts` is
+  * WRITER-OWNED and has already changed under us once (parquet
+  * `TIMESTAMP(NANOS)` through round 8; `timestamp[us]`, surfacing as
+  * `TIMESTAMP_NTZ`, from round 9). A scale-grade engine must not leak a
+  * physical encoding into query bodies, so this layer normalizes `ts` to
+  * ONE logical type — BIGINT nanoseconds since the epoch, UTC — at the
+  * source boundary:
+  *
+  *  - parquet TIMESTAMP(NANOS): readable only under
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` (set defensively on
+  *    every read — the conf is dynamic and the SparkSession may be
+  *    driver-owned); the column then already surfaces as BIGINT nanos.
+  *  - parquet timestamp micros/millis (TIMESTAMP or TIMESTAMP_NTZ): cast
+  *    to session-local timestamp (lossless — the session TZ is pinned to
+  *    UTC below, and the fixtures are UTC wall-clock), then
+  *    `unix_micros(..) * 1000L` back to BIGINT nanos.
+  *
+  * Downstream algebra (`ts div 1000` → micros, window frames, as-of/range
+  * joins) and the DuckDB oracle SQL (`epoch_us(ts)` — DuckDB reads either
+  * encoding natively at micro precision) agree under both encodings.
   */
 object Tables {
   final val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** If `c` is a wall-clock/instant timestamp column, project it to BIGINT
+    * nanos since the epoch (UTC); BIGINT columns pass through unchanged.
+    */
+  def toEpochNanos(c: Column, dataType: org.apache.spark.sql.types.DataType): Column =
+    dataType match {
+      case TimestampType | TimestampNTZType =>
+        // NTZ→LTZ cast interprets wall-clock in the session TZ; pinned to
+        // UTC in `table` so the interpretation is the identity
+        unix_micros(c.cast(TimestampType)) * 1000L
+      case LongType => c
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time physical type: $other")
+    }
+
+  /** Normalize a loaded table: any `ts` column becomes BIGINT epoch nanos
+    * regardless of the parquet writer's physical choice.
+    */
+  def normalizeEventTime(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType != LongType =>
+        df.withColumn("ts", toEpochNanos(col("ts"), f.dataType))
+      case _ => df
+    }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set(NanosConf, "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    // the nanos↔timestamp equivalence above needs UTC; Verify/Bench pin it
+    // at build time, this covers a driver-owned session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeEventTime(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** All star-schema table names present in an sf directory. */
