@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Fixture-type regression gate (VERDICT r9 task 3): the physical encoding
+  * of `events.ts` is owned by the testdata writer and has already changed
+  * once mid-project (parquet TIMESTAMP(NANOS) → `timestamp[us]`). This
+  * spec writes the SAME tiny events table in three encodings a parquet
+  * writer could plausibly pick —
+  *
+  *   1. BIGINT epoch nanos (how the nanos fixture surfaces under
+  *      `nanosAsLong`),
+  *   2. TIMESTAMP_NTZ micros (the current fixture),
+  *   3. TIMESTAMP (instant) micros,
+  *
+  * — and asserts the event-time query builders ANALYZE and return
+  * IDENTICAL results on all three. Any future fixture churn lands here as
+  * a red test, not as eight silently-missing correctness rows.
+  *
+  * The streaming builders (q_stream_daily/q_stream_append) share the same
+  * normalized source boundary and are exercised against the real fixture
+  * by StreamQueryConstructionSpec; batch coverage here is the encoding
+  * gate.
+  */
+class EventTimeEncodingSpec extends SparkTestBase {
+
+  /** ~3 days of deterministic events: 8 users, 1.5-hour stride (so the
+    * 1-hour sessionize gap actually splits), purchase/error/view mix.
+    */
+  private lazy val baseMicros: DataFrame = {
+    val rows = (0 until 240).map { i =>
+      val us = 1700000000000000L + i * 5400000000L // 1.5h stride
+      val etype = (i % 5) match {
+        case 0 | 3 => "purchase"
+        case 1     => "error"
+        case _     => "view"
+      }
+      Row(i.toLong, us, (i % 8).toLong, etype, (i % 97) + 0.25,
+        s"""{"k":${i % 3},"u":${i % 8}}""")
+    }
+    df(StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))),
+      rows: _*)
+  }
+
+  private def writeFixture(encode: org.apache.spark.sql.Column): String = {
+    val dir = java.nio.file.Files.createTempDirectory("evt_enc").toString
+    baseMicros.withColumn("ts", encode).drop("ts_us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private lazy val nanosDir = writeFixture(col("ts_us") * 1000L)
+  private lazy val ntzDir =
+    writeFixture(timestamp_micros(col("ts_us")).cast(TimestampNTZType))
+  private lazy val ltzDir = writeFixture(timestamp_micros(col("ts_us")))
+
+  test("Tables normalizes every encoding to BIGINT epoch nanos") {
+    for (dir <- Seq(nanosDir, ntzDir, ltzDir)) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == LongType, s"dir=$dir")
+    }
+    // min/max, not sum — 240 × ~1.7e18 nanos overflows BIGINT
+    val expect = baseMicros
+      .select(min(col("ts_us") * 1000L), max(col("ts_us") * 1000L)).head
+    for (dir <- Seq(nanosDir, ntzDir, ltzDir))
+      assert(Tables.events(spark, dir).select(min("ts"), max("ts")).head
+        == expect, s"dir=$dir")
+  }
+
+  private val eventTimeQueries = Seq("q_events_daily", "q_rolling_window",
+    "q_sessionize", "q_asof", "q_range", "q_kafka_envelope")
+
+  test("event-time query builders agree across all three ts encodings") {
+    for (name <- eventTimeQueries) {
+      val build = SparkEntry.queries(name)
+      def run(dir: String): Seq[String] =
+        build(spark, dir).collect().map(_.toString).sorted.toSeq
+      val onNanos = run(nanosDir)
+      assert(onNanos.nonEmpty, s"$name returned no rows")
+      assert(run(ntzDir) == onNanos, s"$name: NTZ != nanos")
+      assert(run(ltzDir) == onNanos, s"$name: LTZ != nanos")
+    }
+  }
+}
