@@ -64,8 +64,14 @@ object Components {
     }
     val defaultP = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val p = math.max(1L, math.min(defaultP.toLong, edgeCount / 1000000L + 1L)).toInt
+    // localCheckpoint (not just persist) on the loop-invariant edge table:
+    // a persisted DataFrame keeps its full LOGICAL lineage, so every
+    // pointer-doubling round would otherwise re-plan the caller's entire
+    // pair-generation pipeline ~4× per materialization. Cutting lineage
+    // here makes per-round planning O(round shape), independent of
+    // upstream depth.
     val sym = symRaw.repartition(p, col("a"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -98,6 +104,24 @@ object Components {
         .select(col("id"), col("__ccomp").as("comp"))
       (next, hooked)
     }
+    // Per-iteration lineage cut with STATS SCRUB. localCheckpoint alone is
+    // not enough for an iterative loop: the LogicalRDD it produces carries
+    // the origin plan's ESTIMATED statistics forward, and each round's
+    // size estimate is a product over its join tree — so the carried
+    // sizeInBytes COMPOUNDS multiplicatively across iterations
+    // (digits × ~5 per round). By iteration ~8-10 the estimates are
+    // BigIntegers with millions of digits and the driver spends minutes
+    // per round inside Toom-Cook multiplication in Spark's size-only
+    // stats visitor before any executor work starts (observed on the
+    // 100×-saturated near-dup corpus, the first input whose pair count
+    // crossed the distributed-path threshold). Rebuilding the DataFrame
+    // from the checkpointed RDD drops originStats — the leaf reverts to
+    // defaultSizeInBytes, so every round plans against flat, bounded
+    // stats. The Row round-trip touches only the node-count-sized label
+    // table, and AQE still picks broadcast/skew shapes from RUNTIME sizes.
+    var labelsCk: DataFrame = null // checkpoint backing `labels` — its
+    // cache must outlive every action on the rebuilt DF reading it
+    val spark = edges.sparkSession
     while (!converged && iter < maxIter) {
       // TWO logical rounds per materialization + convergence check: the
       // driver-side actions (checkpoint job + sum job) dominate each loop
@@ -105,13 +129,13 @@ object Components {
       // halves them — worst case is one wasted (already-converged) round.
       val (mid, h1) = round(labels)
       val (next, h2) = round(mid)
-      // localCheckpoint cuts lineage so plans don't grow per round (it
-      // caches internally — no extra persist needed)
-      val materialized = next.localCheckpoint(eager = true)
+      val ck = next.localCheckpoint(eager = true)
       h1.unpersist(blocking = false)
       h2.unpersist(blocking = false)
-      labels.unpersist(blocking = false)
-      labels = materialized
+      if (labelsCk != null) labelsCk.unpersist(blocking = false)
+      else labels.unpersist(blocking = false) // iteration 1: the persisted seed
+      labelsCk = ck
+      labels = spark.createDataFrame(ck.rdd, ck.schema)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

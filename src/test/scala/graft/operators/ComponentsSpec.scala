@@ -36,6 +36,36 @@ class ComponentsSpec extends SparkTestBase {
     assert(cc(edges) == cc(edges, localThreshold = 0L))
   }
 
+  test("distributed path stays driver-bounded under a deep self-joined " +
+       "upstream plan (stats-compounding regression)") {
+    // The r10 probe finding: an edge list whose LOGICAL plan nests
+    // self-joins has a size ESTIMATE that is a product over the join
+    // tree; the per-iteration localCheckpoint used to carry that
+    // estimate forward as originStats, so it COMPOUNDED every round
+    // until the driver sat in BigInteger multiplication inside the stats
+    // visitor for minutes per round. Rebuilding each checkpoint without
+    // originStats keeps planning flat. This spec inflates the estimate
+    // through 8 nested self-joins (estimated size ~ bytes^256) and a
+    // 63-hop chain (≥ 4 loop iterations); pre-fix it effectively hangs,
+    // post-fix it completes in seconds.
+    val s = spark
+    import s.implicits._
+    var df = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    for (_ <- 0 until 8) {
+      val left = df.select(col("a"), col("b"))
+      val right = df.select(col("a").as("a2"), col("b").as("b2"))
+      df = left.join(right, col("a") === col("a2"))
+        .select(col("a"), col("b")).distinct()
+    }
+    val deadline = System.nanoTime() + 180L * 1000000000L
+    val got = Components.connectedComponents(df, "a", "b",
+      maxIter = 20, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(System.nanoTime() < deadline,
+      "distributed CC spent >180s on a 64-node graph — stats compounding is back")
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
   test("clique and star shapes; ids need not be contiguous") {
     val clique = Seq((5L, 9L), (5L, 7L), (7L, 9L))
     val star = Seq((100L, 200L), (100L, 300L), (100L, 400L))
