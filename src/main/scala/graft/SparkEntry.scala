@@ -2177,10 +2177,14 @@ object SparkEntry {
   private def semDedupSql: String = {
     // mirror of Similarity.semDedup over embeddings ∪ jittered copies
     // (same corpus CTE as embPairsSql) with fixedCentroids(8, 64, 7)
-    // (same cell math as annIvfFixedSql) and cosine >= 0.98: a doc is a
-    // semantic dup iff some lower-id doc in its cell reaches the
-    // threshold. list_cosine_similarity over DOUBLE[] matches the
-    // engine's float→double widened, element-ordered dot/norms.
+    // (same cell math as annIvfFixedSql) and cosine >= 0.98, INCLUDING
+    // the overflow tier: a cell past maxCluster=10000 degrades to
+    // representative-only comparison (member vs the cell's min-id row),
+    // so the oracle states the operator's FULL contract and hash-checks
+    // at any scale — the 10× replica caught the old exact-only mirror
+    // diverging the first time a cell crossed the cap (r10).
+    // list_cosine_similarity over DOUBLE[] matches the engine's
+    // float→double widened, element-ordered dot/norms.
     val jitter = 0.001f.toDouble
     val cents = Similarity.fixedCentroids(nlist = 8, dim = 64, seed = 7L)
     def distSql(cArr: Array[Double]) = {
@@ -2197,13 +2201,23 @@ object SparkEntry {
        |  FROM embeddings WHERE vec_id < 10),
        |cells AS (SELECT vec_id, embedding,
        |  CAST(list_position($dl, list_min($dl)) - 1 AS INT) AS cluster
-       |  FROM corpus)
+       |  FROM corpus),
+       |cstat AS (SELECT cluster, count(*) AS n, min(vec_id) AS rid
+       |  FROM cells GROUP BY cluster),
+       |reps AS (SELECT s.cluster, s.n, s.rid, c.embedding AS rv
+       |  FROM cstat s JOIN cells c
+       |  ON c.cluster = s.cluster AND c.vec_id = s.rid)
        |SELECT c.vec_id, c.cluster,
-       |  EXISTS(SELECT 1 FROM cells c2 WHERE c2.cluster = c.cluster
-       |    AND c2.vec_id < c.vec_id
-       |    AND list_cosine_similarity(c2.embedding::DOUBLE[],
-       |          c.embedding::DOUBLE[]) >= 0.98) AS is_semdup
-       |FROM cells c""".stripMargin
+       |  CASE WHEN r.n > 10000 THEN
+       |    c.vec_id <> r.rid AND list_cosine_similarity(r.rv::DOUBLE[],
+       |      c.embedding::DOUBLE[]) >= 0.98
+       |  ELSE
+       |    EXISTS(SELECT 1 FROM cells c2 WHERE c2.cluster = c.cluster
+       |      AND c2.vec_id < c.vec_id
+       |      AND list_cosine_similarity(c2.embedding::DOUBLE[],
+       |            c.embedding::DOUBLE[]) >= 0.98)
+       |  END AS is_semdup
+       |FROM cells c JOIN reps r ON c.cluster = r.cluster""".stripMargin
   }
 
   private def embPairsSql: String = {
