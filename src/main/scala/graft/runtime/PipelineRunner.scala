@@ -50,6 +50,9 @@ object PipelineRunner {
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // --input may point at a TIMESTAMP(NANOS) parquet (the pre-r9
+      // testdata encoding), unreadable without this legacy conf
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // the library's official registration path: custom planner strategy
       // + SQL functions, same as spark.sql.extensions=graft.GraftExtensions
