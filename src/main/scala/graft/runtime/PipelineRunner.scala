@@ -30,7 +30,11 @@ object PipelineRunner {
     val props = propsFile.map(loadProps).getOrElse(Map.empty) ++ inlineProps
     val fn = ConnectProps.compile(props)
     spark.conf.set(graft.sources.Tables.NanosConf, "true")
-    fn(spark.read.parquet(input))
+    // same source-boundary contract as the query surface: whatever
+    // physical ts encoding the user's writer chose (TIMESTAMP,
+    // TIMESTAMP_NTZ, legacy TIMESTAMP(NANOS) → BIGINT), downstream sees
+    // one logical type — BIGINT epoch nanos
+    fn(graft.sources.Tables.normalizeEventTime(spark.read.parquet(input)))
   }
 
   def loadProps(path: String): Map[String, String] = {
@@ -81,7 +85,11 @@ object PipelineRunner {
         val ckpt = opts.getOrElse("--checkpoint", outDir + "_ckpt")
         spark.conf.set(graft.sources.Tables.NanosConf, "true")
         val schema = spark.read.parquet(input).schema
-        val src = graft.streaming.StreamRunner.fileSource(spark, input, schema)
+        // normalizeEventTime is a plain projection, so it composes onto
+        // the streaming DataFrame unchanged — same encoding immunity as
+        // the batch path above
+        val src = graft.sources.Tables.normalizeEventTime(
+          graft.streaming.StreamRunner.fileSource(spark, input, schema))
         val props = opts.get("--props").map(loadProps).getOrElse(Map.empty)
         val q = graft.streaming.StreamRunner.fileSink(
           graft.streaming.StreamRunner.applyChain(src, props), outDir, ckpt)

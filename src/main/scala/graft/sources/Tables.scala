@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.functions.{col, lit, timestamp_diff, unix_micros}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Batch source layer over the driver-generated testdata star schema
@@ -19,14 +19,21 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *    `spark.sql.legacy.parquet.nanosAsLong=true` (set defensively on
   *    every read — the conf is dynamic and the SparkSession may be
   *    driver-owned); the column then already surfaces as BIGINT nanos.
-  *  - parquet timestamp micros/millis (TIMESTAMP or TIMESTAMP_NTZ): cast
-  *    to session-local timestamp (lossless — the session TZ is pinned to
-  *    UTC below, and the fixtures are UTC wall-clock), then
-  *    `unix_micros(..) * 1000L` back to BIGINT nanos.
+  *  - parquet timestamp micros/millis, instant-encoded (TIMESTAMP):
+  *    `unix_micros(..) * 1000L` — absolute micros, session-TZ-independent;
+  *  - parquet timestamp micros/millis, wall-clock (TIMESTAMP_NTZ):
+  *    `timestamp_diff(MICROSECOND, NTZ epoch, ..)` — both operands are
+  *    NTZ, so the projection never consults the session time zone and the
+  *    wall clock is read as UTC (what the fixtures and the DuckDB oracle's
+  *    naive `epoch_us(ts)` both mean). No session conf is mutated here
+  *    beyond the read-side `NanosConf`.
   *
   * Downstream algebra (`ts div 1000` → micros, window frames, as-of/range
   * joins) and the DuckDB oracle SQL (`epoch_us(ts)` — DuckDB reads either
-  * encoding natively at micro precision) agree under both encodings.
+  * encoding natively at micro precision) agree under all encodings.
+  * Date-LEVEL operators downstream (`to_date`, `date_trunc` on rebuilt
+  * timestamps) still follow the session time zone — standard Spark
+  * semantics; Verify/Bench/PipelineRunner pin UTC at session build time.
   */
 object Tables {
   final val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
@@ -36,10 +43,16 @@ object Tables {
     */
   def toEpochNanos(c: Column, dataType: org.apache.spark.sql.types.DataType): Column =
     dataType match {
-      case TimestampType | TimestampNTZType =>
-        // NTZ→LTZ cast interprets wall-clock in the session TZ; pinned to
-        // UTC in `table` so the interpretation is the identity
-        unix_micros(c.cast(TimestampType)) * 1000L
+      case TimestampType =>
+        // instant encoding: absolute micros, independent of session TZ
+        unix_micros(c) * 1000L
+      case TimestampNTZType =>
+        // wall-clock encoding: difference from the NTZ epoch — both
+        // operands NTZ, so the session TZ is never consulted and the
+        // wall clock is read as UTC (an NTZ→LTZ cast would instead
+        // interpret it in whatever TZ the driver-owned session runs)
+        timestamp_diff("MICROSECOND",
+          lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)), c) * 1000L
       case LongType => c
       case other => throw new IllegalArgumentException(
         s"unsupported event-time physical type: $other")
@@ -56,10 +69,9 @@ object Tables {
     }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // the only session conf this layer touches: read-side decode of
+    // legacy TIMESTAMP(NANOS) files (dynamic, harmless for other files)
     spark.conf.set(NanosConf, "true")
-    // the nanos↔timestamp equivalence above needs UTC; Verify/Bench pin it
-    // at build time, this covers a driver-owned session
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     normalizeEventTime(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 

@@ -9,16 +9,22 @@ import graft.{SparkEntry, SparkTestBase}
 /** Fixture-type regression gate (VERDICT r9 task 3): the physical encoding
   * of `events.ts` is owned by the testdata writer and has already changed
   * once mid-project (parquet TIMESTAMP(NANOS) → `timestamp[us]`). This
-  * spec writes the SAME tiny events table in three encodings a parquet
+  * spec reads the SAME tiny events table in five encodings a parquet
   * writer could plausibly pick —
   *
-  *   1. BIGINT epoch nanos (how the nanos fixture surfaces under
-  *      `nanosAsLong`),
-  *   2. TIMESTAMP_NTZ micros (the current fixture),
-  *   3. TIMESTAMP (instant) micros,
+  *   1. BIGINT epoch nanos (a raw-long writer),
+  *   2. true parquet TIMESTAMP(NANOS) — the pre-r9 testdata encoding, the
+  *      one that actually needs `nanosAsLong`; Spark cannot WRITE it, so
+  *      this is a committed pyarrow fixture
+  *      (`src/test/resources/fixtures/events_nanos`, byte-identical row
+  *      content to [[baseMicros]]),
+  *   3. TIMESTAMP_NTZ micros (the current fixture),
+  *   4. TIMESTAMP (instant) micros,
+  *   5. TIMESTAMP (instant) millis (`outputTimestampType=TIMESTAMP_MILLIS`;
+  *      the base data is whole-second, so millis is lossless),
   *
   * — and asserts the event-time query builders ANALYZE and return
-  * IDENTICAL results on all three. Any future fixture churn lands here as
+  * IDENTICAL results on all five. Any future fixture churn lands here as
   * a red test, not as eight silently-missing correctness rows.
   *
   * The streaming builders (q_stream_daily/q_stream_append) share the same
@@ -49,11 +55,16 @@ class EventTimeEncodingSpec extends SparkTestBase {
       rows: _*)
   }
 
-  private def writeFixture(encode: org.apache.spark.sql.Column): String = {
+  private def writeFixture(encode: org.apache.spark.sql.Column,
+                           outputTimestampType: Option[String] = None): String = {
     val dir = java.nio.file.Files.createTempDirectory("evt_enc").toString
-    baseMicros.withColumn("ts", encode).drop("ts_us")
+    val conf = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.get(conf)
+    outputTimestampType.foreach(spark.conf.set(conf, _))
+    try baseMicros.withColumn("ts", encode).drop("ts_us")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$dir/events.parquet")
+    finally spark.conf.set(conf, prior)
     dir
   }
 
@@ -61,32 +72,59 @@ class EventTimeEncodingSpec extends SparkTestBase {
   private lazy val ntzDir =
     writeFixture(timestamp_micros(col("ts_us")).cast(TimestampNTZType))
   private lazy val ltzDir = writeFixture(timestamp_micros(col("ts_us")))
+  private lazy val millisDir =
+    writeFixture(timestamp_micros(col("ts_us")), Some("TIMESTAMP_MILLIS"))
+  /** Committed pyarrow fixture: REAL parquet TIMESTAMP(NANOS) — the only
+    * encoding Spark can read (via `nanosAsLong`) but not write.
+    */
+  private lazy val trueNanosDir = {
+    val url = getClass.getClassLoader.getResource("fixtures/events_nanos")
+    assert(url != null && url.getProtocol == "file", s"fixture missing: $url")
+    new java.io.File(url.toURI).getAbsolutePath
+  }
+
+  private lazy val allDirs = Seq(nanosDir, trueNanosDir, ntzDir, ltzDir, millisDir)
 
   test("Tables normalizes every encoding to BIGINT epoch nanos") {
-    for (dir <- Seq(nanosDir, ntzDir, ltzDir)) {
+    for (dir <- allDirs) {
       val ev = Tables.events(spark, dir)
       assert(ev.schema("ts").dataType == LongType, s"dir=$dir")
     }
     // min/max, not sum — 240 × ~1.7e18 nanos overflows BIGINT
     val expect = baseMicros
       .select(min(col("ts_us") * 1000L), max(col("ts_us") * 1000L)).head
-    for (dir <- Seq(nanosDir, ntzDir, ltzDir))
+    for (dir <- allDirs)
       assert(Tables.events(spark, dir).select(min("ts"), max("ts")).head
         == expect, s"dir=$dir")
+  }
+
+  test("the committed TIMESTAMP(NANOS) fixture really is nano-encoded parquet") {
+    // read WITHOUT the legacy conf: Spark 4 maps parquet nanos to
+    // TIMESTAMP_NTZ truncated to micros — so distinguish by physical
+    // footer metadata instead: read raw as long must only work under
+    // the conf. The cheap, dependency-free check: under nanosAsLong the
+    // column arrives as LongType with nano-scaled values.
+    spark.conf.set(Tables.NanosConf, "true")
+    val raw = spark.read.parquet(s"$trueNanosDir/events.parquet")
+    assert(raw.schema("ts").dataType == LongType,
+      "fixture must decode as BIGINT under nanosAsLong — true TIMESTAMP(NANOS)")
+    assert(raw.agg(min("ts")).head.getLong(0) == 1700000000000000000L)
   }
 
   private val eventTimeQueries = Seq("q_events_daily", "q_rolling_window",
     "q_sessionize", "q_asof", "q_range", "q_kafka_envelope")
 
-  test("event-time query builders agree across all three ts encodings") {
+  test("event-time query builders agree across all five ts encodings") {
     for (name <- eventTimeQueries) {
       val build = SparkEntry.queries(name)
       def run(dir: String): Seq[String] =
         build(spark, dir).collect().map(_.toString).sorted.toSeq
       val onNanos = run(nanosDir)
       assert(onNanos.nonEmpty, s"$name returned no rows")
+      assert(run(trueNanosDir) == onNanos, s"$name: TIMESTAMP(NANOS) != nanos")
       assert(run(ntzDir) == onNanos, s"$name: NTZ != nanos")
       assert(run(ltzDir) == onNanos, s"$name: LTZ != nanos")
+      assert(run(millisDir) == onNanos, s"$name: MILLIS != nanos")
     }
   }
 }
