@@ -653,6 +653,71 @@ object SparkEntry {
           col("sum_value").as("sum_value_cents"))
     }),
 
+    // WATERMARKED STREAM-STREAM INTERVAL JOIN, driver-visible (VERDICT
+    // r10 task 2): two live feeds — purchases and errors, staged from the
+    // events table into two watched directories — are correlated with an
+    // event-time interval join (each purchase picks up the same user's
+    // errors from the preceding 30 minutes), both sides watermarked so
+    // Spark evicts join state: error state survives only until the
+    // watermark passes e_ts + 30min, purchase state until p_ts (bounds
+    // derived from the join condition — state is O(rows per horizon),
+    // never O(stream)). The replay is THREE ordered micro-batches per
+    // side (mtime-pinned, maxFilesPerTrigger=1): b1 = the first two
+    // days (minus a marked purchase subset), b2 = everything later
+    // (advances the watermark to the stream's end), b3 = the marked
+    // day-1 purchases — now LATE: they arrive below the watermark and
+    // the join must DROP them. The hash check proves both halves:
+    // missing b1/b2 matches ⇒ eviction fired too early; any b3 match ⇒
+    // late rows weren't dropped. Cross-boundary matches are safe by
+    // construction: errors an in-order b2 purchase can reach
+    // (e_ts ≥ day2End − 30min) are disjoint from errors the b1-end
+    // watermark may evict (e_ts < maxB1 − delay − 30min) for any
+    // delay ≥ 0.
+    "q_stream_ssjoin" -> ((s, dir) => {
+      val runner = graft.streaming.StreamRunner
+      val ev = events(s, dir).select(
+        timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("event_id"), col("user_id"), col("event_type"))
+      val srcRoot = materializedDir("streamssjoinsrc", dir) { inPath =>
+        val minDay = ev.agg(min(date_trunc("DAY", col("ets")))).head.getTimestamp(0)
+        val day2End = new java.sql.Timestamp(minDay.getTime + 2 * 86400000L)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+            col("ets").as("p_ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("ets").as("e_ts"))
+        val isLate = date_trunc("DAY", col("p_ts")) === lit(minDay) &&
+          col("p_user") % 7 === 3
+        val pDir = new java.io.File(inPath, "purchases")
+        val eDir = new java.io.File(inPath, "errors")
+        pDir.mkdirs(); eDir.mkdirs()
+        val t0 = System.currentTimeMillis() - 600000L
+        dumpBatchFile(pDir, purchases.filter(col("p_ts") < lit(day2End) && !isLate), "b1", t0)
+        dumpBatchFile(pDir, purchases.filter(col("p_ts") >= lit(day2End)), "b2", t0 + 60000L)
+        dumpBatchFile(pDir, purchases.filter(isLate), "b3", t0 + 120000L)
+        dumpBatchFile(eDir, errors.filter(col("e_ts") < lit(day2End)), "b1", t0)
+        dumpBatchFile(eDir, errors.filter(col("e_ts") >= lit(day2End)), "b2", t0 + 60000L)
+      }
+      val out = materializedDir("streamssjoin", dir) { outPath =>
+        val p = runner.fileSource(s, srcRoot + "/purchases", StructType(Seq(
+          StructField("p_event_id", LongType), StructField("p_user", LongType),
+          StructField("p_ts", TimestampType))), maxFilesPerTrigger = Some(1))
+        val e = runner.fileSource(s, srcRoot + "/errors", StructType(Seq(
+          StructField("e_user", LongType), StructField("e_ts", TimestampType))),
+          maxFilesPerTrigger = Some(1))
+        val joined = runner.streamStreamJoin(p, "p_ts", e, "e_ts", "1 hour",
+          col("p_user") === col("e_user") &&
+            col("e_ts") >= col("p_ts") - expr("INTERVAL 30 minutes") &&
+            col("e_ts") <= col("p_ts"))
+        sys.addShutdownHook(
+          deleteRecursively(new java.io.File(outPath + "_ckpt")))
+        runner.fileSink(
+          joined.select(col("p_event_id"), unix_micros(col("e_ts")).as("err_us")),
+          outPath, outPath + "_ckpt").awaitTermination()
+      }
+      s.read.parquet(out).select(col("p_event_id").as("event_id"), col("err_us"))
+    }),
+
     // STREAMING NEAR-DUP INGESTION — the continuous-ingestion composition
     // of proven pieces, driver-visible: the dedup_incremental batch (20
     // truncated near-copies of index docs) split into THREE ordered
@@ -2363,6 +2428,17 @@ object SparkEntry {
       "(SELECT date_trunc('day', min(ts)) FROM events) AND user_id % 7 = 3) " +
       "AND date_trunc('day', ts) < (SELECT date_trunc('day', max(ts)) FROM events) " +
       "GROUP BY 1, 2"),
+    // stream-stream interval join: the batch join over (purchases minus
+    // the marked LATE subset) × errors — the late b3 purchases are below
+    // the watermark when they replay, so the streaming result must equal
+    // this exclusion exactly (any late match, or any eviction-lost b1/b2
+    // match, breaks the hash)
+    "q_stream_ssjoin" -> ("SELECT p.event_id, epoch_us(e.ts) AS err_us " +
+      "FROM events p JOIN events e ON e.user_id = p.user_id " +
+      "AND p.event_type = 'purchase' AND e.event_type = 'error' " +
+      "AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts) " +
+      "WHERE p.event_type = 'purchase' AND NOT (date_trunc('day', p.ts) = " +
+      "(SELECT date_trunc('day', min(ts)) FROM events) AND p.user_id % 7 = 3)"),
     // the sketch's error CONTRACT is the portable fact: every group must
     // land within tolerance x rsd of exact, so the oracle expects TRUE
     "q_approx_stats" -> ("SELECT event_type, " +

@@ -50,5 +50,7 @@ class StreamQueryConstructionSpec extends SparkTestBase {
     assert(dedup.count() > 0, "q_stream_dedup rows")
     val append = SparkEntry.queries("q_stream_append")(spark, dir)
     assert(append.count() > 0, "q_stream_append rows")
+    val ssjoin = SparkEntry.queries("q_stream_ssjoin")(spark, dir)
+    assert(ssjoin.count() > 0, "q_stream_ssjoin rows")
   }
 }

@@ -198,6 +198,39 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       s"only user 1's in-window error should join, got $got")
   }
 
+  test("stream-stream join drops input rows that arrive below the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1704100000000L + sec * 1000L)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp)]
+    val p = purchases.toDF().toDF("p_user", "p_ts")
+    val e = errors.toDF().toDF("e_user", "e_ts")
+    val joined = StreamRunner.streamStreamJoin(p, "p_ts", e, "e_ts", "5 seconds",
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 30 seconds") &&
+        col("e_ts") <= col("p_ts"))
+    val q = StreamRunner.memorySink(
+      joined.select("p_user", "p_ts", "e_ts"), "stream_ssjoin_late_out")
+    try {
+      // b1 advances both watermarks to ~t495 (delay 5s); user 1 matches
+      errors.addData((1L, ts(0)), (7L, ts(500)))
+      purchases.addData((1L, ts(10)), (8L, ts(500)))
+      q.processAllAvailable()
+      // b2: user 1 re-purchases at t20 — BELOW the watermark. If the
+      // join did not drop late input, the (1, t0) error could still
+      // produce a second match row; the state store must refuse it.
+      purchases.addData((1L, ts(20)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_ssjoin_late_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSeq
+    assert(got == Seq((1L, 1704100010000L)),
+      s"only the on-time b1 match may surface — the late t20 purchase " +
+        s"must be dropped at ingestion, got $got")
+  }
+
   test("left-outer stream-stream join emits the unmatched row after watermark eviction") {
     val s = spark
     import s.implicits._
