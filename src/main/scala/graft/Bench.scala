@@ -33,7 +33,7 @@ object Bench {
     queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
-        warmupErrors ::= s"warmup:$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("").take(400)}"
+        warmupErrors ::= s"warmup:$name: ${Verify.errorSummary(e)}"
       }
     }
     // 3 timed reps, run ROUND-ROBIN across queries (rep 1 of everything,
@@ -59,7 +59,7 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         times(name) ::= (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
-        errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("").take(400)}"
+        errors ::= s"$name: ${Verify.errorSummary(e)}"
         failed(name) = (System.nanoTime() - t0) / 1e9
       }
     }

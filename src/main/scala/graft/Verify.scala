@@ -32,12 +32,19 @@ object Verify {
       .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
       .mkString("{", ",", "}")
 
+  /** One exception-summary contract for every artifact (Verify AND
+    * Bench): first 3 lines joined by " | ", capped at 400 chars — long
+    * enough for Spark's multi-line DATATYPE_MISMATCH payloads, short
+    * enough for a one-line-per-query artifact. (Bench used to keep only
+    * the first line, so those artifacts lost the payload — ADVICE r10.)
+    */
+  def errorSummary(e: Throwable): String =
+    s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"
+      .linesIterator.take(3).mkString(" | ").take(400)
+
   /** Run each query, write its result under `outDir/<name>`, and return
     * the failure map (name → exception summary) — which the caller MUST
     * persist; a dropped failure is the silent-shrink bug all over again.
-    * Error text keeps the first exception line up to 400 chars: long
-    * enough for Spark's DATATYPE_MISMATCH payloads, short enough for a
-    * one-line-per-query artifact.
     */
   def runQueries(
       spark: SparkSession,
@@ -51,8 +58,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         None
       } catch { case e: Throwable =>
-        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"
-          .linesIterator.take(3).mkString(" | ").take(400)
+        val msg = errorSummary(e)
         System.err.println(s"[verify] $name failed: $msg")
         Some(name -> msg)
       }

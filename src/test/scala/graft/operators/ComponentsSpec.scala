@@ -1,10 +1,17 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimits}
+import org.scalatest.time.{Seconds, Span}
 
 import graft.SparkTestBase
 
-class ComponentsSpec extends SparkTestBase {
+class ComponentsSpec extends SparkTestBase with TimeLimits {
+
+  // interrupt the test thread on timeout: Spark actions observe the
+  // interrupt (job cancellation), so a reintroduced planner hang fails
+  // fast with the diagnostic message instead of stalling the suite
+  private implicit val signaler: Signaler = ThreadSignaler
 
   private def cc(edges: Seq[(Long, Long)], maxIter: Int = 20,
                  localThreshold: Long = 1000000L): Map[Long, Long] = {
@@ -57,12 +64,14 @@ class ComponentsSpec extends SparkTestBase {
       df = left.join(right, col("a") === col("a2"))
         .select(col("a"), col("b")).distinct()
     }
-    val deadline = System.nanoTime() + 180L * 1000000000L
-    val got = Components.connectedComponents(df, "a", "b",
-      maxIter = 20, localThreshold = 0L)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(System.nanoTime() < deadline,
-      "distributed CC spent >180s on a 64-node graph — stats compounding is back")
+    // failAfter, not an after-the-fact deadline check: a reintroduced
+    // hang must FAIL here with this message, not stall the suite until
+    // the global timeout (ADVICE r10)
+    val got = failAfter(Span(180, Seconds)) {
+      Components.connectedComponents(df, "a", "b",
+        maxIter = 20, localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
 
