@@ -169,8 +169,20 @@ object PlanAudit {
     val header = Seq("query", "shuffles", "broadcast joins", "sort-merge joins",
       "products", "pushed-filter scans", "UDF nodes", "eager execs",
       "runtime live shuffles", "runtime reused")
+    // provenance stamp: the commit of the tree these plans came from, so
+    // a round-bumped but never-re-run artifact is detectable by content
+    // (ADVICE r9/VERDICT r10 staleness point). Dirty trees are marked.
+    val commit = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val h = new String(p.getInputStream.readAllBytes()).trim
+      val d = new ProcessBuilder("git", "status", "--porcelain").start()
+      val dirty = new String(d.getInputStream.readAllBytes()).trim.nonEmpty
+      if (p.waitFor() == 0) h + (if (dirty) " (dirty tree)" else "") else "unknown"
+    } catch { case _: Throwable => "unknown" }
     val md = new StringBuilder
     md ++= "# Plan audit (generated by graft.tools.PlanAudit)\n\n"
+    md ++= s"Measured at commit: `$commit`\n\n"
     md ++= s"Source: `$sfDir` — structural node counts over the query's static\n"
     md ++= "(pre-execution) physical plan PLUS every action executed during query\n"
     md ++= "construction (`eager execs`); each distinct cached subplan is counted\n"
