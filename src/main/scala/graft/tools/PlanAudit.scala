@@ -177,7 +177,11 @@ object PlanAudit {
         .redirectErrorStream(true).start()
       val h = new String(p.getInputStream.readAllBytes()).trim
       val d = new ProcessBuilder("git", "status", "--porcelain").start()
-      val dirty = new String(d.getInputStream.readAllBytes()).trim.nonEmpty
+      // the audit artifact itself is expected to differ while being
+      // regenerated — only OTHER modifications make the stamp untrustworthy
+      val outName = Paths.get(out).getFileName.toString
+      val dirty = new String(d.getInputStream.readAllBytes()).linesIterator
+        .exists(l => l.trim.nonEmpty && !l.endsWith(outName))
       if (p.waitFor() == 0) h + (if (dirty) " (dirty tree)" else "") else "unknown"
     } catch { case _: Throwable => "unknown" }
     val md = new StringBuilder
