@@ -1514,6 +1514,21 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(docs(s, dir).filter(col("doc_id") % 4 === 0),
         "doc_id", "text", nMerges = 6)),
+    // ...and the deploy half: train on the sample (6 bounded driver
+    // rows, the sanctioned BPE budget), freeze the merges, tokenize the
+    // FULL corpus with the chained-replace encoder — ONE codegen'd
+    // scan, zero exchanges, so corpus scale is free and the token
+    // counts feed straight into token-budget packing.
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", nMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(d, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"), col("n_tokens_ws"),
+          md5(col("bpe_text")).as("enc_md5"))
+    }),
     "q_profile" -> ((s, dir) => docs(s, dir)
       .select(col("lang"), TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
       .groupBy("lang")
@@ -2895,6 +2910,7 @@ object SparkEntry {
       "unnest(range(1, greatest(len(toks), 1))) t(i)) " +
       "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50"),
     "q_bpe_train" -> bpeTrainSql(6),
+    "q_bpe_encode" -> bpeEncodeSql(6),
     "q_profile" -> ("SELECT lang, count(*) AS n_docs, " +
       "quantile_cont(n_tokens, 0.25) AS p25, quantile_cont(n_tokens, 0.5) AS p50, " +
       "quantile_cont(n_tokens, 0.75) AS p75 FROM (" +
@@ -3049,7 +3065,23 @@ object SparkEntry {
     * match, the replacement restores it — left-to-right non-overlapping,
     * like Spark's replace).
     */
-  private def bpeTrainSql(n: Int): String = {
+  /** One greedy double-space merge application as DuckDB text: rebuild
+    * `s` with round-`k`'s learned pair joined by U+001F — the exact
+    * algebra [[graft.operators.TextAnalysis.bpeTrain]]/`bpeEncode` run
+    * (both engines' `replace` scans left-to-right non-overlapping, so
+    * the overlap tie-break is identical by construction).
+    */
+  private def bpeApplySql: String =
+    "trim(replace(replace(" +
+      "'  ' || replace(s, ' ', '  ') || '  ', " +
+      "' ' || tok_a || '  ' || tok_b || ' ', " +
+      "' ' || tok_a || chr(31) || tok_b || ' '), '  ', ' ')) AS s"
+
+  /** Training-round CTE prefix shared by the trainer and encoder
+    * oracles: rebuilt sample corpora r0..r{n-1} and learned merges
+    * m0..m{n-1} over the deterministic 25% sample.
+    */
+  private def bpeRoundCtes(n: Int): String = {
     val sb = new StringBuilder(
       s"WITH r0 AS (SELECT $normSql AS s FROM documents WHERE doc_id % 4 = 0)")
     (0 until n).foreach { k =>
@@ -3062,13 +3094,30 @@ object SparkEntry {
         "string_split(pair, ' ')[2] AS tok_b, cnt " +
         s"FROM p$k ORDER BY cnt DESC, pair LIMIT 1)"
       if (k < n - 1)
-        sb ++= s", r${k + 1} AS (SELECT trim(replace(replace(" +
-          "'  ' || replace(s, ' ', '  ') || '  ', " +
-          "' ' || tok_a || '  ' || tok_b || ' ', " +
-          "' ' || tok_a || chr(31) || tok_b || ' '), '  ', ' ')) AS s " +
-          s"FROM r$k, m$k)"
+        sb ++= s", r${k + 1} AS (SELECT $bpeApplySql FROM r$k, m$k)"
     }
-    sb ++= " " + (0 until n).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    sb.toString
+  }
+
+  private def bpeTrainSql(n: Int): String =
+    bpeRoundCtes(n) + " " +
+      (0 until n).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+
+  /** Encoder oracle: learn the n merges on the sample (identical round
+    * CTEs as the trainer oracle), then apply the frozen merge chain to
+    * EVERY document and emit encoded token counts + stream digest —
+    * mirroring q_bpe_encode's train-then-tokenize lifecycle.
+    */
+  private def bpeEncodeSql(n: Int): String = {
+    val sb = new StringBuilder(bpeRoundCtes(n))
+    sb ++= s", e0 AS (SELECT doc_id, $normSql AS s FROM documents)"
+    (0 until n).foreach { k =>
+      sb ++= s", e${k + 1} AS (SELECT doc_id, $bpeApplySql FROM e$k, m$k)"
+    }
+    sb ++= s" SELECT e.doc_id, " +
+      "CAST(len(string_split(e.s, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(len(string_split(w.s, ' ')) AS BIGINT) AS n_tokens_ws, " +
+      s"md5(e.s) AS enc_md5 FROM e$n e JOIN e0 w USING (doc_id)"
     sb.toString
   }
 

@@ -355,6 +355,48 @@ object TextAnalysis {
         col("cnt"))
   }
 
+  /** Apply a trained merge list ([[bpeTrain]] output order) to encode a
+    * corpus — the deploy half of the tokenizer lifecycle: train once on
+    * a sample, then tokenize EVERY document with the frozen merges. Per
+    * document emits the encoded symbol stream (merged pairs joined by
+    * U+001F, same convention as the trainer's intermediate state), the
+    * encoded token count, and the pre-merge whitespace token count, so
+    * `n_tokens_ws - n_tokens` is the tokens-saved compression metric
+    * and `n_tokens` is the column token-budget packing actually needs.
+    *
+    * Semantics are exactly the trainer's greedy pass: per merge, double
+    * every separator, replace ` a  b ` left-to-right non-overlapping
+    * (both Spark's and DuckDB's `replace` scan left-to-right, so
+    * `a a a` under merge (a,a) encodes to `[a␟a, a]` in both engines),
+    * then collapse. Merges only ever JOIN symbols — replacing U+001F
+    * back with a space recovers the normalized text verbatim.
+    *
+    * Scale shape: a pure chained-`replace` column expression — ONE
+    * codegen'd scan, ZERO exchanges; encoding cost is linear in corpus
+    * bytes × merge depth and embarrassingly parallel, so the 100 TB
+    * case is free. The bounded dimension is merge DEPTH (same ≤8 bound
+    * and rationale as [[bpeTrain]]): tokenizer-realistic vocabularies
+    * (thousands of merges) would blow the replace chain past what
+    * codegen accepts — at that depth switch to a per-partition
+    * trie/priority-queue encoder over `mapPartitions`, which stays
+    * shuffle-free but leaves whole-stage codegen.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 8, "chained-replace depth bound: <= 8 merges")
+    val sep = "\u001f"
+    val norm = Dedup.normText(col(textCol))
+    var cur: Column = norm
+    merges.foreach { case (a, b) =>
+      val enc = concat(lit("  "), replace(cur, lit(" "), lit("  ")), lit("  "))
+      val merged = replace(enc, lit(s" $a  $b "), lit(s" $a$sep$b "))
+      cur = trim(replace(merged, lit("  "), lit(" ")))
+    }
+    df.select(col(idCol), cur.as("bpe_text"),
+      size(split(cur, " ")).cast("long").as("n_tokens"),
+      size(split(norm, " ")).cast("long").as("n_tokens_ws"))
+  }
+
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int,
                tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {

@@ -259,4 +259,62 @@ class TextAnalysisSpec extends SparkTestBase {
     assert((got(1).getString(1), got(1).getString(2), got(1).getLong(3)) ==
       (("a\u001fa", "a\u001fa", 2L)))
   }
+
+  test("bpeEncode: zero merges is whitespace tokenization") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "The  quick brown fox")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeEncode(df, "doc_id", "text", Seq.empty).head()
+    assert(r.getAs[String]("bpe_text") == "the quick brown fox")
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_tokens_ws") == 4L)
+  }
+
+  test("bpeEncode: frozen merge chain matches the hand-computed encoding") {
+    val s = spark
+    import s.implicits._
+    // merges (a,b) then (a\u001fb, c) — the bpeTrain result for this
+    // corpus: "a b a b c" -> [a\u001fb, a\u001fb\u001fc];
+    // "a b c c" -> [a\u001fb\u001fc, c]; "x y" (unseen pairs) -> unchanged.
+    val df = Seq((1L, "a b a b c"), (2L, "a b c c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(df, "doc_id", "text",
+        Seq(("a", "b"), ("a\u001fb", "c")))
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("bpe_text") == "a\u001fb a\u001fb\u001fc")
+    assert((got(0).getAs[Long]("n_tokens"), got(0).getAs[Long]("n_tokens_ws")) == ((2L, 5L)))
+    assert(got(1).getAs[String]("bpe_text") == "a\u001fb\u001fc c")
+    assert((got(1).getAs[Long]("n_tokens"), got(1).getAs[Long]("n_tokens_ws")) == ((2L, 4L)))
+    assert(got(2).getAs[String]("bpe_text") == "x y")
+  }
+
+  test("bpeEncode: overlapping self-pair encodes greedy left-to-right, and merges only join (lossless)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a a a"), (2L, "b a a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(df, "doc_id", "text", Seq(("a", "a")))
+      .withColumn("roundtrip",
+        call_function("replace", col("bpe_text"), lit("\u001f"), lit(" ")))
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("bpe_text") == "a\u001fa a")
+    assert(got(1).getAs[String]("bpe_text") == "b a\u001fa b")
+    // replacing the joiner back with a space recovers the normalized text
+    assert(got.map(_.getAs[String]("roundtrip")).toSeq == Seq("a a a", "b a a b"))
+  }
+
+  test("bpeEncode: train-then-encode compresses the training sample consistently") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b a b c"), (2L, "a b c c")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, "doc_id", "text", nMerges = 2)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    // every doc strictly compresses (both trained pairs occur in both docs)
+    enc.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") < r.getAs[Long]("n_tokens_ws"))
+    }
+    assert(enc(0).getAs[String]("bpe_text") == "a\u001fb a\u001fb\u001fc")
+  }
 }
