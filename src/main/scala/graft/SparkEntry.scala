@@ -1182,6 +1182,22 @@ object SparkEntry {
         graft.operators.Components.connectedComponents(
           md5Pairs(s, dir), "id_a", "id_b"))
         .select(col("doc_id"))),
+    // quality-ranked representative selection: same pairs → CC spine,
+    // but each family keeps its BEST-scoring member (ties to min id) —
+    // the curation rule real pipelines use instead of min-id. One
+    // map-side-combinable max_by exchange, no window sort; the planted
+    // tail-truncated copies score lower than their originals wherever
+    // the dropped word shifts the quality features.
+    "dedup_quality_rep" -> ((s, dir) => {
+      val score = TextAnalysis.linearQualityScore(col("text"), qualityWeights)
+      val all = plantedDocs(s, dir)
+        .select(col("doc_id"), col("text"), score.as("q_score"))
+      val comps = graft.operators.Components.connectedComponents(
+        md5Pairs(s, dir), "id_a", "id_b")
+      graft.operators.Components
+        .keepBestRepresentatives(all, "doc_id", comps, "q_score")
+        .select(col("doc_id"), col("family"), col("q_score"))
+    }),
     // end-to-end near-dup dedup: pairs → connected components → keep one
     // representative per group. Engine-hash LSH inside → rows-only check;
     // the planted +100000 copies must all be eliminated.
@@ -2180,21 +2196,42 @@ object SparkEntry {
   private def pairsMd5Sql: String =
     s"WITH $pairsMd5Ctes\nSELECT id_a, id_b FROM pr"
 
+  /** Symmetric closure + min-label recursion + per-id label resolve —
+    * the component spine shared by [[e2eMd5Sql]] and [[qualityRepSql]]
+    * (callers prepend `WITH RECURSIVE $pairsMd5Ctes,`).
+    */
+  private val ccOverPrCtes: String =
+    s"""sym AS (SELECT id_a AS a, id_b AS b FROM pr
+       |        UNION SELECT id_b, id_a FROM pr),
+       |cc(id, comp) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.id WHERE c.comp < s.b),
+       |lab AS (SELECT id, min(comp) AS component FROM cc GROUP BY id)""".stripMargin
+
   private def e2eMd5Sql: String =
     // pairs → symmetric edge closure → min-label propagation (the same
     // recursive-CTE component oracle as q_dedup_groups) → drop every
     // member whose id is not its group's min — the literal mirror of
     // Components.keepRepresentatives over connectedComponents.
     s"""WITH RECURSIVE $pairsMd5Ctes,
-       |sym AS (SELECT id_a AS a, id_b AS b FROM pr
-       |        UNION SELECT id_b, id_a FROM pr),
-       |cc(id, comp) AS (
-       |  SELECT DISTINCT a, a FROM sym
-       |  UNION
-       |  SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.id WHERE c.comp < s.b),
-       |lab AS (SELECT id, min(comp) AS component FROM cc GROUP BY id)
+       |$ccOverPrCtes
        |SELECT doc_id FROM all_docs
        |WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> component)""".stripMargin
+
+  private def qualityRepSql: String =
+    // same pairs → CC spine, then per family keep the best-scoring
+    // member (score DESC, doc_id ASC) — the literal mirror of
+    // Components.keepBestRepresentatives' max_by(struct(score, -id)).
+    s"""WITH RECURSIVE $pairsMd5Ctes,
+       |$ccOverPrCtes,
+       |scored AS (SELECT doc_id, $qScoreSql AS q_score
+       |  FROM (SELECT doc_id, $normSql AS n FROM all_docs)),
+       |mem AS (SELECT s.doc_id, coalesce(l.component, s.doc_id) AS family,
+       |  s.q_score FROM scored s LEFT JOIN lab l ON l.id = s.doc_id)
+       |SELECT doc_id, family, q_score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY family
+       |    ORDER BY q_score DESC, doc_id) AS rn FROM mem) WHERE rn = 1""".stripMargin
 
   private def annLshSql: String = {
     // mirror of Similarity.lshTopK(k = 5, numPlanes = 6, seed = 42): the
@@ -2343,6 +2380,7 @@ object SparkEntry {
     "dedup_emb_pairs_ora" -> embPairsSql,
     "dedup_pairs_md5" -> pairsMd5Sql,
     "dedup_e2e_md5" -> e2eMd5Sql,
+    "dedup_quality_rep" -> qualityRepSql,
     // incremental = the shared pair pipeline restricted to index→batch
     // pairs (old ids < 100000 < planted batch ids), min index match per
     // batch doc; min(BIGINT) stays BIGINT (no HUGEINT trap)

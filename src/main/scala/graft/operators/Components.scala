@@ -176,4 +176,38 @@ object Components {
       .select(col("id").as("__dup_id"))
     df.join(dupIds, df(idCol) === col("__dup_id"), "left_anti")
   }
+
+  /** Keep the HIGHEST-QUALITY member of each duplicate family instead of
+    * the min id — what curation pipelines actually want: when a crawl
+    * yields five near-copies, keep the one the quality model scores
+    * best, ties to the lowest id (so an all-equal-score family degrades
+    * exactly to [[keepRepresentatives]]). Singletons (ids absent from
+    * `components`) are their own family and always survive.
+    *
+    * Output = `df`'s columns plus `family` (the component label, = the
+    * family's min id from [[connectedComponents]]; a singleton labels
+    * itself).
+    *
+    * Scale shape: one left join onto the component labels (family-member
+    * ids only — small relative to the corpus, AQE may broadcast it) and
+    * ONE family-keyed exchange: `max_by(struct(row), struct(score, -id))`
+    * is a map-side-combinable aggregate, so each partition sends one
+    * candidate row per family it touches — no window sort, no join-back,
+    * and hot families (the adversarial all-duplicates corpus) reduce
+    * before the shuffle.
+    */
+  def keepBestRepresentatives(df: DataFrame, idCol: String,
+                              components: DataFrame,
+                              scoreCol: String): DataFrame = {
+    val labeled = df
+      .join(components.select(col("id"), col("component")),
+        df(idCol) === col("id"), "left")
+      .withColumn("family", coalesce(col("component"), df(idCol)))
+      .drop("id", "component")
+    val valueCols = df.columns.toSeq
+    labeled.groupBy(col("family"))
+      .agg(max_by(struct(valueCols.map(col): _*),
+        struct(col(scoreCol), -col(idCol))).as("__best"))
+      .select(col("family") +: valueCols.map(c => col(s"__best.$c").as(c)): _*)
+  }
 }

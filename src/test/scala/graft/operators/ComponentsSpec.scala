@@ -132,4 +132,35 @@ class ComponentsSpec extends SparkTestBase with TimeLimits {
     // 2 and 3 drop (dupes of 1); 10 and 50 are untouched non-members
     assert(kept == Set(1L, 10L, 50L))
   }
+
+  test("keepBestRepresentatives: families keep the max-score member, ties to min id, singletons survive") {
+    val s = spark
+    import s.implicits._
+    // family {1,2,3}: 2 has the top score; family {10,11}: score tie ->
+    // min id 10; 50 is a singleton (absent from components) and keeps
+    // its own id as family label
+    val df = Seq(
+      (1L, 5L), (2L, 9L), (3L, 7L),
+      (10L, 4L), (11L, 4L),
+      (50L, 1L)).toDF("doc_id", "q_score")
+    val comps = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b")
+    val got = Components.keepBestRepresentatives(df, "doc_id", comps, "q_score")
+      .orderBy("family")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 9L), (10L, 10L, 4L), (50L, 50L, 1L)))
+  }
+
+  test("keepBestRepresentatives with equal scores degrades to keepRepresentatives") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 0L), (7L, 0L)).toDF("doc_id", "q_score")
+    val comps = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+    val best = Components.keepBestRepresentatives(df, "doc_id", comps, "q_score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val minId = Components.keepRepresentatives(df, "doc_id", comps)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == minId && best == Set(1L, 7L))
+  }
 }
