@@ -718,6 +718,82 @@ object SparkEntry {
       s.read.parquet(out).select(col("p_event_id").as("event_id"), col("err_us"))
     }),
 
+    // LEFT-OUTER flavor of the stream-stream interval join: purchases
+    // with NO error in their 30-minute lookback must surface exactly
+    // once, null-extended (err_us = -1) — emitted only after BOTH
+    // watermarks pass the purchase's join window. Replay = the inner
+    // query's three batches per side plus a two-stage sentinel flush
+    // (far-future rows on both sides, filtered out of the sink): the
+    // first sentinel pair advances both source watermarks past every
+    // real purchase, the second guarantees a batch RUNS at that final
+    // watermark so outer-state eviction emits even if no trailing
+    // no-data batch fires. The hash proves all three behaviors at once:
+    // inner matches (eviction-safe), late-input drop (b3 purchases emit
+    // NOTHING, not even a null row), and exactly-once null extension.
+    "q_stream_ssjoin_outer" -> ((s, dir) => {
+      val runner = graft.streaming.StreamRunner
+      val ev = events(s, dir).select(
+        timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("event_id"), col("user_id"), col("event_type"))
+      val srcRoot = materializedDir("streamssjooutersrc", dir) { inPath =>
+        val bounds = ev.agg(min(date_trunc("DAY", col("ets"))), max(col("ets"))).head
+        val minDay = bounds.getTimestamp(0)
+        val day2End = new java.sql.Timestamp(minDay.getTime + 2 * 86400000L)
+        val flush1 = new java.sql.Timestamp(bounds.getTimestamp(1).getTime + 10L * 86400000L)
+        val flush2 = new java.sql.Timestamp(flush1.getTime + 86400000L)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+            col("ets").as("p_ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("ets").as("e_ts"))
+        val isLate = date_trunc("DAY", col("p_ts")) === lit(minDay) &&
+          col("p_user") % 7 === 3
+        def pSentinel(t: java.sql.Timestamp) = s.range(1).select(
+          lit(-1L).as("p_event_id"), lit(-1L).as("p_user"), lit(t).as("p_ts"))
+        def eSentinel(t: java.sql.Timestamp) = s.range(1).select(
+          lit(-2L).as("e_user"), lit(t).as("e_ts"))
+        val pDir = new java.io.File(inPath, "purchases")
+        val eDir = new java.io.File(inPath, "errors")
+        pDir.mkdirs(); eDir.mkdirs()
+        val t0 = System.currentTimeMillis() - 600000L
+        dumpBatchFile(pDir, purchases.filter(col("p_ts") < lit(day2End) && !isLate), "b1", t0)
+        dumpBatchFile(pDir, purchases.filter(col("p_ts") >= lit(day2End)), "b2", t0 + 60000L)
+        dumpBatchFile(pDir, purchases.filter(isLate), "b3", t0 + 120000L)
+        dumpBatchFile(pDir, pSentinel(flush1), "b4", t0 + 180000L)
+        dumpBatchFile(pDir, pSentinel(flush2), "b5", t0 + 240000L)
+        dumpBatchFile(eDir, errors.filter(col("e_ts") < lit(day2End)), "b1", t0)
+        dumpBatchFile(eDir, errors.filter(col("e_ts") >= lit(day2End)), "b2", t0 + 60000L)
+        dumpBatchFile(eDir, eSentinel(flush1), "b4", t0 + 180000L)
+        dumpBatchFile(eDir, eSentinel(flush2), "b5", t0 + 240000L)
+      }
+      val out = materializedDir("streamssjoouter", dir) { outPath =>
+        val p = runner.fileSource(s, srcRoot + "/purchases", StructType(Seq(
+          StructField("p_event_id", LongType), StructField("p_user", LongType),
+          StructField("p_ts", TimestampType))), maxFilesPerTrigger = Some(1))
+        val e = runner.fileSource(s, srcRoot + "/errors", StructType(Seq(
+          StructField("e_user", LongType), StructField("e_ts", TimestampType))),
+          maxFilesPerTrigger = Some(1))
+        val joined = runner.streamStreamJoin(p, "p_ts", e, "e_ts", "1 hour",
+          col("p_user") === col("e_user") &&
+            col("e_ts") >= col("p_ts") - expr("INTERVAL 30 minutes") &&
+            col("e_ts") <= col("p_ts"),
+          joinType = "leftOuter")
+        sys.addShutdownHook(
+          deleteRecursively(new java.io.File(outPath + "_ckpt")))
+        // NO sentinel filter on the streaming side: a left-side filter
+        // would be PUSHED below the join and the watermark operator into
+        // the purchases scan, silently swallowing the flush rows — the
+        // watermark would stall and the tail purchases' null rows never
+        // emit. Sentinels are excluded from the batch read below instead.
+        runner.fileSink(
+          joined.select(col("p_event_id"),
+            coalesce(unix_micros(col("e_ts")), lit(-1L)).as("err_us")),
+          outPath, outPath + "_ckpt").awaitTermination()
+      }
+      s.read.parquet(out).filter(col("p_event_id") >= 0)
+        .select(col("p_event_id").as("event_id"), col("err_us"))
+    }),
+
     // STREAMING NEAR-DUP INGESTION — the continuous-ingestion composition
     // of proven pieces, driver-visible: the dedup_incremental batch (20
     // truncated near-copies of index docs) split into THREE ordered
@@ -2489,6 +2565,17 @@ object SparkEntry {
     "q_stream_ssjoin" -> ("SELECT p.event_id, epoch_us(e.ts) AS err_us " +
       "FROM events p JOIN events e ON e.user_id = p.user_id " +
       "AND p.event_type = 'purchase' AND e.event_type = 'error' " +
+      "AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts) " +
+      "WHERE p.event_type = 'purchase' AND NOT (date_trunc('day', p.ts) = " +
+      "(SELECT date_trunc('day', min(ts)) FROM events) AND p.user_id % 7 = 3)"),
+    // left-outer mirror: every non-late purchase appears — matched rows
+    // as in the inner oracle, matchless ones exactly once with the -1
+    // null sentinel (the streaming side must emit them via outer-state
+    // eviction, and must NOT emit the late b3 purchases at all)
+    "q_stream_ssjoin_outer" -> ("SELECT p.event_id, " +
+      "coalesce(epoch_us(e.ts), -1) AS err_us " +
+      "FROM events p LEFT JOIN events e ON e.user_id = p.user_id " +
+      "AND e.event_type = 'error' " +
       "AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts) " +
       "WHERE p.event_type = 'purchase' AND NOT (date_trunc('day', p.ts) = " +
       "(SELECT date_trunc('day', min(ts)) FROM events) AND p.user_id % 7 = 3)"),
