@@ -1448,6 +1448,40 @@ object SparkEntry {
         Similarity.fixedCentroids(nlist = 8, dim = 64, seed = 7L), nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "ann_pq" -> ((s, dir) => {
+      // product quantization with TRAINED per-subspace codebooks
+      // (production recall): rows-only check like ann_ivf; the same
+      // encode+ADC search path is hash-checked via ann_pq_fixed below.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.pqTopK(e, q, "vec_id", "embedding", 5, m = 8, ksub = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    "ann_pq_fixed" -> ((s, dir) => {
+      // PQ-flat, engine-reproducible flavor: each 64-dim float vector
+      // (256 B) compresses to 8 codeword indices; search is ADC — m
+      // table lookups per candidate against the corpus CODES, the
+      // vectors never reach the ranking. Seeded codebooks embed in the
+      // DuckDB oracle, so encode+ADC hash-checks end to end.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.pqTopKWith(e, q, "vec_id", "embedding", 5,
+        Similarity.pqFixedCodebooks(m = 8, ksub = 16, dim = 64, seed = 11L))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    "ann_ivfpq_fixed" -> ((s, dir) => {
+      // the billion-vector composition (Faiss IndexIVFPQ, no-residual
+      // variant): IVF cells prune the scan to nprobe/nlist of the
+      // corpus, PQ codes compress what remains — per-row search state is
+      // 4 B cell + 8 B code at any corpus scale, one narrow map to build.
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.ivfPqTopKWith(e, q, "vec_id", "embedding", 5,
+        Similarity.fixedCentroids(nlist = 8, dim = 64, seed = 7L),
+        Similarity.pqFixedCodebooks(m = 8, ksub = 16, dim = 64, seed = 11L),
+        nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
 
     // per-label centroid accumulators (the aggregation step of
     // distributed k-means / a corpus-diversity profile): fixed-point
@@ -2367,6 +2401,77 @@ object SparkEntry {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** Per-row subspace distance tables as a DuckDB list-of-lists literal
+    * expression: mirror of [[Similarity.pqDistTableCol]] (m rows of ksub
+    * squared-L2 distances, codebooks embedded as double literals —
+    * Double.toString round-trips exactly; both engines sum the `dim/m`
+    * squared diffs sequentially in element order).
+    */
+  private def pqDlsSql(cbs: Array[Array[Array[Double]]]): String = {
+    val ds = cbs.head.head.length
+    cbs.zipWithIndex.map { case (cb, j) =>
+      cb.map { cw =>
+        val arr = cw.map(_.toString).mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, ${ds + 1}), i -> " +
+          s"(embedding[${j * ds} + i]::DOUBLE - ($arr)[i]) * " +
+          s"(embedding[${j * ds} + i]::DOUBLE - ($arr)[i])))"
+      }.mkString("[", ",\n", "]")
+    }.mkString("[", ",\n", "]")
+  }
+
+  private def annPqFixedSql: String = {
+    // mirror of Similarity.pqTopKWith(k = 5) over pqFixedCodebooks(m = 8,
+    // ksub = 16, dim = 64, seed = 11): code = FIRST index of each
+    // subspace row's minimum (list_position ↔ array_position, same
+    // lowest-index tie-break), ADC = the explicit left-associated 8-term
+    // lookup sum, matching pqAdcDist's reduce(_ + _).
+    val cbs = Similarity.pqFixedCodebooks(m = 8, ksub = 16, dim = 64, seed = 11L)
+    val adc = (1 to 8).map(j => s"l.lut[$j][c.code[$j] + 1]").mkString(" + ")
+    s"""WITH d AS (SELECT vec_id, ${pqDlsSql(cbs)} AS dls FROM embeddings),
+       |codes AS (SELECT vec_id,
+       |  list_transform(dls, l -> list_position(l, list_min(l)) - 1) AS code FROM d),
+       |luts AS (SELECT vec_id AS query_id, dls AS lut FROM d WHERE vec_id < 8)
+       |SELECT l.query_id, c.vec_id AS neighbor_id,
+       |CAST(row_number() OVER (PARTITION BY l.query_id ORDER BY
+       |$adc, c.vec_id) AS INT) AS rank
+       |FROM luts l CROSS JOIN codes c
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
+  private def annIvfPqFixedSql: String = {
+    // mirror of Similarity.ivfPqTopKWith(k = 5, nprobe = 3): cells +
+    // probes are annIvfFixedSql's math verbatim (fixedCentroids(8, 64,
+    // 7)); candidates are the probed cells' rows, ranked by the same ADC
+    // lookup sum as annPqFixedSql.
+    val cents = Similarity.fixedCentroids(nlist = 8, dim = 64, seed = 7L)
+    val cbs = Similarity.pqFixedCodebooks(m = 8, ksub = 16, dim = 64, seed = 11L)
+    def distSql(cArr: Array[Double]) = {
+      val arr = cArr.map(_.toString).mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, 65), i -> " +
+        s"(embedding[i]::DOUBLE - ($arr)[i]) * (embedding[i]::DOUBLE - ($arr)[i])))"
+    }
+    val cdl = cents.map(distSql).mkString("[", ",\n", "]")
+    val adc = (1 to 8).map(j => s"l.lut[$j][cd.code[$j] + 1]").mkString(" + ")
+    s"""WITH dc AS (SELECT vec_id, $cdl AS cdl FROM embeddings),
+       |cells AS (SELECT vec_id, list_position(cdl, list_min(cdl)) - 1 AS cell FROM dc),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT vec_id AS query_id, unnest(cdl) AS pd, unnest(range(0, 8)) AS cell
+       |  FROM dc WHERE vec_id < 8)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY pd, cell) <= 3),
+       |d AS (SELECT vec_id, ${pqDlsSql(cbs)} AS dls FROM embeddings),
+       |codes AS (SELECT vec_id,
+       |  list_transform(dls, l -> list_position(l, list_min(l)) - 1) AS code FROM d),
+       |luts AS (SELECT vec_id AS query_id, dls AS lut FROM d WHERE vec_id < 8)
+       |SELECT p.query_id, cl.vec_id AS neighbor_id,
+       |CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |$adc, cl.vec_id) AS INT) AS rank
+       |FROM probes p
+       |JOIN cells cl ON cl.cell = p.cell
+       |JOIN codes cd ON cd.vec_id = cl.vec_id
+       |JOIN luts l ON l.query_id = p.query_id
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   private def semDedupSql: String = {
     // mirror of Similarity.semDedup over embeddings ∪ jittered copies
     // (same corpus CTE as embPairsSql) with fixedCentroids(8, 64, 7)
@@ -2452,6 +2557,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshSql,
     "ann_ivf_fixed" -> annIvfFixedSql,
+    "ann_pq_fixed" -> annPqFixedSql,
+    "ann_ivfpq_fixed" -> annIvfPqFixedSql,
     "q_semdedup" -> semDedupSql,
     "dedup_emb_pairs_ora" -> embPairsSql,
     "dedup_pairs_md5" -> pairsMd5Sql,

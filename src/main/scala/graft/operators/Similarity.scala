@@ -488,4 +488,170 @@ object Similarity {
       .select(col(idCol), col("cluster"),
         coalesce(col("__d"), lit(false)).as("is_semdup"))
   }
+
+  // ----------------------------------------------- PQ (product quantization)
+  //
+  // The memory-compression ANN tier (Jégou et al. 2011, "Product
+  // Quantization for Nearest Neighbor Search"): split each vector into
+  // `m` subspaces, vector-quantize each subspace against its own `ksub`
+  // codewords, and store only the m codeword indices. A 64-dim float
+  // vector (256 bytes) becomes m=8 bytes — a 32× compression that is THE
+  // reason a 100 TB embedding store fits a cluster's memory at all.
+  // Search is ADC (asymmetric distance computation): the query stays
+  // exact, each candidate costs m table lookups instead of `dim`
+  // multiplies. [[ivfPqTopKWith]] composes this with the IVF coarse
+  // quantizer — the Faiss IndexIVFPQ architecture (no-residual variant:
+  // raw vectors are encoded, not cell residuals, keeping the pipeline
+  // engine-reproducible at a small recall cost).
+
+  /** Seeded data-INDEPENDENT PQ codebooks (`m` subspaces × `ksub`
+    * codewords of `dim/m` dims) — the PQ analogue of [[fixedCentroids]]:
+    * worse quantization error than trained ones, but the codebooks embed
+    * as literals in another engine's SQL, so the driver hash-checks the
+    * encode+ADC mechanism itself (`ann_pq_fixed`/`ann_ivfpq_fixed`). For
+    * production recall, prefer [[pqTrainCodebooks]].
+    */
+  def pqFixedCodebooks(m: Int, ksub: Int, dim: Int,
+                       seed: Long = 11L): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val rnd = new Random(seed)
+    Array.fill(m)(Array.fill(ksub)(Array.fill(dim / m)(rnd.nextGaussian())))
+  }
+
+  /** Train PQ codebooks: ONE bounded driver sample (the
+    * [[trainIvfCentroids]] Bernoulli discipline — constant driver memory
+    * at any corpus scale), then an independent local Lloyd per subspace
+    * over the sample's sub-vectors. Codebooks are tiny (m × ksub × dim/m
+    * doubles), so they ride into every executor plan as literals.
+    * Deterministic under `seed` for a fixed input layout.
+    */
+  def pqTrainCodebooks(df: DataFrame, vecCol: String, m: Int, ksub: Int,
+                       iters: Int = 5, sampleSize: Int = 2000,
+                       seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val n = df.count()
+    val fraction = math.min(1.0, if (n == 0) 1.0 else sampleSize * 1.2 / n)
+    val sample = df.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
+      .limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val ds = dim / m
+    Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds))
+      val rnd = new Random(seed + j)
+      var cws = Array.fill(ksub)(subs(rnd.nextInt(subs.length)).clone())
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(ksub)(new Array[Double](ds))
+        val counts = new Array[Long](ksub)
+        subs.foreach { v =>
+          val c = nearestCentroid(v, cws)
+          counts(c) += 1
+          var i = 0
+          while (i < ds) { sums(c)(i) += v(i); i += 1 }
+        }
+        cws = cws.indices.map { c =>
+          if (counts(c) == 0) cws(c) else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cws
+    }
+  }
+
+  /** Per-subspace distance table of a vector against every codeword, as
+    * an `ARRAY<ARRAY<DOUBLE>>` Column (`m` rows of `ksub` squared-L2
+    * distances). This is both halves of PQ in one expression: argmin per
+    * row encodes ([[pqCodeCol]]), the rows themselves are a query's ADC
+    * lookup table ([[pqTopKWith]]). Codebooks are plan literals; each
+    * distance is one codegen [[graft.functions.SqL2Dist]] fold over a
+    * `slice` — a narrow map, no shuffle, no UDF.
+    */
+  def pqDistTableCol(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val ds = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(vec, j * ds + 1, ds)
+      array(cb.map(cw =>
+        graft.functions.VectorOps.sq_l2_dist(sub, typedlit(cw.toSeq))): _*)
+    }: _*)
+  }
+
+  /** PQ code (`ARRAY<INT>`, one codeword index per subspace): argmin of
+    * each subspace's distance row, FIRST index on ties — the same
+    * lowest-index tie-break as [[ivfCellCol]], so another engine's
+    * `list_position(l, list_min(l))` reproduces it exactly.
+    */
+  def pqCodeCol(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    transform(pqDistTableCol(vec, codebooks),
+      l => (array_position(l, array_min(l)) - 1).cast("int"))
+
+  /** ADC approximate squared-L2 distance between a query's distance table
+    * and a candidate's code: Σ_j lut[j][code[j]] — `m` element lookups
+    * per candidate, no vector arithmetic at search time. Left-to-right
+    * summation, matching a sequential `list_sum` fold elsewhere.
+    */
+  def pqAdcDist(lut: Column, code: Column, m: Int): Column =
+    (0 until m).map(j =>
+      element_at(element_at(lut, j + 1), element_at(code, j + 1) + 1))
+      .reduce(_ + _)
+
+  /** PQ-flat approximate top-k (nearest by ADC squared-L2): the corpus is
+    * reduced ONCE to (id, m-byte code) — vectors never ship to the
+    * search — and each query's exact distance table is broadcast with the
+    * (small) query side, [[bruteForceTopK]]'s sanctioned
+    * broadcast-nested-loop shape with the per-pair cost cut from `dim`
+    * multiplies to `m` lookups and the corpus residency cut ~dim·4/m ×.
+    */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int,
+                 codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      pqCodeCol(col(vecCol), codebooks).as("__code"))
+    val q = queries.select(col(idCol).as("query_id"),
+      pqDistTableCol(col(vecCol), codebooks).as("__lut"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcDist(col("__lut"), col("__code"), m).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .drop("adist")
+  }
+
+  /** [[pqTopKWith]] with trained codebooks — the production path. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             seed: Long = 42L): DataFrame =
+    pqTopKWith(corpus, queries, idCol, vecCol, k,
+      pqTrainCodebooks(corpus, vecCol, m, ksub, seed = seed))
+
+  /** IVF-PQ approximate top-k — the billion-vector architecture: the
+    * corpus reduces once to (cell, code) with BOTH quantizers in a single
+    * narrow map, queries probe their `nprobe` nearest cells
+    * ([[ivfProbeCellsCol]]), and only the probed cells' codes are
+    * ADC-ranked. The cell equi-join replaces PQ-flat's full scan, so
+    * search cost is (probed fraction) × (m lookups); with `nprobe` =
+    * `nlist` it degenerates to exactly [[pqTopKWith]]'s ranking (asserted
+    * in `SimilaritySpec`). State per corpus row at 100 TB: 4-byte cell +
+    * m-byte code.
+    */
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int,
+                    centroids: Array[Array[Double]],
+                    codebooks: Array[Array[Array[Double]]],
+                    nprobe: Int): DataFrame = {
+    val m = codebooks.length
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      ivfCellCol(col(vecCol), centroids).as("__cell"),
+      pqCodeCol(col(vecCol), codebooks).as("__code"))
+    val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__lut", pqDistTableCol(col("__qv"), codebooks))
+      .withColumn("__cell", explode(ivfProbeCellsCol(col("__qv"), centroids, nprobe)))
+      .select(col("query_id"), col("__lut"), col("__cell"))
+    val scored = c.join(broadcast(qCells), "__cell")
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcDist(col("__lut"), col("__code"), m).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .drop("adist")
+  }
 }

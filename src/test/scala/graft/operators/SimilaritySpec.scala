@@ -258,6 +258,77 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.head == 0L && got(1) == 1L)
   }
 
+  test("pqCodeCol: m entries, each a valid codeword index; exact sub-vectors reconstruct") {
+    val s = spark
+    import s.implicits._
+    // corpus whose sub-vectors all appear verbatim in the codebooks →
+    // quantization error is exactly zero and the code identifies each
+    // sub-vector uniquely
+    val cb = Array.tabulate(2)(j => Array.tabulate(4)(c =>
+      Array.tabulate(2)(i => (j * 100 + c * 10 + i).toDouble)))
+    val vecs = for (a <- 0 until 4; b <- 0 until 4) yield
+      (a * 4 + b).toLong -> (cb(0)(a) ++ cb(1)(b)).map(_.toFloat).toSeq
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Similarity.pqCodeCol(col("embedding"), cb).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.size == 16)
+    got.foreach { case (id, code) =>
+      assert(code.length == 2 && code.forall(c => c >= 0 && c < 4))
+      assert(code == Seq((id / 4).toInt, (id % 4).toInt),
+        s"zero-error corpus must round-trip through its code, got $code for $id")
+    }
+  }
+
+  test("pq ADC distance equals exact squared L2 on a zero-error corpus") {
+    val s = spark
+    import s.implicits._
+    val cb = Array.tabulate(2)(j => Array.tabulate(4)(c =>
+      Array.tabulate(2)(i => (j * 100 + c * 10 + i).toDouble)))
+    val vecs = for (a <- 0 until 4; b <- 0 until 4) yield
+      (a * 4 + b).toLong -> (cb(0)(a) ++ cb(1)(b)).map(_.toFloat).toSeq
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 5)
+    // with zero quantization error, ADC == exact distance, so PQ ranking
+    // must equal exact L2 ranking (self first at distance 0)
+    val pq = Similarity.pqTopKWith(df, q, "vec_id", "embedding", 16, cb)
+      .orderBy("rank").collect()
+    val exact = df.crossJoin(q.select(col("embedding").as("__q")))
+      .select(col("vec_id"),
+        graft.functions.VectorOps.sq_l2_dist(col("embedding"), col("__q")).as("d"))
+      .orderBy(col("d"), col("vec_id")).collect().map(_.getLong(0))
+    assert(pq.map(_.getAs[Long]("neighbor_id")).toSeq == exact.toSeq)
+    assert(pq.head.getAs[Long]("neighbor_id") == 5L, "self is rank 1 at ADC 0")
+  }
+
+  test("trained PQ finds the planted near-neighbor; codebooks deterministic") {
+    val q = embDf.filter(col("vec_id") === 0)
+    val got = Similarity.pqTopK(embDf, q, "vec_id", "embedding", 4, m = 4, ksub = 8)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(got.take(2).toSet == Set(0L, 1L),
+      s"query and its 0.01-jitter share a code cell, got ${got.toSeq}")
+    val cb1 = Similarity.pqTrainCodebooks(embDf, "embedding", 4, 8)
+    val cb2 = Similarity.pqTrainCodebooks(embDf, "embedding", 4, 8)
+    assert(cb1.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq)
+  }
+
+  test("IVF-PQ at nprobe = nlist ranks exactly like PQ-flat") {
+    val q = embDf.filter(col("vec_id") < 3)
+    val cents = Similarity.fixedCentroids(nlist = 4, dim = 16, seed = 7L)
+    val cb = Similarity.pqFixedCodebooks(m = 4, ksub = 8, dim = 16, seed = 11L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val flat = rows(Similarity.pqTopKWith(embDf, q, "vec_id", "embedding", 4, cb))
+    val ivfpq = rows(Similarity.ivfPqTopKWith(embDf, q, "vec_id", "embedding", 4,
+      cents, cb, nprobe = 4))
+    assert(ivfpq == flat, "full-probe IVF-PQ must degenerate to PQ-flat")
+    // partial probe returns ≤ k rows per query, all from probed cells
+    val partial = Similarity.ivfPqTopKWith(embDf, q, "vec_id", "embedding", 4,
+      cents, cb, nprobe = 2)
+    assert(partial.groupBy("query_id").count().collect().forall(_.getLong(1) <= 4))
+  }
+
   test("lshBucket is deterministic across invocations (seeded planes)") {
     val planes = Similarity.hyperplanes(8, 16, seed = 42L)
     val planes2 = Similarity.hyperplanes(8, 16, seed = 42L)
