@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.ConnectProps
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, UrlOps}
 import graft.sources.Tables
 import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJsonString}
 
@@ -1482,6 +1482,31 @@ object SparkEntry {
         nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "q_url_dedup" -> ((s, dir) => {
+      // web-crawl first-pass dedup: five messy spellings of one logical
+      // URL (scheme/host case, www, default port, slash runs, trailing
+      // slash, param order, utm_*/fbclid tracking params, fragments) are
+      // synthesized deterministically from doc_id — each run of 5 docs
+      // shares a logical URL — and must collapse to ONE canonical row
+      // with keep_id = the run's min doc_id and n_variants = 5.
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val grp = expr("doc_id div 5").cast("string")
+      val v = col("doc_id") % 5
+      val url = when(v === 0,
+          concat(lit("http://example.com/docs/"), grp, lit("?a=1&b=2")))
+        .when(v === 1,
+          concat(lit("HTTP://WWW.EXAMPLE.COM:80/docs/"), grp, lit("/?b=2&a=1")))
+        .when(v === 2,
+          concat(lit("http://example.com//docs//"), grp,
+            lit("?a=1&utm_source=feed&b=2")))
+        .when(v === 3,
+          concat(lit("http://example.com:80/docs/"), grp,
+            lit("?b=2&a=1&fbclid=XYZ#frag")))
+        .otherwise(
+          concat(lit("http://www.example.com/docs/"), grp,
+            lit("?utm_campaign=c&b=2&a=1#sec")))
+      UrlOps.dedupByUrl(d.withColumn("url", url), "doc_id", "url")
+    }),
 
     // per-label centroid accumulators (the aggregation step of
     // distributed k-means / a corpus-diversity profile): fixed-point
@@ -2472,6 +2497,53 @@ object SparkEntry {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  private def urlDedupSql: String = {
+    // mirror of UrlOps.canonicalizeUrl/dedupByUrl over the same
+    // deterministic URL synthesis. DuckDB regexp_replace defaults to
+    // FIRST-match (Spark replaces all), so the slash-run collapse — the
+    // only multi-site pattern — carries the 'g' flag; every other
+    // pattern is anchored. list_sort is binary-ascending like
+    // array_sort; both sides split on '&' and drop empties.
+    s"""WITH raw AS (
+       |  SELECT doc_id, CASE doc_id % 5
+       |    WHEN 0 THEN 'http://example.com/docs/' || (doc_id // 5) || '?a=1&b=2'
+       |    WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM:80/docs/' || (doc_id // 5) || '/?b=2&a=1'
+       |    WHEN 2 THEN 'http://example.com//docs//' || (doc_id // 5) || '?a=1&utm_source=feed&b=2'
+       |    WHEN 3 THEN 'http://example.com:80/docs/' || (doc_id // 5) || '?b=2&a=1&fbclid=XYZ#frag'
+       |    ELSE 'http://www.example.com/docs/' || (doc_id // 5) || '?utm_campaign=c&b=2&a=1#sec'
+       |  END AS url FROM documents),
+       |parts AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM raw),
+       |split_p AS (
+       |  SELECT doc_id, scheme,
+       |    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+       |    regexp_extract(regexp_replace(rest, '^[^/?#]*', ''), '^([^?#]*)', 1) AS path,
+       |    regexp_extract(regexp_replace(rest, '^[^/?#]*', ''), '\\?([^#]*)', 1) AS query
+       |  FROM parts),
+       |canon AS (
+       |  SELECT doc_id,
+       |    scheme || '://' || host || cpath ||
+       |      CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END AS canonical_url,
+       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+       |  FROM (
+       |    SELECT doc_id, scheme,
+       |      regexp_replace(CASE
+       |        WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |        ELSE hostport END, '^www\\.', '') AS host,
+       |      regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '/+$$', '') AS cpath,
+       |      array_to_string(list_sort(list_filter(string_split(query, '&'),
+       |        p -> p <> '' AND NOT regexp_matches(p,
+       |          '^(utm_[^=&]*|fbclid|gclid|ref)='))), '&') AS cquery
+       |    FROM split_p))
+       |SELECT canonical_url, domain, min(doc_id) AS keep_id,
+       |  count(*) AS n_variants
+       |FROM canon GROUP BY 1, 2""".stripMargin
+  }
+
   private def semDedupSql: String = {
     // mirror of Similarity.semDedup over embeddings ∪ jittered copies
     // (same corpus CTE as embPairsSql) with fixedCentroids(8, 64, 7)
@@ -2559,6 +2631,7 @@ object SparkEntry {
     "ann_ivf_fixed" -> annIvfFixedSql,
     "ann_pq_fixed" -> annPqFixedSql,
     "ann_ivfpq_fixed" -> annIvfPqFixedSql,
+    "q_url_dedup" -> urlDedupSql,
     "q_semdedup" -> semDedupSql,
     "dedup_emb_pairs_ora" -> embPairsSql,
     "dedup_pairs_md5" -> pairsMd5Sql,
