@@ -1130,6 +1130,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(cents(col("l_quantity"))).as("sum_qty_cents"))
     }),
+    // schema evolution: a v1 writer lands (doc_id, lang), a v2 writer
+    // APPENDS (doc_id, lang, n_chars) into the same directory — the
+    // standard added-column drift of a long-lived table. The merged read
+    // must union the schemas, surface NULL n_chars for v1 rows, and keep
+    // per-file column pruning; the oracle recomputes the expected
+    // null-aware aggregate from the source table's even/odd split
+    "q_schema_evolution" -> ((s, dir) => {
+      val path = materializedDir("evolve", dir) { out =>
+        val d = Tables.documents(s, dir)
+        d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(out)
+        d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("append").parquet(out)
+      }
+      graft.sources.Formats.readParquetMerged(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_evolved"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_n_chars"))
+    }),
     // Kafka-envelope golden fixture (no broker and no spark-sql-kafka jar
     // in this sandbox, so the envelope path is proven the testable way):
     // a parquet fixture shaped EXACTLY like Spark's Kafka source schema —
@@ -3093,6 +3114,12 @@ object SparkEntry {
     "q_orc_roundtrip" -> ("SELECT l_returnflag, count(*) AS n_items, " +
       s"${sumCentsSql("l_quantity")} AS sum_qty_cents " +
       "FROM lineitem GROUP BY l_returnflag"),
+    // the merged read's v1 rows carry NULL n_chars → only odd doc_ids
+    // count/sum; CASTs keep BIGINT (DuckDB sum(BIGINT) is HUGEINT)
+    "q_schema_evolution" -> ("SELECT lang, count(*) AS n_docs, " +
+      "count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_evolved, " +
+      "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) " +
+      "AS sum_n_chars FROM documents GROUP BY lang"),
     // envelope fidelity: every column the Spark side recovers from the
     // kafka-shaped fixture (key bytes, chained value JSON, header bytes,
     // timestamp) must equal what the original events row held

@@ -46,4 +46,20 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Parquet read across SCHEMA DRIFT: a long-lived 100 TB table is
+    * written by many pipeline versions, and "a new writer added a
+    * column" must not strand the old files. `mergeSchema` unions every
+    * file's schema at planning time; rows from pre-evolution files
+    * surface the added columns as NULL, and column pruning still reaches
+    * each file with its own subset.
+    *
+    * Scale note — why Spark leaves this OFF by default and so do we for
+    * the star tables: merging is an O(files) footer read before the scan
+    * (a distributed job, but real planning latency on a million-file
+    * table). Use it at evolution boundaries, then compact/rewrite to the
+    * current schema; steady-state reads should carry one schema.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -69,6 +69,29 @@ class FormatsSpec extends SparkTestBase {
       s"label column must not be read:\n$p")
   }
 
+  test("mergeSchema read unions drifted schemas; pre-evolution rows go null") {
+    val path = tmp("evolve")
+    val s = spark
+    import s.implicits._
+    // v1 writer: two columns; v2 writer APPENDS with an added column
+    Seq(1L -> "a", 2L -> "b").toDF("id", "label")
+      .write.mode("overwrite").parquet(path)
+    Seq((3L, "a", 30L), (4L, "c", 40L)).toDF("id", "label", "extra")
+      .write.mode("append").parquet(path)
+    val merged = Formats.readParquetMerged(spark, path)
+    assert(merged.schema.fieldNames.toSet == Set("id", "label", "extra"),
+      "union of every file's schema")
+    val rows = merged.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)),
+      "v1 rows surface the added column as NULL, v2 rows keep values")
+    // pruning still reaches the scan: a projection that skips the added
+    // column must not read it
+    val p = merged.select("id", "label").queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<id:bigint,label:string>"),
+      s"added column must not be read when not selected:\n$p")
+  }
+
   test("reads are schema-first: no inference pass, declared dtypes win") {
     val path = tmp("schema")
     Formats.writeCsv(sample, path)
