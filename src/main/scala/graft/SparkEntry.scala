@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.ConnectProps
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, UrlOps}
+import graft.operators.{Dedup, HeavyHitters, Merge, Multimodal, Similarity, TextAnalysis, UrlOps}
 import graft.sources.Tables
 import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJsonString}
 
@@ -1528,6 +1528,39 @@ object SparkEntry {
             lit("?utm_campaign=c&b=2&a=1#sec")))
       UrlOps.dedupByUrl(d.withColumn("url", url), "doc_id", "url")
     }),
+    "q_merge_cdc" -> ((s, dir) => {
+      // latest-wins CDC apply over the documents snapshot: a change
+      // batch with three competing updates per %7 key (seq 3 wins),
+      // a later delete for %5 keys (beats the updates where they
+      // overlap), and inserts at +10M for %11 keys. One key-grouped
+      // max_by exchange — no join, no window sort; the oracle mirrors
+      // with row_number over (prec DESC, seq DESC).
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val upd = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("s", explode(array(lit(1L), lit(2L), lit(3L))))
+        .select(col("doc_id"),
+          concat(lit("u"), col("s")).as("lang"), col("source"),
+          (col("n_chars") + col("s")).as("n_chars"),
+          col("s").as("seq"), lit("u").as("op"))
+      val del = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          lit(4L).as("seq"), lit("d").as("op"))
+      val ins = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit("new").as("lang"), col("source"), col("n_chars"),
+          lit(1L).as("seq"), lit("u").as("op"))
+      Merge.applyChanges(d, upd.unionByName(del).unionByName(ins),
+        Seq("doc_id"), "seq", "op")
+    }),
+    "q_heavy_hitters" -> ((s, dir) =>
+      // corpus vocabulary heavy hitters: tokens holding >= 1/500 of all
+      // token occurrences, exact by the two-pass Misra-Gries contract
+      // (candidates bounded per partition, long tail never shuffled);
+      // integer share arithmetic (cnt*500 >= N) keeps the threshold
+      // engine-exact at any corpus size
+      HeavyHitters.frequentTokens(Tables.documents(s, dir), "text",
+        denom = 500L, capacity = 4096)),
 
     // per-label centroid accumulators (the aggregation step of
     // distributed k-means / a corpus-diversity profile): fixed-point
@@ -2653,6 +2686,41 @@ object SparkEntry {
     "ann_pq_fixed" -> annPqFixedSql,
     "ann_ivfpq_fixed" -> annIvfPqFixedSql,
     "q_url_dedup" -> urlDedupSql,
+    // MERGE INTO mirrored as union + row_number over (prec DESC, seq
+    // DESC): seq is unique per key by construction so the rank is total;
+    // winners that are deletes vanish
+    "q_merge_cdc" -> ("""WITH chg AS (
+      |  SELECT doc_id, 'u' || s AS lang, source,
+      |         n_chars + s AS n_chars, s AS seq, 'u' AS op
+      |  FROM documents, (VALUES (1), (2), (3)) v(s) WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, n_chars, 4, 'd'
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, 'new', source, n_chars, 1, 'u'
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |unioned AS (
+      |  SELECT doc_id, lang, source, n_chars, 0 AS prec, -1 AS seq,
+      |         'u' AS op FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, n_chars, 1, seq, op FROM chg),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY prec DESC, seq DESC) AS rn FROM unioned)
+      |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM ranked WHERE rn = 1 AND op <> 'd'""".stripMargin),
+    // the sketch is exact-verified, so the oracle is the plain
+    // GROUP BY / HAVING it guarantees: integer share arithmetic,
+    // count(*) OVER () for the corpus token total
+    "q_heavy_hitters" -> ("""WITH toks AS (
+      |  SELECT unnest(string_split(
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+      |  FROM documents),
+      |cnts AS (
+      |  SELECT token, count(*) AS cnt, sum(count(*)) OVER () AS n_total
+      |  FROM toks GROUP BY token)
+      |SELECT token, CAST(cnt AS BIGINT) AS cnt FROM cnts
+      |WHERE cnt * 500 >= n_total""".stripMargin),
     "q_semdedup" -> semDedupSql,
     "dedup_emb_pairs_ora" -> embPairsSql,
     "dedup_pairs_md5" -> pairsMd5Sql,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Latest-wins CDC apply — MERGE INTO (upsert + delete) semantics for a
+  * long-lived corpus snapshot maintained incrementally: the target holds
+  * one row per key; a change batch carries any number of change rows per
+  * key, each with a sequence value establishing order (a CDC log LSN /
+  * commit timestamp) and an op marker (`"u"` upsert, `"d"` delete). The
+  * result is the next snapshot: per key, the highest-sequence change wins
+  * over the target row and over every earlier change; a winning delete
+  * removes the key.
+  *
+  * NOT implemented as a join. The scalable formulation is union +
+  * compaction: target rows enter at precedence 0 (sequence irrelevant),
+  * change rows at precedence 1, then ONE key-grouped exchange reduces
+  * each key with a map-side-combinable
+  * `max_by(row, struct(precedence, seq, row))`. Why this beats the two
+  * textbook shapes at 100 TB:
+  *
+  *  - MERGE-as-full-outer-join ships the target AND the change batch
+  *    through a join exchange each, and still needs a pre-compaction of
+  *    multi-change keys (a second exchange) before the join is 1:1.
+  *  - The window formulation (`row_number() OVER (PARTITION BY key ORDER
+  *    BY prec DESC, seq DESC) = 1`) sorts every key group; a hot key — one
+  *    row updated a million times in a batch, the classic CDC skew —
+  *    materializes its full change history in one task.
+  *
+  *  `max_by` partials instead combine BEFORE the shuffle: the hot key
+  *  ships one partial row per map partition, bounded by partition count,
+  *  not by change-log length. (Same discipline as
+  *  [[Components.keepBestRepresentatives]].)
+  *
+  * Determinism: the comparator ends with the row struct itself, so equal
+  * (precedence, seq) ties — absent from a well-formed CDC log, where seq
+  * is unique per key — still resolve identically on any engine.
+  *
+  * Contract: `target` columns = key ++ data; `changes` columns ⊇ key ++
+  * data ++ (seqCol, opCol). Rows for keys absent from the target are
+  * inserts; a delete for an absent key is a no-op (filtered with the
+  * rest).
+  */
+object Merge {
+
+  def applyChanges(
+      target: DataFrame,
+      changes: DataFrame,
+      key: Seq[String],
+      seqCol: String,
+      opCol: String): DataFrame = {
+    val dataCols = target.columns.toSeq
+    require(key.forall(dataCols.contains), s"key $key must be target columns")
+    val tagged = target
+      .withColumn("_prec", lit(0))
+      .withColumn("_seq", lit(Long.MinValue))
+      .withColumn("_op", lit("u"))
+      .unionByName(changes
+        .select(dataCols.map(col) :+ lit(1).as("_prec") :+
+          col(seqCol).cast("long").as("_seq") :+ col(opCol).as("_op"): _*))
+    val row = struct((dataCols.filterNot(key.contains).map(col) :+
+      col("_op")): _*)
+    val won = tagged
+      .groupBy(key.map(col): _*)
+      .agg(max_by(row, struct(col("_prec"), col("_seq"), row)).as("_w"))
+    won
+      .filter(col("_w._op") =!= "d")
+      .select(dataCols.map(c =>
+        if (key.contains(c)) col(c) else col(s"_w.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MergeSpec extends SparkTestBase {
+
+  private def snapshot() = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "lang", "n")
+  }
+
+  private def run(changes: (Long, String, Long, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    Merge.applyChanges(snapshot(),
+        changes.toDF("id", "lang", "n", "seq", "op"),
+        Seq("id"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+  }
+
+  test("upsert updates matched keys and inserts unmatched; untouched rows survive") {
+    assert(run((2L, "B", 21L, 1L, "u"), (9L, "z", 90L, 1L, "u")) ==
+      Set((1L, "a", 10L), (2L, "B", 21L), (3L, "c", 30L), (9L, "z", 90L)))
+  }
+
+  test("latest change per key wins across a multi-change batch; deletes remove") {
+    assert(run(
+      (2L, "x1", 1L, 1L, "u"), (2L, "x2", 2L, 3L, "u"), (2L, "x3", 3L, 2L, "u"),
+      (3L, "c", 30L, 1L, "d"),
+      (9L, "z", 90L, 1L, "u"), (9L, "z", 91L, 2L, "d")) ==
+      // key 2: seq 3 wins (not the last-listed seq 2); key 3 deleted;
+      // key 9 inserted then deleted in the same batch -> absent
+      Set((1L, "a", 10L), (2L, "x2", 2L)))
+  }
+
+  test("delete-then-reinsert within one batch lands the reinsert; delete of absent key is a no-op") {
+    assert(run(
+      (1L, "a", 10L, 1L, "d"), (1L, "A2", 11L, 2L, "u"),
+      (7L, "q", 70L, 1L, "d")) ==
+      Set((1L, "A2", 11L), (2L, "b", 20L), (3L, "c", 30L)))
+  }
+
+  test("empty change batch is the identity snapshot") {
+    assert(run() == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+  }
+
+  test("compaction is one key-grouped exchange with map-side partials, not a join or window sort") {
+    val s = spark
+    import s.implicits._
+    val changes = Seq((2L, "B", 21L, 1L, "u")).toDF("id", "lang", "n", "seq", "op")
+    val out = Merge.applyChanges(snapshot(), changes, Seq("id"), "seq", "op")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "merge must not plan a join")
+    assert(!plan.contains("Window"), "merge must not plan a window sort")
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby") ||
+      "(?i)hashaggregate.*partial".r.findFirstIn(plan).isDefined,
+      s"expected a partial (map-side) aggregate before the exchange:\n$plan")
+  }
+}
