@@ -1503,6 +1503,18 @@ object SparkEntry {
         nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "ann_pq_rerank" -> ((s, dir) => {
+      // retrieve-then-rerank: ADC shortlist of 20 from codes alone, then
+      // exact L2 over only the shortlisted vectors (fetched map-side by
+      // broadcasting the bounded shortlist into the corpus scan) — the
+      // production PQ shape; AnnRecallProbe measures 0.92 recall@10 at
+      // 8 B/vec where plain ADC caps at 0.44
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.pqTopKReranked(e, q, "vec_id", "embedding", 5, 20,
+        Similarity.pqFixedCodebooks(m = 8, ksub = 16, dim = 64, seed = 11L))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     "q_url_dedup" -> ((s, dir) => {
       // web-crawl first-pass dedup: five messy spellings of one logical
       // URL (scheme/host case, www, default port, slash runs, trailing
@@ -1731,6 +1743,20 @@ object SparkEntry {
         .orderBy("merge_idx").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(d, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"), col("n_tokens_ws"),
+          md5(col("bpe_text")).as("enc_md5"))
+    }),
+    "q_bpe_encode_deep" -> ((s, dir) => {
+      // the deep-vocabulary encoder (per-partition pass-gated symbol
+      // arrays, no codegen depth bound) on the SAME trained merges and
+      // oracle as q_bpe_encode: the hash match proves the mapPartitions
+      // path reproduces the chained-replace algebra symbol-for-symbol
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", nMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodeDeep(d, "doc_id", "text", merges)
         .select(col("doc_id"), col("n_tokens"), col("n_tokens_ws"),
           md5(col("bpe_text")).as("enc_md5"))
     }),
@@ -2517,6 +2543,35 @@ object SparkEntry {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  private def annPqRerankSql: String = {
+    // mirror of Similarity.pqTopKReranked(k = 5, shortlist = 20) over the
+    // same fixed codebooks as annPqFixedSql: the ADC shortlist CTE is
+    // that query's ranking kept to 20, then exact squared-L2 (sequential
+    // element-order sum over double-cast elements — SqL2Dist's algebra)
+    // re-orders the shortlist only
+    val cbs = Similarity.pqFixedCodebooks(m = 8, ksub = 16, dim = 64, seed = 11L)
+    val adc = (1 to 8).map(j => s"l.lut[$j][c.code[$j] + 1]").mkString(" + ")
+    s"""WITH d AS (SELECT vec_id, ${pqDlsSql(cbs)} AS dls FROM embeddings),
+       |codes AS (SELECT vec_id,
+       |  list_transform(dls, l -> list_position(l, list_min(l)) - 1) AS code FROM d),
+       |luts AS (SELECT vec_id AS query_id, dls AS lut FROM d WHERE vec_id < 8),
+       |shortlist AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id
+       |  FROM luts l CROSS JOIN codes c
+       |  QUALIFY row_number() OVER (PARTITION BY l.query_id ORDER BY
+       |    $adc, c.vec_id) <= 20)
+       |SELECT s.query_id, s.neighbor_id,
+       |CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |  list_sum(list_transform(range(1, 65), i ->
+       |    (cv.embedding[i]::DOUBLE - qv.embedding[i]::DOUBLE) *
+       |    (cv.embedding[i]::DOUBLE - qv.embedding[i]::DOUBLE))),
+       |  s.neighbor_id) AS INT) AS rank
+       |FROM shortlist s
+       |JOIN embeddings cv ON cv.vec_id = s.neighbor_id
+       |JOIN embeddings qv ON qv.vec_id = s.query_id
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   private def annIvfPqFixedSql: String = {
     // mirror of Similarity.ivfPqTopKWith(k = 5, nprobe = 3): cells +
     // probes are annIvfFixedSql's math verbatim (fixedCentroids(8, 64,
@@ -2684,6 +2739,7 @@ object SparkEntry {
     "ann_lsh" -> annLshSql,
     "ann_ivf_fixed" -> annIvfFixedSql,
     "ann_pq_fixed" -> annPqFixedSql,
+    "ann_pq_rerank" -> annPqRerankSql,
     "ann_ivfpq_fixed" -> annIvfPqFixedSql,
     "q_url_dedup" -> urlDedupSql,
     // MERGE INTO mirrored as union + row_number over (prec DESC, seq
@@ -3311,6 +3367,9 @@ object SparkEntry {
       "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50"),
     "q_bpe_train" -> bpeTrainSql(6),
     "q_bpe_encode" -> bpeEncodeSql(6),
+    // same oracle as q_bpe_encode: the deep encoder's contract IS the
+    // chain's contract, so one SQL mirror covers both paths
+    "q_bpe_encode_deep" -> bpeEncodeSql(6),
     "q_profile" -> ("SELECT lang, count(*) AS n_docs, " +
       "quantile_cont(n_tokens, 0.25) AS p25, quantile_cont(n_tokens, 0.5) AS p50, " +
       "quantile_cont(n_tokens, 0.75) AS p75 FROM (" +

@@ -397,6 +397,68 @@ object TextAnalysis {
       size(split(norm, " ")).cast("long").as("n_tokens_ws"))
   }
 
+  /** [[bpeEncode]] at tokenizer-realistic merge depth — the switch the
+    * chained-replace scaladoc promises once the vocabulary outgrows what
+    * codegen accepts (hundreds-to-thousands of merges vs the chain's ≤8).
+    * Same contract bit-for-bit: each merge, in training order, is one
+    * left-to-right non-overlapping pass; a pair formed in pass k never
+    * back-feeds an earlier merge (pinned by the equivalence spec).
+    *
+    * Per partition, per document: symbols as an array, and a
+    * pair-presence set gating each pass — a document touches only the
+    * merges whose pair actually occurs in it, so cost is
+    * O(tokens + firing_merges × tokens) with array-index constants, not
+    * the chain's 3 whole-string materializations per merge; presence is
+    * never pruned (a stale entry costs one no-op scan, never
+    * correctness) and new adjacencies created by a merge are added as
+    * they form. Scale shape: ONE narrow `mapPartitions` over (id, text)
+    * — ZERO exchanges, embarrassingly parallel like the chain. Measured
+    * ([[graft.tools.BpeEncodeProbe]], sf0.1 warm): there is NO crossover
+    * — deep wins even at depth 8 (0.20 s vs the chain's 0.41 s; the
+    * chain's three whole-string materializations per merge cost more
+    * than leaving codegen saves) and depth 512 costs what the chain
+    * pays for 8 (0.40 s). The chain stays as the shallow-depth flavor
+    * because its algebra IS the SQL oracle's replace chain —
+    * engine-portability, not speed.
+    */
+  def bpeEncodeDeep(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sep = "\u001f"
+    val ms = merges.toArray
+    df.select(col(idCol).cast("long"), Dedup.normText(col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, norm) =>
+          var toks = norm.split(" ")
+          val nWs = toks.length.toLong
+          val present = new java.util.HashSet[String]()
+          var i = 0
+          while (i < toks.length - 1) {
+            present.add(toks(i) + " " + toks(i + 1)); i += 1
+          }
+          ms.foreach { case (a, b) =>
+            if (present.contains(a + " " + b)) {
+              val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+              val m = a + sep + b
+              var j = 0
+              while (j < toks.length) {
+                if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+                  if (out.nonEmpty) present.add(out.last + " " + m)
+                  out += m
+                  j += 2
+                  if (j < toks.length) present.add(m + " " + toks(j))
+                } else { out += toks(j); j += 1 }
+              }
+              toks = out.toArray
+            }
+          }
+          (id, toks.mkString(" "), toks.length.toLong, nWs)
+        }
+      }.toDF(idCol, "bpe_text", "n_tokens", "n_tokens_ws")
+  }
+
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int,
                tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {

@@ -339,4 +339,46 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(b1 == b2)
   }
+
+  test("pqTopKReranked: corpus-wide shortlist equals exact L2 ranking; shortlist must cover k") {
+    val q = embDf.filter(col("vec_id") === 0)
+    val n = embDf.count().toInt
+    val cb = Similarity.pqTrainCodebooks(embDf, "embedding", 4, 8)
+    // shortlist = whole corpus → rerank IS the exact L2 window, whatever
+    // the codes got wrong
+    val got = Similarity.pqTopKReranked(embDf, q, "vec_id", "embedding",
+        4, n, cb)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val exact = embDf.crossJoin(q.select(col("embedding").as("__q")))
+      .select(col("vec_id"),
+        graft.functions.VectorOps.sq_l2_dist(col("embedding"), col("__q")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+    assert(got.take(2) == Seq(0L, 1L), "self then its 0.01-jitter twin")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKReranked(embDf, q, "vec_id", "embedding", 5, 4, cb)
+    }
+  }
+
+  test("pqTopKReranked: exact rerank corrects ADC misordering inside the shortlist") {
+    val s = spark
+    import s.implicits._
+    // 1-subspace codebook with 2 codewords at 0 and 10: vecs 1.0 and 4.0
+    // share codeword 0 (ADC ties them — distance to the CODEWORD, not the
+    // vector), so ADC order vs query 1.1 is id-tie-broken, while exact L2
+    // must put 1.0 first regardless of ids
+    val cb = Array(Array(Array(0.0), Array(10.0)))
+    val df = Seq(
+      (5L, Seq(4.0f)), (7L, Seq(1.0f)), (9L, Seq(10.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.1f))).toDF("vec_id", "embedding")
+    val plain = Similarity.pqTopKWith(df, q, "vec_id", "embedding", 1, cb)
+      .head().getAs[Long]("neighbor_id")
+    assert(plain == 5L, "ADC ties 5 and 7 at codeword 0 and keeps the lower id")
+    val reranked = Similarity.pqTopKReranked(df, q, "vec_id", "embedding",
+        1, 2, cb)
+      .head().getAs[Long]("neighbor_id")
+    assert(reranked == 7L, "exact L2 over the shortlist recovers the true NN")
+  }
 }

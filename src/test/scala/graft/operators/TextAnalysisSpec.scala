@@ -302,6 +302,49 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.map(_.getAs[String]("roundtrip")).toSeq == Seq("a a a", "b a a b"))
   }
 
+  test("bpeEncodeDeep: equals the chained-replace encoder on trained merges, incl. no-back-feed ordering") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b a b c"), (2L, "a b c c"), (3L, "x y"), (4L, "a a a"),
+      (5L, "b a a b"), (6L, ""), (7L, "a"), (8L, "c a b a b a b c")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, "doc_id", "text", nMerges = 4)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val chain = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val deep = TextAnalysis.bpeEncodeDeep(df, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(deep == chain)
+    // no-back-feed: a pair formed in pass k never feeds an earlier merge
+    val nb = TextAnalysis.bpeEncodeDeep(
+        Seq((1L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("b", "c"), ("a", "b")))
+      .head().getAs[String]("bpe_text")
+    assert(nb == "a b\u001fc") // (a,b) must NOT match across the bc merge
+  }
+
+  test("bpeEncodeDeep: tokenizer-realistic depth (200 merges) far beyond the chain bound") {
+    val s = spark
+    import s.implicits._
+    val toks = (0 until 201).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, "t5 t6 unrelated"))
+      .toDF("doc_id", "text")
+    // a 200-deep merge chain folding the whole doc into ONE symbol
+    val merges = (1 until 201).map { i =>
+      (toks.take(i).mkString("\u001f"), s"t$i")
+    }
+    val got = TextAnalysis.bpeEncodeDeep(df, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_tokens") == 1L)
+    assert(got(0).getAs[String]("bpe_text").replace('\u001f', ' ') ==
+      toks.mkString(" ")) // lossless at depth 200
+    // doc 2 contains no rule's pair (every rule's left side is the
+    // long prefix symbol) -- 200 passes, zero firings, text unchanged
+    assert(got(1).getAs[String]("bpe_text") == "t5 t6 unrelated")
+  }
+
   test("bpeEncode: train-then-encode compresses the training sample consistently") {
     val s = spark
     import s.implicits._
