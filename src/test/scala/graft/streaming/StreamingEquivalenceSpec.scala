@@ -391,6 +391,45 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       s"near-dups matched per batch, novel doc passed: $matches")
   }
 
+  test("foreachBatch: CDC apply per micro-batch converges to the one-shot merge") {
+    // the streaming half of Merge.applyChanges: a CDC feed lands in
+    // micro-batches and each batch folds into the running snapshot with
+    // the BATCH operator, unchanged. With a batch-monotone sequence (what
+    // a CDC log's LSN is), per-batch latest-wins composes: the final
+    // snapshot equals applying the whole change log at once.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val initial = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "lang", "n")
+    val b1 = Seq((2L, "x", 21L, 1L, "u"), (9L, "z", 90L, 2L, "u"))
+    val b2 = Seq((2L, "b", 20L, 3L, "d"), (9L, "z2", 91L, 4L, "u"))
+    @volatile var snapshot = initial
+    val mem = MemoryStream[(Long, String, Long, Long, String)]
+    val q = StreamRunner.foreachBatchSink(
+      mem.toDF().toDF("id", "lang", "n", "seq", "op"),
+      (batch, _) => synchronized {
+        // materialize: the next batch's plan must not re-read this one's
+        val next = graft.operators.Merge
+          .applyChanges(snapshot, batch, Seq("id"), "seq", "op")
+          .collect()
+        snapshot = s.createDataFrame(
+          s.sparkContext.parallelize(next.toSeq), snapshot.schema)
+      })
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = snapshot.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val oneShot = graft.operators.Merge.applyChanges(initial,
+        (b1 ++ b2).toDF("id", "lang", "n", "seq", "op"),
+        Seq("id"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == oneShot)
+    assert(streamed == Set((1L, "a", 10L), (9L, "z2", 91L)),
+      "update then delete of key 2, insert then update of key 9")
+  }
+
   test("foreachBatch: prepared standing index matches per-batch, equals the one-shot result") {
     // the q_stream_dedup shape: index signatures computed and persisted
     // ONCE before the stream; each micro-batch only signatures itself.
