@@ -35,8 +35,12 @@ import org.apache.spark.sql.functions._
   * contain every token at-or-above share 1/(capacity+1), the result for
   * any `1/denom > 1/(capacity+1)` equals the exact
   * `HAVING cnt·denom ≥ N` — an engine-portable contract a SQL oracle can
-  * state without modeling the sketch. The corpus is scanned twice
-  * (inherent to exact-verified sketching); both scans are token-narrow.
+  * state without modeling the sketch. The corpus is scanned three times
+  * (candidates, the total-N aggregate, the exact count — PLAN_AUDIT:
+  * 0/3 scans), every scan token-narrow and shuffle-free below its
+  * bounded aggregate; exact-verified sketching inherently re-reads, and
+  * a scan is the one thing that parallelizes perfectly at 100 TB while
+  * the thing this design removes — the long-tail exchange — does not.
   */
 object HeavyHitters {
 
