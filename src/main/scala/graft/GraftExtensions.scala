@@ -26,7 +26,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    vector folds of the embedding tier, so SQL-text pipelines rank and
   *    verify embeddings at the same speed as the Column API (the
   *    interpreted `aggregate`/`zip_with` spelling is ~30× slower per
-  *    evaluation).
+  *    evaluation);
+  *  - `canonicalize_url(url)` / `url_domain(url)` — the crawl-curation
+  *    URL normalizers as SQL macros: the builder expands the Column
+  *    composition into the same standard-expression tree, so SQL text
+  *    and Column pipelines share one definition of "canonical".
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -54,5 +58,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.DotProduct(_, _))
     binary("sq_l2_dist", classOf[graft.functions.SqL2Dist],
       graft.functions.SqL2Dist(_, _))
+    // Column-composition macros: the registered builder expands to the
+    // same standard-expression tree the Column API builds, so SQL text
+    // and Column pipelines share one canonicalization definition (and
+    // whole-stage codegen applies to both — there is no UDF here)
+    def macro1(name: String, f: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): Unit =
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(graft.operators.UrlOps.getClass.getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name takes exactly one argument")
+          org.apache.spark.sql.graftbridge.Bridge.convertedExpression(
+            f(org.apache.spark.sql.graftbridge.Bridge.column(args.head)))
+        }))
+    macro1("canonicalize_url", graft.operators.UrlOps.canonicalizeUrl)
+    macro1("url_domain", graft.operators.UrlOps.urlDomain)
   }
 }

@@ -13,6 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column → Catalyst expression via the classic converter: unlike
+    * [[expression]]'s lazy `ColumnNodeExpression` wrapper (fine as a
+    * child of an already-resolved custom Expression), this converts the
+    * whole node tree into real Catalyst nodes (`UnresolvedFunction` etc.)
+    * that the ANALYZER then resolves — required when the tree is returned
+    * from a FunctionRegistry builder, where a wrapper node would reach
+    * codegen unresolved.
+    */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed

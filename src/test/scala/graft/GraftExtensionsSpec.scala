@@ -23,6 +23,23 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getDouble(1) == 8.0)
   }
 
+  test("extensions register the URL macros for SQL text, matching the Column API") {
+    val exts = new SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+    Bridge.applyExtensionFunctions(exts, spark)
+    val messy = "HTTP://WWW.Example.COM:80//a//b/?b=2&a=1&utm_source=f#frag"
+    val r = spark.sql(
+      s"SELECT canonicalize_url('$messy') AS c, url_domain('$messy') AS d").head
+    assert(r.getString(0) == "http://example.com/a/b?a=1&b=2")
+    assert(r.getString(1) == "example.com")
+    // same tree as the Column API — identical output by construction
+    import org.apache.spark.sql.functions.{col, lit}
+    val viaColumn = spark.range(1)
+      .select(graft.operators.UrlOps.canonicalizeUrl(lit(messy)).as("c"))
+      .head.getString(0)
+    assert(r.getString(0) == viaColumn)
+  }
+
   test("extensions register rolling_hash for SQL text, matching the JVM impl") {
     val exts = new SparkSessionExtensions
     new GraftExtensions().apply(exts)
