@@ -1565,6 +1565,34 @@ object SparkEntry {
       Merge.applyChanges(d, upd.unionByName(del).unionByName(ins),
         Seq("doc_id"), "seq", "op")
     }),
+    "q_merge_partitioned" -> ((s, dir) => {
+      // the lakehouse upsert shape end to end THROUGH STORAGE: stage the
+      // snapshot hive-partitioned by lang, apply a change batch with
+      // applyChangesPartitioned (partition-pruned read, dynamic
+      // partition overwrite, emptied-partition cleanup), then hash the
+      // read-back snapshot. Updates keep lang — the partition column is
+      // stable under update, the operator's documented constraint.
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val snapDir = s"/tmp/graft_merge_part_${math.abs(dir.hashCode)}"
+      d.write.mode("overwrite").partitionBy("lang").parquet(snapDir)
+      val upd = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("s", explode(array(lit(1L), lit(2L), lit(3L))))
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + col("s")).as("n_chars"),
+          col("s").as("seq"), lit("u").as("op"))
+      val del = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          lit(4L).as("seq"), lit("d").as("op"))
+      val ins = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          col("n_chars"), lit(1L).as("seq"), lit("u").as("op"))
+      Merge.applyChangesPartitioned(snapDir,
+        upd.unionByName(del).unionByName(ins),
+        Seq("doc_id"), "seq", "op", "lang")
+      s.read.parquet(snapDir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     "q_heavy_hitters" -> ((s, dir) =>
       // corpus vocabulary heavy hitters: tokens holding >= 1/500 of all
       // token occurrences, exact by the two-pass Misra-Gries contract
@@ -2764,6 +2792,29 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY doc_id
       |    ORDER BY prec DESC, seq DESC) AS rn FROM unioned)
       |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM ranked WHERE rn = 1 AND op <> 'd'""".stripMargin),
+    // the storage round trip adds nothing the logical merge doesn't:
+    // the oracle is the same union + row_number mirror (updates keep
+    // lang, bump n_chars); any partition-mechanics defect (resurrected
+    // emptied partition, unmerged update) breaks the hash
+    "q_merge_partitioned" -> ("""WITH chg AS (
+      |  SELECT doc_id, lang, n_chars + s AS n_chars, s AS seq, 'u' AS op
+      |  FROM documents, (VALUES (1), (2), (3)) v(s) WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 4, 'd'
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, lang, n_chars, 1, 'u'
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |unioned AS (
+      |  SELECT doc_id, lang, n_chars, 0 AS prec, -1 AS seq, 'u' AS op
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 1, seq, op FROM chg),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY prec DESC, seq DESC) AS rn FROM unioned)
+      |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
       |FROM ranked WHERE rn = 1 AND op <> 'd'""".stripMargin),
     // the sketch is exact-verified, so the oracle is the plain
     // GROUP BY / HAVING it guarantees: integer share arithmetic,

@@ -68,4 +68,63 @@ object Merge {
       .select(dataCols.map(c =>
         if (key.contains(c)) col(c) else col(s"_w.$c").as(c)): _*)
   }
+
+  /** Partition-scoped CDC apply over a hive-partitioned parquet snapshot
+    * — the lakehouse upsert shape: at 100 TB you never rewrite the whole
+    * snapshot for a change batch that touches a handful of partitions.
+    *
+    *  1. The affected partition values come off the change batch (one
+    *     bounded driver action — affected-partition count, the same
+    *     driver-scalar budget as Components' edge count; pruning cannot
+    *     be expressed without it).
+    *  2. ONLY those partitions are read back (`isin` partition filter →
+    *     partition pruning at the scan: untouched partitions contribute
+    *     zero input splits) and merged with [[applyChanges]].
+    *  3. The merged rows overwrite ONLY their partitions (dynamic
+    *     partition overwrite); untouched partition directories keep
+    *     their files byte-for-byte. Dynamic overwrite cannot express "a
+    *     partition whose every row was deleted" (no output rows → no
+    *     overwrite), so emptied affected partitions are removed
+    *     explicitly through the Hadoop FS — without this, a fully
+    *     deleted partition would silently resurrect its pre-merge rows.
+    *
+    * Returns the affected partition values (stringified), for logging /
+    * test assertion. The partition column must be stable under updates
+    * (a change row that MOVES a key across partitions would need a
+    * delete in the old partition — the standard constraint for
+    * partition-scoped upserts without a table format's manifest).
+    */
+  def applyChangesPartitioned(
+      snapshotDir: String,
+      changes: DataFrame,
+      key: Seq[String],
+      seqCol: String,
+      opCol: String,
+      partCol: String): Seq[String] = {
+    val spark = changes.sparkSession
+    val affected = changes.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return Seq.empty
+    val snap = spark.read.parquet(snapshotDir)
+      .filter(col(partCol).isin(affected: _*))
+    val merged = applyChanges(snap, changes, key, seqCol, opCol)
+    val survivors = merged.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      merged.write.mode("overwrite")
+        .partitionBy(partCol)
+        .parquet(snapshotDir)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+    val fs = new org.apache.hadoop.fs.Path(snapshotDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(survivors.contains).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$snapshotDir/$partCol=$v"), true)
+    }
+    affected.map(String.valueOf)
+  }
 }

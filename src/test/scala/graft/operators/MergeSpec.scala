@@ -49,6 +49,34 @@ class MergeSpec extends SparkTestBase {
     assert(run() == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
   }
 
+  test("partitioned apply rewrites only touched partitions; emptied partitions vanish; untouched files stay put") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_part").toString
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "c"))
+      .toDF("id", "n", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    def files(p: String) =
+      new java.io.File(s"$dir/lang=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val cBefore = files("c")
+    val changes = Seq(
+      (1L, 11L, "a", 1L, "u"),   // update in a
+      (3L, 30L, "b", 1L, "d"),   // delete the ONLY row of b
+      (9L, 90L, "a", 1L, "u"))   // insert into a
+      .toDF("id", "n", "lang", "seq", "op")
+    val affected = Merge.applyChangesPartitioned(dir, changes,
+      Seq("id"), "seq", "op", "lang")
+    assert(affected.toSet == Set("a", "b"))
+    val after = s.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(after == Set((1L, 11L, "a"), (2L, 20L, "a"), (9L, 90L, "a"),
+      (4L, 40L, "c")))
+    assert(!new java.io.File(s"$dir/lang=b").exists(),
+      "fully-deleted partition directory must not resurrect old rows")
+    assert(files("c") == cBefore, "untouched partition files must be byte-identical")
+  }
+
   test("compaction is one key-grouped exchange with map-side partials, not a join or window sort") {
     val s = spark
     import s.implicits._
