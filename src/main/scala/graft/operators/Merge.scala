@@ -23,13 +23,20 @@ import org.apache.spark.sql.functions._
   *    through a join exchange each, and still needs a pre-compaction of
   *    multi-change keys (a second exchange) before the join is 1:1.
   *  - The window formulation (`row_number() OVER (PARTITION BY key ORDER
-  *    BY prec DESC, seq DESC) = 1`) sorts every key group; a hot key — one
-  *    row updated a million times in a batch, the classic CDC skew —
-  *    materializes its full change history in one task.
+  *    BY prec DESC, seq DESC) = 1`) is only hot-key-safe when an
+  *    optimizer rescues it: Spark 4's `WindowGroupLimit` partial
+  *    pushdown keeps top-1 per key map-side, and measured under 2M
+  *    changes on ONE key it then matches `max_by` within noise
+  *    ([[graft.tools.MergeSkewProbe]], rescue verified in the executed
+  *    plan). Without that engine-specific rewrite — other engines, or a
+  *    rank predicate the rewrite declines — the hot key's entire change
+  *    history sorts in one window task.
   *
-  *  `max_by` partials instead combine BEFORE the shuffle: the hot key
-  *  ships one partial row per map partition, bounded by partition count,
-  *  not by change-log length. (Same discipline as
+  *  `max_by` partials combine BEFORE the shuffle by the aggregate's own
+  *  algebra: the hot key ships one partial row per map partition,
+  *  bounded by partition count, not by change-log length — a guarantee
+  *  carried by the operator itself rather than by an optimizer pattern
+  *  match, and with no sort at all. (Same discipline as
   *  [[Components.keepBestRepresentatives]].)
   *
   * Determinism: the comparator ends with the row struct itself, so equal
