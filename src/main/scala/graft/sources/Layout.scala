@@ -37,6 +37,40 @@ object Layout {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bin-pack a parquet directory's small files — the table-maintenance
+    * pass every long-lived dataset needs after many small appends
+    * (streaming micro-batches, partition-scoped merges): each file costs
+    * a task, an open, and a footer read, so a 100 TB table fragmented
+    * into 10⁷ tiny files is slow before any row is touched.
+    *
+    * Sizing comes from the Hadoop FS listing (driver-side, bounded by
+    * file count — the thing being fixed is that this count is too high);
+    * the data moves through ONE round-robin repartition to
+    * `ceil(bytes / targetFileBytes)` output files — no key semantics, so
+    * no skew concern. The rewrite goes to a sibling temp dir first and
+    * swaps in via FS rename: a reader never observes a half-compacted
+    * directory, and the lazy self-overwrite trap (Spark reading the dir
+    * it is deleting) is structurally avoided. Returns the output file
+    * count.
+    */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    n
+  }
+
   /** Z-ordered parquet layout: range-partition + sort by the Morton code
     * of two dimension columns, so each output file (and row group) covers
     * a tight rectangle in (colA, colB) space — predicates on EITHER

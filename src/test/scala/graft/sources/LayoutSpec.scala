@@ -58,4 +58,29 @@ class LayoutSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(back == Set((0L, "a"), (1L, "b"), (0L, "c")))
   }
+
+  test("compactSmallFiles bin-packs a fragmented directory losslessly and atomically-by-rename") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    // 64 tiny files of ~identical size
+    s.range(10000L).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(64).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles.length == 64)
+    val before = s.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val totalBytes = parquetFiles.map(_.length).sum
+    // target a quarter of the data per file → ~4 output files
+    val n = Layout.compactSmallFiles(s, dir, targetFileBytes = totalBytes / 4)
+    assert(n >= 4 && n <= 5, s"expected ~4 output files, planned $n")
+    assert(parquetFiles.length == n,
+      s"directory must hold exactly the planned $n files, got ${parquetFiles.length}")
+    assert(!new java.io.File(dir + ".compact-tmp").exists(),
+      "temp dir must be renamed away, not left behind")
+    val after = s.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, "compaction must be lossless")
+  }
 }
