@@ -1058,6 +1058,29 @@ object SparkEntry {
       graft.sources.Layout.readPartitioned(s, prunedLayoutDir(s, dir))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"))),
+    // layout-MAINTENANCE pass end to end (the write-side half is
+    // q_partition_prune): documents' slim columns are deliberately
+    // fragmented into 64 tiny parquet files — the state a table is left in
+    // by streaming appends / partition-scoped merges — then bin-packed by
+    // Layout.compactSmallFiles (FS-listing-sized, rewritten to a sibling
+    // temp dir, swapped in by rename) and read back aggregated. Compaction
+    // is a pure layout rewrite, so the aggregate hash-matches the oracle
+    // computed on the ORIGINAL table: a row dropped or doubled anywhere in
+    // the fragment→compact→swap chain fails the round. Fragment + compact
+    // run once per JVM into a process-unique dir (same memoization as
+    // q_partition_prune).
+    "q_compact_roundtrip" -> ((s, dir) => {
+      val path = materializedDir("compactq", dir) { out =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(64).write.mode("overwrite").parquet(out)
+        graft.sources.Layout.compactSmallFiles(s, out,
+          targetFileBytes = 4L << 20): Unit
+      }
+      s.read.parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     // bucketed fact-dim join: both sides written bucketed by custkey once
     // per process (see bucketedTables), so the equi-join plans WITHOUT a
     // shuffle exchange on either side — the pay-once answer to repeated
@@ -3289,6 +3312,11 @@ object SparkEntry {
     "q_orc_roundtrip" -> ("SELECT l_returnflag, count(*) AS n_items, " +
       s"${sumCentsSql("l_quantity")} AS sum_qty_cents " +
       "FROM lineitem GROUP BY l_returnflag"),
+    // compaction is a pure layout rewrite: oracle reads the ORIGINAL
+    // table, so any row lost/doubled in fragment→compact→swap hash-fails
+    "q_compact_roundtrip" -> ("SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM documents GROUP BY lang"),
     // the merged read's v1 rows carry NULL n_chars → only odd doc_ids
     // count/sum; CASTs keep BIGINT (DuckDB sum(BIGINT) is HUGEINT)
     "q_schema_evolution" -> ("SELECT lang, count(*) AS n_docs, " +
