@@ -30,7 +30,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `canonicalize_url(url)` / `url_domain(url)` — the crawl-curation
   *    URL normalizers as SQL macros: the builder expands the Column
   *    composition into the same standard-expression tree, so SQL text
-  *    and Column pipelines share one definition of "canonical".
+  *    and Column pipelines share one definition of "canonical";
+  *  - `nfc_normalize(text)` — the Unicode-composition codegen Expression
+  *    — and `normalize_text(text)`, the full cleanup chain
+  *    (NFC → NBSP → control strip → whitespace collapse) as a macro over
+  *    it, so SQL text and Column pipelines share one definition of
+  *    "clean text".
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -58,6 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.DotProduct(_, _))
     binary("sq_l2_dist", classOf[graft.functions.SqL2Dist],
       graft.functions.SqL2Dist(_, _))
+    extensions.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize takes exactly one argument")
+        graft.functions.NfcNormalize(args.head)
+      }))
     // Column-composition macros: the registered builder expands to the
     // same standard-expression tree the Column API builds, so SQL text
     // and Column pipelines share one canonicalization definition (and
@@ -74,5 +86,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     macro1("canonicalize_url", graft.operators.UrlOps.canonicalizeUrl)
     macro1("url_domain", graft.operators.UrlOps.urlDomain)
+    macro1("normalize_text", graft.operators.TextAnalysis.normalizeText)
   }
 }

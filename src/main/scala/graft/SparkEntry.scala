@@ -1823,6 +1823,24 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
       TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
+    // Unicode cleanup chain (NFC compose → NBSP → control strip → ws
+    // collapse) through the codegen NfcNormalize Expression. The fixture
+    // corpus is clean ASCII, so each document is first deterministically
+    // DIRTIED with the cases that matter: a decomposed 'Å' (A + U+030A),
+    // an NBSP, a decomposed 'é' (e + U+0301), a BEL control char, and
+    // tab/space tails — built from code-point literals both engines spell
+    // identically (Scala \\uXXXX ↔ DuckDB chr()). The oracle applies the
+    // same chain with DuckDB's utf8proc-backed nfc_normalize, so the hash
+    // check pins java.text.Normalizer ≡ utf8proc on the composed forms
+    // plus the exact regex-class semantics of both strip steps.
+    "q_text_normalize" -> ((s, dir) => docs(s, dir)
+      .withColumn("dirty", concat(lit("A\u030A "), col("text"),
+        lit("\u00A0e\u0301\u0007 end\t ")))
+      .withColumn("norm", TextAnalysis.normalizeText(col("dirty")))
+      .select(col("doc_id"),
+        length(col("norm")).as("n_norm"),
+        substring(col("norm"), 1, 6).as("head"),
+        expr("substring(norm, length(norm) - 9, 10)").as("tail"))),
     "text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
       docs(s, dir).select(col("doc_id") +: feats: _*)
@@ -3481,6 +3499,19 @@ object SparkEntry {
     "text_tokens" -> ("SELECT doc_id, " +
       s"len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens_ws, " +
       "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens_bpe FROM documents"),
+    // identical dirty→clean chain, same step order (NFC → NBSP → control
+    // strip → \s+ collapse → trim); chr() literals mirror the Spark
+    // side's \uXXXX escapes code point for code point
+    "q_text_normalize" -> ("SELECT doc_id, length(norm)::BIGINT AS n_norm, " +
+      "substr(norm, 1, 6) AS head, " +
+      "substr(norm, length(norm) - 9, 10) AS tail FROM (" +
+      "SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+      "replace(nfc_normalize(dirty), chr(160), ' '), " +
+      "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), " +
+      "'\\s+', ' ', 'g')) AS norm FROM (" +
+      "SELECT doc_id, chr(65) || chr(778) || ' ' || text || chr(160) || " +
+      "'e' || chr(769) || chr(7) || ' end' || chr(9) || ' ' AS dirty " +
+      "FROM documents))"),
     "text_quality" -> ("SELECT doc_id, length(n)::BIGINT AS n_chars_norm, " +
       "len(string_split(n, ' '))::BIGINT AS n_tokens, " +
       "(length(n) - length(translate(n, '.,!?;:', '')))::BIGINT AS punct_cnt, " +
