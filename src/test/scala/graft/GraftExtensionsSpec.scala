@@ -40,6 +40,28 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getString(0) == viaColumn)
   }
 
+  test("extensions register normalize_text and nfc_normalize for SQL text") {
+    val exts = new SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+    Bridge.applyExtensionFunctions(exts, spark)
+    // decomposed A+ring, NBSP, BEL, double space -- spelled as \uXXXX
+    // escapes INSIDE the SQL literal (Spark's parser decodes them; SQL
+    // char() would be wrong here -- it is mod-256 ASCII, so char(778)
+    // yields a newline, not the combining ring)
+    val r = spark.sql(
+      "SELECT normalize_text('A\\u030A\\u00A0\\u0007b  c ') AS n, " +
+      "nfc_normalize('A\\u030A') AS c").head
+    assert(r.getString(0) == "\u00C5 b c")
+    assert(r.getString(1) == "\u00C5")
+    // macro expands to the same tree as the Column API
+    import org.apache.spark.sql.functions.lit
+    val viaColumn = spark.range(1)
+      .select(graft.operators.TextAnalysis.normalizeText(
+        lit("A\u030A\u00A0\u0007b  c ")).as("n"))
+      .head.getString(0)
+    assert(r.getString(0) == viaColumn)
+  }
+
   test("extensions register rolling_hash for SQL text, matching the JVM impl") {
     val exts = new SparkSessionExtensions
     new GraftExtensions().apply(exts)
