@@ -1267,6 +1267,32 @@ object SparkEntry {
     // ---- LLM pipeline: dedup
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "text", "doc_id")),
+    // WHY normalization precedes dedup: the same visible document arrives
+    // from the web in composed and decomposed Unicode forms, and
+    // byte-level exact dedup calls those different. Twin corpus: every
+    // document re-emitted (id + 200000) with a DECOMPOSED prefix
+    // (A + U+030A) while the original carries the precomposed one
+    // (U+00C5) — visibly identical, different code points. Grouping by
+    // md5(normalize_text) folds each pair into ONE group while
+    // n_raw_forms=2 proves the raw byte hashes stayed distinct — the
+    // query demonstrates the fold rather than assuming it. Same narrow
+    // one-shuffle shape as dedup_exact.
+    "dedup_unicode" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val twins = base.select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("A\u030A "), col("text")).as("text"))
+      val corpus = base
+        .select(col("doc_id"), concat(lit("\u00C5 "), col("text")).as("text"))
+        .union(twins)
+      corpus
+        .select(col("doc_id"),
+          md5(TextAnalysis.normalizeText(col("text"))).as("norm_hash"),
+          md5(col("text")).as("raw_hash"))
+        .groupBy(col("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("dup_count"),
+          countDistinct(col("raw_hash")).as("n_raw_forms"))
+    }),
     "dedup_rows" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), Seq("text"), "doc_id")
         .select(col("doc_id"), col("lang"), col("source"))),
@@ -3364,6 +3390,18 @@ object SparkEntry {
       "CAST(month(o_orderdate) AS INT) AS order_month FROM orders"),
     "dedup_exact" -> ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, " +
       "count(*) AS dup_count FROM documents GROUP BY md5(text)"),
+    // chr(197) = precomposed Å, chr(65)||chr(778) = A + combining ring:
+    // identical cleanup chain as q_text_normalize, then md5 grouping —
+    // n_raw_forms proves the two byte encodings really differed
+    "dedup_unicode" -> ("SELECT norm_hash, min(doc_id) AS keep_id, " +
+      "count(*) AS dup_count, count(DISTINCT raw_hash) AS n_raw_forms " +
+      "FROM (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(" +
+      "replace(nfc_normalize(text), chr(160), ' '), " +
+      "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), " +
+      "'\\s+', ' ', 'g'))) AS norm_hash, md5(text) AS raw_hash FROM (" +
+      "SELECT doc_id, chr(197) || ' ' || text AS text FROM documents " +
+      "UNION ALL SELECT doc_id + 200000, chr(65) || chr(778) || ' ' || text " +
+      "FROM documents)) GROUP BY norm_hash"),
     "dedup_rows" -> ("SELECT doc_id, lang, source FROM documents WHERE doc_id IN " +
       "(SELECT min(doc_id) FROM documents GROUP BY text)"),
     "dedup_minhash" -> minhashSql,
