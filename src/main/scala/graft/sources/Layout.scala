@@ -58,9 +58,21 @@ object Layout {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(hPath)
+    val statuses = fs.listStatus(hPath)
+    // refuse hive-partitioned roots: the top level has only partition
+    // subdirectories, so the size scan below would see 0 bytes and the
+    // rewrite would read the WHOLE table and emit it UNPARTITIONED —
+    // silently flattening the layout. Compact each partition directory.
+    val partDirs = statuses.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(partDirs.isEmpty,
+      s"compactSmallFiles compacts one FLAT parquet directory; $path has " +
+        s"partition subdirectories (${partDirs.take(3).mkString(", ")}...) " +
+        "— call it per partition directory instead")
+    val files = statuses
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    require(files.nonEmpty, s"no parquet data files directly under $path")
+    val bytes = files.map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
     fs.delete(tmp, true)

@@ -83,4 +83,19 @@ class LayoutSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == before, "compaction must be lossless")
   }
+
+  test("compactSmallFiles refuses a hive-partitioned root instead of flattening it") {
+    val s = spark
+    val dir = Files.createTempDirectory("compact_part").toString + "/t"
+    Layout.writePartitioned(
+      s.range(100L).select(col("id"), (col("id") % 3).cast("int").as("p")),
+      dir, Seq("p"))
+    val ex = intercept[IllegalArgumentException] {
+      Layout.compactSmallFiles(s, dir, targetFileBytes = 1L << 20)
+    }
+    assert(ex.getMessage.contains("partition subdirectories"),
+      s"unexpected message: ${ex.getMessage}")
+    // the layout must be untouched by the refusal
+    assert(s.read.parquet(dir).where(col("p") === 1).count() > 0)
+  }
 }
