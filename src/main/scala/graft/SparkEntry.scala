@@ -3395,10 +3395,10 @@ object SparkEntry {
     // n_raw_forms proves the two byte encodings really differed
     "dedup_unicode" -> ("SELECT norm_hash, min(doc_id) AS keep_id, " +
       "count(*) AS dup_count, count(DISTINCT raw_hash) AS n_raw_forms " +
-      "FROM (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(" +
-      "replace(nfc_normalize(text), chr(160), ' '), " +
+      "FROM (SELECT doc_id, md5(nfc_normalize(trim(regexp_replace(regexp_replace(" +
+      "replace(text, chr(160), ' '), " +
       "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), " +
-      "'\\s+', ' ', 'g'))) AS norm_hash, md5(text) AS raw_hash FROM (" +
+      "'\\s+', ' ', 'g')))) AS norm_hash, md5(text) AS raw_hash FROM (" +
       "SELECT doc_id, chr(197) || ' ' || text AS text FROM documents " +
       "UNION ALL SELECT doc_id + 200000, chr(65) || chr(778) || ' ' || text " +
       "FROM documents)) GROUP BY norm_hash"),
@@ -3537,16 +3537,17 @@ object SparkEntry {
     "text_tokens" -> ("SELECT doc_id, " +
       s"len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens_ws, " +
       "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens_bpe FROM documents"),
-    // identical dirty→clean chain, same step order (NFC → NBSP → control
-    // strip → \s+ collapse → trim); chr() literals mirror the Spark
-    // side's \uXXXX escapes code point for code point
+    // identical dirty→clean chain, same step order (NBSP → control
+    // strip → \s+ collapse → trim → NFC last, the idempotent order);
+    // chr() literals mirror the Spark side's \uXXXX escapes code point
+    // for code point
     "q_text_normalize" -> ("SELECT doc_id, length(norm)::BIGINT AS n_norm, " +
       "substr(norm, 1, 6) AS head, " +
       "substr(norm, length(norm) - 9, 10) AS tail FROM (" +
-      "SELECT doc_id, trim(regexp_replace(regexp_replace(" +
-      "replace(nfc_normalize(dirty), chr(160), ' '), " +
+      "SELECT doc_id, nfc_normalize(trim(regexp_replace(regexp_replace(" +
+      "replace(dirty, chr(160), ' '), " +
       "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), " +
-      "'\\s+', ' ', 'g')) AS norm FROM (" +
+      "'\\s+', ' ', 'g'))) AS norm FROM (" +
       "SELECT doc_id, chr(65) || chr(778) || ' ' || text || chr(160) || " +
       "'e' || chr(769) || chr(7) || ' end' || chr(9) || ' ' AS dirty " +
       "FROM documents))"),

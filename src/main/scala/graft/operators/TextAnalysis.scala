@@ -20,26 +20,31 @@ object TextAnalysis {
     */
   def normWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
-  /** Full crawl-text cleanup chain: NFC-compose, turn NBSP into plain
-    * space, strip C0/DEL control characters, collapse whitespace, trim.
-    * The ORDER is a cross-engine contract (the DuckDB oracle applies the
-    * identical chain):
+  /** Full crawl-text cleanup chain: turn NBSP into plain space, strip
+    * C0/DEL control characters, collapse whitespace, trim, THEN
+    * NFC-compose. The ORDER is a cross-engine contract (the DuckDB
+    * oracle applies the identical chain):
     *
-    *  1. NFC first — composition can only shrink the string; every later
-    *     step sees canonical code points.
-    *  2. NBSP (U+00A0) → space BEFORE the whitespace collapse: neither
+    *  1. NBSP (U+00A0) → space BEFORE the whitespace collapse: neither
     *     Java's nor RE2's `\s` matches NBSP, so without this step two
     *     NBSP-joined words would stay glued together.
-    *  3. Control strip BEFORE `\s+`: Java `\s` includes `\x0B` (vertical
+    *  2. Control strip BEFORE `\s+`: Java `\s` includes `\x0B` (vertical
     *     tab) but RE2's does not — stripping the full C0 range first
     *     removes the one character the two engines' `\s` disagree on, so
     *     the collapse that follows is engine-exact.
+    *  3. NFC LAST, not first — the strip steps can make a combining mark
+    *     newly adjacent to its base (`e` + BEL + U+0301 → `e` + U+0301),
+    *     so composing before them leaves such sequences decomposed and
+    *     the chain non-IDEMPOTENT (a pipeline re-run would rewrite
+    *     already-clean rows — caught by the idempotence property test).
+    *     Every earlier step is composition-independent (composed chars
+    *     are never whitespace/control, combining marks match neither
+    *     class), so deferring NFC changes nothing else.
     */
   def normalizeText(c: Column): Column = {
-    val nfc = graft.functions.NfcNormalize.nfc_normalize(c)
-    val nbsp = regexp_replace(nfc, "\\u00A0", " ")
+    val nbsp = regexp_replace(c, "\\u00A0", " ")
     val ctrl = regexp_replace(nbsp, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-    normWs(ctrl)
+    graft.functions.NfcNormalize.nfc_normalize(normWs(ctrl))
   }
 
   /** Lower-cased normalized text, padded with one space on each side so

@@ -67,4 +67,29 @@ class NfcNormalizeSpec extends SparkTestBase {
     assert(got(0).getString(1) == "\u00C5 bc \u00E9 end")
     assert(got(1).getString(1) == "ab")
   }
+
+  test("normalizeText is idempotent over adversarial char soup") {
+    // the production property: re-running the cleanup over already-clean
+    // data must be a no-op, or every pipeline re-run would rewrite the
+    // corpus. Seeded palette mixes base chars, combining marks, NBSP,
+    // controls, and whitespace runs.
+    val palette = "ab c" + "\u030A" + "\u0301" + "\u00A0" + "\u0007" +
+      "\u000B" + "\t" + "\u00C5" + "\u00E9" + "  "
+    val rnd = new scala.util.Random(20260814L)
+    val samples = Seq.tabulate(200) { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(24))(
+        palette(rnd.nextInt(palette.length))).mkString)
+    }
+    val s2 = spark
+    import s2.implicits._
+    val df = samples.toDF("id", "t")
+    import graft.operators.TextAnalysis.normalizeText
+    val bad = df.select(col("id"),
+        normalizeText(col("t")).as("once"),
+        normalizeText(normalizeText(col("t"))).as("twice"))
+      .filter(col("once") =!= col("twice"))
+      .collect()
+    assert(bad.isEmpty,
+      s"normalizeText not idempotent on: ${bad.take(3).mkString("; ")}")
+  }
 }
