@@ -47,10 +47,14 @@ object NfcNormalize {
   import java.text.Normalizer
 
   /** Shared by interpreted eval and generated code (must stay in
-    * lockstep). Returns the input object unchanged when already NFC —
-    * no String materialization on the dominant path.
+    * lockstep). Two fast paths on the dominant already-NFC case: pure
+    * ASCII (always NFC by definition) returns the input after a byte
+    * scan with NO String materialization at all — real corpora are
+    * overwhelmingly ASCII — and non-ASCII-but-normalized input returns
+    * the original `UTF8String` after the `isNormalized` check.
     */
   def normalizeUtf8(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
