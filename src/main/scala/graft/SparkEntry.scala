@@ -2724,8 +2724,8 @@ object SparkEntry {
        |split_p AS (
        |  SELECT doc_id, scheme,
        |    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
-       |    regexp_extract(regexp_replace(rest, '^[^/?#]*', ''), '^([^?#]*)', 1) AS path,
-       |    regexp_extract(regexp_replace(rest, '^[^/?#]*', ''), '\\?([^#]*)', 1) AS query
+       |    regexp_extract(regexp_extract(regexp_replace(rest, '^[^/?#]*', ''), '^([^#]*)', 1), '^([^?]*)', 1) AS path,
+       |    regexp_extract(regexp_extract(regexp_replace(rest, '^[^/?#]*', ''), '^([^#]*)', 1), '\\?(.*)$$', 1) AS query
        |  FROM parts),
        |canon AS (
        |  SELECT doc_id,

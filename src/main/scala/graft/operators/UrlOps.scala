@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *    `ref`), empties dropped, the rest SORTED (param order is
   *    server-insignificant in practice and is the #1 source of spurious
   *    URL variants) and rejoined; an emptied query loses its `?`
+  *  - scheme-less input treated as `http://` (see [[ensureScheme]]) —
+  *    with it the canonical form is always itself a URL, making
+  *    canonicalization IDEMPOTENT (property-tested)
   *
   * Scale shape: canonicalization is a narrow per-row map (regex + one
   * bounded list sort over the params of one URL); [[dedupByUrl]] then
@@ -34,17 +37,30 @@ object UrlOps {
 
   private val trackingRe = "^(utm_[^=&]*|fbclid|gclid|ref)="
 
-  /** The `scheme` part, lowercased (empty string if the URL has none). */
+  /** Treat scheme-less input as `http://` — a bare `example.com/x` is
+    * what crawl frontiers actually hold. Without this the canonical form
+    * came out as `://example.com/x`, which is not itself a URL, so
+    * re-canonicalizing COMPOUNDED garbage (`://:/example.com/x`) — a
+    * non-idempotence caught by the URL-soup property test: re-running
+    * the pipeline would churn every scheme-less dedup key.
+    */
+  private def ensureScheme(url: Column): Column =
+    when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), url)
+      .otherwise(concat(lit("http://"), url))
+
+  /** The `scheme` part, lowercased (`http` for scheme-less input). */
   def urlScheme(url: Column): Column =
-    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    lower(regexp_extract(ensureScheme(trim(url)),
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
 
   /** Canonical host: lowercased, `www.`-stripped, default port removed. */
   def urlHost(url: Column): Column = {
-    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val u = ensureScheme(trim(url))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
-    val noDefault = when(urlScheme(url) === "http",
+    val noDefault = when(urlScheme(u) === "http",
         regexp_replace(hostport, ":80$", ""))
-      .when(urlScheme(url) === "https", regexp_replace(hostport, ":443$", ""))
+      .when(urlScheme(u) === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
     regexp_replace(noDefault, "^www\\.", "")
   }
@@ -59,11 +75,14 @@ object UrlOps {
 
   /** Full canonical URL per the rules in the object doc. */
   def canonicalizeUrl(url: Column): Column = {
-    val u = trim(url)
+    val u = ensureScheme(trim(url))
     val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val pathq = regexp_replace(rest, "^[^/?#]*", "")
-    val path = regexp_extract(pathq, "^([^?#]*)", 1)
-    val query = regexp_extract(pathq, "\\?([^#]*)", 1)
+    // fragment off FIRST: extracting the query from the un-stripped tail
+    // let a '?' inside a fragment (`/x#a?b=1`) leak in as a query
+    val nofrag = regexp_extract(pathq, "^([^#]*)", 1)
+    val path = regexp_extract(nofrag, "^([^?]*)", 1)
+    val query = regexp_extract(nofrag, "\\?(.*)$", 1)
     val cpath = regexp_replace(regexp_replace(path, "/{2,}", "/"), "/+$", "")
     val params = filter(split(query, "&"),
       p => p =!= "" && !p.rlike(trackingRe))

@@ -80,4 +80,37 @@ class UrlOpsSpec extends SparkTestBase {
       ("http://example.com/docs/1?a=1&b=2", "example.com", 10L, 3L),
       ("http://example.com/docs/2?a=1&b=2", "example.com", 13L, 1L)))
   }
+
+  test("canonicalizeUrl is idempotent over adversarial URL soup") {
+    // same production property as normalizeText: re-canonicalizing an
+    // already-canonical URL must be a no-op, or every pipeline re-run
+    // would churn the dedup keys. Seeded soup of schemes, WWW/case
+    // variants, ports, duplicate slashes, tracking params, fragments.
+    val schemes = Seq("http://", "HTTPS://", "ftp://", "")
+    val hosts = Seq("example.com", "WWW.Example.COM", "a.b.co:8080",
+      "EXAMPLE.com:80")
+    val paths = Seq("", "/", "//x//y/", "/p/q", "/p//", "/%7Euser")
+    val queries = Seq("", "?", "?b=2&a=1", "?utm_source=f&a=1",
+      "?a=1&a=1&", "?utm_campaign=x", "?z=%20&y=+")
+    val frags = Seq("", "#f", "#a?b=1")
+    val rnd = new scala.util.Random(20260814L)
+    val samples = Seq.tabulate(300) { i =>
+      (i.toLong,
+        schemes(rnd.nextInt(schemes.length)) +
+        hosts(rnd.nextInt(hosts.length)) +
+        paths(rnd.nextInt(paths.length)) +
+        queries(rnd.nextInt(queries.length)) +
+        frags(rnd.nextInt(frags.length)))
+    }
+    val s2 = spark
+    import s2.implicits._
+    val df = samples.toDF("id", "u")
+    val bad = df.select(col("id"), col("u"),
+        UrlOps.canonicalizeUrl(col("u")).as("once"),
+        UrlOps.canonicalizeUrl(UrlOps.canonicalizeUrl(col("u"))).as("twice"))
+      .filter(col("once") =!= col("twice"))
+      .collect()
+    assert(bad.isEmpty,
+      s"canonicalizeUrl not idempotent on: ${bad.take(3).mkString("; ")}")
+  }
 }
