@@ -360,4 +360,30 @@ class TextAnalysisSpec extends SparkTestBase {
     }
     assert(enc(0).getAs[String]("bpe_text") == "a\u001fb a\u001fb\u001fc")
   }
+
+  test("redactPii is idempotent over adversarial pii soup") {
+    // third instance of the re-run property: redaction placeholders and
+    // their boundaries must never re-match, or a second pipeline pass
+    // would rewrite rows. Soup of emails, phones, and near-miss
+    // fragments butted against each other.
+    val frags = Seq("a@b.co", "x.y@mail.example.com", "123-4567",
+      "555-000", "12-34", "@", ".", "-", "co", "123", "<EMAIL>",
+      "<PHONE>", " ", "user%p+q@host.io")
+    val rnd = new scala.util.Random(20260814L)
+    val samples = Seq.tabulate(300) { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(8))(
+        frags(rnd.nextInt(frags.length))).mkString)
+    }
+    val s2 = spark
+    import s2.implicits._
+    val df = samples.toDF("id", "t")
+    import graft.operators.TextAnalysis.redactPii
+    val bad = df.select(col("id"), col("t"),
+        redactPii(col("t")).as("once"),
+        redactPii(redactPii(col("t"))).as("twice"))
+      .filter(col("once") =!= col("twice"))
+      .collect()
+    assert(bad.isEmpty,
+      s"redactPii not idempotent on: ${bad.take(3).mkString("; ")}")
+  }
 }
