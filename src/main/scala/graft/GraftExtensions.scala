@@ -33,9 +33,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    and Column pipelines share one definition of "canonical";
   *  - `nfc_normalize(text)` — the Unicode-composition codegen Expression
   *    — and `normalize_text(text)`, the full cleanup chain
-  *    (NFC → NBSP → control strip → whitespace collapse) as a macro over
-  *    it, so SQL text and Column pipelines share one definition of
-  *    "clean text".
+  *    (NBSP → control strip → whitespace collapse → NFC, composition
+  *    LAST per [[graft.operators.TextAnalysis.normalizeText]]'s
+  *    idempotence contract) as a macro over it, so SQL text and Column
+  *    pipelines share one definition of "clean text".
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {

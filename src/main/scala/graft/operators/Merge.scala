@@ -112,25 +112,38 @@ object Merge {
     val affected = changes.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (affected.isEmpty) return Seq.empty
-    val snap = spark.read.parquet(snapshotDir)
-      .filter(col(partCol).isin(affected: _*))
+    // isin never matches NULL, so a null-partition change batch needs the
+    // explicit isNull disjunct or its target rows would never be read back
+    // (the merge would then emit duplicates instead of upserts)
+    val nonNull = affected.filter(_ != null)
+    val partPred =
+      if (nonNull.size == affected.size) col(partCol).isin(nonNull: _*)
+      else if (nonNull.isEmpty) col(partCol).isNull
+      else col(partCol).isin(nonNull: _*) || col(partCol).isNull
+    val snap = spark.read.parquet(snapshotDir).filter(partPred)
     val merged = applyChanges(snap, changes, key, seqCol, opCol)
     val survivors = merged.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSet
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      merged.write.mode("overwrite")
-        .partitionBy(partCol)
-        .parquet(snapshotDir)
-    } finally {
-      prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
-    }
+    // partitionOverwriteMode as a per-write option, NOT a session conf
+    // mutation: the conf dance would leak dynamic overwrite into any
+    // concurrent write on the same session (or clobber a concurrent setter
+    // on restore)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(snapshotDir)
     val fs = new org.apache.hadoop.fs.Path(snapshotDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     affected.filterNot(survivors.contains).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$snapshotDir/$partCol=$v"), true)
+      // the writer hive-escapes partition directory names (space, ':',
+      // '%', '#', ... and null -> __HIVE_DEFAULT_PARTITION__); build the
+      // doomed path with the same escaping or the delete silently misses
+      // the real directory and the emptied partition resurrects its
+      // pre-merge rows
+      val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partCol,
+          if (v == null) null else String.valueOf(v))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$snapshotDir/$dirName"), true)
     }
     affected.map(String.valueOf)
   }

@@ -47,11 +47,16 @@ object Layout {
     * file count — the thing being fixed is that this count is too high);
     * the data moves through ONE round-robin repartition to
     * `ceil(bytes / targetFileBytes)` output files — no key semantics, so
-    * no skew concern. The rewrite goes to a sibling temp dir first and
-    * swaps in via FS rename: a reader never observes a half-compacted
-    * directory, and the lazy self-overwrite trap (Spark reading the dir
-    * it is deleting) is structurally avoided. Returns the output file
-    * count.
+    * no skew concern. The rewrite goes to a sibling temp dir first, then
+    * swaps by renaming the original ASIDE (`.compact-old`), renaming the
+    * temp dir into place, and only then deleting the old copy — a reader
+    * never observes a half-compacted directory, the no-directory window
+    * is a single rename (not a full recursive delete), and a crash
+    * anywhere in the swap leaves a complete copy of the data on disk
+    * (in `.compact-old` and/or `.compact-tmp`, recoverable by rename).
+    * The swap is not transactional — concurrent readers racing the one
+    * rename window need table-format-level atomicity this plain-directory
+    * layout cannot provide. Returns the output file count.
     */
   def compactSmallFiles(spark: SparkSession, path: String,
                         targetFileBytes: Long): Int = {
@@ -75,11 +80,23 @@ object Layout {
     val bytes = files.map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
     fs.delete(tmp, true)
+    fs.delete(old, true)
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
-    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    // swap: original aside -> tmp into place -> drop the old copy. The
+    // original is never deleted before the replacement is in place, so a
+    // crash at any step leaves a complete copy on disk; the table path is
+    // absent only between the two renames.
+    require(fs.rename(hPath, old), s"rename $hPath -> $old failed")
+    if (!fs.rename(tmp, hPath)) {
+      // restore the original before failing: the compacted copy stays in
+      // tmp for inspection, the table keeps serving its old files
+      fs.rename(old, hPath)
+      sys.error(s"rename $tmp -> $hPath failed; original restored")
+    }
+    fs.delete(old, true)
     n
   }
 

@@ -77,6 +77,37 @@ class MergeSpec extends SparkTestBase {
     assert(files("c") == cBefore, "untouched partition files must be byte-identical")
   }
 
+  test("partitioned apply handles hive-escaped and null partition values: emptied dirs removed, null partition merged not duplicated") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_esc").toString
+    // partition values the writer hive-escapes (space, colon, percent) and
+    // a null partition (written as __HIVE_DEFAULT_PARTITION__)
+    Seq((1L, 10L, "pt br"), (2L, 20L, "a:b"), (3L, 30L, "x%y"),
+        (4L, 40L, null.asInstanceOf[String]), (5L, 50L, "plain"))
+      .toDF("id", "n", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("lang=")).toSet
+    assert(names.contains("lang=x%25y") && names.contains("lang=a%3Ab"),
+      s"fixture must land under hive-ESCAPED directory names, saw $names")
+    val changes = Seq(
+      (1L, 10L, "pt br", 1L, "d"),  // delete the ONLY row of the space partition
+      (2L, 20L, "a:b", 1L, "d"),    // ... and of the colon partition
+      (4L, 41L, null.asInstanceOf[String], 1L, "u")) // update inside the null partition
+      .toDF("id", "n", "lang", "seq", "op")
+    Merge.applyChangesPartitioned(dir, changes, Seq("id"), "seq", "op", "lang")
+    val after = s.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(after == Set((3L, 30L, Some("x%y")), (4L, 41L, None),
+      (5L, 50L, Some("plain"))),
+      s"emptied escaped partitions must not resurrect, null partition must upsert in place: $after")
+    val dirsAfter = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("lang=")).toSet
+    assert(!dirsAfter.exists(n => n.contains("pt") || n.contains("a%3Ab") || n.contains("a:b")),
+      s"emptied partition directories must be deleted under their ESCAPED names: $dirsAfter")
+  }
+
   test("compaction is one key-grouped exchange with map-side partials, not a join or window sort") {
     val s = spark
     import s.implicits._

@@ -79,6 +79,8 @@ class LayoutSpec extends SparkTestBase {
       s"directory must hold exactly the planned $n files, got ${parquetFiles.length}")
     assert(!new java.io.File(dir + ".compact-tmp").exists(),
       "temp dir must be renamed away, not left behind")
+    assert(!new java.io.File(dir + ".compact-old").exists(),
+      "the set-aside original must be deleted after the swap")
     val after = s.read.parquet(dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == before, "compaction must be lossless")
