@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.ConnectProps
-import graft.operators.{Dedup, HeavyHitters, Merge, Multimodal, Similarity, TextAnalysis, UrlOps}
+import graft.operators.{Dedup, HeavyHitters, Merge, Multimodal, Scd2, Similarity, TextAnalysis, UrlOps}
 import graft.sources.Tables
 import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJsonString}
 
@@ -196,6 +196,16 @@ object SparkEntry {
       graft.sources.Layout.writePartitioned(
         events(s, dir).select(col("event_id"), col("user_id"), col("event_type")),
         out, Seq("event_type")))
+  /** Register shutdown-hook cleanup for a scratch path at most once —
+    * per-invocation registration (bench reps) would stack one hook per
+    * rep for the same directory.
+    */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(path: String): Unit =
+    if (cleanupRegistered.add(path))
+      sys.addShutdownHook(deleteRecursively(new java.io.File(path)))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
@@ -1623,7 +1633,13 @@ object SparkEntry {
       // stable under update, the operator's documented constraint.
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val snapDir = s"/tmp/graft_merge_part_${math.abs(dir.hashCode)}"
+      // process-unique (layoutTag) like materializedDir, so two harness
+      // processes benchmarking the same dataset never race on one
+      // snapshot mid-merge; hex of the raw hashCode, not math.abs (abs of
+      // Int.MinValue is negative)
+      val snapDir = s"/tmp/graft_merge_part_${layoutTag}_" +
+        Integer.toHexString(dir.hashCode)
+      registerCleanup(snapDir)
       d.write.mode("overwrite").partitionBy("lang").parquet(snapDir)
       val upd = d.filter(col("doc_id") % 7 === 0)
         .withColumn("s", explode(array(lit(1L), lit(2L), lit(3L))))
@@ -1641,6 +1657,31 @@ object SparkEntry {
         Seq("doc_id"), "seq", "op", "lang")
       s.read.parquet(snapDir)
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+    "q_scd2" -> ((s, dir) => {
+      // SCD2 timeline rebuild over the documents dimension: every doc
+      // opens at ts 0; %3 keys change lang at 100; %5 keys RE-DELIVER
+      // their then-current attrs at 200 (pure no-op for %5-not-%15 keys
+      // — must collapse to no new version; a real revert for %15 keys);
+      // %11 keys delete at 300; %33 keys re-open at 400 after their
+      // delete. Full history with [valid_from, valid_to) intervals out.
+      val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("lang"))
+      val hist = d.select(col("id"), col("lang"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val upd = d.filter(col("id") % 3 === 0)
+        .select(col("id"), lit("upd").as("lang"), lit(100L).as("ts"),
+          lit("u").as("op"))
+      val redeliver = d.filter(col("id") % 5 === 0)
+        .select(col("id"), col("lang"), lit(200L).as("ts"), lit("u").as("op"))
+      val dels = d.filter(col("id") % 11 === 0)
+        .select(col("id"), lit(null).cast("string").as("lang"),
+          lit(300L).as("ts"), lit("d").as("op"))
+      val reopen = d.filter(col("id") % 33 === 0)
+        .select(col("id"), lit("re").as("lang"), lit(400L).as("ts"),
+          lit("u").as("op"))
+      Scd2.applyHistory(hist,
+        upd.unionByName(redeliver).unionByName(dels).unionByName(reopen),
+        Seq("id"), "ts", Some("op"))
     }),
     "q_heavy_hitters" -> ((s, dir) =>
       // corpus vocabulary heavy hitters: tokens holding >= 1/500 of all
@@ -2883,6 +2924,35 @@ object SparkEntry {
       |    ORDER BY prec DESC, seq DESC) AS rn FROM unioned)
       |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
       |FROM ranked WHERE rn = 1 AND op <> 'd'""".stripMargin),
+    // the SCD2 rebuild mirrored step for step: same version stream, the
+    // same run-collapse (lag over a (op, attrs) state string — chr(1)
+    // stands in for the tombstone's NULL attrs since || propagates NULL),
+    // the same interval derivation (lead), tombstones and zero-length
+    // versions dropped. NULLS FIRST pins DuckDB's ordering to Spark's
+    // asc-nulls-first default for the attrs tiebreak.
+    "q_scd2" -> ("""WITH base AS (SELECT doc_id AS id, lang FROM documents),
+      |versions AS (
+      |  SELECT id, lang, CAST(0 AS BIGINT) AS ts, 'u' AS op FROM base
+      |  UNION ALL SELECT id, 'upd', 100, 'u' FROM base WHERE id % 3 = 0
+      |  UNION ALL SELECT id, lang, 200, 'u' FROM base WHERE id % 5 = 0
+      |  UNION ALL SELECT id, NULL, 300, 'd' FROM base WHERE id % 11 = 0
+      |  UNION ALL SELECT id, 're', 400, 'u' FROM base WHERE id % 33 = 0),
+      |collapsed AS (
+      |  SELECT id, lang, ts, op,
+      |    op || '|' || coalesce(lang, chr(1)) AS cur,
+      |    lag(op || '|' || coalesce(lang, chr(1))) OVER
+      |      (PARTITION BY id ORDER BY ts, op, lang NULLS FIRST) AS prev
+      |  FROM versions),
+      |kept AS (
+      |  SELECT id, lang, ts, op FROM collapsed
+      |  WHERE prev IS NULL OR prev <> cur),
+      |iv AS (
+      |  SELECT id, lang, op, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY id ORDER BY ts, op, lang NULLS FIRST)
+      |      AS valid_to
+      |  FROM kept)
+      |SELECT id, lang, valid_from, valid_to FROM iv
+      |WHERE op <> 'd' AND (valid_to IS NULL OR valid_to <> valid_from)""".stripMargin),
     // the sketch is exact-verified, so the oracle is the plain
     // GROUP BY / HAVING it guarantees: integer share arithmetic,
     // count(*) OVER () for the corpus token total

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class Scd2Spec extends SparkTestBase {
+
+  // history rows: (id, lang, valid_from, valid_to)
+  private def hist(rows: (Long, String, Long, Option[Long])*) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, l, f, t) => (id, l, f, t.map(Long.box).orNull) }
+      .toDF("id", "lang", "valid_from", "valid_to")
+      .select(col("id"), col("lang"), col("valid_from"),
+        col("valid_to").cast("long"))
+  }
+
+  // change rows: (id, lang, ts, op)
+  private def run(history: org.apache.spark.sql.DataFrame,
+                  changes: (Long, String, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    Scd2.applyHistory(history,
+        changes.toDF("id", "lang", "ts", "op"), Seq("id"), "ts", Some("op"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+  }
+
+  test("bootstrap from empty history; intervals chain and last version stays open") {
+    val out = run(hist(),
+      (1L, "a", 10L, "u"), (1L, "b", 20L, "u"), (2L, "x", 5L, "u"))
+    assert(out == Set(
+      (1L, "a", 10L, Some(20L)), (1L, "b", 20L, None), (2L, "x", 5L, None)))
+  }
+
+  test("no-op updates and re-delivered versions collapse: idempotent apply") {
+    val h = hist((1L, "a", 10L, None))
+    val once = run(h, (1L, "a", 15L, "u"), (1L, "b", 20L, "u"),
+      (1L, "b", 20L, "u"))
+    assert(once == Set((1L, "a", 10L, Some(20L)), (1L, "b", 20L, None)))
+    // re-apply the same batch onto the produced history: no change
+    val s = spark
+    import s.implicits._
+    val produced = Seq((1L, "a", 10L, Some(20L)), (1L, "b", 20L, None))
+      .map { case (id, l, f, t) => (id, l, f, t.map(Long.box).orNull) }
+      .toDF("id", "lang", "valid_from", "valid_to")
+      .select(col("id"), col("lang"), col("valid_from"), col("valid_to").cast("long"))
+    assert(run(produced, (1L, "a", 15L, "u"), (1L, "b", 20L, "u")) == once)
+  }
+
+  test("out-of-order change splices into the timeline and re-closes its predecessor") {
+    val h = hist((1L, "a", 10L, Some(30L)), (1L, "c", 30L, None))
+    assert(run(h, (1L, "b", 20L, "u")) == Set(
+      (1L, "a", 10L, Some(20L)), (1L, "b", 20L, Some(30L)),
+      (1L, "c", 30L, None)))
+  }
+
+  test("delete closes the timeline; later upsert re-opens; gaps survive rebuild") {
+    val h = hist((1L, "a", 10L, None))
+    val closed = run(h, (1L, "a", 20L, "d"))
+    assert(closed == Set((1L, "a", 10L, Some(20L))))
+    // re-open after the tombstone: the [20,40) gap must survive
+    val s = spark
+    import s.implicits._
+    val closedDf = Seq((1L, "a", 10L, 20L))
+      .toDF("id", "lang", "valid_from", "valid_to")
+    assert(run(closedDf, (1L, "b", 40L, "u")) == Set(
+      (1L, "a", 10L, Some(20L)), (1L, "b", 40L, None)))
+    // and a pure rebuild (empty batch) round-trips the closed tail
+    assert(run(closedDf) == Set((1L, "a", 10L, Some(20L))))
+  }
+
+  test("equal-ts close/open collision resolves to the upsert; contiguous history round-trips") {
+    val h = hist((1L, "a", 10L, Some(20L)), (1L, "b", 20L, None))
+    assert(run(h) == Set((1L, "a", 10L, Some(20L)), (1L, "b", 20L, None)))
+    // conflicting upserts at one ts: deterministic survivor, no zero-length row
+    val out = run(hist(), (1L, "a", 10L, "u"), (1L, "z", 10L, "u"),
+      (1L, "m", 20L, "u"))
+    assert(out == Set((1L, "z", 10L, Some(20L)), (1L, "m", 20L, None)))
+  }
+
+  test("one exchange, one sort: both window passes share the shuffle and ordering") {
+    val s = spark
+    import s.implicits._
+    val h = hist((1L, "a", 10L, None), (2L, "x", 5L, Some(8L)))
+    val out = Scd2.applyHistory(h,
+      Seq((1L, "b", 20L, "u")).toDF("id", "lang", "ts", "op"),
+      Seq("id"), "ts", Some("op"))
+    out.collect()
+    // finalized AQE section only (the echoed initial plan double-counts)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val sorts = plan.linesIterator.count(_.trim.matches("^[+:\\-*() 0-9]*Sort \\[.*"))
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges:\n$plan")
+    assert(sorts == 1, s"expected the two windows to reuse one sort, got $sorts:\n$plan")
+  }
+}
