@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.ConnectProps
-import graft.operators.{Dedup, HeavyHitters, Merge, Multimodal, Scd2, Similarity, TextAnalysis, UrlOps}
+import graft.operators.{Dedup, FuzzyJoin, HeavyHitters, Merge, Multimodal, Scd2, Similarity, TextAnalysis, UrlOps}
 import graft.sources.Tables
 import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJsonString}
 
@@ -1683,6 +1683,47 @@ object SparkEntry {
         upd.unionByName(redeliver).unionByName(dels).unionByName(reopen),
         Seq("id"), "ts", Some("op"))
     }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // entity-resolution fuzzy join: every document carries a
+      // deterministically typo-mutated entity name (exact / one-char
+      // delete / one-char substitute at position 1 + doc_id % 7 /
+      // a distance-2 'xy' suffix, chosen by doc_id % 4) matched back to
+      // the 97 clean entity strings with a d=1 deletion-neighborhood
+      // join (SymSpell blocking, banded-levenshtein verify, distinct-
+      // strings discipline built in). The DuckDB oracle is the BRUTE
+      // FORCE levenshtein(name, cname) <= 1 join — pinning the
+      // operator's exactness claim, accidental cross-entity matches
+      // (e.g. a digit deletion landing near another entity) included.
+      val (lft, ref) = fuzzyNames(s, dir, posMod = 7)
+      FuzzyJoin.fuzzyJoin(lft, ref, "name", "cname", 1)
+    }),
+    "q_entity_resolution" -> ((s, dir) => {
+      // fuzzy-matching carried to the END of entity dedup: d=1 fuzzy
+      // SELF-pairs over the typo-mutated names → connected components
+      // (variants group transitively through their shared clean
+      // spelling) → keep each family's best member (longest name, ties
+      // to min doc_id). Same shape as dedup_e2e_md5 but with
+      // edit-distance edges instead of jaccard edges; the oracle
+      // mirrors with a brute-force levenshtein pair join feeding the
+      // same recursive-CTE min-label component spine.
+      // posMod = 4 + doubled digits: mutations touch only the 'ent-'
+      // letter prefix and distinct entity bases sit >= 2 edits apart, so
+      // families can't bridge across entities and the output keeps ~2
+      // families per entity (main + 'xy' cluster) instead of collapsing
+      // the whole corpus into a handful of rows
+      val (lft, _) = fuzzyNames(s, dir, posMod = 4, doubledDigits = true)
+      val scored = lft.withColumn("score", length(col("name")))
+      val pairs = FuzzyJoin.fuzzyJoin(
+          lft.select(col("doc_id").as("id_a"), col("name").as("name_a")),
+          lft.select(col("doc_id").as("id_b"), col("name").as("name_b")),
+          "name_a", "name_b", 1)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.operators.Components
+        .connectedComponents(pairs, "id_a", "id_b")
+      graft.operators.Components
+        .keepBestRepresentatives(scored, "doc_id", comps, "score")
+    }),
     "q_heavy_hitters" -> ((s, dir) =>
       // corpus vocabulary heavy hitters: tokens holding >= 1/500 of all
       // token occurrences, exact by the two-pass Misra-Gries contract
@@ -2742,6 +2783,96 @@ object SparkEntry {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** Deterministic typo corpus shared by q_fuzzy_join /
+    * q_entity_resolution: (doc_id, name) with the %4-selected mutation
+    * applied at position 1 + doc_id % 7, and the 97 clean entity
+    * strings. Both sides re-derive in the DuckDB oracle via the same
+    * arithmetic (see [[fuzzyJoinSql]]).
+    */
+  private def fuzzyNames(s: SparkSession, dir: String, posMod: Int,
+                         doubledDigits: Boolean = false): (DataFrame, DataFrame) = {
+    // doubledDigits: entity k renders its digits twice ("ent-0011"), so
+    // any two DISTINCT entity bases are >= 2 edits apart — with
+    // prefix-only mutations (posMod <= 4) no d=1 path can bridge
+    // entities (plain "ent-001"/"ent-002" bases are distance 1 and
+    // transitively merge the whole corpus)
+    val d1 = expr("cast((doc_id % 97) div 10 as string)")
+    val d2 = expr("cast((doc_id % 97) % 10 as string)")
+    val b =
+      if (doubledDigits) concat(lit("ent-"), d1, d1, d2, d2)
+      else concat(lit("ent-"), lpad((col("doc_id") % 97).cast("string"), 3, "0"))
+    val base = Tables.documents(s, dir).select(col("doc_id"), b.as("b"),
+      (lit(1) + col("doc_id") % posMod).cast("int").as("p"),
+      (col("doc_id") % 4).cast("int").as("m"))
+    val lft = base.select(col("doc_id"),
+      when(col("m") === 0, col("b"))
+        .when(col("m") === 1,
+          concat(expr("substring(b, 1, p - 1)"), expr("substring(b, p + 1)")))
+        .when(col("m") === 2,
+          concat(expr("substring(b, 1, p - 1)"), lit("x"),
+            expr("substring(b, p + 2)")))
+        .otherwise(concat(col("b"), lit("xy"))).as("name"))
+    (lft, base.select(col("b").as("cname")).distinct())
+  }
+
+  /** CTEs shared by [[fuzzyJoinSql]] and [[entityResolutionSql]]: the
+    * typo synthesis (mirror of [[fuzzyNames]]) — the oracles then join
+    * by BRUTE-FORCE levenshtein, which is exactly what the deletion-
+    * neighborhood operator claims to equal.
+    */
+  private def fuzzyNamesCtes(posMod: Int, doubledDigits: Boolean = false): String = {
+    val baseExpr =
+      if (doubledDigits)
+        "'ent-' || repeat(CAST((doc_id % 97) // 10 AS VARCHAR), 2) || " +
+          "repeat(CAST((doc_id % 97) % 10 AS VARCHAR), 2)"
+      else "'ent-' || lpad(CAST(doc_id % 97 AS VARCHAR), 3, '0')"
+    s"""base AS (
+      |  SELECT doc_id,
+      |    $baseExpr AS b,
+      |    CAST(1 + doc_id % $posMod AS INT) AS p,
+      |    CAST(doc_id % 4 AS INT) AS m
+      |  FROM documents),
+      |lft AS (
+      |  SELECT doc_id, CASE m
+      |    WHEN 0 THEN b
+      |    WHEN 1 THEN substring(b, 1, p - 1) || substring(b, p + 1)
+      |    WHEN 2 THEN substring(b, 1, p - 1) || 'x' || substring(b, p + 2)
+      |    ELSE b || 'xy' END AS name
+      |  FROM base)""".stripMargin
+  }
+
+  private def fuzzyJoinSql: String =
+    s"""WITH ${fuzzyNamesCtes(7)},
+       |ref AS (SELECT DISTINCT b AS cname FROM base)
+       |SELECT l.doc_id, l.name, r.cname,
+       |  CAST(levenshtein(l.name, r.cname) AS INT) AS dist
+       |FROM lft l JOIN ref r ON levenshtein(l.name, r.cname) <= 1""".stripMargin
+
+  private def entityResolutionSql: String =
+    // brute-force d<=1 self-pairs -> the same recursive-CTE min-label
+    // component spine as e2eMd5Sql -> longest-name (ties min doc_id)
+    // representative per family: the literal mirror of
+    // FuzzyJoin.fuzzyJoin + connectedComponents +
+    // keepBestRepresentatives(score = length(name)).
+    s"""WITH RECURSIVE ${fuzzyNamesCtes(4, doubledDigits = true)},
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM lft a JOIN lft b
+       |  ON a.doc_id < b.doc_id AND levenshtein(a.name, b.name) <= 1),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pr
+       |        UNION SELECT id_b, id_a FROM pr),
+       |cc(id, comp) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.id WHERE c.comp < s.b),
+       |lab AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
+       |scored AS (SELECT doc_id, name, CAST(length(name) AS INT) AS score FROM lft),
+       |mem AS (SELECT s.doc_id, s.name, s.score,
+       |  coalesce(l.component, s.doc_id) AS family
+       |  FROM scored s LEFT JOIN lab l ON l.id = s.doc_id)
+       |SELECT family, doc_id, name, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY family
+       |    ORDER BY score DESC, doc_id) AS rn FROM mem) WHERE rn = 1""".stripMargin
+
   private def urlDedupSql: String = {
     // mirror of UrlOps.canonicalizeUrl/dedupByUrl over the same
     // deterministic URL synthesis. DuckDB regexp_replace defaults to
@@ -2878,6 +3009,8 @@ object SparkEntry {
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_ivfpq_fixed" -> annIvfPqFixedSql,
     "q_url_dedup" -> urlDedupSql,
+    "q_fuzzy_join" -> fuzzyJoinSql,
+    "q_entity_resolution" -> entityResolutionSql,
     // MERGE INTO mirrored as union + row_number over (prec DESC, seq
     // DESC): seq is unique per key by construction so the rank is total;
     // winners that are deletes vanish

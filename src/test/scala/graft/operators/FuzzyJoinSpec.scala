@@ -70,7 +70,18 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
-  test("small reference side broadcasts: big side never shuffles before the join") {
+  test("duplicate input rows keep their multiplicity (no full-row collapse)") {
+    val sp = spark
+    import sp.implicits._
+    // two identical left rows AND two value-equal left rows with distinct ids
+    val out = FuzzyJoin.fuzzyJoin(
+        Seq((1L, "ab"), (1L, "ab"), (2L, "ab")).toDF("id", "name"),
+        Seq("ab").toDF("cname"), "name", "cname", 1)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3)))
+    assert(out.sorted.toSeq == Seq((1L, "ab", 0), (1L, "ab", 0), (2L, "ab", 0)))
+  }
+
+  test("small reference side broadcasts; shuffles carry only the narrow internal columns") {
     val sp = spark
     import sp.implicits._
     val big = sp.range(0L, 5000L)
@@ -82,9 +93,19 @@ class FuzzyJoinSpec extends SparkTestBase {
       .split("== Initial Plan ==").head
     assert(plan.contains("BroadcastHashJoin"),
       s"exploded small side must broadcast:\n$plan")
-    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashEx == 1,
-      s"only the pair-dedup distinct may hash-shuffle, got $hashEx:\n$plan")
+    // AQE may elide any subset of the narrow shuffles (distinct-strings,
+    // pair-dedup) — so assert the absence of BAD shapes, not exact counts:
+    // no sort-merge join anywhere, and every hash-partitioning that does
+    // survive is keyed on an internal narrow column, never the big side's
+    // payload attributes.
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge join allowed:\n$plan")
+    val badKeys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).flatMap(_.group(1).split(",\\s*")).map(_.trim)
+      .filter(_.nonEmpty).filterNot(_.matches("\\d+")) // drop numPartitions
+      .filterNot(k => k.startsWith("_graft_fj_") || k.startsWith("dist#"))
+      .toSeq
+    assert(badKeys.isEmpty,
+      s"payload columns must never hash-shuffle, got keys $badKeys:\n$plan")
   }
 
   test("null strings never match") {
@@ -94,5 +115,20 @@ class FuzzyJoinSpec extends SparkTestBase {
       Seq((1L, null.asInstanceOf[String]), (2L, "ab")).toDF("id", "name"),
       Seq("ab").toDF("cname"), "name", "cname", 1)
     assert(out.collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("column names needing backticks work; reserved internal names are rejected") {
+    val sp = spark
+    import sp.implicits._
+    val out = FuzzyJoin.fuzzyJoin(
+        Seq((1L, "ab"), (2L, "zz")).toDF("id", "the name"),
+        Seq("ac").toDF("match-to"), "the name", "match-to", 1)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3))).toSet
+    assert(out == Set((1L, "ac", 1)))
+    val err = intercept[IllegalArgumentException] {
+      FuzzyJoin.fuzzyJoin(Seq((1L, "ab")).toDF("dist", "name"),
+        Seq("ab").toDF("cname"), "name", "cname", 1)
+    }
+    assert(err.getMessage.contains("reserved"))
   }
 }
