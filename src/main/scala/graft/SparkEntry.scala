@@ -1626,13 +1626,25 @@ object SparkEntry {
     }),
     "q_merge_partitioned" -> ((s, dir) => {
       // the lakehouse upsert shape end to end THROUGH STORAGE: stage the
-      // snapshot hive-partitioned by lang, apply a change batch with
+      // snapshot hive-partitioned, apply a change batch with
       // applyChangesPartitioned (partition-pruned read, dynamic
       // partition overwrite, emptied-partition cleanup), then hash the
-      // read-back snapshot. Updates keep lang — the partition column is
-      // stable under update, the operator's documented constraint.
+      // read-back snapshot. The partition value is DELIBERATELY hostile:
+      // %13 keys remap lang to NULL (__HIVE_DEFAULT_PARTITION__ dirs and
+      // the isNull pruning disjunct) or to hive-ESCAPED spellings
+      // (space, colon, percent — '%3A'/'%25' directory names), so the
+      // r12 escaping/null fixes stay oracle-gated at EVERY scale the
+      // driver and the 10×/100× replicas run. Updates keep part — the
+      // partition column is stable under update, the operator's
+      // documented constraint.
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 13 === 1, concat(col("lang"), lit(" x")))
+            .when(col("doc_id") % 13 === 2, concat(col("lang"), lit(":")))
+            .when(col("doc_id") % 13 === 3, concat(col("lang"), lit("%")))
+            .otherwise(col("lang")).as("part"),
+          col("n_chars"))
       // process-unique (layoutTag) like materializedDir, so two harness
       // processes benchmarking the same dataset never race on one
       // snapshot mid-merge; hex of the raw hashCode, not math.abs (abs of
@@ -1640,23 +1652,23 @@ object SparkEntry {
       val snapDir = s"/tmp/graft_merge_part_${layoutTag}_" +
         Integer.toHexString(dir.hashCode)
       registerCleanup(snapDir)
-      d.write.mode("overwrite").partitionBy("lang").parquet(snapDir)
+      d.write.mode("overwrite").partitionBy("part").parquet(snapDir)
       val upd = d.filter(col("doc_id") % 7 === 0)
         .withColumn("s", explode(array(lit(1L), lit(2L), lit(3L))))
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"), col("part"),
           (col("n_chars") + col("s")).as("n_chars"),
           col("s").as("seq"), lit("u").as("op"))
       val del = d.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
+        .select(col("doc_id"), col("part"), col("n_chars"),
           lit(4L).as("seq"), lit("d").as("op"))
       val ins = d.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("part"),
           col("n_chars"), lit(1L).as("seq"), lit("u").as("op"))
       Merge.applyChangesPartitioned(snapDir,
         upd.unionByName(del).unionByName(ins),
-        Seq("doc_id"), "seq", "op", "lang")
+        Seq("doc_id"), "seq", "op", "part")
       s.read.parquet(snapDir)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .select(col("doc_id"), col("part"), col("n_chars"))
     }),
     "q_scd2" -> ((s, dir) => {
       // SCD2 timeline rebuild over the documents dimension: every doc
@@ -2849,26 +2861,33 @@ object SparkEntry {
        |FROM lft l JOIN ref r ON levenshtein(l.name, r.cname) <= 1""".stripMargin
 
   private def entityResolutionSql: String =
-    // brute-force d<=1 self-pairs -> the same recursive-CTE min-label
-    // component spine as e2eMd5Sql -> longest-name (ties min doc_id)
-    // representative per family: the literal mirror of
-    // FuzzyJoin.fuzzyJoin + connectedComponents +
-    // keepBestRepresentatives(score = length(name)).
+    // brute-force d<=1 pairs over DISTINCT NAMES (docs sharing a name
+    // are distance 0, so doc-level components are exactly the
+    // name-level components expanded — and the O(n²) levenshtein stays
+    // over ~1.5k distinct names instead of the full corpus, which keeps
+    // the oracle runnable at the 10×/100× replica scales) -> the same
+    // recursive-CTE min-label component spine as e2eMd5Sql, labels
+    // lexicographic over names -> family = min doc_id of the name
+    // component -> longest-name (ties min doc_id) representative per
+    // family: the literal mirror of FuzzyJoin.fuzzyJoin self-pairs +
+    // connectedComponents + keepBestRepresentatives(score =
+    // length(name)). Every name self-matches (distance 0), so every doc
+    // lands in a component and singleton docs keep family = own id.
     s"""WITH RECURSIVE ${fuzzyNamesCtes(4, doubledDigits = true)},
-       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM lft a JOIN lft b
-       |  ON a.doc_id < b.doc_id AND levenshtein(a.name, b.name) <= 1),
-       |sym AS (SELECT id_a AS a, id_b AS b FROM pr
-       |        UNION SELECT id_b, id_a FROM pr),
-       |cc(id, comp) AS (
-       |  SELECT DISTINCT a, a FROM sym
+       |nn AS (SELECT DISTINCT name FROM lft),
+       |np AS (SELECT x.name AS na, y.name AS nb FROM nn x JOIN nn y
+       |  ON levenshtein(x.name, y.name) <= 1),
+       |cc(name, comp) AS (
+       |  SELECT DISTINCT na, na FROM np
        |  UNION
-       |  SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.id WHERE c.comp < s.b),
-       |lab AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
-       |scored AS (SELECT doc_id, name, CAST(length(name) AS INT) AS score FROM lft),
-       |mem AS (SELECT s.doc_id, s.name, s.score,
-       |  coalesce(l.component, s.doc_id) AS family
-       |  FROM scored s LEFT JOIN lab l ON l.id = s.doc_id)
+       |  SELECT p.nb, c.comp FROM cc c JOIN np p ON p.na = c.name
+       |  WHERE c.comp < p.nb),
+       |lab AS (SELECT name, min(comp) AS ncomp FROM cc GROUP BY name),
+       |fam AS (SELECT l.doc_id, l.name, lab.ncomp
+       |  FROM lft l JOIN lab ON lab.name = l.name),
+       |families AS (SELECT ncomp, min(doc_id) AS family FROM fam GROUP BY ncomp),
+       |mem AS (SELECT f.doc_id, f.name, CAST(length(f.name) AS INT) AS score,
+       |  fm.family FROM fam f JOIN families fm ON f.ncomp = fm.ncomp)
        |SELECT family, doc_id, name, score FROM (
        |  SELECT *, row_number() OVER (PARTITION BY family
        |    ORDER BY score DESC, doc_id) AS rn FROM mem) WHERE rn = 1""".stripMargin
@@ -3038,24 +3057,32 @@ object SparkEntry {
     // the oracle is the same union + row_number mirror (updates keep
     // lang, bump n_chars); any partition-mechanics defect (resurrected
     // emptied partition, unmerged update) breaks the hash
-    "q_merge_partitioned" -> ("""WITH chg AS (
-      |  SELECT doc_id, lang, n_chars + s AS n_chars, s AS seq, 'u' AS op
-      |  FROM documents, (VALUES (1), (2), (3)) v(s) WHERE doc_id % 7 = 0
+    "q_merge_partitioned" -> ("""WITH docs AS (
+      |  SELECT doc_id, CASE doc_id % 13
+      |    WHEN 0 THEN NULL
+      |    WHEN 1 THEN lang || ' x'
+      |    WHEN 2 THEN lang || ':'
+      |    WHEN 3 THEN lang || '%'
+      |    ELSE lang END AS part, n_chars
+      |  FROM documents),
+      |chg AS (
+      |  SELECT doc_id, part, n_chars + s AS n_chars, s AS seq, 'u' AS op
+      |  FROM docs, (VALUES (1), (2), (3)) v(s) WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT doc_id, lang, n_chars, 4, 'd'
-      |  FROM documents WHERE doc_id % 5 = 0
+      |  SELECT doc_id, part, n_chars, 4, 'd'
+      |  FROM docs WHERE doc_id % 5 = 0
       |  UNION ALL
-      |  SELECT doc_id + 10000000, lang, n_chars, 1, 'u'
-      |  FROM documents WHERE doc_id % 11 = 0),
+      |  SELECT doc_id + 10000000, part, n_chars, 1, 'u'
+      |  FROM docs WHERE doc_id % 11 = 0),
       |unioned AS (
-      |  SELECT doc_id, lang, n_chars, 0 AS prec, -1 AS seq, 'u' AS op
-      |  FROM documents
+      |  SELECT doc_id, part, n_chars, 0 AS prec, -1 AS seq, 'u' AS op
+      |  FROM docs
       |  UNION ALL
-      |  SELECT doc_id, lang, n_chars, 1, seq, op FROM chg),
+      |  SELECT doc_id, part, n_chars, 1, seq, op FROM chg),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id
       |    ORDER BY prec DESC, seq DESC) AS rn FROM unioned)
-      |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      |SELECT doc_id, part, CAST(n_chars AS BIGINT) AS n_chars
       |FROM ranked WHERE rn = 1 AND op <> 'd'""".stripMargin),
     // the SCD2 rebuild mirrored step for step: same version stream, the
     // same run-collapse (lag over a (op, attrs) state string — chr(1)

@@ -109,8 +109,19 @@ object Merge {
       opCol: String,
       partCol: String): Seq[String] = {
     val spark = changes.sparkSession
-    val affected = changes.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    // collect each affected partition twice over: the TYPED value drives
+    // the pruning predicate; the cast-to-string drives the directory
+    // path, because that cast (session timezone and all) is exactly how
+    // the parquet writer renders partition values — String.valueOf of
+    // the JVM object diverges for timestamp ("...12:34:56.0"), decimal
+    // (sci notation) and similar, and a diverged delete path would
+    // silently miss the emptied directory and resurrect its rows
+    val affectedRows = changes
+      .select(col(partCol), col(partCol).cast("string").as("_r"))
+      .distinct().collect()
+    val affected = affectedRows.map(_.get(0)).toSeq
+    val rendered = affectedRows
+      .map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq
     if (affected.isEmpty) return Seq.empty
     // isin never matches NULL, so a null-partition change batch needs the
     // explicit isNull disjunct or its target rows would never be read back
@@ -122,8 +133,8 @@ object Merge {
       else col(partCol).isin(nonNull: _*) || col(partCol).isNull
     val snap = spark.read.parquet(snapshotDir).filter(partPred)
     val merged = applyChanges(snap, changes, key, seqCol, opCol)
-    val survivors = merged.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
+    val survivors = merged.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
     // partitionOverwriteMode as a per-write option, NOT a session conf
     // mutation: the conf dance would leak dynamic overwrite into any
     // concurrent write on the same session (or clobber a concurrent setter
@@ -134,17 +145,16 @@ object Merge {
       .parquet(snapshotDir)
     val fs = new org.apache.hadoop.fs.Path(snapshotDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    affected.filterNot(survivors.contains).foreach { v =>
+    rendered.filterNot(survivors.contains).foreach { v =>
       // the writer hive-escapes partition directory names (space, ':',
       // '%', '#', ... and null -> __HIVE_DEFAULT_PARTITION__); build the
       // doomed path with the same escaping or the delete silently misses
       // the real directory and the emptied partition resurrects its
       // pre-merge rows
       val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(partCol,
-          if (v == null) null else String.valueOf(v))
+        .getPartitionPathString(partCol, v)
       fs.delete(new org.apache.hadoop.fs.Path(s"$snapshotDir/$dirName"), true)
     }
-    affected.map(String.valueOf)
+    rendered.map(String.valueOf)
   }
 }

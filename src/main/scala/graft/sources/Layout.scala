@@ -92,9 +92,15 @@ object Layout {
     require(fs.rename(hPath, old), s"rename $hPath -> $old failed")
     if (!fs.rename(tmp, hPath)) {
       // restore the original before failing: the compacted copy stays in
-      // tmp for inspection, the table keeps serving its old files
-      fs.rename(old, hPath)
-      sys.error(s"rename $tmp -> $hPath failed; original restored")
+      // tmp for inspection, the table keeps serving its old files. If the
+      // restore ALSO fails, say where the data actually lives — a message
+      // claiming "restored" when it wasn't would misdirect recovery.
+      if (fs.rename(old, hPath))
+        sys.error(s"rename $tmp -> $hPath failed; original restored")
+      else
+        sys.error(s"rename $tmp -> $hPath failed AND restore $old -> " +
+          s"$hPath failed: table path is empty; original data is in $old, " +
+          s"compacted copy in $tmp — restore manually")
     }
     fs.delete(old, true)
     n

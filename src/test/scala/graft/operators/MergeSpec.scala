@@ -108,6 +108,28 @@ class MergeSpec extends SparkTestBase {
       s"emptied partition directories must be deleted under their ESCAPED names: $dirsAfter")
   }
 
+  test("partitioned apply deletes emptied partitions for non-string partition types (timestamp rendering)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_ts").toString
+    // java.sql.Timestamp.toString renders "...12:30:45.0" — NOT what the
+    // writer puts in the partition path ("...12:30:45", colons escaped).
+    // The delete path must come from Spark's own cast-to-string rendering
+    // or the emptied directory survives and resurrects its rows.
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 12:30:45")
+    Seq((1L, 10L, t1), (2L, 20L, t2)).toDF("id", "n", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val changes = Seq((2L, 20L, t2, 1L, "d")).toDF("id", "n", "day", "seq", "op")
+    Merge.applyChangesPartitioned(dir, changes, Seq("id"), "seq", "op", "day")
+    val after = s.read.parquet(dir).collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L), s"deleted key must be gone, got $after")
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("day=")).toSet
+    assert(dirs.size == 1 && !dirs.exists(_.contains("01-02")),
+      s"emptied timestamp partition must be deleted under the writer's rendering: $dirs")
+  }
+
   test("compaction is one key-grouped exchange with map-side partials, not a join or window sort") {
     val s = spark
     import s.implicits._
