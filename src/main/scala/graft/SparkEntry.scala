@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.ConnectProps
-import graft.operators.{Dedup, FuzzyJoin, HeavyHitters, Merge, Multimodal, Scd2, Similarity, TextAnalysis, UrlOps}
+import graft.operators.{Dedup, FuzzyJoin, HeavyHitters, LinkGraph, Merge, Multimodal, Phonetic, Scd2, Similarity, TextAnalysis, UrlOps}
 import graft.sources.Tables
 import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJsonString}
 
@@ -1736,6 +1736,55 @@ object SparkEntry {
       graft.operators.Components
         .keepBestRepresentatives(scored, "doc_id", comps, "score")
     }),
+    // link-graph centrality over a deterministic synthetic web: doc k
+    // links to (k*31 + j*97) % N for j in 1..3, minus the %5-filtered
+    // edges and the %17-selected pages which have NO out-links at all
+    // (the dangling-mass path must redistribute their rank). Five
+    // fixed-point power-iteration rounds — every sum is a long on the
+    // 1e12 scale, so the DuckDB oracle replays the iteration literally
+    // as five unrolled CTEs and the hash match is exact, which a
+    // double-based PageRank could never give
+    "q_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val n = d.count()
+      val edges = d
+        .select(col("doc_id").as("src"), explode(expr("array(1, 2, 3)")).as("j"))
+        .filter(col("src") % 17 =!= 0 && (col("src") + col("j")) % 5 =!= 0)
+        .select(col("src"), ((col("src") * 31 + col("j") * 97) % n).as("dst"))
+        .filter(col("dst") =!= col("src"))
+      LinkGraph.pagerank(edges, d, "src", "dst", "doc_id", iters = 5)
+        .select(col("id").as("doc_id"), col("rank"))
+    }),
+    // sound-alike entity blocking: names mutated in ways edit-distance
+    // blocking treats as ordinary edits but a phonetic key collapses
+    // entirely — %3-selected consonant doubling at position p or an
+    // appended vowel tail — block on phonetic-key equality, verify
+    // levenshtein <= 2. The oracle rebuilds the SAME key from portable
+    // SQL (translate + backreference-free run collapse), so the hash
+    // match pins the key algebra across engines
+    "q_phonetic_block" -> ((s, dir) => {
+      val (names, refs) = phoneticNames(s, dir)
+      Phonetic.phoneticJoin(names, refs, "name", "cname", maxDist = 2)
+        .select(col("doc_id"), col("name"), col("cname"), col("dist"))
+    }),
+    // tokenizer round trip: decode(encodeDeep(text)) must reproduce the
+    // normalized corpus byte-for-byte. Decode is `sep -> space` (each
+    // merge only ever replaced an inter-token space with the separator,
+    // recursively), and the oracle never sees the tokenizer at all — it
+    // hashes the normalization chain directly, so any encode/decode
+    // drift at any merge depth breaks the match
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", nMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodeDeep(d, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          md5(replace(col("bpe_text"), lit("\u001f"), lit(" "))).as("dec_md5"),
+          length(replace(col("bpe_text"), lit("\u001f"), lit(" ")))
+            .cast("long").as("n_chars"))
+    }),
     "q_heavy_hitters" -> ((s, dir) =>
       // corpus vocabulary heavy hitters: tokens holding >= 1/500 of all
       // token occurrences, exact by the two-pass Misra-Gries contract
@@ -2827,6 +2876,108 @@ object SparkEntry {
     (lft, base.select(col("b").as("cname")).distinct())
   }
 
+  /** Deterministic sound-alike corpus for q_phonetic_block: base names
+    * 'nm' + the two digits of doc_id % 40 rendered as letters a–j,
+    * mutated by doc_id % 3 — clean, consonant doubled at position
+    * 1 + doc_id % 4, or an appended vowel tail "ey". Both mutations
+    * preserve [[graft.operators.Phonetic.key]] (doubled letters collapse
+    * in the run-collapse step; vowels carry code 0 and are removed), so
+    * every variant blocks with its base name; the DuckDB oracle
+    * re-derives the same names AND the same key ([[phoneticBlockSql]]).
+    */
+  private def phoneticNames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val b = concat(lit("nm"),
+      translate(lpad((col("doc_id") % 40).cast("string"), 2, "0"),
+        "0123456789", "abcdefghij"))
+    val base = Tables.documents(s, dir).select(col("doc_id"), b.as("b"),
+      (lit(1) + col("doc_id") % 4).cast("int").as("p"),
+      (col("doc_id") % 3).cast("int").as("m"))
+    val names = base.select(col("doc_id"),
+      when(col("m") === 0, col("b"))
+        .when(col("m") === 1,
+          concat(expr("substring(b, 1, p)"), expr("substring(b, p)")))
+        .otherwise(concat(col("b"), lit("ey"))).as("name"))
+    (names, base.select(col("b").as("cname")).distinct())
+  }
+
+  /** DuckDB mirror of [[graft.operators.Phonetic.key]] as a stack of
+    * nested SELECTs over `src` (which must expose `strCol`): letters →
+    * soundex digit classes → backreference-free run collapse → key. The
+    * run collapse is six chained regexp_replace passes exactly like the
+    * Spark side (RE2 has no backreferences).
+    */
+  private def phoneticKeyCte(src: String, strCol: String, out: String): String = {
+    val collapsed = (1 to 6).foldLeft("cd") { (acc, d) =>
+      s"regexp_replace($acc, '$d{2,}', '$d', 'g')"
+    }
+    s"$out AS (SELECT *, CASE WHEN length(lt) = 0 THEN '' ELSE " +
+      "substr(lt, 1, 1) || " +
+      "rpad(substr(replace(substr(cl, 2), '0', ''), 1, 3), 3, '0') END AS k " +
+      s"FROM (SELECT *, $collapsed AS cl FROM (SELECT *, " +
+      "translate(lt, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
+      "'01230120022455012623010202') AS cd " +
+      s"FROM (SELECT *, regexp_replace(upper($strCol), '[^A-Z]', '', 'g') " +
+      s"AS lt FROM $src))))"
+  }
+
+  private def phoneticBlockSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    'nm' || translate(lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0'),
+       |                      '0123456789', 'abcdefghij') AS b,
+       |    CAST(1 + doc_id % 4 AS INT) AS p,
+       |    CAST(doc_id % 3 AS INT) AS m
+       |  FROM documents),
+       |names AS (
+       |  SELECT doc_id, CASE m WHEN 0 THEN b
+       |    WHEN 1 THEN substr(b, 1, p) || substr(b, p)
+       |    ELSE b || 'ey' END AS name
+       |  FROM base),
+       |refs AS (SELECT DISTINCT b AS cname FROM base),
+       |${phoneticKeyCte("names", "name", "nk")},
+       |${phoneticKeyCte("refs", "cname", "rk")}
+       |SELECT n.doc_id, n.name, r.cname,
+       |  CAST(levenshtein(n.name, r.cname) AS INT) AS dist
+       |FROM nk n JOIN rk r ON n.k = r.k
+       |WHERE levenshtein(n.name, r.cname) <= 2""".stripMargin
+
+  /** Literal replay of [[graft.operators.LinkGraph.pagerank]]'s
+    * fixed-point iteration as `iters` unrolled CTE rounds — exact
+    * because every quantity is BIGINT (`//` here ≡ `div` there on
+    * non-negative values) and long sums are order-independent.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH nodes AS (SELECT doc_id AS id FROM documents), "
+    sb ++= "cnt AS (SELECT count(*) AS n FROM nodes), "
+    sb ++= "edges AS (SELECT doc_id AS src, " +
+      "(doc_id * 31 + j.j * 97) % cnt.n AS dst " +
+      "FROM documents CROSS JOIN cnt " +
+      "CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j " +
+      "WHERE doc_id % 17 <> 0 AND (doc_id + j.j) % 5 <> 0 " +
+      "AND (doc_id * 31 + j.j * 97) % cnt.n <> doc_id), "
+    sb ++= "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), "
+    sb ++= "r0 AS (SELECT id, 1000000000000 // cnt.n AS r FROM nodes CROSS JOIN cnt)"
+    (1 to iters).foreach { k =>
+      // sums are CAST back to BIGINT: DuckDB's sum(BIGINT) widens to
+      // HUGEINT, which pandas renders as float64 and the hash diverges
+      sb ++= s", c$k AS (SELECT e.dst AS id, " +
+        "CAST(sum(r.r // d.outdeg) AS BIGINT) AS c " +
+        s"FROM edges e JOIN deg d USING (src) " +
+        s"JOIN r${k - 1} r ON r.id = e.src GROUP BY e.dst)"
+      sb ++= s", d$k AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dm " +
+        s"FROM r${k - 1} r " +
+        "LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL)"
+      sb ++= s", r$k AS (SELECT nodes.id, " +
+        "(15 * 1000000000000) // (100 * cnt.n) + " +
+        s"(85 * (coalesce(c$k.c, 0) + d$k.dm // cnt.n)) // 100 AS r " +
+        s"FROM nodes CROSS JOIN cnt CROSS JOIN d$k " +
+        s"LEFT JOIN c$k ON c$k.id = nodes.id)"
+    }
+    sb ++= s" SELECT id AS doc_id, r AS rank FROM r$iters"
+    sb.toString
+  }
+
   /** CTEs shared by [[fuzzyJoinSql]] and [[entityResolutionSql]]: the
     * typo synthesis (mirror of [[fuzzyNames]]) — the oracles then join
     * by BRUTE-FORCE levenshtein, which is exactly what the deletion-
@@ -3030,6 +3181,13 @@ object SparkEntry {
     "q_url_dedup" -> urlDedupSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_entity_resolution" -> entityResolutionSql,
+    "q_pagerank" -> pagerankSql(5),
+    "q_phonetic_block" -> phoneticBlockSql,
+    // decode must reproduce the NORMALIZED corpus — the oracle hashes
+    // the normalization chain directly and never sees the tokenizer
+    "q_bpe_roundtrip" -> ("SELECT doc_id, md5(norm) AS dec_md5, " +
+      "length(norm)::BIGINT AS n_chars FROM " +
+      s"(SELECT doc_id, $normSql AS norm FROM documents)"),
     // MERGE INTO mirrored as union + row_number over (prec DESC, seq
     // DESC): seq is unique per key by construction so the rank is total;
     // winners that are deletes vanish

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Phonetic blocking for entity resolution — the sound-alike complement
+  * to [[FuzzyJoin]]'s edit-distance blocking. Deletion-neighborhood
+  * blocking is exact for a d-edit budget but blind to the systematic
+  * variants name data actually has (vowel drift "Smith"/"Smyth",
+  * doubled consonants "Philips"/"Phillips"): those can sit 1–2 edits
+  * apart PER VARIANT SITE and blow any fixed d. A phonetic key
+  * collapses exactly those variations, so equality on the key is a
+  * single cheap equi-join blocking pass; a distance verify keeps the
+  * join exact w.r.t. its stated predicate.
+  *
+  * The key is a Soundex VARIANT (not Spark's `soundex()` builtin —
+  * that implementation's H/W tie-breaking is JVM-specific lore; this
+  * key is defined purely in portable SQL functions so any engine can
+  * replay it bit-for-bit):
+  *   1. letters  = upper-cased input with every non-A–Z character
+  *      removed; an input with no letters keys to the empty string.
+  *   2. code     = classic Soundex digit classes via `translate`
+  *      (B F P V→1, C G J K Q S X Z→2, D T→3, L→4, M N→5, R→6,
+  *      vowels + H W Y→0).
+  *   3. collapsed = runs of the same digit collapsed to one (six
+  *      backreference-free `regexp_replace` passes — `1{2,}`→`1` … —
+  *      so RE2-based engines replay it; doubled consonants vanish
+  *      here).
+  *   4. key      = first letter of `letters` + first three digits of
+  *      `collapsed` after position 1 with all 0s removed, right-padded
+  *      with 0s ("Phillips"→P412, "Smyth"→S530).
+  *
+  * Scale shape: the key is a pure codegen'd expression column — no
+  * UDF, no shuffle to compute. [[phoneticJoin]] follows [[FuzzyJoin]]'s
+  * distinct-strings discipline: pair generation runs over each side's
+  * DISTINCT names keyed by the 4-char phonetic key (narrow exchanges,
+  * skew-bounded by how many distinct names share a sound class), the
+  * levenshtein verify runs before any pair dedup, and payloads
+  * re-attach by string so input cardinality is preserved and wide
+  * columns never enter the blocking join.
+  */
+object Phonetic {
+
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** The phonetic key of a string column (see object doc for the exact
+    * spec). NULL input keys to NULL.
+    */
+  def key(c: Column): Column = {
+    val letters = regexp_replace(upper(c), "[^A-Z]", "")
+    val code = translate(letters, "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+      "01230120022455012623010202")
+    val collapsed = (1 to 6).foldLeft(code) { (acc, d) =>
+      regexp_replace(acc, s"$d{2,}", s"$d")
+    }
+    val tail = replace(substring(collapsed, 2, 1000000), lit("0"), lit(""))
+    when(length(letters) === 0, lit(""))
+      .otherwise(concat(substring(letters, 1, 1), rpad(substring(tail, 1, 3), 3, "0")))
+  }
+
+  // internal columns, rejected if a user schema collides
+  private val LS = "_graft_ph_l"
+  private val RS = "_graft_ph_r"
+  private val PK = "_graft_ph_k"
+
+  /** Sound-alike join: one row per (left row, right row) pair whose
+    * strings share a phonetic key AND are within `maxDist` edits
+    * (`maxDist < 0` disables the verify — pure phonetic equality).
+    * Output = `left.columns ++ right.columns ++ dist`. Column sets must
+    * be disjoint; NULL strings never match.
+    */
+  def phoneticJoin(left: DataFrame, right: DataFrame,
+                   leftCol: String, rightCol: String,
+                   maxDist: Int = 2): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column sets must be disjoint, both have $overlap")
+    val reserved = Set(LS, RS, PK, "dist")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"inputs must not contain reserved columns $clash")
+
+    val ls = left.select(left(leftCol).as(LS)).filter(col(LS).isNotNull).distinct()
+    val rs = right.select(right(rightCol).as(RS)).filter(col(RS).isNotNull).distinct()
+    val verified0 = ls.withColumn(PK, key(col(LS)))
+      .join(rs.withColumn(PK, key(col(RS))), PK)
+      .drop(PK)
+    val verified =
+      if (maxDist < 0) verified0.withColumn("dist", levenshtein(col(LS), col(RS)))
+      else verified0.withColumn("dist", levenshtein(col(LS), col(RS), maxDist))
+        .filter(col("dist") =!= -1)
+    def q(alias: String, name: String) = col(alias + "." + quoted(name))
+    left.as("_graft_ph_lt")
+      .join(verified.as("_graft_ph_p"),
+        q("_graft_ph_lt", leftCol) === q("_graft_ph_p", LS))
+      .join(right.as("_graft_ph_rt"),
+        q("_graft_ph_p", RS) === q("_graft_ph_rt", rightCol))
+      .select(left.columns.map(q("_graft_ph_lt", _))
+        ++ right.columns.map(q("_graft_ph_rt", _)) :+ col("dist"): _*)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PhoneticSpec extends SparkTestBase {
+
+  private def keys(names: String*): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    names.toDF("n").select(Phonetic.key(col("n"))).collect().map(_.getString(0)).toSeq
+  }
+
+  test("classic sound-alike families share a key") {
+    assert(keys("Phillips", "PHILIPS") == Seq("P412", "P412"))
+    assert(keys("Smith", "Smyth") == Seq("S530", "S530"))
+    assert(keys("Robert", "Rupert") == Seq("R163", "R163"))
+  }
+
+  test("degenerate inputs: no letters key to empty, NULL stays NULL") {
+    assert(keys("", "123", "  -  ") == Seq("", "", ""))
+    val s = spark
+    import s.implicits._
+    val r = Seq[Option[String]](None).toDF("n")
+      .select(Phonetic.key(col("n"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("non-letter characters are stripped before coding") {
+    // letters ABC -> code 012 -> tail "12" -> A120
+    assert(keys("a b-c!") == Seq("A120"))
+  }
+
+  test("phoneticJoin blocks doubled consonants and vowel tails, verify bounds the distance") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "phillips"), (2L, "smyth"), (3L, "brown"))
+      .toDF("id", "name")
+    val right = Seq(("philips"), ("smith"), ("green")).toDF("cname")
+    val out = Phonetic.phoneticJoin(left, right, "name", "cname", maxDist = 2)
+      .select("id", "cname", "dist").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set((1L, "philips", 1), (2L, "smith", 1)))
+  }
+
+  test("maxDist < 0 disables the verify: pure phonetic equality") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "nmb")).toDF("id", "name")
+    val right = Seq(("nmbaeio")).toDF("cname")
+    assert(Phonetic.phoneticJoin(left, right, "name", "cname", maxDist = 2).isEmpty)
+    val out = Phonetic.phoneticJoin(left, right, "name", "cname", maxDist = -1)
+      .select("dist").collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(4))
+  }
+
+  test("input cardinality is preserved: duplicate rows each emit") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "smith"), (2L, "smith")).toDF("id", "name")
+    val right = Seq(("smyth")).toDF("cname")
+    val out = Phonetic.phoneticJoin(left, right, "name", "cname", maxDist = 2)
+    assert(out.count() == 2)
+  }
+
+  test("reserved and overlapping columns are rejected") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val b = Seq((1L, "x")).toDF("id", "cname")
+    intercept[IllegalArgumentException] {
+      Phonetic.phoneticJoin(a, b, "name", "cname", 1)
+    }
+    val c = Seq(("x", "y")).toDF("cname", "dist")
+    intercept[IllegalArgumentException] {
+      Phonetic.phoneticJoin(a.drop("id"), c, "name", "cname", 1)
+    }
+  }
+}
