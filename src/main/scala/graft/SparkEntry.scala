@@ -1746,13 +1746,22 @@ object SparkEntry {
     // double-based PageRank could never give
     "q_pagerank" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"))
-      val n = d.count()
-      val edges = d
-        .select(col("doc_id").as("src"), explode(expr("array(1, 2, 3)")).as("j"))
-        .filter(col("src") % 17 =!= 0 && (col("src") + col("j")) % 5 =!= 0)
-        .select(col("src"), ((col("src") * 31 + col("j") * 97) % n).as("dst"))
-        .filter(col("dst") =!= col("src"))
-      LinkGraph.pagerank(edges, d, "src", "dst", "doc_id", iters = 5)
+      LinkGraph.pagerank(pagerankEdges(d), d, "src", "dst", "doc_id", iters = 5)
+        .select(col("id").as("doc_id"), col("rank"))
+    }),
+    // the TrustRank flavor: ONLY the %50-selected seed pages carry
+    // teleport weight, so every other page's rank is pure link inflow
+    // from the seed neighborhood — the crawl-curation move when a
+    // trusted seed list should anchor quality. Nodes absent from the
+    // reset vector weigh 0 (that path is what this query pins); same
+    // fixed-point algebra, weights folded into teleport and
+    // dangling-mass redistribution
+    "q_pagerank_seeded" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val seeds = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), lit(1L).as("weight"))
+      LinkGraph.pagerank(pagerankEdges(d), d, "src", "dst", "doc_id",
+          iters = 5, reset = Some(seeds))
         .select(col("id").as("doc_id"), col("rank"))
     }),
     // sound-alike entity blocking: names mutated in ways edit-distance
@@ -2941,15 +2950,33 @@ object SparkEntry {
        |FROM nk n JOIN rk r ON n.k = r.k
        |WHERE levenshtein(n.name, r.cname) <= 2""".stripMargin
 
+  /** The synthetic link graph shared by q_pagerank / q_pagerank_seeded:
+    * doc k links to (k·31 + j·97) % N for j in 1..3, minus the
+    * %5-filtered edges and the %17-selected pages (dangling — no
+    * out-links); self-loops dropped. The DuckDB oracles re-derive the
+    * same edges from the same arithmetic ([[pagerankSql]]).
+    */
+  private def pagerankEdges(d: DataFrame): DataFrame = {
+    val n = d.count()
+    d.select(col("doc_id").as("src"), explode(expr("array(1, 2, 3)")).as("j"))
+      .filter(col("src") % 17 =!= 0 && (col("src") + col("j")) % 5 =!= 0)
+      .select(col("src"), ((col("src") * 31 + col("j") * 97) % n).as("dst"))
+      .filter(col("dst") =!= col("src"))
+  }
+
   /** Literal replay of [[graft.operators.LinkGraph.pagerank]]'s
     * fixed-point iteration as `iters` unrolled CTE rounds — exact
     * because every quantity is BIGINT (`//` here ≡ `div` there on
     * non-negative values) and long sums are order-independent.
+    * `wExpr` is the per-node reset weight over `id` (uniform "1" = plain
+    * PageRank; the Spark side folds w = 1, W = n into the same algebra).
     */
-  private def pagerankSql(iters: Int): String = {
+  private def pagerankSql(iters: Int, wExpr: String = "1"): String = {
     val sb = new StringBuilder
     sb ++= "WITH nodes AS (SELECT doc_id AS id FROM documents), "
     sb ++= "cnt AS (SELECT count(*) AS n FROM nodes), "
+    sb ++= s"nw AS (SELECT id, CAST($wExpr AS BIGINT) AS w FROM nodes), "
+    sb ++= "wsum AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM nw), "
     sb ++= "edges AS (SELECT doc_id AS src, " +
       "(doc_id * 31 + j.j * 97) % cnt.n AS dst " +
       "FROM documents CROSS JOIN cnt " +
@@ -2968,11 +2995,11 @@ object SparkEntry {
       sb ++= s", d$k AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dm " +
         s"FROM r${k - 1} r " +
         "LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL)"
-      sb ++= s", r$k AS (SELECT nodes.id, " +
-        "(15 * 1000000000000) // (100 * cnt.n) + " +
-        s"(85 * (coalesce(c$k.c, 0) + d$k.dm // cnt.n)) // 100 AS r " +
-        s"FROM nodes CROSS JOIN cnt CROSS JOIN d$k " +
-        s"LEFT JOIN c$k ON c$k.id = nodes.id)"
+      sb ++= s", r$k AS (SELECT nw.id, " +
+        "(15000000000000 * nw.w) // (100 * wsum.tw) + " +
+        s"(85 * (coalesce(c$k.c, 0) + (d$k.dm * nw.w) // wsum.tw)) // 100 AS r " +
+        s"FROM nw CROSS JOIN wsum CROSS JOIN d$k " +
+        s"LEFT JOIN c$k ON c$k.id = nw.id)"
     }
     sb ++= s" SELECT id AS doc_id, r AS rank FROM r$iters"
     sb.toString
@@ -3182,6 +3209,8 @@ object SparkEntry {
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_entity_resolution" -> entityResolutionSql,
     "q_pagerank" -> pagerankSql(5),
+    "q_pagerank_seeded" ->
+      pagerankSql(5, "CASE WHEN id % 50 = 0 THEN 1 ELSE 0 END"),
     "q_phonetic_block" -> phoneticBlockSql,
     // decode must reproduce the NORMALIZED corpus — the oracle hashes
     // the normalization chain directly and never sees the tokenizer

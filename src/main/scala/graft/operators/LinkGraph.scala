@@ -48,20 +48,50 @@ object LinkGraph {
     * (sum over nodes ≈ totalScale). Edges pointing outside `nodes` leak
     * their mass (standard open-web semantics); callers wanting a closed
     * graph should pre-filter edges.
+    *
+    * `reset`: optional (id, weight) personalization vector — the
+    * TrustRank/topic-sensitive variant. Teleport mass AND dangling mass
+    * redistribute proportionally to weight instead of uniformly
+    * (`teleport_i = ((den-num)·scale·w_i) div (den·W)`,
+    * `danglingShare_i = (dm·w_i) div W`), so rank flows outward from
+    * high-weight seed pages — the standard crawl-curation move when a
+    * trusted seed list should anchor quality. Weights are small
+    * non-negative longs (the product `(den-num)·totalScale·max(w)` must
+    * fit a long — fine for weights up to ~1e5 at the default scale);
+    * nodes absent from `reset` weigh 0 and receive only link inflow.
+    * With no `reset` the math reduces exactly to uniform PageRank
+    * (w = 1, W = n).
     */
   def pagerank(edges: DataFrame, nodes: DataFrame,
                srcCol: String, dstCol: String, idCol: String,
                iters: Int,
                totalScale: Long = 1000000000000L,
-               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+               dampNum: Long = 85, dampDen: Long = 100,
+               reset: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
     val spark = nodes.sparkSession
-    val ns = nodes.select(col(idCol).cast("long").as("id")).distinct()
+    val ns0 = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = ns.count() // one bounded driver scalar; all per-iteration
+    val n = ns0.count() // one bounded driver scalar; all per-iteration
     // aggregates stay distributed
     require(n > 0, "empty node set")
+    // attach the personalization weight: uniform 1 without `reset`, else
+    // the caller's `weight` column (absent nodes weigh 0)
+    val ns = (reset match {
+      case Some(r) =>
+        ns0.join(
+          r.select(col(idCol).cast("long").as("id"),
+            col("weight").cast("long").as("w")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("w"), lit(0L)).as("w"))
+      case None => ns0.select(col("id"), lit(1L).as("w"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    val bigW = ns.agg(coalesce(sum("w"), lit(0L)).as("s")).head.getLong(0)
+    require(bigW > 0, "total reset weight must be positive")
+    // driver-side long constants so the SQL literals below never ride on
+    // 32-bit intermediate arithmetic (ANSI mode faults int overflow)
+    val tnum = (dampDen - dampNum) * totalScale
+    val tden = dampDen * bigW
     val defaultP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // loop-invariant big side: (src, dst, outdeg), pre-keyed by src so
     // the per-round contribution join only moves the narrow rank table
@@ -74,9 +104,9 @@ object LinkGraph {
       .localCheckpoint(eager = true)
     // dangling = nodes with no out-edge; loop-invariant membership, so
     // compute it once and only re-aggregate its (changing) rank mass
-    val dangling = ns.join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+    val dangling = ns.select(col("id"))
+      .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
       .localCheckpoint(eager = true)
-    val teleport = ((dampDen - dampNum) * totalScale) / (dampDen * n)
     var ranks = ns.select(col("id"), lit(totalScale / n).as("r"))
       .localCheckpoint(eager = true)
     var iter = 0
@@ -93,14 +123,15 @@ object LinkGraph {
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(dm))
         .select(col("id"),
-          (lit(teleport) +
-            expr(s"($dampNum * (coalesce(c, 0L) + (dm div $n))) div $dampDen")
-          ).as("r"))
+          (expr(s"($tnum * w) div $tden") +
+            expr(s"($dampNum * (coalesce(c, 0L) + ((dm * w) div $bigW)))" +
+              s" div $dampDen")).as("r"))
       val ck = next.localCheckpoint(eager = true)
       ranks = spark.createDataFrame(ck.rdd, ck.schema)
       iter += 1
     }
     ns.unpersist(blocking = false)
+    ns0.unpersist(blocking = false)
     ranks.select(col("id"), col("r").as("rank"))
   }
 }

@@ -63,6 +63,34 @@ class LinkGraphSpec extends SparkTestBase {
     assert(base == repart)
   }
 
+  test("seeded reset: teleport and dangling mass flow only to seed nodes") {
+    val s = spark
+    import s.implicits._
+    // chain 0 -> 1 -> 2, seed = {0}: W = 1, node 2 dangling
+    // r0 = 333333333333 each; teleport(0) = 15e12 div 100 = 150000000000
+    // inflow: 1 <- 333333333333, 2 <- 333333333333; dm = 333333333333
+    val seeds = Seq((0L, 1L)).toDF("id", "weight")
+    val r = LinkGraph.pagerank(edges((0L, 1L), (1L, 2L)), nodes(0L, 1L, 2L),
+        "src", "dst", "id", iters = 1, reset = Some(seeds))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) == 150000000000L + (85L * 333333333333L) / 100L)
+    assert(r(1L) == (85L * 333333333333L) / 100L)
+    assert(r(2L) == (85L * 333333333333L) / 100L)
+  }
+
+  test("uniform reset vector reproduces plain pagerank exactly") {
+    val s = spark
+    import s.implicits._
+    val es = (0L until 40L).map(i => (i, (i * 3 + 1) % 40)).filter(p => p._1 != p._2)
+    val ns = (0L until 40L)
+    val plain = run(es, ns, iters = 3)
+    val uni = ns.map((_, 1L)).toDF("id", "weight")
+    val seeded = LinkGraph.pagerank(edges(es: _*), nodes(ns: _*),
+        "src", "dst", "id", iters = 3, reset = Some(uni))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(plain == seeded)
+  }
+
   test("parallel edges count twice (multigraph semantics)") {
     // 0 -> 1 twice and 0 -> 2 once: outdeg 3, node 1 gets 2 shares
     val r = run(Seq((0L, 1L), (0L, 1L), (0L, 2L)), Seq(0L, 1L, 2L), iters = 1)
