@@ -1760,9 +1760,21 @@ object SparkEntry {
       val d = docs(s, dir).select(col("doc_id"))
       val seeds = d.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id"), lit(1L).as("weight"))
+      // 3 rounds (vs the uniform query's 5): the weighted path is the
+      // same per-round plan, so extra rounds only re-pay scheduling
       LinkGraph.pagerank(pagerankEdges(d), d, "src", "dst", "doc_id",
-          iters = 5, reset = Some(seeds))
+          iters = 3, reset = Some(seeds))
         .select(col("id").as("doc_id"), col("rank"))
+    }),
+    // HITS hubs/authorities over the same link graph: separates
+    // navigational hub pages from content authorities — a distinction
+    // one centrality can't make. Per-round integer normalization
+    // (x div greatest(1, total div scale)) keeps scores on the 1e6
+    // scale and exactly SQL-replayable
+    "q_hits" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      LinkGraph.hits(pagerankEdges(d), d, "src", "dst", "doc_id", iters = 3)
+        .select(col("id").as("doc_id"), col("hub"), col("authority"))
     }),
     // sound-alike entity blocking: names mutated in ways edit-distance
     // blocking treats as ordinary edits but a phonetic key collapses
@@ -1790,9 +1802,9 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncodeDeep(d, "doc_id", "text", merges)
         .select(col("doc_id"),
-          md5(replace(col("bpe_text"), lit("\u001f"), lit(" "))).as("dec_md5"),
-          length(replace(col("bpe_text"), lit("\u001f"), lit(" ")))
-            .cast("long").as("n_chars"))
+          replace(col("bpe_text"), lit("\u001f"), lit(" ")).as("__dec"))
+        .select(col("doc_id"), md5(col("__dec")).as("dec_md5"),
+          length(col("__dec")).cast("long").as("n_chars"))
     }),
     "q_heavy_hitters" -> ((s, dir) =>
       // corpus vocabulary heavy hitters: tokens holding >= 1/500 of all
@@ -2971,18 +2983,24 @@ object SparkEntry {
     * `wExpr` is the per-node reset weight over `id` (uniform "1" = plain
     * PageRank; the Spark side folds w = 1, W = n into the same algebra).
     */
-  private def pagerankSql(iters: Int, wExpr: String = "1"): String = {
-    val sb = new StringBuilder
-    sb ++= "WITH nodes AS (SELECT doc_id AS id FROM documents), "
-    sb ++= "cnt AS (SELECT count(*) AS n FROM nodes), "
-    sb ++= s"nw AS (SELECT id, CAST($wExpr AS BIGINT) AS w FROM nodes), "
-    sb ++= "wsum AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM nw), "
-    sb ++= "edges AS (SELECT doc_id AS src, " +
+  /** nodes/cnt/edges CTEs shared by [[pagerankSql]] and [[hitsSql]] —
+    * the SQL mirror of [[pagerankEdges]].
+    */
+  private val linkGraphCtes: String =
+    "nodes AS (SELECT doc_id AS id FROM documents), " +
+      "cnt AS (SELECT count(*) AS n FROM nodes), " +
+      "edges AS (SELECT doc_id AS src, " +
       "(doc_id * 31 + j.j * 97) % cnt.n AS dst " +
       "FROM documents CROSS JOIN cnt " +
       "CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j " +
       "WHERE doc_id % 17 <> 0 AND (doc_id + j.j) % 5 <> 0 " +
       "AND (doc_id * 31 + j.j * 97) % cnt.n <> doc_id), "
+
+  private def pagerankSql(iters: Int, wExpr: String = "1"): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $linkGraphCtes"
+    sb ++= s"nw AS (SELECT id, CAST($wExpr AS BIGINT) AS w FROM nodes), "
+    sb ++= "wsum AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM nw), "
     sb ++= "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), "
     sb ++= "r0 AS (SELECT id, 1000000000000 // cnt.n AS r FROM nodes CROSS JOIN cnt)"
     (1 to iters).foreach { k =>
@@ -3002,6 +3020,34 @@ object SparkEntry {
         s"LEFT JOIN c$k ON c$k.id = nw.id)"
     }
     sb ++= s" SELECT id AS doc_id, r AS rank FROM r$iters"
+    sb.toString
+  }
+
+  /** Literal replay of [[graft.operators.LinkGraph.hits]] — per round:
+    * authority = in-edge hub sum normalized to the 1e6 scale via
+    * `x div greatest(1, total div scale)`, then hub = out-edge authority
+    * sum normalized the same way. All BIGINT, so exact.
+    */
+  private def hitsSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $linkGraphCtes"
+    sb ++= "h0 AS (SELECT id, 1000000 AS h FROM nodes)"
+    (1 to iters).foreach { k =>
+      sb ++= s", ar$k AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS x " +
+        s"FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY e.dst)"
+      sb ++= s", at$k AS (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) AS t FROM ar$k)"
+      sb ++= s", a$k AS (SELECT nodes.id, " +
+        s"coalesce(ar$k.x, 0) // greatest(1, at$k.t // 1000000) AS a " +
+        s"FROM nodes CROSS JOIN at$k LEFT JOIN ar$k ON ar$k.id = nodes.id)"
+      sb ++= s", hr$k AS (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS x " +
+        s"FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY e.src)"
+      sb ++= s", ht$k AS (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) AS t FROM hr$k)"
+      sb ++= s", h$k AS (SELECT nodes.id, " +
+        s"coalesce(hr$k.x, 0) // greatest(1, ht$k.t // 1000000) AS h " +
+        s"FROM nodes CROSS JOIN ht$k LEFT JOIN hr$k ON hr$k.id = nodes.id)"
+    }
+    sb ++= s" SELECT h.id AS doc_id, h.h AS hub, a.a AS authority " +
+      s"FROM h$iters h JOIN a$iters a ON h.id = a.id"
     sb.toString
   }
 
@@ -3210,7 +3256,8 @@ object SparkEntry {
     "q_entity_resolution" -> entityResolutionSql,
     "q_pagerank" -> pagerankSql(5),
     "q_pagerank_seeded" ->
-      pagerankSql(5, "CASE WHEN id % 50 = 0 THEN 1 ELSE 0 END"),
+      pagerankSql(3, "CASE WHEN id % 50 = 0 THEN 1 ELSE 0 END"),
+    "q_hits" -> hitsSql(3),
     "q_phonetic_block" -> phoneticBlockSql,
     // decode must reproduce the NORMALIZED corpus — the oracle hashes
     // the normalization chain directly and never sees the tokenizer

@@ -134,4 +134,70 @@ object LinkGraph {
     ns0.unpersist(blocking = false)
     ranks.select(col("id"), col("r").as("rank"))
   }
+
+  /** HITS (Kleinberg): mutually-reinforcing hub and authority scores —
+    * the complement to [[pagerank]] for crawl curation, separating
+    * navigational HUB pages (link out to good content) from content
+    * AUTHORITIES (linked to by good hubs). A directory page scores high
+    * hub / low authority; a canonical reference page the reverse —
+    * a single centrality can't make that distinction.
+    *
+    * Same fixed-point integer discipline as [[pagerank]], with HITS'
+    * extra wrinkle — per-round normalization — done in integers too:
+    * `x_norm = x_raw div max(1, (Σx_raw) div scale)`, which keeps every
+    * normalized score in [0, scale] and is exactly replayable in SQL
+    * (`greatest(1, …)` guards the sub-scale-total case). Raw sums are
+    * bounded by `edges · scale`, so the default 1e6 scale is safe to
+    * ~1e12 edges. Per round: authority(v) = Σ hub(u) over in-edges,
+    * normalize; hub(u) = Σ authority(v) over out-edges, normalize.
+    *
+    * Scale shape: TWO lineage-cut edge copies, one hash-partitioned by
+    * `src` (for the hub-side join) and one by `dst` (authority side), so
+    * neither per-round join reshuffles the edge list — only the narrow
+    * (id, score) tables and the grouped partial sums move; the two
+    * normalization totals are 1-row aggregates re-entering as
+    * broadcasts. Both score tables are localCheckpoint'd per round.
+    */
+  def hits(edges: DataFrame, nodes: DataFrame,
+           srcCol: String, dstCol: String, idCol: String,
+           iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val spark = nodes.sparkSession
+    val ns = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val defaultP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val eBySrc = e0.repartition(defaultP, col("src")).localCheckpoint(eager = true)
+    val eByDst = e0.repartition(defaultP, col("dst")).localCheckpoint(eager = true)
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(eager = true)
+      spark.createDataFrame(c.rdd, c.schema)
+    }
+    // x_raw -> joined back to all nodes (absent = 0), divided by the
+    // broadcast scaled total
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      val total = raw.agg(coalesce(sum("x"), lit(0L)).as("t"))
+      ck(ns.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("id"),
+          expr(s"coalesce(x, 0L) div greatest(1L, t div $scale)").as(outCol)))
+    }
+    var hubs = ck(ns.select(col("id"), lit(scale).as("hub")))
+    var auths: DataFrame = null
+    var iter = 0
+    while (iter < iters) {
+      auths = normalize(
+        eBySrc.join(hubs.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum("hub").as("x")),
+        "authority")
+      hubs = normalize(
+        eByDst.join(auths.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(sum("authority").as("x")),
+        "hub")
+      iter += 1
+    }
+    ns.unpersist(blocking = false)
+    hubs.join(auths, Seq("id"))
+  }
 }

@@ -91,6 +91,36 @@ class LinkGraphSpec extends SparkTestBase {
     assert(plain == seeded)
   }
 
+  private def runHits(es: Seq[(Long, Long)], ns: Seq[Long], iters: Int) =
+    LinkGraph.hits(edges(es: _*), nodes(ns: _*), "src", "dst", "id", iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("hits separates hubs from authorities, hand-computed normalization") {
+    // 0 -> 2, 1 -> 2: nodes 0/1 are pure hubs, node 2 a pure authority.
+    // round 1: a_raw(2) = 2e6, total 2e6 -> a(2) = 1e6;
+    //          h_raw(0) = h_raw(1) = 1e6, total 2e6 -> h = 5e5 each.
+    // round 2: a_raw(2) = 1e6, total 1e6 -> a(2) = 1e6; hubs as before.
+    val r = runHits(Seq((0L, 2L), (1L, 2L)), Seq(0L, 1L, 2L), iters = 2)
+    assert(r(0L) == ((500000L, 0L)))
+    assert(r(1L) == ((500000L, 0L)))
+    assert(r(2L) == ((0L, 1000000L)))
+  }
+
+  test("hits on an edgeless graph is all zeros (guarded normalization)") {
+    val r = runHits(Seq.empty, Seq(1L, 2L), iters = 1)
+    assert(r.values.toSet == Set((0L, 0L)))
+  }
+
+  test("hits is bit-identical under different input partitioning") {
+    val es = (0L until 50L).map(i => (i, (i * 7 + 1) % 50)).filter(p => p._1 != p._2)
+    val ns = (0L until 50L)
+    val base = runHits(es, ns, iters = 3)
+    val repart = LinkGraph.hits(edges(es: _*).repartition(11),
+        nodes(ns: _*).repartition(5), "src", "dst", "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(base == repart)
+  }
+
   test("parallel edges count twice (multigraph semantics)") {
     // 0 -> 1 twice and 0 -> 2 once: outdeg 3, node 1 gets 2 shares
     val r = run(Seq((0L, 1L), (0L, 1L), (0L, 2L)), Seq(0L, 1L, 2L), iters = 1)
