@@ -95,7 +95,13 @@ object SparkEntry {
     base
   }
 
-  private def md5Pairs(s: SparkSession, dir: String): DataFrame = {
+  /** Candidate pairs with their exact integer shingle-jaccard
+    * (per-mille, floor) — the unfiltered surface [[md5Pairs]] thresholds
+    * at 500‰ and `q_dedup_pr_sweep` sweeps. `j_1e3 >= 500` is EXACTLY
+    * the old `2·|∩| >= |∪|` verify (floor(1000·i/u) >= 500 ⇔
+    * 1000·i >= 500·u ⇔ 2·i >= u), so the pairs surface is unchanged.
+    */
+  private def md5CandJaccard(s: SparkSession, dir: String): DataFrame = {
     val base = md5Base(s, dir)
     val banded = base.select(col("doc_id"), posexplode(array(
       (0 until 4).map(b => concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
@@ -108,10 +114,14 @@ object SparkEntry {
     cand
       .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 2 >=
-        size(array_union(col("sh_a"), col("sh_b"))))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("(cast(size(array_intersect(sh_a, sh_b)) as bigint) * 1000) div " +
+          "cast(size(array_union(sh_a, sh_b)) as bigint)").as("j_1e3"))
   }
+
+  private def md5Pairs(s: SparkSession, dir: String): DataFrame =
+    md5CandJaccard(s, dir).filter(col("j_1e3") >= 500)
+      .select(col("id_a"), col("id_b"))
 
   /** Write-once materialization for queries that exercise a write path
     * (layout, CSV/JSONL round trips): runs `write` once per
@@ -1328,6 +1338,26 @@ object SparkEntry {
     // operator (minhashNearDupPairs) keeps xxhash64 + bucket caps; this
     // flavor trades the caps for exact cross-engine reproducibility.
     "dedup_pairs_md5" -> ((s, dir) => md5Pairs(s, dir)),
+    // threshold tuning for the near-dup verify: precision/recall of the
+    // WHOLE banding+verify pipeline against the planted truth pairs
+    // (d, d+100000), swept over integer jaccard thresholds 300‰..900‰ —
+    // how a pipeline owner picks the verify cutoff before spending a
+    // cluster pass at a new threshold. All-integer arithmetic
+    // (counts, div), so the sweep is engine-exact; thresholds where no
+    // candidate survives drop out identically on both sides
+    "q_dedup_pr_sweep" -> ((s, dir) =>
+      md5CandJaccard(s, dir)
+        .select(col("j_1e3"),
+          (col("id_b") - col("id_a") === 100000 && col("id_a") < 20).as("t"))
+        .select(explode(array((300 to 900 by 100).map(lit): _*)).as("thr"),
+          col("j_1e3"), col("t"))
+        .filter(col("j_1e3") >= col("thr"))
+        .groupBy("thr")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("t"), 1L).otherwise(0L)).as("n_true"))
+        .select(col("thr").cast("int").as("thr"), col("n_pairs"), col("n_true"),
+          expr("(n_true * 1000000) div greatest(1L, n_pairs)").as("prec_1e6"),
+          expr("(n_true * 1000000) div 20").as("rec_1e6"))),
     // the same portable pipeline carried to the END of dedup: pairs →
     // connected components → keep one representative per group. The
     // composition dedup_e2e runs with production xxhash64 signatures,
@@ -2660,15 +2690,34 @@ object SparkEntry {
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM banded x JOIN banded y
        |    ON x.bv = y.bv AND x.doc_id < y.doc_id),
-       |pr AS (
-       |  SELECT c.id_a, c.id_b FROM cand c
+       |cj AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000 //
+       |      CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS j
+       |  FROM cand c
        |  JOIN sh a ON a.doc_id = c.id_a
-       |  JOIN sh b ON b.doc_id = c.id_b
-       |  WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(a.sh || b.sh)))""".stripMargin
+       |  JOIN sh b ON b.doc_id = c.id_b),
+       |pr AS (
+       |  SELECT id_a, id_b FROM cj WHERE j >= 500)""".stripMargin
   }
 
   private def pairsMd5Sql: String =
     s"WITH $pairsMd5Ctes\nSELECT id_a, id_b FROM pr"
+
+  private def prSweepSql: String =
+    // floor(1000·i/u) >= 500 ⇔ 2·i >= u, so `pr` is byte-identical to
+    // the pre-sweep verify; the sweep aggregates the unfiltered cj
+    s"""WITH $pairsMd5Ctes
+       |SELECT thr, n_pairs, n_true,
+       |  (n_true * 1000000) // greatest(1, n_pairs) AS prec_1e6,
+       |  (n_true * 1000000) // 20 AS rec_1e6
+       |FROM (
+       |  SELECT t.thr AS thr, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(coalesce(sum(CASE WHEN id_b - id_a = 100000 AND id_a < 20
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true
+       |  FROM cj CROSS JOIN
+       |    (SELECT unnest([300, 400, 500, 600, 700, 800, 900]) AS thr) t
+       |  WHERE j >= t.thr GROUP BY t.thr)""".stripMargin
 
   /** Symmetric closure + min-label recursion + per-id label resolve —
     * the component spine shared by [[e2eMd5Sql]] and [[qualityRepSql]]
@@ -3362,6 +3411,7 @@ object SparkEntry {
     "q_semdedup" -> semDedupSql,
     "dedup_emb_pairs_ora" -> embPairsSql,
     "dedup_pairs_md5" -> pairsMd5Sql,
+    "q_dedup_pr_sweep" -> prSweepSql,
     "dedup_e2e_md5" -> e2eMd5Sql,
     "dedup_quality_rep" -> qualityRepSql,
     // incremental = the shared pair pipeline restricted to index→batch
