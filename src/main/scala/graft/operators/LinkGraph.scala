@@ -49,8 +49,8 @@ object LinkGraph {
     * their mass (standard open-web semantics); callers wanting a closed
     * graph should pre-filter edges.
     *
-    * `reset`: optional (id, weight) personalization vector — the
-    * TrustRank/topic-sensitive variant. Teleport mass AND dangling mass
+    * `reset`: optional personalization vector (must expose `idCol` and
+    * a `weight` column) — the TrustRank/topic-sensitive variant. Teleport mass AND dangling mass
     * redistribute proportionally to weight instead of uniformly
     * (`teleport_i = ((den-num)·scale·w_i) div (den·W)`,
     * `danglingShare_i = (dm·w_i) div W`), so rank flows outward from
