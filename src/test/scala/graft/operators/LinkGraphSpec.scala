@@ -91,6 +91,26 @@ class LinkGraphSpec extends SparkTestBase {
     assert(plain == seeded)
   }
 
+  test("mass conservation and teleport floor over seeded random graphs") {
+    // truncation only ever LOSES mass (bounded per round by a few units
+    // per node/edge), and teleport is every node's guaranteed floor
+    for (seed <- Seq(1L, 7L, 23L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 20 + rng.nextInt(30)
+      val ns = (0L until n.toLong)
+      val es = (0 until n * 2).map(_ =>
+          (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val iters = 4
+      val r = run(es, ns, iters)
+      val total = 1000000000000L
+      val teleport = (15L * total) / (100L * n)
+      assert(r.values.sum <= total)
+      assert(r.values.sum >= total - iters.toLong * (3L * n + es.size + 100L))
+      assert(r.values.min >= teleport)
+    }
+  }
+
   private def runHits(es: Seq[(Long, Long)], ns: Seq[Long], iters: Int) =
     LinkGraph.hits(edges(es: _*), nodes(ns: _*), "src", "dst", "id", iters)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

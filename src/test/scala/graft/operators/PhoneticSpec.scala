@@ -1,10 +1,17 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.SparkTestBase
 
 class PhoneticSpec extends SparkTestBase {
+
+  private def check(n: Int)(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
 
   private def keys(names: String*): Seq[String] = {
     val s = spark
@@ -62,6 +69,36 @@ class PhoneticSpec extends SparkTestBase {
     val right = Seq(("smyth")).toDF("cname")
     val out = Phonetic.phoneticJoin(left, right, "name", "cname", maxDist = 2)
     assert(out.count() == 2)
+  }
+
+  test("property: key shape, doubling invariance, vowel-tail invariance") {
+    // the two mutation classes the driver query stakes its blocking
+    // guarantee on, checked over arbitrary letter strings in one
+    // DataFrame pass per generated batch
+    val s = spark
+    import s.implicits._
+    val letters = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    val batch = Gen.listOfN(12, for {
+      w <- letters
+      pos <- Gen.chooseNum(0, 100)
+      vowel <- Gen.oneOf("a", "e", "i", "o", "u", "y")
+    } yield (w, pos, vowel))
+    check(8)(Prop.forAll(batch) { rows =>
+      val df = rows.map { case (w, pos, v) =>
+        val p = pos % w.length
+        val doubled = w.substring(0, p + 1) + w.substring(p)
+        (w, doubled, w + v + v)
+      }.toDF("w", "doubled", "tailed")
+      val bad = df.select(
+        Phonetic.key(col("w")).as("k"),
+        Phonetic.key(col("doubled")).as("kd"),
+        Phonetic.key(col("tailed")).as("kt"))
+        .filter(col("k") =!= col("kd") || col("k") =!= col("kt") ||
+          !col("k").rlike("^[A-Z][0-9]{3}$"))
+        .count()
+      bad == 0L
+    })
   }
 
   test("reserved and overlapping columns are rejected") {
