@@ -1700,30 +1700,21 @@ object SparkEntry {
       s.read.parquet(snapDir)
         .select(col("doc_id"), col("part"), col("n_chars"))
     }),
-    "q_scd2" -> ((s, dir) => {
-      // SCD2 timeline rebuild over the documents dimension: every doc
-      // opens at ts 0; %3 keys change lang at 100; %5 keys RE-DELIVER
-      // their then-current attrs at 200 (pure no-op for %5-not-%15 keys
-      // — must collapse to no new version; a real revert for %15 keys);
-      // %11 keys delete at 300; %33 keys re-open at 400 after their
-      // delete. Full history with [valid_from, valid_to) intervals out.
-      val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("lang"))
-      val hist = d.select(col("id"), col("lang"),
-        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
-      val upd = d.filter(col("id") % 3 === 0)
-        .select(col("id"), lit("upd").as("lang"), lit(100L).as("ts"),
-          lit("u").as("op"))
-      val redeliver = d.filter(col("id") % 5 === 0)
-        .select(col("id"), col("lang"), lit(200L).as("ts"), lit("u").as("op"))
-      val dels = d.filter(col("id") % 11 === 0)
-        .select(col("id"), lit(null).cast("string").as("lang"),
-          lit(300L).as("ts"), lit("d").as("op"))
-      val reopen = d.filter(col("id") % 33 === 0)
-        .select(col("id"), lit("re").as("lang"), lit(400L).as("ts"),
-          lit("u").as("op"))
-      Scd2.applyHistory(hist,
-        upd.unionByName(redeliver).unionByName(dels).unionByName(reopen),
-        Seq("id"), "ts", Some("op"))
+    "q_scd2" -> ((s, dir) => scd2History(s, dir)),
+    // the READ side of SCD2: point-in-time snapshots of the rebuilt
+    // timeline at ts 250 (post-update/redelivery, pre-delete) and 350
+    // (post-delete — the %11 keys must be absent, except %33 keys are
+    // still absent until their 400 re-open). A pure interval-cover
+    // filter, so at scale it stays a scan-only op with pushdown
+    "q_scd2_asof" -> ((s, dir) => {
+      val hist = scd2History(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val snaps = Seq(250L, 350L).map(t =>
+        Scd2.snapshotAt(hist, "valid_from", "valid_to", t)
+          .withColumn("snap_ts", lit(t)))
+      snaps.reduce(_ unionByName _)
+        .select(col("snap_ts"), col("id"), col("lang"),
+          col("valid_from"), col("valid_to"))
     }),
     "q_fuzzy_join" -> ((s, dir) => {
       // entity-resolution fuzzy join: every document carries a
@@ -2946,6 +2937,60 @@ object SparkEntry {
     (lft, base.select(col("b").as("cname")).distinct())
   }
 
+  /** The q_scd2 oracle's timeline CTE chain (base -> versions ->
+    * run-collapse -> intervals), shared with q_scd2_asof.
+    */
+  private val scd2TimelineCtes: String =
+    """WITH base AS (SELECT doc_id AS id, lang FROM documents),
+      |versions AS (
+      |  SELECT id, lang, CAST(0 AS BIGINT) AS ts, 'u' AS op FROM base
+      |  UNION ALL SELECT id, 'upd', 100, 'u' FROM base WHERE id % 3 = 0
+      |  UNION ALL SELECT id, lang, 200, 'u' FROM base WHERE id % 5 = 0
+      |  UNION ALL SELECT id, NULL, 300, 'd' FROM base WHERE id % 11 = 0
+      |  UNION ALL SELECT id, 're', 400, 'u' FROM base WHERE id % 33 = 0),
+      |collapsed AS (
+      |  SELECT id, lang, ts, op,
+      |    op || '|' || coalesce(lang, chr(1)) AS cur,
+      |    lag(op || '|' || coalesce(lang, chr(1))) OVER
+      |      (PARTITION BY id ORDER BY ts, op, lang NULLS FIRST) AS prev
+      |  FROM versions),
+      |kept AS (
+      |  SELECT id, lang, ts, op FROM collapsed
+      |  WHERE prev IS NULL OR prev <> cur),
+      |iv AS (
+      |  SELECT id, lang, op, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY id ORDER BY ts, op, lang NULLS FIRST)
+      |      AS valid_to
+      |  FROM kept)""".stripMargin
+
+  /** SCD2 timeline rebuild over the documents dimension, shared by
+    * q_scd2 (full history) and q_scd2_asof (point-in-time reads): every
+    * doc opens at ts 0; %3 keys change lang at 100; %5 keys RE-DELIVER
+    * their then-current attrs at 200 (pure no-op for %5-not-%15 keys —
+    * must collapse to no new version; a real revert for %15 keys); %11
+    * keys delete at 300; %33 keys re-open at 400 after their delete.
+    * Full history with [valid_from, valid_to) intervals out.
+    */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("lang"))
+    val hist = d.select(col("id"), col("lang"),
+      lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    val upd = d.filter(col("id") % 3 === 0)
+      .select(col("id"), lit("upd").as("lang"), lit(100L).as("ts"),
+        lit("u").as("op"))
+    val redeliver = d.filter(col("id") % 5 === 0)
+      .select(col("id"), col("lang"), lit(200L).as("ts"), lit("u").as("op"))
+    val dels = d.filter(col("id") % 11 === 0)
+      .select(col("id"), lit(null).cast("string").as("lang"),
+        lit(300L).as("ts"), lit("d").as("op"))
+    val reopen = d.filter(col("id") % 33 === 0)
+      .select(col("id"), lit("re").as("lang"), lit(400L).as("ts"),
+        lit("u").as("op"))
+    Scd2.applyHistory(hist,
+      upd.unionByName(redeliver).unionByName(dels).unionByName(reopen),
+      Seq("id"), "ts", Some("op"))
+  }
+
   /** Deterministic sound-alike corpus for q_phonetic_block: base names
     * 'nm' + the two digits of doc_id % 40 rendered as letters a–j,
     * mutated by doc_id % 3 — clean, consonant doubled at position
@@ -3373,29 +3418,19 @@ object SparkEntry {
     // the same interval derivation (lead), tombstones and zero-length
     // versions dropped. NULLS FIRST pins DuckDB's ordering to Spark's
     // asc-nulls-first default for the attrs tiebreak.
-    "q_scd2" -> ("""WITH base AS (SELECT doc_id AS id, lang FROM documents),
-      |versions AS (
-      |  SELECT id, lang, CAST(0 AS BIGINT) AS ts, 'u' AS op FROM base
-      |  UNION ALL SELECT id, 'upd', 100, 'u' FROM base WHERE id % 3 = 0
-      |  UNION ALL SELECT id, lang, 200, 'u' FROM base WHERE id % 5 = 0
-      |  UNION ALL SELECT id, NULL, 300, 'd' FROM base WHERE id % 11 = 0
-      |  UNION ALL SELECT id, 're', 400, 'u' FROM base WHERE id % 33 = 0),
-      |collapsed AS (
-      |  SELECT id, lang, ts, op,
-      |    op || '|' || coalesce(lang, chr(1)) AS cur,
-      |    lag(op || '|' || coalesce(lang, chr(1))) OVER
-      |      (PARTITION BY id ORDER BY ts, op, lang NULLS FIRST) AS prev
-      |  FROM versions),
-      |kept AS (
-      |  SELECT id, lang, ts, op FROM collapsed
-      |  WHERE prev IS NULL OR prev <> cur),
-      |iv AS (
-      |  SELECT id, lang, op, ts AS valid_from,
-      |    lead(ts) OVER (PARTITION BY id ORDER BY ts, op, lang NULLS FIRST)
-      |      AS valid_to
-      |  FROM kept)
+    "q_scd2" -> (scd2TimelineCtes + """
       |SELECT id, lang, valid_from, valid_to FROM iv
       |WHERE op <> 'd' AND (valid_to IS NULL OR valid_to <> valid_from)""".stripMargin),
+    // identical timeline CTEs, then the interval-cover filter per
+    // snapshot timestamp
+    "q_scd2_asof" -> (scd2TimelineCtes + """,
+      |hist AS (
+      |  SELECT id, lang, valid_from, valid_to FROM iv
+      |  WHERE op <> 'd' AND (valid_to IS NULL OR valid_to <> valid_from))
+      |SELECT t.snap_ts, h.id, h.lang, h.valid_from, h.valid_to
+      |FROM hist h CROSS JOIN (SELECT unnest([250, 350]) AS snap_ts) t
+      |WHERE h.valid_from <= t.snap_ts
+      |  AND (h.valid_to IS NULL OR h.valid_to > t.snap_ts)""".stripMargin),
     // the sketch is exact-verified, so the oracle is the plain
     // GROUP BY / HAVING it guarantees: integer share arithmetic,
     // count(*) OVER () for the corpus token total

@@ -107,4 +107,15 @@ object Scd2 {
       .select((key ++ attrs).map(col) :+ col("_ts").as("valid_from") :+
         col("_next_ts").as("valid_to"): _*)
   }
+
+  /** Point-in-time read of an SCD2 history: the dimension exactly as it
+    * stood at `ts` — rows whose `[valid_from, valid_to)` interval covers
+    * it (open tail = still current). The read-side half of the SCD2
+    * contract; a pure filter, so against a stored history table it stays
+    * a scan-only operation (pushdown, partition pruning) at any scale.
+    */
+  def snapshotAt(history: DataFrame, fromCol: String, toCol: String,
+                 ts: Long): DataFrame =
+    history.filter(col(fromCol) <= ts &&
+      (col(toCol).isNull || col(toCol) > ts))
 }

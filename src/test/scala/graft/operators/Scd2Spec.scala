@@ -82,6 +82,19 @@ class Scd2Spec extends SparkTestBase {
     assert(out == Set((1L, "z", 10L, Some(20L)), (1L, "m", 20L, None)))
   }
 
+  test("snapshotAt covers [valid_from, valid_to) with the open tail current") {
+    val h = hist((1L, "a", 10L, Some(20L)), (1L, "b", 20L, None),
+      (2L, "x", 5L, Some(8L)))
+    def snap(ts: Long): Set[(Long, String)] =
+      Scd2.snapshotAt(h, "valid_from", "valid_to", ts)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap(5L) == Set((2L, "x"))) // key 1 not yet opened
+    assert(snap(15L) == Set((1L, "a"))) // key 2 closed at 8
+    assert(snap(19L) == Set((1L, "a"))) // valid_to exclusive
+    assert(snap(20L) == Set((1L, "b"))) // boundary flips to successor
+    assert(snap(999L) == Set((1L, "b"))) // open tail is current forever
+  }
+
   test("one exchange, one sort: both window passes share the shuffle and ordering") {
     val s = spark
     import s.implicits._
