@@ -1716,6 +1716,26 @@ object SparkEntry {
         .select(col("snap_ts"), col("id"), col("lang"),
           col("valid_from"), col("valid_to"))
     }),
+    // event-time dimension enrichment — the join the SCD2 history
+    // exists FOR: each fact row picks up the dimension version valid at
+    // its own event time. Formulated as an AS-OF join (latest version
+    // with valid_from <= fact_ts) + a valid_to cover check, NOT an
+    // interval/range join: SCD2 intervals are per-key sorted and
+    // non-overlapping, so the covering version IS the as-of match, and
+    // AsOf's union-window shape shuffles each fact and each version
+    // exactly ONCE on the key — no interval explode, no join
+    // cross-product. Facts land pre-history (%17 keys at ts -1) and in
+    // the %11 keys' delete gap [300, 400); both enrich to NULL via the
+    // same cover check.
+    "q_scd2_enrich" -> ((s, dir) => {
+      val hist = scd2History(s, dir)
+      val base = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      val facts = base.select(col("id"),
+        when(col("id") % 17 === 0, lit(-1L))
+          .otherwise((col("id") * 37 + 13) % 550).as("fact_ts"))
+      Scd2.enrichAsOf(facts, hist, Seq("id"), "fact_ts")
+        .select(col("id"), col("fact_ts"), col("lang"), col("valid_from"))
+    }),
     "q_fuzzy_join" -> ((s, dir) => {
       // entity-resolution fuzzy join: every document carries a
       // deterministically typo-mutated entity name (exact / one-char
@@ -3431,6 +3451,22 @@ object SparkEntry {
       |FROM hist h CROSS JOIN (SELECT unnest([250, 350]) AS snap_ts) t
       |WHERE h.valid_from <= t.snap_ts
       |  AND (h.valid_to IS NULL OR h.valid_to > t.snap_ts)""".stripMargin),
+    // same timeline CTEs; the oracle states the enrichment contract
+    // DIRECTLY as the declarative interval-cover LEFT JOIN the as-of
+    // formulation claims to equal (gaps and pre-history facts -> NULL)
+    "q_scd2_enrich" -> (scd2TimelineCtes + """,
+      |hist AS (
+      |  SELECT id, lang, valid_from, valid_to FROM iv
+      |  WHERE op <> 'd' AND (valid_to IS NULL OR valid_to <> valid_from)),
+      |facts AS (
+      |  SELECT doc_id AS id,
+      |    CAST(CASE WHEN doc_id % 17 = 0 THEN -1
+      |              ELSE (doc_id * 37 + 13) % 550 END AS BIGINT) AS fact_ts
+      |  FROM documents)
+      |SELECT f.id, f.fact_ts, h.lang, h.valid_from
+      |FROM facts f LEFT JOIN hist h
+      |  ON f.id = h.id AND h.valid_from <= f.fact_ts
+      |  AND (h.valid_to IS NULL OR h.valid_to > f.fact_ts)""".stripMargin),
     // the sketch is exact-verified, so the oracle is the plain
     // GROUP BY / HAVING it guarantees: integer share arithmetic,
     // count(*) OVER () for the corpus token total

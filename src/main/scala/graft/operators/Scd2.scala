@@ -118,4 +118,44 @@ object Scd2 {
                  ts: Long): DataFrame =
     history.filter(col(fromCol) <= ts &&
       (col(toCol).isNull || col(toCol) > ts))
+
+  /** Event-time dimension enrichment — the join the SCD2 history exists
+    * FOR: each fact row picks up the dimension version covering its own
+    * event time (`valid_from <= factTs < valid_to`, open tail covers
+    * forever). No covering version — a pre-history fact or a fact inside
+    * a delete gap — attaches NULLs (LEFT-join semantics).
+    *
+    * Scale shape: because SCD2 intervals are per-key sorted and
+    * NON-OVERLAPPING, the covering version, if any, is exactly the as-of
+    * match (latest `valid_from <= factTs`) — so this rides
+    * [[AsOf.asofJoin]]'s union-window formulation: each fact and each
+    * version shuffles exactly ONCE on the key, no interval explode, no
+    * range-join candidate blow-up. The cover check then nulls out a
+    * match whose version already closed before the fact (`valid_to <=
+    * factTs`), turning the as-of answer into the interval-cover answer.
+    * A generic interval join could not assume non-overlap and would pay
+    * candidate multiplicity; this one is cardinality-preserving by
+    * construction (at most one cover per fact).
+    *
+    * Output: `facts.columns ++ attrs ++ (valid_from, valid_to)`; attrs
+    * and bounds NULL when nothing covers. Fact columns must not collide
+    * with the history's attr/interval columns (keys are shared).
+    */
+  def enrichAsOf(facts: DataFrame, history: DataFrame, key: Seq[String],
+                 factTsCol: String): DataFrame = {
+    val attrs = history.columns.filterNot(c =>
+      key.contains(c) || c == "valid_from" || c == "valid_to").toSeq
+    val clash = facts.columns.toSet
+      .intersect((attrs :+ "valid_from" :+ "valid_to").toSet)
+    require(clash.isEmpty,
+      s"fact columns collide with history attr/interval columns: $clash")
+    val m = col("_dim")
+    val covered = m.isNotNull &&
+      (m("valid_to").isNull || m("valid_to") > col(factTsCol))
+    AsOf.asofJoin(facts, history, key, factTsCol, "valid_from",
+        attrs ++ Seq("valid_from", "valid_to"), matchCol = "_dim")
+      .select(facts.columns.map(col).toSeq ++
+        (attrs ++ Seq("valid_from", "valid_to")).map(c =>
+          when(covered, m(c)).as(c)): _*)
+  }
 }

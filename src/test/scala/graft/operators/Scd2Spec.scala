@@ -95,6 +95,44 @@ class Scd2Spec extends SparkTestBase {
     assert(snap(999L) == Set((1L, "b"))) // open tail is current forever
   }
 
+  test("enrichAsOf equals the brute interval-cover join; gaps and pre-history -> NULL") {
+    val s = spark
+    import s.implicits._
+    // key 1: [10,20) a, [20,30) b, GAP [30,40), [40,∞) c ; key 2: [5,8) x
+    val h = hist((1L, "a", 10L, Some(20L)), (1L, "b", 20L, Some(30L)),
+      (1L, "c", 40L, None), (2L, "x", 5L, Some(8L)))
+    // facts hit: pre-history, each interval, both boundaries (valid_from
+    // inclusive, valid_to exclusive), the gap, the open tail, a dead key
+    val facts = Seq((1L, 9L), (1L, 10L), (1L, 15L), (1L, 20L), (1L, 29L),
+      (1L, 30L), (1L, 39L), (1L, 40L), (1L, 999L), (2L, 8L), (2L, 7L))
+      .toDF("id", "fact_ts")
+    val got = Scd2.enrichAsOf(facts, h, Seq("id"), "fact_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    // brute force: LEFT interval-cover join
+    val brute = facts.as("f").join(h.as("h"),
+        $"f.id" === $"h.id" && $"h.valid_from" <= $"f.fact_ts" &&
+          ($"h.valid_to".isNull || $"h.valid_to" > $"f.fact_ts"), "left")
+      .select($"f.id", $"f.fact_ts", $"h.lang", $"h.valid_from", $"h.valid_to")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(got == brute)
+    // spot-pin the semantics the equivalence rides on
+    assert(got.contains((1L, 9L, None, None, None)))              // pre-history
+    assert(got.contains((1L, 10L, Some("a"), Some(10L), Some(20L)))) // from incl.
+    assert(got.contains((1L, 30L, None, None, None)))             // gap start
+    assert(got.contains((1L, 39L, None, None, None)))             // gap end
+    assert(got.contains((1L, 40L, Some("c"), Some(40L), None)))   // re-open
+    assert(got.contains((2L, 8L, None, None, None)))              // to excl.
+    // cardinality-preserving: one output row per fact row
+    assert(Scd2.enrichAsOf(facts, h, Seq("id"), "fact_ts").count()
+      == facts.count())
+  }
+
   test("one exchange, one sort: both window passes share the shuffle and ordering") {
     val s = spark
     import s.implicits._
