@@ -1124,6 +1124,17 @@ object SparkEntry {
       // shift/mask/or integer arithmetic, bit-identical in any engine
       graft.functions.ZOrder.zValue(col("user_id"),
         col("event_id").bitwiseAND(lit(1023L)), bits = 16).as("z"))),
+    // Hilbert index of the same two dimensions — the sort key behind
+    // Layout.writeHilbertOrdered (unit-step curve → tight per-file
+    // envelopes at UNALIGNED file splits, where Morton's boundary jumps
+    // stretch them). Codegen Expression (the rotation recurrence as a
+    // generated loop — a when-chain would triple the tree per bit
+    // level); the oracle UNROLLS the same recurrence as 10 CTE rounds,
+    // so the hash pins every rotate/flip branch bit-for-bit in a
+    // second engine
+    "q_hilbert" -> ((s, dir) => events(s, dir).select(col("event_id"),
+      graft.functions.Hilbert.hilbert_index(col("user_id"),
+        col("event_id").bitwiseAND(lit(1023L)), bits = 10).as("h"))),
     // CSV landing-format round trip: orders columns written to headered
     // CSV once per JVM (process-unique dir, same memoization as
     // q_partition_prune), read back under an EXPLICIT schema, aggregated.
@@ -3555,6 +3566,10 @@ object SparkEntry {
     "q_zorder" -> ("SELECT event_id, " +
       graft.functions.ZOrder.zValueSql("user_id", "(event_id & 1023)", 16) +
       " AS z FROM events"),
+    "q_hilbert" -> ("WITH " + graft.functions.Hilbert.indexSqlCtes(
+      "(SELECT event_id, user_id FROM events)", "user_id",
+      "event_id & 1023", 10) +
+      "\nSELECT event_id, CAST(hd10 AS BIGINT) AS h FROM h10"),
     "q_per_key_cap" -> ("SELECT doc_id, lang FROM (" +
       "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn " +

@@ -122,4 +122,26 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Hilbert-ordered parquet layout — same shape as [[writeZOrdered]]
+    * (range-partition + partition-local sort on the curve index, no
+    * global sort) but on the Hilbert index: because the Hilbert curve
+    * takes unit steps only, ANY contiguous index range — in particular
+    * each output file, whose boundaries fall wherever
+    * `repartitionByRange`'s size balancing puts them, NOT on
+    * power-of-two tiles — stays a compact blob in (colA, colB) space,
+    * so per-file min/max envelopes are tighter than Z-order's at
+    * unaligned splits and box predicates prune more files
+    * (`HilbertSpec` pins the envelope-area win deterministically).
+    */
+  def writeHilbertOrdered(df: DataFrame, path: String, colA: String,
+                          colB: String, numFiles: Int = 8,
+                          bits: Int = 16): Unit = {
+    val withH = df.withColumn("__h",
+      graft.functions.Hilbert.hilbert_index(col(colA), col(colB), bits))
+    withH.repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
 }
