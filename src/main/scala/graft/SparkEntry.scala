@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.ConnectProps
-import graft.operators.{Dedup, FuzzyJoin, HeavyHitters, LinkGraph, Merge, Multimodal, Phonetic, Scd2, Similarity, TextAnalysis, UrlOps}
+import graft.operators.{Dedup, Expectations, FuzzyJoin, HeavyHitters, LinkGraph, Merge, Multimodal, Phonetic, Scd2, Similarity, TextAnalysis, UrlOps}
 import graft.sources.Tables
 import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJsonString}
 
@@ -1747,6 +1747,36 @@ object SparkEntry {
       Scd2.enrichAsOf(facts, hist, Seq("id"), "fact_ts")
         .select(col("id"), col("fact_ts"), col("lang"), col("valid_from"))
     }),
+    // data-quality gate: the declarative expectations suite routed in
+    // ONE narrow pass (all checks evaluate in a single codegen
+    // expression — a check-per-job metric API would scan the corpus
+    // once per rule). NULL predicates count as violations; two of the
+    // five checks pass everywhere (chars_consistent, text_present),
+    // pinning that the gate does not over-flag
+    "q_quality_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val (_, bad) = Expectations.gate(d, qualityChecks)
+      bad.select(col("doc_id"),
+        array_join(col("violations"), ",").as("violations"))
+    }),
+    // the one-pass table profile beside the row gate: counts, exact
+    // distincts (the multi-distinct Expand is one shuffle round; the
+    // 100 TB variant swaps in Sketches.approxDistinctByGroup's HLL),
+    // and integer-ppm fractions (DIV, never doubles — hash-exact)
+    "q_quality_metrics" -> ((s, dir) =>
+      Tables.documents(s, dir).agg(
+          count(lit(1)).as("n_rows"),
+          count(col("text")).as("c_text"),
+          countDistinct(col("doc_id")).as("d_doc"),
+          countDistinct(col("lang")).as("d_lang"),
+          sum(when(col("n_chars").between(100L, 400L), 1L).otherwise(0L))
+            .as("c_len"),
+          min(col("n_chars")).as("len_lo"), max(col("n_chars")).as("len_hi"))
+        .selectExpr("n_rows",
+          "CAST(c_text * 1000000 DIV n_rows AS BIGINT) AS completeness_text_ppm",
+          "d_doc", "d_lang",
+          "CAST(c_len * 1000000 DIV n_rows AS BIGINT) AS conform_len_ppm",
+          "len_lo", "len_hi")),
     "q_fuzzy_join" -> ((s, dir) => {
       // entity-resolution fuzzy join: every document carries a
       // deterministically typo-mutated entity name (exact / one-char
@@ -2968,6 +2998,20 @@ object SparkEntry {
     (lft, base.select(col("b").as("cname")).distinct())
   }
 
+  /** The q_quality_gate expectations suite over `documents` — length
+    * band, latin-script lang set (zh quarantines), plus two
+    * everywhere-passing consistency checks (n_chars == length(text) and
+    * text presence) so the oracle hash also pins NON-flagging.
+    */
+  private val qualityChecks: Seq[Expectations.Check] = Seq(
+    Expectations.Check("len_min", col("n_chars") >= 100L),
+    Expectations.Check("len_max", col("n_chars") <= 400L),
+    Expectations.Check("lang_latin", col("lang").isin("en", "de", "fr", "es")),
+    Expectations.Check("chars_consistent",
+      col("n_chars") === length(col("text"))),
+    Expectations.Check("text_present",
+      col("text").isNotNull && length(col("text")) > 0))
+
   /** The q_scd2 oracle's timeline CTE chain (base -> versions ->
     * run-collapse -> intervals), shared with q_scd2_asof.
     */
@@ -3566,6 +3610,30 @@ object SparkEntry {
     "q_zorder" -> ("SELECT event_id, " +
       graft.functions.ZOrder.zValueSql("user_id", "(event_id & 1023)", 16) +
       " AS z FROM events"),
+    // concat_ws skips NULLs in BOTH engines, so the violations string
+    // assembles identically; NOT coalesce(pred, FALSE) mirrors the
+    // gate's NULL-pred-is-violation semantics
+    "q_quality_gate" -> ("""SELECT doc_id, violations FROM (
+      |SELECT doc_id, concat_ws(',',
+      |  CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 'len_min' END,
+      |  CASE WHEN NOT coalesce(n_chars <= 400, FALSE) THEN 'len_max' END,
+      |  CASE WHEN NOT coalesce(lang IN ('en','de','fr','es'), FALSE)
+      |    THEN 'lang_latin' END,
+      |  CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+      |    THEN 'chars_consistent' END,
+      |  CASE WHEN NOT coalesce(text IS NOT NULL AND length(text) > 0, FALSE)
+      |    THEN 'text_present' END) AS violations
+      |FROM documents) WHERE violations <> ''""".stripMargin),
+    "q_quality_metrics" -> ("""SELECT n_rows,
+      |  CAST(c_text * 1000000 // n_rows AS BIGINT) AS completeness_text_ppm,
+      |  d_doc, d_lang,
+      |  CAST(c_len * 1000000 // n_rows AS BIGINT) AS conform_len_ppm,
+      |  len_lo, len_hi
+      |FROM (SELECT count(*) AS n_rows, count(text) AS c_text,
+      |  count(DISTINCT doc_id) AS d_doc, count(DISTINCT lang) AS d_lang,
+      |  CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS c_len,
+      |  min(n_chars) AS len_lo, max(n_chars) AS len_hi FROM documents)""".stripMargin),
     "q_hilbert" -> ("WITH " + graft.functions.Hilbert.indexSqlCtes(
       "(SELECT event_id, user_id FROM events)", "user_id",
       "event_id & 1023", 10) +
