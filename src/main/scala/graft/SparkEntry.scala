@@ -2310,6 +2310,23 @@ object SparkEntry {
           .select((col("doc_id") + 200000).as("doc_id"), col("text")))
       graft.operators.Decontaminate.evalContamination(corpus, ev, "doc_id", "text", n = 8)
     }),
+    // SEMANTIC decontamination: the embedding-level complement of the
+    // two n-gram checks above — eval vectors 0-24, corpus = the rest ∪
+    // planted jittered eval copies (+200000, the bit-identical-across-
+    // engines +0.001f construction dedup_emb_pairs_ora proved). The ten
+    // planted rows must flag with first_eval_id = their source; the
+    // oracle is the plain cosine-threshold join (the operator's exact
+    // broadcast flavor makes that the literal contract, no recall model)
+    "q_decontam_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val ev = e.filter(col("vec_id") < 25)
+      val corpus = e.filter(col("vec_id") >= 25)
+        .union(ev.filter(col("vec_id") < 10).select(
+          (col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.001f)).as("embedding")))
+      graft.operators.Decontaminate.semanticFlags(
+        corpus, ev, "vec_id", "embedding", threshold = 0.98)
+    }),
     // Gopher-style repetition filter: fraction of duplicated 3-grams per
     // doc, in integer permille (no float boundary anywhere). Reuses the
     // minhash pipeline's exploded-shingle stage — total vs distinct counts
@@ -3915,6 +3932,22 @@ object SparkEntry {
         "SELECT cg.doc_id, count(*) AS n_overlap FROM cg JOIN eg ON cg.g = eg.g " +
         "GROUP BY cg.doc_id"
     },
+    // the +0.001f jitter reproduced with the double-rounding-safe cast —
+    // the addend must be the FLOAT's exact double value, same as
+    // embPairsSql; count(*) is BIGINT in both engines
+    "q_decontam_semantic" -> (s"""WITH
+      |ev AS (SELECT vec_id AS eid, embedding AS evec FROM embeddings
+      |  WHERE vec_id < 25),
+      |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 25
+      |  UNION ALL
+      |  SELECT vec_id + 200000,
+      |    list_transform(embedding, x -> CAST(x::DOUBLE + ${0.001f.toDouble} AS REAL))
+      |  FROM embeddings WHERE vec_id < 10)
+      |SELECT c.vec_id, count(*) AS n_eval_matches,
+      |  min(e.eid) AS first_eval_id
+      |FROM corpus c JOIN ev e
+      |  ON list_cosine_similarity(c.embedding::DOUBLE[], e.evec::DOUBLE[]) >= 0.98
+      |GROUP BY c.vec_id""".stripMargin),
     "q_decontam_report" -> {
       def grams(src: String) =
         "SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 " +

@@ -68,4 +68,45 @@ object Decontaminate {
         expr("coalesce(n_contaminated, 0) * 1000 div n_grams")
           .as("contaminated_permille"))
   }
+
+  /** SEMANTIC decontamination — the embedding-level complement of the
+    * n-gram check: a paraphrased or lightly-edited eval document shares
+    * no 8-grams with its source but still sits at cosine ≈ 1 in
+    * embedding space, which is exactly the leak the n-gram sweep
+    * misses. Flags every corpus row whose embedding is within
+    * `threshold` cosine of ANY eval vector, with the match count and
+    * the smallest matching eval id for triage.
+    *
+    * Scale shape: an eval set is benchmark-sized (thousands of rows)
+    * regardless of corpus scale, so the DEFAULT flavor broadcasts it
+    * and streams the corpus past — a broadcast nested-loop of |eval|
+    * codegen'd dot products per corpus row, ZERO corpus shuffle, zero
+    * recall loss (this is the flagship: exactness is the point of a
+    * contamination gate). For eval sets big enough that |eval| dots per
+    * row hurt, pass IVF `centroids`: both sides key by nearest-centroid
+    * cell and the broadcast join only meets same-cell candidates —
+    * |eval|/nlist work per row at SemDeDup's same-cell recall. The
+    * post-filter aggregate shuffles only FLAGGED rows (bounded by
+    * contamination, ~0 on a clean corpus).
+    */
+  def semanticFlags(corpus: DataFrame, eval: DataFrame, idCol: String,
+                    vecCol: String, threshold: Double,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val reserved = Set("__eid", "__evec", "__cell")
+    val clash = corpus.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"corpus must not contain reserved columns $clash")
+    val ev = eval.select(col(idCol).as("__eid"), col(vecCol).as("__evec"))
+    val joined = centroids match {
+      case None => corpus.crossJoin(broadcast(ev))
+      case Some(cs) =>
+        corpus.withColumn("__cell", Similarity.ivfCellCol(col(vecCol), cs))
+          .join(broadcast(ev.withColumn("__cell",
+            Similarity.ivfCellCol(col("__evec"), cs))), "__cell")
+    }
+    joined
+      .filter(Similarity.cosine(col(vecCol), col("__evec")) >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        min(col("__eid")).as("first_eval_id"))
+  }
 }

@@ -96,4 +96,55 @@ class DecontaminateSpec extends SparkTestBase {
       assert(!l.contains("text"), s"text must not shuffle: $l\n$plan")
     }
   }
+
+  // orthogonal unit vectors + an in-between: cosine(e1, mix) ≈ 0.8
+  private def semVecs = {
+    val s = spark
+    import s.implicits._
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    val mix = Array(0.8f, 0.6f, 0f, 0f)
+    (Seq((1L, e1), (2L, e2)).toDF("vec_id", "embedding"),
+      Seq((10L, e1), (11L, mix), (12L, Array(0f, 0f, 1f, 0f)),
+        (13L, e2), (14L, e1)).toDF("vec_id", "embedding"))
+  }
+
+  test("semanticFlags: matches flag with count + smallest eval id; near-misses don't") {
+    val (ev, corpus) = semVecs
+    val got = Decontaminate.semanticFlags(corpus, ev, "vec_id", "embedding", 0.98)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // 10 and 14 match eval 1; 13 matches eval 2; 11 (cos 0.8) and 12
+    // (orthogonal) stay clean — the threshold separates paraphrase-level
+    // similarity from mere relatedness
+    assert(got == Map(10L -> (1L, 1L), 13L -> (1L, 2L), 14L -> (1L, 1L)),
+      s"got $got")
+  }
+
+  test("semanticFlags: cell-blocked flavor agrees with exact on same-cell matches") {
+    val (ev, corpus) = semVecs
+    // centroids at e1/e2: every matching pair shares its nearest cell,
+    // so the blocked flavor must reproduce the exact answer here
+    val cs = Array(Array(1d, 0d, 0d, 0d), Array(0d, 1d, 0d, 0d))
+    val exact = Decontaminate.semanticFlags(corpus, ev, "vec_id", "embedding", 0.98)
+      .collect().map(_.toSeq).toSet
+    val blocked = Decontaminate.semanticFlags(corpus, ev, "vec_id", "embedding",
+      0.98, centroids = Some(cs)).collect().map(_.toSeq).toSet
+    assert(blocked == exact)
+  }
+
+  test("semanticFlags: eval side broadcasts; no corpus-side shuffle before the filter") {
+    val (ev, corpus) = semVecs
+    val plan = Decontaminate.semanticFlags(corpus, ev, "vec_id", "embedding", 0.98)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"eval side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge join:\n$plan")
+    // the only hash exchange is the post-filter aggregate on flagged rows
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"expected at most the aggregate exchange, got $hashEx:\n$plan")
+    intercept[IllegalArgumentException] {
+      Decontaminate.semanticFlags(corpus.withColumn("__eid", lit(1)),
+        ev, "vec_id", "embedding", 0.98)
+    }
+  }
 }
