@@ -1727,6 +1727,30 @@ object SparkEntry {
         .select(col("snap_ts"), col("id"), col("lang"),
           col("valid_from"), col("valid_to"))
     }),
+    // SCD2 composition law THROUGH STORAGE: the change stream applied
+    // as two SEQUENTIAL batches with the dimension table
+    // parquet-persisted between applies must equal the one-shot rebuild
+    // (same oracle as q_scd2, verbatim). This is how the operator
+    // actually runs in production — nightly batches against a stored
+    // table, not one rebuild over all history — so the law is pinned
+    // where it matters: through a write/read round trip, schema
+    // nullability and all. Constraint (inherent to ANY no-op-collapsing
+    // SCD2, stated here because the test would otherwise overclaim):
+    // the law needs batch boundaries that respect event time — a
+    // collapsed re-delivery cannot be re-split by a later batch
+    // splicing BEFORE it. Out-of-order WITHIN a batch remains fine;
+    // here late ts {300,400} > early ts {100,200}
+    "q_scd2_storage" -> ((s, dir) => {
+      val out = materializedDir("scd2store", dir) { path =>
+        val (hist, early, late) = scd2Parts(s, dir)
+        val h1 = Scd2.applyHistory(hist, early, Seq("id"), "ts", Some("op"))
+        h1.write.mode("overwrite").parquet(s"$path/h1")
+        val h2 = Scd2.applyHistory(s.read.parquet(s"$path/h1"), late,
+          Seq("id"), "ts", Some("op"))
+        h2.write.mode("overwrite").parquet(s"$path/final")
+      }
+      s.read.parquet(s"$out/final")
+    }),
     // event-time dimension enrichment — the join the SCD2 history
     // exists FOR: each fact row picks up the dimension version valid at
     // its own event time. Formulated as an AS-OF join (latest version
@@ -1758,6 +1782,41 @@ object SparkEntry {
       val (_, bad) = Expectations.gate(d, qualityChecks)
       bad.select(col("doc_id"),
         array_join(col("violations"), ",").as("violations"))
+    }),
+    // the expectations gate ON A STREAM: documents replayed as 3
+    // mtime-ordered micro-batches, each routed through the SAME
+    // Expectations.gate (stateless projection → streaming ≡ batch by
+    // construction, and THIS query pins it: the oracle is
+    // q_quality_gate's plus n_appends = 1, so a replayed/duplicated
+    // trigger or a row quarantined in two batches breaks the hash)
+    "q_stream_quality" -> ((s, dir) => {
+      val runner = graft.streaming.StreamRunner
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars"))
+      val srcDir = materializedDir("streamqualsrc", dir) { inPath =>
+        val base = new java.io.File(inPath)
+        base.mkdirs()
+        val t0 = System.currentTimeMillis() - 600000L
+        (0 until 3).foreach { j =>
+          dumpBatchFile(base, d.filter(col("doc_id") % 3 === j),
+            s"b$j", t0 + j * 60000L)
+        }
+      }
+      val out = materializedDir("streamqual", dir) { outPath =>
+        val src = runner.fileSource(s, srcDir, StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("n_chars", LongType))),
+          maxFilesPerTrigger = Some(1))
+        runner.foreachBatchSink(src, (batch, _) => {
+          val (_, bad) = Expectations.gate(batch, qualityChecks)
+          bad.select(col("doc_id"),
+              array_join(col("violations"), ",").as("violations"))
+            .write.mode("append").parquet(outPath)
+        }, trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .awaitTermination()
+      }
+      s.read.parquet(out).groupBy(col("doc_id"), col("violations"))
+        .agg(count(lit(1)).as("n_appends"))
     }),
     // the one-pass table profile beside the row gate: counts, exact
     // distincts (the multi-distinct Expand is one shuffle round; the
@@ -3063,7 +3122,15 @@ object SparkEntry {
     * keys delete at 300; %33 keys re-open at 400 after their delete.
     * Full history with [valid_from, valid_to) intervals out.
     */
-  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+  /** The ts-0 bootstrap history and the change stream split at ts 200 —
+    * (early = updates@100 ∪ re-deliveries@200, late = deletes@300 ∪
+    * re-opens@400). q_scd2/q_scd2_asof/q_scd2_enrich apply both batches
+    * at once; q_scd2_storage applies them SEQUENTIALLY with the history
+    * parquet-persisted between them (same final answer — the rebuild's
+    * composition law through storage).
+    */
+  private def scd2Parts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("lang"))
     val hist = d.select(col("id"), col("lang"),
       lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
@@ -3078,9 +3145,12 @@ object SparkEntry {
     val reopen = d.filter(col("id") % 33 === 0)
       .select(col("id"), lit("re").as("lang"), lit(400L).as("ts"),
         lit("u").as("op"))
-    Scd2.applyHistory(hist,
-      upd.unionByName(redeliver).unionByName(dels).unionByName(reopen),
-      Seq("id"), "ts", Some("op"))
+    (hist, upd.unionByName(redeliver), dels.unionByName(reopen))
+  }
+
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val (hist, early, late) = scd2Parts(s, dir)
+    Scd2.applyHistory(hist, early.unionByName(late), Seq("id"), "ts", Some("op"))
   }
 
   /** Deterministic sound-alike corpus for q_phonetic_block: base names
@@ -3513,6 +3583,11 @@ object SparkEntry {
     "q_scd2" -> (scd2TimelineCtes + """
       |SELECT id, lang, valid_from, valid_to FROM iv
       |WHERE op <> 'd' AND (valid_to IS NULL OR valid_to <> valid_from)""".stripMargin),
+    // the composition law IS the claim: two sequential stored applies
+    // equal the one-shot rebuild, so the oracle is q_scd2's verbatim
+    "q_scd2_storage" -> (scd2TimelineCtes + """
+      |SELECT id, lang, valid_from, valid_to FROM iv
+      |WHERE op <> 'd' AND (valid_to IS NULL OR valid_to <> valid_from)""".stripMargin),
     // identical timeline CTEs, then the interval-cover filter per
     // snapshot timestamp
     "q_scd2_asof" -> (scd2TimelineCtes + """,
@@ -3631,6 +3706,20 @@ object SparkEntry {
     // assembles identically; NOT coalesce(pred, FALSE) mirrors the
     // gate's NULL-pred-is-violation semantics
     "q_quality_gate" -> ("""SELECT doc_id, violations FROM (
+      |SELECT doc_id, concat_ws(',',
+      |  CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 'len_min' END,
+      |  CASE WHEN NOT coalesce(n_chars <= 400, FALSE) THEN 'len_max' END,
+      |  CASE WHEN NOT coalesce(lang IN ('en','de','fr','es'), FALSE)
+      |    THEN 'lang_latin' END,
+      |  CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+      |    THEN 'chars_consistent' END,
+      |  CASE WHEN NOT coalesce(text IS NOT NULL AND length(text) > 0, FALSE)
+      |    THEN 'text_present' END) AS violations
+      |FROM documents) WHERE violations <> ''""".stripMargin),
+    // identical gate semantics through the micro-batch replay; each doc
+    // lands in exactly one batch → n_appends pinned to 1
+    "q_stream_quality" -> ("""SELECT doc_id, violations,
+      |  CAST(1 AS BIGINT) AS n_appends FROM (
       |SELECT doc_id, concat_ws(',',
       |  CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 'len_min' END,
       |  CASE WHEN NOT coalesce(n_chars <= 400, FALSE) THEN 'len_max' END,
