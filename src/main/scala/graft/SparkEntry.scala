@@ -1711,6 +1711,31 @@ object SparkEntry {
       s.read.parquet(snapDir)
         .select(col("doc_id"), col("part"), col("n_chars"))
     }),
+    // incremental materialized-aggregate maintenance: the per-(user,
+    // event_type) rollup MV is stored to parquet ONCE, then a fact
+    // change batch (%7 events' value +100.00 → retract-old + add-new;
+    // %5-not-%7 events deleted → retract) folds in as a SIGNED delta —
+    // one key exchange over MV rows ∪ delta, the fact table never
+    // re-scanned. The oracle RECOMPUTES the view from the post-change
+    // fact table, so any retraction bug — wrong sign, lingering
+    // zero-count group, double-applied update — breaks the hash
+    "q_mv_incremental" -> ((s, dir) => {
+      val f = events(s, dir).select(col("user_id"), col("event_type"),
+        cents(col("value")).as("sum_cents"), col("event_id"))
+      val stored = materializedDir("mvbase", dir) { path =>
+        f.groupBy(col("user_id"), col("event_type"))
+          .agg(sum(col("sum_cents")).as("sum_cents"), count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(path)
+      }
+      val upd = f.filter(col("event_id") % 7 === 0)
+      val del = f.filter(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+      val delta = graft.operators.IncrementalAgg.retractionDelta(
+        upd.unionByName(del),
+        upd.withColumn("sum_cents", col("sum_cents") + 10000L),
+        Seq("user_id", "event_type"), Seq("sum_cents"), "n")
+      graft.operators.IncrementalAgg.applyDelta(s.read.parquet(stored),
+        delta, Seq("user_id", "event_type"), Seq("sum_cents"), "n")
+    }),
     "q_scd2" -> ((s, dir) => scd2History(s, dir)),
     // the READ side of SCD2: point-in-time snapshots of the rebuilt
     // timeline at ts 250 (post-update/redelivery, pre-delete) and 350
@@ -3583,6 +3608,16 @@ object SparkEntry {
     "q_scd2" -> (scd2TimelineCtes + """
       |SELECT id, lang, valid_from, valid_to FROM iv
       |WHERE op <> 'd' AND (valid_to IS NULL OR valid_to <> valid_from)""".stripMargin),
+    // the MV law stated declaratively: the incrementally-maintained
+    // view must equal a full recompute over the post-change fact table
+    "q_mv_incremental" -> (s"""WITH facts AS (
+      |  SELECT user_id, event_type,
+      |    ${centsSql("value")}
+      |      + CASE WHEN event_id % 7 = 0 THEN 10000 ELSE 0 END AS c
+      |  FROM events
+      |  WHERE NOT (event_id % 5 = 0 AND event_id % 7 <> 0))
+      |SELECT user_id, event_type, CAST(sum(c) AS BIGINT) AS sum_cents,
+      |  count(*) AS n FROM facts GROUP BY 1, 2""".stripMargin),
     // the composition law IS the claim: two sequential stored applies
     // equal the one-shot rebuild, so the oracle is q_scd2's verbatim
     "q_scd2_storage" -> (scd2TimelineCtes + """
