@@ -1736,6 +1736,58 @@ object SparkEntry {
       graft.operators.IncrementalAgg.applyDelta(s.read.parquet(stored),
         delta, Seq("user_id", "event_type"), Seq("sum_cents"), "n")
     }),
+    // the MV fold ON A STREAM: the same signed delta rows replayed as 3
+    // mtime-ordered micro-batches, each folded into the STORED view
+    // (v0 → v1 → v2 → v3, one parquet generation per batch — the
+    // nightly-refresh shape run at micro-batch cadence). Pins the
+    // fold's composition law through storage: applyDelta ∘ applyDelta ∘
+    // applyDelta over a 3-way split ≡ one fold of the whole delta ≡
+    // full recompute (q_mv_incremental's oracle VERBATIM) — including
+    // groups that vanish in an intermediate generation and re-open in a
+    // later one
+    "q_stream_mv" -> ((s, dir) => {
+      val runner = graft.streaming.StreamRunner
+      val f = events(s, dir).select(col("user_id"), col("event_type"),
+        cents(col("value")).as("sum_cents"), col("event_id"))
+      val srcDir = materializedDir("streammvsrc", dir) { inPath =>
+        val base = new java.io.File(inPath)
+        base.mkdirs()
+        val upd = f.filter(col("event_id") % 7 === 0)
+        val del = f.filter(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+        // fact-level signed rows; an update's retract+add pair shares its
+        // event_id, so each pair lands whole in one replay batch
+        val signed = upd.unionByName(del)
+          .select(col("user_id"), col("event_type"),
+            (-col("sum_cents")).as("sum_cents"), lit(-1L).as("n"),
+            col("event_id"))
+          .unionByName(upd.select(col("user_id"), col("event_type"),
+            (col("sum_cents") + 10000L).as("sum_cents"), lit(1L).as("n"),
+            col("event_id")))
+        val t0 = System.currentTimeMillis() - 600000L
+        (0 until 3).foreach { j =>
+          dumpBatchFile(base,
+            signed.filter(col("event_id") % 3 === j).drop("event_id"),
+            s"b$j", t0 + j * 60000L)
+        }
+      }
+      val out = materializedDir("streammv", dir) { outPath =>
+        f.groupBy(col("user_id"), col("event_type"))
+          .agg(sum(col("sum_cents")).as("sum_cents"), count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$outPath/v0")
+        val src = runner.fileSource(s, srcDir, StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("sum_cents", LongType), StructField("n", LongType))),
+          maxFilesPerTrigger = Some(1))
+        runner.foreachBatchSink(src, (batch, batchId) => {
+          graft.operators.IncrementalAgg.applyDelta(
+              s.read.parquet(s"$outPath/v$batchId"), batch,
+              Seq("user_id", "event_type"), Seq("sum_cents"), "n")
+            .write.mode("overwrite").parquet(s"$outPath/v${batchId + 1}")
+        }, trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .awaitTermination()
+      }
+      s.read.parquet(s"$out/v3")
+    }),
     "q_scd2" -> ((s, dir) => scd2History(s, dir)),
     // the READ side of SCD2: point-in-time snapshots of the rebuilt
     // timeline at ts 250 (post-update/redelivery, pre-delete) and 350
@@ -3611,6 +3663,16 @@ object SparkEntry {
     // the MV law stated declaratively: the incrementally-maintained
     // view must equal a full recompute over the post-change fact table
     "q_mv_incremental" -> (s"""WITH facts AS (
+      |  SELECT user_id, event_type,
+      |    ${centsSql("value")}
+      |      + CASE WHEN event_id % 7 = 0 THEN 10000 ELSE 0 END AS c
+      |  FROM events
+      |  WHERE NOT (event_id % 5 = 0 AND event_id % 7 <> 0))
+      |SELECT user_id, event_type, CAST(sum(c) AS BIGINT) AS sum_cents,
+      |  count(*) AS n FROM facts GROUP BY 1, 2""".stripMargin),
+    // three micro-batch folds of the split delta must equal the single
+    // fold — q_mv_incremental's recompute oracle verbatim
+    "q_stream_mv" -> (s"""WITH facts AS (
       |  SELECT user_id, event_type,
       |    ${centsSql("value")}
       |      + CASE WHEN event_id % 7 = 0 THEN 10000 ELSE 0 END AS c
