@@ -152,4 +152,118 @@ class PipelinePropertiesSpec extends SparkTestBase {
         rows.filter(r => kept(r._1)).map(_._3).sum <= budget
     })
   }
+
+  test("property: MV fold equals recompute for random update/delete/insert batches") {
+    // facts: (id, key, v); a random subset updates to a new v, a disjoint
+    // random subset deletes, plus random inserted facts — the folded view
+    // must equal the recomputed view, also when the delta is folded in
+    // two sequential halves (the q_stream_mv composition law)
+    val factsGen = Gen.listOfN(10, for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(1L, 9L)
+    } yield (k, v))
+    val opsGen = Gen.listOfN(10, Gen.chooseNum(0, 3)) // 0 keep 1 upd 2 del
+    val insGen = Gen.listOfN(3, for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.chooseNum(1L, 9L)
+    } yield (k, v))
+    check(8)(Prop.forAll(factsGen, opsGen, insGen) { (facts, ops, ins) =>
+      val s = spark
+      import s.implicits._
+      val tagged = facts.zip(ops)
+      def df(rows: Seq[(String, Long)]) =
+        rows.toDF("k", "sum_v")
+      def view(rows: Seq[(String, Long)]) =
+        df(rows).groupBy("k").agg(sum("sum_v").as("sum_v"), count(lit(1)).as("n"))
+      def viewSet(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val olds = tagged.collect { case ((k, v), op) if op == 1 || op == 2 => (k, v) }
+      val news = tagged.collect { case ((k, v), op) if op == 1 => (k, v + 100L) } ++ ins
+      val finalFacts = tagged.collect { case ((k, v), op) if op == 0 || op == 3 => (k, v) } ++
+        tagged.collect { case ((k, v), op) if op == 1 => (k, v + 100L) } ++ ins
+      val expected = viewSet(view(finalFacts))
+      val delta = IncrementalAgg.retractionDelta(df(olds), df(news),
+        Seq("k"), Seq("sum_v"), "n")
+      val oneFold = viewSet(IncrementalAgg.applyDelta(view(facts.map(identity)), delta,
+        Seq("k"), Seq("sum_v"), "n"))
+      // two-fold split: retract/add pairs of the same UPDATE stay together
+      // (split by op class: updates+deletes first, inserts second)
+      val d1 = IncrementalAgg.retractionDelta(df(olds),
+        df(tagged.collect { case ((k, v), op) if op == 1 => (k, v + 100L) }),
+        Seq("k"), Seq("sum_v"), "n")
+      val d2 = IncrementalAgg.retractionDelta(df(Seq.empty), df(ins),
+        Seq("k"), Seq("sum_v"), "n")
+      val twoFold = viewSet(IncrementalAgg.applyDelta(
+        IncrementalAgg.applyDelta(view(facts.map(identity)), d1,
+          Seq("k"), Seq("sum_v"), "n"),
+        d2, Seq("k"), Seq("sum_v"), "n"))
+      oneFold == expected && twoFold == expected
+    })
+  }
+
+  test("property: SCD2 rebuild is idempotent and composes over time-split batches") {
+    val changeGen = Gen.listOfN(8, for {
+      id <- Gen.chooseNum(1L, 3L)
+      lang <- Gen.oneOf("x", "y", "z")
+      ts <- Gen.chooseNum(0L, 6L)
+      op <- Gen.frequency(3 -> Gen.const("u"), 1 -> Gen.const("d"))
+    } yield (id, lang, ts, op))
+    check(8)(Prop.forAll(changeGen) { changes =>
+      val s = spark
+      import s.implicits._
+      def hist(rows: Seq[(Long, String, Long, Option[Long])]) =
+        rows.map { case (id, l, f, t) => (id, l, f, t.map(Long.box).orNull) }
+          .toDF("id", "lang", "valid_from", "valid_to")
+          .select(col("id"), col("lang"), col("valid_from"),
+            col("valid_to").cast("long"))
+      def rebuild(h: org.apache.spark.sql.DataFrame,
+                  b: Seq[(Long, String, Long, String)]) =
+        Scd2.applyHistory(h, b.toDF("id", "lang", "ts", "op"),
+          Seq("id"), "ts", Some("op"))
+      def toSet(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      def toRows(st: Set[(Long, String, Long, Option[Long])]) = st.toSeq
+      val empty = hist(Seq.empty)
+      val oneShot = toSet(rebuild(empty, changes))
+      // idempotence: re-applying the same batch onto the result is a no-op
+      val reapplied = toSet(rebuild(hist(toRows(oneShot)), changes))
+      // time-monotone composition: early (ts <= 3) then late (ts > 3)
+      // through a materialized intermediate history
+      val early = changes.filter(_._3 <= 3)
+      val late = changes.filter(_._3 > 3)
+      val mid = toSet(rebuild(empty, early))
+      val composed = toSet(rebuild(hist(toRows(mid)), late))
+      reapplied == oneShot && composed == oneShot
+    })
+  }
+
+  test("property: the expectations gate partitions exactly with row-wise truth") {
+    val rowGen = Gen.listOfN(8, for {
+      v <- Gen.option(Gen.chooseNum(0L, 20L))
+      t <- Gen.option(Gen.oneOf("", "ok", "word"))
+    } yield (v, t))
+    check(8)(Prop.forAll(rowGen) { rows =>
+      val s = spark
+      import s.implicits._
+      val df = rows.zipWithIndex.map { case ((v, t), i) =>
+        (i.toLong, v.map(Long.box).orNull, t.orNull)
+      }.toDF("id", "v", "t").select(col("id"), col("v").cast("long"), col("t"))
+      val checks = Seq(
+        Expectations.Check("v_min", col("v") >= 5L),
+        Expectations.Check("t_present", col("t").isNotNull && length(col("t")) > 0))
+      val (clean, bad) = Expectations.gate(df, checks)
+      val cleanIds = clean.collect().map(_.getLong(0)).toSet
+      val badMap = bad.collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](r.fieldIndex("violations")).toList)
+        .toMap
+      rows.zipWithIndex.forall { case ((v, t), i) =>
+        val fails = List(
+          if (!v.exists(_ >= 5L)) Some("v_min") else None,
+          if (!t.exists(_.nonEmpty)) Some("t_present") else None).flatten
+        if (fails.isEmpty) cleanIds(i.toLong) && !badMap.contains(i.toLong)
+        else badMap.get(i.toLong).contains(fails) && !cleanIds(i.toLong)
+      }
+    })
+  }
 }
