@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.ConnectProps
-import graft.operators.{Dedup, Expectations, FuzzyJoin, HeavyHitters, LinkGraph, Merge, Multimodal, Phonetic, Scd2, Similarity, TextAnalysis, UrlOps}
-import graft.sources.Tables
+import graft.operators.{AllPairs, Dedup, Expectations, FuzzyJoin, HeavyHitters, LinkGraph, Merge, Multimodal, NgramLm, Phonetic, Scd2, Similarity, TextAnalysis, UrlOps}
+import graft.sources.{Snapshots, Tables}
 import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJsonString}
 
 /** Driver contract: one demonstration query per implemented operator
@@ -2604,6 +2604,85 @@ object SparkEntry {
         "doc_id", maxHamming = 3, maxBucket = 1 << 20)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
+    // ---- n-gram LM quality filter (CCNet-style, stupid backoff)
+    // Train a bigram stupid-backoff model on the ENGLISH slice (the
+    // trusted-corpus role) and emit the STORED model rows seen at least
+    // twice — (w1, w2, c12, bi_score) with bi_score = (1e6·c12) div
+    // c(w1), all BIGINT, so the oracle replays the fixed-point model
+    // bit-for-bit. The model table is the reusable artifact; scoring
+    // queries join against it without recomputing denominators.
+    "q_lm_train" -> ((s, dir) => {
+      val (bi, _) = NgramLm
+        .trainBigram(docs(s, dir).filter(col("lang") === "en"), "text")
+      bi.filter(col("c12") >= 2)
+    }),
+    // ...and the filter itself: score EVERY document (all languages)
+    // against the en-trained model — CCNet's cross-lingual fluency
+    // screen. Seen bigram → (1e6·c12) div c(w1); unseen → stupid
+    // backoff (2e6·c(w2)) div (5·N); OOV word → 0. Per-doc sums and
+    // the div average are pure longs, so the DuckDB oracle (same model
+    // CTEs + the same two left joins) hash-matches exactly — a float
+    // log-prob LM could never be oracle-gated like this.
+    "q_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (bi, uni) = NgramLm.trainBigram(d.filter(col("lang") === "en"), "text")
+      NgramLm.scoreBigram(d, "doc_id", "text", bi, uni)
+    }),
+    // Exact all-pairs cosine over 3-gram shingle sets (Bayardo et al.
+    // WWW'07 prefix filtering): the EXACT near-dup adjudicator next to
+    // the probabilistic minhash/simhash tier. 3-gram shingles, not
+    // unigrams — the fixture corpus draws from ~31 distinct tokens, so
+    // unigram sets make everything a neighbor (measured: 117k of 124k
+    // pairs at t=0.5) while shingle sets isolate the 25 genuinely
+    // near-identical pairs at ANY threshold 0.4–0.9. The oracle is the
+    // brute-force quadratic join — pinning the exactness claim: prefix
+    // filtering must change NOTHING but the cost.
+    "q_allpairs_cosine" -> ((s, dir) =>
+      AllPairs.cosinePairs(docs(s, dir), "doc_id", "text",
+        tPerMille = 700, shingleSize = 3)),
+    // Blocklist/watchlist tagging: exact token-boundary term hits via
+    // the exploded-token BROADCAST join (a regex alternation is
+    // O(tokens·terms) and stops compiling at real blocklist sizes; the
+    // join costs one corpus scan regardless of term count). 'dup' is
+    // the rare marker token, 'join'/'stream' are frequent, and the
+    // never-occurring term pins the no-match path.
+    "q_keyword_tag" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.keywordTags(docs(s, dir), "doc_id", "text",
+        Seq("join", "stream", "dup", "zzz_blocked").toDF("term"))
+    }),
+
+    // Manifest-based snapshot storage through its WHOLE lifecycle:
+    // commit v1 (the %3=0 orders), append v2 (%3=1), overwrite v3
+    // (%3=2), COMPACT (v4 — same rows as v3, new files), then VACUUM
+    // everything below v3 — all BEFORE the reads, so both aggregated
+    // states are read through post-vacuum manifests. The oracle
+    // hash-fails if overwrite leaks appended rows, compaction drops or
+    // doubles rows, time travel resolves the wrong manifest, or vacuum
+    // deletes a file the kept versions still reference. (v1/v2 are
+    // intentionally vacuumed away — reading them must fail, which the
+    // spec pins; the oracle pins what must SURVIVE.)
+    "q_time_travel" -> ((s, dir) => {
+      val root = materializedDir("snapshots", dir) { path =>
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val t = path + "/t"
+        Snapshots.commitOverwrite(s, t, o.filter(col("o_orderkey") % 3 === 0))
+        Snapshots.commitAppend(s, t, o.filter(col("o_orderkey") % 3 === 1))
+        Snapshots.commitOverwrite(s, t, o.filter(col("o_orderkey") % 3 === 2))
+        Snapshots.compactCommit(s, t, targetFileBytes = 1L << 30)
+        Snapshots.vacuum(s, t, keepFrom = 3)
+      }
+      val t = root + "/t"
+      def slice(v: Int, tag: String) = Snapshots.read(s, t, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(cents(col("o_totalprice"))).as("cents_sum"))
+        .select(lit(tag).as("state"), col("n_rows"), col("key_sum"),
+          col("cents_sum"))
+      slice(3, "v3_timetravel").unionAll(slice(4, "v4_compacted"))
+    }),
+
     // STREAMING MEDIA INGESTION against a standing perceptual-hash index —
     // the multimodal composition of q_stream_dedup's shape (VERDICT r8
     // task 8): the 200 base pattern images AND the 200 base pattern clips
@@ -3578,7 +3657,74 @@ object SparkEntry {
        |  b.embedding::DOUBLE[]) >= 0.98""".stripMargin
   }
 
+  /** Shared CTEs of the two n-gram LM oracles: per-doc token positions +
+    * adjacent bigrams over the WHOLE corpus, and the en-trained
+    * fixed-point count tables — mirroring [[NgramLm.trainBigram]].
+    */
+  private val lmCtes =
+    s"""tok AS (SELECT doc_id, lang, string_split($normSql, ' ') AS t FROM documents),
+       |pos AS (SELECT doc_id, lang, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM tok),
+       |big AS (SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+       |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |uniC AS (SELECT w, count(*)::BIGINT AS cw FROM pos WHERE lang = 'en' GROUP BY w),
+       |biC AS (SELECT w1, w2, count(*)::BIGINT AS c12
+       |  FROM big WHERE lang = 'en' GROUP BY w1, w2)""".stripMargin
+
+  private val lmTrainSql =
+    s"WITH $lmCtes SELECT b.w1, b.w2, b.c12, " +
+      "CAST((1000000 * b.c12) // u.cw AS BIGINT) AS bi_score " +
+      "FROM biC b JOIN uniC u ON b.w1 = u.w WHERE b.c12 >= 2"
+
+  // the model CTEs + the same two left joins NgramLm.scoreBigram plans;
+  // every score is integer division on BIGINT counts, so sums are exact
+  private val lmScoreSql =
+    s"""WITH $lmCtes,
+       |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS total FROM uniC),
+       |uni AS (SELECT w, CAST((2 * 1000000 * cw) // (5 * total) AS BIGINT) AS uni_score
+       |  FROM uniC, tot),
+       |bi AS (SELECT b.w1, b.w2, CAST((1000000 * b.c12) // u.cw AS BIGINT) AS bi_score
+       |  FROM biC b JOIN uniC u ON b.w1 = u.w),
+       |sc AS (SELECT g.doc_id, coalesce(bi.bi_score, uni.uni_score, 0) AS s
+       |  FROM big g LEFT JOIN bi ON g.w1 = bi.w1 AND g.w2 = bi.w2
+       |  LEFT JOIN uni ON g.w2 = uni.w)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams, CAST(sum(s) AS BIGINT) AS score_sum,
+       |  CAST(CAST(sum(s) AS BIGINT) // count(*) AS BIGINT) AS score_avg
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Brute-force quadratic truth for q_allpairs_cosine: every pair of
+    * 3-shingle sets with 10⁶·i² ≥ 700‰²·|A|·|B| — the prefix-filtered
+    * operator must reproduce it EXACTLY (same short-doc whole-text rule
+    * as Dedup.explodedShingles).
+    */
+  private val allPairsSql =
+    s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |    for i in range(1, len(t) - 1)]) END AS s FROM tok),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(a.s)::BIGINT AS n_a,
+       |  len(b.s)::BIGINT AS n_b, len(list_intersect(a.s, b.s))::BIGINT AS n_common
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, n_a, n_b, n_common FROM p
+       |WHERE 1000000 * n_common * n_common >= 490000 * n_a * n_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // v3 = the overwrite slice; v4 = its compaction (same rows by
+    // contract). Recomputed from `orders` directly — any row the
+    // snapshot lifecycle loses, doubles, or leaks across versions
+    // breaks one of the two states' sums.
+    "q_time_travel" -> ((1 to 2).map { i =>
+      val tag = if (i == 1) "v3_timetravel" else "v4_compacted"
+      s"SELECT '$tag' AS state, count(*)::BIGINT AS n_rows, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        s"CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS cents_sum " +
+        "FROM orders WHERE o_orderkey % 3 = 2"
+    }.mkString(" UNION ALL ")),
+    "q_lm_train" -> lmTrainSql,
+    "q_lm_score" -> lmScoreSql,
+    "q_allpairs_cosine" -> allPairsSql,
+    "q_keyword_tag" -> ("SELECT doc_id, t AS term, count(*)::BIGINT AS n_hits " +
+      s"FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents) " +
+      "WHERE t IN ('join', 'stream', 'dup', 'zzz_blocked') GROUP BY doc_id, t"),
     "ann_lsh" -> annLshSql,
     "ann_ivf_fixed" -> annIvfFixedSql,
     "ann_pq_fixed" -> annPqFixedSql,

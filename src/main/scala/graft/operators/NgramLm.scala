@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language model with stupid backoff — the
+  * perplexity-style quality filter a crawl-curation pipeline runs after
+  * the cheap heuristics (CCNet's design: train a small LM on a trusted
+  * corpus, score every candidate document, keep the fluent tail).
+  *
+  * Smoothing is *stupid backoff* (Brants et al. 2007, "Large Language
+  * Models in Machine Translation") — the one smoothing scheme designed
+  * FOR distributed count tables: the score of a bigram occurrence is
+  *
+  *   S(w2 | w1) = c(w1 w2) / c(w1)          if c(w1 w2) > 0
+  *              = α · c(w2) / N              otherwise (α = 2/5)
+  *
+  * No discounting state, no normalization pass over the vocabulary —
+  * each score reads at most two count rows, which is why it scales to
+  * models trained on the corpus itself. Scores are NOT probabilities
+  * (they don't sum to 1); they rank fluency, which is all a filter
+  * needs.
+  *
+  * Engine-exact arithmetic: every score is the integer
+  * `(Scale · c12) div c1` (or `(2 · Scale · cw) div (5 · N)` for the
+  * backoff) — BIGINT counts, BIGINT multiply, integer division. Per-doc
+  * sums are sums of longs, so Spark and any replaying engine agree
+  * bit-for-bit; no float enters the pipeline (a float log-prob sum
+  * would be aggregation-order-dependent and unhashable across engines).
+  * An unseen w2 (out-of-vocabulary at scoring time) contributes 0 — the
+  * harshest deterministic penalty, which is exactly what a fluency
+  * filter wants for vocabulary the trusted corpus never produced.
+  *
+  * Scale shape: training is two grouped counts off one tokenized scan
+  * (map-side-combinable — a million repetitions of "of the" ship one
+  * partial row per map partition), plus one model-sized join to fold
+  * the denominator into the stored score. Scoring explodes the corpus
+  * to (id, w1, w2) — narrow, no payload — and left-joins the two model
+  * tables on their token keys; a small model broadcasts (AQE decides),
+  * a corpus-sized model hash-joins, and either way the corpus text
+  * itself is never shuffled. The final per-doc aggregate is one
+  * key-hash exchange carrying (id, long).
+  */
+object NgramLm {
+
+  /** Fixed-point scale: scores live in [0, Scale]. */
+  val Scale = 1000000L
+
+  /** Lower-cased whitespace tokens, order and duplicates preserved. */
+  private def toks(c: Column): Column =
+    split(lower(TextAnalysis.normWs(c)), " ")
+
+  /** Adjacent-bigram struct array of a token array: zip the array with
+    * itself shifted by one. Docs with fewer than two tokens produce an
+    * empty array (slice length 0) and vanish at the explode.
+    */
+  private def bigrams(t: Column): Column = {
+    val len = greatest(size(t) - 1, lit(0))
+    arrays_zip(
+      slice(t, lit(1), len).as("w1"),
+      slice(t, lit(2), len).as("w2"))
+  }
+
+  /** Train a stupid-backoff bigram model over `textCol`.
+    *
+    * Returns (bigram table, unigram table):
+    *   - bigram:  (w1, w2, c12, bi_score)  with bi_score = (Scale·c12) div c(w1)
+    *   - unigram: (w, cw, uni_score)       with uni_score = (2·Scale·cw) div (5·N)
+    *
+    * The denominators are folded in at train time so scoring never
+    * recomputes them — the stored model is the reusable artifact a
+    * pipeline scores many candidate batches against.
+    */
+  def trainBigram(docs: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+    val t = docs.select(toks(col(textCol)).as("__toks"))
+    val uniCounts = t.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val total = uniCounts.agg(sum("cw").as("__total"))
+    val uni = uniCounts.crossJoin(broadcast(total))
+      .select(col("w"), col("cw"),
+        expr(s"(2 * ${Scale}L * cw) div (5 * __total)").as("uni_score"))
+    val bi = t.select(explode(bigrams(col("__toks"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .join(uniCounts.select(col("w").as("w1"), col("cw").as("__c1")), "w1")
+      .select(col("w1"), col("w2"), col("c12"),
+        expr(s"(${Scale}L * c12) div __c1").as("bi_score"))
+    (bi, uni)
+  }
+
+  /** Score every document of `docs` against a trained model: one row
+    * per doc with at least one bigram — (idCol, n_bigrams, score_sum,
+    * score_avg), all BIGINT, score_avg = score_sum div n_bigrams in
+    * [0, Scale]. Higher = more fluent under the training corpus.
+    */
+  def scoreBigram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bi: DataFrame,
+      uni: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), explode(bigrams(toks(col(textCol)))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    pairs
+      .join(bi.select(col("w1"), col("w2"), col("bi_score")), Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w2"), col("uni_score")), Seq("w2"), "left")
+      .select(col(idCol),
+        coalesce(col("bi_score"), col("uni_score"), lit(0L)).as("__s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__s").as("score_sum"))
+      .withColumn("score_avg", expr("score_sum div n_bigrams"))
+  }
+}

@@ -151,6 +151,26 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Tag documents with blocklist/watchlist term hits: one output row
+    * per (doc, matched term) with its occurrence count — the primitive
+    * behind blocklist filtering, topic tagging, and contamination-phrase
+    * screening. `terms` is a one-column ("term") DataFrame; matching is
+    * exact on lower-cased whitespace tokens, so word boundaries are
+    * structural (no `\bfoo\b` regex lore) and a term list of 10⁵ entries
+    * costs the same scan as one of 10: the corpus explodes to (id,
+    * token) — narrow, never the text — and hash-joins the term list,
+    * which BROADCASTS (term lists are small next to any corpus; a
+    * regex-alternation scan is O(tokens·terms) NFA states and simply
+    * stops compiling at real blocklist sizes). The per-(doc, term) count
+    * aggregates map-side before its one keyed exchange.
+    */
+  def keywordTags(df: DataFrame, idCol: String, textCol: String,
+                  terms: DataFrame): DataFrame =
+    df.select(col(idCol), explode(split(lower(normWs(col(textCol))), " ")).as("term"))
+      .join(broadcast(terms.select(lower(col("term")).as("term"))), "term")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("n_hits"))
+
   /** Split each document into overlapping token windows — the chunking
     * step RAG indexes and context-window datasets run over a corpus.
     * Chunks start every `chunkSize - overlap` tokens; the final chunk is

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class NgramLmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // train corpus "a b a b c": c(a)=2 c(b)=2 c(c)=1, N=5
+  // bigrams: (a,b)=2 (b,a)=1 (b,c)=1
+  private lazy val model =
+    NgramLm.trainBigram(Seq("a b a b c").toDF("text"), "text")
+
+  test("trainBigram: hand-computed counts and fixed-point scores") {
+    val (bi, uni) = model
+    val biMap = bi.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(biMap === Map(
+      ("a", "b") -> ((2L, 1000000L)), // 1e6*2 div 2
+      ("b", "a") -> ((1L, 500000L)),  // 1e6*1 div 2
+      ("b", "c") -> ((1L, 500000L))))
+    val uniMap = uni.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // uni_score = (2e6 * cw) div (5 * 5)
+    assert(uniMap === Map(
+      "a" -> ((2L, 160000L)),
+      "b" -> ((2L, 160000L)),
+      "c" -> ((1L, 80000L))))
+  }
+
+  test("scoreBigram: seen bigram, backoff, OOV-zero, short docs dropped") {
+    val (bi, uni) = model
+    val docs = Seq(
+      (1L, "a b c a"), // (a,b)=1e6, (b,c)=5e5, (c,a) backoff uni(a)=160000
+      (2L, "z z"),     // bigram unseen, z OOV -> 0
+      (3L, "a")        // no bigram -> no row
+    ).toDF("id", "text")
+    val got = NgramLm.scoreBigram(docs, "id", "text", bi, uni)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1660000L, 553333L)),
+      2L -> ((1L, 0L, 0L))))
+  }
+
+  test("tokenization is case- and whitespace-insensitive") {
+    val (bi, uni) = model
+    val got = NgramLm.scoreBigram(
+      Seq((1L, "A   B"), (2L, "a b")).toDF("id", "text"), "id", "text", bi, uni)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1000000L, 1000000L))) // both score identically
+  }
+
+  test("scores are bounded by the fixed-point scale") {
+    // random-ish corpus; train on itself — every score must be in [0, Scale]
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(20)(j => s"w${(i * 7 + j * 3) % 11}").mkString(" "))
+    }.toDF("id", "text")
+    val (bi, uni) = NgramLm.trainBigram(corpus, "text")
+    val bad = NgramLm.scoreBigram(corpus, "id", "text", bi, uni)
+      .filter(col("score_avg") < 0 || col("score_avg") > NgramLm.Scale ||
+        col("score_sum") < 0 || col("score_sum") > col("n_bigrams") * NgramLm.Scale)
+    assert(bad.count() === 0)
+    // self-trained corpus: every bigram was seen, so no doc scores 0
+    val zeros = NgramLm.scoreBigram(corpus, "id", "text", bi, uni)
+      .filter(col("score_sum") === 0).count()
+    assert(zeros === 0)
+  }
+
+  test("scoring plan: no cartesian product, corpus joins are key-equi") {
+    val (bi, uni) = model
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    val plan = NgramLm.scoreBigram(docs, "id", "text", bi, uni)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

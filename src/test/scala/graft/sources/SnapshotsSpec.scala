@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SnapshotsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
+
+  private def ids(table: String, v: Option[Int] = None): Set[Long] =
+    Snapshots.read(spark, table, v).select("id").as[Long].collect().toSet
+
+  test("commit / append / overwrite / time travel") {
+    val t = freshTable()
+    assert(Snapshots.versions(spark, t) === Seq.empty)
+
+    val v1 = Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
+    val v2 = Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    val v3 = Snapshots.commitOverwrite(spark, t, Seq(9L).toDF("id"))
+    assert((v1, v2, v3) === ((1, 2, 3)))
+    assert(Snapshots.versions(spark, t) === Seq(1, 2, 3))
+
+    assert(ids(t) === Set(9L))                 // latest
+    assert(ids(t, Some(1)) === Set(1L, 2L))    // time travel
+    assert(ids(t, Some(2)) === Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] { Snapshots.read(spark, t, Some(7)) }
+  }
+
+  test("crashed commit (orphan data, no manifest) is invisible and vacuumable") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    // simulate a crash after staging, before publish: data dir exists,
+    // no manifest references it
+    Seq(2L).toDF("id").write
+      .parquet(s"$t/data/orphan-crashed-commit")
+    assert(ids(t) === Set(1L)) // reader resolves manifests only
+    val deleted = Snapshots.vacuum(spark, t, keepFrom = 1)
+    assert(deleted >= 1) // the orphan's part file(s) reclaimed
+    assert(ids(t) === Set(1L)) // live data untouched
+    assert(!new java.io.File(s"$t/data/orphan-crashed-commit").exists())
+  }
+
+  test("vacuum drops old versions' files but keeps every referenced file") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))  // v2 references v1's files
+    Snapshots.commitOverwrite(spark, t, Seq(3L).toDF("id"))
+    // keep v2 and v3: v1's files survive because v2 still references them
+    Snapshots.vacuum(spark, t, keepFrom = 2)
+    assert(Snapshots.versions(spark, t) === Seq(2, 3))
+    assert(ids(t, Some(2)) === Set(1L, 2L))
+    assert(ids(t) === Set(3L))
+    // now keep only v3: v1+v2 data goes
+    val deleted = Snapshots.vacuum(spark, t, keepFrom = 3)
+    assert(deleted >= 1)
+    assert(Snapshots.versions(spark, t) === Seq(3))
+    assert(ids(t) === Set(3L))
+    intercept[IllegalArgumentException] { Snapshots.vacuum(spark, t, keepFrom = 99) }
+  }
+
+  test("compactCommit: fragmented table -> few files, same rows, old version intact") {
+    val t = freshTable()
+    // 16 tiny appends -> 16+ files
+    Snapshots.commitOverwrite(spark, t, Seq(0L).toDF("id"))
+    (1L until 16L).foreach(i => Snapshots.commitAppend(spark, t, Seq(i).toDF("id")))
+    val before = Snapshots.read(spark, t).inputFiles.length
+    assert(before >= 16)
+    val v = Snapshots.compactCommit(spark, t, targetFileBytes = 1L << 30)
+    assert(v === 17)
+    assert(Snapshots.read(spark, t).inputFiles.length === 1)
+    assert(ids(t) === (0L until 16L).toSet)
+    // pre-compaction snapshot still readable with its original files
+    assert(ids(t, Some(16)) === (0L until 16L).toSet)
+    assert(Snapshots.read(spark, t, Some(16)).inputFiles.length === before)
+  }
+
+  test("concurrent committers serialize: all appends land exactly once") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(0L).toDF("id"))
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        Snapshots.commitAppend(spark, t, Seq(i.toLong * 100).toDF("id"))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(Snapshots.versions(spark, t) === (1 to 5))
+    assert(ids(t) === Set(0L, 100L, 200L, 300L, 400L))
+  }
+
+  test("read plan scans exactly the manifest's closed file list") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    val v1Files = Snapshots.read(spark, t, Some(1)).inputFiles.toSet
+    val v2Files = Snapshots.read(spark, t, Some(2)).inputFiles.toSet
+    assert(v1Files.subsetOf(v2Files))
+    assert(v2Files.size > v1Files.size)
+    // a file dropped into data/ by hand never enters any plan
+    Seq(99L).toDF("id").write.parquet(s"$t/data/not-committed")
+    assert(Snapshots.read(spark, t, Some(2)).inputFiles.toSet === v2Files)
+  }
+}
