@@ -2628,18 +2628,21 @@ object SparkEntry {
       val (bi, uni) = NgramLm.trainBigram(d.filter(col("lang") === "en"), "text")
       NgramLm.scoreBigram(d, "doc_id", "text", bi, uni)
     }),
-    // Exact all-pairs cosine over 3-gram shingle sets (Bayardo et al.
-    // WWW'07 prefix filtering): the EXACT near-dup adjudicator next to
-    // the probabilistic minhash/simhash tier. 3-gram shingles, not
-    // unigrams — the fixture corpus draws from ~31 distinct tokens, so
-    // unigram sets make everything a neighbor (measured: 117k of 124k
-    // pairs at t=0.5) while shingle sets isolate the 25 genuinely
-    // near-identical pairs at ANY threshold 0.4–0.9. The oracle is the
-    // brute-force quadratic join — pinning the exactness claim: prefix
-    // filtering must change NOTHING but the cost.
+    // Exact all-pairs cosine over 4-gram shingle sets (Bayardo et al.
+    // WWW'07 prefix + PPJoin positional filtering): the EXACT near-dup
+    // adjudicator next to the probabilistic minhash/simhash tier.
+    // Shingle size is the corpus-distinctiveness knob and the fixture
+    // corpus draws from only ~31 distinct tokens: unigram sets make
+    // everything a neighbor (measured: 117k of 124k pairs at t=0.5),
+    // k=3 still leaves 11.5k chance-collision pairs with ANY overlap
+    // (random short strings saturate the 31³ shingle space), while k=4
+    // (31⁴ ≫ corpus) drops that to 402 and isolates the same 25
+    // genuinely near-identical pairs found at every threshold 0.4–0.9.
+    // The oracle is the brute-force quadratic join — pinning the
+    // exactness claim: filtering must change NOTHING but the cost.
     "q_allpairs_cosine" -> ((s, dir) =>
       AllPairs.cosinePairs(docs(s, dir), "doc_id", "text",
-        tPerMille = 700, shingleSize = 3)),
+        tPerMille = 700, shingleSize = 4)),
     // Blocklist/watchlist tagging: exact token-boundary term hits via
     // the exploded-token BROADCAST join (a regex alternation is
     // O(tokens·terms) and stops compiling at real blocklist sizes; the
@@ -3692,15 +3695,15 @@ object SparkEntry {
        |FROM sc GROUP BY doc_id""".stripMargin
 
   /** Brute-force quadratic truth for q_allpairs_cosine: every pair of
-    * 3-shingle sets with 10⁶·i² ≥ 700‰²·|A|·|B| — the prefix-filtered
+    * 4-shingle sets with 10⁶·i² ≥ 700‰²·|A|·|B| — the prefix-filtered
     * operator must reproduce it EXACTLY (same short-doc whole-text rule
     * as Dedup.explodedShingles).
     */
   private val allPairsSql =
     s"""WITH tok AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
-       |sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-       |  ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-       |    for i in range(1, len(t) - 1)]) END AS s FROM tok),
+       |sh AS (SELECT doc_id, CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+       |  ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |    for i in range(1, len(t) - 2)]) END AS s FROM tok),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(a.s)::BIGINT AS n_a,
        |  len(b.s)::BIGINT AS n_b, len(list_intersect(a.s, b.s))::BIGINT AS n_common
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)

@@ -42,13 +42,15 @@ import org.apache.spark.sql.functions._
   * Ceilings are computed as (num + den − 1) div den — exact.
   *
   * Scale shape: one element-df exchange (map-side-combinable count),
-  * one per-doc exchange to assemble the ranked set (sort_array of
-  * collect_list — deterministic, (df, element) is unique per doc), the
+  * one per-doc exchange for the rank/size windows ((df, element) is a
+  * unique sort key per doc, so row_number is deterministic), the
   * candidate self-equi-join on prefix elements (the frequency ranking
   * is exactly what bounds per-key fanout), a pair-dedup exchange
-  * carrying only ids + sizes, and two id-equi-joins to fetch the ranked
-  * arrays for the verify. Document payloads are never shuffled — output
-  * carries ids + integer evidence, re-attachable by id.
+  * carrying only ids + sizes, and a join-count verify: candidate pairs
+  * broadcast into the element rows and |A∩B| falls out of one grouped
+  * count — no per-doc ARRAY value is ever built, so a million-element
+  * set costs rows, not a row. Document payloads are never shuffled —
+  * output carries ids + integer evidence, re-attachable by id.
   *
   * Shingling: pass `shingleSize` > 1 to compare word-k-gram sets
   * (reuses [[Dedup.explodedShingles]]' codegen'd window formulation).
@@ -84,40 +86,67 @@ object AllPairs {
     val t2 = tPerMille.toLong * tPerMille // t²·10⁶
     val M = 1000000L
 
-    // global document frequency -> total order (df asc, element asc)
-    val elDf = elems.groupBy("__el").agg(count(lit(1)).as("__df"))
+    // NOT persisted, deliberately (measured at sf0.1): five branches
+    // read the element rows, but the shingle repartition exchange below
+    // them is AQE-reused, each branch's map side is thin codegen, and
+    // both cache variants measured no better or worse — the per-doc
+    // ARRAY formulation's cache was 2-8× SLOWER (object serialization +
+    // broadcast-reuse loss), the narrow-row cache a wash. Recompute
+    // above a reused exchange beats pinning block-manager space here.
+    val el = elems
 
-    // ranked set per doc + its prefix: p = n - ceil(t²·n/10⁶) + 1
-    val ranked = elems.join(elDf, "__el")
-      .groupBy("__id")
-      .agg(sort_array(collect_list(struct(col("__df"), col("__el")))).as("__r"))
-      .select(col("__id"),
-        size(col("__r")).cast("long").as("__n"),
-        transform(col("__r"), e => e("__el")).as("__ranked"))
-    val prefixed = ranked.select(col("__id"), col("__n"),
-      slice(col("__ranked"), lit(1),
-        expr(s"cast(__n - (($t2 * __n + ${M - 1}) div $M) + 1 as int)"))
-        .as("__prefix"))
+    // global document frequency -> total order (df asc, element asc);
+    // per-element rank via ONE ordered window. Set size comes from a
+    // grouped count JOINED back on id — NOT a count-over-partition
+    // window: that spec has no frame cap, buffers whole partitions, and
+    // measured as the hot node; the aggregate is map-side-combinable
+    // and its join reuses the id clustering. No arrays anywhere: a long
+    // doc's set never materializes as a row value.
+    val elDf = el.groupBy("__el").agg(count(lit(1)).as("__df"))
+    val sizes = el.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy("__df", "__el")
+    val rankedRows = el.join(elDf, "__el").join(sizes, "__id")
+      .select(col("__id"), col("__el"), col("__n"),
+        row_number().over(w).as("__rn"))
 
-    // candidates: prefix-element equi-join + size filter, dedup to id pairs
-    val l = prefixed.select(col("__id").as("id_a"), col("__n").as("n_a"),
-      explode(col("__prefix")).as("__el"))
-    val r = prefixed.select(col("__id").as("id_b"), col("__n").as("n_b"),
-      explode(col("__prefix")).as("__el"))
-    val cand = l.join(r, Seq("__el"))
+    // prefix rows: rn <= n - ceil(t²·n/10⁶) + 1
+    val prefix = rankedRows.filter(
+      col("__rn") <= col("__n") - expr(s"($t2 * __n + ${M - 1}) div $M") + 1)
+
+    // candidates: prefix-element equi-join + size filter + POSITIONAL
+    // filter (PPJoin, Xiao et al. WWW'08): a pair sharing element e at
+    // ranks (ra, rb) can overlap at most 1 + min(n_a−ra, n_b−rb) — for
+    // the FIRST common element that bound is exact-or-over (no common
+    // element precedes it under the one global order), so filtering
+    // every row and deduping to pairs afterwards loses nothing while
+    // pruning the duplicate-candidate rows BEFORE the dedup exchange.
+    // Then NARROW (ids + sizes) into the verify.
+    val cand = prefix.select(col("__id").as("id_a"), col("__n").as("n_a"),
+        col("__rn").as("__ra"), col("__el"))
+      .join(prefix.select(col("__id").as("id_b"), col("__n").as("n_b"),
+        col("__rn").as("__rb"), col("__el")), Seq("__el"))
       .filter(col("id_a") < col("id_b"))
       .filter(lit(M) * least(col("n_a"), col("n_b")) >=
         lit(t2) * greatest(col("n_a"), col("n_b")))
+      .withColumn("__ub",
+        lit(1L) + least(col("n_a") - col("__ra"), col("n_b") - col("__rb")))
+      .filter(lit(M) * col("__ub") * col("__ub") >= lit(t2) * col("n_a") * col("n_b"))
       .select("id_a", "id_b", "n_a", "n_b")
       .distinct()
 
-    // exact verify on the full (ranked) sets
+    // exact verify by JOIN-COUNT, not array intersection: candidate
+    // pairs (small — that is what the prefix filter is for) broadcast
+    // into A's element rows, the (id_b, el) equi-join keeps exactly the
+    // shared elements, and one grouped count is |A∩B| — fully
+    // codegen'd, and pairs of LARGE sets never build array values
     cand
-      .join(ranked.select(col("__id").as("id_a"), col("__ranked").as("__ta")), "id_a")
-      .join(ranked.select(col("__id").as("id_b"), col("__ranked").as("__tb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("n_common"))
+      .join(el.select(col("__id").as("id_a"), col("__el")), "id_a")
+      .join(el.select(col("__id").as("id_b"), col("__el")), Seq("id_b", "__el"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
       .filter(lit(M) * col("n_common") * col("n_common") >=
         lit(t2) * col("n_a") * col("n_b"))
+      .select("id_a", "id_b", "n_a", "n_b", "n_common")
   }
 }
