@@ -2686,6 +2686,44 @@ object SparkEntry {
       slice(3, "v3_timetravel").unionAll(slice(4, "v4_compacted"))
     }),
 
+    // STREAMING INGESTION INTO THE SNAPSHOT TABLE FORMAT: three
+    // mtime-ordered micro-batches land as three exactly-once manifest
+    // commits (token = batch id), and each trigger ALSO replays its own
+    // token immediately — the no-op path a crashed-and-retried sink
+    // takes. The final snapshot must equal the staged corpus exactly
+    // once: a duplicated batch doubles a lang's counts, a dropped one
+    // zeroes them, and a torn commit can't exist (readers resolve
+    // manifests only). The DuckDB oracle is the plain per-lang
+    // aggregate over `documents`.
+    "q_stream_snapshot" -> ((s, dir) => {
+      val runner = graft.streaming.StreamRunner
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val srcDir = materializedDir("streamsnapsrc", dir) { inPath =>
+        val base = new java.io.File(inPath)
+        base.mkdirs()
+        val t0 = System.currentTimeMillis() - 600000L
+        (0 until 3).foreach { j =>
+          dumpBatchFile(base, d.filter(col("doc_id") % 3 === j),
+            s"b$j", t0 + j * 60000L)
+        }
+      }
+      val root = materializedDir("streamsnap", dir) { outPath =>
+        val t = outPath + "/t"
+        val src = runner.fileSource(s, srcDir, StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType))),
+          maxFilesPerTrigger = Some(1))
+        runner.foreachBatchSink(src, (batch, batchId) => {
+          val first = Snapshots.commitAppendOnce(s, t, batch, s"batch-$batchId")
+          require(first.isDefined, s"batch $batchId double-committed")
+          val replay = Snapshots.commitAppendOnce(s, t, batch, s"batch-$batchId")
+          require(replay.isEmpty, s"batch $batchId replay was not a no-op")
+        }, trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .awaitTermination()
+      }
+      Snapshots.read(s, root + "/t").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // STREAMING MEDIA INGESTION against a standing perceptual-hash index —
     // the multimodal composition of q_stream_dedup's shape (VERDICT r8
     // task 8): the 200 base pattern images AND the 200 base pattern clips
@@ -3722,6 +3760,8 @@ object SparkEntry {
         s"CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS cents_sum " +
         "FROM orders WHERE o_orderkey % 3 = 2"
     }.mkString(" UNION ALL ")),
+    "q_stream_snapshot" -> ("SELECT lang, count(*)::BIGINT AS n_docs, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY lang"),
     "q_lm_train" -> lmTrainSql,
     "q_lm_score" -> lmScoreSql,
     "q_allpairs_cosine" -> allPairsSql,

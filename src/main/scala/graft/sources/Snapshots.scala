@@ -73,14 +73,27 @@ object Snapshots {
       .sorted.toSeq
   }
 
-  /** Relative data-file paths of version `v`. */
-  private def manifestFiles(spark: SparkSession, table: String, v: Int): Seq[String] = {
+  private def manifestLines(spark: SparkSession, table: String, v: Int): Seq[String] = {
     val in = fs(spark, table).open(manifestPath(table, v))
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).toList
     } finally in.close()
   }
+
+  /** Relative data-file paths of version `v` (header lines skipped). */
+  private def manifestFiles(spark: SparkSession, table: String, v: Int): Seq[String] =
+    manifestLines(spark, table, v).filterNot(_.startsWith("#"))
+
+  /** The commit tokens recorded by [[commitAppendOnce]], across all
+    * live (non-vacuumed) versions.
+    */
+  def committedTokens(spark: SparkSession, table: String): Set[String] =
+    versions(spark, table).flatMap(v => manifestLines(spark, table, v)
+      .collect { case l if l.startsWith(TokenHeader) =>
+        l.substring(TokenHeader.length) }).toSet
+
+  private val TokenHeader = "# token="
 
   /** Read a snapshot: the given version, or the latest. The scan gets an
     * explicit closed file list — no directory listing, no risk of seeing
@@ -154,6 +167,26 @@ object Snapshots {
       head.map(manifestFiles(spark, table, _)).getOrElse(Seq.empty) ++ staged)
   }
 
+  /** Exactly-once append for replayable sources (streaming foreachBatch):
+    * the commit records `token` (e.g. the micro-batch id) in its
+    * manifest, and a replay of an already-committed token is a NO-OP —
+    * the crash window between a successful manifest publish and the
+    * caller's acknowledgment is closed by the manifest itself. Returns
+    * Some(version) if committed, None if the token had already landed.
+    * One writer per token (a streaming query owns its sink); two racing
+    * writers with the SAME token are out of contract.
+    */
+  def commitAppendOnce(spark: SparkSession, table: String, df: DataFrame,
+                       token: String): Option[Int] = {
+    require(!token.contains("\n") && !token.contains("\r"),
+      "token must be single-line")
+    if (committedTokens(spark, table).contains(token)) return None
+    val staged = stage(spark, table, df)
+    Some(publish(spark, table, head =>
+      (TokenHeader + token) +:
+        (head.map(manifestFiles(spark, table, _)).getOrElse(Seq.empty) ++ staged)))
+  }
+
   /** Snapshot-isolated compaction: rewrite the head snapshot into
     * `ceil(bytes / targetFileBytes)` files and commit the result as a
     * NEW version. Unlike [[Layout.compactSmallFiles]]' rename swap there
@@ -184,7 +217,10 @@ object Snapshots {
   /** Reclaim space: drop all manifests BELOW `keepFrom` and delete every
     * data file no remaining manifest references (including orphans from
     * crashed commits). Returns the number of deleted data files. Time
-    * travel to vacuumed versions is gone — that is the point.
+    * travel to vacuumed versions is gone — that is the point. A dropped
+    * manifest also forgets its [[commitAppendOnce]] token, so keep the
+    * retention horizon longer than any source's replay horizon (a
+    * streaming checkpoint bounds replays far tighter in practice).
     */
   def vacuum(spark: SparkSession, table: String, keepFrom: Int): Int = {
     val f = fs(spark, table)

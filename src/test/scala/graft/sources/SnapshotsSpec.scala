@@ -90,6 +90,21 @@ class SnapshotsSpec extends SparkTestBase {
     assert(ids(t) === Set(0L, 100L, 200L, 300L, 400L))
   }
 
+  test("commitAppendOnce: replayed token is a no-op, fresh token lands") {
+    val t = freshTable()
+    assert(Snapshots.commitAppendOnce(spark, t, Seq(1L).toDF("id"), "b0") === Some(1))
+    assert(Snapshots.commitAppendOnce(spark, t, Seq(2L).toDF("id"), "b1") === Some(2))
+    // replay of b0 (crash after publish, retry before ack): NO-OP
+    assert(Snapshots.commitAppendOnce(spark, t, Seq(1L).toDF("id"), "b0") === None)
+    assert(ids(t) === Set(1L, 2L))
+    assert(Snapshots.versions(spark, t) === Seq(1, 2))
+    assert(Snapshots.committedTokens(spark, t) === Set("b0", "b1"))
+    // tokens coexist with untokened commits
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    assert(ids(t) === Set(1L, 2L, 3L))
+    assert(Snapshots.committedTokens(spark, t) === Set("b0", "b1"))
+  }
+
   test("read plan scans exactly the manifest's closed file list") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
