@@ -2628,6 +2628,23 @@ object SparkEntry {
       val (bi, uni) = NgramLm.trainBigram(d.filter(col("lang") === "en"), "text")
       NgramLm.scoreBigram(d, "doc_id", "text", bi, uni)
     }),
+    // ...and the filter COMPOSITION: keep only documents above a fixed
+    // fluency cutoff and report the per-language survivor profile — the
+    // decision step a curation pipeline actually ships (the en-trained
+    // model enriches en: its median 35.2k sits above the 34k cutoff,
+    // the other languages' ~32.9k below; the fixture languages share
+    // one vocabulary, so full separation is not available by design).
+    // The corpus join is id-equi after the narrow score aggregate; text
+    // never reenters.
+    "q_lm_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (bi, uni) = NgramLm.trainBigram(d.filter(col("lang") === "en"), "text")
+      NgramLm.scoreBigram(d, "doc_id", "text", bi, uni)
+        .filter(col("score_avg") >= 34000)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    }),
     // Exact all-pairs cosine over 4-gram shingle sets (Bayardo et al.
     // WWW'07 prefix + PPJoin positional filtering): the EXACT near-dup
     // adjudicator next to the probabilistic minhash/simhash tier.
@@ -2684,6 +2701,27 @@ object SparkEntry {
         .select(lit(tag).as("state"), col("n_rows"), col("key_sum"),
           col("cents_sum"))
       slice(3, "v3_timetravel").unionAll(slice(4, "v4_compacted"))
+    }),
+
+    // INCREMENTAL READ off the snapshot manifests: the delta between
+    // two versions is the manifest file-set difference — "process only
+    // what landed since the version I last consumed", with cost
+    // proportional to the DELTA and no per-row CDC columns. v1 = the
+    // %3=0 base, v2/v3 append the other two slices; the delta 1→3 must
+    // be exactly the two appended slices — a base row leaking in, an
+    // appended file missed, or version misresolution all break the
+    // per-lang hash.
+    "q_snapshot_incr" -> ((s, dir) => {
+      val root = materializedDir("snapincr", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        val t = path + "/t"
+        Snapshots.commitOverwrite(s, t, d.filter(col("doc_id") % 3 === 0))
+        Snapshots.commitAppend(s, t, d.filter(col("doc_id") % 3 === 1))
+        Snapshots.commitAppend(s, t, d.filter(col("doc_id") % 3 === 2))
+      }
+      Snapshots.readChangesBetween(s, root + "/t", 1, Some(3))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     }),
 
     // STREAMING INGESTION INTO THE SNAPSHOT TABLE FORMAT: three
@@ -3762,8 +3800,16 @@ object SparkEntry {
     }.mkString(" UNION ALL ")),
     "q_stream_snapshot" -> ("SELECT lang, count(*)::BIGINT AS n_docs, " +
       "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY lang"),
+    "q_snapshot_incr" -> ("SELECT lang, count(*)::BIGINT AS n_docs, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents " +
+      "WHERE doc_id % 3 IN (1, 2) GROUP BY lang"),
     "q_lm_train" -> lmTrainSql,
     "q_lm_score" -> lmScoreSql,
+    "q_lm_filter" -> (s"WITH scored AS ($lmScoreSql) " +
+      "SELECT d.lang, count(*)::BIGINT AS n_kept, " +
+      "CAST(sum(d.doc_id) AS BIGINT) AS id_sum " +
+      "FROM scored s JOIN documents d ON s.doc_id = d.doc_id " +
+      "WHERE s.score_avg >= 34000 GROUP BY d.lang"),
     "q_allpairs_cosine" -> allPairsSql,
     "q_keyword_tag" -> ("SELECT doc_id, t AS term, count(*)::BIGINT AS n_hits " +
       s"FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents) " +

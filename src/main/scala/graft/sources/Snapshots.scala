@@ -127,6 +127,15 @@ object Snapshots {
     * the committed version. `base(headAtRetry)` recomputes the full file
     * list from whatever head the winning racer left — append semantics
     * stay serializable without locks.
+    *
+    * The create-if-absent slot is scheme-dependent: on a LOCAL fs the
+    * manifest is fully written to a dot-tmp sibling and published with
+    * `link(2)` — POSIX's atomic fail-if-exists of a complete file
+    * (Hadoop's RawLocalFileSystem `create(overwrite = false)` is
+    * check-THEN-create, so two racers could both "win" and one append
+    * would vanish; caught by the concurrent-committer spec under suite
+    * load). On HDFS `create(overwrite = false)` is atomic natively; on
+    * object stores the slot maps to a conditional put.
     */
   private def publish(spark: SparkSession, table: String,
                       base: Option[Int] => Seq[String]): Int = {
@@ -138,16 +147,30 @@ object Snapshots {
       val lines = base(head)
       val tgt = manifestPath(table, next)
       f.mkdirs(tgt.getParent)
-      try {
-        // create-if-absent: the loser of a concurrent race lands in the
-        // catch and retries against the new head
-        val out = f.create(tgt, false)
-        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-        finally out.close()
-        return next
-      } catch {
-        case _: java.io.IOException => attempt += 1
-      }
+      val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+      val scheme = tgt.toUri.getScheme
+      val won =
+        if (scheme == null || scheme == "file") {
+          val dir = java.nio.file.Paths.get(
+            f.makeQualified(tgt).toUri.getPath).getParent
+          val tmp = dir.resolve(
+            s".${tgt.getName}.${java.util.UUID.randomUUID()}.tmp")
+          java.nio.file.Files.write(tmp, bytes)
+          try {
+            java.nio.file.Files.createLink(dir.resolve(tgt.getName), tmp)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          } finally java.nio.file.Files.deleteIfExists(tmp)
+        } else {
+          try {
+            val out = f.create(tgt, false)
+            try out.write(bytes) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        }
+      if (won) return next
+      attempt += 1
     }
     sys.error(s"could not commit to $table after 50 attempts")
   }
@@ -185,6 +208,38 @@ object Snapshots {
     Some(publish(spark, table, head =>
       (TokenHeader + token) +:
         (head.map(manifestFiles(spark, table, _)).getOrElse(Seq.empty) ++ staged)))
+  }
+
+  /** Incremental read: the rows ADDED between `fromVersion` (exclusive)
+    * and `toVersion` (inclusive, default head) — the files `toVersion`
+    * references that `fromVersion` does not. This is THE primitive an
+    * incremental pipeline wants ("process only what landed since the
+    * version I last consumed"): cost is proportional to the DELTA, not
+    * the table, and no per-row timestamps or CDC columns are needed —
+    * the manifest diff IS the change log. Contract: valid for
+    * APPEND-range histories (append and compactCommit never remove a
+    * live row's file from later manifests without rewriting it; an
+    * OVERWRITE in the range breaks "new files = new rows" and is
+    * rejected by checking containment).
+    */
+  def readChangesBetween(spark: SparkSession, table: String,
+                         fromVersion: Int,
+                         toVersion: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, table)
+    val to = toVersion.getOrElse(vs.last)
+    require(vs.contains(fromVersion) && vs.contains(to) && fromVersion <= to,
+      s"need committed versions from<=to, got $fromVersion..$to of ${vs.mkString(",")}")
+    val before = manifestFiles(spark, table, fromVersion)
+    val after = manifestFiles(spark, table, to)
+    require(before.forall(after.contains),
+      s"$table v$fromVersion..v$to is not an append range (a file of " +
+        s"v$fromVersion is gone by v$to — an overwrite or compaction " +
+        "rewrote history); read full snapshots instead")
+    val added = after.filterNot(before.toSet)
+    if (added.isEmpty) // legitimate: token-only or empty-batch commits
+      read(spark, table, Some(to)).limit(0)
+    else
+      spark.read.parquet(added.map(rel => new Path(table, rel).toString): _*)
   }
 
   /** Snapshot-isolated compaction: rewrite the head snapshot into

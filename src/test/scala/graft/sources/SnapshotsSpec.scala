@@ -77,17 +77,20 @@ class SnapshotsSpec extends SparkTestBase {
   }
 
   test("concurrent committers serialize: all appends land exactly once") {
+    // 8 racers: the atomicity claim is the link(2) publish — the
+    // check-then-create formulation this replaced LOST appends here
+    // under suite load
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(0L).toDF("id"))
-    val threads = (1 to 4).map { i =>
+    val threads = (1 to 8).map { i =>
       new Thread(() => {
         Snapshots.commitAppend(spark, t, Seq(i.toLong * 100).toDF("id"))
       })
     }
     threads.foreach(_.start())
     threads.foreach(_.join())
-    assert(Snapshots.versions(spark, t) === (1 to 5))
-    assert(ids(t) === Set(0L, 100L, 200L, 300L, 400L))
+    assert(Snapshots.versions(spark, t) === (1 to 9))
+    assert(ids(t) === (0 to 8).map(_ * 100L).toSet)
   }
 
   test("commitAppendOnce: replayed token is a no-op, fresh token lands") {
@@ -103,6 +106,28 @@ class SnapshotsSpec extends SparkTestBase {
     Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
     assert(ids(t) === Set(1L, 2L, 3L))
     assert(Snapshots.committedTokens(spark, t) === Set("b0", "b1"))
+  }
+
+  test("readChangesBetween: append-range delta, empty delta, overwrite rejected") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))      // v1
+    Snapshots.commitAppend(spark, t, Seq(2L, 3L).toDF("id"))     // v2
+    Snapshots.commitAppend(spark, t, Seq(4L).toDF("id"))         // v3
+    def delta(from: Int, to: Int) =
+      Snapshots.readChangesBetween(spark, t, from, Some(to))
+        .select("id").as[Long].collect().toSet
+    assert(delta(1, 3) === Set(2L, 3L, 4L))
+    assert(delta(2, 3) === Set(4L))
+    assert(delta(3, 3) === Set.empty) // same version: empty, right schema
+    assert(Snapshots.readChangesBetween(spark, t, 3, Some(3)).columns === Array("id"))
+    // an overwrite breaks the append-range contract and must be rejected
+    Snapshots.commitOverwrite(spark, t, Seq(9L).toDF("id"))      // v4
+    intercept[IllegalArgumentException] {
+      Snapshots.readChangesBetween(spark, t, 1, Some(4))
+    }
+    // ...but ranges after the overwrite work again
+    Snapshots.commitAppend(spark, t, Seq(10L).toDF("id"))        // v5
+    assert(delta(4, 5) === Set(10L))
   }
 
   test("read plan scans exactly the manifest's closed file list") {
