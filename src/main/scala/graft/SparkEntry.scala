@@ -2703,6 +2703,18 @@ object SparkEntry {
       slice(3, "v3_timetravel").unionAll(slice(4, "v4_compacted"))
     }),
 
+    // k-ANONYMITY AUDIT beside the PII-redaction pass: redaction strips
+    // direct identifiers; this finds the INDIRECT ones — quasi-identifier
+    // combinations (lang, source, 10-char length band) carried by fewer
+    // than k=25 rows, each a re-identification risk set. One map-side-
+    // combinable grouped count; k=25 keeps the audit non-degenerate at
+    // every replica scale (the 10× exact-copy tiles densify every group
+    // ×10 — "more data genuinely anonymizes" — so a k below 10× group
+    // sizes would return the trivially-empty set there).
+    "q_k_anonymity" -> ((s, dir) => Expectations.kAnonymityViolations(
+      docs(s, dir).withColumn("len_band", expr("n_chars div 10")),
+      Seq("lang", "source", "len_band"), k = 25)),
+
     // INCREMENTAL READ off the snapshot manifests: the delta between
     // two versions is the manifest file-set difference — "process only
     // what landed since the version I last consumed", with cost
@@ -3803,6 +3815,9 @@ object SparkEntry {
     "q_snapshot_incr" -> ("SELECT lang, count(*)::BIGINT AS n_docs, " +
       "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents " +
       "WHERE doc_id % 3 IN (1, 2) GROUP BY lang"),
+    "q_k_anonymity" -> ("SELECT lang, source, n_chars // 10 AS len_band, " +
+      "count(*)::BIGINT AS group_size FROM documents " +
+      "GROUP BY lang, source, len_band HAVING count(*) < 25"),
     "q_lm_train" -> lmTrainSql,
     "q_lm_score" -> lmScoreSql,
     "q_lm_filter" -> (s"WITH scored AS ($lmScoreSql) " +

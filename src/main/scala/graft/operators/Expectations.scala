@@ -49,4 +49,29 @@ object Expectations {
     (tagged.filter(size(col(violCol)) === 0).drop(violCol),
       tagged.filter(size(col(violCol)) > 0))
   }
+
+  /** k-anonymity audit over quasi-identifier columns: every value
+    * combination carried by FEWER than `k` rows — each output row is a
+    * re-identification risk set (Sweeney's model: a quasi-identifier
+    * that is nearly unique links a "de-identified" record back to a
+    * person; the PII-redaction pass upstream removes direct
+    * identifiers, this finds the indirect ones). Output = the quasi
+    * columns + `group_size`, ready for suppression or coarser
+    * generalization upstream.
+    *
+    * Scale shape: ONE map-side-combinable grouped count — the audit of
+    * a 100 TB table moves one row per distinct combination per map
+    * partition; the `< k` filter cuts the result to the risk sets
+    * before anything leaves the aggregate. More data genuinely
+    * anonymizes: a combination that is a violation at 1× can clear k
+    * at 10× because every group is denser.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (k=$k checks nothing)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
 }

@@ -48,6 +48,29 @@ class ExpectationsSpec extends SparkTestBase {
     }
   }
 
+  test("kAnonymityViolations: undersized groups flagged, nulls group together") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"),          // size 3: safe at k=3
+      ("a", "y"), ("a", "y"),                      // size 2: violation
+      ("b", "x"),                                  // size 1: violation
+      (null, "z"), (null, "z")                     // null quasi value: one group of 2
+    ).toDF("q1", "q2")
+    val got = Expectations.kAnonymityViolations(d, Seq("q1", "q2"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("a", "y", 2L), ("b", "x", 1L), (null, "z", 2L)))
+    // one map-side-combinable aggregate: exactly one exchange
+    val plan = Expectations.kAnonymityViolations(d, Seq("q1", "q2"), 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1)
+    intercept[IllegalArgumentException] {
+      Expectations.kAnonymityViolations(d, Seq.empty, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.kAnonymityViolations(d, Seq("q1"), 1)
+    }
+  }
+
   test("contract violations are rejected eagerly") {
     intercept[IllegalArgumentException] {
       Expectations.gate(docs, Seq.empty)
