@@ -2715,6 +2715,30 @@ object SparkEntry {
       docs(s, dir).withColumn("len_band", expr("n_chars div 10")),
       Seq("lang", "source", "len_band"), k = 25)),
 
+    // MANIFEST-LEVEL DATA SKIPPING: the snapshot is committed
+    // range-clustered (repartitionByRange + local sort on event_id)
+    // with per-file (min, max) stats in the manifest, and the range
+    // read plans ONLY the overlapping files — a skipped file costs no
+    // footer open, no GET (the planning cost parquet row-group pruning
+    // cannot remove at 10⁶ objects). Correctness never rests on the
+    // stats: the predicate is re-applied to surviving rows, so the
+    // oracle (plain WHERE over events) hash-fails on any pruning or
+    // stats defect; the file-skip COUNT itself is pinned in
+    // SnapshotsSpec (1 of 4 files planned for a one-file band).
+    "q_manifest_prune" -> ((s, dir) => {
+      val root = materializedDir("manifestprune", dir) { path =>
+        val e = Tables.events(s, dir).select(col("event_id"), col("value"))
+        Snapshots.commitOverwrite(s, path + "/t",
+          e.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          statsCol = Some("event_id"))
+      }
+      Snapshots.readPruned(s, root + "/t", "event_id", 100, 299)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("id_sum"),
+          sum(cents(col("value"))).as("cents_sum"))
+    }),
+
     // INCREMENTAL READ off the snapshot manifests: the delta between
     // two versions is the manifest file-set difference — "process only
     // what landed since the version I last consumed", with cost
@@ -3815,6 +3839,10 @@ object SparkEntry {
     "q_snapshot_incr" -> ("SELECT lang, count(*)::BIGINT AS n_docs, " +
       "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents " +
       "WHERE doc_id % 3 IN (1, 2) GROUP BY lang"),
+    "q_manifest_prune" -> ("SELECT count(*)::BIGINT AS n_rows, " +
+      "CAST(sum(event_id) AS BIGINT) AS id_sum, " +
+      s"CAST(sum(${centsSql("value")}) AS BIGINT) AS cents_sum " +
+      "FROM events WHERE event_id BETWEEN 100 AND 299"),
     "q_k_anonymity" -> ("SELECT lang, source, n_chars // 10 AS len_band, " +
       "count(*)::BIGINT AS group_size FROM documents " +
       "GROUP BY lang, source, len_band HAVING count(*) < 25"),

@@ -30,10 +30,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   3. Concurrent committers race on the SAME manifest name; exactly
   *      one create succeeds, the loser re-reads the new head and
   *      retries — an append therefore serializes against every other
-  *      commit (its base file list is re-resolved each attempt). On
-  *      HDFS `create(overwrite = false)` is atomic; on object stores
-  *      the same slot goes through a conditional put; on a raw local
-  *      FS it is check-then-create (documented, test-grade).
+  *      commit (its base file list is re-resolved each attempt). The
+  *      create-if-absent slot: `link(2)` on local filesystems, native
+  *      `create(overwrite = false)` on HDFS, a conditional put on
+  *      object stores (see [[publish]]).
   *
   * Why a manifest instead of directory listing, at 100 TB: a million-file
   * table costs a million-object LIST per query planning pass on an object
@@ -46,10 +46,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reproducible training runs pin a version) until [[vacuum]] reclaims
   * them explicitly.
   *
-  * Kept deliberately out: per-file column stats for skipping (that axis
-  * is covered by the Z-order/Hilbert layout tier + parquet row-group
-  * stats), schema evolution metadata ([[Formats.readParquetMerged]]'s
-  * contract), and multi-table transactions.
+  * Data skipping: a commit made with `statsCol` records per-file
+  * (min, max) of one long column in the manifest, and [[readPruned]]
+  * skips non-overlapping files at PLANNING time — no footer open, no
+  * GET. Compose with a range-clustered layout (repartitionByRange /
+  * Z-order / Hilbert staging) for disjoint per-file ranges.
+  *
+  * Kept deliberately out: schema evolution metadata
+  * ([[Formats.readParquetMerged]]'s contract) and multi-table
+  * transactions.
   */
 object Snapshots {
 
@@ -81,9 +86,30 @@ object Snapshots {
     } finally in.close()
   }
 
-  /** Relative data-file paths of version `v` (header lines skipped). */
-  private def manifestFiles(spark: SparkSession, table: String, v: Int): Seq[String] =
+  /** One manifest data entry: a relative file path, optionally carrying
+    * committed (min, max) stats of the commit's stats column.
+    */
+  final case class Entry(path: String, stats: Option[(Long, Long)])
+
+  private def parseEntry(line: String): Entry = line.split('\t') match {
+    case Array(p)         => Entry(p, None)
+    case Array(p, lo, hi) => Entry(p, Some((lo.toLong, hi.toLong)))
+    case _ => sys.error(s"malformed manifest line: $line")
+  }
+
+  /** Raw data lines of version `v` (header lines skipped; stats
+    * preserved verbatim) — the base a successor manifest appends to.
+    */
+  private def manifestDataLines(spark: SparkSession, table: String, v: Int): Seq[String] =
     manifestLines(spark, table, v).filterNot(_.startsWith("#"))
+
+  /** Parsed data entries of version `v`. */
+  private def manifestEntries(spark: SparkSession, table: String, v: Int): Seq[Entry] =
+    manifestDataLines(spark, table, v).map(parseEntry)
+
+  /** Relative data-file paths of version `v` (stats dropped). */
+  private def manifestFiles(spark: SparkSession, table: String, v: Int): Seq[String] =
+    manifestEntries(spark, table, v).map(_.path)
 
   /** The commit tokens recorded by [[commitAppendOnce]], across all
     * live (non-vacuumed) versions.
@@ -112,15 +138,39 @@ object Snapshots {
   }
 
   /** Stage `df` as parquet under a fresh unique data directory and
-    * return its manifest lines (paths relative to the table root).
+    * return its manifest lines (paths relative to the table root). With
+    * `statsCol` set, each line carries the file's (min, max) of that
+    * LONG column — computed in ONE grouped pass over the just-staged
+    * files (driver traffic = one row per file, the same order as the FS
+    * listing below). Files with no non-null values stay stats-less and
+    * are conservatively kept by every pruned read.
     */
-  private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[String] = {
+  private def stage(spark: SparkSession, table: String, df: DataFrame,
+                    statsCol: Option[String] = None): Seq[String] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
     df.write.parquet(new Path(table, rel).toString)
-    fs(spark, table).listStatus(new Path(table, rel))
+    val rels = fs(spark, table).listStatus(new Path(table, rel))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$rel/${s.getPath.getName}").sorted.toSeq
+    statsCol match {
+      case None => rels
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val stats = spark.read.parquet(new Path(table, rel).toString)
+          .groupBy(input_file_name().as("__f"))
+          .agg(min(col(c)).cast("long").as("__lo"),
+            max(col(c)).cast("long").as("__hi"))
+          .collect()
+          .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+        rels.map { r =>
+          val name = r.split('/').last
+          stats.collectFirst {
+            case (f, (lo, hi)) if f.endsWith("/" + name) => s"$r\t$lo\t$hi"
+          }.getOrElse(r)
+        }
+    }
   }
 
   /** Publish `files` as the next version on top of head `base`; returns
@@ -176,18 +226,50 @@ object Snapshots {
   }
 
   /** Commit `df` as a full replacement snapshot. Old versions remain
-    * readable until vacuumed. Returns the new version number.
+    * readable until vacuumed. Returns the new version number. With
+    * `statsCol`, the manifest carries per-file (min, max) of that long
+    * column for [[readPruned]]'s manifest-level file skipping.
     */
-  def commitOverwrite(spark: SparkSession, table: String, df: DataFrame): Int = {
-    val staged = stage(spark, table, df)
+  def commitOverwrite(spark: SparkSession, table: String, df: DataFrame,
+                      statsCol: Option[String] = None): Int = {
+    val staged = stage(spark, table, df, statsCol)
     publish(spark, table, _ => staged)
   }
 
   /** Commit `df` appended to the (retry-time) head snapshot. */
-  def commitAppend(spark: SparkSession, table: String, df: DataFrame): Int = {
-    val staged = stage(spark, table, df)
+  def commitAppend(spark: SparkSession, table: String, df: DataFrame,
+                   statsCol: Option[String] = None): Int = {
+    val staged = stage(spark, table, df, statsCol)
     publish(spark, table, head =>
-      head.map(manifestFiles(spark, table, _)).getOrElse(Seq.empty) ++ staged)
+      head.map(manifestDataLines(spark, table, _)).getOrElse(Seq.empty) ++ staged)
+  }
+
+  /** Range read with MANIFEST-LEVEL file skipping: plans only the files
+    * whose committed (min, max) stats can overlap [lo, hi] — a skipped
+    * file costs NOTHING, not even a footer open (parquet row-group
+    * pruning still needs to open every file; an object-store GET per
+    * footer is the planning cost this removes at 10⁶ files). Commit
+    * with `statsCol` + a range-clustered layout (repartitionByRange /
+    * Z-order / Hilbert) to make per-file ranges disjoint and the
+    * skipping sharp. Correctness NEVER rests on the stats: stats-less
+    * entries are always read, and the range predicate is re-applied to
+    * every surviving row — stale or absent stats only cost speed.
+    */
+  def readPruned(spark: SparkSession, table: String, statsCol: String,
+                 lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(lo <= hi, s"need lo <= hi, got $lo > $hi")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"$table has no committed versions")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"$table has no version $v (have ${vs.mkString(",")})")
+    val entries = manifestEntries(spark, table, v)
+    require(entries.nonEmpty, s"$table v$v is an empty snapshot")
+    val kept = entries.filter(_.stats.forall { case (l, h) => h >= lo && l <= hi })
+    val base =
+      if (kept.isEmpty) read(spark, table, Some(v)).limit(0)
+      else spark.read.parquet(kept.map(e => new Path(table, e.path).toString): _*)
+    base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
   /** Exactly-once append for replayable sources (streaming foreachBatch):
@@ -207,7 +289,7 @@ object Snapshots {
     val staged = stage(spark, table, df)
     Some(publish(spark, table, head =>
       (TokenHeader + token) +:
-        (head.map(manifestFiles(spark, table, _)).getOrElse(Seq.empty) ++ staged)))
+        (head.map(manifestDataLines(spark, table, _)).getOrElse(Seq.empty) ++ staged)))
   }
 
   /** Incremental read: the rows ADDED between `fromVersion` (exclusive)
@@ -229,13 +311,13 @@ object Snapshots {
     val to = toVersion.getOrElse(vs.last)
     require(vs.contains(fromVersion) && vs.contains(to) && fromVersion <= to,
       s"need committed versions from<=to, got $fromVersion..$to of ${vs.mkString(",")}")
-    val before = manifestFiles(spark, table, fromVersion)
-    val after = manifestFiles(spark, table, to)
+    val before = manifestDataLines(spark, table, fromVersion)
+    val after = manifestDataLines(spark, table, to)
     require(before.forall(after.contains),
       s"$table v$fromVersion..v$to is not an append range (a file of " +
         s"v$fromVersion is gone by v$to — an overwrite or compaction " +
         "rewrote history); read full snapshots instead")
-    val added = after.filterNot(before.toSet)
+    val added = after.filterNot(before.toSet).map(parseEntry(_).path)
     if (added.isEmpty) // legitimate: token-only or empty-batch commits
       read(spark, table, Some(to)).limit(0)
     else

@@ -130,6 +130,33 @@ class SnapshotsSpec extends SparkTestBase {
     assert(delta(4, 5) === Set(10L))
   }
 
+  test("readPruned: manifest stats skip files at planning time, never rows") {
+    val t = freshTable()
+    // range-clustered staging: 4 files with disjoint id ranges
+    val d = spark.range(0, 400).toDF("id")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    Snapshots.commitOverwrite(spark, t, d, statsCol = Some("id"))
+    val all = Snapshots.read(spark, t).inputFiles.length
+    assert(all === 4)
+    // a one-file range plans ONE file and returns exactly its rows
+    val narrow = Snapshots.readPruned(spark, t, "id", 10, 20)
+    assert(narrow.inputFiles.length === 1)
+    assert(narrow.select("id").as[Long].collect().toSet === (10L to 20L).toSet)
+    // a range outside every file plans zero files, right schema
+    val empty = Snapshots.readPruned(spark, t, "id", 1000, 2000)
+    assert(empty.count() === 0)
+    assert(empty.columns === Array("id"))
+    // the residual filter keeps correctness even when stats are absent:
+    // a stats-less append is always planned AND row-filtered
+    Snapshots.commitAppend(spark, t, Seq(15L, 9999L).toDF("id"))
+    val mixed = Snapshots.readPruned(spark, t, "id", 10, 20)
+    assert(mixed.select("id").as[Long].collect().sorted.toSeq ===
+      ((10L to 20L) :+ 15L).sorted)
+    // full-range pruned read ≡ plain read
+    assert(Snapshots.readPruned(spark, t, "id", Long.MinValue, Long.MaxValue)
+      .count() === 402)
+  }
+
   test("read plan scans exactly the manifest's closed file list") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
