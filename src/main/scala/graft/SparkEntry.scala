@@ -1647,23 +1647,34 @@ object SparkEntry {
       // overlap), and inserts at +10M for %11 keys. One key-grouped
       // max_by exchange — no join, no window sort; the oracle mirrors
       // with row_number over (prec DESC, seq DESC).
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      val upd = d.filter(col("doc_id") % 7 === 0)
-        .withColumn("s", explode(array(lit(1L), lit(2L), lit(3L))))
-        .select(col("doc_id"),
-          concat(lit("u"), col("s")).as("lang"), col("source"),
-          (col("n_chars") + col("s")).as("n_chars"),
-          col("s").as("seq"), lit("u").as("op"))
-      val del = d.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          lit(4L).as("seq"), lit("d").as("op"))
-      val ins = d.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          lit("new").as("lang"), col("source"), col("n_chars"),
-          lit(1L).as("seq"), lit("u").as("op"))
-      Merge.applyChanges(d, upd.unionByName(del).unionByName(ins),
-        Seq("doc_id"), "seq", "op")
+      val (d, changes) = cdcDocsAndChanges(s, dir)
+      Merge.applyChanges(d, changes, Seq("doc_id"), "seq", "op")
+    }),
+    // MERGE-ON-READ through the snapshot store — the OTHER lakehouse
+    // merge strategy beside q_merge_partitioned's copy-on-write: the
+    // write side stays APPEND-ONLY (base commit + two change-batch
+    // commits, write cost O(delta), no partition rewrite), and the
+    // reader compacts latest-wins at query time with the SAME
+    // one-exchange max_by as q_merge_cdc — whose oracle this query
+    // reuses VERBATIM, because storing the stream through manifests
+    // must change nothing about the merge contract. The change rows
+    // come back via the manifest-diff incremental read, so the base is
+    // never re-fetched as "changes".
+    "q_merge_on_read" -> ((s, dir) => {
+      val root = materializedDir("mergeonread", dir) { path =>
+        val t = path + "/t"
+        val (d, changes) = cdcDocsAndChanges(s, dir)
+        Snapshots.commitOverwrite(s, t,
+          d.withColumn("seq", lit(Long.MinValue)).withColumn("op", lit("u")))
+        // two append commits split the batch: updates+deletes, then
+        // inserts — the arrival shape of a CDC stream
+        Snapshots.commitAppend(s, t, changes.filter(col("doc_id") < 10000000L))
+        Snapshots.commitAppend(s, t, changes.filter(col("doc_id") >= 10000000L))
+      }
+      val t = root + "/t"
+      val base = Snapshots.read(s, t, Some(1)).drop("seq", "op")
+      val deltas = Snapshots.readChangesBetween(s, t, 1)
+      Merge.applyChanges(base, deltas, Seq("doc_id"), "seq", "op")
     }),
     "q_merge_partitioned" -> ((s, dir) => {
       // the lakehouse upsert shape end to end THROUGH STORAGE: stage the
@@ -2877,6 +2888,31 @@ object SparkEntry {
         .agg(min(col("dup_of")).as("dup_of"), count(lit(1)).as("n_appends"))
     }))
 
+  /** The CDC fixture shared by q_merge_cdc / q_merge_on_read: the
+    * documents snapshot plus a change batch with three competing
+    * updates per %7 key (seq 3 wins), later deletes for %5 keys, and
+    * inserts at +10M for %11 keys. One construction, one oracle — the
+    * storage-backed merge must match the logical one bit-for-bit.
+    */
+  private def cdcDocsAndChanges(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val upd = d.filter(col("doc_id") % 7 === 0)
+      .withColumn("s", explode(array(lit(1L), lit(2L), lit(3L))))
+      .select(col("doc_id"),
+        concat(lit("u"), col("s")).as("lang"), col("source"),
+        (col("n_chars") + col("s")).as("n_chars"),
+        col("s").as("seq"), lit("u").as("op"))
+    val del = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        lit(4L).as("seq"), lit("d").as("op"))
+    val ins = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        lit("new").as("lang"), col("source"), col("n_chars"),
+        lit(1L).as("seq"), lit("u").as("op"))
+    (d, upd.unionByName(del).unionByName(ins))
+  }
+
   /** Pattern-image aHash set shared by the two perceptual-hash queries:
     * 200 base pattern images (near-independent hashes by the per-cell
     * Knuth mix) + 20 planted variant-1 twins (+500000: the same pattern
@@ -3822,6 +3858,28 @@ object SparkEntry {
        |SELECT id_a, id_b, n_a, n_b, n_common FROM p
        |WHERE 1000000 * n_common * n_common >= 490000 * n_a * n_b""".stripMargin
 
+  private val mergeCdcSql =
+    """WITH chg AS (
+      |  SELECT doc_id, 'u' || s AS lang, source,
+      |         n_chars + s AS n_chars, s AS seq, 'u' AS op
+      |  FROM documents, (VALUES (1), (2), (3)) v(s) WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, n_chars, 4, 'd'
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, 'new', source, n_chars, 1, 'u'
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |unioned AS (
+      |  SELECT doc_id, lang, source, n_chars, 0 AS prec, -1 AS seq,
+      |         'u' AS op FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, n_chars, 1, seq, op FROM chg),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY prec DESC, seq DESC) AS rn FROM unioned)
+      |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM ranked WHERE rn = 1 AND op <> 'd'""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // v3 = the overwrite slice; v4 = its compaction (same rows by
     // contract). Recomputed from `orders` directly — any row the
@@ -3878,26 +3936,10 @@ object SparkEntry {
     // MERGE INTO mirrored as union + row_number over (prec DESC, seq
     // DESC): seq is unique per key by construction so the rank is total;
     // winners that are deletes vanish
-    "q_merge_cdc" -> ("""WITH chg AS (
-      |  SELECT doc_id, 'u' || s AS lang, source,
-      |         n_chars + s AS n_chars, s AS seq, 'u' AS op
-      |  FROM documents, (VALUES (1), (2), (3)) v(s) WHERE doc_id % 7 = 0
-      |  UNION ALL
-      |  SELECT doc_id, lang, source, n_chars, 4, 'd'
-      |  FROM documents WHERE doc_id % 5 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 10000000, 'new', source, n_chars, 1, 'u'
-      |  FROM documents WHERE doc_id % 11 = 0),
-      |unioned AS (
-      |  SELECT doc_id, lang, source, n_chars, 0 AS prec, -1 AS seq,
-      |         'u' AS op FROM documents
-      |  UNION ALL
-      |  SELECT doc_id, lang, source, n_chars, 1, seq, op FROM chg),
-      |ranked AS (
-      |  SELECT *, row_number() OVER (PARTITION BY doc_id
-      |    ORDER BY prec DESC, seq DESC) AS rn FROM unioned)
-      |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
-      |FROM ranked WHERE rn = 1 AND op <> 'd'""".stripMargin),
+    "q_merge_cdc" -> mergeCdcSql,
+    // storing the base + change stream through snapshot manifests and
+    // compacting at READ time must reproduce the logical merge exactly
+    "q_merge_on_read" -> mergeCdcSql,
     // the storage round trip adds nothing the logical merge doesn't:
     // the oracle is the same union + row_number mirror (updates keep
     // lang, bump n_chars); any partition-mechanics defect (resurrected

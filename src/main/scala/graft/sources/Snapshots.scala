@@ -331,7 +331,32 @@ object Snapshots {
     * resolving the old manifest; the old files stay until [[vacuum]].
     */
   def compactCommit(spark: SparkSession, table: String,
-                    targetFileBytes: Long): Int = {
+                    targetFileBytes: Long): Int =
+    maintenanceCommit(spark, table, targetFileBytes,
+      (df, n) => df.repartition(n), statsCol = None)
+
+  /** The OPTIMIZE move: compaction + range-clustering + stats refresh in
+    * ONE committed version — the head snapshot rewritten into
+    * size-targeted files that are range-partitioned and locally sorted
+    * on `orderCol`, with per-file (min, max) recorded for
+    * [[readPruned]]. The maintenance pass that turns a table fragmented
+    * by streaming appends (each with interleaved key ranges, so pruning
+    * skips nothing) back into a sharply skippable layout, under the same
+    * no-reader-visible-window protocol as every other commit.
+    */
+  def compactCommitOrdered(spark: SparkSession, table: String,
+                           targetFileBytes: Long, orderCol: String): Int = {
+    import org.apache.spark.sql.functions.col
+    maintenanceCommit(spark, table, targetFileBytes,
+      (df, n) => df.repartitionByRange(n, col(orderCol))
+        .sortWithinPartitions(orderCol),
+      statsCol = Some(orderCol))
+  }
+
+  private def maintenanceCommit(spark: SparkSession, table: String,
+                                targetFileBytes: Long,
+                                arrange: (DataFrame, Int) => DataFrame,
+                                statsCol: Option[String]): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val head = versions(spark, table).lastOption
       .getOrElse(sys.error(s"$table has no committed versions"))
@@ -339,16 +364,15 @@ object Snapshots {
     val f = fs(spark, table)
     val bytes = files.map(r => f.getFileStatus(new Path(table, r)).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val staged = stage(spark, table, read(spark, table).repartition(n))
+    val staged = stage(spark, table, arrange(read(spark, table), n), statsCol)
     // commit on TOP OF the head we compacted: if someone else committed
     // meanwhile, compacting over it would silently drop their commit —
     // fail instead (compaction is maintenance; rerun it)
-    val v = publish(spark, table, h => {
+    publish(spark, table, h => {
       require(h.contains(head),
         s"concurrent commit during compaction (head moved $head -> $h); rerun")
       staged
     })
-    v
   }
 
   /** Reclaim space: drop all manifests BELOW `keepFrom` and delete every

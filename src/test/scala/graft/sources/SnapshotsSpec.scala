@@ -157,6 +157,29 @@ class SnapshotsSpec extends SparkTestBase {
       .count() === 402)
   }
 
+  test("compactCommitOrdered: interleaved appends -> skippable clustered layout") {
+    val t = freshTable()
+    // 4 appends with INTERLEAVED id ranges: every file spans ~the whole
+    // domain, so pruning can skip nothing
+    (0 until 4).foreach { j =>
+      Snapshots.commitAppend(spark, t,
+        spark.range(0, 400).toDF("id").filter(col("id") % 4 === j),
+        statsCol = Some("id"))
+    }
+    assert(Snapshots.readPruned(spark, t, "id", 10, 20).inputFiles.length >= 4)
+    // OPTIMIZE: one version = compact + range-cluster + stats refresh
+    val v = Snapshots.compactCommitOrdered(spark, t, 4096, "id")
+    assert(v === 5)
+    val pruned = Snapshots.readPruned(spark, t, "id", 10, 20)
+    val total = Snapshots.read(spark, t).inputFiles.length
+    assert(total >= 2) // size-targeted into multiple files
+    assert(pruned.inputFiles.length < total) // band now skips files
+    assert(pruned.select("id").as[Long].collect().toSet === (10L to 20L).toSet)
+    // rows survive the rewrite exactly; pre-optimize version intact
+    assert(Snapshots.read(spark, t).count() === 400)
+    assert(Snapshots.read(spark, t, Some(4)).count() === 400)
+  }
+
   test("read plan scans exactly the manifest's closed file list") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
