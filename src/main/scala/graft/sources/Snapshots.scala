@@ -111,13 +111,23 @@ object Snapshots {
   private def manifestFiles(spark: SparkSession, table: String, v: Int): Seq[String] =
     manifestEntries(spark, table, v).map(_.path)
 
-  /** The commit tokens recorded by [[commitAppendOnce]], across all
-    * live (non-vacuumed) versions.
+  /** The commit tokens recorded by [[commitAppendOnce]] across live
+    * (non-vacuumed) versions — bounded to the most recent `lastK`
+    * manifests when given. Without the bound a long-running streaming
+    * sink would pay O(versions) manifest reads PER COMMIT (quadratic
+    * over the stream's life); with it, token dedup costs O(horizon),
+    * which matches the replay reality — a retried micro-batch is always
+    * within the source's checkpoint horizon of the head, never 10⁵
+    * commits back.
     */
-  def committedTokens(spark: SparkSession, table: String): Set[String] =
-    versions(spark, table).flatMap(v => manifestLines(spark, table, v)
+  def committedTokens(spark: SparkSession, table: String,
+                      lastK: Option[Int] = None): Set[String] = {
+    val vs = versions(spark, table)
+    val scan = lastK.fold(vs)(k => vs.takeRight(k))
+    scan.flatMap(v => manifestLines(spark, table, v)
       .collect { case l if l.startsWith(TokenHeader) =>
         l.substring(TokenHeader.length) }).toSet
+  }
 
   private val TokenHeader = "# token="
 
@@ -282,10 +292,17 @@ object Snapshots {
     * writers with the SAME token are out of contract.
     */
   def commitAppendOnce(spark: SparkSession, table: String, df: DataFrame,
-                       token: String): Option[Int] = {
+                       token: String, replayHorizon: Int = 128): Option[Int] = {
     require(!token.contains("\n") && !token.contains("\r"),
       "token must be single-line")
-    if (committedTokens(spark, table).contains(token)) return None
+    require(replayHorizon >= 1, "replayHorizon must be >= 1")
+    // horizon-bounded dedup scan: O(horizon) manifest reads per commit
+    // instead of O(versions) — see committedTokens. Tokens older than
+    // the horizon are forgotten for dedup, which matches the source's
+    // own replay bound (a streaming checkpoint never replays a batch
+    // from 10⁵ commits ago).
+    if (committedTokens(spark, table, Some(replayHorizon)).contains(token))
+      return None
     val staged = stage(spark, table, df)
     Some(publish(spark, table, head =>
       (TokenHeader + token) +:
