@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   *   3. Size filter at the join: a valid pair needs
   *      10⁶·min(|A|,|B|) ≥ t‰²·max(|A|,|B|).
   *   4. Dedup candidates to (id_a, id_b) — NARROW, before any payload
-  *      — then verify exactly on the two ranked arrays.
+  *      — then verify exactly by the join-count over the element rows.
   *
   * Soundness of the prefix: the classic lemma — under one total element
   * order, |A∩B| ≥ α forces the (|A|−α+1)-prefixes of A and B to share
@@ -68,11 +68,12 @@ object AllPairs {
       idCol: String,
       textCol: String,
       tPerMille: Int,
-      shingleSize: Int = 1): DataFrame = {
+      shingleSize: Int = 1,
+      tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     val elems = Dedup.explodedShingles(docs, idCol, textCol, shingleSize)
       .select(col(idCol).as("__id"), col("__sh").as("__el"))
       .distinct()
-    cosinePairsOnElements(elems, tPerMille)
+    cosinePairsOnElements(elems, tPerMille, tracker)
   }
 
   /** Core on pre-exploded (doc id, set element) rows — columns must be
@@ -80,34 +81,43 @@ object AllPairs {
     */
   private[operators] def cosinePairsOnElements(
       elems: DataFrame,
-      tPerMille: Int): DataFrame = {
+      tPerMille: Int,
+      tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     require(tPerMille > 0 && tPerMille < 1000,
       s"threshold must be in (0, 1000) per-mille, got $tPerMille")
     val t2 = tPerMille.toLong * tPerMille // t²·10⁶
     val M = 1000000L
 
-    // NOT persisted, deliberately (measured at sf0.1): five branches
-    // read the element rows, but the shingle repartition exchange below
-    // them is AQE-reused, each branch's map side is thin codegen, and
-    // both cache variants measured no better or worse — the per-doc
-    // ARRAY formulation's cache was 2-8× SLOWER (object serialization +
-    // broadcast-reuse loss), the narrow-row cache a wash. Recompute
-    // above a reused exchange beats pinning block-manager space here.
-    val el = elems
+    // persisted: FOUR branches consume the distinct element rows on
+    // DIFFERENT keys (element-df count, the rank/size windows by id,
+    // and the two verify joins by id_a/id_b), so no single exchange can
+    // be reused across them and Catalyst does not CSE subplans. The
+    // cached rows are NARROW (id, element) columnar — measured 4.0 →
+    // 2.3 s warm at sf0.1 against a stable interleaved reference query.
+    // (The per-doc ARRAY formulation's cache was the opposite — 2-8×
+    // SLOWER than recompute: object serialization + broadcast-reuse
+    // loss. What gets cached matters more than whether.) Ownership:
+    // [[CacheTracker]].
+    val el = tracker.own(elems
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // global document frequency -> total order (df asc, element asc);
-    // per-element rank via ONE ordered window. Set size comes from a
-    // grouped count JOINED back on id — NOT a count-over-partition
-    // window: that spec has no frame cap, buffers whole partitions, and
-    // measured as the hot node; the aggregate is map-side-combinable
-    // and its join reuses the id clustering. No arrays anywhere: a long
-    // doc's set never materializes as a row value.
+    // per-element rank AND set size from two window passes sharing ONE
+    // id-hash exchange and ONE (id, df, el) sort — the per-id frame the
+    // size window buffers is a doc's element count (tens of rows), and
+    // a grouped-count-join alternative was measured SLOWER: it replays
+    // the whole shingle subtree once more (Catalyst does not CSE
+    // subplans) just to re-derive a count this stage already has in
+    // hand. No arrays anywhere: a long doc's set never materializes as
+    // a row value.
     val elDf = el.groupBy("__el").agg(count(lit(1)).as("__df"))
-    val sizes = el.groupBy("__id").agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy("__df", "__el")
-    val rankedRows = el.join(elDf, "__el").join(sizes, "__id")
-      .select(col("__id"), col("__el"), col("__n"),
+    val rankedRows = el.join(elDf, "__el")
+      .select(col("__id"), col("__el"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__id"))
+          .as("__n"),
         row_number().over(w).as("__rn"))
 
     // prefix rows: rn <= n - ceil(t²·n/10⁶) + 1
