@@ -246,9 +246,33 @@ object Snapshots {
     publish(spark, table, _ => staged)
   }
 
+  /** The head snapshot's column (name, type) sequence, or None for an
+    * empty table — read from ONE committed file's footer.
+    */
+  private def headShape(spark: SparkSession, table: String): Option[Seq[(String, String)]] =
+    versions(spark, table).lastOption
+      .flatMap(v => manifestFiles(spark, table, v).headOption)
+      .map(rel => spark.read.parquet(new Path(table, rel).toString)
+        .schema.map(f => (f.name, f.dataType.simpleString)))
+
+  /** Reject an append whose columns don't match the head snapshot —
+    * a mismatched append succeeds silently TODAY and breaks every
+    * LATER read of any version containing it (parquet schema union at
+    * scan time), which is the worst possible failure distance.
+    * Nullability is deliberately not compared; names and types are.
+    */
+  private def requireShape(spark: SparkSession, table: String, df: DataFrame): Unit =
+    headShape(spark, table).foreach { want =>
+      val got = df.schema.map(f => (f.name, f.dataType.simpleString))
+      require(got == want,
+        s"append schema ${got.mkString(",")} does not match $table's head " +
+          s"snapshot ${want.mkString(",")}; commitOverwrite starts a new shape")
+    }
+
   /** Commit `df` appended to the (retry-time) head snapshot. */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    statsCol: Option[String] = None): Int = {
+    requireShape(spark, table, df)
     val staged = stage(spark, table, df, statsCol)
     publish(spark, table, head =>
       head.map(manifestDataLines(spark, table, _)).getOrElse(Seq.empty) ++ staged)
@@ -303,6 +327,7 @@ object Snapshots {
     // from 10⁵ commits ago).
     if (committedTokens(spark, table, Some(replayHorizon)).contains(token))
       return None
+    requireShape(spark, table, df)
     val staged = stage(spark, table, df)
     Some(publish(spark, table, head =>
       (TokenHeader + token) +:

@@ -180,6 +180,25 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.read(spark, t, Some(4)).count() === 400)
   }
 
+  test("append schema drift is rejected at commit time, not at read time") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    intercept[IllegalArgumentException] { // extra column
+      Snapshots.commitAppend(spark, t, Seq((2L, "x")).toDF("id", "extra"))
+    }
+    intercept[IllegalArgumentException] { // type drift
+      Snapshots.commitAppend(spark, t, Seq(2).toDF("id"))
+    }
+    intercept[IllegalArgumentException] { // tokened path too
+      Snapshots.commitAppendOnce(spark, t, Seq(2).toDF("id"), "b0")
+    }
+    assert(ids(t) === Set(1L)) // nothing leaked into the table
+    // an overwrite legitimately starts a new shape; appends then follow it
+    Snapshots.commitOverwrite(spark, t, Seq((9L, "y")).toDF("id", "extra"))
+    Snapshots.commitAppend(spark, t, Seq((10L, "z")).toDF("id", "extra"))
+    assert(Snapshots.read(spark, t).count() === 2)
+  }
+
   test("read plan scans exactly the manifest's closed file list") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
