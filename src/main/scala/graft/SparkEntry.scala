@@ -1485,6 +1485,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    // HARD-NEGATIVE MINING for contrastive embedding training: per
+    // anchor, the top-10 corpus vectors inside the cosine band
+    // [0.1, 0.98) — informative (near the boundary) but NOT positives/
+    // near-dups (training on those is SemDeDup's failure mode in
+    // reverse). The band filter runs BEFORE the rank window, so the
+    // window exchange carries only in-band rows — a tiny fraction on
+    // near-orthogonal embeddings. Oracle = the same banded ranking in
+    // DuckDB; self-matches (cos = 1) fall to the ceiling.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, lo1e3 = 100, hi1e3 = 980)
+    }),
     "dedup_embedding_pairs" -> ((s, dir) => {
       // embedding-cosine near-dup: planted jittered copies (vec_id+100000,
       // tiny per-dim perturbation) must pair with their originals through
@@ -3904,6 +3917,19 @@ object SparkEntry {
     "q_k_anonymity" -> ("SELECT lang, source, n_chars // 10 AS len_band, " +
       "count(*)::BIGINT AS group_size FROM documents " +
       "GROUP BY lang, source, len_band HAVING count(*) < 25"),
+    "q_hard_negatives" -> ("""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.embedding::DOUBLE[],
+      |      e.embedding::DOUBLE[]) AS sim
+      |  FROM q, embeddings e),
+      |banded AS (SELECT * FROM scored WHERE sim >= 0.1 AND sim < 0.98),
+      |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+      |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM banded)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 10""".stripMargin),
     "q_lm_train" -> lmTrainSql,
     "q_lm_score" -> lmScoreSql,
     "q_lm_filter" -> (s"WITH scored AS ($lmScoreSql) " +

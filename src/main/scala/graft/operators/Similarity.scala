@@ -55,6 +55,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query (anchor), the top-k corpus rows by cosine INSIDE the band
+    * [lo1e3, hi1e3)‰. Above the floor = informative (near the decision
+    * boundary, where gradient signal lives); below the ceiling =
+    * excludes positives and near-duplicates (training on those teaches
+    * the model to push a paraphrase away — SemDeDup's failure mode in
+    * reverse). Thresholds are per-mille ints so the CONTRACT is
+    * integer; the comparison itself is the same double literal any
+    * replaying engine forms.
+    *
+    * Shape: queries broadcast into one corpus scan (anchor sets are
+    * benchmark-sized; the corpus is the big side and never shuffles for
+    * scoring); the BAND FILTER runs before the per-query rank window,
+    * so the window's exchange carries only in-band rows — on
+    * near-orthogonal real embeddings that is a tiny fraction of the
+    * corpus, which is exactly why banding before ranking matters. The
+    * brute scoring pass swaps for the IVF/PQ shortlist tier when the
+    * anchor set itself is corpus-sized.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    lo1e3: Int, hi1e3: Int): DataFrame = {
+    require(0 <= lo1e3 && lo1e3 < hi1e3 && hi1e3 <= 1000,
+      s"need 0 <= lo < hi <= 1000 per-mille, got [$lo1e3, $hi1e3)")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("__sim"))
+      .filter(col("__sim") >= lit(lo1e3 / 1000.0) &&
+        col("__sim") < lit(hi1e3 / 1000.0))
+    val w = Window.partitionBy("query_id").orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Embedding dimensionality, probed from one row (tiny driver action —
     * constant cost at any corpus scale). Hardcoding a dim would make
     * zip_with silently null-pad mismatched vectors and collapse every

@@ -381,4 +381,32 @@ class SimilaritySpec extends SparkTestBase {
       .head().getAs[Long]("neighbor_id")
     assert(reranked == 7L, "exact L2 over the shortlist recovers the true NN")
   }
+
+  test("hardNegatives: equals the brute banded ranking; band excludes self and opposite") {
+    val df = embDf
+    val q = df.filter(col("vec_id") === 0L)
+    // first-principles truth over the same fixture
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val base = rows.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = rows.map { case (id, v) => (id, cos(base, v)) }
+      .filter { case (_, s) => s >= 0.3 && s < 0.98 }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(10).map(_._1).toSeq
+    assert(want.nonEmpty, "fixture must have in-band vectors")
+    val got = Similarity.hardNegatives(df, q, "vec_id", "embedding",
+        k = 10, lo1e3 = 300, hi1e3 = 980)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.map(_._1).toSeq === want)
+    assert(got.map(_._2).toSeq === (1 to want.size))
+    assert(!got.map(_._1).contains(0L), "self (cos 1.0) excluded by the ceiling")
+    assert(!got.map(_._1).contains(3L), "opposite (cos -1) excluded by the floor")
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(df, q, "vec_id", "embedding", 5, 900, 900)
+    }
+  }
 }
