@@ -99,6 +99,10 @@ object NgramLm {
       textCol: String,
       bi: DataFrame,
       uni: DataFrame): DataFrame = {
+    val reserved = Set("w1", "w2", "bi_score", "uni_score",
+      "n_bigrams", "score_sum", "score_avg", "__s")
+    require(!reserved.contains(idCol),
+      s"idCol '$idCol' collides with an internal/output column of scoreBigram")
     val pairs = docs
       .select(col(idCol), explode(bigrams(toks(col(textCol)))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))

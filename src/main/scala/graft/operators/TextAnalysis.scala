@@ -165,11 +165,14 @@ object TextAnalysis {
     * aggregates map-side before its one keyed exchange.
     */
   def keywordTags(df: DataFrame, idCol: String, textCol: String,
-                  terms: DataFrame): DataFrame =
+                  terms: DataFrame): DataFrame = {
+    require(idCol != "term" && idCol != "n_hits",
+      s"idCol '$idCol' collides with keywordTags' output columns")
     df.select(col(idCol), explode(split(lower(normWs(col(textCol))), " ")).as("term"))
       .join(broadcast(terms.select(lower(col("term")).as("term"))), "term")
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("n_hits"))
+  }
 
   /** Split each document into overlapping token windows — the chunking
     * step RAG indexes and context-window datasets run over a corpus.
