@@ -2652,6 +2652,17 @@ object SparkEntry {
       val (bi, uni) = NgramLm.trainBigram(d.filter(col("lang") === "en"), "text")
       NgramLm.scoreBigram(d, "doc_id", "text", bi, uni)
     }),
+    // ...the ORDER-3 model: the trigram → bigram → unigram → 0 backoff
+    // CHAIN, every hop exercised by the corpus (seen trigrams, bigram
+    // backoffs for novel contexts, α²-weighted unigram floors for
+    // novel continuations, hard 0 for OOV). Same fixed-point algebra,
+    // one more join; the stored tables fold every denominator.
+    "q_lm_trigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (tri, bi, uni) = NgramLm
+        .trainTrigram(d.filter(col("lang") === "en"), "text")
+      NgramLm.scoreTrigram(d, "doc_id", "text", tri, bi, uni)
+    }),
     // ...and the filter COMPOSITION: keep only documents above a fixed
     // fluency cutoff and report the per-language survivor profile — the
     // decision step a curation pipeline actually ships (the en-trained
@@ -3855,6 +3866,36 @@ object SparkEntry {
        |  CAST(CAST(sum(s) AS BIGINT) // count(*) AS BIGINT) AS score_avg
        |FROM sc GROUP BY doc_id""".stripMargin
 
+  // order-3 mirror: trigram counts over the en slice, denominators from
+  // the SAME biC/uniC the bigram oracle uses, backoff chain as three
+  // left joins — exactly NgramLm.scoreTrigram's plan
+  private val lmTrigramSql =
+    s"""WITH $lmCtes,
+       |trig AS (SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2, c.w AS w3
+       |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |             JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |triC AS (SELECT w1, w2, w3, count(*)::BIGINT AS c123
+       |  FROM trig WHERE lang = 'en' GROUP BY w1, w2, w3),
+       |tri AS (SELECT t.w1, t.w2, t.w3,
+       |    CAST((1000000 * t.c123) // b.c12 AS BIGINT) AS tri_score
+       |  FROM triC t JOIN biC b ON t.w1 = b.w1 AND t.w2 = b.w2),
+       |bi2 AS (SELECT b.w1, b.w2,
+       |    CAST((2 * 1000000 * b.c12) // (5 * u.cw) AS BIGINT) AS bi2_score
+       |  FROM biC b JOIN uniC u ON b.w1 = u.w),
+       |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS total FROM uniC),
+       |uni2 AS (SELECT w, CAST((4 * 1000000 * cw) // (25 * total) AS BIGINT)
+       |    AS uni2_score FROM uniC, tot),
+       |sc AS (SELECT g.doc_id,
+       |    coalesce(tri.tri_score, bi2.bi2_score, uni2.uni2_score, 0) AS s
+       |  FROM trig g
+       |  LEFT JOIN tri ON g.w1 = tri.w1 AND g.w2 = tri.w2 AND g.w3 = tri.w3
+       |  LEFT JOIN bi2 ON g.w2 = bi2.w1 AND g.w3 = bi2.w2
+       |  LEFT JOIN uni2 ON g.w3 = uni2.w)
+       |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+       |  CAST(sum(s) AS BIGINT) AS score_sum,
+       |  CAST(CAST(sum(s) AS BIGINT) // count(*) AS BIGINT) AS score_avg
+       |FROM sc GROUP BY doc_id""".stripMargin
+
   /** Brute-force quadratic truth for q_allpairs_cosine: every pair of
     * 4-shingle sets with 10⁶·i² ≥ 700‰²·|A|·|B| — the prefix-filtered
     * operator must reproduce it EXACTLY (same short-doc whole-text rule
@@ -3932,6 +3973,7 @@ object SparkEntry {
       |FROM ranked WHERE rank <= 10""".stripMargin),
     "q_lm_train" -> lmTrainSql,
     "q_lm_score" -> lmScoreSql,
+    "q_lm_trigram" -> lmTrigramSql,
     "q_lm_filter" -> (s"WITH scored AS ($lmScoreSql) " +
       "SELECT d.lang, count(*)::BIGINT AS n_kept, " +
       "CAST(sum(d.doc_id) AS BIGINT) AS id_sum " +

@@ -88,6 +88,87 @@ object NgramLm {
     (bi, uni)
   }
 
+  /** Adjacent-trigram struct array: the token array zipped with itself
+    * shifted by one and two. Docs under three tokens vanish.
+    */
+  private def trigrams(t: Column): Column = {
+    val len = greatest(size(t) - 2, lit(0))
+    arrays_zip(
+      slice(t, lit(1), len).as("w1"),
+      slice(t, lit(2), len).as("w2"),
+      slice(t, lit(3), len).as("w3"))
+  }
+
+  /** Train the order-3 stupid-backoff model: returns (trigram table,
+    * bigram table, unigram table). The backoff CHAIN is folded into the
+    * stored scores so scoring is three left joins and one coalesce:
+    *
+    *   tri_score = (Scale·c123) div c(w1 w2)
+    *   bi2_score = (2·Scale·c23) div (5·c(w2))        — α = 2/5
+    *   uni2_score = (4·Scale·c3) div (25·N)           — α²
+    *
+    * (bigram/unigram tables here are keyed for the TRIGRAM backoff
+    * path — (w2, w3) context and α²-weighted w3 — and are distinct
+    * artifacts from [[trainBigram]]'s.)
+    */
+  def trainTrigram(docs: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val t = docs.select(toks(col(textCol)).as("__toks"))
+    val uniCounts = t.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val total = uniCounts.agg(sum("cw").as("__total"))
+    val uni = uniCounts.crossJoin(broadcast(total))
+      .select(col("w"), col("cw"),
+        expr(s"(4 * ${Scale}L * cw) div (25 * __total)").as("uni2_score"))
+    val biCounts = t.select(explode(bigrams(col("__toks"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val bi = biCounts
+      .join(uniCounts.select(col("w").as("w1"), col("cw").as("__c1")), "w1")
+      .select(col("w1"), col("w2"), col("c12"),
+        expr(s"(2 * ${Scale}L * c12) div (5 * __c1)").as("bi2_score"))
+    val tri = t.select(explode(trigrams(col("__toks"))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+      .join(biCounts.select(col("w1"), col("w2").as("w2"), col("c12").as("__c12")),
+        Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"), col("c123"),
+        expr(s"(${Scale}L * c123) div __c12").as("tri_score"))
+    (tri, bi, uni)
+  }
+
+  /** Score docs against an order-3 model: per doc, the sum over
+    * adjacent trigram occurrences of
+    * coalesce(tri_score(w1w2w3), bi2_score(w2w3), uni2_score(w3), 0).
+    * Output: (idCol, n_trigrams, score_sum, score_avg) — all BIGINT.
+    */
+  def scoreTrigram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tri: DataFrame,
+      bi: DataFrame,
+      uni: DataFrame): DataFrame = {
+    val reserved = Set("w1", "w2", "w3", "tri_score", "bi2_score",
+      "uni2_score", "n_trigrams", "score_sum", "score_avg", "__s")
+    require(!reserved.contains(idCol),
+      s"idCol '$idCol' collides with an internal/output column of scoreTrigram")
+    docs
+      .select(col(idCol), explode(trigrams(toks(col(textCol)))).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .join(tri.select(col("w1"), col("w2"), col("w3"), col("tri_score")),
+        Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"), col("bi2_score")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w3"), col("uni2_score")), Seq("w3"), "left")
+      .select(col(idCol),
+        coalesce(col("tri_score"), col("bi2_score"), col("uni2_score"), lit(0L)).as("__s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), sum("__s").as("score_sum"))
+      .withColumn("score_avg", expr("score_sum div n_trigrams"))
+  }
+
   /** Score every document of `docs` against a trained model: one row
     * per doc with at least one bigram — (idCol, n_bigrams, score_sum,
     * score_avg), all BIGINT, score_avg = score_sum div n_bigrams in

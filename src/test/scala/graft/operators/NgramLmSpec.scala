@@ -66,6 +66,31 @@ class NgramLmSpec extends SparkTestBase {
     assert(zeros === 0)
   }
 
+  test("trigram model: hand-computed backoff chain tri -> bi -> uni -> 0") {
+    // corpus "a b c a b c a b d": uni a:3 b:3 c:2 d:1 N=9;
+    // bigrams (a,b):3 (b,c):2 (c,a):2 (b,d):1;
+    // trigrams (a,b,c):2 (b,c,a):2 (c,a,b):2 (a,b,d):1
+    val (tri, bi, uni) =
+      NgramLm.trainTrigram(Seq("a b c a b c a b d").toDF("text"), "text")
+    val triMap = tri.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(4)).toMap
+    assert(triMap === Map(
+      ("a", "b", "c") -> 666666L, // 1e6*2 div 3
+      ("b", "c", "a") -> 1000000L,
+      ("c", "a", "b") -> 1000000L,
+      ("a", "b", "d") -> 333333L))
+    val docs = Seq(
+      (1L, "a b c d"),  // tri(a,b,c)=666666; (b,c,d): tri+bi miss -> uni2(d)=17777
+      (2L, "x b c y")   // (x,b,c): bi2(b,c)=266666; (b,c,y): all miss -> 0
+    ).toDF("id", "text")
+    val got = NgramLm.scoreTrigram(docs, "id", "text", tri, bi, uni)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // uni2(d) = (4e6*1) div (25*9) = 17777; bi2(b,c) = (2e6*2) div (5*3) = 266666
+    assert(got === Map(
+      1L -> ((2L, 684443L, 342221L)),
+      2L -> ((2L, 266666L, 133333L))))
+  }
+
   test("scoring plan: no cartesian product, corpus joins are key-equi") {
     val (bi, uni) = model
     val docs = Seq((1L, "a b c")).toDF("id", "text")
