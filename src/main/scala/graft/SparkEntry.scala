@@ -2306,6 +2306,24 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), score.as("q_score"),
         when(score >= 600L, 1L).otherwise(0L).as("keep"))
     }),
+    // PER-SOURCE SCORE CALIBRATION: raw quality scores are not
+    // comparable across sources (each has its own distribution), so a
+    // global raw cutoff silently over-prunes whole sources — q_score
+    // is first rank-normalized WITHIN source to integer per-mille, and
+    // "top quarter of EACH source" becomes one comparable predicate.
+    // Output = the kept set per source (balanced counts by
+    // construction — that balance IS the feature) + id_sum, which
+    // pins exactly WHICH docs each source kept.
+    "q_score_calibrate" -> ((s, dir) => {
+      val score = TextAnalysis.linearQualityScore(col("text"), qualityWeights)
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("source"), score.as("q_score"))
+      graft.operators.Stats
+        .rankCalibrate(scored, "source", "q_score", "doc_id")
+        .filter(col("rank_pm") <= 250)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    }),
     // cross-document boilerplate: distinct 3-grams per doc scored by
     // corpus-wide document frequency; grams in >= 5 docs count as
     // boilerplate (the CCNet-style repeated-span signal)
@@ -4840,6 +4858,20 @@ object SparkEntry {
       "CAST(CASE WHEN q_score >= 600 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM (" +
       s"SELECT doc_id, $qScoreSql AS q_score " +
       "FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM documents))"),
+    "q_score_calibrate" -> ("""WITH scored AS (
+      |  SELECT doc_id, source, """.stripMargin + qScoreSql +
+      """ AS q_score FROM (
+      |    SELECT doc_id, source,
+      |      trim(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM documents)),
+      |ranked AS (SELECT doc_id, source,
+      |  row_number() OVER (PARTITION BY source ORDER BY q_score DESC, doc_id) AS rn,
+      |  count(*) OVER (PARTITION BY source) AS n
+      |  FROM scored)
+      |SELECT source, count(*)::BIGINT AS n_kept,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM ranked
+      |WHERE (CASE WHEN n = 1 THEN 0 ELSE (1000 * (rn - 1)) // (n - 1) END) <= 250
+      |GROUP BY source""".stripMargin),
     "q_mix_sources" -> mixSourcesSql,
     // identical selection by construction — same oracle
     "q_mix_sources_large" -> mixSourcesSql,

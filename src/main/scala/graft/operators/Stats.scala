@@ -71,6 +71,33 @@ object Stats {
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Per-group rank calibration in per-mille: each row's rank position
+    * within its group, scaled to [0, 1000] — rank_pm = (1000·(rank−1))
+    * div (n−1), a single-member group calibrating to 0. The
+    * cross-source score-normalization move: raw quality scores are NOT
+    * comparable across sources (each source has its own score
+    * distribution), so a single global cutoff over raw scores silently
+    * over-prunes whole sources; rank-within-source makes "keep the top
+    * X‰ of EACH source" one comparable predicate. Integer arithmetic
+    * end to end (percent_rank would hand every replaying engine a
+    * float); ties broken by `tieCol` so ranks are total and
+    * deterministic. One (group)-keyed exchange, both windows sharing
+    * its sort.
+    */
+  def rankCalibrate(df: DataFrame, groupCol: String, scoreCol: String,
+                    tieCol: String): DataFrame = {
+    require(!df.columns.contains("rank_pm"),
+      "input already has a 'rank_pm' column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol).desc, col(tieCol))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("rank_pm",
+        expr("CASE WHEN __n = 1 THEN 0 ELSE (1000 * (__rn - 1)) div (__n - 1) END"))
+      .drop("__rn", "__n")
+  }
+
   /** Fixed-width histogram: bucket = clamp(val div width, 0, nBuckets-1)
     * — the overflow tail lands in the last bucket, values below zero in
     * bucket 0 (the double clamp also absorbs the truncate-vs-floor

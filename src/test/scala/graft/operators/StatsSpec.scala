@@ -113,4 +113,28 @@ class StatsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(half == again, "same weights → same kept set")
   }
+
+  test("rankCalibrate: per-group per-mille ranks, skew-immune cutoffs") {
+    val s = spark
+    import s.implicits._
+    // source A scores 10x higher than source B everywhere — a global
+    // raw cutoff would keep ONLY A; calibrated ranks treat them alike
+    val df = (
+      (1L to 5L).map(i => (i, "A", i * 100L)) ++
+      (11L to 15L).map(i => (i, "B", (i - 10) * 10L)) :+
+      ((99L, "C", 7L))).toDF("id", "src", "score")
+    val cal = Stats.rankCalibrate(df, "src", "score", "id")
+    val pm = cal.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // 5-member groups: ranks 0, 250, 500, 750, 1000 (desc score)
+    assert(pm(5L) === 0L && pm(4L) === 250L && pm(1L) === 1000L)
+    assert(pm(15L) === 0L && pm(11L) === 1000L)
+    assert(pm(99L) === 0L, "singleton group calibrates to 0")
+    // top-quarter cutoff keeps the best of EACH source
+    val kept = cal.filter(col("rank_pm") <= 250).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(5L, 4L, 15L, 14L, 99L))
+    intercept[IllegalArgumentException] {
+      Stats.rankCalibrate(df.withColumn("rank_pm", lit(1)), "src", "score", "id")
+    }
+  }
 }
