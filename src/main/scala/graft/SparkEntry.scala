@@ -328,6 +328,32 @@ object SparkEntry {
   /** q_token_budget's per-shard token budget — one constant, both sides. */
   private val tokenBudgetCap = 3000L
 
+  /** q_temperature_mix's mix size — one constant, both sides. */
+  private val tempMixBudget = 200L
+
+  /** q_temperature_mix's oracle: the mT5/XLM-R temperature-resampling law
+    * in plain SQL. Weights = floor(sqrt(cnt)·10⁶) (sqrt is IEEE-exact in
+    * BOTH engines — the reason the driver query pins tau = 0.5), targets
+    * by exact HUGEINT largest-remainder apportionment (ASC NULLS FIRST
+    * pinned to Spark's sort default), selection by the shared md5 hash
+    * rank. Mirrors [[graft.operators.Sampling.temperatureTargets]] +
+    * [[graft.operators.Sampling.mixToQuotas]].
+    */
+  private lazy val temperatureMixSql: String =
+    "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM documents GROUP BY lang), " +
+      "w AS (SELECT lang, CAST(floor(sqrt(cnt) * 1000000) AS BIGINT) AS w FROM c), " +
+      "a AS (SELECT lang, " +
+      s"CAST((CAST(w AS HUGEINT) * $tempMixBudget) // CAST(sum(w) OVER () AS HUGEINT) AS BIGINT) AS base, " +
+      s"(CAST(w AS HUGEINT) * $tempMixBudget) % CAST(sum(w) OVER () AS HUGEINT) AS rem FROM w), " +
+      "t AS (SELECT lang, base + CASE WHEN row_number() OVER " +
+      "(ORDER BY rem DESC, lang ASC NULLS FIRST) <= " +
+      s"$tempMixBudget - sum(base) OVER () THEN 1 ELSE 0 END AS quota FROM a), " +
+      "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+      "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn " +
+      "FROM documents) " +
+      "SELECT doc_id, lang FROM r JOIN t USING (lang) WHERE rn <= quota"
+
   /** The ONE quality-model weight vector every scoring query shares
     * (q_quality_score, q_token_budget*, q_curation_e2e) — mirrored by
     * [[qScoreSql]]; editing weights means editing BOTH, once each.
@@ -538,6 +564,13 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("source")),
         "doc_id", "source", quotas, mixDefaultQuota, cacheInput = false)
     }),
+    // temperature-based language resampling (the mT5/XLM-R law): targets
+    // ∝ cnt^0.5 flatten the en-dominant corpus, exact largest-remainder
+    // apportionment lands on the budget to the row, hash-rank selection
+    "q_temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", tau = 0.5, totalBudget = tempMixBudget)),
     // token-BUDGET selection: per lang, the best docs (linear quality
     // score, ties by id) whose running token total fits the budget —
     // "the best N tokens", the cut a fixed-size training run makes
@@ -4875,6 +4908,7 @@ object SparkEntry {
     "q_mix_sources" -> mixSourcesSql,
     // identical selection by construction — same oracle
     "q_mix_sources_large" -> mixSourcesSql,
+    "q_temperature_mix" -> temperatureMixSql,
     // CAST the window sum: DuckDB sum(BIGINT) OVER → HUGEINT → float64
     "q_token_budget" -> tokenBudgetSql,
     // identical selection by construction — same oracle

@@ -283,6 +283,81 @@ object Sampling {
   }
 
 
+  /** Temperature-scaled per-key row targets (the mT5/XLM-R resampling
+    * law): key `i` holding `cnt_i` rows gets `quota_i ∝ cnt_i^tau` of a
+    * `totalBudget`-row mix. `tau = 1` reproduces the natural distribution;
+    * `tau → 0` flattens it toward uniform — the standard knob for keeping
+    * a dominant crawl source from drowning small high-value ones.
+    *
+    * Exact integer apportionment (Hamilton / largest-remainder): weights
+    * quantize to `floor(cnt^tau · weightScale)` BIGINTs, each key takes
+    * `floor(w_i·B / W)` (exact decimal integral division — never a
+    * rounded float quotient), and the `B − Σ floor` leftover rows go to
+    * the largest remainders (ties by key, NULLS FIRST pinned to Spark's
+    * sort default). So `Σ quota_i == totalBudget` EXACTLY whenever the
+    * frame is non-empty — no float drift, no off-by-the-rounding-mode.
+    * Cross-engine note: `tau = 0.5` routes through `sqrt`, which IEEE 754
+    * requires to be correctly rounded — bit-identical in any engine. For
+    * other `tau`, `pow` may differ by 1 ulp between libm implementations;
+    * the `weightScale` floor-quantization makes a divergent weight need
+    * the true value within ~1 ulp of a 1/weightScale boundary (≈1e-8
+    * per key at the default scale), and even then the integer
+    * apportionment dampens a ±1 weight to a ±1-row quota at most.
+    *
+    * Scale shape: ONE partial-agg exchange carrying only the key column;
+    * every later stage (weights, apportionment windows) runs on the
+    * key-cardinality frame — tiny by this operator's contract (keys are
+    * SOURCES: a mixing config dimension, not a data dimension).
+    *
+    * Output: (keyCol, quota) — a [[mixToQuotas]]-shaped config. A quota
+    * may exceed its key's row count when `totalBudget` overshoots the
+    * corpus (the selection then keeps the whole key, like every quota).
+    */
+  def temperatureTargets(df: DataFrame, keyCol: String, tau: Double,
+                         totalBudget: Long,
+                         weightScale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(totalBudget >= 0, s"totalBudget must be non-negative, got $totalBudget")
+    require(weightScale >= 1, s"weightScale must be positive, got $weightScale")
+    require(keyCol != "quota", "keyCol 'quota' would collide with the output column")
+    // sqrt is IEEE-correctly-rounded everywhere; pow is not — route the
+    // common tau through the exact op so oracles can hash-match it
+    val raw = if (tau == 0.5) sqrt(col("__cnt")) else pow(col("__cnt"), lit(tau))
+    val one = Window.partitionBy(lit(1))
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
+    counts
+      .withColumn("__w", floor(raw * weightScale).cast("long"))
+      .withColumn("__wsum", sum(col("__w")).over(one).cast("decimal(38,0)"))
+      // decimal(38,0) keeps w·B exact to 38 digits; DIV / % are exact
+      // integer quotient/remainder on decimals (no rounded float quotient)
+      .withColumn("__num", col("__w").cast("decimal(38,0)") * lit(totalBudget))
+      .withColumn("__base", expr("__num DIV __wsum"))
+      .withColumn("__rem", expr("__num % __wsum"))
+      .withColumn("__short", lit(totalBudget) - sum(col("__base")).over(one))
+      .withColumn("__rn", row_number().over(
+        one.orderBy(col("__rem").desc, col(keyCol).asc_nulls_first)))
+      .select(col(keyCol),
+        (col("__base") +
+          when(col("__rn") <= col("__short"), 1L).otherwise(0L)).as("quota"))
+  }
+
+  /** Temperature-based source resampling end to end: derive the
+    * [[temperatureTargets]] quotas from the corpus itself, then make the
+    * hash-rank selection via [[mixToQuotas]] — deterministic, engine- and
+    * layout-stable, and exactly `totalBudget` rows whenever every key
+    * holds at least its quota. The input plan executes twice (counts,
+    * then rank) — inherent, the targets depend on the global counts;
+    * persist upstream if it is expensive. `defaultQuota = 0` is
+    * unreachable: the targets cover every observed key by construction.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, keyCol: String,
+                     tau: Double, totalBudget: Long,
+                     weightScale: Long = 1000000L): DataFrame =
+    mixToQuotas(df, idCol, keyCol,
+      temperatureTargets(df, keyCol, tau, totalBudget, weightScale),
+      defaultQuota = 0L)
+
   private def threshold(fraction: Double): Long =
     math.floor(fraction * 4294967296.0).toLong
 

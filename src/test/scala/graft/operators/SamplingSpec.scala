@@ -195,6 +195,68 @@ class SamplingSpec extends SparkTestBase {
     assert(msg(e2).contains("duplicate"))
   }
 
+  test("temperatureTargets apportions the budget exactly and flattens skew") {
+    val s = spark
+    import s.implicits._
+    // counts 1 / 10 / 100, tau 0.5 → weights 1 : √10 : 10, no clean split;
+    // Hamilton apportionment must still land on the budget EXACTLY
+    val df = ((0 until 1).map(i => (i.toLong, "tiny")) ++
+      (0 until 10).map(i => (100L + i, "mid")) ++
+      (0 until 100).map(i => (1000L + i, "big"))).toDF("doc_id", "source")
+    val t = Sampling.temperatureTargets(df, "source", 0.5, totalBudget = 37L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t.values.sum == 37L, s"largest-remainder must hit the budget: $t")
+    // hand-derived: w = (1e6, 3162277, 1e7), W = 14162277; floors (2, 8, 26)
+    // leave 1 short row, and tiny holds the largest remainder → +1
+    assert(t == Map("tiny" -> 3L, "mid" -> 8L, "big" -> 26L), t.toString)
+    // flattening: tiny's MIX share (3/37) exceeds its raw share (1/111)
+    assert(t("tiny") * 111L > 1L * 37L)
+    // monotone: a bigger source never gets a smaller target
+    assert(t("big") >= t("mid") && t("mid") >= t("tiny"))
+  }
+
+  test("temperatureTargets at tau = 1 reproduces the natural distribution") {
+    val s = spark
+    import s.implicits._
+    val df = ((0 until 10).map(i => (i.toLong, "a")) ++
+      (0 until 30).map(i => (100L + i, "b"))).toDF("doc_id", "source")
+    val t = Sampling.temperatureTargets(df, "source", 1.0, totalBudget = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map("a" -> 1L, "b" -> 3L))
+  }
+
+  test("temperatureMix keeps exactly the budget, NULL keys included, deterministically") {
+    val s = spark
+    import s.implicits._
+    // a NULL key is a legal group — it must earn and fill a target too
+    val df = (0L until 120L).map(i => (i,
+      if (i % 12 == 0) null else if (i % 3 == 0) "web" else "books"))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(df, "doc_id", "source", 0.5, totalBudget = 30L)
+    assert(out.count() == 30L, "every key holds >= its quota, so the mix is exact")
+    val byKey = out.groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byKey.keySet.contains(None), s"NULL group must participate: $byKey")
+    val again = Sampling.temperatureMix(df, "doc_id", "source", 0.5, totalBudget = 30L)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("temperatureTargets rejects bad tau, budget, and a 'quota' key column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "k")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException](
+      Sampling.temperatureTargets(df, "source", 0.0, 10L))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureTargets(df, "source", 1.5, 10L))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureTargets(df, "source", 0.5, -1L))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureTargets(df.withColumnRenamed("source", "quota"),
+        "quota", 0.5, 10L))
+  }
+
   test("tokenBudget raises on NULL or negative token counts") {
     val s = spark
     import s.implicits._
