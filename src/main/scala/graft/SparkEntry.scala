@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.ConnectProps
-import graft.operators.{AllPairs, Dedup, Expectations, FuzzyJoin, HeavyHitters, LinkGraph, Merge, Multimodal, NgramLm, Phonetic, Scd2, Similarity, TextAnalysis, UrlOps}
+import graft.operators.{AllPairs, Dedup, EntityResolution, Expectations, FuzzyJoin, HeavyHitters, IncrementalPipeline, LinkGraph, Merge, Multimodal, NgramLm, Phonetic, Scd2, Similarity, TextAnalysis, UrlOps}
 import graft.sources.{Snapshots, Tables}
 import graft.transforms.{DropField, ExtendedHoistField, JsonOps, StructuredToJsonString}
 
@@ -352,7 +352,11 @@ object SparkEntry {
       "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
       "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn " +
       "FROM documents) " +
-      "SELECT doc_id, lang FROM r JOIN t USING (lang) WHERE rn <= quota"
+      // null-safe join: the Spark side keys quotas with <=> and the
+      // null-grouping windows keep a NULL-lang stratum alive, so the
+      // oracle must not drop it through a plain equi-join (ADVICE r13)
+      "SELECT r.doc_id, r.lang FROM r JOIN t ON r.lang IS NOT DISTINCT FROM t.lang " +
+      "WHERE r.rn <= t.quota"
 
   /** The ONE quality-model weight vector every scoring query shares
     * (q_quality_score, q_token_budget*, q_curation_e2e) — mirrored by
@@ -2011,6 +2015,59 @@ object SparkEntry {
       graft.operators.Components
         .keepBestRepresentatives(scored, "doc_id", comps, "score")
     }),
+    // MULTI-EVIDENCE entity resolution — the production ER shape on top
+    // of the three blocking primitives: candidate pairs from the UNION
+    // of the edit-distance pass (d<=1, catches consonant doubling) and
+    // the phonetic pass (key equality + lev<=2, catches the 'ey' vowel
+    // tail d=1 blocking misses); each pair scored by all three evidence
+    // channels (exact distance, phonetic agreement, quantized-embedding
+    // cosine per-mille — entities share a base vector, so same-entity
+    // pairs read cos_pm 999..1000 while sound-alike STRANGERS like
+    // 'nmab'/'nmaf' read <= ~400); scores rank-calibrated per
+    // provenance (rankCalibrate — raw scales are not comparable across
+    // passes), then thresholded BOTH ways: rank_pm <= 250 bounds each
+    // pass's edge volume, cos_pm >= 800 is the absolute precision bar
+    // that kills every cross-entity edge (measured gap: same-ent 999+,
+    // cross-ent <= ~400 at every SF). Surviving name edges -> connected
+    // components over each name's canonical id (min doc_id) -> every
+    // record labeled with its family. All-integer evidence: the oracle
+    // replays quantization, cosine per-mille (IEEE-exact sqrt), the
+    // calibration windows, and a recursive-CTE component spine.
+    "q_er_scored" -> ((s, dir) => {
+      val (names, _) = phoneticNames(s, dir)
+      val nn = names.groupBy("name").agg(min(col("doc_id")).as("nid"),
+        min(col("doc_id") % 40).as("ent"))
+      val cand = EntityResolution.candidatePairs(nn, "name",
+        maxEdit = 1, maxPhoneticDist = 2)
+      val codes = Tables.embeddings(s, dir).filter(col("vec_id") < 40)
+        .select(col("vec_id").cast("long").as("ent"),
+          Similarity.quantize(col("embedding"),
+            Similarity.quantizeScale(col("embedding"))).as("q"))
+      val scored = cand
+        .join(nn.select(col("name").as("str_a"), col("nid").as("nid_a"),
+          col("ent").as("ent_a")), "str_a")
+        .join(nn.select(col("name").as("str_b"), col("nid").as("nid_b"),
+          col("ent").as("ent_b")), "str_b")
+        .join(broadcast(codes.select(col("ent").as("ent_a"), col("q").as("q_a"))), "ent_a")
+        .join(broadcast(codes.select(col("ent").as("ent_b"), col("q").as("q_b"))), "ent_b")
+        .withColumn("cos_pm", Similarity.quantizedCosinePm(col("q_a"), col("q_b")))
+        .withColumn("score", EntityResolution.evidenceScore(
+          col("dist"), col("via_phonetic"), col("cos_pm")))
+        .withColumn("prov",
+          when(col("via_fuzzy") === 1, lit("fuzzy")).otherwise(lit("phonetic")))
+        .withColumn("pair_key", concat(col("str_a"), lit("|"), col("str_b")))
+      val kept = graft.operators.Stats
+        .rankCalibrate(scored.select(col("prov"), col("score"), col("pair_key"),
+          col("cos_pm"), col("nid_a"), col("nid_b")), "prov", "score", "pair_key")
+        .filter(col("rank_pm") <= 250 && col("cos_pm") >= 800)
+      val comps = graft.operators.Components
+        .connectedComponents(kept, "nid_a", "nid_b")
+      EntityResolution.labelFamilies(names, "name", nn, "nid", comps)
+        .groupBy("family")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("name")).as("n_names"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
     // link-graph centrality over a deterministic synthetic web: doc k
     // links to (k*31 + j*97) % N for j in 1..3, minus the %5-filtered
     // edges and the %17-selected pages which have NO out-links at all
@@ -2817,12 +2874,164 @@ object SparkEntry {
         Snapshots.commitOverwrite(s, path + "/t",
           e.repartitionByRange(8, col("event_id"))
             .sortWithinPartitions("event_id"),
-          statsCol = Some("event_id"))
+          statsCols = Seq("event_id"))
       }
       Snapshots.readPruned(s, root + "/t", "event_id", 100, 299)
         .agg(count(lit(1)).as("n_rows"),
           sum(col("event_id")).as("id_sum"),
           sum(cents(col("value"))).as("cents_sum"))
+    }),
+
+    // MULTI-COLUMN, MULTI-TYPE manifest pruning: the snapshot is
+    // committed HILBERT-clustered on (event_id, user_id) — every file a
+    // tight blob in BOTH long dimensions — with per-file (min, max)
+    // stats for two LONG columns AND a STRING column, and the read
+    // prunes on the CONJUNCTION of three ranges. String bounds compare
+    // in binary/UTF-8 order on both engines; the oracle is the plain
+    // three-predicate WHERE, so any stats, encoding, comparison-order,
+    // or residual-filter defect hash-fails. The 2-D files-touched win
+    // over 1-D clustering is measured in tools/ManifestPruneProbe
+    // (ledger) and pinned in SnapshotsSpec.
+    "q_manifest_prune_multi" -> ((s, dir) => {
+      val root = materializedDir("manifestprunemulti", dir) { path =>
+        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        val h = graft.functions.Hilbert.hilbert_index(
+          col("event_id"), col("user_id"), 24)
+        Snapshots.commitOverwrite(s, path + "/t",
+          e.withColumn("__h", h).repartitionByRange(8, col("__h"))
+            .sortWithinPartitions("__h").drop("__h"),
+          statsCols = Seq("event_id", "user_id", "event_type"))
+      }
+      Snapshots.readPrunedWhere(s, root + "/t", Seq(
+          Snapshots.LongRange("event_id", 100, 2099),
+          Snapshots.LongRange("user_id", 2, 11),
+          Snapshots.StringRange("event_type", "click", "purchase")))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("user_id")).as("user_sum"),
+          sum(cents(col("value"))).as("cents_sum"))
+    }),
+
+    // ADDITIVE SCHEMA EVOLUTION through the snapshot format: v1 commits
+    // (doc_id, lang); v2 appends WITH the new nullable n_chars column
+    // (evolve = true — the manifest schema widens, v1's files are
+    // untouched and null-fill at read); v3 appends OLD-shape rows after
+    // the evolution (they null-fill too). The output reads BOTH sides
+    // of the boundary: v1 time-traveled under its own 2-column schema
+    // (v1_cols pins the column count), the head under the evolved
+    // 3-column schema, with the null-filled row count and the evolved
+    // column's sum per lang — so a leaked column, wrong-schema time
+    // travel, lost rows, or mis-null-filled file all break the hash.
+    // The reject paths (type change, rename, reorder) are spec-pinned.
+    "q_snapshot_evolve" -> ((s, dir) => {
+      val root = materializedDir("snapevolve", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        val t = path + "/t"
+        Snapshots.commitOverwrite(s, t,
+          d.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("lang")))
+        Snapshots.commitAppend(s, t,
+          d.filter(col("doc_id") % 3 === 1), evolve = true)
+        Snapshots.commitAppend(s, t,
+          d.filter(col("doc_id") % 3 === 2).select(col("doc_id"), col("lang")),
+          evolve = true)
+      }
+      val t = root + "/t"
+      val v1df = Snapshots.read(s, t, Some(1))
+      val headDf = Snapshots.read(s, t)
+      val v1 = v1df.groupBy("lang").agg(count(lit(1)).as("n_v1"))
+      val head = headDf.groupBy("lang")
+        .agg(count(lit(1)).as("n_head"),
+          sum(col("n_chars")).as("chars_evolved"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_nullfilled"))
+      v1.join(head, "lang")
+        .withColumn("v1_cols", lit(v1df.columns.length.toLong))
+        .withColumn("head_cols", lit(headDf.columns.length.toLong))
+    }),
+
+    // GDPR ERASE through the snapshot format — the three-move deletion
+    // protocol over the q_merge_on_read table: (1) LOGICAL delete now —
+    // op='d' tombstones for the %9=3 keys append through the
+    // merge-on-read lane (O(delta), latest-wins readers stop surfacing
+    // them immediately); (2) PHYSICAL purge — erasePurgeCommit rewrites
+    // the head with every row of those keys dropped, tombstones
+    // included (O(table), the honest price of removing bytes); (3)
+    // vacuum past the purge version — the pre-purge files, which still
+    // contain the keys, leave the disk (SnapshotsSpec scans every
+    // surviving data file for the erased keys and pins the manifests
+    // are gone). The output is the latest-wins merge over the purged
+    // head: q_merge_cdc's oracle minus the erased base keys, so a key
+    // surviving anywhere in the MoR history — base, update, tombstone —
+    // breaks the hash.
+    "q_gdpr_erase" -> ((s, dir) => {
+      val root = materializedDir("gdprerase", dir) { path =>
+        val t = path + "/t"
+        val (d, changes) = cdcDocsAndChanges(s, dir)
+        Snapshots.commitOverwrite(s, t,
+          d.withColumn("seq", lit(Long.MinValue)).withColumn("op", lit("u")))
+        Snapshots.commitAppend(s, t, changes.filter(col("doc_id") < 10000000L))
+        Snapshots.commitAppend(s, t, changes.filter(col("doc_id") >= 10000000L))
+        val erased = d.filter(col("doc_id") % 9 === 3).select(col("doc_id"))
+        val tomb = erased.select(col("doc_id"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"),
+          lit(5L).as("seq"), lit("d").as("op"))
+        Snapshots.commitAppend(s, t, tomb)                          // logical
+        val pv = Snapshots.erasePurgeCommit(s, t, "doc_id", erased) // physical
+        Snapshots.vacuum(s, t, keepFrom = pv)                       // bytes gone
+      }
+      val head = Snapshots.read(s, root + "/t")
+      Merge.applyChanges(
+        head.filter(col("seq") === Long.MinValue).drop("seq", "op"),
+        head.filter(col("seq") =!= Long.MinValue),
+        Seq("doc_id"), "seq", "op")
+    }),
+
+    // THE INCREMENTAL CURATION PIPELINE, composed end to end from the
+    // already-proven contracts: source v2's delta (readChangesBetween)
+    // -> near-dup dedup against the v1 corpus as a standing index (the
+    // dedup_incremental lane: md5 signatures, batch bands broadcast
+    // into the never-reshuffled index) -> expectations gate (latin
+    // langs, 100..400 length band; violations quarantined) ->
+    // commitAppendOnce into the destination table. The step runs TWICE
+    // with the same token — the replay must be a no-op through the
+    // WHOLE composition (exactly-once table effects under at-least-once
+    // execution), which the doubled-output hash would expose. The batch
+    // = the 20 planted near-dups (dropped via the pairsMd5 pipeline the
+    // oracle replays) + fresh %97=3 docs at +200000 with gate-mixed
+    // lang/length, so both drop paths and both gate paths are exercised.
+    "q_incr_pipeline" -> ((s, dir) => {
+      val root = materializedDir("incrpipeline", dir) { path =>
+        val src = path + "/src"
+        val dst = path + "/dst"
+        val qt = path + "/qt"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"),
+          col("n_chars"))
+        Snapshots.commitOverwrite(s, src, d)
+        val nearDups = d.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000L).as("doc_id"), col("lang"),
+          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+          col("n_chars"))
+        val fresh = d.filter(col("doc_id") % 97 === 3).select(
+          (col("doc_id") + 200000L).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("lang")).otherwise(lit("zz"))
+            .as("lang"),
+          concat(lit("fresh-"), col("doc_id")).as("text"),
+          (lit(100L) + col("doc_id") % 350).as("n_chars"))
+        Snapshots.commitAppend(s, src, nearDups.unionByName(fresh))
+        val checks = Seq(
+          Expectations.Check("lang_latin",
+            col("lang").isin("en", "de", "fr", "es")),
+          Expectations.Check("len_band", col("n_chars").between(100L, 400L)))
+        def step() = IncrementalPipeline.curateStep(s, src, 1,
+          Snapshots.read(s, src, Some(1)), "doc_id", "text", checks,
+          dst, token = "ingest-v2", quarantineTable = Some(qt))
+        require(step().isDefined, "first curation step must commit")
+        require(step().isEmpty, "replayed curation step must be a no-op")
+      }
+      Snapshots.read(s, root + "/dst").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     }),
 
     // INCREMENTAL READ off the snapshot manifests: the delta between
@@ -3754,6 +3963,101 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY family
        |    ORDER BY score DESC, doc_id) AS rn FROM mem) WHERE rn = 1""".stripMargin
 
+  /** DuckDB mirror of q_er_scored — the full multi-evidence ER pipeline:
+    * the [[phoneticNames]] corpus at name level (names are SF-invariant;
+    * only the doc expansion scales), brute-force candidate generation
+    * (levenshtein <= 1 OR equal phonetic key + levenshtein <= 2 — the
+    * blocking passes are EXACT for these predicates, so brute force is
+    * the correct mirror), int8 quantization + integer-BIGINT dot/norms
+    * with the IEEE-exact-sqrt cosine per-mille, the per-provenance rank
+    * calibration (q_score_calibrate's window mirror), the double
+    * threshold, self-pair-seeded recursive-CTE components, and family =
+    * min canonical id (min doc_id of a name) per component.
+    */
+  private def erScoredSql: String =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id,
+       |    'nm' || translate(lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0'),
+       |                      '0123456789', 'abcdefghij') AS b,
+       |    CAST(1 + doc_id % 4 AS INT) AS p,
+       |    CAST(doc_id % 3 AS INT) AS m
+       |  FROM documents),
+       |names AS (
+       |  SELECT doc_id, CASE m WHEN 0 THEN b
+       |    WHEN 1 THEN substr(b, 1, p) || substr(b, p)
+       |    ELSE b || 'ey' END AS name
+       |  FROM base),
+       |nn AS (SELECT name, min(doc_id) AS nid, min(doc_id % 40) AS ent
+       |       FROM names GROUP BY name),
+       |${phoneticKeyCte("nn", "name", "nk")},
+       |codes AS (
+       |  SELECT vec_id AS ent,
+       |    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+       |    ELSE list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INT)) END AS q
+       |  FROM (SELECT vec_id, embedding,
+       |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS s
+       |    FROM embeddings WHERE vec_id < 40)),
+       |cand AS (
+       |  SELECT a.name AS name_a, b.name AS name_b,
+       |    a.nid AS nid_a, b.nid AS nid_b, a.ent AS ent_a, b.ent AS ent_b,
+       |    CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+       |    CASE WHEN levenshtein(a.name, b.name) <= 1 THEN 1 ELSE 0 END AS via_fuzzy,
+       |    CASE WHEN a.k = b.k AND levenshtein(a.name, b.name) <= 2
+       |      THEN 1 ELSE 0 END AS via_phonetic
+       |  FROM nk a JOIN nk b ON a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= 1
+       |     OR (a.k = b.k AND levenshtein(a.name, b.name) <= 2)),
+       |ev AS (
+       |  SELECT cand.*,
+       |    (SELECT CAST(sum(x * y) AS BIGINT)
+       |       FROM (SELECT unnest(ca.q) AS x, unnest(cb.q) AS y)) AS dot,
+       |    (SELECT CAST(sum(x * x) AS BIGINT)
+       |       FROM (SELECT unnest(ca.q) AS x)) AS ssa,
+       |    (SELECT CAST(sum(y * y) AS BIGINT)
+       |       FROM (SELECT unnest(cb.q) AS y)) AS ssb
+       |  FROM cand JOIN codes ca ON ca.ent = cand.ent_a
+       |            JOIN codes cb ON cb.ent = cand.ent_b),
+       |scored AS (
+       |  SELECT name_a, name_b, nid_a, nid_b,
+       |    CAST(floor(1000.0 * CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(ssa AS DOUBLE)) * sqrt(CAST(ssb AS DOUBLE)))) AS BIGINT)
+       |      AS cos_pm,
+       |    10000000 * (2 - dist) + 3000000 * via_phonetic +
+       |      CAST(floor(1000.0 * CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(ssa AS DOUBLE)) * sqrt(CAST(ssb AS DOUBLE)))) AS BIGINT)
+       |      AS score,
+       |    CASE WHEN via_fuzzy = 1 THEN 'fuzzy' ELSE 'phonetic' END AS prov
+       |  FROM ev),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY prov
+       |      ORDER BY score DESC, name_a || '|' || name_b) AS rn,
+       |    count(*) OVER (PARTITION BY prov) AS nt
+       |  FROM scored),
+       |kept AS (
+       |  SELECT name_a, name_b FROM ranked
+       |  WHERE (CASE WHEN nt = 1 THEN 0
+       |    ELSE (1000 * (rn - 1)) // (nt - 1) END) <= 250 AND cos_pm >= 800),
+       |sym AS (
+       |  SELECT name_a AS na, name_b AS nb FROM kept
+       |  UNION SELECT name_b, name_a FROM kept
+       |  UNION SELECT name, name FROM nn),
+       |cc(name, comp) AS (
+       |  SELECT DISTINCT na, na FROM sym
+       |  UNION
+       |  SELECT p.nb, c.comp FROM cc c JOIN sym p ON p.na = c.name
+       |  WHERE c.comp < p.nb),
+       |lab AS (SELECT name, min(comp) AS mincomp FROM cc GROUP BY name),
+       |fams AS (SELECT l.mincomp, min(n2.nid) AS family
+       |  FROM lab l JOIN nn n2 ON n2.name = l.name GROUP BY l.mincomp),
+       |nf AS (SELECT l.name, f.family FROM lab l
+       |  JOIN fams f ON f.mincomp = l.mincomp)
+       |SELECT nf.family, count(*)::BIGINT AS n_docs,
+       |  CAST(count(DISTINCT names.name) AS BIGINT) AS n_names,
+       |  CAST(sum(names.doc_id) AS BIGINT) AS id_sum
+       |FROM names JOIN nf ON nf.name = names.name
+       |GROUP BY nf.family""".stripMargin
+
   private def urlDedupSql: String = {
     // mirror of UrlOps.canonicalizeUrl/dedupByUrl over the same
     // deterministic URL synthesis. DuckDB regexp_replace defaults to
@@ -4006,6 +4310,61 @@ object SparkEntry {
       "CAST(sum(event_id) AS BIGINT) AS id_sum, " +
       s"CAST(sum(${centsSql("value")}) AS BIGINT) AS cents_sum " +
       "FROM events WHERE event_id BETWEEN 100 AND 299"),
+    // the conjunction of all three pruned ranges, re-applied per row on
+    // the Spark side — stats/encoding/comparison defects hash-fail here
+    "q_manifest_prune_multi" -> ("SELECT count(*)::BIGINT AS n_rows, " +
+      "CAST(sum(event_id) AS BIGINT) AS id_sum, " +
+      "CAST(sum(user_id) AS BIGINT) AS user_sum, " +
+      s"CAST(sum(${centsSql("value")}) AS BIGINT) AS cents_sum " +
+      "FROM events WHERE event_id BETWEEN 100 AND 2099 " +
+      "AND user_id BETWEEN 2 AND 11 " +
+      "AND event_type BETWEEN 'click' AND 'purchase'"),
+    // v1 = the %3=0 slice under its own 2-column schema; head = all
+    // three slices under the evolved 3-column schema, n_chars non-null
+    // ONLY for the %3=1 (evolved-append) rows
+    "q_snapshot_evolve" -> ("""WITH v1 AS (
+      |  SELECT lang, count(*)::BIGINT AS n_v1 FROM documents
+      |  WHERE doc_id % 3 = 0 GROUP BY lang),
+      |hd AS (
+      |  SELECT lang, count(*)::BIGINT AS n_head,
+      |    CAST(sum(CASE WHEN doc_id % 3 = 1 THEN n_chars END) AS BIGINT)
+      |      AS chars_evolved,
+      |    CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_nullfilled
+      |  FROM documents GROUP BY lang)
+      |SELECT v1.lang AS lang, n_v1, n_head, chars_evolved, n_nullfilled,
+      |  CAST(2 AS BIGINT) AS v1_cols, CAST(3 AS BIGINT) AS head_cols
+      |FROM v1 JOIN hd ON v1.lang = hd.lang""".stripMargin),
+    // q_merge_cdc's oracle minus the erased base keys: a key surviving
+    // anywhere in the purged MoR history breaks the hash
+    "q_gdpr_erase" -> ("SELECT * FROM (" + mergeCdcSql +
+      ") WHERE NOT (doc_id % 9 = 3 AND doc_id < 10000000)"),
+    // the whole incremental composition: the pairsMd5 pipeline decides
+    // which planted near-dups drop (exactly dedup_incremental's dup
+    // set), the fresh +200000 batch passes dedup by construction
+    // (single-token texts have no 3-shingles to share), and the
+    // expectations gate keeps latin langs inside the length band.
+    // Exactly-once: the Spark side runs the step TWICE with one token —
+    // a broken replay doubles every count and hash-fails
+    "q_incr_pipeline" -> (s"WITH $pairsMd5Ctes,\n" +
+      """dup AS (SELECT DISTINCT id_b FROM pr
+        |  WHERE id_b >= 100000 AND id_b < 100020 AND id_a < 100000),
+        |b1 AS (SELECT doc_id + 100000 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id < 20),
+        |b2 AS (SELECT doc_id + 200000 AS doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN lang ELSE 'zz' END AS lang,
+        |    100 + doc_id % 350 AS n_chars
+        |  FROM documents WHERE doc_id % 97 = 3),
+        |batch AS (
+        |  SELECT * FROM b1 WHERE doc_id NOT IN (SELECT id_b FROM dup)
+        |  UNION ALL SELECT * FROM b2),
+        |clean AS (SELECT * FROM batch
+        |  WHERE lang IN ('en', 'de', 'fr', 'es')
+        |    AND n_chars BETWEEN 100 AND 400)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM clean GROUP BY lang""".stripMargin),
+    "q_er_scored" -> erScoredSql,
     "q_k_anonymity" -> ("SELECT lang, source, n_chars // 10 AS len_band, " +
       "count(*)::BIGINT AS group_size FROM documents " +
       "GROUP BY lang, source, len_band HAVING count(*) < 25"),

@@ -328,7 +328,11 @@ object Sampling {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
     counts
       .withColumn("__w", floor(raw * weightScale).cast("long"))
-      .withColumn("__wsum", sum(col("__w")).over(one).cast("decimal(38,0)"))
+      // sum in decimal, not long-then-cast: an extreme key-cardinality ×
+      // count corpus could wrap a LongType sum before the cast under
+      // non-ANSI mode, corrupting every quota (ADVICE r13)
+      .withColumn("__wsum",
+        sum(col("__w").cast("decimal(38,0)")).over(one))
       // decimal(38,0) keeps w·B exact to 38 digits; DIV / % are exact
       // integer quotient/remainder on decimals (no rounded float quotient)
       .withColumn("__num", col("__w").cast("decimal(38,0)") * lit(totalBudget))

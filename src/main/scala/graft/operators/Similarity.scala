@@ -220,6 +220,25 @@ object Similarity {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => (x.cast("double") * scale).cast("float"))
 
+  /** Integer-exact cosine per-mille between two QUANTIZED (int-code)
+    * vectors: floor(1000·dot / (√ssa·√ssb)), NULL for a zero vector.
+    * Engine-portable by construction: dot and the squared norms are
+    * exact BIGINTs (int8 codes: |dot| ≤ 64·127² ≪ 2⁵³, so the double
+    * casts are exact), and `sqrt` is IEEE-correctly-rounded in every
+    * engine (the same argument as [[graft.operators.Sampling]]'s
+    * tau = 0.5 path) — so the whole expression is bit-identical in any
+    * replaying engine, unlike a float-accumulated cosine.
+    */
+  def quantizedCosinePm(qa: Column, qb: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (a, b) => (a * b).cast("long")), lit(0L), (acc, v) => acc + v)
+    val d = dot(qa, qb).cast("double")
+    val na = sqrt(dot(qa, qa).cast("double"))
+    val nb = sqrt(dot(qb, qb).cast("double"))
+    when(na === 0.0 || nb === 0.0, lit(null).cast("long"))
+      .otherwise(floor(lit(1000.0) * d / (na * nb)).cast("long"))
+  }
+
   // ------------------------------------------------------------- IVF
 
   /** Train an IVF coarse quantizer: k-means on a driver-collected sample.

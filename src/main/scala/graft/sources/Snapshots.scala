@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** Manifest-based snapshot storage: atomic commits, versioned reads
   * (time travel), snapshot-isolated compaction, and orphan-file vacuum
@@ -13,7 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout:
   * {{{
   *   table/
-  *     _manifests/v00000001.txt   -- one relative data-file path per line
+  *     _manifests/v00000001.txt   -- header lines (`# token=`, `# schema=`)
+  *                                -- + one data line per file:
+  *                                --   relpath[\tcol=kind:lo:hi ...]
   *     data/<commit-uuid>/part-*.parquet
   * }}}
   *
@@ -46,15 +49,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reproducible training runs pin a version) until [[vacuum]] reclaims
   * them explicitly.
   *
-  * Data skipping: a commit made with `statsCol` records per-file
-  * (min, max) of one long column in the manifest, and [[readPruned]]
-  * skips non-overlapping files at PLANNING time — no footer open, no
-  * GET. Compose with a range-clustered layout (repartitionByRange /
-  * Z-order / Hilbert staging) for disjoint per-file ranges.
+  * Schema: every commit records the snapshot's schema in the manifest
+  * (`# schema=` header, Spark DataType JSON). Reads plan against the
+  * COMMITTED schema — no footer reads at planning time, and a file that
+  * predates a column null-fills it at scan time, which is what makes
+  * ADDITIVE SCHEMA EVOLUTION safe: [[commitAppend]] with
+  * `evolve = true` accepts an append that adds new (nullable) trailing
+  * columns — old files stay untouched and read back with NULLs in the
+  * new columns — or one that omits previously-added trailing columns
+  * (its rows null-fill). Type changes, renames, reorders and dropped
+  * base columns are always rejected: those rewrite history, which is
+  * [[commitOverwrite]]'s job. Time travel across an evolution boundary
+  * reads each version under ITS OWN committed schema.
   *
-  * Kept deliberately out: schema evolution metadata
-  * ([[Formats.readParquetMerged]]'s contract) and multi-table
-  * transactions.
+  * Data skipping: a commit made with `statsCols` records per-file
+  * (min, max) of each listed column — integral (`long`), `string`
+  * (binary/UTF-8 order, matching Spark and DuckDB comparison), or
+  * `date` (epoch day) — and [[readPrunedWhere]] plans only the files
+  * whose stats can overlap a CONJUNCTION of ranges; skipped files cost
+  * no footer open, no GET. Compose with a range-clustered or
+  * Hilbert/Z-ordered staging for disjoint per-file ranges. Correctness
+  * never rests on the stats (stats-less files always read, predicates
+  * re-applied per row).
+  *
+  * Row-level erasure (GDPR): [[erasePurgeCommit]] rewrites the head
+  * snapshot with every row of the requested keys physically dropped —
+  * the compaction half of a delete; pair it with a tombstone append
+  * through the merge-on-read lane for immediate logical disappearance,
+  * then [[vacuum]] past the purge version to make the BYTES leave the
+  * table (no remaining data file contains the erased keys —
+  * spec-verified by scanning every surviving file).
+  *
+  * Kept deliberately out: multi-table transactions.
   */
 object Snapshots {
 
@@ -86,15 +112,39 @@ object Snapshots {
     } finally in.close()
   }
 
-  /** One manifest data entry: a relative file path, optionally carrying
-    * committed (min, max) stats of the commit's stats column.
+  /** Per-file committed (min, max) of one stats column, as the manifest
+    * stores it: `kind` is `long` (all integral types), `string`, or
+    * `date` (values rendered as epoch days); `lo`/`hi` are the
+    * URL-encoded rendered bounds.
     */
-  final case class Entry(path: String, stats: Option[(Long, Long)])
+  final case class ColStat(kind: String, lo: String, hi: String)
 
-  private def parseEntry(line: String): Entry = line.split('\t') match {
-    case Array(p)         => Entry(p, None)
-    case Array(p, lo, hi) => Entry(p, Some((lo.toLong, hi.toLong)))
-    case _ => sys.error(s"malformed manifest line: $line")
+  /** One manifest data entry: a relative file path plus its committed
+    * per-column stats (empty for stats-less commits).
+    */
+  final case class Entry(path: String, stats: Map[String, ColStat])
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def parseEntry(line: String): Entry = {
+    val cells = line.split('\t')
+    val stats = cells.drop(1).flatMap { cell =>
+      // named multi-column cell: name=kind:lo:hi (all URL-encoded).
+      // Anything else (incl. the pre-r14 anonymous `lo\thi` pair) parses
+      // as no-stats — conservatively read, never wrong, only slower.
+      cell.split('=') match {
+        case Array(n, v) => v.split(':') match {
+          case Array(k, lo, hi) if Set("long", "string", "date")(k) =>
+            Some(dec(n) -> ColStat(k, dec(lo), dec(hi)))
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
+    Entry(cells.head, stats)
   }
 
   /** Raw data lines of version `v` (header lines skipped; stats
@@ -130,56 +180,135 @@ object Snapshots {
   }
 
   private val TokenHeader = "# token="
+  private val SchemaHeader = "# schema="
 
-  /** Read a snapshot: the given version, or the latest. The scan gets an
-    * explicit closed file list — no directory listing, no risk of seeing
-    * a concurrent commit's half-written files.
+  /** The committed schema of version `v` — present on every commit made
+    * by this code (tables written before the schema header read back
+    * with None and fall back to footer-derived schemas).
     */
-  def read(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
+  def committedSchema(spark: SparkSession, table: String, v: Int): Option[StructType] =
+    manifestLines(spark, table, v).collectFirst {
+      case l if l.startsWith(SchemaHeader) =>
+        DataType.fromJson(l.substring(SchemaHeader.length)).asInstanceOf[StructType]
+    }
+
+  /** Version `v`'s schema: the committed header, else ONE file footer. */
+  private def versionSchema(spark: SparkSession, table: String, v: Int): Option[StructType] =
+    committedSchema(spark, table, v).orElse(
+      manifestFiles(spark, table, v).headOption
+        .map(rel => spark.read.parquet(new Path(table, rel).toString).schema))
+
+  /** Top-level fields forced nullable: the stored snapshot schema must
+    * admit null-fill for files that predate a column, and must stay
+    * valid when a later evolved append writes NULLs into a column an
+    * earlier commit declared required.
+    */
+  private def relaxed(st: StructType): StructType =
+    StructType(st.fields.map(_.copy(nullable = true)))
+
+  private def emptyOf(spark: SparkSession, st: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
+
+  private def scan(spark: SparkSession, table: String,
+                   schema: Option[StructType], rels: Seq[String]): DataFrame = {
+    val paths = rels.map(rel => new Path(table, rel).toString)
+    schema match {
+      // explicit schema: no footer read at planning time, and files that
+      // predate an evolved-in column null-fill it at scan time
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
+  private def resolveVersion(spark: SparkSession, table: String,
+                             version: Option[Int]): Int = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"$table has no committed versions")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"$table has no version $v (have ${vs.mkString(",")})")
+    v
+  }
+
+  /** Read a snapshot: the given version, or the latest. The scan gets an
+    * explicit closed file list — no directory listing, no risk of seeing
+    * a concurrent commit's half-written files — planned under the
+    * version's OWN committed schema (time travel across a schema
+    * evolution boundary sees each version's shape).
+    */
+  def read(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
+    val v = resolveVersion(spark, table, version)
     val files = manifestFiles(spark, table, v)
-    require(files.nonEmpty,
-      s"$table v$v is an empty snapshot (no schema to scan); commit a " +
-        "non-empty DataFrame or read a different version")
-    spark.read.parquet(files.map(rel => new Path(table, rel).toString): _*)
+    val schema = committedSchema(spark, table, v)
+    if (files.isEmpty) {
+      require(schema.isDefined,
+        s"$table v$v is an empty snapshot with no committed schema; commit " +
+          "a non-empty DataFrame or read a different version")
+      emptyOf(spark, schema.get)
+    } else scan(spark, table, schema, files)
+  }
+
+  private def renderStat(v: Any): String = v match {
+    case n: java.lang.Number => n.toString
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    case s: String => s
+    case other => sys.error(s"unsupported stats value $other")
+  }
+
+  private def statKind(c: String, dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "long"
+    case StringType => "string"
+    case DateType => "date"
+    case other => throw new IllegalArgumentException(
+      s"statsCols supports integral, string and date columns; $c is $other")
   }
 
   /** Stage `df` as parquet under a fresh unique data directory and
     * return its manifest lines (paths relative to the table root). With
-    * `statsCol` set, each line carries the file's (min, max) of that
-    * LONG column — computed in ONE grouped pass over the just-staged
-    * files (driver traffic = one row per file, the same order as the FS
-    * listing below). Files with no non-null values stay stats-less and
-    * are conservatively kept by every pruned read.
+    * `statsCols` set, each line carries the file's per-column (min, max)
+    * — computed in ONE grouped pass over the just-staged files (driver
+    * traffic = one row per file, the same order as the FS listing
+    * below). A column with no non-null values in a file stays stats-less
+    * there and is conservatively kept by every pruned read.
     */
   private def stage(spark: SparkSession, table: String, df: DataFrame,
-                    statsCol: Option[String] = None): Seq[String] = {
+                    statsCols: Seq[String] = Nil): Seq[String] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
     df.write.parquet(new Path(table, rel).toString)
     val rels = fs(spark, table).listStatus(new Path(table, rel))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$rel/${s.getPath.getName}").sorted.toSeq
-    statsCol match {
-      case None => rels
-      case Some(c) =>
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-        val stats = spark.read.parquet(new Path(table, rel).toString)
-          .groupBy(input_file_name().as("__f"))
-          .agg(min(col(c)).cast("long").as("__lo"),
-            max(col(c)).cast("long").as("__hi"))
-          .collect()
-          .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
-          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
-        rels.map { r =>
-          val name = r.split('/').last
-          stats.collectFirst {
-            case (f, (lo, hi)) if f.endsWith("/" + name) => s"$r\t$lo\t$hi"
-          }.getOrElse(r)
-        }
+    if (statsCols.isEmpty) rels
+    else {
+      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      val reread = spark.read.parquet(new Path(table, rel).toString)
+      val kinds = statsCols.map(c =>
+        c -> statKind(c, reread.schema(c).dataType)).toMap
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+      val byFile = reread.groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            val lo = r.get(1 + 2 * i)
+            val hi = r.get(2 + 2 * i)
+            if (lo == null || hi == null) None
+            else Some(c -> ColStat(kinds(c), renderStat(lo), renderStat(hi)))
+          }
+          r.getString(0) -> stats
+        }.toMap
+      rels.map { r =>
+        val name = r.split('/').last
+        val cells = byFile.collectFirst {
+          case (f, st) if f.endsWith("/" + name) => st
+        }.getOrElse(Seq.empty)
+        if (cells.isEmpty) r
+        else (r +: cells.map { case (c, st) =>
+          s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
+        }).mkString("\t")
+      }
     }
   }
 
@@ -235,76 +364,181 @@ object Snapshots {
     sys.error(s"could not commit to $table after 50 attempts")
   }
 
+  private def schemaLine(st: StructType): String = SchemaHeader + st.json
+
   /** Commit `df` as a full replacement snapshot. Old versions remain
     * readable until vacuumed. Returns the new version number. With
-    * `statsCol`, the manifest carries per-file (min, max) of that long
-    * column for [[readPruned]]'s manifest-level file skipping.
+    * `statsCols`, the manifest carries per-file per-column (min, max)
+    * for [[readPrunedWhere]]'s manifest-level file skipping.
     */
   def commitOverwrite(spark: SparkSession, table: String, df: DataFrame,
-                      statsCol: Option[String] = None): Int = {
-    val staged = stage(spark, table, df, statsCol)
-    publish(spark, table, _ => staged)
+                      statsCols: Seq[String] = Nil): Int = {
+    val staged = stage(spark, table, df, statsCols)
+    publish(spark, table, _ => schemaLine(relaxed(df.schema)) +: staged)
   }
 
-  /** The head snapshot's column (name, type) sequence, or None for an
-    * empty table — read from ONE committed file's footer.
+  /** The snapshot schema an append of `incoming` produces on top of
+    * `head` — or a rejection. Without `evolve`, names and types must
+    * match exactly (nullability is not compared). With `evolve`, the
+    * contract is ADDITIVE evolution on (name, type) prefixes:
+    * new trailing columns append (recorded nullable — old files
+    * null-fill at read), and an append may omit previously-added
+    * trailing columns (its rows null-fill); type changes, renames,
+    * reorders and dropped base columns are rejected either way — those
+    * rewrite history, which is [[commitOverwrite]]'s job.
     */
-  private def headShape(spark: SparkSession, table: String): Option[Seq[(String, String)]] =
-    versions(spark, table).lastOption
-      .flatMap(v => manifestFiles(spark, table, v).headOption)
-      .map(rel => spark.read.parquet(new Path(table, rel).toString)
-        .schema.map(f => (f.name, f.dataType.simpleString)))
-
-  /** Reject an append whose columns don't match the head snapshot —
-    * a mismatched append succeeds silently TODAY and breaks every
-    * LATER read of any version containing it (parquet schema union at
-    * scan time), which is the worst possible failure distance.
-    * Nullability is deliberately not compared; names and types are.
-    */
-  private def requireShape(spark: SparkSession, table: String, df: DataFrame): Unit =
-    headShape(spark, table).foreach { want =>
-      val got = df.schema.map(f => (f.name, f.dataType.simpleString))
-      require(got == want,
-        s"append schema ${got.mkString(",")} does not match $table's head " +
-          s"snapshot ${want.mkString(",")}; commitOverwrite starts a new shape")
+  private def evolvedSchema(head: Option[StructType], incoming: StructType,
+                            evolve: Boolean, table: String): StructType = {
+    val inc = relaxed(incoming)
+    head.map(relaxed) match {
+      case None => inc
+      case Some(h) =>
+        def shape(st: StructType) = st.fields.map(f => (f.name, f.dataType)).toSeq
+        val hs = shape(h)
+        val is = shape(inc)
+        if (is == hs) h
+        else if (!evolve) throw new IllegalArgumentException(
+          s"append schema ${is.mkString(",")} does not match $table's head " +
+            s"snapshot ${hs.mkString(",")}; pass evolve = true for additive " +
+            "column adds, or commitOverwrite to start a new shape")
+        else if (is.startsWith(hs))
+          StructType(h.fields ++ inc.fields.drop(hs.length))
+        else if (hs.startsWith(is)) h
+        else throw new IllegalArgumentException(
+          s"append schema ${is.mkString(",")} is not an additive evolution " +
+            s"of $table's head snapshot ${hs.mkString(",")}: only ADDING " +
+            "trailing nullable columns (or omitting previously-added " +
+            "trailing columns) is allowed; type changes, renames and " +
+            "reorders need commitOverwrite")
     }
-
-  /** Commit `df` appended to the (retry-time) head snapshot. */
-  def commitAppend(spark: SparkSession, table: String, df: DataFrame,
-                   statsCol: Option[String] = None): Int = {
-    requireShape(spark, table, df)
-    val staged = stage(spark, table, df, statsCol)
-    publish(spark, table, head =>
-      head.map(manifestDataLines(spark, table, _)).getOrElse(Seq.empty) ++ staged)
   }
 
-  /** Range read with MANIFEST-LEVEL file skipping: plans only the files
-    * whose committed (min, max) stats can overlap [lo, hi] — a skipped
-    * file costs NOTHING, not even a footer open (parquet row-group
-    * pruning still needs to open every file; an object-store GET per
-    * footer is the planning cost this removes at 10⁶ files). Commit
-    * with `statsCol` + a range-clustered layout (repartitionByRange /
-    * Z-order / Hilbert) to make per-file ranges disjoint and the
-    * skipping sharp. Correctness NEVER rests on the stats: stats-less
-    * entries are always read, and the range predicate is re-applied to
-    * every surviving row — stale or absent stats only cost speed.
+  /** Commit `df` appended to the (retry-time) head snapshot. With
+    * `evolve = true`, additive schema evolution is allowed — see
+    * [[evolvedSchema]] for the exact contract.
     */
-  def readPruned(spark: SparkSession, table: String, statsCol: String,
-                 lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    require(lo <= hi, s"need lo <= hi, got $lo > $hi")
-    val vs = versions(spark, table)
-    require(vs.nonEmpty, s"$table has no committed versions")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"$table has no version $v (have ${vs.mkString(",")})")
-    val entries = manifestEntries(spark, table, v)
-    require(entries.nonEmpty, s"$table v$v is an empty snapshot")
-    val kept = entries.filter(_.stats.forall { case (l, h) => h >= lo && l <= hi })
-    val base =
-      if (kept.isEmpty) read(spark, table, Some(v)).limit(0)
-      else spark.read.parquet(kept.map(e => new Path(table, e.path).toString): _*)
-    base.filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  def commitAppend(spark: SparkSession, table: String, df: DataFrame,
+                   statsCols: Seq[String] = Nil,
+                   evolve: Boolean = false): Int = {
+    // fail fast before paying the staging write; re-validated per retry
+    // inside the publish closure (the head — and its schema — may move)
+    versions(spark, table).lastOption.foreach(v =>
+      evolvedSchema(versionSchema(spark, table, v), df.schema, evolve, table))
+    val staged = stage(spark, table, df, statsCols)
+    publish(spark, table, head => {
+      val snapshot = evolvedSchema(
+        head.flatMap(versionSchema(spark, table, _)), df.schema, evolve, table)
+      schemaLine(snapshot) +:
+        (head.map(manifestDataLines(spark, table, _)).getOrElse(Seq.empty) ++ staged)
+    })
   }
+
+  /** A requested stats range for [[readPrunedWhere]] — one per column,
+    * combined as a CONJUNCTION. Bounds are inclusive. String bounds
+    * compare in binary/UTF-8 order (Spark's and DuckDB's default string
+    * comparison); date bounds in epoch days.
+    */
+  sealed trait StatRange { def column: String }
+  final case class LongRange(column: String, lo: Long, hi: Long) extends StatRange {
+    require(lo <= hi, s"need lo <= hi, got $lo > $hi")
+  }
+  final case class StringRange(column: String, lo: String, hi: String) extends StatRange
+  final case class DateRange(column: String, lo: java.time.LocalDate,
+                             hi: java.time.LocalDate) extends StatRange
+
+  /** Unsigned UTF-8 byte-order comparison — the order Spark's
+    * UTF8String and DuckDB's default collation sort strings in (Java's
+    * String.compareTo is UTF-16 code-unit order, which DIVERGES on
+    * supplementary characters).
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def overlaps(st: Option[ColStat], r: StatRange): Boolean = st match {
+    case None => true // stats-less file: conservatively read
+    case Some(cs) => r match {
+      case LongRange(c, lo, hi) =>
+        require(cs.kind == "long", s"$c has ${cs.kind} stats, not long")
+        cs.hi.toLong >= lo && cs.lo.toLong <= hi
+      case StringRange(c, lo, hi) =>
+        require(cs.kind == "string", s"$c has ${cs.kind} stats, not string")
+        utf8Cmp(cs.hi, lo) >= 0 && utf8Cmp(cs.lo, hi) <= 0
+      case DateRange(c, lo, hi) =>
+        require(cs.kind == "date", s"$c has ${cs.kind} stats, not date")
+        cs.hi.toLong >= lo.toEpochDay && cs.lo.toLong <= hi.toEpochDay
+    }
+  }
+
+  private def rowPredicate(r: StatRange): Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    r match {
+      case LongRange(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case StringRange(c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi)
+      case DateRange(c, lo, hi) =>
+        col(c) >= lit(java.sql.Date.valueOf(lo)) &&
+          col(c) <= lit(java.sql.Date.valueOf(hi))
+    }
+  }
+
+  /** The relative file paths a [[readPrunedWhere]] of `ranges` would
+    * plan — exposed so specs and probes can pin the files-touched count
+    * without executing the scan.
+    */
+  def plannedFiles(spark: SparkSession, table: String, ranges: Seq[StatRange],
+                   version: Option[Int] = None): Seq[String] = {
+    require(ranges.nonEmpty, "at least one range required")
+    require(ranges.map(_.column).distinct.size == ranges.size,
+      "one range per column")
+    val v = resolveVersion(spark, table, version)
+    manifestEntries(spark, table, v)
+      .filter(e => ranges.forall(r => overlaps(e.stats.get(r.column), r)))
+      .map(_.path)
+  }
+
+  /** Range read with MANIFEST-LEVEL file skipping over a CONJUNCTION of
+    * per-column ranges: plans only the files whose committed per-column
+    * (min, max) stats can overlap EVERY range — a skipped file costs
+    * NOTHING, not even a footer open (parquet row-group pruning still
+    * needs to open every file; an object-store GET per footer is the
+    * planning cost this removes at 10⁶ files). Commit with `statsCols` +
+    * a range-clustered layout (repartitionByRange / Z-order / Hilbert)
+    * to make per-file ranges disjoint and the skipping sharp; a
+    * multi-dimensional conjunction prunes sharpest over a Hilbert/
+    * Z-order clustering, where every file is tight in EVERY listed
+    * dimension. Correctness NEVER rests on the stats: stats-less
+    * entries are always read, and every range is re-applied to each
+    * surviving row — stale or absent stats only cost speed.
+    */
+  def readPrunedWhere(spark: SparkSession, table: String,
+                      ranges: Seq[StatRange],
+                      version: Option[Int] = None): DataFrame = {
+    val v = resolveVersion(spark, table, version)
+    val entries = manifestEntries(spark, table, v)
+    require(entries.nonEmpty || committedSchema(spark, table, v).isDefined,
+      s"$table v$v is an empty snapshot")
+    val kept = plannedFiles(spark, table, ranges, Some(v))
+    val base =
+      if (kept.isEmpty) {
+        val st = committedSchema(spark, table, v)
+        if (st.isDefined) emptyOf(spark, st.get)
+        else read(spark, table, Some(v)).limit(0)
+      } else scan(spark, table, committedSchema(spark, table, v), kept)
+    base.filter(ranges.map(rowPredicate).reduce(_ && _))
+  }
+
+  /** Single-long-column pruned range read (the common case). */
+  def readPruned(spark: SparkSession, table: String, statsCol: String,
+                 lo: Long, hi: Long, version: Option[Int] = None): DataFrame =
+    readPrunedWhere(spark, table, Seq(LongRange(statsCol, lo, hi)), version)
 
   /** Exactly-once append for replayable sources (streaming foreachBatch):
     * the commit records `token` (e.g. the micro-batch id) in its
@@ -316,7 +550,8 @@ object Snapshots {
     * writers with the SAME token are out of contract.
     */
   def commitAppendOnce(spark: SparkSession, table: String, df: DataFrame,
-                       token: String, replayHorizon: Int = 128): Option[Int] = {
+                       token: String, replayHorizon: Int = 128,
+                       evolve: Boolean = false): Option[Int] = {
     require(!token.contains("\n") && !token.contains("\r"),
       "token must be single-line")
     require(replayHorizon >= 1, "replayHorizon must be >= 1")
@@ -327,11 +562,15 @@ object Snapshots {
     // from 10⁵ commits ago).
     if (committedTokens(spark, table, Some(replayHorizon)).contains(token))
       return None
-    requireShape(spark, table, df)
+    versions(spark, table).lastOption.foreach(v =>
+      evolvedSchema(versionSchema(spark, table, v), df.schema, evolve, table))
     val staged = stage(spark, table, df)
-    Some(publish(spark, table, head =>
-      (TokenHeader + token) +:
-        (head.map(manifestDataLines(spark, table, _)).getOrElse(Seq.empty) ++ staged)))
+    Some(publish(spark, table, head => {
+      val snapshot = evolvedSchema(
+        head.flatMap(versionSchema(spark, table, _)), df.schema, evolve, table)
+      (TokenHeader + token) +: schemaLine(snapshot) +:
+        (head.map(manifestDataLines(spark, table, _)).getOrElse(Seq.empty) ++ staged)
+    }))
   }
 
   /** Incremental read: the rows ADDED between `fromVersion` (exclusive)
@@ -344,7 +583,9 @@ object Snapshots {
     * APPEND-range histories (append and compactCommit never remove a
     * live row's file from later manifests without rewriting it; an
     * OVERWRITE in the range breaks "new files = new rows" and is
-    * rejected by checking containment).
+    * rejected by checking containment). The delta reads under
+    * `toVersion`'s schema, so a range crossing an additive schema
+    * evolution null-fills old-shape rows.
     */
   def readChangesBetween(spark: SparkSession, table: String,
                          fromVersion: Int,
@@ -362,8 +603,7 @@ object Snapshots {
     val added = after.filterNot(before.toSet).map(parseEntry(_).path)
     if (added.isEmpty) // legitimate: token-only or empty-batch commits
       read(spark, table, Some(to)).limit(0)
-    else
-      spark.read.parquet(added.map(rel => new Path(table, rel).toString): _*)
+    else scan(spark, table, committedSchema(spark, table, to), added)
   }
 
   /** Snapshot-isolated compaction: rewrite the head snapshot into
@@ -375,7 +615,7 @@ object Snapshots {
   def compactCommit(spark: SparkSession, table: String,
                     targetFileBytes: Long): Int =
     maintenanceCommit(spark, table, targetFileBytes,
-      (df, n) => df.repartition(n), statsCol = None)
+      (df, n) => df.repartition(n), statsCols = Nil)
 
   /** The OPTIMIZE move: compaction + range-clustering + stats refresh in
     * ONE committed version — the head snapshot rewritten into
@@ -392,13 +632,13 @@ object Snapshots {
     maintenanceCommit(spark, table, targetFileBytes,
       (df, n) => df.repartitionByRange(n, col(orderCol))
         .sortWithinPartitions(orderCol),
-      statsCol = Some(orderCol))
+      statsCols = Seq(orderCol))
   }
 
   private def maintenanceCommit(spark: SparkSession, table: String,
                                 targetFileBytes: Long,
                                 arrange: (DataFrame, Int) => DataFrame,
-                                statsCol: Option[String]): Int = {
+                                statsCols: Seq[String]): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val head = versions(spark, table).lastOption
       .getOrElse(sys.error(s"$table has no committed versions"))
@@ -406,14 +646,55 @@ object Snapshots {
     val f = fs(spark, table)
     val bytes = files.map(r => f.getFileStatus(new Path(table, r)).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val staged = stage(spark, table, arrange(read(spark, table), n), statsCol)
+    val source = read(spark, table, Some(head))
+    val staged = stage(spark, table, arrange(source, n), statsCols)
     // commit on TOP OF the head we compacted: if someone else committed
     // meanwhile, compacting over it would silently drop their commit —
     // fail instead (compaction is maintenance; rerun it)
     publish(spark, table, h => {
       require(h.contains(head),
         s"concurrent commit during compaction (head moved $head -> $h); rerun")
-      staged
+      schemaLine(relaxed(source.schema)) +: staged
+    })
+  }
+
+  /** Row-level erasure, the PHYSICAL half (GDPR "right to be forgotten"):
+    * rewrite the head snapshot with every row whose `keyCol` equals a
+    * key in `keys` dropped — merge-on-read tombstones for those keys
+    * included — and commit the result as a new version. The protocol a
+    * deletion request actually needs is three moves:
+    *
+    *   1. logical delete NOW: append op='d' tombstones through the
+    *      merge-on-read lane ([[commitAppend]]) — O(delta), readers'
+    *      latest-wins merge stops surfacing the keys immediately;
+    *   2. physical purge: this commit — O(table), the honest price of
+    *      removing bytes, scheduled with the other maintenance passes;
+    *   3. [[vacuum]] past the purge version — pre-purge files (which
+    *      still contain the keys) leave the disk; time travel to them is
+    *      gone, which for erasure is the point, so pick the vacuum
+    *      horizon from the erasure SLA, not the general retention one.
+    *
+    * `keys` is a single-column erasure request list — broadcast into
+    * the rewrite scan (bounded by contract: it is a request batch, not
+    * a data-scale table). NULL keys never match (erasure keys are real
+    * identifiers). Returns the purge version.
+    */
+  def erasePurgeCommit(spark: SparkSession, table: String, keyCol: String,
+                       keys: DataFrame, statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(keys.columns.length == 1,
+      s"keys must be a single-column request list, got ${keys.columns.mkString(",")}")
+    val head = versions(spark, table).lastOption
+      .getOrElse(sys.error(s"$table has no committed versions"))
+    val source = read(spark, table, Some(head))
+    val req = broadcast(keys.toDF("__graft_erase_key").distinct())
+    val purged = source.join(req,
+      col(keyCol) === col("__graft_erase_key"), "left_anti")
+    val staged = stage(spark, table, purged, statsCols)
+    publish(spark, table, h => {
+      require(h.contains(head),
+        s"concurrent commit during erase purge (head moved $head -> $h); rerun")
+      schemaLine(relaxed(source.schema)) +: staged
     })
   }
 

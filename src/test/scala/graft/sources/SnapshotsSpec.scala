@@ -135,7 +135,7 @@ class SnapshotsSpec extends SparkTestBase {
     // range-clustered staging: 4 files with disjoint id ranges
     val d = spark.range(0, 400).toDF("id")
       .repartitionByRange(4, col("id")).sortWithinPartitions("id")
-    Snapshots.commitOverwrite(spark, t, d, statsCol = Some("id"))
+    Snapshots.commitOverwrite(spark, t, d, statsCols = Seq("id"))
     val all = Snapshots.read(spark, t).inputFiles.length
     assert(all === 4)
     // a one-file range plans ONE file and returns exactly its rows
@@ -164,7 +164,7 @@ class SnapshotsSpec extends SparkTestBase {
     (0 until 4).foreach { j =>
       Snapshots.commitAppend(spark, t,
         spark.range(0, 400).toDF("id").filter(col("id") % 4 === j),
-        statsCol = Some("id"))
+        statsCols = Seq("id"))
     }
     assert(Snapshots.readPruned(spark, t, "id", 10, 20).inputFiles.length >= 4)
     // OPTIMIZE: one version = compact + range-cluster + stats refresh
@@ -197,6 +197,138 @@ class SnapshotsSpec extends SparkTestBase {
     Snapshots.commitOverwrite(spark, t, Seq((9L, "y")).toDF("id", "extra"))
     Snapshots.commitAppend(spark, t, Seq((10L, "z")).toDF("id", "extra"))
     assert(Snapshots.read(spark, t).count() === 2)
+  }
+
+  test("additive schema evolution: new nullable column appends, old files " +
+       "null-fill, time travel keeps each version's own shape") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
+    // evolve: append WITH a new trailing column
+    Snapshots.commitAppend(spark, t, Seq((3L, "x")).toDF("id", "tag"),
+      evolve = true)
+    // post-evolution OLD-shape append: its rows null-fill the new column
+    Snapshots.commitAppend(spark, t, Seq(4L).toDF("id"), evolve = true)
+    val head = Snapshots.read(spark, t)
+    assert(head.columns.toSeq == Seq("id", "tag"))
+    val byId = head.select("id", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some("x"), 4L -> None))
+    // time travel ACROSS the boundary: v1 reads under its own 2-col shape
+    assert(Snapshots.read(spark, t, Some(1)).columns.toSeq == Seq("id"))
+    assert(ids(t, Some(1)) == Set(1L, 2L))
+    // the delta across the boundary reads under the TO version's schema
+    val delta = Snapshots.readChangesBetween(spark, t, 1, Some(3))
+    assert(delta.columns.toSeq == Seq("id", "tag"))
+    assert(delta.select("id").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
+  test("schema evolution rejects non-additive drift even with evolve = true") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    intercept[IllegalArgumentException] { // type change
+      Snapshots.commitAppend(spark, t, Seq((2, "b")).toDF("id", "tag"),
+        evolve = true)
+    }
+    intercept[IllegalArgumentException] { // rename
+      Snapshots.commitAppend(spark, t, Seq((2L, "b")).toDF("id", "label"),
+        evolve = true)
+    }
+    intercept[IllegalArgumentException] { // reorder
+      Snapshots.commitAppend(spark, t, Seq(("b", 2L)).toDF("tag", "id"),
+        evolve = true)
+    }
+    intercept[IllegalArgumentException] { // dropping a MIDDLE column
+      Snapshots.commitAppend(spark, t,
+        Seq((2L, 9L)).toDF("id", "extra"), evolve = true)
+    }
+    // nothing leaked
+    assert(Snapshots.versions(spark, t) == Seq(1))
+    // the tokened path evolves too
+    assert(Snapshots.commitAppendOnce(spark, t,
+      Seq((2L, "b", 9L)).toDF("id", "tag", "n"), "b0", evolve = true)
+      .contains(2))
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("id", "tag", "n"))
+  }
+
+  test("multi-column typed stats: conjunctive pruning over long, string " +
+       "and date, stats-less files conservative, kind mismatch rejected") {
+    val t = freshTable()
+    val d = spark.range(0, 400).toDF("id")
+      .withColumn("name", concat(lit("k"), lpad(col("id").cast("string"), 3, "0")))
+      .withColumn("day", date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+        (col("id") / 10).cast("int")))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    Snapshots.commitOverwrite(spark, t, d,
+      statsCols = Seq("id", "name", "day"))
+    assert(Snapshots.read(spark, t).inputFiles.length == 4)
+    import Snapshots.{DateRange, LongRange, StringRange}
+    // id clusters align all three dimensions: a one-file id band prunes
+    // identically through any of the three typed ranges
+    assert(Snapshots.plannedFiles(spark, t,
+      Seq(LongRange("id", 10, 20))).length == 1)
+    assert(Snapshots.plannedFiles(spark, t,
+      Seq(StringRange("name", "k010", "k020"))).length == 1)
+    assert(Snapshots.plannedFiles(spark, t,
+      Seq(DateRange("day", java.time.LocalDate.parse("2026-01-02"),
+        java.time.LocalDate.parse("2026-01-03")))).length == 1)
+    // the conjunction intersects: disjoint single-file bands -> 0 files
+    assert(Snapshots.plannedFiles(spark, t, Seq(
+      LongRange("id", 10, 20), StringRange("name", "k350", "k360"))).isEmpty)
+    // rows come back exactly, residual predicates applied
+    val got = Snapshots.readPrunedWhere(spark, t, Seq(
+      LongRange("id", 10, 20), StringRange("name", "k000", "k015")))
+      .select("id").as[Long].collect().toSet
+    assert(got == (10L to 15L).toSet)
+    // a stats-less append is planned by EVERY pruned read (conservative)
+    Snapshots.commitAppend(spark, t, Seq((9999L, "k999",
+      java.sql.Date.valueOf("2027-01-01"))).toDF("id", "name", "day"))
+    assert(Snapshots.plannedFiles(spark, t,
+      Seq(LongRange("id", 10, 20))).length == 2)
+    assert(Snapshots.readPrunedWhere(spark, t, Seq(LongRange("id", 10, 20)))
+      .count() == 11) // ...but its rows are filtered out
+    // asking a string range of a long-stats column is a caller bug
+    intercept[IllegalArgumentException] {
+      Snapshots.plannedFiles(spark, t, Seq(StringRange("id", "a", "b")))
+    }
+    // unsupported stats column type rejected at commit time
+    intercept[IllegalArgumentException] {
+      Snapshots.commitOverwrite(spark, freshTable(),
+        Seq(0.5).toDF("x"), statsCols = Seq("x"))
+    }
+  }
+
+  test("gdpr erase: tombstone -> purge -> vacuum; the bytes leave the table") {
+    val t = freshTable()
+    // a merge-on-read history: base + an update batch touching key 2
+    Snapshots.commitOverwrite(spark, t,
+      Seq((1L, "a", 0L, "u"), (2L, "b", 0L, "u"), (3L, "c", 0L, "u"))
+        .toDF("id", "v", "seq", "op"))
+    Snapshots.commitAppend(spark, t,
+      Seq((2L, "b2", 1L, "u"), (3L, "c2", 1L, "u")).toDF("id", "v", "seq", "op"))
+    // 1. logical delete: tombstone for key 2 through the MoR lane
+    Snapshots.commitAppend(spark, t,
+      Seq((2L, null.asInstanceOf[String], 2L, "d")).toDF("id", "v", "seq", "op"))
+    // 2. physical purge: every row of key 2 — base, update, tombstone
+    val pv = Snapshots.erasePurgeCommit(spark, t, "id", Seq(2L).toDF("key"))
+    assert(Snapshots.read(spark, t, Some(pv))
+      .filter(col("id") === 2L).count() == 0)
+    // pre-purge versions still hold the key (time travel not yet vacuumed)
+    assert(Snapshots.read(spark, t, Some(3)).filter(col("id") === 2L).count() == 3)
+    // 3. vacuum to the purge version: pre-purge manifests AND bytes gone
+    Snapshots.vacuum(spark, t, keepFrom = pv)
+    assert(Snapshots.versions(spark, t) == Seq(pv))
+    // the PROOF: scan every surviving data file directly — no file
+    // anywhere under the table root contains the erased key
+    val dataRoot = java.nio.file.Paths.get(t, "data")
+    val files = java.nio.file.Files.walk(dataRoot).iterator()
+    var survivors = List.empty[String]
+    files.forEachRemaining(p =>
+      if (p.toString.endsWith(".parquet")) survivors ::= p.toString)
+    assert(survivors.nonEmpty)
+    val raw = spark.read.parquet(survivors: _*)
+    assert(raw.filter(col("id") === 2L).count() == 0)
+    // the surviving history still merges: keys 1 and 3 intact
+    assert(raw.select("id").distinct().as[Long].collect().toSet == Set(1L, 3L))
   }
 
   test("read plan scans exactly the manifest's closed file list") {
