@@ -2896,8 +2896,14 @@ object SparkEntry {
       val root = materializedDir("manifestprunemulti", dir) { path =>
         val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
           col("event_type"), col("value"))
+        // the two dims must land on COMPARABLE grid scales or the curve
+        // degenerates to a linear sort in the wider one: user_id runs
+        // ~87x denser than event_id in this star schema, so it is
+        // spread by 87 onto the 2^17 grid (sized for the sf0.1 bench
+        // corpus; beyond it the masked wrap only softens pruning, never
+        // correctness — the predicate re-applies per row)
         val h = graft.functions.Hilbert.hilbert_index(
-          col("event_id"), col("user_id"), 24)
+          col("event_id"), col("user_id") * 87L, 17)
         Snapshots.commitOverwrite(s, path + "/t",
           e.withColumn("__h", h).repartitionByRange(8, col("__h"))
             .sortWithinPartitions("__h").drop("__h"),

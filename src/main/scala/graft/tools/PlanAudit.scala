@@ -106,6 +106,12 @@ object PlanAudit {
         override def onFailure(funcName: String, qe: QueryExecution,
                                exception: Exception): Unit = ()
       }
+      // drain the ASYNC listener bus before registering: the previous
+      // query's runtime collect()s otherwise deliver late into THIS
+      // query's listener, and the audit picks up a neighbor's plans —
+      // the run-order-dependent count drift ADVICE r13 flagged
+      // (dedup_exact inheriting dedup_e2e_md5's shuffles)
+      org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark)
       spark.listenerManager.register(listener)
       try {
         val df = fn(spark, sfDir)
@@ -137,6 +143,9 @@ object PlanAudit {
           node.expressions.map(_.collect {
             case e if e.getClass.getSimpleName == "ScalaUDF" => e
           }.size).sum).sum
+        // snapshot the construction-time action count BEFORE the runtime
+        // collect below adds its own execution to the queue
+        val eagerExecs = constructed.size()
         // RUNTIME columns: execute through this df's own QueryExecution
         // (a write would spawn a fresh one and leave this plan
         // un-finalized) and read the finalized adaptive plan — the only
@@ -160,7 +169,7 @@ object PlanAudit {
           s"$pushed/$scans",
           (count(plan, "BatchEvalPython") +
             math.max(count(plan, "\\bUDF\\("), structuralUdfs)).toString,
-          constructed.size().toString,
+          eagerExecs.toString,
           live, reused)
       } catch {
         case e: Throwable => Seq(name, "ERR", "", "", "", "", e.getClass.getSimpleName, "", "", "")

@@ -38,6 +38,17 @@ object Bridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Block until the shared listener bus has delivered every queued
+    * event. Audit tooling needs this between queries: the
+    * QueryExecutionListener bus is ASYNC, so executions belonging to
+    * query N can otherwise deliver into query N+1's freshly-registered
+    * listener and contaminate its plan audit (run-order-dependent counts
+    * — the ADVICE r13 PLAN_AUDIT drift). Bounded wait, same contract as
+    * Spark's own test helper.
+    */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMillis: Long = 30000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
+
   // test access to the (private[sql]) SparkSessionExtensions build hooks,
   // so extension wiring is verifiable without tearing down the shared
   // test session (extensions only apply at session construction)
