@@ -4341,10 +4341,15 @@ object SparkEntry {
       |SELECT v1.lang AS lang, n_v1, n_head, chars_evolved, n_nullfilled,
       |  CAST(2 AS BIGINT) AS v1_cols, CAST(3 AS BIGINT) AS head_cols
       |FROM v1 JOIN hd ON v1.lang = hd.lang""".stripMargin),
-    // q_merge_cdc's oracle minus the erased base keys: a key surviving
-    // anywhere in the purged MoR history breaks the hash
+    // q_merge_cdc's oracle minus the erased keys — the exclusion is the
+    // ERASE SET's own definition (every documents key with %9 = 3), not
+    // an id-window approximation: at the 100x replica the natural id
+    // space crosses the +10M insert offset, so a colliding insert id is
+    // legitimately erased too and both sides must agree on that. A key
+    // surviving anywhere in the purged MoR history breaks the hash
     "q_gdpr_erase" -> ("SELECT * FROM (" + mergeCdcSql +
-      ") WHERE NOT (doc_id % 9 = 3 AND doc_id < 10000000)"),
+      ") WHERE doc_id NOT IN " +
+      "(SELECT doc_id FROM documents WHERE doc_id % 9 = 3)"),
     // the whole incremental composition: the pairsMd5 pipeline decides
     // which planted near-dups drop (exactly dedup_incremental's dup
     // set), the fresh +200000 batch passes dedup by construction
