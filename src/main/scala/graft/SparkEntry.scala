@@ -3040,6 +3040,71 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     }),
 
+    // THE STREAMING FLAVOR of the curation pipeline: the SAME ingest
+    // batch as q_incr_pipeline arrives as three mtime-ordered
+    // micro-batch files, each trigger running curateBatch — the
+    // standing index pre-signatured ONCE before the stream starts, the
+    // batch's bands broadcast in, gate per-row, and commitAppendOnce
+    // under token b<batchId> with an in-trigger replay that must no-op.
+    // Batch-vs-index matching has no batch-vs-batch interaction and the
+    // gate is per-row, so the streamed union must equal the one-shot
+    // q_incr_pipeline result EXACTLY — same oracle; the destination
+    // lands exactly 3 committed generations (one per trigger), and a
+    // duplicated or dropped trigger breaks the per-lang hash.
+    "q_stream_incr_pipeline" -> ((s, dir) => {
+      val runner = graft.streaming.StreamRunner
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"),
+        col("n_chars"))
+      val srcDir = materializedDir("streamincrsrc", dir) { inPath =>
+        val nearDups = d.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000L).as("doc_id"), col("lang"),
+          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+          col("n_chars"))
+        val fresh = d.filter(col("doc_id") % 97 === 3).select(
+          (col("doc_id") + 200000L).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("lang")).otherwise(lit("zz"))
+            .as("lang"),
+          concat(lit("fresh-"), col("doc_id")).as("text"),
+          (lit(100L) + col("doc_id") % 350).as("n_chars"))
+        val batchAll = nearDups.unionByName(fresh)
+        val base = new java.io.File(inPath)
+        base.mkdirs()
+        val t0 = System.currentTimeMillis() - 600000L
+        (0 until 3).foreach { j =>
+          dumpBatchFile(base, batchAll.filter(col("doc_id") % 3 === j),
+            s"b$j", t0 + j * 60000L)
+        }
+      }
+      val root = materializedDir("streamincr", dir) { outPath =>
+        val dst = outPath + "/dst"
+        val qt = outPath + "/qt"
+        val checks = Seq(
+          Expectations.Check("lang_latin",
+            col("lang").isin("en", "de", "fr", "es")),
+          Expectations.Check("len_band", col("n_chars").between(100L, 400L)))
+        val tracker = new graft.operators.CacheTracker
+        val idx = Dedup.prepareDedupIndex(d, "doc_id", "text",
+          shingleSize = 3, numHashes = 8, tracker = tracker)
+        val src = runner.fileSource(s, srcDir, StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("text", StringType), StructField("n_chars", LongType))),
+          maxFilesPerTrigger = Some(1))
+        runner.foreachBatchSink(src, (batch, batchId) => {
+          def run() = IncrementalPipeline.curateBatch(s, batch, idx,
+            "doc_id", "text", checks, dst, token = s"b$batchId",
+            quarantineTable = Some(qt))
+          require(run().isDefined, s"batch $batchId must commit")
+          require(run().isEmpty, s"batch $batchId replay must be a no-op")
+        }, trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .awaitTermination()
+        tracker.release()
+        require(Snapshots.versions(s, dst).size == 3,
+          "exactly one destination generation per trigger")
+      }
+      Snapshots.read(s, root + "/dst").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // INCREMENTAL READ off the snapshot manifests: the delta between
     // two versions is the manifest file-set difference — "process only
     // what landed since the version I last consumed", with cost
@@ -4064,6 +4129,32 @@ object SparkEntry {
        |FROM names JOIN nf ON nf.name = names.name
        |GROUP BY nf.family""".stripMargin
 
+  /** The q_incr_pipeline / q_stream_incr_pipeline oracle: the pairsMd5
+    * pipeline decides which planted near-dups drop (dedup_incremental's
+    * dup set), the fresh +200000 batch passes dedup by construction
+    * (single-token texts share no 3-shingles with the corpus), and the
+    * expectations gate keeps latin langs inside the 100-400 length band.
+    */
+  private lazy val incrPipelineSql: String =
+    s"WITH $pairsMd5Ctes,\n" +
+      """dup AS (SELECT DISTINCT id_b FROM pr
+        |  WHERE id_b >= 100000 AND id_b < 100020 AND id_a < 100000),
+        |b1 AS (SELECT doc_id + 100000 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id < 20),
+        |b2 AS (SELECT doc_id + 200000 AS doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN lang ELSE 'zz' END AS lang,
+        |    100 + doc_id % 350 AS n_chars
+        |  FROM documents WHERE doc_id % 97 = 3),
+        |batch AS (
+        |  SELECT * FROM b1 WHERE doc_id NOT IN (SELECT id_b FROM dup)
+        |  UNION ALL SELECT * FROM b2),
+        |clean AS (SELECT * FROM batch
+        |  WHERE lang IN ('en', 'de', 'fr', 'es')
+        |    AND n_chars BETWEEN 100 AND 400)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM clean GROUP BY lang""".stripMargin
+
   private def urlDedupSql: String = {
     // mirror of UrlOps.canonicalizeUrl/dedupByUrl over the same
     // deterministic URL synthesis. DuckDB regexp_replace defaults to
@@ -4357,24 +4448,12 @@ object SparkEntry {
     // expectations gate keeps latin langs inside the length band.
     // Exactly-once: the Spark side runs the step TWICE with one token —
     // a broken replay doubles every count and hash-fails
-    "q_incr_pipeline" -> (s"WITH $pairsMd5Ctes,\n" +
-      """dup AS (SELECT DISTINCT id_b FROM pr
-        |  WHERE id_b >= 100000 AND id_b < 100020 AND id_a < 100000),
-        |b1 AS (SELECT doc_id + 100000 AS doc_id, lang, n_chars
-        |  FROM documents WHERE doc_id < 20),
-        |b2 AS (SELECT doc_id + 200000 AS doc_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN lang ELSE 'zz' END AS lang,
-        |    100 + doc_id % 350 AS n_chars
-        |  FROM documents WHERE doc_id % 97 = 3),
-        |batch AS (
-        |  SELECT * FROM b1 WHERE doc_id NOT IN (SELECT id_b FROM dup)
-        |  UNION ALL SELECT * FROM b2),
-        |clean AS (SELECT * FROM batch
-        |  WHERE lang IN ('en', 'de', 'fr', 'es')
-        |    AND n_chars BETWEEN 100 AND 400)
-        |SELECT lang, count(*)::BIGINT AS n_docs,
-        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM clean GROUP BY lang""".stripMargin),
+    "q_incr_pipeline" -> incrPipelineSql,
+    // identical algebra: per-micro-batch matching against the standing
+    // index has no batch-vs-batch interaction and the gate is per-row,
+    // so the streamed union equals the one-shot batch result — same
+    // oracle (the q_stream_dedup precedent)
+    "q_stream_incr_pipeline" -> incrPipelineSql,
     "q_er_scored" -> erScoredSql,
     "q_k_anonymity" -> ("SELECT lang, source, n_chars // 10 AS len_band, " +
       "count(*)::BIGINT AS group_size FROM documents " +

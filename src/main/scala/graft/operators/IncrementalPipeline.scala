@@ -45,6 +45,36 @@ object IncrementalPipeline {
     val delta = Snapshots.readChangesBetween(spark, sourceTable, sinceVersion)
     val dups = Dedup.dedupAgainstIndex(index, delta, idCol, textCol,
       shingleSize, numHashes)
+    curateTail(spark, delta, dups, idCol, checks, destTable, token,
+      quarantineTable)
+  }
+
+  /** The per-micro-batch half — what a streaming ingest runs inside
+    * `foreachBatch`: the trigger's batch IS the delta, the standing
+    * index arrives pre-signatured ([[Dedup.prepareDedupIndex]], computed
+    * once for the stream's life), and `token` is derived from the batch
+    * id so a crashed-and-replayed trigger appends nothing twice. Union
+    * of per-batch results ≡ the one-shot [[curateStep]] on the same
+    * rows: batches only ever match against the STANDING index (no
+    * batch-vs-batch interaction) and the gate is per-row.
+    */
+  def curateBatch(spark: SparkSession, batch: DataFrame,
+                  preparedIndex: DataFrame, idCol: String, textCol: String,
+                  checks: Seq[Expectations.Check],
+                  destTable: String, token: String,
+                  quarantineTable: Option[String] = None,
+                  shingleSize: Int = 3, numHashes: Int = 8): Option[Int] = {
+    val dups = Dedup.dedupAgainstPreparedIndex(preparedIndex, batch,
+      idCol, textCol, shingleSize, numHashes)
+    curateTail(spark, batch, dups, idCol, checks, destTable, token,
+      quarantineTable)
+  }
+
+  private def curateTail(spark: SparkSession, delta: DataFrame,
+                         dups: DataFrame, idCol: String,
+                         checks: Seq[Expectations.Check],
+                         destTable: String, token: String,
+                         quarantineTable: Option[String]): Option[Int] = {
     val fresh = delta.join(dups.select(idCol), Seq(idCol), "left_anti")
     val (clean, dirty) = Expectations.gate(fresh, checks)
     quarantineTable.foreach { qt =>

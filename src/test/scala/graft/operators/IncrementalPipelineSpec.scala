@@ -75,6 +75,31 @@ class IncrementalPipelineSpec extends SparkTestBase {
       .collect().toSet == Set(101L))
   }
 
+  test("curateBatch: per-micro-batch half against a prepared index, " +
+       "token-exact under replay") {
+    val root = fresh()
+    val (dst, qt) = (root + "/dst", root + "/qt")
+    val tracker = new CacheTracker
+    val idx = Dedup.prepareDedupIndex(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", tracker = tracker)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // index dup
+      (101L, "completely novel sentence with many brand new tokens"),
+      (2000L, "another completely different novel sentence entirely here"))
+      .toDF("doc_id", "text")
+    def run() = IncrementalPipeline.curateBatch(spark, batch, idx,
+      "doc_id", "text", checks, dst, token = "b0",
+      quarantineTable = Some(qt))
+    assert(run().contains(1))
+    assert(run().isEmpty) // replayed trigger: no-op through BOTH sinks
+    assert(Snapshots.read(spark, dst).select("doc_id").as[Long]
+      .collect().toSet == Set(101L))
+    assert(Snapshots.read(spark, qt).select("doc_id").as[Long]
+      .collect().toSet == Set(2000L))
+    assert(Snapshots.versions(spark, dst) == Seq(1))
+    tracker.release()
+  }
+
   test("an empty delta still commits exactly once (and replays as no-op)") {
     val root = fresh()
     val (src, dst) = (root + "/src", root + "/dst")

@@ -331,6 +331,25 @@ class SnapshotsSpec extends SparkTestBase {
     assert(raw.select("id").distinct().as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("erase purge edge cases: absent key, NULL key, bad request shape") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val pv = Snapshots.erasePurgeCommit(spark, t, "id", Seq(1L).toDF("key"))
+    assert(Snapshots.read(spark, t, Some(pv)).select("id").as[Long]
+      .collect().toSet == Set(2L))
+    // erasing a key that is absent is a clean no-op rewrite, not an error
+    val pv2 = Snapshots.erasePurgeCommit(spark, t, "id", Seq(99L).toDF("key"))
+    assert(Snapshots.read(spark, t, Some(pv2)).count() == 1)
+    // NULL keys in the request never match (erasure keys are real ids)
+    val pv3 = Snapshots.erasePurgeCommit(spark, t, "id",
+      Seq[java.lang.Long](null).toDF("key"))
+    assert(Snapshots.read(spark, t, Some(pv3)).count() == 1)
+    // multi-column request lists are a caller bug
+    intercept[IllegalArgumentException] {
+      Snapshots.erasePurgeCommit(spark, t, "id", Seq((1L, 2L)).toDF("a", "b"))
+    }
+  }
+
   test("read plan scans exactly the manifest's closed file list") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
