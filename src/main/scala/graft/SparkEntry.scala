@@ -2955,6 +2955,32 @@ object SparkEntry {
         .withColumn("head_cols", lit(headDf.columns.length.toLong))
     }),
 
+    // NAMED TAGS pin snapshots against retention — the reproducible-
+    // training-run contract the format's scaladoc promises: tag v2 as
+    // run-1 (immutable, create-once through the same atomic slot as
+    // manifests), then vacuum everything below v3. The tag's version —
+    // manifest AND bytes — must survive the horizon; the output reads
+    // BOTH the tagged snapshot and the post-vacuum head, so a vacuum
+    // that honors only the numeric horizon (dropping the pinned v2)
+    // fails loudly, and a mis-resolved tag breaks the hash.
+    "q_snapshot_tag" -> ((s, dir) => {
+      val root = materializedDir("snaptag", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, t, d.filter(col("doc_id") % 3 === 0))
+        Snapshots.commitAppend(s, t, d.filter(col("doc_id") % 3 === 1))
+        Snapshots.commitOverwrite(s, t, d.filter(col("doc_id") % 3 === 2))
+        Snapshots.tagVersion(s, t, "run-1", 2)
+        Snapshots.vacuum(s, t, keepFrom = 3) // v1 goes; v2 pinned by the tag
+      }
+      val t = root + "/t"
+      def slice(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .select(lit(tag).as("state"), col("n_docs"), col("id_sum"))
+      slice(Snapshots.readTag(s, t, "run-1"), "tagged_v2")
+        .unionAll(slice(Snapshots.read(s, t), "head_v3"))
+    }),
+
     // GDPR ERASE through the snapshot format — the three-move deletion
     // protocol over the q_merge_on_read table: (1) LOGICAL delete now —
     // op='d' tombstones for the %9=3 keys append through the
@@ -4432,6 +4458,12 @@ object SparkEntry {
       |SELECT v1.lang AS lang, n_v1, n_head, chars_evolved, n_nullfilled,
       |  CAST(2 AS BIGINT) AS v1_cols, CAST(3 AS BIGINT) AS head_cols
       |FROM v1 JOIN hd ON v1.lang = hd.lang""".stripMargin),
+    // tagged v2 = the first two slices; head v3 = the overwrite slice
+    "q_snapshot_tag" -> ("SELECT 'tagged_v2' AS state, " +
+      "count(*)::BIGINT AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents WHERE doc_id % 3 IN (0, 1) " +
+      "UNION ALL SELECT 'head_v3', count(*)::BIGINT, " +
+      "CAST(sum(doc_id) AS BIGINT) FROM documents WHERE doc_id % 3 = 2"),
     // q_merge_cdc's oracle minus the erased keys — the exclusion is the
     // ERASE SET's own definition (every documents key with %9 = 3), not
     // an id-window approximation: at the 100x replica the natural id

@@ -698,17 +698,93 @@ object Snapshots {
     })
   }
 
-  /** Reclaim space: drop all manifests BELOW `keepFrom` and delete every
-    * data file no remaining manifest references (including orphans from
-    * crashed commits). Returns the number of deleted data files. Time
-    * travel to vacuumed versions is gone — that is the point. A dropped
-    * manifest also forgets its [[commitAppendOnce]] token, so keep the
-    * retention horizon longer than any source's replay horizon (a
-    * streaming checkpoint bounds replays far tighter in practice).
+  private val RefsDir = "_refs"
+
+  /** Tag a committed version with an immutable name — how a reproducible
+    * training run pins its input ("read what run-2026-08 read") without
+    * carrying version numbers through configs. Tags are create-once
+    * (published through the same create-if-absent slot as manifests, so
+    * two racers cannot both claim a name) and PIN their version against
+    * [[vacuum]]: a tagged snapshot survives any retention horizon until
+    * [[dropTag]] releases it.
+    */
+  def tagVersion(spark: SparkSession, table: String, name: String,
+                 version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}"),
+      s"tag name must be [A-Za-z0-9._-]{1,64}, got '$name'")
+    require(versions(spark, table).contains(version),
+      s"$table has no committed version $version to tag")
+    val f = fs(spark, table)
+    val tgt = new Path(table, s"$RefsDir/$name.txt")
+    f.mkdirs(tgt.getParent)
+    val bytes = (version.toString + "\n").getBytes("UTF-8")
+    val scheme = tgt.toUri.getScheme
+    val won =
+      if (scheme == null || scheme == "file") {
+        val dir = java.nio.file.Paths.get(f.makeQualified(tgt).toUri.getPath).getParent
+        val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID()}.tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        try {
+          java.nio.file.Files.createLink(dir.resolve(tgt.getName), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      } else {
+        try {
+          val out = f.create(tgt, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+    require(won, s"$table already has a tag '$name' (tags are immutable; " +
+      "dropTag first to re-point)")
+  }
+
+  /** All tags of the table: name → pinned version. */
+  def tags(spark: SparkSession, table: String): Map[String, Int] = {
+    val dir = new Path(table, RefsDir)
+    val f = fs(spark, table)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).filter(_.isFile)
+      .map(_.getPath).filter(_.getName.endsWith(".txt"))
+      .map { p =>
+        val in = f.open(p)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim.toInt finally in.close()
+        p.getName.stripSuffix(".txt") -> v
+      }.toMap
+  }
+
+  /** Read the snapshot a tag pins. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame = {
+    val v = tags(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(s"$table has no tag '$name'"))
+    read(spark, table, Some(v))
+  }
+
+  /** Release a tag (its version becomes vacuumable again). */
+  def dropTag(spark: SparkSession, table: String, name: String): Unit = {
+    val f = fs(spark, table)
+    require(f.delete(new Path(table, s"$RefsDir/$name.txt"), false),
+      s"$table has no tag '$name'")
+  }
+
+  /** Reclaim space: drop all UNTAGGED manifests BELOW `keepFrom` and
+    * delete every data file no remaining manifest references (including
+    * orphans from crashed commits). Returns the number of deleted data
+    * files. Time travel to vacuumed versions is gone — that is the
+    * point — but a [[tagVersion]]-pinned snapshot survives any horizon
+    * until its tag is dropped (the reproducible-training-run contract).
+    * A dropped manifest also forgets its [[commitAppendOnce]] token, so
+    * keep the retention horizon longer than any source's replay horizon
+    * (a streaming checkpoint bounds replays far tighter in practice).
     */
   def vacuum(spark: SparkSession, table: String, keepFrom: Int): Int = {
     val f = fs(spark, table)
-    val (drop, keep) = versions(spark, table).partition(_ < keepFrom)
+    val pinned = tags(spark, table).values.toSet
+    val (drop, keep) = versions(spark, table)
+      .partition(v => v < keepFrom && !pinned.contains(v))
     require(keep.nonEmpty, s"vacuum would drop every version of $table")
     val referenced = keep.flatMap(manifestFiles(spark, table, _)).toSet
     drop.foreach(v => f.delete(manifestPath(table, v), false))

@@ -350,6 +350,62 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("tags: immutable named pins that survive vacuum until dropped") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))   // v1
+    Snapshots.commitOverwrite(spark, t, Seq(2L).toDF("id"))   // v2
+    Snapshots.commitOverwrite(spark, t, Seq(3L).toDF("id"))   // v3
+    Snapshots.tagVersion(spark, t, "run-1", 2)
+    assert(Snapshots.tags(spark, t) == Map("run-1" -> 2))
+    assert(Snapshots.readTag(spark, t, "run-1").select("id").as[Long]
+      .head == 2L)
+    // tags are create-once
+    intercept[IllegalArgumentException] {
+      Snapshots.tagVersion(spark, t, "run-1", 3)
+    }
+    intercept[IllegalArgumentException] { // must point at a real version
+      Snapshots.tagVersion(spark, t, "run-2", 99)
+    }
+    // vacuum keeps the pinned v2 (and its bytes) while dropping v1
+    Snapshots.vacuum(spark, t, keepFrom = 3)
+    assert(Snapshots.versions(spark, t) == Seq(2, 3))
+    assert(Snapshots.readTag(spark, t, "run-1").select("id").as[Long]
+      .head == 2L) // the tagged snapshot still reads after vacuum
+    intercept[IllegalArgumentException] { ids(t, Some(1)) } // v1 gone
+    // dropping the tag releases the pin; the next vacuum reclaims it
+    Snapshots.dropTag(spark, t, "run-1")
+    Snapshots.vacuum(spark, t, keepFrom = 3)
+    assert(Snapshots.versions(spark, t) == Seq(3))
+    intercept[IllegalArgumentException] {
+      Snapshots.readTag(spark, t, "run-1")
+    }
+  }
+
+  test("concurrent evolve appends of the same new shape all land") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq((0L, "base")).toDF("id", "v"))
+    // 8 racers append the SAME evolved shape; publish retries must
+    // re-derive the schema against whatever head each retry sees
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        results.add(Snapshots.commitAppend(spark, t,
+          Seq((i.toLong, s"r$i", i.toLong)).toDF("id", "v", "extra"),
+          evolve = true))
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toList.sorted == (2 to 9).toList)
+    val head = Snapshots.read(spark, t)
+    assert(head.columns.toSeq == Seq("id", "v", "extra"))
+    assert(head.count() == 9)
+    // the base row null-fills the evolved column
+    assert(head.filter(col("id") === 0L).select("extra").head.isNullAt(0))
+  }
+
   test("read plan scans exactly the manifest's closed file list") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
