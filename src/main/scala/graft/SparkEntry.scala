@@ -2035,6 +2035,12 @@ object SparkEntry {
     // calibration windows, and a recursive-CTE component spine.
     "q_er_scored" -> ((s, dir) => {
       val (names, _) = phoneticNames(s, dir)
+      // deliberately NOT persisted although four consumers re-derive it:
+      // the aggregate is 240 rows off a 3-predicate narrow scan, and a
+      // cached relation here measured WORSE (2.78 -> 3.42 s warm at
+      // sf0.1, interleaved QueryTimer) — re-materialization latency plus
+      // TableCacheQueryStage wrapping beats four cheap recomputes; the
+      // r13 cache doctrine's negative case again
       val nn = names.groupBy("name").agg(min(col("doc_id")).as("nid"),
         min(col("doc_id") % 40).as("ent"))
       val cand = EntityResolution.candidatePairs(nn, "name",

@@ -551,7 +551,8 @@ object Snapshots {
     */
   def commitAppendOnce(spark: SparkSession, table: String, df: DataFrame,
                        token: String, replayHorizon: Int = 128,
-                       evolve: Boolean = false): Option[Int] = {
+                       evolve: Boolean = false,
+                       statsCols: Seq[String] = Nil): Option[Int] = {
     require(!token.contains("\n") && !token.contains("\r"),
       "token must be single-line")
     require(replayHorizon >= 1, "replayHorizon must be >= 1")
@@ -564,7 +565,7 @@ object Snapshots {
       return None
     versions(spark, table).lastOption.foreach(v =>
       evolvedSchema(versionSchema(spark, table, v), df.schema, evolve, table))
-    val staged = stage(spark, table, df)
+    val staged = stage(spark, table, df, statsCols)
     Some(publish(spark, table, head => {
       val snapshot = evolvedSchema(
         head.flatMap(versionSchema(spark, table, _)), df.schema, evolve, table)

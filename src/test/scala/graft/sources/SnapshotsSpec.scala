@@ -350,6 +350,21 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("tokened appends can record stats: pruned reads skip their files too") {
+    val t = freshTable()
+    def batch(lo: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, lo + 100).toDF("id")
+        .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+    assert(Snapshots.commitAppendOnce(spark, t, batch(0), "b0",
+      statsCols = Seq("id")).contains(1))
+    assert(Snapshots.commitAppendOnce(spark, t, batch(100), "b1",
+      statsCols = Seq("id")).contains(2))
+    // the second batch's file is skipped for a first-batch band
+    val pruned = Snapshots.readPruned(spark, t, "id", 10, 20)
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.count() == 11)
+  }
+
   test("tags: immutable named pins that survive vacuum until dropped") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))   // v1
