@@ -2987,6 +2987,32 @@ object SparkEntry {
         .unionAll(slice(Snapshots.read(s, t), "head_v3"))
     }),
 
+    // SNAPSHOT DIFF — the audit answer "what exactly did that commit do"
+    // once an overwrite/purge/compaction rewrote files and the manifest
+    // diff can no longer say: one full-outer key join with the non-key
+    // columns packed into a struct per side (narrow shuffle rows,
+    // null-safe struct equality), emitting one (key, change) row per
+    // insert/delete/update and nothing for unchanged keys. v2 rewrites
+    // the table with %7 values bumped, %5 keys dropped, and inserts at
+    // +1e9 (clear of every replica id space); the oracle rebuilds the
+    // three change sets from the same arithmetic.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val root = materializedDir("snapdiff", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.commitOverwrite(s, t, d)
+        val v2 = d.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 7 === 0, col("n_chars") + 1)
+              .otherwise(col("n_chars")).as("n_chars"))
+          .unionByName(d.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"),
+              col("lang"), col("n_chars")))
+        Snapshots.commitOverwrite(s, t, v2)
+      }
+      Snapshots.diffSnapshots(s, root + "/t", 1, 2, Seq("doc_id"))
+    }),
+
     // GDPR ERASE through the snapshot format — the three-move deletion
     // protocol over the q_merge_on_read table: (1) LOGICAL delete now —
     // op='d' tombstones for the %9=3 keys append through the
@@ -4464,6 +4490,12 @@ object SparkEntry {
       |SELECT v1.lang AS lang, n_v1, n_head, chars_evolved, n_nullfilled,
       |  CAST(2 AS BIGINT) AS v1_cols, CAST(3 AS BIGINT) AS head_cols
       |FROM v1 JOIN hd ON v1.lang = hd.lang""".stripMargin),
+    "q_snapshot_diff" -> ("SELECT doc_id, 'delete' AS change " +
+      "FROM documents WHERE doc_id % 5 = 0 " +
+      "UNION ALL SELECT doc_id, 'update' FROM documents " +
+      "WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0 " +
+      "UNION ALL SELECT doc_id + 1000000000, 'insert' FROM documents " +
+      "WHERE doc_id % 11 = 0"),
     // tagged v2 = the first two slices; head v3 = the overwrite slice
     "q_snapshot_tag" -> ("SELECT 'tagged_v2' AS state, " +
       "count(*)::BIGINT AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +

@@ -421,6 +421,27 @@ class SnapshotsSpec extends SparkTestBase {
     assert(head.filter(col("id") === 0L).select("extra").head.isNullAt(0))
   }
 
+  test("diffSnapshots: insert/delete/update, unchanged silent, " +
+       "evolution null-fill compares correctly") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+    // v2 evolves the shape: key 1 unchanged (new col null on both
+    // sides), key 2 updated in the OLD column, key 3 updated ONLY in
+    // the NEW column, key 4 deleted, key 5 inserted
+    Snapshots.commitOverwrite(spark, t,
+      Seq[(Long, String, String)]((1L, "a", null), (2L, "B", null),
+        (3L, "c", "x"), (5L, "e", null)).toDF("id", "v", "w"))
+    val got = Snapshots.diffSnapshots(spark, t, 1, 2, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "update", 3L -> "update",
+      4L -> "delete", 5L -> "insert"))
+    // a key column missing from one side is a caller error
+    intercept[IllegalArgumentException] {
+      Snapshots.diffSnapshots(spark, t, 1, 2, Seq("nope"))
+    }
+  }
+
   test("read plan scans exactly the manifest's closed file list") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
