@@ -5462,6 +5462,30 @@ object SparkEntry {
       "string_agg(para, ' ' ORDER BY pos) AS clean_text " +
       "FROM ex WHERE md5(para) NOT IN (SELECT h FROM bl) GROUP BY doc_id"),
     "text_fingerprint" -> s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    // the custom codegen Expression replayed BYTE-EXACTLY in SQL: UTF-8
+    // bytes via hex pairs (signed — java bytes are), the h = 31·h + b
+    // wraparound fold as a HUGEINT list_reduce mod 2^64, mapped back to
+    // signed BIGINT. Closes the last closable engine-hash row: the
+    // "engine" part of rolling_hash was wraparound int64 arithmetic,
+    // which HUGEINT replays exactly (unlike xxhash64 lanes or trained
+    // float quantizers, which stay twin-manifested). ~0.3 s at sf0.01,
+    // ~19 s at the 10x replica; 100x bounded by oracle cost
+    // (q_allpairs_cosine precedent).
+    "text_fingerprint_fast" -> ("WITH nrm AS (SELECT doc_id, " +
+      s"$normSql AS t FROM documents), " +
+      "hx AS (SELECT doc_id, hex(encode(t)) AS h, " +
+      "octet_length(encode(t)) AS n FROM nrm), " +
+      "lst AS (SELECT doc_id, list_transform(range(0, n), " +
+      "i -> ('0x' || substr(h, CAST(2 * i + 1 AS BIGINT), 2))::BIGINT) " +
+      "AS bytes FROM hx) " +
+      "SELECT doc_id, CAST(CASE WHEN r >= 9223372036854775808::HUGEINT " +
+      "THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp_fast " +
+      "FROM (SELECT doc_id, list_reduce(" +
+      "list_prepend(1125899906842597::HUGEINT, " +
+      "list_transform(bytes, x -> " +
+      "CASE WHEN x >= 128 THEN x - 256 ELSE x END::HUGEINT)), " +
+      "(acc, v) -> (31::HUGEINT * acc + v + 18446744073709551616::HUGEINT) " +
+      "% 18446744073709551616::HUGEINT) AS r FROM lst)"),
     "multimodal_meta" -> ("SELECT doc_id, 'application/octet-stream' AS mime, " +
       "CAST(octet_length(encode(text)) % 1024 AS INT) AS width, " +
       "octet_length(encode(text)) * 10 AS duration_ms, " +
