@@ -2701,6 +2701,19 @@ object SparkEntry {
       Multimodal.audioStats(
         Multimodal.attachSyntheticAudio(docs(s, dir), "doc_id", nSamples = 400),
         "doc_id")),
+    // REAL resize round trip: synthesize a 32×16 BMP per doc, decode,
+    // INTEGER box-filter downscale to 8×4 (each output pixel = the
+    // floor-average of its 4×4 block — pure integer arithmetic, unlike
+    // a float bilinear kernel), re-encode through the BMP writer, decode
+    // AGAIN, emit the resized image's exact channel sums. The oracle
+    // recomputes the block averages from the pixel closed forms with no
+    // image library — any kernel, block-alignment, rounding, or
+    // re-encode bug hash-fails. One narrow mapPartitions, zero
+    // shuffles; payload bytes never leave the partition.
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizedImageStats(
+        Multimodal.attachSyntheticImages(docs(s, dir), "doc_id", 32, 16),
+        "doc_id", 8, 4)),
     // Perceptual image hash (aHash) from REAL decode: 200 pattern 32×16
     // BMPs (near-independent hashes via a per-cell Knuth mix) + 20
     // planted near twins (+500000: same pattern, two seed-chosen cells
@@ -5517,6 +5530,21 @@ object SparkEntry {
       "CAST(SUM((7 * d.doc_id + y.j) % 256) AS BIGINT) AS sum_b " +
       "FROM documents d, range(0, 30) x(i), range(0, 17) y(j) " +
       "GROUP BY d.doc_id"),
+    // block sums over each 4x4 source block, floor-averaged (// 16),
+    // then summed over the 8x4 output grid — the box filter's exact
+    // integer mirror from the synthesis closed forms
+    "multimodal_resize" -> ("WITH px AS (SELECT d.doc_id, u.u, v.v, " +
+      "SUM((d.doc_id + (4 * u.u + dx.dx) + (4 * v.v + dy.dy)) % 256) AS rsum, " +
+      "SUM((3 * d.doc_id + (4 * u.u + dx.dx)) % 256) AS gsum, " +
+      "SUM((7 * d.doc_id + (4 * v.v + dy.dy)) % 256) AS bsum " +
+      "FROM documents d, range(0, 8) u(u), range(0, 4) v(v), " +
+      "range(0, 4) dx(dx), range(0, 4) dy(dy) " +
+      "GROUP BY d.doc_id, u.u, v.v) " +
+      "SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(4 AS INT) AS out_h, " +
+      "CAST(SUM(rsum // 16) AS BIGINT) AS sum_r, " +
+      "CAST(SUM(gsum // 16) AS BIGINT) AS sum_g, " +
+      "CAST(SUM(bsum // 16) AS BIGINT) AS sum_b " +
+      "FROM px GROUP BY doc_id"),
     "multimodal_ahash" -> (ahashSql + "SELECT doc_id, c0, c1, c2, c3 FROM h"),
     "multimodal_ahash_pairs" -> (ahashSql + chunkPairsSql),
     "multimodal_audiohash" -> (audioHashSql + "SELECT doc_id, c0, c1, c2, c3 FROM h"),

@@ -674,6 +674,86 @@ object Multimodal {
       }
   }
 
+  /** Deterministic integer box-filter downscale from a REAL decode: the
+    * input grid must be an exact multiple of the output grid, each
+    * output pixel is the floor-average of its (sx × sy) source block
+    * per channel — PURE INTEGER arithmetic, so any engine replays the
+    * resampling bit-for-bit (a float bilinear kernel could never be
+    * oracle-checked) — and the result is re-encoded as a 24-bit BMP
+    * through the same writer the synthetic corpus uses. None for
+    * undecodable payloads or non-multiple dimensions (production
+    * pipelines pad/crop to a multiple first; silently approximating
+    * the grid would make the output layout-dependent). Resizing to the
+    * input's own dimensions is the identity (1×1 blocks).
+    */
+  def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    if (bytes == null || bytes.length < 8) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth % outW != 0 || img.getHeight % outH != 0)
+      return None
+    val sx = img.getWidth / outW
+    val sy = img.getHeight / outH
+    val n = sx.toLong * sy
+    val out = new Array[Int](outW * outH * 3)
+    var v = 0
+    while (v < outH) {
+      var u = 0
+      while (u < outW) {
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var dy = 0
+        while (dy < sy) {
+          var dx = 0
+          while (dx < sx) {
+            val p = img.getRGB(u * sx + dx, v * sy + dy)
+            sr += (p >>> 16) & 0xFF
+            sg += (p >>> 8) & 0xFF
+            sb += p & 0xFF
+            dx += 1
+          }
+          dy += 1
+        }
+        val o = (v * outW + u) * 3
+        out(o) = (sr / n).toInt; out(o + 1) = (sg / n).toInt; out(o + 2) = (sb / n).toInt
+        u += 1
+      }
+      v += 1
+    }
+    Some(writeBmp24(outW, outH) { (x, y) =>
+      val o = (y * outW + x) * 3
+      (out(o), out(o + 1), out(o + 2))
+    })
+  }
+
+  /** The resize round trip, partition-local: (id, media) → decode →
+    * [[resizeImage]] box-filter downscale → re-encode → decode AGAIN →
+    * (id, out_w, out_h, sum_r, sum_g, sum_b) of the RESIZED image. Rows
+    * whose payload fails any stage keep NULL stats. Nothing shuffles;
+    * payload bytes never leave the partition — the shape a thumbnail /
+    * vision-preprocessing pass has at 100 TB.
+    */
+  def resizedImageStats(df: DataFrame, idCol: String,
+                        outW: Int, outH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("out_w", IntegerType), StructField("out_h", IntegerType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("media.bytes").as("__b"))
+      .mapPartitions { it =>
+        it.map { r =>
+          resizeImage(r.getAs[Array[Byte]]("__b"), outW, outH)
+            .flatMap(decodeImage) match {
+            case Some(s) => Row(r.get(0), s.width, s.height, s.sumR, s.sumG, s.sumB)
+            case None => Row(r.get(0), null, null, null, null, null)
+          }
+        }
+      }
+  }
+
   /** Partition-local decode + feature extraction: (id, media) →
     * (id, byte_len, features ARRAY<FLOAT>). Image payloads (mime
     * starting with `image/`) go through the REAL [[decodeImage]] path — features are

@@ -47,6 +47,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(stats.sumB == sumOver((_, y) => (7 * seed + y) % 256))
   }
 
+  test("resizeImage: exact integer box-filter, identity at same size, " +
+       "non-multiple dims and junk rejected") {
+    val src = Multimodal.synthesizeBmp(seed = 5L, w = 8, h = 4)
+    // 8x4 -> 2x2: each output pixel = floor-average of a 4x2 block,
+    // recomputed here from the synthesis closed forms
+    val resized = Multimodal.resizeImage(src, 2, 2).get
+    val stats = Multimodal.decodeImage(resized).get
+    def ch(f: (Int, Int) => Int): Long = {
+      var total = 0L
+      for (v <- 0 until 2; u <- 0 until 2) {
+        var s = 0L
+        for (dy <- 0 until 2; dx <- 0 until 2 * 2)
+          s += f(u * 4 + dx, v * 2 + dy)
+        total += s / 8
+      }
+      total
+    }
+    assert(stats.width == 2 && stats.height == 2)
+    assert(stats.sumR == ch((x, y) => (5 + x + y) % 256))
+    assert(stats.sumG == ch((x, y) => (15 + x) % 256))
+    assert(stats.sumB == ch((x, y) => (35 + y) % 256))
+    // identity: resizing to the input's own dims reproduces the sums
+    val same = Multimodal.decodeImage(Multimodal.resizeImage(src, 8, 4).get).get
+    val orig = Multimodal.decodeImage(src).get
+    assert((same.sumR, same.sumG, same.sumB) == (orig.sumR, orig.sumG, orig.sumB))
+    // non-multiple grid and undecodable payloads degrade to None
+    assert(Multimodal.resizeImage(src, 3, 2).isEmpty)
+    assert(Multimodal.resizeImage("junk".getBytes, 2, 2).isEmpty)
+  }
+
   test("synthesizeWav → decodeAudio round-trips format and exact sample sum") {
     val (seed, n, rate) = (123L, 400, 8000)
     val stats = Multimodal.decodeAudio(Multimodal.synthesizeWav(seed, n, rate)).get
