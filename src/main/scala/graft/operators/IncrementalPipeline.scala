@@ -43,10 +43,16 @@ object IncrementalPipeline {
                  quarantineTable: Option[String] = None,
                  shingleSize: Int = 3, numHashes: Int = 8): Option[Int] = {
     val delta = Snapshots.readChangesBetween(spark, sourceTable, sinceVersion)
-    val dups = Dedup.dedupAgainstIndex(index, delta, idCol, textCol,
-      shingleSize, numHashes)
-    curateTail(spark, delta, dups, idCol, checks, destTable, token,
-      quarantineTable)
+    // step-scoped cache ownership: the dedup signature tables persist for
+    // the duration of the two commits, then release — a long-running
+    // caller invoking many steps must not accumulate orphaned caches
+    val tracker = new CacheTracker
+    try {
+      val dups = Dedup.dedupAgainstIndex(index, delta, idCol, textCol,
+        shingleSize, numHashes, tracker)
+      curateTail(spark, delta, dups, idCol, checks, destTable, token,
+        quarantineTable)
+    } finally tracker.release()
   }
 
   /** The per-micro-batch half — what a streaming ingest runs inside
@@ -64,10 +70,17 @@ object IncrementalPipeline {
                   destTable: String, token: String,
                   quarantineTable: Option[String] = None,
                   shingleSize: Int = 3, numHashes: Int = 8): Option[Int] = {
-    val dups = Dedup.dedupAgainstPreparedIndex(preparedIndex, batch,
-      idCol, textCol, shingleSize, numHashes)
-    curateTail(spark, batch, dups, idCol, checks, destTable, token,
-      quarantineTable)
+    // trigger-scoped cache ownership (the q_stream_dedup discipline):
+    // only the BATCH side is signatured here — without a release per
+    // trigger, a long-running stream accumulates one orphaned persisted
+    // table per micro-batch
+    val tracker = new CacheTracker
+    try {
+      val dups = Dedup.dedupAgainstPreparedIndex(preparedIndex, batch,
+        idCol, textCol, shingleSize, numHashes, tracker)
+      curateTail(spark, batch, dups, idCol, checks, destTable, token,
+        quarantineTable)
+    } finally tracker.release()
   }
 
   private def curateTail(spark: SparkSession, delta: DataFrame,
