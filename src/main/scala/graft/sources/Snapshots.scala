@@ -247,6 +247,40 @@ object Snapshots {
     } else scan(spark, table, schema, files)
   }
 
+  /** Manifest string stats are TRUNCATED like parquet's column-index
+    * bounds — a stats column over long text would otherwise copy whole
+    * documents into every manifest line (the manifest must stay a
+    * few-MB driver-side read at 10⁶ files). A truncated MIN is safe
+    * as-is (a prefix is ≤ every string it prefixes in UTF-8 byte
+    * order); a truncated MAX must be bumped STRICTLY ABOVE everything
+    * it could stand for: the rightmost incrementable char of the prefix
+    * is incremented and the tail dropped (code-point order = UTF-8 byte
+    * order, so the bump dominates every extension of the original
+    * prefix). A prefix with no incrementable position (all chars at the
+    * surrogate boundary) yields None — the file goes stats-less for
+    * that column, which pruned reads treat conservatively.
+    */
+  private val StatsMaxChars = 64
+
+  private def truncateLower(s: String): String =
+    if (s.length <= StatsMaxChars) s else s.substring(0, StatsMaxChars)
+
+  private def truncateUpper(s: String): Option[String] = {
+    if (s.length <= StatsMaxChars) return Some(s)
+    val p = s.substring(0, StatsMaxChars).toCharArray
+    var i = p.length - 1
+    while (i >= 0) {
+      // stay below the surrogate range: c+1 must be a real code point
+      // whose UTF-8 encoding compares above c's
+      if (p(i) < 0xD7FF.toChar) {
+        p(i) = (p(i) + 1).toChar
+        return Some(new String(p, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
   private def renderStat(v: Any): String = v match {
     case n: java.lang.Number => n.toString
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
@@ -295,6 +329,13 @@ object Snapshots {
             val lo = r.get(1 + 2 * i)
             val hi = r.get(2 + 2 * i)
             if (lo == null || hi == null) None
+            else if (kinds(c) == "string")
+              // bounded manifest cells: truncated lower prefix + bumped
+              // upper bound (see truncateUpper); an un-bumpable upper
+              // drops the column's stats for this file (conservative)
+              truncateUpper(hi.asInstanceOf[String]).map(h =>
+                c -> ColStat("string",
+                  truncateLower(lo.asInstanceOf[String]), h))
             else Some(c -> ColStat(kinds(c), renderStat(lo), renderStat(hi)))
           }
           r.getString(0) -> stats

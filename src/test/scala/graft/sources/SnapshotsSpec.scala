@@ -365,6 +365,35 @@ class SnapshotsSpec extends SparkTestBase {
     assert(pruned.count() == 11)
   }
 
+  test("string stats truncate like parquet bounds: bounded manifest " +
+       "cells, pruning stays correct on long strings") {
+    val t = freshTable()
+    // two files with LONG disjoint string ranges ('a'*100.. vs 'z'*100..)
+    val d = spark.range(0, 200).toDF("id")
+      .withColumn("txt", concat(
+        when(col("id") < 100, lit("a")).otherwise(lit("z")),
+        lpad(col("id").cast("string"), 5, "0"),
+        lit("x").cast("string"),
+        expr("repeat('y', 200)")))
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+    Snapshots.commitOverwrite(spark, t, d, statsCols = Seq("txt"))
+    // manifest lines stay bounded even though values are 200+ chars
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_manifests", "v00000001.txt"))
+    assert(manifest.linesIterator.filterNot(_.startsWith("#"))
+      .forall(_.length < 400), "manifest cells must be truncated")
+    import Snapshots.StringRange
+    // a band inside the 'a' file's TRUE range (beyond the truncation
+    // horizon) must still plan that file and return exact rows — the
+    // bumped upper bound may not exclude anything it stands for
+    val got = Snapshots.readPrunedWhere(spark, t,
+      Seq(StringRange("txt", "a00010", "a00019" + "y" * 300)))
+    assert(got.count() == 10)
+    // ...and the 'z' file is genuinely skipped for it
+    assert(Snapshots.plannedFiles(spark, t,
+      Seq(StringRange("txt", "a", "b"))).length == 1)
+  }
+
   test("tags: immutable named pins that survive vacuum until dropped") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))   // v1
