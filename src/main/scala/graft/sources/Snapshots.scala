@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, IntegerType, LongType, MapType, ShortType, StringType, StructType}
 
 /** Manifest-based snapshot storage: atomic commits, versioned reads
   * (time travel), snapshot-isolated compaction, and orphan-file vacuum
@@ -14,9 +14,14 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * Layout:
   * {{{
   *   table/
-  *     _manifests/v00000001.txt   -- header lines (`# token=`, `# schema=`)
-  *                                -- + one data line per file:
+  *     _manifests/v00000001.txt   -- VERSION file: header lines
+  *                                -- (`# token=`, `# schema=`) + one
+  *                                -- `@<segment>` reference per commit
+  *     _segments/s-<uuid>.txt     -- immutable SEGMENT: one data line per
+  *                                -- file staged by ONE commit:
   *                                --   relpath[\tcol=kind:lo:hi ...]
+  *     _branches/<name>/vNNN.txt  -- a branch's own version files (same
+  *                                -- format; v1 carries `# fork=`)
   *     data/<commit-uuid>/part-*.parquet
   * }}}
   *
@@ -26,30 +31,42 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   *   1. A commit first writes its data files under a fresh unique
   *      directory — INVISIBLE to every reader, because readers resolve
   *      files through manifests only, never by listing `data/`.
-  *   2. It then publishes manifest v(N+1) with create-if-absent
+  *   2. It then writes its file list as an immutable SEGMENT under a
+  *      unique name, and publishes version file v(N+1) — the head's
+  *      segment references plus one new one — with create-if-absent
   *      semantics. Readers see v(N) or v(N+1), never anything between;
-  *      a crash before publish leaves only an orphan data directory
-  *      (reclaimed by [[vacuum]]), never a torn table.
-  *   3. Concurrent committers race on the SAME manifest name; exactly
+  *      a crash before publish leaves only an orphan data directory and
+  *      segment (reclaimed by [[vacuum]]), never a torn table.
+  *   3. Concurrent committers race on the SAME version-file name; exactly
   *      one create succeeds, the loser re-reads the new head and
   *      retries — an append therefore serializes against every other
-  *      commit (its base file list is re-resolved each attempt). The
-  *      create-if-absent slot: `link(2)` on local filesystems, native
-  *      `create(overwrite = false)` on HDFS, a conditional put on
-  *      object stores (see [[publish]]).
+  *      commit (its base segment list is re-resolved each attempt). The
+  *      create-if-absent slot: `link(2)` on local filesystems, full
+  *      tmp-write + atomic `rename` on HDFS-like stores, a conditional
+  *      put on object stores (see [[publish]]).
+  *
+  * Commit METADATA cost is O(delta): an append writes ONE segment (its
+  * own staged lines) and ONE version file listing segment names — it
+  * never rewrites the table's file list. A version file holds one ~50 B
+  * reference per commit since the last overwrite/compaction, so at 10⁶
+  * files across 10³ commits the per-commit metadata write is a few KB,
+  * not the tens of MB a full file-list copy would be; [[compactCommit]] /
+  * [[compactCommitOrdered]] fold the chain back to one segment.
+  * [[readChangesBetween]] diffs SEGMENT LISTS, so an incremental
+  * consumer's planning cost is O(delta + commits), not O(files²).
   *
   * Why a manifest instead of directory listing, at 100 TB: a million-file
   * table costs a million-object LIST per query planning pass on an object
   * store (rate-limited, eventually consistent on some), while the
-  * manifest is ONE driver-side read of a few MB handed straight to the
-  * parquet scan as an explicit file list; `mergeSchema`-style drift,
-  * half-written files, and the compact/rename races all disappear
+  * manifest is a handful of driver-side reads of a few MB handed straight
+  * to the parquet scan as an explicit file list; `mergeSchema`-style
+  * drift, half-written files, and the compact/rename races all disappear
   * because the file set is closed at commit time. Overwrites never
   * delete data — old versions stay readable (time travel, audit,
   * reproducible training runs pin a version) until [[vacuum]] reclaims
   * them explicitly.
   *
-  * Schema: every commit records the snapshot's schema in the manifest
+  * Schema: every commit records the snapshot's schema in the version file
   * (`# schema=` header, Spark DataType JSON). Reads plan against the
   * COMMITTED schema — no footer reads at planning time, and a file that
   * predates a column null-fills it at scan time, which is what makes
@@ -70,7 +87,10 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * no footer open, no GET. Compose with a range-clustered or
   * Hilbert/Z-ordered staging for disjoint per-file ranges. Correctness
   * never rests on the stats (stats-less files always read, predicates
-  * re-applied per row).
+  * re-applied per row). The same stats drive PARTIAL REWRITES:
+  * [[erasePurgeCommit]] and [[deleteWhereCommit]] rewrite only the
+  * files whose stats can contain a doomed row and carry every other
+  * file into the new version BY REFERENCE, original stats intact.
   *
   * Row-level erasure (GDPR): [[erasePurgeCommit]] rewrites the head
   * snapshot with every row of the requested keys physically dropped —
@@ -80,23 +100,51 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * table (no remaining data file contains the erased keys —
   * spec-verified by scanning every surviving file).
   *
-  * Kept deliberately out: multi-table transactions.
+  * Branches: [[createBranch]] forks a WRITEABLE ref off a committed
+  * version — the experimentation contract a curation team runs: try a
+  * filter or a new cleaning rule on a branch ([[commitAppendToBranch]] /
+  * [[commitOverwriteToBranch]]), diff it against main ([[diff]]), and
+  * [[fastForwardMerge]] it back if main has not moved since the fork.
+  * A branch is its own version-file chain under `_branches/<name>/`
+  * sharing the table's data files and segments (the fork copies segment
+  * REFERENCES, never data); [[vacuum]] treats every branch version as
+  * live, so branch snapshots pin their files like tags do.
+  *
+  * Kept deliberately out: multi-table transactions, three-way merges
+  * (a non-fast-forward merge is a data decision, not a format one).
   */
 object Snapshots {
 
   private val ManifestDir = "_manifests"
+  private val SegmentsDir = "_segments"
+  private val BranchesDir = "_branches"
+  private val RefsDir = "_refs"
   private val DataDir = "data"
+
+  private val TokenHeader = "# token="
+  private val SchemaHeader = "# schema="
+  private val ForkHeader = "# fork="
+  private val SegRef = "@"
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestPath(table: String, v: Int): Path =
-    new Path(table, f"$ManifestDir/v$v%08d.txt")
+  /** One versioned chain of manifest (version) files — the main table
+    * history or one branch. All data files and segments are shared
+    * table-wide; only the version files are chain-scoped.
+    */
+  private final case class Chain(table: String, dir: String, label: String) {
+    def manifestPath(v: Int): Path = new Path(table, f"$dir/v$v%08d.txt")
+  }
+  private def mainChain(table: String): Chain =
+    Chain(table, ManifestDir, table)
+  private def branchChain(table: String, name: String): Chain =
+    Chain(table, s"$BranchesDir/$name", s"$table branch '$name'")
 
-  /** Committed versions, ascending (empty for a table with no commits). */
-  def versions(spark: SparkSession, table: String): Seq[Int] = {
-    val dir = new Path(table, ManifestDir)
-    val f = fs(spark, table)
+  /** Committed versions, ascending (empty for a chain with no commits). */
+  private def chainVersions(spark: SparkSession, c: Chain): Seq[Int] = {
+    val dir = new Path(c.table, c.dir)
+    val f = fs(spark, c.table)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.matches("v\\d{8}\\.txt") =>
@@ -104,13 +152,19 @@ object Snapshots {
       .sorted.toSeq
   }
 
-  private def manifestLines(spark: SparkSession, table: String, v: Int): Seq[String] = {
-    val in = fs(spark, table).open(manifestPath(table, v))
-    try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
-    } finally in.close()
+  /** Committed versions of the MAIN chain, ascending. */
+  def versions(spark: SparkSession, table: String): Seq[Int] =
+    chainVersions(spark, mainChain(table))
+
+  private def readSmallFile(f: FileSystem, p: Path): Seq[String] = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
   }
+
+  private def manifestLines(spark: SparkSession, c: Chain, v: Int): Seq[String] =
+    readSmallFile(fs(spark, c.table), c.manifestPath(v))
 
   /** Per-file committed (min, max) of one stats column, as the manifest
     * stores it: `kind` is `long` (all integral types), `string`, or
@@ -147,19 +201,60 @@ object Snapshots {
     Entry(cells.head, stats)
   }
 
-  /** Raw data lines of version `v` (header lines skipped; stats
-    * preserved verbatim) — the base a successor manifest appends to.
+  // ----------------------------------------------------------- segments
+
+  /** Write `lines` as an immutable segment; returns its `@name` body
+    * line. The name is a fresh UUID, so no create race exists; a crash
+    * before the referencing version file publishes leaves an orphan
+    * segment for [[vacuum]].
     */
-  private def manifestDataLines(spark: SparkSession, table: String, v: Int): Seq[String] =
-    manifestLines(spark, table, v).filterNot(_.startsWith("#"))
+  private def writeSegment(spark: SparkSession, table: String,
+                           lines: Seq[String]): String = {
+    val name = s"s-${java.util.UUID.randomUUID()}.txt"
+    val f = fs(spark, table)
+    val p = new Path(table, s"$SegmentsDir/$name")
+    f.mkdirs(p.getParent)
+    val out = f.create(p, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    SegRef + name
+  }
+
+  private def segmentLines(spark: SparkSession, table: String,
+                           name: String): Seq[String] =
+    readSmallFile(fs(spark, table), new Path(table, s"$SegmentsDir/$name"))
+
+  /** The version file's body: `@segment` references (and, for tables
+    * written before the segment format, inline data lines) — the unit an
+    * append copies forward, O(commits since last overwrite), never
+    * O(files).
+    */
+  private def bodyLines(spark: SparkSession, c: Chain, v: Int): Seq[String] =
+    manifestLines(spark, c, v).filterNot(_.startsWith("#"))
+
+  /** Expand body lines to raw data lines, reading each referenced
+    * segment once; inline (pre-segment) data lines pass through.
+    */
+  private def expand(spark: SparkSession, table: String,
+                     body: Seq[String]): Seq[String] =
+    body.flatMap { l =>
+      if (l.startsWith(SegRef)) segmentLines(spark, table, l.substring(SegRef.length))
+      else Seq(l)
+    }
+
+  /** Raw data lines of version `v` (headers skipped, segments expanded;
+    * stats preserved verbatim).
+    */
+  private def manifestDataLines(spark: SparkSession, c: Chain, v: Int): Seq[String] =
+    expand(spark, c.table, bodyLines(spark, c, v))
 
   /** Parsed data entries of version `v`. */
-  private def manifestEntries(spark: SparkSession, table: String, v: Int): Seq[Entry] =
-    manifestDataLines(spark, table, v).map(parseEntry)
+  private def manifestEntries(spark: SparkSession, c: Chain, v: Int): Seq[Entry] =
+    manifestDataLines(spark, c, v).map(parseEntry)
 
   /** Relative data-file paths of version `v` (stats dropped). */
-  private def manifestFiles(spark: SparkSession, table: String, v: Int): Seq[String] =
-    manifestEntries(spark, table, v).map(_.path)
+  private def manifestFiles(spark: SparkSession, c: Chain, v: Int): Seq[String] =
+    manifestEntries(spark, c, v).map(_.path)
 
   /** The commit tokens recorded by [[commitAppendOnce]] across live
     * (non-vacuumed) versions — bounded to the most recent `lastK`
@@ -168,43 +263,56 @@ object Snapshots {
     * over the stream's life); with it, token dedup costs O(horizon),
     * which matches the replay reality — a retried micro-batch is always
     * within the source's checkpoint horizon of the head, never 10⁵
-    * commits back.
+    * commits back. Version files are header lines + segment references
+    * only, so each read is a few KB regardless of table size.
     */
   def committedTokens(spark: SparkSession, table: String,
                       lastK: Option[Int] = None): Set[String] = {
-    val vs = versions(spark, table)
+    val c = mainChain(table)
+    val vs = chainVersions(spark, c)
     val scan = lastK.fold(vs)(k => vs.takeRight(k))
-    scan.flatMap(v => manifestLines(spark, table, v)
+    scan.flatMap(v => manifestLines(spark, c, v)
       .collect { case l if l.startsWith(TokenHeader) =>
         l.substring(TokenHeader.length) }).toSet
   }
 
-  private val TokenHeader = "# token="
-  private val SchemaHeader = "# schema="
+  private def chainSchema(spark: SparkSession, c: Chain, v: Int): Option[StructType] =
+    manifestLines(spark, c, v).collectFirst {
+      case l if l.startsWith(SchemaHeader) =>
+        DataType.fromJson(l.substring(SchemaHeader.length)).asInstanceOf[StructType]
+    }
 
   /** The committed schema of version `v` — present on every commit made
     * by this code (tables written before the schema header read back
     * with None and fall back to footer-derived schemas).
     */
   def committedSchema(spark: SparkSession, table: String, v: Int): Option[StructType] =
-    manifestLines(spark, table, v).collectFirst {
-      case l if l.startsWith(SchemaHeader) =>
-        DataType.fromJson(l.substring(SchemaHeader.length)).asInstanceOf[StructType]
-    }
+    chainSchema(spark, mainChain(table), v)
 
   /** Version `v`'s schema: the committed header, else ONE file footer. */
-  private def versionSchema(spark: SparkSession, table: String, v: Int): Option[StructType] =
-    committedSchema(spark, table, v).orElse(
-      manifestFiles(spark, table, v).headOption
-        .map(rel => spark.read.parquet(new Path(table, rel).toString).schema))
+  private def versionSchema(spark: SparkSession, c: Chain, v: Int): Option[StructType] =
+    chainSchema(spark, c, v).orElse(
+      manifestFiles(spark, c, v).headOption
+        .map(rel => spark.read.parquet(new Path(c.table, rel).toString).schema))
 
-  /** Top-level fields forced nullable: the stored snapshot schema must
-    * admit null-fill for files that predate a column, and must stay
-    * valid when a later evolved append writes NULLs into a column an
-    * earlier commit declared required.
+  /** Nullability relaxed RECURSIVELY: the stored snapshot schema must
+    * admit null-fill for files that predate a column, must stay valid
+    * when a later evolved append writes NULLs into a column an earlier
+    * commit declared required, and two appends whose NESTED fields
+    * differ only in nullability describe the same logical shape (the
+    * additive-evolution comparison runs on relaxed types).
     */
+  private def relaxType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = relaxType(f.dataType), nullable = true)))
+    case at: ArrayType => ArrayType(relaxType(at.elementType), containsNull = true)
+    case mt: MapType =>
+      MapType(relaxType(mt.keyType), relaxType(mt.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private def relaxed(st: StructType): StructType =
-    StructType(st.fields.map(_.copy(nullable = true)))
+    relaxType(st).asInstanceOf[StructType]
 
   private def emptyOf(spark: SparkSession, st: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
@@ -220,13 +328,26 @@ object Snapshots {
     }
   }
 
-  private def resolveVersion(spark: SparkSession, table: String,
-                             version: Option[Int]): Int = {
-    val vs = versions(spark, table)
-    require(vs.nonEmpty, s"$table has no committed versions")
+  private def resolveChainVersion(spark: SparkSession, c: Chain,
+                                  version: Option[Int]): Int = {
+    val vs = chainVersions(spark, c)
+    require(vs.nonEmpty, s"${c.label} has no committed versions")
     val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"$table has no version $v (have ${vs.mkString(",")})")
+    require(vs.contains(v), s"${c.label} has no version $v (have ${vs.mkString(",")})")
     v
+  }
+
+  private def readChain(spark: SparkSession, c: Chain,
+                        version: Option[Int]): DataFrame = {
+    val v = resolveChainVersion(spark, c, version)
+    val files = manifestFiles(spark, c, v)
+    val schema = chainSchema(spark, c, v)
+    if (files.isEmpty) {
+      require(schema.isDefined,
+        s"${c.label} v$v is an empty snapshot with no committed schema; commit " +
+          "a non-empty DataFrame or read a different version")
+      emptyOf(spark, schema.get)
+    } else scan(spark, c.table, schema, files)
   }
 
   /** Read a snapshot: the given version, or the latest. The scan gets an
@@ -235,29 +356,23 @@ object Snapshots {
     * version's OWN committed schema (time travel across a schema
     * evolution boundary sees each version's shape).
     */
-  def read(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
-    val v = resolveVersion(spark, table, version)
-    val files = manifestFiles(spark, table, v)
-    val schema = committedSchema(spark, table, v)
-    if (files.isEmpty) {
-      require(schema.isDefined,
-        s"$table v$v is an empty snapshot with no committed schema; commit " +
-          "a non-empty DataFrame or read a different version")
-      emptyOf(spark, schema.get)
-    } else scan(spark, table, schema, files)
-  }
+  def read(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame =
+    readChain(spark, mainChain(table), version)
 
   /** Manifest string stats are TRUNCATED like parquet's column-index
     * bounds — a stats column over long text would otherwise copy whole
-    * documents into every manifest line (the manifest must stay a
+    * documents into every manifest line (a segment must stay a
     * few-MB driver-side read at 10⁶ files). A truncated MIN is safe
     * as-is (a prefix is ≤ every string it prefixes in UTF-8 byte
     * order); a truncated MAX must be bumped STRICTLY ABOVE everything
     * it could stand for: the rightmost incrementable char of the prefix
     * is incremented and the tail dropped (code-point order = UTF-8 byte
     * order, so the bump dominates every extension of the original
-    * prefix). A prefix with no incrementable position (all chars at the
-    * surrogate boundary) yields None — the file goes stats-less for
+    * prefix). A char is incrementable when the landing code point is a
+    * real non-surrogate BMP value: anything below U+D7FF, or the private
+    * -use/compat range U+E000..U+FFFD (only the surrogate block
+    * U+D800..U+DFFF must never be landed on). A prefix with no
+    * incrementable position yields None — the file goes stats-less for
     * that column, which pruned reads treat conservatively.
     */
   private val StatsMaxChars = 64
@@ -270,9 +385,11 @@ object Snapshots {
     val p = s.substring(0, StatsMaxChars).toCharArray
     var i = p.length - 1
     while (i >= 0) {
-      // stay below the surrogate range: c+1 must be a real code point
-      // whose UTF-8 encoding compares above c's
-      if (p(i) < 0xD7FF.toChar) {
+      // c+1 must be a real non-surrogate code point whose UTF-8 encoding
+      // compares above c's: below the surrogate block, or inside
+      // E000..FFFD (landing at most U+FFFE, still single-char UTF-8)
+      if (p(i) < 0xD7FF.toChar ||
+        (p(i) >= 0xE000.toChar && p(i) <= 0xFFFD.toChar)) {
         p(i) = (p(i) + 1).toChar
         return Some(new String(p, 0, i + 1))
       }
@@ -301,9 +418,10 @@ object Snapshots {
     * return its manifest lines (paths relative to the table root). With
     * `statsCols` set, each line carries the file's per-column (min, max)
     * — computed in ONE grouped pass over the just-staged files (driver
-    * traffic = one row per file, the same order as the FS listing
-    * below). A column with no non-null values in a file stays stats-less
-    * there and is conservatively kept by every pruned read.
+    * traffic = one row per file, re-attached to the FS listing through a
+    * by-filename map, O(files)). A column with no non-null values in a
+    * file stays stats-less there and is conservatively kept by every
+    * pruned read.
     */
   private def stage(spark: SparkSession, table: String, df: DataFrame,
                     statsCols: Seq[String] = Nil): Seq[String] = {
@@ -313,7 +431,10 @@ object Snapshots {
     val rels = fs(spark, table).listStatus(new Path(table, rel))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$rel/${s.getPath.getName}").sorted.toSeq
-    if (statsCols.isEmpty) rels
+    // an empty staging set (0-partition df) has nothing to re-read: the
+    // schema-less parquet read below would fail, and there are no lines
+    // to attach stats to anyway
+    if (statsCols.isEmpty || rels.isEmpty) rels
     else {
       import org.apache.spark.sql.functions.{col, input_file_name, max, min}
       val reread = spark.read.parquet(new Path(table, rel).toString)
@@ -321,7 +442,8 @@ object Snapshots {
         c -> statKind(c, reread.schema(c).dataType)).toMap
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
-      val byFile = reread.groupBy(input_file_name().as("__f"))
+      val byName: Map[String, Seq[(String, ColStat)]] = reread
+        .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
@@ -338,13 +460,10 @@ object Snapshots {
                   truncateLower(lo.asInstanceOf[String]), h))
             else Some(c -> ColStat(kinds(c), renderStat(lo), renderStat(hi)))
           }
-          r.getString(0) -> stats
+          r.getString(0).split('/').last -> stats
         }.toMap
       rels.map { r =>
-        val name = r.split('/').last
-        val cells = byFile.collectFirst {
-          case (f, st) if f.endsWith("/" + name) => st
-        }.getOrElse(Seq.empty)
+        val cells = byName.getOrElse(r.split('/').last, Seq.empty)
         if (cells.isEmpty) r
         else (r +: cells.map { case (c, st) =>
           s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
@@ -353,59 +472,83 @@ object Snapshots {
     }
   }
 
-  /** Publish `files` as the next version on top of head `base`; returns
-    * the committed version. `base(headAtRetry)` recomputes the full file
-    * list from whatever head the winning racer left — append semantics
-    * stay serializable without locks.
-    *
-    * The create-if-absent slot is scheme-dependent: on a LOCAL fs the
-    * manifest is fully written to a dot-tmp sibling and published with
+  /** Stage + wrap as a segment reference: the body contribution of one
+    * commit — empty when nothing was staged (token-only commits).
+    */
+  private def stageSegment(spark: SparkSession, table: String, df: DataFrame,
+                           statsCols: Seq[String]): Seq[String] = {
+    val staged = stage(spark, table, df, statsCols)
+    if (staged.isEmpty) Seq.empty
+    else Seq(writeSegment(spark, table, staged))
+  }
+
+  /** The create-if-absent slot, scheme-dependent: on a LOCAL fs the
+    * target is fully written to a dot-tmp sibling and published with
     * `link(2)` — POSIX's atomic fail-if-exists of a complete file
     * (Hadoop's RawLocalFileSystem `create(overwrite = false)` is
     * check-THEN-create, so two racers could both "win" and one append
     * would vanish; caught by the concurrent-committer spec under suite
-    * load). On HDFS `create(overwrite = false)` is atomic natively; on
-    * object stores the slot maps to a conditional put.
+    * load). On HDFS-like stores the bytes are fully written to a tmp
+    * sibling and atomically `rename`d in — a crash mid-write leaves only
+    * the tmp file, never a torn or empty target, and ONLY the
+    * destination-exists failure maps to "lost the race" (any other
+    * rename failure surfaces as an error instead of masquerading as a
+    * racer). On object stores the slot maps to a conditional put.
+    * Returns true iff this caller created the target.
     */
-  private def publish(spark: SparkSession, table: String,
+  private def createExclusive(f: FileSystem, tgt: Path, bytes: Array[Byte]): Boolean = {
+    f.mkdirs(tgt.getParent)
+    val scheme = tgt.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val dir = java.nio.file.Paths.get(f.makeQualified(tgt).toUri.getPath).getParent
+      val tmp = dir.resolve(s".${tgt.getName}.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      try {
+        java.nio.file.Files.createLink(dir.resolve(tgt.getName), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val tmp = new Path(tgt.getParent,
+        s".${tgt.getName}.${java.util.UUID.randomUUID()}.tmp")
+      try {
+        val out = f.create(tmp, false)
+        try out.write(bytes) finally out.close()
+        if (f.rename(tmp, tgt)) true
+        else if (f.exists(tgt)) false // lost the create race
+        else sys.error(s"rename $tmp -> $tgt failed without a racing winner")
+      } finally f.delete(tmp, false)
+    }
+  }
+
+  /** Publish `lines` as the next version of chain `c` on top of head
+    * `base`; returns the committed version. `base(headAtRetry)`
+    * recomputes the body from whatever head the winning racer left —
+    * append semantics stay serializable without locks.
+    */
+  private def publish(spark: SparkSession, c: Chain,
                       base: Option[Int] => Seq[String]): Int = {
-    val f = fs(spark, table)
+    val f = fs(spark, c.table)
     var attempt = 0
     while (attempt < 50) {
-      val head = versions(spark, table).lastOption
+      val head = chainVersions(spark, c).lastOption
       val next = head.getOrElse(0) + 1
       val lines = base(head)
-      val tgt = manifestPath(table, next)
-      f.mkdirs(tgt.getParent)
       val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
-      val scheme = tgt.toUri.getScheme
-      val won =
-        if (scheme == null || scheme == "file") {
-          val dir = java.nio.file.Paths.get(
-            f.makeQualified(tgt).toUri.getPath).getParent
-          val tmp = dir.resolve(
-            s".${tgt.getName}.${java.util.UUID.randomUUID()}.tmp")
-          java.nio.file.Files.write(tmp, bytes)
-          try {
-            java.nio.file.Files.createLink(dir.resolve(tgt.getName), tmp)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          } finally java.nio.file.Files.deleteIfExists(tmp)
-        } else {
-          try {
-            val out = f.create(tgt, false)
-            try out.write(bytes) finally out.close()
-            true
-          } catch { case _: java.io.IOException => false }
-        }
-      if (won) return next
+      if (createExclusive(f, c.manifestPath(next), bytes)) return next
       attempt += 1
     }
-    sys.error(s"could not commit to $table after 50 attempts")
+    sys.error(s"could not commit to ${c.label} after 50 attempts")
   }
 
   private def schemaLine(st: StructType): String = SchemaHeader + st.json
+
+  private def commitOverwriteChain(spark: SparkSession, c: Chain, df: DataFrame,
+                                   statsCols: Seq[String]): Int = {
+    val body = stageSegment(spark, c.table, df, statsCols)
+    publish(spark, c, _ => schemaLine(relaxed(df.schema)) +: body)
+  }
 
   /** Commit `df` as a full replacement snapshot. Old versions remain
     * readable until vacuumed. Returns the new version number. With
@@ -413,23 +556,22 @@ object Snapshots {
     * for [[readPrunedWhere]]'s manifest-level file skipping.
     */
   def commitOverwrite(spark: SparkSession, table: String, df: DataFrame,
-                      statsCols: Seq[String] = Nil): Int = {
-    val staged = stage(spark, table, df, statsCols)
-    publish(spark, table, _ => schemaLine(relaxed(df.schema)) +: staged)
-  }
+                      statsCols: Seq[String] = Nil): Int =
+    commitOverwriteChain(spark, mainChain(table), df, statsCols)
 
   /** The snapshot schema an append of `incoming` produces on top of
     * `head` — or a rejection. Without `evolve`, names and types must
-    * match exactly (nullability is not compared). With `evolve`, the
-    * contract is ADDITIVE evolution on (name, type) prefixes:
-    * new trailing columns append (recorded nullable — old files
-    * null-fill at read), and an append may omit previously-added
-    * trailing columns (its rows null-fill); type changes, renames,
-    * reorders and dropped base columns are rejected either way — those
-    * rewrite history, which is [[commitOverwrite]]'s job.
+    * match exactly (nullability — top-level or nested — is not
+    * compared). With `evolve`, the contract is ADDITIVE evolution on
+    * (name, type) prefixes: new trailing columns append (recorded
+    * nullable — old files null-fill at read), and an append may omit
+    * previously-added trailing columns (its rows null-fill); type
+    * changes, renames, reorders and dropped base columns are rejected
+    * either way — those rewrite history, which is [[commitOverwrite]]'s
+    * job.
     */
   private def evolvedSchema(head: Option[StructType], incoming: StructType,
-                            evolve: Boolean, table: String): StructType = {
+                            evolve: Boolean, label: String): StructType = {
     val inc = relaxed(incoming)
     head.map(relaxed) match {
       case None => inc
@@ -439,7 +581,7 @@ object Snapshots {
         val is = shape(inc)
         if (is == hs) h
         else if (!evolve) throw new IllegalArgumentException(
-          s"append schema ${is.mkString(",")} does not match $table's head " +
+          s"append schema ${is.mkString(",")} does not match $label's head " +
             s"snapshot ${hs.mkString(",")}; pass evolve = true for additive " +
             "column adds, or commitOverwrite to start a new shape")
         else if (is.startsWith(hs))
@@ -447,11 +589,32 @@ object Snapshots {
         else if (hs.startsWith(is)) h
         else throw new IllegalArgumentException(
           s"append schema ${is.mkString(",")} is not an additive evolution " +
-            s"of $table's head snapshot ${hs.mkString(",")}: only ADDING " +
+            s"of $label's head snapshot ${hs.mkString(",")}: only ADDING " +
             "trailing nullable columns (or omitting previously-added " +
             "trailing columns) is allowed; type changes, renames and " +
             "reorders need commitOverwrite")
     }
+  }
+
+  /** The shared append path: stage once, then publish headers + the
+    * head's body references + one new segment reference. Metadata cost
+    * is O(delta + commits since last overwrite), never O(files).
+    */
+  private def appendChain(spark: SparkSession, c: Chain, df: DataFrame,
+                          statsCols: Seq[String], evolve: Boolean,
+                          token: Option[String]): Int = {
+    // fail fast before paying the staging write; re-validated per retry
+    // inside the publish closure (the head — and its schema — may move)
+    chainVersions(spark, c).lastOption.foreach(v =>
+      evolvedSchema(versionSchema(spark, c, v), df.schema, evolve, c.label))
+    val segBody = stageSegment(spark, c.table, df, statsCols)
+    publish(spark, c, head => {
+      val snapshot = evolvedSchema(
+        head.flatMap(versionSchema(spark, c, _)), df.schema, evolve, c.label)
+      token.map(TokenHeader + _).toSeq ++
+        (schemaLine(snapshot) +:
+          (head.map(bodyLines(spark, c, _)).getOrElse(Seq.empty) ++ segBody))
+    })
   }
 
   /** Commit `df` appended to the (retry-time) head snapshot. With
@@ -460,19 +623,8 @@ object Snapshots {
     */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    statsCols: Seq[String] = Nil,
-                   evolve: Boolean = false): Int = {
-    // fail fast before paying the staging write; re-validated per retry
-    // inside the publish closure (the head — and its schema — may move)
-    versions(spark, table).lastOption.foreach(v =>
-      evolvedSchema(versionSchema(spark, table, v), df.schema, evolve, table))
-    val staged = stage(spark, table, df, statsCols)
-    publish(spark, table, head => {
-      val snapshot = evolvedSchema(
-        head.flatMap(versionSchema(spark, table, _)), df.schema, evolve, table)
-      schemaLine(snapshot) +:
-        (head.map(manifestDataLines(spark, table, _)).getOrElse(Seq.empty) ++ staged)
-    })
-  }
+                   evolve: Boolean = false): Int =
+    appendChain(spark, mainChain(table), df, statsCols, evolve, None)
 
   /** A requested stats range for [[readPrunedWhere]] — one per column,
     * combined as a CONJUNCTION. Bounds are inclusive. String bounds
@@ -483,9 +635,13 @@ object Snapshots {
   final case class LongRange(column: String, lo: Long, hi: Long) extends StatRange {
     require(lo <= hi, s"need lo <= hi, got $lo > $hi")
   }
-  final case class StringRange(column: String, lo: String, hi: String) extends StatRange
+  final case class StringRange(column: String, lo: String, hi: String) extends StatRange {
+    require(utf8Cmp(lo, hi) <= 0, s"need lo <= hi (UTF-8 order), got '$lo' > '$hi'")
+  }
   final case class DateRange(column: String, lo: java.time.LocalDate,
-                             hi: java.time.LocalDate) extends StatRange
+                             hi: java.time.LocalDate) extends StatRange {
+    require(!lo.isAfter(hi), s"need lo <= hi, got $lo > $hi")
+  }
 
   /** Unsigned UTF-8 byte-order comparison — the order Spark's
     * UTF8String and DuckDB's default collation sort strings in (Java's
@@ -539,8 +695,9 @@ object Snapshots {
     require(ranges.nonEmpty, "at least one range required")
     require(ranges.map(_.column).distinct.size == ranges.size,
       "one range per column")
-    val v = resolveVersion(spark, table, version)
-    manifestEntries(spark, table, v)
+    val c = mainChain(table)
+    val v = resolveChainVersion(spark, c, version)
+    manifestEntries(spark, c, v)
       .filter(e => ranges.forall(r => overlaps(e.stats.get(r.column), r)))
       .map(_.path)
   }
@@ -562,17 +719,18 @@ object Snapshots {
   def readPrunedWhere(spark: SparkSession, table: String,
                       ranges: Seq[StatRange],
                       version: Option[Int] = None): DataFrame = {
-    val v = resolveVersion(spark, table, version)
-    val entries = manifestEntries(spark, table, v)
-    require(entries.nonEmpty || committedSchema(spark, table, v).isDefined,
+    val c = mainChain(table)
+    val v = resolveChainVersion(spark, c, version)
+    val entries = manifestEntries(spark, c, v)
+    require(entries.nonEmpty || chainSchema(spark, c, v).isDefined,
       s"$table v$v is an empty snapshot")
     val kept = plannedFiles(spark, table, ranges, Some(v))
     val base =
       if (kept.isEmpty) {
-        val st = committedSchema(spark, table, v)
+        val st = chainSchema(spark, c, v)
         if (st.isDefined) emptyOf(spark, st.get)
         else read(spark, table, Some(v)).limit(0)
-      } else scan(spark, table, committedSchema(spark, table, v), kept)
+      } else scan(spark, table, chainSchema(spark, c, v), kept)
     base.filter(ranges.map(rowPredicate).reduce(_ && _))
   }
 
@@ -604,48 +762,49 @@ object Snapshots {
     // from 10⁵ commits ago).
     if (committedTokens(spark, table, Some(replayHorizon)).contains(token))
       return None
-    versions(spark, table).lastOption.foreach(v =>
-      evolvedSchema(versionSchema(spark, table, v), df.schema, evolve, table))
-    val staged = stage(spark, table, df, statsCols)
-    Some(publish(spark, table, head => {
-      val snapshot = evolvedSchema(
-        head.flatMap(versionSchema(spark, table, _)), df.schema, evolve, table)
-      (TokenHeader + token) +: schemaLine(snapshot) +:
-        (head.map(manifestDataLines(spark, table, _)).getOrElse(Seq.empty) ++ staged)
-    }))
+    Some(appendChain(spark, mainChain(table), df, statsCols, evolve, Some(token)))
   }
 
   /** Incremental read: the rows ADDED between `fromVersion` (exclusive)
     * and `toVersion` (inclusive, default head) — the files `toVersion`
     * references that `fromVersion` does not. This is THE primitive an
     * incremental pipeline wants ("process only what landed since the
-    * version I last consumed"): cost is proportional to the DELTA, not
-    * the table, and no per-row timestamps or CDC columns are needed —
-    * the manifest diff IS the change log. Contract: valid for
+    * version I last consumed"): planning diffs the two versions' SEGMENT
+    * REFERENCE lists — O(commits) set membership, and only the DELTA's
+    * segments are ever opened, so metadata cost is O(delta + commits),
+    * never O(files) — and no per-row timestamps or CDC columns are
+    * needed: the manifest diff IS the change log. Contract: valid for
     * APPEND-range histories (append and compactCommit never remove a
     * live row's file from later manifests without rewriting it; an
     * OVERWRITE in the range breaks "new files = new rows" and is
-    * rejected by checking containment). The delta reads under
+    * rejected by checking body containment). The delta reads under
     * `toVersion`'s schema, so a range crossing an additive schema
     * evolution null-fills old-shape rows.
     */
   def readChangesBetween(spark: SparkSession, table: String,
                          fromVersion: Int,
                          toVersion: Option[Int] = None): DataFrame = {
-    val vs = versions(spark, table)
+    val c = mainChain(table)
+    val vs = chainVersions(spark, c)
     val to = toVersion.getOrElse(vs.last)
     require(vs.contains(fromVersion) && vs.contains(to) && fromVersion <= to,
       s"need committed versions from<=to, got $fromVersion..$to of ${vs.mkString(",")}")
-    val before = manifestDataLines(spark, table, fromVersion)
-    val after = manifestDataLines(spark, table, to)
-    require(before.forall(after.contains),
-      s"$table v$fromVersion..v$to is not an append range (a file of " +
+    val before = bodyLines(spark, c, fromVersion)
+    val after = bodyLines(spark, c, to)
+    val afterSet = after.toSet
+    require(before.forall(afterSet),
+      s"$table v$fromVersion..v$to is not an append range (a segment of " +
         s"v$fromVersion is gone by v$to — an overwrite or compaction " +
         "rewrote history); read full snapshots instead")
-    val added = after.filterNot(before.toSet).map(parseEntry(_).path)
+    val beforeSet = before.toSet
+    // only the delta's segments are expanded — the base's file lines are
+    // never read, which is what keeps a high-frequency incremental
+    // consumer O(delta) on a 10⁶-file table
+    val added = expand(spark, table, after.filterNot(beforeSet))
+      .map(parseEntry(_).path)
     if (added.isEmpty) // legitimate: token-only or empty-batch commits
       read(spark, table, Some(to)).limit(0)
-    else scan(spark, table, committedSchema(spark, table, to), added)
+    else scan(spark, table, chainSchema(spark, c, to), added)
   }
 
   /** Snapshot-isolated compaction: rewrite the head snapshot into
@@ -653,6 +812,8 @@ object Snapshots {
     * NEW version. Unlike [[Layout.compactSmallFiles]]' rename swap there
     * is no reader-visible window at all — concurrent readers keep
     * resolving the old manifest; the old files stay until [[vacuum]].
+    * Compaction also folds the version file's segment-reference chain
+    * back to ONE segment, resetting the O(commits) body growth.
     */
   def compactCommit(spark: SparkSession, table: String,
                     targetFileBytes: Long): Int =
@@ -682,23 +843,113 @@ object Snapshots {
                                 arrange: (DataFrame, Int) => DataFrame,
                                 statsCols: Seq[String]): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val head = versions(spark, table).lastOption
+    val c = mainChain(table)
+    val head = chainVersions(spark, c).lastOption
       .getOrElse(sys.error(s"$table has no committed versions"))
-    val files = manifestFiles(spark, table, head)
+    val files = manifestFiles(spark, c, head)
     val f = fs(spark, table)
     val bytes = files.map(r => f.getFileStatus(new Path(table, r)).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val source = read(spark, table, Some(head))
-    val staged = stage(spark, table, arrange(source, n), statsCols)
+    val body = stageSegment(spark, table, arrange(source, n), statsCols)
     // commit on TOP OF the head we compacted: if someone else committed
     // meanwhile, compacting over it would silently drop their commit —
     // fail instead (compaction is maintenance; rerun it)
-    publish(spark, table, h => {
+    publish(spark, c, h => {
       require(h.contains(head),
         s"concurrent commit during compaction (head moved $head -> $h); rerun")
-      schemaLine(relaxed(source.schema)) +: staged
+      schemaLine(relaxed(source.schema)) +: body
     })
   }
+
+  /** The per-file rewrite plan of a stats-pruned delete: `rewrite` holds
+    * the head entries whose committed stats CAN contain a doomed row
+    * (plus every stats-less entry — conservatively rewritten), `carry`
+    * the entries provably untouched, which the delete commit re-links by
+    * reference (original stats intact, zero bytes moved).
+    */
+  final case class RewritePlan(rewrite: Seq[Entry], carry: Seq[Entry])
+
+  private def splitByTouch(entries: Seq[Entry],
+                           touches: Entry => Boolean): RewritePlan = {
+    val (r, k) = entries.partition(touches)
+    RewritePlan(r, k)
+  }
+
+  /** Does any erase key fall inside this entry's committed stats for
+    * `keyCol`? No stats, or a kind/type mismatch, answers true —
+    * correctness never rests on the stats.
+    */
+  private def keyTouches(e: Entry, keyCol: String, keys: Seq[Any]): Boolean =
+    e.stats.get(keyCol) match {
+      case None => true
+      case Some(cs) => keys.exists { k =>
+        (cs.kind, k) match {
+          case ("long", n: java.lang.Number) =>
+            val v = n.longValue
+            v >= cs.lo.toLong && v <= cs.hi.toLong
+          case ("string", s: String) =>
+            utf8Cmp(s, cs.lo) >= 0 && utf8Cmp(s, cs.hi) <= 0
+          case ("date", d: java.sql.Date) =>
+            val v = d.toLocalDate.toEpochDay
+            v >= cs.lo.toLong && v <= cs.hi.toLong
+          case ("date", d: java.time.LocalDate) =>
+            val v = d.toEpochDay
+            v >= cs.lo.toLong && v <= cs.hi.toLong
+          case _ => true // unexpected key type: rewrite conservatively
+        }
+      }
+    }
+
+  /** The [[erasePurgeCommit]] rewrite plan for `keys` against the head
+    * (or given) version — exposed so specs and probes can pin "k of N
+    * files rewritten" without paying the rewrite.
+    */
+  def erasePlan(spark: SparkSession, table: String, keyCol: String,
+                keys: DataFrame, version: Option[Int] = None): RewritePlan = {
+    require(keys.columns.length == 1,
+      s"keys must be a single-column request list, got ${keys.columns.mkString(",")}")
+    val c = mainChain(table)
+    val v = resolveChainVersion(spark, c, version)
+    // a driver-side collect is the CONTRACT here: keys is an erasure
+    // request batch (bounded), and the same values broadcast into the
+    // rewrite scan anyway
+    val ks = keys.distinct().collect().map(_.get(0)).filter(_ != null).toSeq
+    splitByTouch(manifestEntries(spark, c, v), keyTouches(_, keyCol, ks))
+  }
+
+  /** Shared tail of the stats-pruned delete commits: rewrite only
+    * `plan.rewrite`'s files through `purge`, carry `plan.carry`'s
+    * ORIGINAL manifest lines (stats and all) into the new version as a
+    * fresh segment, and publish on top of the planned head.
+    */
+  private def partialRewriteCommit(spark: SparkSession, table: String,
+                                   head: Int, plan: RewritePlan,
+                                   purge: DataFrame => DataFrame,
+                                   statsCols: Seq[String]): Int = {
+    val c = mainChain(table)
+    val schema = versionSchema(spark, c, head)
+    val body =
+      if (plan.rewrite.isEmpty) Seq.empty
+      else stageSegment(spark, table,
+        purge(scan(spark, table, schema, plan.rewrite.map(_.path))), statsCols)
+    val carryBody =
+      if (plan.carry.isEmpty) Seq.empty
+      else Seq(writeSegment(spark, table, plan.carry.map(renderEntry)))
+    publish(spark, c, h => {
+      require(h.contains(head),
+        s"concurrent commit during delete rewrite (head moved $head -> $h); rerun")
+      schemaLine(relaxed(schema.getOrElse(
+        sys.error(s"$table v$head has no schema to rewrite under")))) +:
+        (carryBody ++ body)
+    })
+  }
+
+  private def renderEntry(e: Entry): String =
+    if (e.stats.isEmpty) e.path
+    else (e.path +: e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
+    }).mkString("\t")
 
   /** Row-level erasure, the PHYSICAL half (GDPR "right to be forgotten"):
     * rewrite the head snapshot with every row whose `keyCol` equals a
@@ -709,8 +960,12 @@ object Snapshots {
     *   1. logical delete NOW: append op='d' tombstones through the
     *      merge-on-read lane ([[commitAppend]]) — O(delta), readers'
     *      latest-wins merge stops surfacing the keys immediately;
-    *   2. physical purge: this commit — O(table), the honest price of
-    *      removing bytes, scheduled with the other maintenance passes;
+    *   2. physical purge: this commit — O(files that can contain the
+    *      keys): with committed `keyCol` stats (a clustered layout makes
+    *      them disjoint), only the k-of-N overlapping files are
+    *      rewritten and the rest carry into the new version BY
+    *      REFERENCE ([[erasePlan]] exposes the split); stats-less
+    *      tables degrade to the honest full rewrite;
     *   3. [[vacuum]] past the purge version — pre-purge files (which
     *      still contain the keys) leave the disk; time travel to them is
     *      gone, which for erasure is the point, so pick the vacuum
@@ -724,51 +979,69 @@ object Snapshots {
   def erasePurgeCommit(spark: SparkSession, table: String, keyCol: String,
                        keys: DataFrame, statsCols: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    require(keys.columns.length == 1,
-      s"keys must be a single-column request list, got ${keys.columns.mkString(",")}")
-    val head = versions(spark, table).lastOption
+    val c = mainChain(table)
+    val head = chainVersions(spark, c).lastOption
       .getOrElse(sys.error(s"$table has no committed versions"))
-    val source = read(spark, table, Some(head))
+    val plan = erasePlan(spark, table, keyCol, keys, Some(head))
     val req = broadcast(keys.toDF("__graft_erase_key").distinct())
-    val purged = source.join(req,
-      col(keyCol) === col("__graft_erase_key"), "left_anti")
-    val staged = stage(spark, table, purged, statsCols)
-    publish(spark, table, h => {
-      require(h.contains(head),
-        s"concurrent commit during erase purge (head moved $head -> $h); rerun")
-      schemaLine(relaxed(source.schema)) +: staged
-    })
+    partialRewriteCommit(spark, table, head, plan,
+      src => src.join(req, col(keyCol) === col("__graft_erase_key"), "left_anti"),
+      statsCols)
   }
 
-  /** Row-level diff of two snapshots keyed by `keyCols`: one row per
-    * changed key with `change` ∈ insert / delete / update — the audit
-    * answer ("what exactly did that commit do to the table?") that
-    * manifest diffs alone cannot give once overwrites, purges, or
-    * merge-on-read compactions rewrite files. Unchanged keys are not
-    * emitted. Keys must be unique within each snapshot (the caller's
-    * primary-key contract). Value comparison is null-safe over the TO
-    * version's columns; across an additive schema evolution the FROM
-    * side null-fills the added columns, so a row whose only change is a
-    * value in a new column reads as an update.
-    *
-    * Scale shape: ONE full-outer key join of the two snapshots with the
-    * non-key columns pre-packed into a single struct per side (narrow
-    * shuffle rows, null-safe struct equality instead of per-column
-    * predicates). For an APPEND-range history, prefer
-    * [[readChangesBetween]] — the manifest diff yields the inserts at
-    * O(delta) without touching the base; this operator is for the
-    * general case where history was rewritten.
+  /** The [[deleteWhereCommit]] rewrite plan — which head files a
+    * range-delete must rewrite vs carry by reference.
     */
-  def diffSnapshots(spark: SparkSession, table: String,
-                    fromVersion: Int, toVersion: Int,
-                    keyCols: Seq[String]): DataFrame = {
+  def deletePlan(spark: SparkSession, table: String, ranges: Seq[StatRange],
+                 version: Option[Int] = None): RewritePlan = {
+    require(ranges.nonEmpty, "at least one range required")
+    require(ranges.map(_.column).distinct.size == ranges.size,
+      "one range per column")
+    val c = mainChain(table)
+    val v = resolveChainVersion(spark, c, version)
+    splitByTouch(manifestEntries(spark, c, v),
+      e => ranges.forall(r => overlaps(e.stats.get(r.column), r)))
+  }
+
+  /** Retention delete: drop every row matching the CONJUNCTION of
+    * `ranges` ("event_date < horizon AND tier = 'raw'") and commit the
+    * result. The stats-pruned generalization of [[erasePurgeCommit]]:
+    * only files whose committed stats can overlap EVERY range are
+    * rewritten (on a range-clustered table, the k files holding the
+    * expired band); all others carry by reference with their original
+    * stats. Returns the new version.
+    */
+  def deleteWhereCommit(spark: SparkSession, table: String,
+                        ranges: Seq[StatRange],
+                        statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.not
+    val c = mainChain(table)
+    val head = chainVersions(spark, c).lastOption
+      .getOrElse(sys.error(s"$table has no committed versions"))
+    val plan = deletePlan(spark, table, ranges, Some(head))
+    partialRewriteCommit(spark, table, head, plan,
+      src => src.filter(not(ranges.map(rowPredicate).reduce(_ && _))),
+      statsCols)
+  }
+
+  /** Row-level diff of two keyed DataFrames: one row per changed key
+    * with `change` ∈ insert / delete / update — unchanged keys are not
+    * emitted. Keys must be unique within each side (the caller's
+    * primary-key contract). Value comparison is null-safe over the TO
+    * side's columns; a FROM side missing some of them (additive schema
+    * evolution) null-fills, so a row whose only change is a value in a
+    * new column reads as an update.
+    *
+    * Scale shape: ONE full-outer key join with the non-key columns
+    * pre-packed into a single struct per side (narrow shuffle rows,
+    * null-safe struct equality instead of per-column predicates).
+    */
+  def diff(from: DataFrame, to: DataFrame, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, struct, when}
     require(keyCols.nonEmpty, "at least one key column")
-    val from = read(spark, table, Some(fromVersion))
-    val to = read(spark, table, Some(toVersion))
     val toCols = to.columns.toSeq
     require(keyCols.forall(from.columns.contains) && keyCols.forall(toCols.contains),
-      s"key columns ${keyCols.mkString(",")} must exist in both versions")
+      s"key columns ${keyCols.mkString(",")} must exist on both sides")
     val valCols = toCols.filterNot(keyCols.contains)
     // align FROM onto the TO schema: columns added by evolution between
     // the two versions null-fill on the from side
@@ -792,7 +1065,133 @@ object Snapshots {
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
-  private val RefsDir = "_refs"
+  /** [[diff]] between two committed versions — the audit answer ("what
+    * exactly did that commit do to the table?") that manifest diffs
+    * alone cannot give once overwrites, purges, or merge-on-read
+    * compactions rewrite files. For an APPEND-range history, prefer
+    * [[readChangesBetween]] — the manifest diff yields the inserts at
+    * O(delta) without touching the base; this operator is for the
+    * general case where history was rewritten.
+    */
+  def diffSnapshots(spark: SparkSession, table: String,
+                    fromVersion: Int, toVersion: Int,
+                    keyCols: Seq[String]): DataFrame =
+    diff(read(spark, table, Some(fromVersion)),
+      read(spark, table, Some(toVersion)), keyCols)
+
+  // ----------------------------------------------------------- branches
+
+  private val RefName = "[A-Za-z0-9._-]{1,64}"
+
+  /** Writeable branch refs of the table (sorted). */
+  def branches(spark: SparkSession, table: String): Seq[String] = {
+    val dir = new Path(table, BranchesDir)
+    val f = fs(spark, table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .sorted.toSeq
+  }
+
+  /** Fork a writeable branch off `fromVersion` (default: the main head).
+    * The branch's v1 copies the fork point's segment REFERENCES — O(commits)
+    * metadata, zero data movement — and records the fork version; commits
+    * land on the branch through [[commitAppendToBranch]] /
+    * [[commitOverwriteToBranch]] without touching main, and
+    * [[fastForwardMerge]] folds the branch back when main has not moved.
+    * Creation is atomic: the branch's v1 goes through the same
+    * create-if-absent slot as every manifest, so two racers cannot both
+    * create the name.
+    */
+  def createBranch(spark: SparkSession, table: String, name: String,
+                   fromVersion: Option[Int] = None): Unit = {
+    require(name.matches(RefName), s"branch name must be $RefName, got '$name'")
+    val main = mainChain(table)
+    val from = resolveChainVersion(spark, main, fromVersion)
+    val c = branchChain(table, name)
+    val schema = chainSchema(spark, main, from)
+    val lines = (ForkHeader + from) +:
+      (schema.map(schemaLine).toSeq ++ bodyLines(spark, main, from))
+    val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+    require(createExclusive(fs(spark, table), c.manifestPath(1), bytes),
+      s"$table already has a branch '$name' (dropBranch first to recreate)")
+  }
+
+  /** The main version a branch forked from (recorded in its v1). */
+  def branchFork(spark: SparkSession, table: String, name: String): Int = {
+    val c = branchChain(table, name)
+    require(chainVersions(spark, c).nonEmpty, s"$table has no branch '$name'")
+    manifestLines(spark, c, 1).collectFirst {
+      case l if l.startsWith(ForkHeader) => l.substring(ForkHeader.length).toInt
+    }.getOrElse(sys.error(s"${c.label} v1 lacks its fork header"))
+  }
+
+  /** Committed versions of a branch, ascending. */
+  def branchVersions(spark: SparkSession, table: String, name: String): Seq[Int] =
+    chainVersions(spark, branchChain(table, name))
+
+  /** Read a branch snapshot: the given branch version, or its head. */
+  def readBranch(spark: SparkSession, table: String, name: String,
+                 version: Option[Int] = None): DataFrame =
+    readChain(spark, branchChain(table, name), version)
+
+  /** Append to a branch — same serialization, schema-evolution and
+    * O(delta) metadata contracts as [[commitAppend]], against the
+    * branch's own chain. Returns the branch version.
+    */
+  def commitAppendToBranch(spark: SparkSession, table: String, name: String,
+                           df: DataFrame, statsCols: Seq[String] = Nil,
+                           evolve: Boolean = false): Int = {
+    val c = branchChain(table, name)
+    require(chainVersions(spark, c).nonEmpty, s"$table has no branch '$name'")
+    appendChain(spark, c, df, statsCols, evolve, None)
+  }
+
+  /** Replace a branch's snapshot (the "try a different filter" move). */
+  def commitOverwriteToBranch(spark: SparkSession, table: String, name: String,
+                              df: DataFrame, statsCols: Seq[String] = Nil): Int = {
+    val c = branchChain(table, name)
+    require(chainVersions(spark, c).nonEmpty, s"$table has no branch '$name'")
+    commitOverwriteChain(spark, c, df, statsCols)
+  }
+
+  /** Fast-forward the MAIN head to the branch's head: publishes a main
+    * version whose body is the branch head's segment references (zero
+    * data movement — the branch's files become main's). Requires main
+    * not to have moved since the fork — a diverged main is a data
+    * decision (rebase the branch or overwrite), not a format one; the
+    * check re-runs inside the publish slot, so a racing main commit
+    * loses cleanly. Returns the new main version.
+    */
+  def fastForwardMerge(spark: SparkSession, table: String, name: String): Int = {
+    val main = mainChain(table)
+    val c = branchChain(table, name)
+    val bvs = chainVersions(spark, c)
+    require(bvs.nonEmpty, s"$table has no branch '$name'")
+    val bhead = bvs.last
+    val fork = branchFork(spark, table, name)
+    val schema = versionSchema(spark, c, bhead)
+    val body = bodyLines(spark, c, bhead)
+    publish(spark, main, h => {
+      require(h.contains(fork),
+        s"non-fast-forward merge: $table main moved since branch '$name' " +
+          s"forked at v$fork (head now v${h.getOrElse(0)}); recreate the " +
+          "branch from the new head or commitOverwrite the decision")
+      schemaLine(relaxed(schema.getOrElse(
+        sys.error(s"${c.label} v$bhead has no schema")))) +: body
+    })
+  }
+
+  /** Delete a branch ref and its chain. Its data files and segments
+    * stay until the next [[vacuum]] finds them unreferenced.
+    */
+  def dropBranch(spark: SparkSession, table: String, name: String): Unit = {
+    require(name.matches(RefName), s"branch name must be $RefName, got '$name'")
+    val f = fs(spark, table)
+    require(f.delete(new Path(table, s"$BranchesDir/$name"), true),
+      s"$table has no branch '$name'")
+  }
+
+  // --------------------------------------------------------------- tags
 
   /** Tag a committed version with an immutable name — how a reproducible
     * training run pins its input ("read what run-2026-08 read") without
@@ -804,49 +1203,32 @@ object Snapshots {
     */
   def tagVersion(spark: SparkSession, table: String, name: String,
                  version: Int): Unit = {
-    require(name.matches("[A-Za-z0-9._-]{1,64}"),
-      s"tag name must be [A-Za-z0-9._-]{1,64}, got '$name'")
+    require(name.matches(RefName), s"tag name must be $RefName, got '$name'")
     require(versions(spark, table).contains(version),
       s"$table has no committed version $version to tag")
-    val f = fs(spark, table)
     val tgt = new Path(table, s"$RefsDir/$name.txt")
-    f.mkdirs(tgt.getParent)
-    val bytes = (version.toString + "\n").getBytes("UTF-8")
-    val scheme = tgt.toUri.getScheme
-    val won =
-      if (scheme == null || scheme == "file") {
-        val dir = java.nio.file.Paths.get(f.makeQualified(tgt).toUri.getPath).getParent
-        val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID()}.tmp")
-        java.nio.file.Files.write(tmp, bytes)
-        try {
-          java.nio.file.Files.createLink(dir.resolve(tgt.getName), tmp)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        } finally java.nio.file.Files.deleteIfExists(tmp)
-      } else {
-        try {
-          val out = f.create(tgt, false)
-          try out.write(bytes) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      }
+    val won = createExclusive(fs(spark, table), tgt,
+      (version.toString + "\n").getBytes("UTF-8"))
     require(won, s"$table already has a tag '$name' (tags are immutable; " +
       "dropTag first to re-point)")
   }
 
-  /** All tags of the table: name → pinned version. */
+  /** All tags of the table: name → pinned version. A tag file that is
+    * empty or unparsable (crash debris from a store without an atomic
+    * slot) is SKIPPED rather than poisoning every vacuum/readTag — the
+    * write protocol ([[createExclusive]]: full tmp write + atomic
+    * publish) makes such files unreachable on local FS and HDFS, so a
+    * skip only ever hides debris, never a real pin.
+    */
   def tags(spark: SparkSession, table: String): Map[String, Int] = {
     val dir = new Path(table, RefsDir)
     val f = fs(spark, table)
     if (!f.exists(dir)) Map.empty
     else f.listStatus(dir).filter(_.isFile)
       .map(_.getPath).filter(_.getName.endsWith(".txt"))
-      .map { p =>
-        val in = f.open(p)
-        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().next().trim.toInt finally in.close()
-        p.getName.stripSuffix(".txt") -> v
+      .flatMap { p =>
+        readSmallFile(f, p).headOption.flatMap(_.trim.toIntOption)
+          .map(v => p.getName.stripSuffix(".txt") -> v)
       }.toMap
   }
 
@@ -864,35 +1246,59 @@ object Snapshots {
       s"$table has no tag '$name'")
   }
 
-  /** Reclaim space: drop all UNTAGGED manifests BELOW `keepFrom` and
-    * delete every data file no remaining manifest references (including
-    * orphans from crashed commits). Returns the number of deleted data
-    * files. Time travel to vacuumed versions is gone — that is the
-    * point — but a [[tagVersion]]-pinned snapshot survives any horizon
-    * until its tag is dropped (the reproducible-training-run contract).
-    * A dropped manifest also forgets its [[commitAppendOnce]] token, so
-    * keep the retention horizon longer than any source's replay horizon
-    * (a streaming checkpoint bounds replays far tighter in practice).
+  /** Reclaim space: drop all UNTAGGED main manifests BELOW `keepFrom`,
+    * then delete every segment and data file no remaining manifest —
+    * main OR branch — references (including orphans from crashed
+    * commits). Returns the number of deleted data files. Time travel to
+    * vacuumed versions is gone — that is the point — but a
+    * [[tagVersion]]-pinned snapshot survives any horizon until its tag
+    * is dropped (the reproducible-training-run contract), and every
+    * BRANCH version is live by definition ([[dropBranch]] releases a
+    * branch's claim). A dropped manifest also forgets its
+    * [[commitAppendOnce]] token, so keep the retention horizon longer
+    * than any source's replay horizon (a streaming checkpoint bounds
+    * replays far tighter in practice).
     */
   def vacuum(spark: SparkSession, table: String, keepFrom: Int): Int = {
     val f = fs(spark, table)
+    val main = mainChain(table)
     val pinned = tags(spark, table).values.toSet
-    val (drop, keep) = versions(spark, table)
+    val (drop, keep) = chainVersions(spark, main)
       .partition(v => v < keepFrom && !pinned.contains(v))
     require(keep.nonEmpty, s"vacuum would drop every version of $table")
-    val referenced = keep.flatMap(manifestFiles(spark, table, _)).toSet
-    drop.foreach(v => f.delete(manifestPath(table, v), false))
+    // live version files: kept main versions + every version of every
+    // branch (branches are writeable refs — their snapshots are pinned
+    // until dropBranch)
+    val live: Seq[(Chain, Int)] = keep.map((main, _)) ++
+      branches(spark, table).flatMap { b =>
+        val c = branchChain(table, b)
+        chainVersions(spark, c).map((c, _))
+      }
+    val liveBody = live.flatMap { case (c, v) => bodyLines(spark, c, v) }
+    val liveSegs = liveBody.collect {
+      case l if l.startsWith(SegRef) => l.substring(SegRef.length) }.toSet
+    val referenced = expand(spark, table, liveBody.distinct)
+      .map(parseEntry(_).path).toSet
+    drop.foreach(v => f.delete(main.manifestPath(v), false))
+    // unreferenced segments: dropped versions' exclusive segments and
+    // crashed commits' orphans
+    val segRoot = new Path(table, SegmentsDir)
+    if (f.exists(segRoot)) {
+      f.listStatus(segRoot).filter(_.isFile).foreach { s =>
+        if (!liveSegs.contains(s.getPath.getName)) f.delete(s.getPath, false)
+      }
+    }
     val dataRoot = new Path(table, DataDir)
     if (!f.exists(dataRoot)) return 0
     var deleted = 0
     f.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
       val dirRel = s"$DataDir/${d.getPath.getName}"
-      val live = f.listStatus(d.getPath).filter(_.isFile).filter { s =>
+      val liveFiles = f.listStatus(d.getPath).filter(_.isFile).filter { s =>
         val rel = s"$dirRel/${s.getPath.getName}"
         if (referenced.contains(rel)) true
         else { f.delete(s.getPath, false); deleted += 1; false }
       }
-      if (live.isEmpty) f.delete(d.getPath, true) // now-empty commit dir
+      if (liveFiles.isEmpty) f.delete(d.getPath, true) // now-empty commit dir
     }
     deleted
   }

@@ -377,11 +377,18 @@ class SnapshotsSpec extends SparkTestBase {
         expr("repeat('y', 200)")))
       .repartitionByRange(2, col("id")).sortWithinPartitions("id")
     Snapshots.commitOverwrite(spark, t, d, statsCols = Seq("txt"))
-    // manifest lines stay bounded even though values are 200+ chars
-    val manifest = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(t, "_manifests", "v00000001.txt"))
-    assert(manifest.linesIterator.filterNot(_.startsWith("#"))
-      .forall(_.length < 400), "manifest cells must be truncated")
+    // segment data lines stay bounded even though values are 200+ chars
+    // (the version file holds only @segment references)
+    val segDir = java.nio.file.Paths.get(t, "_segments")
+    val segLines = java.nio.file.Files.list(segDir).iterator()
+    var dataLines = List.empty[String]
+    // Hadoop's local FS writes hidden .crc siblings; read segments only
+    segLines.forEachRemaining(p =>
+      if (p.getFileName.toString.matches("s-.*\\.txt"))
+        java.nio.file.Files.readString(p).linesIterator
+          .filter(_.nonEmpty).foreach(l => dataLines ::= l))
+    assert(dataLines.nonEmpty)
+    assert(dataLines.forall(_.length < 400), "manifest cells must be truncated")
     import Snapshots.StringRange
     // a band inside the 'a' file's TRUE range (beyond the truncation
     // horizon) must still plan that file and return exact rows — the
@@ -469,6 +476,203 @@ class SnapshotsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Snapshots.diffSnapshots(spark, t, 1, 2, Seq("nope"))
     }
+  }
+
+  test("commit metadata is O(delta): version files hold one segment " +
+       "reference per commit, never the file list") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 64).toDF("id").repartition(8))
+    (1 to 5).foreach(i => Snapshots.commitAppend(spark, t,
+      spark.range(100L * i, 100L * i + 64).toDF("id").repartition(8)))
+    // v6 references 6 commits' worth of files (48+), but its version
+    // file body is exactly 6 one-line segment references — an append
+    // never copies the table's file list
+    assert(Snapshots.read(spark, t).inputFiles.length >= 48)
+    def body(v: Int): Seq[String] = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_manifests", f"v$v%08d.txt"))
+      .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    assert(body(6).length == 6)
+    assert(body(6).forall(_.startsWith("@")))
+    // append bases are shared: v5's body is a strict prefix of v6's
+    assert(body(6).take(5) == body(5))
+    // compaction folds the chain back to one segment
+    Snapshots.compactCommit(spark, t, targetFileBytes = 1L << 30)
+    assert(body(7).length == 1)
+    // vacuum reclaims the dropped versions' now-unreferenced segments
+    Snapshots.vacuum(spark, t, keepFrom = 7)
+    val segs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t, "_segments")).iterator()
+    var names = List.empty[String]
+    segs.forEachRemaining(p => names ::= p.getFileName.toString)
+    val live = names.count(_.matches("s-.*\\.txt")) // .crc siblings aside
+    assert(live == 1, s"expected 1 live segment after vacuum, got $live")
+    assert(Snapshots.read(spark, t).count() == 6 * 64)
+  }
+
+  test("readChangesBetween expands only the delta's segments") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, spark.range(0, 10).toDF("id"))
+    Snapshots.commitAppend(spark, t, spark.range(100, 110).toDF("id"))
+    Snapshots.commitAppend(spark, t, spark.range(200, 210).toDF("id"))
+    // delete the BASE version's segment bytes out from under the table:
+    // an O(delta) incremental read of v2..v3 must never open it
+    val v2Body = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_manifests", "v00000002.txt"))
+      .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    v2Body.foreach { ref =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(t, "_segments", ref.drop(1)),
+        java.nio.file.Paths.get(t, "_segments", ref.drop(1) + ".hidden"))
+    }
+    val delta = Snapshots.readChangesBetween(spark, t, 2)
+      .select("id").as[Long].collect().toSet
+    assert(delta == (200L until 210L).toSet)
+    // restore for hygiene (vacuum etc. would want them back)
+    v2Body.foreach { ref =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(t, "_segments", ref.drop(1) + ".hidden"),
+        java.nio.file.Paths.get(t, "_segments", ref.drop(1)))
+    }
+  }
+
+  test("erasePurgeCommit with key stats rewrites only overlapping files " +
+       "and carries the rest by reference") {
+    val t = freshTable()
+    // 8 range-clustered files with disjoint id bands of 100
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 800).toDF("id").withColumn("v", col("id") * 10)
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    val headFiles = Snapshots.read(spark, t).inputFiles.toSet
+    assert(headFiles.size == 8)
+    // keys live in exactly 2 of the 8 bands
+    val keys = Seq(150L, 160L, 450L).toDF("key")
+    val plan = Snapshots.erasePlan(spark, t, "id", keys)
+    assert(plan.rewrite.size == 2 && plan.carry.size == 6)
+    val pv = Snapshots.erasePurgeCommit(spark, t, "id", keys,
+      statsCols = Seq("id"))
+    // 6 of the head's files carried into the purge version BY REFERENCE
+    val purgedFiles = Snapshots.read(spark, t, Some(pv)).inputFiles.toSet
+    assert(purgedFiles.intersect(headFiles).size == 6)
+    // rows exact, keys gone
+    val got = Snapshots.read(spark, t, Some(pv))
+    assert(got.count() == 797)
+    assert(got.filter(col("id").isin(150L, 160L, 450L)).count() == 0)
+    // carried files keep usable stats: pruning still plans sharply
+    assert(Snapshots.plannedFiles(spark, t,
+      Seq(Snapshots.LongRange("id", 700, 750)), Some(pv)).length == 1)
+    // ...and the purge-proof contract holds for the REWRITTEN band:
+    // after vacuum no surviving file contains the keys
+    Snapshots.vacuum(spark, t, keepFrom = pv)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(t, "data"))
+      .iterator()
+    var survivors = List.empty[String]
+    files.forEachRemaining(p =>
+      if (p.toString.endsWith(".parquet")) survivors ::= p.toString)
+    assert(spark.read.parquet(survivors: _*)
+      .filter(col("id").isin(150L, 160L, 450L)).count() == 0)
+  }
+
+  test("deleteWhereCommit: retention delete rewrites only the expired " +
+       "band; stats-less tables degrade to a full rewrite") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 800).toDF("id").withColumn("tier", lit("raw"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    val plan = Snapshots.deletePlan(spark, t, Seq(Snapshots.LongRange("id", 0, 149)))
+    assert(plan.rewrite.size == 2 && plan.carry.size == 6)
+    val v = Snapshots.deleteWhereCommit(spark, t,
+      Seq(Snapshots.LongRange("id", 0, 149)), statsCols = Seq("id"))
+    val got = Snapshots.read(spark, t, Some(v)).select("id").as[Long].collect()
+    assert(got.length == 650 && got.min == 150L)
+    // a boundary-straddling range rewrites both touched files, others carried
+    val plan2 = Snapshots.deletePlan(spark, t,
+      Seq(Snapshots.LongRange("id", 250, 349)), Some(v))
+    assert(plan2.rewrite.size == 2)
+    // stats-less table: every file conservatively rewritten
+    val t2 = freshTable()
+    Snapshots.commitOverwrite(spark, t2,
+      spark.range(0, 100).toDF("id").repartition(4))
+    val plan3 = Snapshots.deletePlan(spark, t2, Seq(Snapshots.LongRange("id", 0, 10)))
+    assert(plan3.carry.isEmpty)
+    val v2 = Snapshots.deleteWhereCommit(spark, t2, Seq(Snapshots.LongRange("id", 0, 10)))
+    assert(Snapshots.read(spark, t2, Some(v2)).count() == 89)
+  }
+
+  test("branches: fork, commit, diff, fast-forward merge, vacuum safety") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Snapshots.createBranch(spark, t, "exp")
+    assert(Snapshots.branches(spark, t) == Seq("exp"))
+    assert(Snapshots.branchFork(spark, t, "exp") == 1)
+    // branch head starts as the fork point, sharing its files by reference
+    assert(Snapshots.readBranch(spark, t, "exp").select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // commits land on the branch only
+    Snapshots.commitAppendToBranch(spark, t, "exp", Seq((3L, "c")).toDF("id", "v"))
+    assert(Snapshots.readBranch(spark, t, "exp").count() == 3)
+    assert(Snapshots.read(spark, t).count() == 2) // main untouched
+    // diff branch vs main through the shared diff core
+    val d = Snapshots.diff(Snapshots.read(spark, t),
+      Snapshots.readBranch(spark, t, "exp"), Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(3L -> "insert"))
+    // a branch's files survive vacuum even when no main version holds them
+    Snapshots.commitOverwriteToBranch(spark, t, "exp",
+      Seq((9L, "z")).toDF("id", "v"))
+    Snapshots.vacuum(spark, t, keepFrom = 1)
+    assert(Snapshots.readBranch(spark, t, "exp").select("id").as[Long]
+      .head() == 9L)
+    // fast-forward merge: main head becomes the branch head
+    val mv = Snapshots.fastForwardMerge(spark, t, "exp")
+    assert(Snapshots.read(spark, t, Some(mv)).select("id").as[Long]
+      .head() == 9L)
+    // a branch forked BEFORE an unrelated main commit cannot fast-forward
+    Snapshots.createBranch(spark, t, "stale", fromVersion = Some(1))
+    intercept[IllegalArgumentException] {
+      Snapshots.fastForwardMerge(spark, t, "stale")
+    }
+    // branch names are create-once; dropBranch releases them
+    intercept[IllegalArgumentException] {
+      Snapshots.createBranch(spark, t, "exp")
+    }
+    Snapshots.dropBranch(spark, t, "exp")
+    assert(Snapshots.branches(spark, t) == Seq("stale"))
+    intercept[IllegalArgumentException] {
+      Snapshots.readBranch(spark, t, "exp")
+    }
+  }
+
+  test("branch ref slot: racing branch committers all land exactly once") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(0L).toDF("id"))
+    Snapshots.createBranch(spark, t, "race")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        results.add(Snapshots.commitAppendToBranch(spark, t, "race",
+          Seq(i.toLong).toDF("id")))
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    // every racer won a distinct branch version (v1 is the fork)
+    assert(results.asScala.toList.sorted == (2 to 9).toList)
+    assert(Snapshots.readBranch(spark, t, "race").select("id").as[Long]
+      .collect().toSet == (0L to 8L).toSet)
+    // racing CREATES of one name: exactly one winner
+    val created = new java.util.concurrent.atomic.AtomicInteger(0)
+    val creators = (1 to 4).map(_ => new Thread(() => {
+      try { Snapshots.createBranch(spark, t, "unique"); created.incrementAndGet(); () }
+      catch { case _: IllegalArgumentException => () }
+    }))
+    creators.foreach(_.start())
+    creators.foreach(_.join())
+    assert(created.get() == 1)
   }
 
   test("read plan scans exactly the manifest's closed file list") {
