@@ -3026,6 +3026,43 @@ object SparkEntry {
       Snapshots.diffSnapshots(s, root + "/t", 1, 2, Seq("doc_id"))
     }),
 
+    // WRITEABLE BRANCHES — the experimentation contract a curation team
+    // runs on a shared table: fork 'exp' off main v1 (the fork copies
+    // segment REFERENCES, zero data movement), land two appends on the
+    // branch while main stays untouched, row-diff the branch head
+    // against main, then fast-forward merge (main's new head = the
+    // branch's segment list, again zero data movement). The output
+    // reads all four states — pre-merge main, branch head, the diff's
+    // insert set, post-merge main — so a branch commit leaking into
+    // main early, a mis-resolved branch read, a wrong diff, or a merge
+    // that drops/doubles rows each break the hash.
+    "q_snapshot_branch" -> ((s, dir) => {
+      val root = materializedDir("snapbranch", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, t, d.filter(col("doc_id") % 3 === 0))
+        Snapshots.createBranch(s, t, "exp")
+        Snapshots.commitAppendToBranch(s, t, "exp",
+          d.filter(col("doc_id") % 3 === 1))
+        Snapshots.commitAppendToBranch(s, t, "exp",
+          d.filter(col("doc_id") % 3 === 2))
+        Snapshots.fastForwardMerge(s, t, "exp")
+      }
+      val t = root + "/t"
+      def slice(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .select(lit(tag).as("state"), col("n_docs"), col("id_sum"))
+      val diffIns = Snapshots.diff(Snapshots.read(s, t, Some(1)),
+          Snapshots.readBranch(s, t, "exp"), Seq("doc_id"))
+        .filter(col("change") === "insert")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .select(lit("diff_insert").as("state"), col("n_docs"), col("id_sum"))
+      slice(Snapshots.read(s, t, Some(1)), "main_v1")
+        .unionAll(slice(Snapshots.readBranch(s, t, "exp"), "branch_head"))
+        .unionAll(diffIns)
+        .unionAll(slice(Snapshots.read(s, t), "main_merged"))
+    }),
+
     // GDPR ERASE through the snapshot format — the three-move deletion
     // protocol over the q_merge_on_read table: (1) LOGICAL delete now —
     // op='d' tombstones for the %9=3 keys append through the
@@ -3106,6 +3143,66 @@ object SparkEntry {
           dst, token = "ingest-v2", quarantineTable = Some(qt))
         require(step().isDefined, "first curation step must commit")
         require(step().isEmpty, "replayed curation step must be a no-op")
+      }
+      Snapshots.read(s, root + "/dst").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // THE ACCRETING FLAVOR: the standing dedup index lives as its own
+    // snapshot table and each step appends its ACCEPTED rows'
+    // signatures (same token, exactly-once), so step 2's near-dups of
+    // step 1's accepted rows are caught — the cross-batch leak the
+    // fixed-index q_incr_pipeline lets through by design. Batch 1 =
+    // q_incr_pipeline's shape with multi-token fresh texts ("fresh doc
+    // <id> alpha beta gamma delta"); batch 2 plants a last-word-dropped
+    // near-dup of EVERY fresh row at +100000 with an always-clean gate
+    // profile: a dup whose target was ACCEPTED must drop (caught only
+    // via accretion), one whose target was QUARANTINED must land (the
+    // target never entered the corpus). Both steps replay under their
+    // tokens — dest, quarantine AND index must all no-op. The oracle
+    // replays the md5 band algebra once over corpus ∪ batch1 ∪ batch2
+    // and applies the two-step membership logic.
+    "q_incr_pipeline_accrete" -> ((s, dir) => {
+      val root = materializedDir("incraccrete", dir) { path =>
+        val src = path + "/src"
+        val dst = path + "/dst"
+        val qt = path + "/qt"
+        val ix = path + "/ix"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"),
+          col("n_chars"))
+        Snapshots.commitOverwrite(s, src, d)
+        IncrementalPipeline.initDedupIndex(s, ix, d, "doc_id", "text")
+        val nearDups = d.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000L).as("doc_id"), col("lang"),
+          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+          col("n_chars"))
+        val fresh = d.filter(col("doc_id") % 97 === 3).select(
+          (col("doc_id") + 200000L).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("lang")).otherwise(lit("zz"))
+            .as("lang"),
+          concat(lit("fresh doc "), col("doc_id"),
+            lit(" alpha beta gamma delta")).as("text"),
+          (lit(100L) + col("doc_id") % 350).as("n_chars"))
+        Snapshots.commitAppend(s, src, nearDups.unionByName(fresh))   // v2
+        val checks = Seq(
+          Expectations.Check("lang_latin",
+            col("lang").isin("en", "de", "fr", "es")),
+          Expectations.Check("len_band", col("n_chars").between(100L, 400L)))
+        def step1() = IncrementalPipeline.curateStepAccreting(s, src, 1, ix,
+          "doc_id", "text", checks, dst, token = "s1",
+          quarantineTable = Some(qt), toVersion = Some(2))
+        require(step1().isDefined, "accreting step 1 must commit")
+        require(step1().isEmpty, "replayed accreting step 1 must be a no-op")
+        val crossDups = fresh.select(
+          (col("doc_id") + 100000L).as("doc_id"), lit("en").as("lang"),
+          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+          lit(150L).as("n_chars"))
+        Snapshots.commitAppend(s, src, crossDups)                     // v3
+        def step2() = IncrementalPipeline.curateStepAccreting(s, src, 2, ix,
+          "doc_id", "text", checks, dst, token = "s2",
+          quarantineTable = Some(qt))
+        require(step2().isDefined, "accreting step 2 must commit")
+        require(step2().isEmpty, "replayed accreting step 2 must be a no-op")
       }
       Snapshots.read(s, root + "/dst").groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
@@ -3521,7 +3618,21 @@ object SparkEntry {
     * shingle sets → md5-lane signatures → bands → verified pairs `pr`),
     * shared by [[pairsMd5Sql]] and [[e2eMd5Sql]].
     */
-  private def pairsMd5Ctes: String = {
+  private def pairsMd5Ctes: String = pairsMd5CtesOver(
+    s"""  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |         regexp_replace(text, '\\s+\\S+$$', '') AS text
+       |  FROM documents WHERE doc_id < 20""".stripMargin)
+
+  /** [[pairsMd5Ctes]] generalized over the corpus body: the same
+    * shingle → md5-lane signature → band → verified-pair chain, with
+    * `all_docs` defined by the caller — the accreting-pipeline oracle
+    * runs it over corpus ∪ batch1 ∪ batch2 in ONE pass (band collision
+    * and verify are per-PAIR properties, so one unioned run equals
+    * per-step pairings exactly).
+    */
+  private def pairsMd5CtesOver(allDocsBody: String): String = {
     val mh = (0 until 8).map(i =>
       s"list_min(list_transform(ds, d -> substr(d, ${i * 4 + 1}, 4))) AS mh$i")
       .mkString(", ")
@@ -3530,11 +3641,7 @@ object SparkEntry {
     // unnest ordinal
     val bandArr = (0 until 4).map(b => s"'$b' || mh${2 * b} || mh${2 * b + 1}").mkString(", ")
     s"""all_docs AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 100000 AS doc_id,
-       |         regexp_replace(text, '\\s+\\S+$$', '') AS text
-       |  FROM documents WHERE doc_id < 20),
+       |$allDocsBody),
        |sh AS (
        |  SELECT doc_id, CASE WHEN len(toks) >= 3
        |    THEN list_distinct(list_transform(range(0, len(toks) - 2),
@@ -4226,6 +4333,75 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM clean GROUP BY lang""".stripMargin
 
+  /** The q_incr_pipeline_accrete oracle: ONE md5 band/verify pass over
+    * corpus ∪ planted ∪ fresh ∪ batch2 (band collision and jaccard are
+    * per-pair properties, so the unioned run equals per-step pairing
+    * exactly), then the two-step membership logic — step 1 drops batch-1
+    * rows pairing with the CORPUS; step 2 drops batch-2 rows pairing
+    * with the corpus OR a step-1 ACCEPTED row (the accretion contract:
+    * quarantined/deduped rows never joined the index, so their
+    * near-dups land). Id classes by `% 1000000` band (replica tiles
+    * offset by k·10⁶): corpus < 1e5, batch 1 in [1e5, 3e5), batch 2 ≥
+    * 3e5.
+    */
+  private lazy val incrAccreteSql: String = {
+    val u =
+      s"""  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$$', '')
+         |  FROM documents WHERE doc_id < 20
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |    'fresh doc ' || doc_id || ' alpha beta gamma delta'
+         |  FROM documents WHERE doc_id % 97 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 300000,
+         |    'fresh doc ' || doc_id || ' alpha beta gamma'
+         |  FROM documents WHERE doc_id % 97 = 3""".stripMargin
+    s"WITH ${pairsMd5CtesOver(u)},\n" +
+      """b1 AS (
+        |  SELECT doc_id + 100000 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    CASE WHEN doc_id % 2 = 0 THEN lang ELSE 'zz' END,
+        |    100 + doc_id % 350
+        |  FROM documents WHERE doc_id % 97 = 3),
+        |dup1 AS (
+        |  SELECT id_b AS did FROM pr
+        |  WHERE id_a % 1000000 < 100000
+        |    AND id_b % 1000000 BETWEEN 100000 AND 299999
+        |  UNION
+        |  SELECT id_a FROM pr
+        |  WHERE id_b % 1000000 < 100000
+        |    AND id_a % 1000000 BETWEEN 100000 AND 299999),
+        |clean1 AS (
+        |  SELECT * FROM b1
+        |  WHERE doc_id NOT IN (SELECT did FROM dup1)
+        |    AND lang IN ('en', 'de', 'fr', 'es')
+        |    AND n_chars BETWEEN 100 AND 400),
+        |b2 AS (
+        |  SELECT doc_id + 300000 AS doc_id, 'en' AS lang,
+        |    CAST(150 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 97 = 3),
+        |dup2 AS (
+        |  SELECT id_b AS did FROM pr
+        |  WHERE id_b % 1000000 >= 300000 AND id_a % 1000000 < 300000
+        |    AND (id_a % 1000000 < 100000
+        |         OR id_a IN (SELECT doc_id FROM clean1))
+        |  UNION
+        |  SELECT id_a FROM pr
+        |  WHERE id_a % 1000000 >= 300000 AND id_b % 1000000 < 300000
+        |    AND (id_b % 1000000 < 100000
+        |         OR id_b IN (SELECT doc_id FROM clean1))),
+        |clean2 AS (
+        |  SELECT * FROM b2 WHERE doc_id NOT IN (SELECT did FROM dup2)),
+        |final AS (SELECT * FROM clean1 UNION ALL SELECT * FROM clean2)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM final GROUP BY lang""".stripMargin
+  }
+
   private def urlDedupSql: String = {
     // mirror of UrlOps.canonicalizeUrl/dedupByUrl over the same
     // deterministic URL synthesis. DuckDB regexp_replace defaults to
@@ -4509,6 +4685,18 @@ object SparkEntry {
       "WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0 " +
       "UNION ALL SELECT doc_id + 1000000000, 'insert' FROM documents " +
       "WHERE doc_id % 11 = 0"),
+    // main v1 = the %3=0 slice; the branch (and the merged main) = all
+    // docs; the diff's inserts = the two branch-appended slices. Every
+    // state is pure %3 arithmetic over documents
+    "q_snapshot_branch" -> ("SELECT 'main_v1' AS state, " +
+      "count(*)::BIGINT AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents WHERE doc_id % 3 = 0 " +
+      "UNION ALL SELECT 'branch_head', count(*)::BIGINT, " +
+      "CAST(sum(doc_id) AS BIGINT) FROM documents " +
+      "UNION ALL SELECT 'diff_insert', count(*)::BIGINT, " +
+      "CAST(sum(doc_id) AS BIGINT) FROM documents WHERE doc_id % 3 <> 0 " +
+      "UNION ALL SELECT 'main_merged', count(*)::BIGINT, " +
+      "CAST(sum(doc_id) AS BIGINT) FROM documents"),
     // tagged v2 = the first two slices; head v3 = the overwrite slice
     "q_snapshot_tag" -> ("SELECT 'tagged_v2' AS state, " +
       "count(*)::BIGINT AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
@@ -4532,6 +4720,11 @@ object SparkEntry {
     // Exactly-once: the Spark side runs the step TWICE with one token —
     // a broken replay doubles every count and hash-fails
     "q_incr_pipeline" -> incrPipelineSql,
+    // the accreting flavor: step 2's dedup set depends on step 1's
+    // ACCEPTED rows — a non-accreting index lets every cross-batch
+    // near-dup land and breaks the per-lang hash; a broken replay
+    // doubles counts on any of the three tables
+    "q_incr_pipeline_accrete" -> incrAccreteSql,
     // identical algebra: per-micro-batch matching against the standing
     // index has no batch-vs-batch interaction and the gate is per-row,
     // so the streamed union equals the one-shot batch result — same

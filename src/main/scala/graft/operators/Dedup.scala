@@ -527,13 +527,26 @@ object Dedup {
                                 idCol: String, textCol: String,
                                 shingleSize: Int = 3, numHashes: Int = 8,
                                 tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
-    require(numHashes % 2 == 0, "bands are 2 lanes wide: numHashes must be even")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the batch side is referenced twice (banding + verify join-back);
     // Catalyst does not CSE subplans, so persist the signature+set
     // table. Cache ownership: see [[CacheTracker]].
     val bat = tracker.own(
       minhashSignatureMd5WithSets(batch, idCol, textCol, shingleSize, numHashes).persist(lvl))
+    dedupPreparedPair(idx, bat, idCol, numHashes)
+  }
+
+  /** The match core of [[dedupAgainstPreparedIndex]] with BOTH sides
+    * already in [[minhashSignatureMd5WithSets]] shape — the entry point
+    * an ACCRETING pipeline uses, where the batch's signatures must
+    * outlive the match (they append to the standing index afterwards) so
+    * signaturing inside the matcher would compute them twice. Returns
+    * one row per batch document that near-dup-matches an index document:
+    * (`idCol`, `dup_of` = smallest matching index id).
+    */
+  def dedupPreparedPair(idx: DataFrame, bat: DataFrame, idCol: String,
+                        numHashes: Int = 8): DataFrame = {
+    require(numHashes % 2 == 0, "bands are 2 lanes wide: numHashes must be even")
     // band value = band index ++ its two lanes — band-equality join needs
     // no (band, value) composite key
     def bands(df: DataFrame, as: String): DataFrame = df.select(col(idCol).as(as),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.sources.Snapshots
 
@@ -80,6 +81,79 @@ object IncrementalPipeline {
         idCol, textCol, shingleSize, numHashes, tracker)
       curateTail(spark, batch, dups, idCol, checks, destTable, token,
         quarantineTable)
+    } finally tracker.release()
+  }
+
+  /** Seed a standing dedup-index SNAPSHOT TABLE from the corpus: one
+    * [[Dedup.minhashSignatureMd5WithSets]] row per document (signature
+    * lanes + exact shingle set), committed through the table format so
+    * the index itself gets time travel, exactly-once accretion and
+    * incremental reads. Returns the index table's version.
+    */
+  def initDedupIndex(spark: SparkSession, indexTable: String, corpus: DataFrame,
+                     idCol: String, textCol: String,
+                     shingleSize: Int = 3, numHashes: Int = 8): Int =
+    Snapshots.commitOverwrite(spark, indexTable,
+      Dedup.minhashSignatureMd5WithSets(corpus, idCol, textCol,
+        shingleSize, numHashes))
+
+  /** [[curateStep]] with an ACCRETING standing index: the index lives as
+    * its own snapshot table ([[initDedupIndex]]), the delta is matched
+    * against its head, and — after the clean rows land — the ACCEPTED
+    * rows' signatures append to the index under the SAME token, so the
+    * NEXT step's near-dups of this step's accepted rows are caught
+    * (the fixed-index [[curateStep]] lets every cross-batch near-dup
+    * through). Accretion law: step k matches against
+    * index₀ ∪ signatures(accepted batches 1..k-1) — quarantined and
+    * deduped rows never accrete (they are not in the corpus, so a later
+    * clean near-dup of one SHOULD land). Sequential steps are therefore
+    * ≡ the by-hand fold that re-seeds a fixed index from
+    * corpus ∪ accepted-so-far before each batch (IncrementalPipelineSpec
+    * pins this over random batch splits).
+    *
+    * Crash ordering extends [[curateStep]]'s: quarantine → destination →
+    * index, all under one token. A crash between destination and index
+    * leaves the index one commit behind; the retry re-runs the
+    * (deterministic) match against the UNCHANGED index, no-ops the first
+    * two commits, and completes the accretion — exactly-once effects on
+    * all three tables. The reverse order could dedup a future batch
+    * against rows that never landed.
+    *
+    * Scale shape: the index table is read as plain parquet (columnar,
+    * never reshuffled — the batch's bands broadcast into it, exactly the
+    * [[Dedup.dedupAgainstPreparedIndex]] plan) and accretion appends
+    * O(batch) signature rows through the O(delta) segment commit path.
+    */
+  def curateStepAccreting(spark: SparkSession, sourceTable: String,
+                          sinceVersion: Int, indexTable: String,
+                          idCol: String, textCol: String,
+                          checks: Seq[Expectations.Check],
+                          destTable: String, token: String,
+                          quarantineTable: Option[String] = None,
+                          toVersion: Option[Int] = None,
+                          shingleSize: Int = 3, numHashes: Int = 8): Option[Int] = {
+    val delta = Snapshots.readChangesBetween(spark, sourceTable, sinceVersion,
+      toVersion)
+    val idx = Snapshots.read(spark, indexTable)
+    val tracker = new CacheTracker
+    try {
+      val bat = tracker.own(
+        Dedup.minhashSignatureMd5WithSets(delta, idCol, textCol,
+          shingleSize, numHashes)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val dups = Dedup.dedupPreparedPair(idx, bat, idCol, numHashes)
+      val fresh = delta.join(dups.select(idCol), Seq(idCol), "left_anti")
+      val (clean, dirty) = Expectations.gate(fresh, checks)
+      quarantineTable.foreach { qt =>
+        Snapshots.commitAppendOnce(spark, qt, dirty, token)
+      }
+      val destVersion = Snapshots.commitAppendOnce(spark, destTable, clean, token)
+      // accrete the ACCEPTED rows' already-computed signatures — the
+      // semi join re-derives the gate+dedup decision from the persisted
+      // batch signatures, so nothing is re-shingled
+      val acceptedSigs = bat.join(clean.select(col(idCol)), Seq(idCol), "left_semi")
+      Snapshots.commitAppendOnce(spark, indexTable, acceptedSigs, token)
+      destVersion
     } finally tracker.release()
   }
 
