@@ -2045,34 +2045,31 @@ object SparkEntry {
         min(col("doc_id") % 40).as("ent"))
       val cand = EntityResolution.candidatePairs(nn, "name",
         maxEdit = 1, maxPhoneticDist = 2)
-      val codes = Tables.embeddings(s, dir).filter(col("vec_id") < 40)
-        .select(col("vec_id").cast("long").as("ent"),
-          Similarity.quantize(col("embedding"),
-            Similarity.quantizeScale(col("embedding"))).as("q"))
-      val scored = cand
-        .join(nn.select(col("name").as("str_a"), col("nid").as("nid_a"),
-          col("ent").as("ent_a")), "str_a")
-        .join(nn.select(col("name").as("str_b"), col("nid").as("nid_b"),
-          col("ent").as("ent_b")), "str_b")
-        .join(broadcast(codes.select(col("ent").as("ent_a"), col("q").as("q_a"))), "ent_a")
-        .join(broadcast(codes.select(col("ent").as("ent_b"), col("q").as("q_b"))), "ent_b")
-        .withColumn("cos_pm", Similarity.quantizedCosinePm(col("q_a"), col("q_b")))
-        .withColumn("score", EntityResolution.evidenceScore(
-          col("dist"), col("via_phonetic"), col("cos_pm")))
-        .withColumn("prov",
-          when(col("via_fuzzy") === 1, lit("fuzzy")).otherwise(lit("phonetic")))
-        .withColumn("pair_key", concat(col("str_a"), lit("|"), col("str_b")))
-      val kept = graft.operators.Stats
-        .rankCalibrate(scored.select(col("prov"), col("score"), col("pair_key"),
-          col("cos_pm"), col("nid_a"), col("nid_b")), "prov", "score", "pair_key")
-        .filter(col("rank_pm") <= 250 && col("cos_pm") >= 800)
-      val comps = graft.operators.Components
-        .connectedComponents(kept, "nid_a", "nid_b")
-      EntityResolution.labelFamilies(names, "name", nn, "nid", comps)
-        .groupBy("family")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("name")).as("n_names"),
-          sum(col("doc_id")).as("id_sum"))
+      erResolve(s, dir, names, nn, cand)
+    }),
+    // INCREMENTAL entity resolution — the delta-fold production ER runs
+    // instead of recomputing from scratch: the name universe splits into
+    // a STANDING half (entities < 20, already resolved) and a FRESH
+    // delta (entities >= 20); candidate generation runs only
+    // standing×standing (the already-paid batch part) plus
+    // new×(standing ∪ new) (candidatePairsIncrement — the delta-sized
+    // increment). By the exact complement law the union IS
+    // candidatePairs(all), and the population-dependent rank
+    // calibration re-runs over the (small) unioned pair ledger, so the
+    // result must equal q_er_scored EXACTLY — same oracle. A missed
+    // cross-split candidate, a double-counted new-new pair, or
+    // calibration over only the increment all break the hash.
+    "q_er_incremental" -> ((s, dir) => {
+      val (names, _) = phoneticNames(s, dir)
+      val nn = names.groupBy("name").agg(min(col("doc_id")).as("nid"),
+        min(col("doc_id") % 40).as("ent"))
+      val standing = nn.filter(col("ent") < 20)
+      val freshNames = nn.filter(col("ent") >= 20)
+      val cand = EntityResolution.candidatePairs(standing, "name",
+          maxEdit = 1, maxPhoneticDist = 2)
+        .unionByName(EntityResolution.candidatePairsIncrement(standing,
+          freshNames, "name", maxEdit = 1, maxPhoneticDist = 2))
+      erResolve(s, dir, names, nn, cand)
     }),
     // link-graph centrality over a deterministic synthetic web: doc k
     // links to (k*31 + j*97) % N for j in 1..3, minus the %5-filtered
@@ -4017,6 +4014,46 @@ object SparkEntry {
     (names, base.select(col("b").as("cname")).distinct())
   }
 
+  /** The shared resolve tail of q_er_scored / q_er_incremental: evidence
+    * scoring over the candidate pairs (exact distance + phonetic
+    * agreement + quantized-embedding cosine per-mille), per-provenance
+    * rank calibration over the WHOLE pair ledger, the double threshold,
+    * min-label connected components over canonical name ids, and the
+    * per-family aggregation. Both queries must produce identical output
+    * (the candidate complement law), so both share erScoredSql.
+    */
+  private def erResolve(s: SparkSession, dir: String, names: DataFrame,
+                        nn: DataFrame, cand: DataFrame): DataFrame = {
+    val codes = Tables.embeddings(s, dir).filter(col("vec_id") < 40)
+      .select(col("vec_id").cast("long").as("ent"),
+        Similarity.quantize(col("embedding"),
+          Similarity.quantizeScale(col("embedding"))).as("q"))
+    val scored = cand
+      .join(nn.select(col("name").as("str_a"), col("nid").as("nid_a"),
+        col("ent").as("ent_a")), "str_a")
+      .join(nn.select(col("name").as("str_b"), col("nid").as("nid_b"),
+        col("ent").as("ent_b")), "str_b")
+      .join(broadcast(codes.select(col("ent").as("ent_a"), col("q").as("q_a"))), "ent_a")
+      .join(broadcast(codes.select(col("ent").as("ent_b"), col("q").as("q_b"))), "ent_b")
+      .withColumn("cos_pm", Similarity.quantizedCosinePm(col("q_a"), col("q_b")))
+      .withColumn("score", EntityResolution.evidenceScore(
+        col("dist"), col("via_phonetic"), col("cos_pm")))
+      .withColumn("prov",
+        when(col("via_fuzzy") === 1, lit("fuzzy")).otherwise(lit("phonetic")))
+      .withColumn("pair_key", concat(col("str_a"), lit("|"), col("str_b")))
+    val kept = graft.operators.Stats
+      .rankCalibrate(scored.select(col("prov"), col("score"), col("pair_key"),
+        col("cos_pm"), col("nid_a"), col("nid_b")), "prov", "score", "pair_key")
+      .filter(col("rank_pm") <= 250 && col("cos_pm") >= 800)
+    val comps = graft.operators.Components
+      .connectedComponents(kept, "nid_a", "nid_b")
+    EntityResolution.labelFamilies(names, "name", nn, "nid", comps)
+      .groupBy("family")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("name")).as("n_names"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
   /** DuckDB mirror of [[graft.operators.Phonetic.key]] as a stack of
     * nested SELECTs over `src` (which must expose `strCol`): letters →
     * soundex digit classes → backreference-free run collapse → key. The
@@ -4731,6 +4768,9 @@ object SparkEntry {
     // oracle (the q_stream_dedup precedent)
     "q_stream_incr_pipeline" -> incrPipelineSql,
     "q_er_scored" -> erScoredSql,
+    // incremental ≡ batch by the candidate complement law + whole-ledger
+    // recalibration: the same oracle, verbatim
+    "q_er_incremental" -> erScoredSql,
     "q_k_anonymity" -> ("SELECT lang, source, n_chars // 10 AS len_band, " +
       "count(*)::BIGINT AS group_size FROM documents " +
       "GROUP BY lang, source, len_band HAVING count(*) < 25"),

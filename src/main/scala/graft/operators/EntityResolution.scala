@@ -60,6 +60,84 @@ object EntityResolution {
         max(col("via_phonetic")).as("via_phonetic"))
   }
 
+  /** The INCREMENTAL half of [[candidatePairs]]: candidate pairs where
+    * at least one side is NEW — (new strings) × (standing ∪ new
+    * strings) through both blocking passes — so an ER system folding a
+    * delta in pays candidate generation proportional to the DELTA's
+    * name universe, not the standing one. Exact complement law (pinned
+    * by EntityResolutionSpec over random splits): for any partition of
+    * the name universe into (standing, fresh),
+    *
+    * {{{
+    *   candidatePairs(all) ≡ candidatePairs(standing)
+    *                        ∪ candidatePairsIncrement(standing, fresh)
+    * }}}
+    *
+    * because both blocking passes are EXACT for their predicates (a
+    * deletion-neighborhood join finds every pair within the edit
+    * budget; a phonetic join every key-equal pair), and every pair
+    * either has both sides standing (left term) or touches a new
+    * string (right term). Fresh strings already present in `standing`
+    * are dropped (they contribute no pair the left term lacks). Same
+    * output shape as [[candidatePairs]].
+    *
+    * Downstream caveat the caller owns: a POPULATION-dependent keep
+    * criterion (e.g. [[Stats.rankCalibrate]] percentiles) must re-run
+    * over the UNION of standing + incremental scored pairs — the pair
+    * LEDGER is small (it is the blocking that is expensive); with an
+    * absolute threshold instead, [[mergeComponents]] absorbs the new
+    * edges into the standing labeling directly.
+    */
+  def candidatePairsIncrement(standing: DataFrame, fresh: DataFrame,
+                              strCol: String, maxEdit: Int = 1,
+                              maxPhoneticDist: Int = 2): DataFrame = {
+    val s = standing.select(col(strCol)).filter(col(strCol).isNotNull).distinct()
+    val n = fresh.select(col(strCol)).filter(col(strCol).isNotNull).distinct()
+      .join(s, Seq(strCol), "left_anti")
+    val all = s.unionByName(n)
+    def oriented(pairs: DataFrame, fuzzyFlag: Int): DataFrame = pairs
+      .filter(col("__er_l") =!= col("__er_r"))
+      .select(least(col("__er_l"), col("__er_r")).as("str_a"),
+        greatest(col("__er_l"), col("__er_r")).as("str_b"),
+        col("dist").cast("int").as("dist"),
+        lit(fuzzyFlag).as("via_fuzzy"), lit(1 - fuzzyFlag).as("via_phonetic"))
+    val nl = n.select(col(strCol).as("__er_l"))
+    val ar = all.select(col(strCol).as("__er_r"))
+    val fuzzy = oriented(
+      FuzzyJoin.fuzzyJoin(nl, ar, "__er_l", "__er_r", maxEdit), 1)
+    val phonetic = oriented(
+      Phonetic.phoneticJoin(nl, ar, "__er_l", "__er_r", maxPhoneticDist), 0)
+    // a new-new pair surfaces from both orientations (and possibly both
+    // passes): the group-by collapses it to ONE row with merged flags,
+    // exactly candidatePairs' output contract
+    fuzzy.unionByName(phonetic)
+      .groupBy(col("str_a"), col("str_b"))
+      .agg(min(col("dist")).as("dist"),
+        max(col("via_fuzzy")).as("via_fuzzy"),
+        max(col("via_phonetic")).as("via_phonetic"))
+  }
+
+  /** Union-find ABSORB: fold new edges into an existing labeling
+    * without recomputing components from the original edge set. An
+    * existing labeling is an equivalence quotient of its edges, so
+    * components over (label edges ∪ new edges) equal components over
+    * (original edges ∪ new edges) — the law ComponentsSpec would state,
+    * pinned here over random edge splits. Output: (id, component) for
+    * every id in `labels` or touched by `newEdges`, component = min
+    * reachable id (the [[Components.connectedComponents]] convention,
+    * which keeps labels STABLE under absorption: a component's label
+    * only ever decreases when a new edge bridges it to a smaller one).
+    * Use when the keep criterion is population-independent; a
+    * recalibrated threshold needs the re-resolve path instead (see
+    * [[candidatePairsIncrement]]).
+    */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame,
+                      aCol: String, bCol: String): DataFrame =
+    Components.connectedComponents(
+      labels.select(col("id").as(aCol), col("component").as(bCol))
+        .unionByName(newEdges.select(col(aCol), col(bCol))),
+      aCol, bCol)
+
   /** Combine the three evidence channels into ONE deterministic integer
     * score: exact edit distance dominates (band width 10⁷), phonetic
     * agreement breaks distance ties (3·10⁶), and the embedding cosine

@@ -79,4 +79,57 @@ class EntityResolutionSpec extends SparkTestBase {
       .collect()
     assert(out.head.isNullAt(0))
   }
+
+  test("candidate complement law: pairs(all) == pairs(standing) UNION " +
+       "increment(standing, fresh), disjointly, under random splits") {
+    // a universe with fuzzy-only, phonetic-only, both-pass and isolated
+    // names, so every pair class crosses the split somewhere
+    val universe = Seq("smith", "smyth", "smithe", "smithey", "phillips",
+      "philips", "filips", "jonson", "johnson", "jonsen", "brown", "braun",
+      "browne", "zzzz", "qqqq")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("str_a", "str_b", "dist", "via_fuzzy", "via_phonetic")
+      .as[(String, String, Int, Int, Int)].collect().toSet
+    val full = pairSet(EntityResolution.candidatePairs(
+      universe.toDF("name"), "name", 1, 2))
+    assert(full.nonEmpty)
+    for (seed <- Seq(5, 17, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val (standing, fresh) = universe.partition(_ => rnd.nextBoolean())
+      val sDf = standing.toDF("name")
+      val base = pairSet(EntityResolution.candidatePairs(sDf, "name", 1, 2))
+      val inc = pairSet(EntityResolution.candidatePairsIncrement(
+        sDf, fresh.toDF("name"), "name", 1, 2))
+      assert(base.intersect(inc).isEmpty, s"overlap at seed $seed")
+      assert(base.union(inc) == full, s"law broke at seed $seed: " +
+        s"missing ${full.diff(base.union(inc))}, extra ${base.union(inc).diff(full)}")
+    }
+    // fresh strings already standing contribute nothing new
+    val inc2 = EntityResolution.candidatePairsIncrement(
+      universe.toDF("name"), Seq("smith", "smyth").toDF("name"), "name", 1, 2)
+    assert(inc2.count() == 0)
+  }
+
+  test("mergeComponents absorb law: components(E1 UNION E2) == " +
+       "mergeComponents(components(E1), E2) under random edge splits") {
+    val rndAll = new scala.util.Random(99)
+    // a random sparse graph over 40 nodes: enough to have several
+    // multi-node components that E2 edges bridge
+    val edges = (0 until 50).map(_ =>
+      (rndAll.nextInt(40).toLong, rndAll.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    def labelMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    for (seed <- Seq(3, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val (e1, e2) = edges.partition(_ => rnd.nextBoolean())
+      val direct = labelMap(Components.connectedComponents(
+        (e1 ++ e2).toDF("nid_a", "nid_b"), "nid_a", "nid_b"))
+      val absorbed = labelMap(EntityResolution.mergeComponents(
+        Components.connectedComponents(e1.toDF("nid_a", "nid_b"),
+          "nid_a", "nid_b"),
+        e2.toDF("nid_a", "nid_b"), "nid_a", "nid_b"))
+      assert(absorbed == direct, s"absorb law broke at seed $seed")
+    }
+  }
 }
