@@ -64,11 +64,73 @@ object Phonetic {
   private val RS = "_graft_ph_r"
   private val PK = "_graft_ph_k"
 
+  /** PassJoin-style pigeonhole candidates INSIDE a phonetic bucket: a
+    * phonetic key is a 4-char sound class, so hot buckets grow linearly
+    * with the name universe and the key-equality join alone is
+    * bucket-QUADRATIC (measured: tools/ErScaleProbe, 92 s at 55k names
+    * before this pass). Pigeonhole (Li et al., PassJoin): if
+    * lev(a, b) ≤ d, then splitting b into d+1 contiguous segments, at
+    * least one segment survives the ≤ d edits VERBATIM in a, displaced
+    * at most d positions — so blocking on (phonetic key, partner
+    * length, segment index, segment value) is EXACT for the lev ≤ d
+    * predicate while hot buckets subdivide by segment content.
+    *
+    * Index side: each right string of length ≥ d+1 emits its d+1 own
+    * segments (even split: first `len % (d+1)` segments one char
+    * longer). Probe side: each left string emits, for every partner
+    * length within ±d and every segment index, the substrings at start
+    * positions within ±d of that segmentation's start — ≤
+    * (2d+1)·(d+1)·(2d+1) bounded keys per string. Right strings
+    * SHORTER than d+1 segments take the plain bucket join (they are
+    * few, and the pigeonhole needs d+1 nonempty parts).
+    */
+  private def segmentedCandidates(ls: DataFrame, rs: DataFrame,
+                                  d: Int): DataFrame = {
+    val k = d + 1
+    // seg i of a length-L string: len = L div k + (i < L mod k),
+    // start (0-based) = i * (L div k) + min(i, L mod k)
+    def segLen(l: String, i: String) = s"($l div $k) + if($i < $l % $k, 1, 0)"
+    def segStart(l: String, i: String) = s"$i * ($l div $k) + least($i, $l % $k)"
+    val probeKeys = expr(
+      s"""flatten(transform(
+         |  if(length($LS) + $d < $k, array(),
+         |     sequence(greatest($k, length($LS) - $d), length($LS) + $d)),
+         |  lb -> flatten(transform(sequence(0, $d), i ->
+         |    transform(
+         |      if(least(length($LS) - (${segLen("lb", "i")}),
+         |               (${segStart("lb", "i")}) + $d)
+         |           < greatest(0, (${segStart("lb", "i")}) - $d), array(),
+         |         sequence(greatest(0, (${segStart("lb", "i")}) - $d),
+         |                  least(length($LS) - (${segLen("lb", "i")}),
+         |                        (${segStart("lb", "i")}) + $d))),
+         |      sa -> named_struct('lb', lb, 'i', i,
+         |        'sub', substring($LS, sa + 1, ${segLen("lb", "i")})))))))""".stripMargin)
+    val indexKeys = expr(
+      s"""transform(sequence(0, $d), i -> named_struct(
+         |  'lb', length($RS), 'i', i,
+         |  'sub', substring($RS, (${segStart(s"length($RS)", "i")}) + 1,
+         |                   ${segLen(s"length($RS)", "i")})))""".stripMargin)
+    val probe = ls.select(col(LS), col(PK), explode(probeKeys).as("pk"))
+      .select(col(LS), col(PK), col("pk.lb"), col("pk.i"), col("pk.sub"))
+      .distinct()
+    val index = rs.filter(length(col(RS)) >= k)
+      .select(col(RS), col(PK), explode(indexKeys).as("pk"))
+      .select(col(RS), col(PK), col("pk.lb"), col("pk.i"), col("pk.sub"))
+    probe.join(index, Seq(PK, "lb", "i", "sub"))
+      .select(col(LS), col(RS)).distinct()
+  }
+
   /** Sound-alike join: one row per (left row, right row) pair whose
     * strings share a phonetic key AND are within `maxDist` edits
     * (`maxDist < 0` disables the verify — pure phonetic equality).
     * Output = `left.columns ++ right.columns ++ dist`. Column sets must
     * be disjoint; NULL strings never match.
+    *
+    * With a distance budget, candidate generation inside each sound
+    * bucket is pigeonhole-SEGMENTED (see [[segmentedCandidates]]) — the
+    * same verified pair set as the plain bucket join (PhoneticSpec pins
+    * the equivalence on random corpora), without the bucket-quadratic
+    * blowup a 10⁵-name universe hits on 4-char sound classes.
     */
   def phoneticJoin(left: DataFrame, right: DataFrame,
                    leftCol: String, rightCol: String,
@@ -81,9 +143,21 @@ object Phonetic {
 
     val ls = left.select(left(leftCol).as(LS)).filter(col(LS).isNotNull).distinct()
     val rs = right.select(right(rightCol).as(RS)).filter(col(RS).isNotNull).distinct()
-    val verified0 = ls.withColumn(PK, key(col(LS)))
-      .join(rs.withColumn(PK, key(col(RS))), PK)
-      .drop(PK)
+    val verified0 =
+      if (maxDist < 0)
+        ls.withColumn(PK, key(col(LS)))
+          .join(rs.withColumn(PK, key(col(RS))), PK)
+          .drop(PK)
+      else {
+        val lk = ls.withColumn(PK, key(col(LS)))
+        val rk = rs.withColumn(PK, key(col(RS)))
+        // short right strings (< maxDist+1 chars) cannot pigeonhole —
+        // plain bucket join for those few; segmented candidates for the
+        // rest. Disjoint by construction (length split on RS).
+        val short = lk.join(
+          rk.filter(length(col(RS)) < maxDist + 1), PK).drop(PK)
+        segmentedCandidates(lk, rk, maxDist).unionByName(short)
+      }
     val verified =
       if (maxDist < 0) verified0.withColumn("dist", levenshtein(col(LS), col(RS)))
       else verified0.withColumn("dist", levenshtein(col(LS), col(RS), maxDist))

@@ -256,6 +256,18 @@ object Snapshots {
   private def manifestFiles(spark: SparkSession, c: Chain, v: Int): Seq[String] =
     manifestEntries(spark, c, v).map(_.path)
 
+  /** The manifest entries of a committed version — path + per-column
+    * stats per data file, segments expanded. Public so probes and
+    * tooling can measure the METADATA path (version read + segment
+    * expand + parse) apart from Spark scan construction, and so
+    * external schedulers can plan against the closed file list.
+    */
+  def entries(spark: SparkSession, table: String,
+              version: Option[Int] = None): Seq[Entry] = {
+    val c = mainChain(table)
+    manifestEntries(spark, c, resolveChainVersion(spark, c, version))
+  }
+
   /** The commit tokens recorded by [[commitAppendOnce]] across live
     * (non-vacuumed) versions — bounded to the most recent `lastK`
     * manifests when given. Without the bound a long-running streaming

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.sources.Snapshots
+
+/** Measures the r15 segment format's COMMIT METADATA cost directly —
+  * the number the manifest-segment design is justified by:
+  *
+  *   1. grows one table to 10⁴ files through 100-file appends, and at
+  *      each decade (10², 10³, 10⁴ files) times a 1-file stats-carrying
+  *      append and records the metadata BYTES that commit wrote
+  *      (version file + its one new segment). Flat = O(delta); the
+  *      pre-r15 format wrote the full expanded file list instead
+  *      (`filelist_bytes`, also reported — what a 10⁴-file table would
+  *      pay per commit without segments);
+  *   2. times full-snapshot planning (read → inputFiles, i.e. version
+  *      read + every segment expand + parse) and incremental planning
+  *      (readChangesBetween head-1 → head, which opens ONLY the delta's
+  *      segment) at each decade;
+  *   3. erase pruning: on a 16-file range-clustered table, the
+  *      [[Snapshots.erasePlan]] split for keys living in 2 bands —
+  *      the k-of-N partial-rewrite evidence.
+  *
+  * Deterministic corpus (spark.range), wall times vary per host; the
+  * byte and file counts re-derive bit-for-bit.
+  */
+object SnapshotMetaProbe {
+
+  private def timeMs[A](f: => A): (A, Long) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_snapmeta").toString
+    val t = s"$base/t"
+
+    def segmentBytes(): Long = {
+      val d = java.nio.file.Paths.get(t, "_segments")
+      if (!java.nio.file.Files.exists(d)) 0L
+      else {
+        var s = 0L
+        java.nio.file.Files.list(d).iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.matches("s-.*\\.txt"))
+            s += java.nio.file.Files.size(p)
+        }
+        s
+      }
+    }
+    def manifestBytes(v: Int): Long = java.nio.file.Files.size(
+      java.nio.file.Paths.get(t, "_manifests", f"v$v%08d.txt"))
+
+    println(f"${"files"}%8s ${"append_ms"}%10s ${"commit_meta_B"}%14s " +
+      f"${"filelist_B"}%12s ${"B_per_file"}%10s ${"meta_ms"}%8s ${"plan_ms"}%8s " +
+      f"${"delta_plan_ms"}%14s")
+
+    var files = 0
+    var next = 0L
+    for (target <- Seq(100, 1000, 10000)) {
+      while (files < target) {
+        val batch = math.min(100, target - files)
+        Snapshots.commitAppend(spark, t,
+          spark.range(next, next + batch * 10).toDF("id").repartition(batch))
+        next += batch * 10
+        files += batch
+      }
+      // a representative commit: 1 new file, id stats carried
+      val segBefore = segmentBytes()
+      val (v, appendMs) = timeMs {
+        Snapshots.commitAppend(spark, t,
+          spark.range(next, next + 10).toDF("id").repartition(1),
+          statsCols = Seq("id"))
+      }
+      next += 10
+      files += 1
+      val commitMeta = manifestBytes(v) + (segmentBytes() - segBefore)
+      val fileListBytes = segmentBytes() // expanded data lines ≈ all segments
+      // metadata-only planning: version read + segment expand + parse —
+      // the cost the FORMAT owns; plan_ms additionally pays Spark's
+      // driver-side per-path FileStatus pass when building the scan
+      // relation (a cost any explicit-file-list format pays without a
+      // custom DSv2 FileIndex, and which compaction bounds)
+      val (nEntries, metaMs) = timeMs(Snapshots.entries(spark, t).length)
+      require(nEntries == files, s"parsed $nEntries of $files")
+      val (nFiles, planMs) = timeMs(Snapshots.read(spark, t).inputFiles.length)
+      require(nFiles == files, s"planned $nFiles of $files")
+      val (dFiles, deltaMs) = timeMs(
+        Snapshots.readChangesBetween(spark, t, v - 1).inputFiles.length)
+      require(dFiles == 1, s"delta planned $dFiles files")
+      println(f"$files%8d $appendMs%10d $commitMeta%14d $fileListBytes%12d " +
+        f"${fileListBytes / files}%10d $metaMs%8d $planMs%8d $deltaMs%14d")
+    }
+
+    // erase pruning: keys in 2 of 16 disjoint bands
+    val e = s"$base/erase"
+    Snapshots.commitOverwrite(spark, e,
+      spark.range(0, 1600).toDF("id")
+        .repartitionByRange(16, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    import spark.implicits._
+    val plan = Snapshots.erasePlan(spark, e, "id",
+      Seq(150L, 160L, 950L).toDF("key"))
+    println(s"erase_plan: rewrite=${plan.rewrite.size} of 16, " +
+      s"carried_by_reference=${plan.carry.size}")
+    spark.stop()
+  }
+}

@@ -101,6 +101,41 @@ class PhoneticSpec extends SparkTestBase {
     })
   }
 
+  test("segmented candidates are EXACT: phoneticJoin == brute-force " +
+       "key-equality x levenshtein on random corpora") {
+    val s = spark
+    import s.implicits._
+    // short words, tight alphabet and systematic variants so buckets are
+    // hot, edit distances cluster around the budget, and string lengths
+    // straddle the short-string (< d+1) fallback path
+    val word = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd', 'm', 'n')).map(_.mkString))
+    val corpus = Gen.listOfN(25, word)
+    for (d <- Seq(1, 2, 3)) {
+      check(6)(Prop.forAll(corpus) { ws =>
+        val names = ws.distinct
+        val left = names.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("lid", "lname")
+        val right = names.zipWithIndex.map { case (w, i) => (i.toLong + 1000, w) }
+          .toDF("rid", "rname")
+        val got = Phonetic.phoneticJoin(left, right, "lname", "rname", d)
+          .select("lname", "rname", "dist")
+          .as[(String, String, Int)].collect().toSet
+        // brute force over the same distinct universe
+        val ref = left.select(col("lname")).distinct()
+          .crossJoin(right.select(col("rname")).distinct())
+          .filter(Phonetic.key(col("lname")) === Phonetic.key(col("rname")))
+          .withColumn("dist", levenshtein(col("lname"), col("rname")))
+          .filter(col("dist") <= d)
+          .as[(String, String, Int)].collect().toSet
+        // phoneticJoin re-attaches per input row; same universe on both
+        // sides here, so pair sets must match exactly
+        val gotPairs = got.map(t => (t._1, t._2, t._3))
+        gotPairs == ref
+      })
+    }
+  }
+
   test("reserved and overlapping columns are rejected") {
     val s = spark
     import s.implicits._
