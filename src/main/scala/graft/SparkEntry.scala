@@ -3099,6 +3099,38 @@ object SparkEntry {
         Seq("doc_id"), "seq", "op")
     }),
 
+    // RETENTION DELETE through the snapshot format — deleteWhereCommit
+    // drops every row matching a CONJUNCTION of ranges (the "expire the
+    // old raw tier" maintenance move) as a stats-pruned partial rewrite:
+    // on this doc_id-clustered table only the files overlapping the
+    // [100, 499] band rewrite; the rest carry into the new version BY
+    // REFERENCE (SnapshotsSpec pins the k-of-N split; here the HASH pins
+    // the semantics). The conjunction's second range has NO committed
+    // stats (lang), exercising the conservative plan + exact row
+    // predicate path. Output reads the pre-delete v1 AND the post-delete
+    // head: a leaked doomed row, an over-deleted survivor, or a carried
+    // file gone missing all break the per-state hash.
+    "q_retention_delete" -> ((s, dir) => {
+      val root = materializedDir("retentiondel", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, t,
+          d.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+          statsCols = Seq("doc_id"))
+        Snapshots.deleteWhereCommit(s, t, Seq(
+          Snapshots.LongRange("doc_id", 100L, 499L),
+          Snapshots.StringRange("lang", "de", "en")),
+          statsCols = Seq("doc_id"))
+      }
+      val t = root + "/t"
+      def slice(df: DataFrame, tag: String) =
+        df.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .select(lit(tag).as("state"), col("lang"), col("n_docs"), col("id_sum"))
+      slice(Snapshots.read(s, t, Some(1)), "pre")
+        .unionAll(slice(Snapshots.read(s, t), "post"))
+    }),
+
     // THE INCREMENTAL CURATION PIPELINE, composed end to end from the
     // already-proven contracts: source v2's delta (readChangesBetween)
     // -> near-dup dedup against the v1 corpus as a standing index (the
@@ -4749,6 +4781,16 @@ object SparkEntry {
     "q_gdpr_erase" -> ("SELECT * FROM (" + mergeCdcSql +
       ") WHERE doc_id NOT IN " +
       "(SELECT doc_id FROM documents WHERE doc_id % 9 = 3)"),
+    // pre = the whole table; post = minus the conjunction band (doc_id
+    // in [100,499] AND lang in ['de','en'] by binary order — both
+    // bounds inclusive, matching StringRange's contract)
+    "q_retention_delete" -> ("SELECT 'pre' AS state, lang, " +
+      "count(*)::BIGINT AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents GROUP BY lang " +
+      "UNION ALL SELECT 'post', lang, count(*)::BIGINT, " +
+      "CAST(sum(doc_id) AS BIGINT) FROM documents " +
+      "WHERE NOT (doc_id BETWEEN 100 AND 499 " +
+      "AND lang >= 'de' AND lang <= 'en') GROUP BY lang"),
     // the whole incremental composition: the pairsMd5 pipeline decides
     // which planted near-dups drop (exactly dedup_incremental's dup
     // set), the fresh +200000 batch passes dedup by construction

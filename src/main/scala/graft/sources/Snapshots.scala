@@ -173,18 +173,30 @@ object Snapshots {
     */
   final case class ColStat(kind: String, lo: String, hi: String)
 
-  /** One manifest data entry: a relative file path plus its committed
-    * per-column stats (empty for stats-less commits).
+  /** One manifest data entry: a relative file path, its byte length
+    * (recorded at commit time from the staging listing — files are
+    * immutable once committed, so the length never goes stale; None
+    * only for pre-r15 lines) and its committed per-column stats (empty
+    * for stats-less commits).
     */
-  final case class Entry(path: String, stats: Map[String, ColStat])
+  final case class Entry(path: String, size: Option[Long],
+                         stats: Map[String, ColStat])
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  private val SizeCell = "sz="
+
   private def parseEntry(line: String): Entry = {
     val cells = line.split('\t')
+    // `sz=<bytes>` is reserved (a stats column literally named "sz"
+    // renders as `sz=kind:lo:hi`, which this prefix+digits match skips)
+    val size = cells.drop(1).collectFirst {
+      case c if c.startsWith(SizeCell) && c.drop(SizeCell.length).forall(_.isDigit)
+        && c.length > SizeCell.length => c.drop(SizeCell.length).toLong
+    }
     val stats = cells.drop(1).flatMap { cell =>
       // named multi-column cell: name=kind:lo:hi (all URL-encoded).
       // Anything else (incl. the pre-r14 anonymous `lo\thi` pair) parses
@@ -198,7 +210,7 @@ object Snapshots {
         case _ => None
       }
     }.toMap
-    Entry(cells.head, stats)
+    Entry(cells.head, size, stats)
   }
 
   // ----------------------------------------------------------- segments
@@ -329,14 +341,32 @@ object Snapshots {
   private def emptyOf(spark: SparkSession, st: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
 
+  /** Plan the scan of `entries`. With a committed schema AND committed
+    * file lengths (every post-r15 commit), the scan plans from manifest
+    * metadata ALONE through [[graftbridge.Bridge.manifestParquetScan]] —
+    * zero driver-side filesystem calls: no footer reads (schema is
+    * committed) and no per-path FileStatus stats (lengths are
+    * committed), which `spark.read.parquet(paths*)` pays once per file
+    * (~1.8 ms each — 18 s to plan a 10⁴-file snapshot, measured by
+    * SnapshotMetaProbe pre-fix). Pre-r15 lines (no length) or tables
+    * without a schema header fall back to the stock reader.
+    */
   private def scan(spark: SparkSession, table: String,
-                   schema: Option[StructType], rels: Seq[String]): DataFrame = {
-    val paths = rels.map(rel => new Path(table, rel).toString)
-    schema match {
+                   schema: Option[StructType], entries: Seq[Entry]): DataFrame = {
+    val f = fs(spark, table)
+    (schema, entries.forall(_.size.isDefined)) match {
+      case (Some(st), true) =>
+        org.apache.spark.sql.graftbridge.Bridge.manifestParquetScan(
+          spark, st, f.makeQualified(new Path(table)),
+          entries.map(e =>
+            (f.makeQualified(new Path(table, e.path)), e.size.get)))
       // explicit schema: no footer read at planning time, and files that
       // predate an evolved-in column null-fill it at scan time
-      case Some(st) => spark.read.schema(st).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+      case (Some(st), false) =>
+        spark.read.schema(st)
+          .parquet(entries.map(e => new Path(table, e.path).toString): _*)
+      case (None, _) =>
+        spark.read.parquet(entries.map(e => new Path(table, e.path).toString): _*)
     }
   }
 
@@ -352,14 +382,14 @@ object Snapshots {
   private def readChain(spark: SparkSession, c: Chain,
                         version: Option[Int]): DataFrame = {
     val v = resolveChainVersion(spark, c, version)
-    val files = manifestFiles(spark, c, v)
+    val es = manifestEntries(spark, c, v)
     val schema = chainSchema(spark, c, v)
-    if (files.isEmpty) {
+    if (es.isEmpty) {
       require(schema.isDefined,
         s"${c.label} v$v is an empty snapshot with no committed schema; commit " +
           "a non-empty DataFrame or read a different version")
       emptyOf(spark, schema.get)
-    } else scan(spark, c.table, schema, files)
+    } else scan(spark, c.table, schema, es)
   }
 
   /** Read a snapshot: the given version, or the latest. The scan gets an
@@ -440,9 +470,12 @@ object Snapshots {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
     df.write.parquet(new Path(table, rel).toString)
-    val rels = fs(spark, table).listStatus(new Path(table, rel))
+    // the staging listing is the ONE place file lengths are observed;
+    // they ride in every manifest line (`sz=` cell) so reads never stat
+    val listed = fs(spark, table).listStatus(new Path(table, rel))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$rel/${s.getPath.getName}").sorted.toSeq
+      .map(s => (s"$rel/${s.getPath.getName}", s.getLen)).sortBy(_._1).toSeq
+    val rels = listed.map { case (r, len) => s"$r\t$SizeCell$len" }
     // an empty staging set (0-partition df) has nothing to re-read: the
     // schema-less parquet read below would fail, and there are no lines
     // to attach stats to anyway
@@ -475,7 +508,8 @@ object Snapshots {
           r.getString(0).split('/').last -> stats
         }.toMap
       rels.map { r =>
-        val cells = byName.getOrElse(r.split('/').last, Seq.empty)
+        val cells = byName.getOrElse(
+          r.split('\t').head.split('/').last, Seq.empty)
         if (cells.isEmpty) r
         else (r +: cells.map { case (c, st) =>
           s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
@@ -736,7 +770,11 @@ object Snapshots {
     val entries = manifestEntries(spark, c, v)
     require(entries.nonEmpty || chainSchema(spark, c, v).isDefined,
       s"$table v$v is an empty snapshot")
-    val kept = plannedFiles(spark, table, ranges, Some(v))
+    require(ranges.nonEmpty, "at least one range required")
+    require(ranges.map(_.column).distinct.size == ranges.size,
+      "one range per column")
+    val kept = entries.filter(e =>
+      ranges.forall(r => overlaps(e.stats.get(r.column), r)))
     val base =
       if (kept.isEmpty) {
         val st = chainSchema(spark, c, v)
@@ -812,8 +850,7 @@ object Snapshots {
     // only the delta's segments are expanded — the base's file lines are
     // never read, which is what keeps a high-frequency incremental
     // consumer O(delta) on a 10⁶-file table
-    val added = expand(spark, table, after.filterNot(beforeSet))
-      .map(parseEntry(_).path)
+    val added = expand(spark, table, after.filterNot(beforeSet)).map(parseEntry)
     if (added.isEmpty) // legitimate: token-only or empty-batch commits
       read(spark, table, Some(to)).limit(0)
     else scan(spark, table, chainSchema(spark, c, to), added)
@@ -858,9 +895,13 @@ object Snapshots {
     val c = mainChain(table)
     val head = chainVersions(spark, c).lastOption
       .getOrElse(sys.error(s"$table has no committed versions"))
-    val files = manifestFiles(spark, c, head)
+    val es = manifestEntries(spark, c, head)
     val f = fs(spark, table)
-    val bytes = files.map(r => f.getFileStatus(new Path(table, r)).getLen).sum
+    // committed lengths when every entry has one (post-r15 commits):
+    // sizing the compaction needs zero FileStatus calls
+    val bytes =
+      if (es.forall(_.size.isDefined)) es.flatMap(_.size).sum
+      else es.map(e => f.getFileStatus(new Path(table, e.path)).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val source = read(spark, table, Some(head))
     val body = stageSegment(spark, table, arrange(source, n), statsCols)
@@ -944,7 +985,7 @@ object Snapshots {
     val body =
       if (plan.rewrite.isEmpty) Seq.empty
       else stageSegment(spark, table,
-        purge(scan(spark, table, schema, plan.rewrite.map(_.path))), statsCols)
+        purge(scan(spark, table, schema, plan.rewrite)), statsCols)
     val carryBody =
       if (plan.carry.isEmpty) Seq.empty
       else Seq(writeSegment(spark, table, plan.carry.map(renderEntry)))
@@ -958,10 +999,10 @@ object Snapshots {
   }
 
   private def renderEntry(e: Entry): String =
-    if (e.stats.isEmpty) e.path
-    else (e.path +: e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
-      s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
-    }).mkString("\t")
+    (e.path +: (e.size.map(SizeCell + _).toSeq ++
+      e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+        s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
+      })).mkString("\t")
 
   /** Row-level erasure, the PHYSICAL half (GDPR "right to be forgotten"):
     * rewrite the head snapshot with every row whose `keyCol` equals a

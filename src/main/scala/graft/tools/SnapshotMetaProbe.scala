@@ -86,10 +86,10 @@ object SnapshotMetaProbe {
       val commitMeta = manifestBytes(v) + (segmentBytes() - segBefore)
       val fileListBytes = segmentBytes() // expanded data lines ≈ all segments
       // metadata-only planning: version read + segment expand + parse —
-      // the cost the FORMAT owns; plan_ms additionally pays Spark's
-      // driver-side per-path FileStatus pass when building the scan
-      // relation (a cost any explicit-file-list format pays without a
-      // custom DSv2 FileIndex, and which compaction bounds)
+      // the cost the FORMAT owns; plan_ms adds scan construction, which
+      // since the manifest-backed FileIndex (committed lengths, zero
+      // FileStatus calls) is metadata-bound too — it was 18.4 s at 10⁴
+      // files through spark.read's per-path stat pass before
       val (nEntries, metaMs) = timeMs(Snapshots.entries(spark, t).length)
       require(nEntries == files, s"parsed $nEntries of $files")
       val (nFiles, planMs) = timeMs(Snapshots.read(spark, t).inputFiles.length)

@@ -38,6 +38,54 @@ object Bridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** A parquet scan planned ENTIRELY from manifest metadata: file paths
+    * and lengths come from the caller (the snapshot format's committed
+    * manifest), so constructing and planning the scan costs ZERO
+    * filesystem calls — no directory listing AND no per-path FileStatus
+    * stat, the cost `spark.read.parquet(paths*)` pays once per file
+    * (measured ~1.8 ms/file driver-side: 18 s to plan a 10⁴-file
+    * snapshot). This is the same move the lakehouse formats make (the
+    * manifest IS the file index); expressed here as a minimal
+    * `FileIndex` handed to the stock `HadoopFsRelation` + parquet
+    * format, so split planning, vectorized reading, filter pushdown and
+    * column pruning all stay Spark's own.
+    *
+    * The caller owns length fidelity: lengths come from the staging
+    * listing at commit time and files are immutable thereafter (the
+    * format never rewrites a committed file in place).
+    */
+  def manifestParquetScan(spark: SparkSession,
+                          schema: org.apache.spark.sql.types.StructType,
+                          rootPath: org.apache.hadoop.fs.Path,
+                          files: Seq[(org.apache.hadoop.fs.Path, Long)])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.types.StructType
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val statuses = files.map { case (p, len) =>
+      // block size only shapes split alignment; mtime 0 is safe — no
+      // cache keys off it (this index is built per query)
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, p)
+    }.toArray
+    val index = new FileIndex {
+      override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(rootPath)
+      override def listFiles(partitionFilters: Seq[Expression],
+                             dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+        Seq(PartitionDirectory(InternalRow.empty, statuses))
+      override def inputFiles: Array[String] = files.map(_._1.toString).toArray
+      override def refresh(): Unit = ()
+      override def sizeInBytes: Long = files.map(_._2).sum
+      override def partitionSchema: StructType = new StructType()
+    }
+    val relation = HadoopFsRelation(index, new StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty[String, String])(cs)
+    org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      LogicalRelation(relation, isStreaming = false))
+  }
+
   /** Block until the shared listener bus has delivered every queued
     * event. Audit tooling needs this between queries: the
     * QueryExecutionListener bus is ASYNC, so executions belonging to

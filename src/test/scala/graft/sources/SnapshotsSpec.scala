@@ -536,6 +536,35 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("pre-r15 manifest lines (no sz cell) fall back to the stock " +
+       "reader; sized lines plan with zero FileStatus calls") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 100).toDF("id").repartition(2), statsCols = Seq("id"))
+    // every committed line carries its byte length
+    val es = Snapshots.entries(spark, t)
+    assert(es.nonEmpty && es.forall(_.size.isDefined))
+    assert(ids(t) == (0L until 100L).toSet)
+    // strip the sz cells out of the segment files — the pre-r15 format —
+    // and confirm the read falls back to the stock reader, same rows
+    val segDir = java.nio.file.Paths.get(t, "_segments")
+    java.nio.file.Files.list(segDir).iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.matches("s-.*\\.txt")) {
+        val stripped = java.nio.file.Files.readString(p).linesIterator
+          .map(_.split('\t').filterNot(_.startsWith("sz=")).mkString("\t"))
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.writeString(p, stripped)
+        // hadoop local fs checksums would now mismatch; drop them
+        val crc = p.getParent.resolve("." + p.getFileName.toString + ".crc")
+        java.nio.file.Files.deleteIfExists(crc)
+      }
+    }
+    assert(Snapshots.entries(spark, t).forall(_.size.isEmpty))
+    assert(ids(t) == (0L until 100L).toSet)
+    // ...and stats pruning still works on the legacy lines
+    assert(Snapshots.readPruned(spark, t, "id", 10, 20).count() == 11)
+  }
+
   test("erasePurgeCommit with key stats rewrites only overlapping files " +
        "and carries the rest by reference") {
     val t = freshTable()
