@@ -3099,6 +3099,47 @@ object SparkEntry {
         Seq("doc_id"), "seq", "op")
     }),
 
+    // CHANGELOG CONSUMER GROUPS over the snapshot format — the
+    // exactly-once incremental-consumer contract ("process only what
+    // landed since my offset") with Spark streaming's
+    // offset-log/commit-log dance re-expressed at the format level:
+    // plan-before-process (the window is durable BEFORE any effect),
+    // deterministic per-generation tokens, token-idempotent sink. The
+    // query replicates a source table into a destination across two
+    // ticks, then SIMULATES the worst crash (processed, offset not yet
+    // committed — the offset file is deleted) and re-ticks: recovery
+    // must reuse the SAME window and token, so the sink no-ops and the
+    // destination holds exactly one generation per tick. A skipped
+    // window, a grown recovery window, or a double delivery all break
+    // the per-lang hash.
+    "q_snapshot_consume" -> ((s, dir) => {
+      val root = materializedDir("snapconsume", dir) { path =>
+        val src = path + "/src"
+        val dst = path + "/dst"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, src, d.filter(col("doc_id") % 3 === 0))
+        Snapshots.registerConsumer(s, src, "repl", startVersion = 1)
+        def tick() = Snapshots.consumeChanges(s, src, "repl")((df, token) => {
+          Snapshots.commitAppendOnce(s, dst, df, token); ()
+        })
+        Snapshots.commitAppend(s, src, d.filter(col("doc_id") % 3 === 1))
+        require(tick().contains(2), "tick 1 must consume v2")
+        require(tick().isEmpty, "caught up after tick 1")
+        Snapshots.commitAppend(s, src, d.filter(col("doc_id") % 3 === 2))
+        require(tick().contains(3), "tick 2 must consume v3")
+        // the worst crash window: processing done, offset commit lost
+        java.nio.file.Files.delete(java.nio.file.Paths.get(src,
+          "_consumers", "repl", "o00000003.txt"))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(src,
+          "_consumers", "repl", ".o00000003.txt.crc"))
+        require(tick().contains(3), "recovery tick re-commits the offset")
+        require(Snapshots.versions(s, dst).size == 2,
+          "token-deduped recovery: exactly one generation per tick")
+      }
+      Snapshots.read(s, root + "/dst").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // RETENTION DELETE through the snapshot format — deleteWhereCommit
     // drops every row matching a CONJUNCTION of ranges (the "expire the
     // old raw tier" maintenance move) as a stats-pruned partial rewrite:
@@ -4781,6 +4822,12 @@ object SparkEntry {
     "q_gdpr_erase" -> ("SELECT * FROM (" + mergeCdcSql +
       ") WHERE doc_id NOT IN " +
       "(SELECT doc_id FROM documents WHERE doc_id % 9 = 3)"),
+    // the replicated destination = exactly the two appended slices,
+    // once each — a doubled recovery delivery or a skipped window
+    // breaks the per-lang hash
+    "q_snapshot_consume" -> ("SELECT lang, count(*)::BIGINT AS n_docs, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents " +
+      "WHERE doc_id % 3 <> 0 GROUP BY lang"),
     // pre = the whole table; post = minus the conjunction band (doc_id
     // in [100,499] AND lang in ['de','en'] by binary order — both
     // bounds inclusive, matching StringRange's contract)

@@ -1244,6 +1244,135 @@ object Snapshots {
       s"$table has no branch '$name'")
   }
 
+  // ---------------------------------------------------------- consumers
+
+  private val ConsumersDir = "_consumers"
+
+  private def consumerDir(table: String, name: String): Path =
+    new Path(table, s"$ConsumersDir/$name")
+
+  private def consumerGen(spark: SparkSession, table: String, name: String,
+                          prefix: String): Seq[Int] = {
+    val dir = consumerDir(table, name)
+    val f = fs(spark, table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.matches(prefix + "\\d{8}\\.txt") =>
+        n.substring(prefix.length, prefix.length + 8).toInt }
+      .sorted.toSeq
+  }
+
+  private def consumerFile(spark: SparkSession, table: String, name: String,
+                           prefix: String, g: Int): Path =
+    new Path(consumerDir(table, name), f"$prefix$g%08d.txt")
+
+  private def readConsumerFile(spark: SparkSession, table: String,
+                               name: String, prefix: String, g: Int): Int =
+    readSmallFile(fs(spark, table),
+      consumerFile(spark, table, name, prefix, g)).head.trim.toInt
+
+  /** Register a named changelog consumer starting AFTER `startVersion`
+    * (its first batch is the delta startVersion → head). Create-once:
+    * registering an existing name fails. The consumer's state is two
+    * tiny generation chains under `_consumers/<name>/` — committed
+    * offsets (`o`) and planned targets (`p`) — both written through the
+    * same create-if-absent slot as every other ref.
+    */
+  def registerConsumer(spark: SparkSession, table: String, name: String,
+                       startVersion: Int): Unit = {
+    require(name.matches(RefName), s"consumer name must be $RefName, got '$name'")
+    require(versions(spark, table).contains(startVersion),
+      s"$table has no committed version $startVersion to start from")
+    val won = createExclusive(fs(spark, table),
+      consumerFile(spark, table, name, "o", 1),
+      (startVersion.toString + "\n").getBytes("UTF-8"))
+    require(won, s"$table already has a consumer '$name'")
+  }
+
+  /** Registered changelog consumers: name → committed offset (the last
+    * source version whose rows the consumer has durably processed).
+    */
+  def consumers(spark: SparkSession, table: String): Map[String, Int] = {
+    val dir = new Path(table, ConsumersDir)
+    val f = fs(spark, table)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .flatMap { n =>
+        consumerGen(spark, table, n, "o").lastOption
+          .map(g => n -> readConsumerFile(spark, table, n, "o", g))
+      }.toMap
+  }
+
+  /** The consumer's committed offset. */
+  def consumerOffset(spark: SparkSession, table: String, name: String): Int =
+    consumers(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(s"$table has no consumer '$name'"))
+
+  /** One EXACTLY-ONCE consumption tick — the incremental-consumer
+    * contract ("process only what landed since the version I last
+    * consumed") made crash-safe, which a bare [[readChangesBetween]] +
+    * hand-kept offset is NOT: a crash between processing and the offset
+    * write replays the batch, and a crash after an offset write chosen
+    * AFTER processing can skip rows the processing never saw. This is
+    * Spark streaming's offset-log/commit-log dance re-expressed at the
+    * format level:
+    *
+    *   1. RECOVER: if a planned target `p(k+1)` exists without its
+    *      committed offset `o(k+1)`, the previous tick died mid-flight —
+    *      reprocess exactly that window (same bounds, same token);
+    *   2. else PLAN: target = the current head (no-op if caught up),
+    *      durably logged via create-if-absent BEFORE any processing;
+    *   3. PROCESS: `process(delta, token)` with the deterministic token
+    *      `<name>:g<k+1>` — the callback must be token-idempotent
+    *      (e.g. sink through [[commitAppendOnce]] with the given token);
+    *   4. COMMIT: write `o(k+1) = target`.
+    *
+    * Every crash window replays into the SAME (bounds, token) pair, so
+    * a token-idempotent sink yields exactly-once end-to-end effects
+    * under at-least-once ticking. One ticker per consumer (the
+    * [[commitAppendOnce]] one-writer contract); racing tickers still
+    * serialize on the create-once slots. Returns the newly committed
+    * offset, or None when caught up. The source windows are append
+    * ranges by [[readChangesBetween]]'s contract — an overwrite in the
+    * range fails the tick loudly (an overwritten history has no
+    * incremental meaning; re-register the consumer).
+    */
+  def consumeChanges(spark: SparkSession, table: String, name: String)
+                    (process: (DataFrame, String) => Unit): Option[Int] = {
+    val ogens = consumerGen(spark, table, name, "o")
+    require(ogens.nonEmpty, s"$table has no consumer '$name'")
+    val k = ogens.last
+    val base = readConsumerFile(spark, table, name, "o", k)
+    val pgens = consumerGen(spark, table, name, "p")
+    val target =
+      if (pgens.contains(k + 1)) readConsumerFile(spark, table, name, "p", k + 1)
+      else {
+        val head = versions(spark, table).last
+        if (head <= base) return None // caught up
+        // plan-before-process: the window is durable before any effect;
+        // a racing ticker's create wins once and both re-read the winner
+        createExclusive(fs(spark, table),
+          consumerFile(spark, table, name, "p", k + 1),
+          (head.toString + "\n").getBytes("UTF-8"))
+        readConsumerFile(spark, table, name, "p", k + 1)
+      }
+    process(readChangesBetween(spark, table, base, Some(target)),
+      s"$name:g${k + 1}")
+    createExclusive(fs(spark, table),
+      consumerFile(spark, table, name, "o", k + 1),
+      (target.toString + "\n").getBytes("UTF-8"))
+    Some(target)
+  }
+
+  /** Drop a consumer and its offset state (its floor no longer pins
+    * versions against [[vacuum]]).
+    */
+  def dropConsumer(spark: SparkSession, table: String, name: String): Unit = {
+    val f = fs(spark, table)
+    require(f.delete(consumerDir(table, name), true),
+      s"$table has no consumer '$name'")
+  }
+
   // --------------------------------------------------------------- tags
 
   /** Tag a committed version with an immutable name — how a reproducible
@@ -1316,8 +1445,14 @@ object Snapshots {
     val f = fs(spark, table)
     val main = mainChain(table)
     val pinned = tags(spark, table).values.toSet
+    // a registered consumer's next tick reads the delta FROM its
+    // committed offset, so its offset version (and everything after)
+    // must survive any numeric horizon — the changelog analogue of the
+    // tag pin; dropConsumer releases the floor
+    val consumerFloor = consumers(spark, table).values
+      .minOption.getOrElse(Int.MaxValue)
     val (drop, keep) = chainVersions(spark, main)
-      .partition(v => v < keepFrom && !pinned.contains(v))
+      .partition(v => v < keepFrom && v < consumerFloor && !pinned.contains(v))
     require(keep.nonEmpty, s"vacuum would drop every version of $table")
     // live version files: kept main versions + every version of every
     // branch (branches are writeable refs — their snapshots are pinned
