@@ -3278,6 +3278,72 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     }),
 
+    // THE CONSUMER-DRIVEN FLAVOR: the SAME two-batch accreting curation,
+    // but nobody passes version numbers — a registered changelog
+    // consumer's ticks drive the pipeline, handing each tick's delta
+    // and generation token straight to curateBatchAccreting (whose
+    // three commits are token-idempotent, exactly the callback contract
+    // consumeChanges' recovery requires). After each tick the WORST
+    // crash is simulated (offset commit deleted) and the re-tick must
+    // recover the same window + token into three sink no-ops. Same
+    // batches, same dedup/gate algebra as q_incr_pipeline_accrete —
+    // same oracle verbatim.
+    "q_incr_pipeline_consumer" -> ((s, dir) => {
+      val root = materializedDir("incrconsumer", dir) { path =>
+        val src = path + "/src"
+        val dst = path + "/dst"
+        val qt = path + "/qt"
+        val ix = path + "/ix"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"),
+          col("n_chars"))
+        Snapshots.commitOverwrite(s, src, d)
+        IncrementalPipeline.initDedupIndex(s, ix, d, "doc_id", "text")
+        Snapshots.registerConsumer(s, src, "curator", startVersion = 1)
+        val checks = Seq(
+          Expectations.Check("lang_latin",
+            col("lang").isin("en", "de", "fr", "es")),
+          Expectations.Check("len_band", col("n_chars").between(100L, 400L)))
+        def tick() = Snapshots.consumeChanges(s, src, "curator")((delta, token) => {
+          IncrementalPipeline.curateBatchAccreting(s, delta, ix,
+            "doc_id", "text", checks, dst, token, quarantineTable = Some(qt))
+          ()
+        })
+        def crashAndRetick(gen: Int): Unit = {
+          java.nio.file.Files.delete(java.nio.file.Paths.get(src,
+            "_consumers", "curator", f"o$gen%08d.txt"))
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(src,
+            "_consumers", "curator", f".o$gen%08d.txt.crc"))
+          require(tick().contains(gen), s"recovery tick g$gen must recommit")
+        }
+        val nearDups = d.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 100000L).as("doc_id"), col("lang"),
+          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+          col("n_chars"))
+        val fresh = d.filter(col("doc_id") % 97 === 3).select(
+          (col("doc_id") + 200000L).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("lang")).otherwise(lit("zz"))
+            .as("lang"),
+          concat(lit("fresh doc "), col("doc_id"),
+            lit(" alpha beta gamma delta")).as("text"),
+          (lit(100L) + col("doc_id") % 350).as("n_chars"))
+        Snapshots.commitAppend(s, src, nearDups.unionByName(fresh))   // v2
+        require(tick().contains(2), "tick 1 consumes batch 1")
+        crashAndRetick(2)
+        val crossDups = fresh.select(
+          (col("doc_id") + 100000L).as("doc_id"), lit("en").as("lang"),
+          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+          lit(150L).as("n_chars"))
+        Snapshots.commitAppend(s, src, crossDups)                     // v3
+        require(tick().contains(3), "tick 2 consumes batch 2")
+        crashAndRetick(3)
+        require(tick().isEmpty, "caught up")
+        require(Snapshots.versions(s, dst).size == 2,
+          "exactly one destination generation per tick despite recoveries")
+      }
+      Snapshots.read(s, root + "/dst").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // THE STREAMING FLAVOR of the curation pipeline: the SAME ingest
     // batch as q_incr_pipeline arrives as three mtime-ordered
     // micro-batch files, each trigger running curateBatch — the
@@ -4851,6 +4917,10 @@ object SparkEntry {
     // near-dup land and breaks the per-lang hash; a broken replay
     // doubles counts on any of the three tables
     "q_incr_pipeline_accrete" -> incrAccreteSql,
+    // consumer-driven ticks run the SAME batches through the SAME
+    // accreting algebra — identical output, same oracle; a recovery
+    // double-delivery on any of the three tables breaks it
+    "q_incr_pipeline_consumer" -> incrAccreteSql,
     // identical algebra: per-micro-batch matching against the standing
     // index has no batch-vs-batch interaction and the gate is per-row,
     // so the streamed union equals the one-shot batch result — same

@@ -131,9 +131,26 @@ object IncrementalPipeline {
                           destTable: String, token: String,
                           quarantineTable: Option[String] = None,
                           toVersion: Option[Int] = None,
-                          shingleSize: Int = 3, numHashes: Int = 8): Option[Int] = {
-    val delta = Snapshots.readChangesBetween(spark, sourceTable, sinceVersion,
-      toVersion)
+                          shingleSize: Int = 3, numHashes: Int = 8): Option[Int] =
+    curateBatchAccreting(spark,
+      Snapshots.readChangesBetween(spark, sourceTable, sinceVersion, toVersion),
+      indexTable, idCol, textCol, checks, destTable, token,
+      quarantineTable, shingleSize, numHashes)
+
+  /** The delta-as-DataFrame half of [[curateStepAccreting]] — what a
+    * CHANGELOG CONSUMER'S tick callback runs
+    * ([[graft.sources.Snapshots.consumeChanges]] hands it exactly
+    * (delta, token)), and what a `foreachBatch` trigger would run with a
+    * batch-id token. All three commits — quarantine, destination, index
+    * accretion — are token-idempotent, which is precisely the
+    * callback contract the consumer's exactly-once recovery requires.
+    */
+  def curateBatchAccreting(spark: SparkSession, delta: DataFrame,
+                           indexTable: String, idCol: String, textCol: String,
+                           checks: Seq[Expectations.Check],
+                           destTable: String, token: String,
+                           quarantineTable: Option[String] = None,
+                           shingleSize: Int = 3, numHashes: Int = 8): Option[Int] = {
     val idx = Snapshots.read(spark, indexTable)
     val tracker = new CacheTracker
     try {
