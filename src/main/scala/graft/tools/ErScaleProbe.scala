@@ -33,8 +33,8 @@ object ErScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     println(f"${"shape"}%8s ${"n_names"}%8s ${"n_entities"}%10s " +
-      f"${"max_bucket"}%10s ${"p99_bucket"}%10s ${"avg_bucket"}%10s " +
-      f"${"n_pairs"}%10s ${"secs"}%8s")
+      f"${"del_keys"}%9s ${"max_bucket"}%10s ${"p99_bucket"}%10s " +
+      f"${"avg_bucket"}%10s ${"n_pairs"}%10s ${"secs"}%8s")
 
     for (n <- Seq(10000L, 100000L); shape <- Seq("dense", "diverse")) {
       val ents = n / 3
@@ -64,6 +64,10 @@ object ErScaleProbe {
             .otherwise(concat(col("b"), lit("ey"))).as("name"))
         .distinct()
       val nNames = names.count()
+      // the fuzzy channel's blocking volume: a d=1 deletion neighborhood
+      // emits len+1 keys per distinct string (the string + each
+      // single-deletion variant)
+      val nDelKeys = names.agg(sum(length(col("name")) + 1)).head().getLong(0)
       val buckets = names.select(Phonetic.key(col("name")).as("k"))
         .groupBy("k").count().select(col("count").as("c"))
       val stats = buckets.agg(
@@ -74,9 +78,9 @@ object ErScaleProbe {
       val nPairs = EntityResolution.candidatePairs(names, "name",
         maxEdit = 1, maxPhoneticDist = 2).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"$shape%8s $nNames%8d $ents%10d ${stats.getLong(0)}%10d " +
-        f"${stats.getDouble(1)}%10.1f ${stats.getDouble(2)}%10.1f " +
-        f"$nPairs%10d $secs%8.2f")
+      println(f"$shape%8s $nNames%8d $ents%10d $nDelKeys%9d " +
+        f"${stats.getLong(0)}%10d ${stats.getDouble(1)}%10.1f " +
+        f"${stats.getDouble(2)}%10.1f $nPairs%10d $secs%8.2f")
     }
     spark.stop()
   }

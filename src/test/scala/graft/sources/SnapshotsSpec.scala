@@ -565,6 +565,22 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readPruned(spark, t, "id", 10, 20).count() == 11)
   }
 
+  test("snapshot reads carry accurate size statistics: a small snapshot " +
+       "auto-broadcasts in a join") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val big = spark.range(0, 100000).toDF("k")
+    val joined = big.join(Snapshots.read(spark, t), "k")
+    // the manifest-backed FileIndex reports sizeInBytes from committed
+    // lengths, so the planner sees the true (tiny) size and picks a
+    // broadcast join without hints
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected an auto-broadcast join, got:\n$plan")
+    assert(joined.count() == 2)
+  }
+
   test("erasePurgeCommit with key stats rewrites only overlapping files " +
        "and carries the rest by reference") {
     val t = freshTable()
