@@ -3242,32 +3242,14 @@ object SparkEntry {
           col("n_chars"))
         Snapshots.commitOverwrite(s, src, d)
         IncrementalPipeline.initDedupIndex(s, ix, d, "doc_id", "text")
-        val nearDups = d.filter(col("doc_id") < 20).select(
-          (col("doc_id") + 100000L).as("doc_id"), col("lang"),
-          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
-          col("n_chars"))
-        val fresh = d.filter(col("doc_id") % 97 === 3).select(
-          (col("doc_id") + 200000L).as("doc_id"),
-          when(col("doc_id") % 2 === 0, col("lang")).otherwise(lit("zz"))
-            .as("lang"),
-          concat(lit("fresh doc "), col("doc_id"),
-            lit(" alpha beta gamma delta")).as("text"),
-          (lit(100L) + col("doc_id") % 350).as("n_chars"))
-        Snapshots.commitAppend(s, src, nearDups.unionByName(fresh))   // v2
-        val checks = Seq(
-          Expectations.Check("lang_latin",
-            col("lang").isin("en", "de", "fr", "es")),
-          Expectations.Check("len_band", col("n_chars").between(100L, 400L)))
+        val (batch1, batch2, checks) = accreteFixture(d)
+        Snapshots.commitAppend(s, src, batch1)                        // v2
         def step1() = IncrementalPipeline.curateStepAccreting(s, src, 1, ix,
           "doc_id", "text", checks, dst, token = "s1",
           quarantineTable = Some(qt), toVersion = Some(2))
         require(step1().isDefined, "accreting step 1 must commit")
         require(step1().isEmpty, "replayed accreting step 1 must be a no-op")
-        val crossDups = fresh.select(
-          (col("doc_id") + 100000L).as("doc_id"), lit("en").as("lang"),
-          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
-          lit(150L).as("n_chars"))
-        Snapshots.commitAppend(s, src, crossDups)                     // v3
+        Snapshots.commitAppend(s, src, batch2)                        // v3
         def step2() = IncrementalPipeline.curateStepAccreting(s, src, 2, ix,
           "doc_id", "text", checks, dst, token = "s2",
           quarantineTable = Some(qt))
@@ -3299,10 +3281,7 @@ object SparkEntry {
         Snapshots.commitOverwrite(s, src, d)
         IncrementalPipeline.initDedupIndex(s, ix, d, "doc_id", "text")
         Snapshots.registerConsumer(s, src, "curator", startVersion = 1)
-        val checks = Seq(
-          Expectations.Check("lang_latin",
-            col("lang").isin("en", "de", "fr", "es")),
-          Expectations.Check("len_band", col("n_chars").between(100L, 400L)))
+        val (batch1, batch2, checks) = accreteFixture(d)
         def tick() = Snapshots.consumeChanges(s, src, "curator")((delta, token) => {
           IncrementalPipeline.curateBatchAccreting(s, delta, ix,
             "doc_id", "text", checks, dst, token, quarantineTable = Some(qt))
@@ -3315,25 +3294,10 @@ object SparkEntry {
             "_consumers", "curator", f".o$gen%08d.txt.crc"))
           require(tick().contains(gen), s"recovery tick g$gen must recommit")
         }
-        val nearDups = d.filter(col("doc_id") < 20).select(
-          (col("doc_id") + 100000L).as("doc_id"), col("lang"),
-          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
-          col("n_chars"))
-        val fresh = d.filter(col("doc_id") % 97 === 3).select(
-          (col("doc_id") + 200000L).as("doc_id"),
-          when(col("doc_id") % 2 === 0, col("lang")).otherwise(lit("zz"))
-            .as("lang"),
-          concat(lit("fresh doc "), col("doc_id"),
-            lit(" alpha beta gamma delta")).as("text"),
-          (lit(100L) + col("doc_id") % 350).as("n_chars"))
-        Snapshots.commitAppend(s, src, nearDups.unionByName(fresh))   // v2
+        Snapshots.commitAppend(s, src, batch1)                        // v2
         require(tick().contains(2), "tick 1 consumes batch 1")
         crashAndRetick(2)
-        val crossDups = fresh.select(
-          (col("doc_id") + 100000L).as("doc_id"), lit("en").as("lang"),
-          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
-          lit(150L).as("n_chars"))
-        Snapshots.commitAppend(s, src, crossDups)                     // v3
+        Snapshots.commitAppend(s, src, batch2)                        // v3
         require(tick().contains(3), "tick 2 consumes batch 2")
         crashAndRetick(3)
         require(tick().isEmpty, "caught up")
@@ -4151,6 +4115,39 @@ object SparkEntry {
           concat(expr("substring(b, 1, p)"), expr("substring(b, p)")))
         .otherwise(concat(col("b"), lit("ey"))).as("name"))
     (names, base.select(col("b").as("cname")).distinct())
+  }
+
+  /** The shared ingest fixture of q_incr_pipeline_accrete and
+    * q_incr_pipeline_consumer — both replay the SAME batches through
+    * the same dedup/gate algebra and share incrAccreteSql verbatim, so
+    * the synthesis must live in exactly one place: batch 1 = planted
+    * near-dups of the corpus (+100000, last word dropped) ∪ gate-mixed
+    * fresh docs (+200000, multi-token synthetic texts); batch 2 =
+    * last-word-dropped near-dups of EVERY fresh row (+100000 again,
+    * always-clean gate profile). Returns (batch1, batch2, checks).
+    */
+  private def accreteFixture(d: DataFrame)
+      : (DataFrame, DataFrame, Seq[Expectations.Check]) = {
+    val nearDups = d.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000L).as("doc_id"), col("lang"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+      col("n_chars"))
+    val fresh = d.filter(col("doc_id") % 97 === 3).select(
+      (col("doc_id") + 200000L).as("doc_id"),
+      when(col("doc_id") % 2 === 0, col("lang")).otherwise(lit("zz"))
+        .as("lang"),
+      concat(lit("fresh doc "), col("doc_id"),
+        lit(" alpha beta gamma delta")).as("text"),
+      (lit(100L) + col("doc_id") % 350).as("n_chars"))
+    val crossDups = fresh.select(
+      (col("doc_id") + 100000L).as("doc_id"), lit("en").as("lang"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+      lit(150L).as("n_chars"))
+    val checks = Seq(
+      Expectations.Check("lang_latin",
+        col("lang").isin("en", "de", "fr", "es")),
+      Expectations.Check("len_band", col("n_chars").between(100L, 400L)))
+    (nearDups.unionByName(fresh), crossDups, checks)
   }
 
   /** The shared resolve tail of q_er_scored / q_er_incremental: evidence

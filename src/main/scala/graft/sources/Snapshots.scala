@@ -736,15 +736,19 @@ object Snapshots {
     * plan — exposed so specs and probes can pin the files-touched count
     * without executing the scan.
     */
-  def plannedFiles(spark: SparkSession, table: String, ranges: Seq[StatRange],
-                   version: Option[Int] = None): Seq[String] = {
+  private def prunedEntries(spark: SparkSession, c: Chain, v: Int,
+                            ranges: Seq[StatRange]): Seq[Entry] = {
     require(ranges.nonEmpty, "at least one range required")
     require(ranges.map(_.column).distinct.size == ranges.size,
       "one range per column")
-    val c = mainChain(table)
-    val v = resolveChainVersion(spark, c, version)
     manifestEntries(spark, c, v)
       .filter(e => ranges.forall(r => overlaps(e.stats.get(r.column), r)))
+  }
+
+  def plannedFiles(spark: SparkSession, table: String, ranges: Seq[StatRange],
+                   version: Option[Int] = None): Seq[String] = {
+    val c = mainChain(table)
+    prunedEntries(spark, c, resolveChainVersion(spark, c, version), ranges)
       .map(_.path)
   }
 
@@ -770,11 +774,7 @@ object Snapshots {
     val entries = manifestEntries(spark, c, v)
     require(entries.nonEmpty || chainSchema(spark, c, v).isDefined,
       s"$table v$v is an empty snapshot")
-    require(ranges.nonEmpty, "at least one range required")
-    require(ranges.map(_.column).distinct.size == ranges.size,
-      "one range per column")
-    val kept = entries.filter(e =>
-      ranges.forall(r => overlaps(e.stats.get(r.column), r)))
+    val kept = prunedEntries(spark, c, v, ranges)
     val base =
       if (kept.isEmpty) {
         val st = chainSchema(spark, c, v)
@@ -1067,13 +1067,19 @@ object Snapshots {
   def deleteWhereCommit(spark: SparkSession, table: String,
                         ranges: Seq[StatRange],
                         statsCols: Seq[String] = Nil): Int = {
-    import org.apache.spark.sql.functions.not
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val c = mainChain(table)
     val head = chainVersions(spark, c).lastOption
       .getOrElse(sys.error(s"$table has no committed versions"))
     val plan = deletePlan(spark, table, ranges, Some(head))
+    // SQL DELETE WHERE semantics: a row where the conjunction evaluates
+    // to NULL (a NULL in a range column) is NOT matched and must
+    // survive — without the coalesce, filter(not(NULL)) would drop it
+    // in rewritten files while the identical row in a carried file
+    // survived, making row fate depend on physical placement
     partialRewriteCommit(spark, table, head, plan,
-      src => src.filter(not(ranges.map(rowPredicate).reduce(_ && _))),
+      src => src.filter(not(coalesce(
+        ranges.map(rowPredicate).reduce(_ && _), lit(false)))),
       statsCols)
   }
 
@@ -1358,9 +1364,21 @@ object Snapshots {
       }
     process(readChangesBetween(spark, table, base, Some(target)),
       s"$name:g${k + 1}")
-    createExclusive(fs(spark, table),
-      consumerFile(spark, table, name, "o", k + 1),
+    val f = fs(spark, table)
+    createExclusive(f, consumerFile(spark, table, name, "o", k + 1),
       (target.toString + "\n").getBytes("UTF-8"))
+    // prune DEAD generations, LAGGED BY ONE: recovery reads the latest
+    // committed offset and its successor plan, and a torn newest offset
+    // write must still find its predecessor — so keep o(k)/o(k+1) and
+    // p(k+1), drop everything older. Without this a high-frequency
+    // consumer accumulates one tiny file per tick forever and the
+    // per-tick directory listing degrades to O(ticks ever); with it the
+    // state is ≤ 3 files. Best-effort — a crash mid-prune just leaves
+    // debris for the next tick's prune.
+    consumerGen(spark, table, name, "o").filter(_ < k).foreach(g =>
+      f.delete(consumerFile(spark, table, name, "o", g), false))
+    consumerGen(spark, table, name, "p").filter(_ <= k).foreach(g =>
+      f.delete(consumerFile(spark, table, name, "p", g), false))
     Some(target)
   }
 
@@ -1396,11 +1414,13 @@ object Snapshots {
   }
 
   /** All tags of the table: name → pinned version. A tag file that is
-    * empty or unparsable (crash debris from a store without an atomic
-    * slot) is SKIPPED rather than poisoning every vacuum/readTag — the
-    * write protocol ([[createExclusive]]: full tmp write + atomic
-    * publish) makes such files unreachable on local FS and HDFS, so a
-    * skip only ever hides debris, never a real pin.
+    * empty or unparsable (crash debris from a writer without the
+    * [[createExclusive]] full-write + atomic-publish protocol, e.g. a
+    * pre-r15 non-local writer that died between create and write) FAILS
+    * LOUDLY with the offending path: the file may be the remains of a
+    * PIN ATTEMPT, so silently skipping it would let [[vacuum]] delete
+    * the very snapshot someone tried to protect — the operator must
+    * [[dropTag]] the debris (or restore the pin) explicitly.
     */
   def tags(spark: SparkSession, table: String): Map[String, Int] = {
     val dir = new Path(table, RefsDir)
@@ -1408,9 +1428,11 @@ object Snapshots {
     if (!f.exists(dir)) Map.empty
     else f.listStatus(dir).filter(_.isFile)
       .map(_.getPath).filter(_.getName.endsWith(".txt"))
-      .flatMap { p =>
-        readSmallFile(f, p).headOption.flatMap(_.trim.toIntOption)
-          .map(v => p.getName.stripSuffix(".txt") -> v)
+      .map { p =>
+        val v = readSmallFile(f, p).headOption.flatMap(_.trim.toIntOption)
+          .getOrElse(sys.error(s"unparsable tag file $p (crash debris?): " +
+            "dropTag it or restore its content before reading tags/vacuuming"))
+        p.getName.stripSuffix(".txt") -> v
       }.toMap
   }
 

@@ -68,6 +68,27 @@ class SnapshotConsumerSpec extends SparkTestBase {
     assert(ids(dst) == Set(2L, 3L))
   }
 
+  test("consumer state stays bounded: dead generations prune per tick") {
+    val root = fresh()
+    val (src, dst) = (root + "/src", root + "/dst")
+    Snapshots.commitOverwrite(spark, src, Seq(0L).toDF("id"))
+    Snapshots.registerConsumer(spark, src, "hot", 1)
+    (1 to 6).foreach { i =>
+      Snapshots.commitAppend(spark, src, Seq(i.toLong).toDF("id"))
+      assert(Snapshots.consumeChanges(spark, src, "hot")(sink(dst)).isDefined)
+    }
+    assert(ids(dst) == (1L to 6L).toSet)
+    // lagged-by-one pruning: at most o(k), o(k+1) and p(k+1) remain —
+    // never one file per tick forever
+    val files = java.nio.file.Files.list(
+      java.nio.file.Paths.get(src, "_consumers", "hot")).iterator()
+    var state = List.empty[String]
+    files.forEachRemaining(p => if (!p.getFileName.toString.startsWith("."))
+      state ::= p.getFileName.toString)
+    assert(state.size <= 3, s"consumer state must stay bounded, got $state")
+    assert(Snapshots.consumerOffset(spark, src, "hot") == 7)
+  }
+
   test("an overwrite inside the pending window fails the tick loudly") {
     val root = fresh()
     val src = root + "/src"

@@ -646,6 +646,49 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.read(spark, t2, Some(v2)).count() == 89)
   }
 
+  test("deleteWhereCommit keeps NULL-predicate rows regardless of " +
+       "physical file placement (SQL DELETE WHERE semantics)") {
+    val t = freshTable()
+    // NULL-lang rows land in BOTH a rewritten file (doc_id 150 overlaps
+    // the range) and a carried file (doc_id 700 does not)
+    val rows = Seq[(Long, String)]((150L, null), (700L, null)) ++
+      (0L until 800L by 50L).map(i => (i, "en"))
+    Snapshots.commitOverwrite(spark, t,
+      rows.toDF("id", "lang")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    val v = Snapshots.deleteWhereCommit(spark, t, Seq(
+      Snapshots.LongRange("id", 100L, 499L),
+      Snapshots.StringRange("lang", "de", "en")))
+    val got = Snapshots.read(spark, t, Some(v))
+    // the en rows in [100,499] are gone; BOTH null-lang rows survive —
+    // the conjunction is NULL for them, which DELETE WHERE never matches
+    assert(got.filter(col("lang") === "en" && col("id").between(100, 499))
+      .count() == 0)
+    assert(got.filter(col("lang").isNull).select("id").as[Long]
+      .collect().toSet == Set(150L, 700L))
+  }
+
+  test("unparsable tag debris fails tags()/vacuum loudly until dropped") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitOverwrite(spark, t, Seq(2L).toDF("id"))
+    Snapshots.tagVersion(spark, t, "good", 1)
+    // crash debris: an empty tag file (a pre-createExclusive writer
+    // dying between create and write could leave this)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t, "_refs"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_refs", "debris.txt"), "")
+    // the file may be the remains of a PIN attempt: surface it loudly
+    // instead of letting vacuum silently delete what it tried to protect
+    intercept[RuntimeException] { Snapshots.tags(spark, t) }
+    intercept[RuntimeException] { Snapshots.vacuum(spark, t, keepFrom = 2) }
+    Snapshots.dropTag(spark, t, "debris")
+    assert(Snapshots.tags(spark, t) == Map("good" -> 1))
+    Snapshots.vacuum(spark, t, keepFrom = 2)
+    assert(Snapshots.versions(spark, t) == Seq(1, 2)) // good pin held
+  }
+
   test("branches: fork, commit, diff, fast-forward merge, vacuum safety") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
