@@ -3023,6 +3023,30 @@ object SparkEntry {
       Snapshots.diffSnapshots(s, root + "/t", 1, 2, Seq("doc_id"))
     }),
 
+    // ROLLBACK / RESTORE — the undo button: v2 is a BAD overwrite, the
+    // rollback commits a new head with v1's exact segment references
+    // (zero data movement, the bad version stays auditable), and life
+    // goes on with a normal append on top of the restored head. The
+    // output reads all three states; a rollback that rewrote data,
+    // missed rows, or broke the subsequent append chain breaks a hash.
+    "q_snapshot_rollback" -> ((s, dir) => {
+      val root = materializedDir("snaprollback", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, t, d.filter(col("doc_id") % 3 === 0))
+        Snapshots.commitOverwrite(s, t, d.filter(col("doc_id") % 3 === 1))
+        Snapshots.rollbackCommit(s, t, toVersion = 1)
+        Snapshots.commitAppend(s, t, d.filter(col("doc_id") % 3 === 2))
+      }
+      val t = root + "/t"
+      def slice(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .select(lit(tag).as("state"), col("n_docs"), col("id_sum"))
+      slice(Snapshots.read(s, t, Some(2)), "bad_v2")
+        .unionAll(slice(Snapshots.read(s, t, Some(3)), "restored_v3"))
+        .unionAll(slice(Snapshots.read(s, t), "head_v4"))
+    }),
+
     // WRITEABLE BRANCHES — the experimentation contract a curation team
     // runs on a shared table: fork 'exp' off main v1 (the fork copies
     // segment REFERENCES, zero data movement), land two appends on the
@@ -4858,6 +4882,14 @@ object SparkEntry {
       "WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0 " +
       "UNION ALL SELECT doc_id + 1000000000, 'insert' FROM documents " +
       "WHERE doc_id % 11 = 0"),
+    // bad v2 = %3=1; restored v3 = %3=0; head v4 = %3 in {0,2}
+    "q_snapshot_rollback" -> ("SELECT 'bad_v2' AS state, " +
+      "count(*)::BIGINT AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents WHERE doc_id % 3 = 1 " +
+      "UNION ALL SELECT 'restored_v3', count(*)::BIGINT, " +
+      "CAST(sum(doc_id) AS BIGINT) FROM documents WHERE doc_id % 3 = 0 " +
+      "UNION ALL SELECT 'head_v4', count(*)::BIGINT, " +
+      "CAST(sum(doc_id) AS BIGINT) FROM documents WHERE doc_id % 3 <> 1"),
     // main v1 = the %3=0 slice; the branch (and the merged main) = all
     // docs; the diff's inserts = the two branch-appended slices. Every
     // state is pure %3 arithmetic over documents

@@ -1138,6 +1138,27 @@ object Snapshots {
     diff(read(spark, table, Some(fromVersion)),
       read(spark, table, Some(toVersion)), keyCols)
 
+  /** RESTORE — the undo button after a bad overwrite / merge / purge:
+    * commit a NEW head whose content is exactly `toVersion`'s snapshot.
+    * Zero data movement (the new version file copies the old body's
+    * segment references) and nothing is rewritten or lost — the bad
+    * versions stay readable (audit: "what did the bad commit contain?")
+    * until [[vacuum]] reclaims them. Time travel semantics stay simple:
+    * history is append-only, a rollback is just one more version.
+    * Incremental consumers positioned AT OR BEFORE `toVersion` keep
+    * working (their base body is a prefix of the restored body; the
+    * delta across the rollback is empty); a consumer positioned on a
+    * rolled-back version fails its next tick loudly — its offset points
+    * into abandoned history, a data decision for the operator.
+    */
+  def rollbackCommit(spark: SparkSession, table: String, toVersion: Int): Int = {
+    val c = mainChain(table)
+    val v = resolveChainVersion(spark, c, Some(toVersion))
+    val schema = versionSchema(spark, c, v)
+    val body = bodyLines(spark, c, v)
+    publish(spark, c, _ => schema.map(schemaLine).toSeq ++ body)
+  }
+
   // ----------------------------------------------------------- branches
 
   private val RefName = "[A-Za-z0-9._-]{1,64}"

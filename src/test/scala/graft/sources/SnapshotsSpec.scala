@@ -689,6 +689,36 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.versions(spark, t) == Seq(1, 2)) // good pin held
   }
 
+  test("rollbackCommit: restore an old snapshot as a new head with " +
+       "zero data movement; history and consumers behave") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))   // v1 good
+    Snapshots.commitOverwrite(spark, t, Seq(9L).toDF("id"))       // v2 bad
+    val v3 = Snapshots.rollbackCommit(spark, t, toVersion = 1)
+    assert(v3 == 3)
+    assert(ids(t) == Set(1L, 2L))            // restored
+    assert(ids(t, Some(2)) == Set(9L))       // the bad commit stays auditable
+    // zero data movement: the restored head plans v1's exact files
+    assert(Snapshots.read(spark, t).inputFiles.toSet ==
+      Snapshots.read(spark, t, Some(1)).inputFiles.toSet)
+    // the delta across a rollback to a consumer's own base is EMPTY
+    Snapshots.registerConsumer(spark, t, "ok", startVersion = 1)
+    // v1 body == v3 body, so v1..v3 is a (degenerate) append range
+    assert(Snapshots.readChangesBetween(spark, t, 1, Some(3)).count() == 0)
+    // a consumer stranded on the rolled-back v2 fails loudly
+    Snapshots.registerConsumer(spark, t, "stranded", startVersion = 2)
+    Snapshots.commitAppend(spark, t, Seq(5L).toDF("id"))          // v4
+    intercept[IllegalArgumentException] {
+      Snapshots.consumeChanges(spark, t, "stranded")((_, _) => ())
+    }
+    // vacuum past the bad version: restored head keeps its (v1) files
+    Snapshots.dropConsumer(spark, t, "ok")
+    Snapshots.dropConsumer(spark, t, "stranded")
+    Snapshots.vacuum(spark, t, keepFrom = 3)
+    assert(ids(t, Some(3)) == Set(1L, 2L))
+    intercept[IllegalArgumentException] { ids(t, Some(2)) }
+  }
+
   test("branches: fork, commit, diff, fast-forward merge, vacuum safety") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
