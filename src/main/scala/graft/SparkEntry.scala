@@ -3196,6 +3196,33 @@ object SparkEntry {
         .unionAll(slice(Snapshots.read(s, t), "post"))
     }),
 
+    // MERGE INTO through the snapshot format — the keyed upsert+delete
+    // committed as ONE new version: the CDC batch (three competing
+    // updates per %7 key with seq 3 winning, deletes for %5, inserts at
+    // +10M for %11) collapses latest-wins, mergeTouchPlan finds the
+    // touched files via stats pre-prune + executor key probe (no key
+    // reaches the driver), only those rewrite — survivors anti-joined,
+    // upserts appended — and every untouched file carries BY REFERENCE
+    // (SnapshotsSpec pins the k-of-N split; here the HASH pins the
+    // semantics). The head must equal the LOGICAL merge exactly, so the
+    // oracle is q_merge_cdc's verbatim — a missed update, a surviving
+    // deleted key, a dropped insert, or a wrong latest-wins collapse
+    // all break the hash.
+    "q_snapshot_merge" -> ((s, dir) => {
+      val root = materializedDir("snapmerge", dir) { path =>
+        val t = path + "/t"
+        val (d, changes) = cdcDocsAndChanges(s, dir)
+        Snapshots.commitOverwrite(s, t,
+          d.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+          statsCols = Seq("doc_id"))
+        Snapshots.mergeIntoCommit(s, t, "doc_id", changes,
+          seqCol = Some("seq"), opCol = Some("op"), statsCols = Seq("doc_id"))
+      }
+      Snapshots.read(s, root + "/t")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // THE INCREMENTAL CURATION PIPELINE, composed end to end from the
     // already-proven contracts: source v2's delta (readChangesBetween)
     // -> near-dup dedup against the v1 corpus as a standing index (the
@@ -5012,6 +5039,10 @@ object SparkEntry {
     // storing the base + change stream through snapshot manifests and
     // compacting at READ time must reproduce the logical merge exactly
     "q_merge_on_read" -> mergeCdcSql,
+    // the format-level MERGE INTO commit (stats-pruned partial rewrite,
+    // latest-wins collapse, carried-by-reference files) must land the
+    // IDENTICAL snapshot the logical merge computes
+    "q_snapshot_merge" -> mergeCdcSql,
     // the storage round trip adds nothing the logical merge doesn't:
     // the oracle is the same union + row_number mirror (updates keep
     // lang, bump n_chars); any partition-mechanics defect (resurrected

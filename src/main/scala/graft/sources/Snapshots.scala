@@ -1083,6 +1083,179 @@ object Snapshots {
       statsCols)
   }
 
+  // -------------------------------------------------------- merge into
+
+  /** The [[mergeIntoCommit]] rewrite plan: which head files hold at least
+    * one row whose `keyCol` equals a source key, vs files provably
+    * untouched. Unlike [[erasePlan]] the key set here is DATA-SCALE (a
+    * merge batch, not a bounded erasure request), so no key ever reaches
+    * the driver; the plan is found in two moves:
+    *
+    *   1. stats pre-prune: ONE tiny aggregate takes the batch's global
+    *      (min, max) key band, and only head files whose committed
+    *      `keyCol` stats can overlap that band (plus every stats-less
+    *      file) become candidates — on a key-clustered table this alone
+    *      discards most of the table without reading a row;
+    *   2. executor-side touch probe: the candidates are scanned for
+    *      `keyCol` ONLY (column pruning keeps the probe narrow),
+    *      key-equality semi-joined against the batch keys, and the
+    *      DISTINCT matched file names come back — driver traffic is
+    *      O(candidate files), never O(keys).
+    *
+    * Files the probe does not name are CARRIED BY REFERENCE by the merge
+    * commit (original stats intact, zero bytes moved) — the two-pass
+    * MERGE shape every log-structured lakehouse format runs, because at
+    * 100 TB a merge batch touching 0.1% of files must not rewrite the
+    * other 99.9%. `keys` must be a single-column DataFrame of `keyCol`'s
+    * type. NULL keys never match a target row (SQL equality) and prune
+    * nothing.
+    */
+  def mergeTouchPlan(spark: SparkSession, table: String, keyCol: String,
+                     keys: DataFrame, version: Option[Int] = None): RewritePlan = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    require(keys.columns.length == 1,
+      s"keys must be a single-column batch key list, got ${keys.columns.mkString(",")}")
+    val c = mainChain(table)
+    val v = resolveChainVersion(spark, c, version)
+    val es = manifestEntries(spark, c, v)
+    val k = keys.columns.head
+    // move 1: the batch's global key band — one 2-scalar driver action
+    val band: Option[StatRange] = keys.schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val r = keys.agg(min(col(k)).cast("long"), max(col(k)).cast("long")).head()
+        if (r.isNullAt(0)) None
+        else Some(LongRange(keyCol, r.getLong(0), r.getLong(1)))
+      case StringType =>
+        val r = keys.agg(min(col(k)), max(col(k))).head()
+        if (r.isNullAt(0)) None
+        else Some(StringRange(keyCol, r.getString(0), r.getString(1)))
+      case DateType =>
+        val r = keys.agg(min(col(k)), max(col(k))).head()
+        if (r.isNullAt(0)) None
+        else Some(DateRange(keyCol, r.getDate(0).toLocalDate,
+          r.getDate(1).toLocalDate))
+      case _ => None // no stats kind for this type: every file is a candidate
+    }
+    if (band.isEmpty && es.forall(_.stats.contains(keyCol)))
+      // an all-NULL (or empty) batch matches nothing; es with stats prove it
+      return RewritePlan(Seq.empty, es)
+    val (cand, carry0) = band match {
+      case Some(b) => es.partition(e => overlaps(e.stats.get(keyCol), b))
+      case None => (es, Seq.empty[Entry])
+    }
+    if (cand.isEmpty) return RewritePlan(Seq.empty, es)
+    // move 2: executor-side touch probe over the candidates only.
+    // Filenames match manifest entries by their last two path components
+    // (commit-uuid dir + part file — unique by construction), which is
+    // scheme/qualification-proof where comparing full URIs is not.
+    def tail2(p: String): String = p.split('/').takeRight(2).mkString("/")
+    val schema = chainSchema(spark, c, v)
+    val touched = scan(spark, table, schema, cand)
+      .select(col(keyCol), input_file_name().as("__graft_f"))
+      .join(keys.toDF(keyCol), Seq(keyCol), "left_semi")
+      .select("__graft_f").distinct().collect()
+      .map(r => tail2(r.getString(0))).toSet
+    val (rewrite, untouched) = cand.partition(e => touched.contains(tail2(e.path)))
+    RewritePlan(rewrite, carry0 ++ untouched)
+  }
+
+  /** MERGE INTO — the keyed upsert+delete every incrementally-maintained
+    * corpus runs (`MERGE INTO target USING source ON target.key =
+    * source.key WHEN MATCHED [AND op='d'] THEN DELETE / WHEN MATCHED
+    * THEN UPDATE SET * / WHEN NOT MATCHED [AND op<>'d'] THEN INSERT *`),
+    * committed as ONE new version of the snapshot table:
+    *
+    *   1. the source batch collapses LATEST-WINS per key when `seqCol`
+    *      is given — the same map-side-combinable `max_by` algebra as
+    *      [[graft.operators.Merge.applyChanges]] (a hot key ships one
+    *      partial per map partition, never its whole change history);
+    *      without `seqCol` the batch must be key-unique, enforced
+    *      IN-FLOW (a duplicate key fails the commit at scan time, it
+    *      cannot silently double-insert);
+    *   2. [[mergeTouchPlan]] finds the k-of-N head files actually
+    *      holding matched keys (stats pre-prune + executor touch probe —
+    *      no key ever reaches the driver);
+    *   3. only those files rewrite (matched rows replaced or deleted via
+    *      ONE anti-join, source upserts and inserts appended to the same
+    *      staged segment); every untouched file carries into the new
+    *      version BY REFERENCE with its original stats.
+    *
+    * Result ≡ `Merge.applyChanges(head, source)` — spec-pinned as a law.
+    * `opCol` absent = every source row upserts; a delete for an absent
+    * key is a no-op. Source must carry EXACTLY the target's columns plus
+    * `seqCol`/`opCol` (a typo'd or extra column fails loudly rather than
+    * silently dropping data); additive schema evolution goes through
+    * [[commitAppend]] first, then merge. NULL source keys match no
+    * target row (SQL equality); they collapse as one group and, when
+    * their winner upserts, insert as NULL-key rows. Publishes on top of
+    * the planned head — a concurrent commit fails the slot cleanly
+    * (rerun the merge). Returns the new version.
+    */
+  def mergeIntoCommit(spark: SparkSession, table: String, keyCol: String,
+                      source: DataFrame, seqCol: Option[String] = None,
+                      opCol: Option[String] = None,
+                      statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{assert_true, col, count, lit, max_by, struct}
+    val c = mainChain(table)
+    val head = chainVersions(spark, c).lastOption
+      .getOrElse(sys.error(s"$table has no committed versions"))
+    val headSchema = versionSchema(spark, c, head)
+      .getOrElse(sys.error(s"$table v$head has no schema to merge into"))
+    val targetCols = headSchema.fields.map(_.name).toSeq
+    require(targetCols.contains(keyCol),
+      s"key column $keyCol is not a target column (${targetCols.mkString(",")})")
+    val expected = targetCols ++ seqCol ++ opCol
+    require(source.columns.sorted.sameElements(expected.sorted.distinct),
+      s"merge source must carry exactly the target columns plus seq/op " +
+        s"(${expected.mkString(",")}), got ${source.columns.mkString(",")}")
+    // normalize to target column order, then hold the source to the
+    // head's exact (name, type) shape — same rejection messages as append
+    val aligned = source.select(targetCols.map(col) :+
+      seqCol.map(s => col(s).cast("long")).getOrElse(lit(0L)).as("__graft_seq") :+
+      opCol.map(col).getOrElse(lit("u")).as("__graft_op"): _*)
+    evolvedSchema(Some(headSchema),
+      StructType(aligned.schema.fields.dropRight(2)), evolve = false,
+      s"$table (merge source)")
+    val row = struct(targetCols.filterNot(_ == keyCol).map(col) :+
+      col("__graft_op"): _*)
+    val collapsed = (seqCol match {
+      case Some(_) =>
+        aligned.groupBy(col(keyCol))
+          .agg(max_by(row, struct(col("__graft_seq"), row)).as("__graft_w"))
+      case None =>
+        // key-unique contract enforced in-flow: the count rides the same
+        // aggregate and a >1 key fails the job before anything commits
+        aligned.groupBy(col(keyCol))
+          .agg(max_by(row, row).as("__graft_w"), count(lit(1)).as("__graft_n"))
+          .filter(assert_true(col("__graft_n") === 1,
+            lit(s"merge source has duplicate $keyCol keys; pass seqCol " +
+              "for latest-wins collapse")).isNull)
+    }).select(col(keyCol) +:
+      targetCols.filterNot(_ == keyCol).map(n => col(s"__graft_w.$n").as(n)) :+
+      col("__graft_w.__graft_op").as("__graft_op"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keys = collapsed.select(col(keyCol))
+      val plan = mergeTouchPlan(spark, table, keyCol, keys, Some(head))
+      val upserts = collapsed.filter(col("__graft_op") =!= "d")
+        .select(targetCols.map(col): _*)
+      val newContent =
+        if (plan.rewrite.isEmpty) upserts
+        else scan(spark, table, Some(headSchema), plan.rewrite)
+          .join(keys, Seq(keyCol), "left_anti")
+          .unionByName(upserts)
+      val body = stageSegment(spark, table, newContent, statsCols)
+      val carryBody =
+        if (plan.carry.isEmpty) Seq.empty
+        else Seq(writeSegment(spark, table, plan.carry.map(renderEntry)))
+      publish(spark, c, h => {
+        require(h.contains(head),
+          s"concurrent commit during merge (head moved $head -> $h); rerun")
+        schemaLine(relaxed(headSchema)) +: (carryBody ++ body)
+      })
+    } finally collapsed.unpersist()
+  }
+
   /** Row-level diff of two keyed DataFrames: one row per changed key
     * with `change` ∈ insert / delete / update — unchanged keys are not
     * emitted. Keys must be unique within each side (the caller's

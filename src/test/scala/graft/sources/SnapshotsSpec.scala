@@ -646,6 +646,108 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.read(spark, t2, Some(v2)).count() == 89)
   }
 
+  test("mergeIntoCommit: keyed upsert rewrites only the touched files, " +
+       "carries the rest by reference, inserts land in the new segment") {
+    val t = freshTable()
+    // 8 range-clustered files with disjoint id bands of 100
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 800).toDF("id").withColumn("v", col("id") * 10)
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    val headFiles = Snapshots.read(spark, t).inputFiles.toSet
+    assert(headFiles.size == 8)
+    // batch: updates in band 1, a delete in band 4, inserts beyond all
+    // bands — the insert keys widen the global band but the executor
+    // touch probe still narrows the rewrite to the 2 matched files
+    val source = Seq(
+      (150L, -1L, 1L, "u"), (160L, -2L, 1L, "u"), // updates, band 1
+      (450L, 0L, 1L, "d"),                        // delete, band 4
+      (10000L, -3L, 1L, "u"), (10001L, -4L, 1L, "u") // inserts, no band
+    ).toDF("id", "v", "seq", "op")
+    val plan = Snapshots.mergeTouchPlan(spark, t, "id", source.select("id"))
+    assert(plan.rewrite.size == 2 && plan.carry.size == 6)
+    val mv = Snapshots.mergeIntoCommit(spark, t, "id", source,
+      seqCol = Some("seq"), opCol = Some("op"), statsCols = Seq("id"))
+    // 6 of the head's files carried into the merge version BY REFERENCE
+    val mergedFiles = Snapshots.read(spark, t, Some(mv)).inputFiles.toSet
+    assert(mergedFiles.intersect(headFiles).size == 6)
+    val got = Snapshots.read(spark, t, Some(mv))
+    assert(got.count() == 801) // 800 - 1 delete + 2 inserts
+    assert(got.filter(col("id") === 450L).count() == 0)
+    assert(got.filter(col("id").isin(150L, 160L)).select("v").as[Long]
+      .collect().toSet == Set(-1L, -2L))
+    assert(got.filter(col("id") >= 10000L).select("v").as[Long]
+      .collect().toSet == Set(-3L, -4L))
+    // untouched rows byte-identical semantics + carried stats still prune
+    assert(got.filter(col("id") === 700L).select("v").as[Long].head() == 7000L)
+    // carried files keep usable stats: a band-0 read plans exactly the
+    // carried band-0 file (the merged segment's stats start at 100)
+    assert(Snapshots.plannedFiles(spark, t,
+      Seq(Snapshots.LongRange("id", 0, 50)), Some(mv)).length == 1)
+    // pre-merge head still readable (time travel across the merge)
+    assert(Snapshots.read(spark, t, Some(1)).count() == 800)
+  }
+
+  test("mergeIntoCommit law: result equals Merge.applyChanges, with " +
+       "latest-wins collapse of competing source rows") {
+    val t = freshTable()
+    val target = spark.range(0, 300).toDF("id")
+      .withColumn("lang", concat(lit("l"), col("id") % 5))
+      .withColumn("n", col("id") * 3)
+    Snapshots.commitOverwrite(spark, t,
+      target.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    // three competing updates per %7 key (seq 3 wins), deletes for %5,
+    // inserts at +1000 for %11 — the cdc fixture shape
+    val changes = target.filter(col("id") % 7 === 0)
+      .withColumn("s", explode(array(lit(1L), lit(2L), lit(3L))))
+      .select(col("id"), concat(lit("u"), col("s")).as("lang"),
+        (col("n") + col("s")).as("n"), col("s").as("seq"), lit("u").as("op"))
+      .unionByName(target.filter(col("id") % 5 === 0)
+        .select(col("id"), col("lang"), col("n"), lit(4L).as("seq"),
+          lit("d").as("op")))
+      .unionByName(target.filter(col("id") % 11 === 0)
+        .select((col("id") + 1000L).as("id"), lit("new").as("lang"),
+          col("n"), lit(1L).as("seq"), lit("u").as("op")))
+    val mv = Snapshots.mergeIntoCommit(spark, t, "id", changes,
+      seqCol = Some("seq"), opCol = Some("op"), statsCols = Seq("id"))
+    val expected = graft.operators.Merge
+      .applyChanges(target, changes, Seq("id"), "seq", "op")
+      .select("id", "lang", "n").as[(Long, String, Long)].collect().toSet
+    val got = Snapshots.read(spark, t, Some(mv))
+      .select("id", "lang", "n").as[(Long, String, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("mergeIntoCommit contracts: duplicate keys without seqCol fail " +
+       "in-flow; a mis-shaped source fails loudly; null keys insert") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // duplicate keys, no seqCol: the commit must fail, not double-insert
+    val dup = Seq((5L, "x"), (5L, "y")).toDF("id", "v")
+    val e = intercept[Exception] {
+      Snapshots.mergeIntoCommit(spark, t, "id", dup)
+    }
+    assert(e.getMessage.contains("duplicate") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate")))
+    assert(Snapshots.versions(spark, t) == Seq(1)) // nothing committed
+    // extra source column: rejected by name, not silently dropped
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeIntoCommit(spark, t, "id",
+        Seq((5L, "x", 1L)).toDF("id", "v", "typo"))
+    }
+    // plain upsert without seq/op: update + insert; NULL key inserts
+    // (matches no target row — SQL equality)
+    val src = Seq((java.lang.Long.valueOf(2L), "B"),
+      (java.lang.Long.valueOf(9L), "i"), (null.asInstanceOf[java.lang.Long], "n"))
+      .toDF("id", "v")
+    val mv = Snapshots.mergeIntoCommit(spark, t, "id", src)
+    val got = Snapshots.read(spark, t, Some(mv))
+    assert(got.count() == 4)
+    assert(got.filter(col("id") === 2L).select("v").as[String].head() == "B")
+    assert(got.filter(col("id").isNull).select("v").as[String].head() == "n")
+  }
+
   test("deleteWhereCommit keeps NULL-predicate rows regardless of " +
        "physical file placement (SQL DELETE WHERE semantics)") {
     val t = freshTable()
