@@ -3196,6 +3196,43 @@ object SparkEntry {
         .unionAll(slice(Snapshots.read(s, t), "post"))
     }),
 
+    // MERGE-ON-READ ERASE through the snapshot format — the O(keys)
+    // logical delete: eraseMoRCommit writes ONLY a tiny equality-delete
+    // key file (no data file read, rewritten or moved — the move that
+    // makes "stop surfacing these keys NOW" affordable at 100 TB) and
+    // readers anti-join it with COMMIT-ORDER scoping: rows before the
+    // delete drop, a key RE-INSERTED after it survives. compactCommit
+    // then folds the delete into a rewritten snapshot (the physical
+    // half; vacuum reclaims the bytes — SnapshotsSpec byte-proofs it).
+    // Three states read and hashed: post-erase, post-reinsert, and
+    // post-compaction (which must equal post-reinsert EXACTLY) — a
+    // delete that leaks a doomed row, kills a re-insert, or a
+    // compaction that changes any row breaks the hash.
+    "q_mor_erase" -> ((s, dir) => {
+      val root = materializedDir("morerase", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, t,
+          d.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+          statsCols = Seq("doc_id"))
+        Snapshots.eraseMoRCommit(s, t, "doc_id",
+          d.filter(col("doc_id") % 9 === 3).select("doc_id"))
+        Snapshots.commitAppend(s, t,
+          d.filter(col("doc_id") % 27 === 3)
+            .select(col("doc_id"), lit("re").as("lang")))
+        Snapshots.compactCommit(s, t, targetFileBytes = 1L << 26)
+      }
+      val t = root + "/t"
+      def slice(df: DataFrame, tag: String) =
+        df.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .select(lit(tag).as("state"), col("lang"), col("n_docs"),
+            col("id_sum"))
+      slice(Snapshots.read(s, t, Some(2)), "erased")
+        .unionAll(slice(Snapshots.read(s, t, Some(3)), "reinserted"))
+        .unionAll(slice(Snapshots.read(s, t, Some(4)), "compacted"))
+    }),
+
     // MERGE INTO through the snapshot format — the keyed upsert+delete
     // committed as ONE new version: the CDC batch (three competing
     // updates per %7 key with seq 3 winning, deletes for %5, inserts at
@@ -5043,6 +5080,21 @@ object SparkEntry {
     // latest-wins collapse, carried-by-reference files) must land the
     // IDENTICAL snapshot the logical merge computes
     "q_snapshot_merge" -> mergeCdcSql,
+    // merge-on-read equality deletes replayed in SQL: the erase is an
+    // anti-join over prior rows, the re-insert lands after it, and the
+    // compacted state must equal the re-inserted one verbatim
+    "q_mor_erase" -> ("""WITH base AS (SELECT doc_id, lang FROM documents),
+      |erased AS (SELECT * FROM base WHERE doc_id % 9 <> 3),
+      |re AS (SELECT doc_id, 're' AS lang FROM base WHERE doc_id % 27 = 3),
+      |reins AS (SELECT * FROM erased UNION ALL SELECT * FROM re)
+      |SELECT 'erased' AS state, lang, count(*)::BIGINT AS n_docs,
+      |       sum(doc_id)::BIGINT AS id_sum FROM erased GROUP BY lang
+      |UNION ALL
+      |SELECT 'reinserted', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+      |FROM reins GROUP BY lang
+      |UNION ALL
+      |SELECT 'compacted', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+      |FROM reins GROUP BY lang""".stripMargin),
     // the storage round trip adds nothing the logical merge doesn't:
     // the oracle is the same union + row_number mirror (updates keep
     // lang, bump n_chars); any partition-mechanics defect (resurrected

@@ -125,6 +125,13 @@ object Snapshots {
   private val SchemaHeader = "# schema="
   private val ForkHeader = "# fork="
   private val SegRef = "@"
+  // a merge-on-read EQUALITY-DELETE segment reference:
+  // `@-<urlenc keyCol>:<segment>` — the segment's entries are parquet
+  // files holding the deleted keys (one column, the key's type), staged
+  // under data/ like any commit's files. Checked BEFORE SegRef wherever
+  // body lines are interpreted (it shares the `@` prefix).
+  private val DelRef = "@-"
+  private val DelKeyCol = "__graft_del_key"
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -244,15 +251,46 @@ object Snapshots {
   private def bodyLines(spark: SparkSession, c: Chain, v: Int): Seq[String] =
     manifestLines(spark, c, v).filterNot(_.startsWith("#"))
 
-  /** Expand body lines to raw data lines, reading each referenced
+  /** Expand body lines to raw DATA lines, reading each referenced
     * segment once; inline (pre-segment) data lines pass through.
+    * Merge-on-read delete references are SKIPPED — their key files are
+    * not data (readers apply them as anti-joins; [[vacuum]] tracks their
+    * liveness separately).
     */
   private def expand(spark: SparkSession, table: String,
                      body: Seq[String]): Seq[String] =
     body.flatMap { l =>
-      if (l.startsWith(SegRef)) segmentLines(spark, table, l.substring(SegRef.length))
+      if (l.startsWith(DelRef)) Seq.empty
+      else if (l.startsWith(SegRef)) segmentLines(spark, table, l.substring(SegRef.length))
       else Seq(l)
     }
+
+  /** Partition a version body into merge-on-read structure: data-line
+    * groups interleaved with equality-delete sets, in commit order.
+    * `groups(i)` holds the raw data lines committed BEFORE delete `i`
+    * (so deletes `i..` apply to them); `groups(deletes.size)` is the
+    * tail committed after the last delete (nothing applies). Delete
+    * tuples are (keyCol, segmentName).
+    */
+  private def morPartition(body: Seq[String]): (Seq[Seq[String]], Seq[(String, String)]) = {
+    val groups = Seq.newBuilder[Seq[String]]
+    val deletes = Seq.newBuilder[(String, String)]
+    var cur = Seq.newBuilder[String]
+    body.foreach { l =>
+      if (l.startsWith(DelRef)) {
+        val rest = l.substring(DelRef.length)
+        val i = rest.indexOf(':')
+        require(i > 0, s"malformed delete reference '$l'")
+        groups += cur.result(); cur = Seq.newBuilder[String]
+        deletes += ((dec(rest.substring(0, i)), rest.substring(i + 1)))
+      } else cur += l
+    }
+    groups += cur.result()
+    (groups.result(), deletes.result())
+  }
+
+  private def hasMorDeletes(body: Seq[String]): Boolean =
+    body.exists(_.startsWith(DelRef))
 
   /** Raw data lines of version `v` (headers skipped, segments expanded;
     * stats preserved verbatim).
@@ -379,9 +417,53 @@ object Snapshots {
     v
   }
 
+  /** Scan version `v` under merge-on-read delete semantics: each data
+    * group anti-joins every equality-delete set committed AFTER it in
+    * body order (a key re-inserted after its delete survives — the
+    * delete never reaches forward). Delete sets with the same key
+    * column applying to the same group union into ONE anti-join
+    * (anti(k1 ∪ k2) ≡ anti(k1) ∘ anti(k2)); the number of plan branches
+    * is bounded by the delete-commit count since the last compaction,
+    * which the maintenance contract keeps small. `keep` filters the
+    * data entries of each group (manifest-level pruning composes — a
+    * pruned-away file's deleted rows were never going to be read).
+    */
+  private def morScanChain(spark: SparkSession, c: Chain, v: Int,
+                           keep: Entry => Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (groupLines, deletes) = morPartition(bodyLines(spark, c, v))
+    val schema = chainSchema(spark, c, v)
+    val keySchema: String => StructType = kc => {
+      val st = schema.orElse(versionSchema(spark, c, v)).getOrElse(
+        sys.error(s"${c.label} v$v has no schema for delete key '$kc'"))
+      StructType(Seq(org.apache.spark.sql.types.StructField(
+        DelKeyCol, relaxType(st(kc).dataType), nullable = true)))
+    }
+    val parts = groupLines.zipWithIndex.flatMap { case (ls, i) =>
+      val es = expand(spark, c.table, ls).map(parseEntry).filter(keep)
+      if (es.isEmpty) None
+      else Some(deletes.drop(i).groupBy(_._1).toSeq.sortBy(_._1)
+        .foldLeft(scan(spark, c.table, schema, es)) { case (df, (kc, segs)) =>
+          val kes = segs.map { case (_, seg) =>
+            scan(spark, c.table, Some(keySchema(kc)),
+              segmentLines(spark, c.table, seg).map(parseEntry))
+          }.reduce(_ unionByName _)
+          df.join(kes, col(kc) === col(DelKeyCol), "left_anti")
+        })
+    }
+    if (parts.isEmpty) {
+      val st = schema.getOrElse(sys.error(
+        s"${c.label} v$v is an empty snapshot with no committed schema; " +
+          "commit a non-empty DataFrame or read a different version"))
+      emptyOf(spark, st)
+    } else parts.reduce(_ unionByName _)
+  }
+
   private def readChain(spark: SparkSession, c: Chain,
                         version: Option[Int]): DataFrame = {
     val v = resolveChainVersion(spark, c, version)
+    if (hasMorDeletes(bodyLines(spark, c, v)))
+      return morScanChain(spark, c, v, _ => true)
     val es = manifestEntries(spark, c, v)
     val schema = chainSchema(spark, c, v)
     if (es.isEmpty) {
@@ -771,6 +853,16 @@ object Snapshots {
                       version: Option[Int] = None): DataFrame = {
     val c = mainChain(table)
     val v = resolveChainVersion(spark, c, version)
+    if (hasMorDeletes(bodyLines(spark, c, v))) {
+      require(ranges.nonEmpty, "at least one range required")
+      require(ranges.map(_.column).distinct.size == ranges.size,
+        "one range per column")
+      // pruning composes with merge-on-read: data entries prune by
+      // stats per group, delete sets still apply to the survivors
+      return morScanChain(spark, c, v,
+        e => ranges.forall(r => overlaps(e.stats.get(r.column), r)))
+        .filter(ranges.map(rowPredicate).reduce(_ && _))
+    }
     val entries = manifestEntries(spark, c, v)
     require(entries.nonEmpty || chainSchema(spark, c, v).isDefined,
       s"$table v$v is an empty snapshot")
@@ -847,6 +939,14 @@ object Snapshots {
         s"v$fromVersion is gone by v$to — an overwrite or compaction " +
         "rewrote history); read full snapshots instead")
     val beforeSet = before.toSet
+    // a merge-on-read delete in the range REMOVES rows — "new files =
+    // new rows" no longer holds, and an incremental consumer that only
+    // saw the adds would diverge from the snapshot. Loud, like an
+    // overwrite.
+    require(after.filterNot(beforeSet).forall(!_.startsWith(DelRef)),
+      s"$table v$fromVersion..v$to contains a merge-on-read delete — " +
+        "not an append range; read full snapshots instead (or compact " +
+        "and restart the consumer from the compacted version)")
     // only the delta's segments are expanded — the base's file lines are
     // never read, which is what keeps a high-frequency incremental
     // consumer O(delta) on a 10⁶-file table
@@ -981,6 +1081,7 @@ object Snapshots {
                                    purge: DataFrame => DataFrame,
                                    statsCols: Seq[String]): Int = {
     val c = mainChain(table)
+    requireNoMorDeletes(spark, c, head)
     val schema = versionSchema(spark, c, head)
     val body =
       if (plan.rewrite.isEmpty) Seq.empty
@@ -997,6 +1098,16 @@ object Snapshots {
         (carryBody ++ body)
     })
   }
+
+  /** Partial-rewrite commits (erase purge, retention delete, merge)
+    * plan over [[manifestEntries]], which a pending merge-on-read
+    * delete is invisible to — carrying a file by reference would
+    * resurrect its logically-deleted rows. Fold the deletes first.
+    */
+  private def requireNoMorDeletes(spark: SparkSession, c: Chain, v: Int): Unit =
+    require(!hasMorDeletes(bodyLines(spark, c, v)),
+      s"${c.label} v$v has merge-on-read delete files; compactCommit to " +
+        "fold them before a partial-rewrite commit")
 
   private def renderEntry(e: Entry): String =
     (e.path +: (e.size.map(SizeCell + _).toSeq ++
@@ -1040,6 +1151,67 @@ object Snapshots {
     partialRewriteCommit(spark, table, head, plan,
       src => src.join(req, col(keyCol) === col("__graft_erase_key"), "left_anti"),
       statsCols)
+  }
+
+  /** Merge-on-read row erasure — the O(keys) LOGICAL delete: commit a
+    * tiny EQUALITY-DELETE file (the distinct non-null keys, staged as
+    * parquet like any commit) and a version whose body appends one
+    * delete reference; NO data file is read, rewritten, or moved, so
+    * the commit costs O(keys) regardless of table size — the move that
+    * makes "stop surfacing these keys NOW" affordable on a 100 TB
+    * table, where even a stats-pruned partial rewrite pays a scan of
+    * every overlapping file. Readers apply the delete as an anti-join
+    * scoped by COMMIT ORDER: rows committed before the delete drop,
+    * rows appended after it (a re-inserted key) survive — the standard
+    * equality-delete sequencing of the log-structured formats.
+    *
+    * The complement of [[erasePurgeCommit]], not a replacement: the
+    * bytes remain on disk until a [[compactCommit]] folds the delete
+    * into a rewritten snapshot (after which vacuum can reclaim them) or
+    * a purge rewrites the files. The GDPR protocol composes all three:
+    * eraseMoRCommit now (instant logical disappearance), compact or
+    * purge within the SLA, vacuum past it. While delete files are
+    * pending: incremental reads across the delete version fail loudly
+    * (removed rows break "new files = new rows"), and the
+    * partial-rewrite commits (erase purge / retention delete / merge)
+    * refuse until a compaction folds — both spec-pinned. NULL keys
+    * never match (SQL equality) and are dropped from the key file.
+    * Deletes with DIFFERENT key columns stack; so do repeated deletes
+    * on one column. Returns the new version.
+    */
+  def eraseMoRCommit(spark: SparkSession, table: String, keyCol: String,
+                     keys: DataFrame): Int = {
+    require(keys.columns.length == 1,
+      s"keys must be a single-column request list, got ${keys.columns.mkString(",")}")
+    val c = mainChain(table)
+    val head0 = chainVersions(spark, c).lastOption
+      .getOrElse(sys.error(s"$table has no committed versions"))
+    val st = versionSchema(spark, c, head0)
+      .getOrElse(sys.error(s"$table v$head0 has no schema"))
+    require(st.fieldNames.contains(keyCol),
+      s"$keyCol is not a column of $table (${st.fieldNames.mkString(",")})")
+    val want = relaxType(st(keyCol).dataType)
+    val got = relaxType(keys.schema.head.dataType)
+    require(want == got,
+      s"delete keys must be ${want.simpleString} like $table.$keyCol, " +
+        s"got ${got.simpleString}")
+    val staged = stage(spark, table,
+      keys.toDF(DelKeyCol).na.drop().distinct().coalesce(1))
+    val delBody =
+      if (staged.isEmpty) Seq.empty // an empty request: a no-op version
+      else {
+        val seg = writeSegment(spark, table, staged)
+        Seq(DelRef + enc(keyCol) + ":" + seg.substring(SegRef.length))
+      }
+    // append-shaped publish: the delete applies to everything before it
+    // in body order, INCLUDING commits that raced in ahead of us — for
+    // an erasure request ("these keys, gone") that is the semantics you
+    // want; schema evolution is additive, so keyCol exists at any head
+    publish(spark, c, headOpt => {
+      val h = headOpt.getOrElse(sys.error(s"$table lost its versions mid-commit"))
+      chainSchema(spark, c, h).map(schemaLine).toSeq ++
+        bodyLines(spark, c, h) ++ delBody
+    })
   }
 
   /** The [[deleteWhereCommit]] rewrite plan — which head files a
@@ -1199,6 +1371,7 @@ object Snapshots {
     val c = mainChain(table)
     val head = chainVersions(spark, c).lastOption
       .getOrElse(sys.error(s"$table has no committed versions"))
+    requireNoMorDeletes(spark, c, head)
     val headSchema = versionSchema(spark, c, head)
       .getOrElse(sys.error(s"$table v$head has no schema to merge into"))
     val targetCols = headSchema.fields.map(_.name).toSeq
@@ -1679,9 +1852,16 @@ object Snapshots {
         chainVersions(spark, c).map((c, _))
       }
     val liveBody = live.flatMap { case (c, v) => bodyLines(spark, c, v) }
+    // DelRef shares SegRef's '@' prefix — match it first; enc() escapes
+    // any ':' inside a key column name, so the first ':' is the split
     val liveSegs = liveBody.collect {
-      case l if l.startsWith(SegRef) => l.substring(SegRef.length) }.toSet
-    val referenced = expand(spark, table, liveBody.distinct)
+      case l if l.startsWith(DelRef) => l.substring(l.indexOf(':') + 1)
+      case l if l.startsWith(SegRef) => l.substring(SegRef.length)
+    }.toSet
+    // referenced files: every live data line + every live delete-key file
+    val delKeyLines = liveBody.filter(_.startsWith(DelRef)).distinct
+      .flatMap(l => segmentLines(spark, table, l.substring(l.indexOf(':') + 1)))
+    val referenced = (expand(spark, table, liveBody.distinct) ++ delKeyLines)
       .map(parseEntry(_).path).toSet
     drop.foreach(v => f.delete(main.manifestPath(v), false))
     // unreferenced segments: dropped versions' exclusive segments and

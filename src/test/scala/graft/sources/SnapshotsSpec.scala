@@ -748,6 +748,87 @@ class SnapshotsSpec extends SparkTestBase {
     assert(got.filter(col("id").isNull).select("v").as[String].head() == "n")
   }
 
+  test("eraseMoRCommit: O(keys) logical delete — no data movement, " +
+       "re-inserts survive, deletes stack, pruned reads compose") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 800).toDF("id").withColumn("lang", concat(lit("l"), col("id") % 4))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    val headDataFiles = Snapshots.read(spark, t).inputFiles.toSet
+    val dv = Snapshots.eraseMoRCommit(spark, t, "id", Seq(150L, 450L, 700L).toDF("k"))
+    // zero movement: every pre-delete data file still backs the head
+    assert(headDataFiles.subsetOf(Snapshots.read(spark, t).inputFiles.toSet))
+    assert(ids(t) == (0L until 800L).toSet -- Set(150L, 450L, 700L))
+    assert(ids(t, Some(1)) == (0L until 800L).toSet) // time travel intact
+    // a re-inserted key is AFTER the delete in body order: it survives
+    Snapshots.commitAppend(spark, t, Seq((450L, "re")).toDF("id", "lang"))
+    assert(Snapshots.read(spark, t).filter(col("id") === 450L)
+      .select("lang").as[String].collect().toSeq == Seq("re"))
+    assert(Snapshots.read(spark, t).filter(col("id") === 150L).count() == 0)
+    // deletes stack, on another column too
+    Snapshots.eraseMoRCommit(spark, t, "lang", Seq("l3").toDF("k"))
+    val got = Snapshots.read(spark, t)
+    assert(got.filter(col("lang") === "l3").count() == 0)
+    // 800 base - 3 erased + 1 re-insert = 798; minus the 200 l3 rows
+    // (none of the erased/re-inserted ids was l3)
+    assert(got.count() == 598)
+    // pruned read composes: the deleted key's band is planned but the
+    // row is gone; re-inserted 450 visible
+    val pruned = Snapshots.readPruned(spark, t, "id", 400, 499)
+    assert(pruned.filter(col("id") === 450L).count() == 1)
+    assert(pruned.count() ==
+      got.filter(col("id").between(400, 499)).count())
+    // incremental read across a delete version fails loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.readChangesBetween(spark, t, 1, Some(dv))
+    }
+    // ...but a pure-append subrange after the delete still works
+    assert(Snapshots.readChangesBetween(spark, t, dv, Some(dv + 1))
+      .count() == 1)
+  }
+
+  test("compactCommit folds merge-on-read deletes; vacuum then removes " +
+       "the bytes; partial-rewrite commits refuse while deletes pend") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 400).toDF("id")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    Snapshots.eraseMoRCommit(spark, t, "id", Seq(7L, 99L).toDF("k"))
+    // partial-rewrite commits refuse: carrying a file by reference would
+    // resurrect its logically-deleted rows
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.erasePurgeCommit(spark, t, "id", Seq(7L).toDF("k"))
+    }
+    assert(e1.getMessage.contains("merge-on-read"))
+    intercept[IllegalArgumentException] {
+      Snapshots.deleteWhereCommit(spark, t, Seq(Snapshots.LongRange("id", 0, 10)))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeIntoCommit(spark, t, "id", Seq(1L).toDF("id"))
+    }
+    // vacuum with the delete pending keeps the key file (head needs it)
+    Snapshots.vacuum(spark, t, keepFrom = 2)
+    assert(ids(t) == (0L until 400L).toSet -- Set(7L, 99L))
+    // compaction folds: one data segment, no delete refs, same rows
+    val cv = Snapshots.compactCommit(spark, t, targetFileBytes = 1L << 30)
+    assert(ids(t, Some(cv)) == (0L until 400L).toSet -- Set(7L, 99L))
+    assert(Snapshots.read(spark, t, Some(cv)).inputFiles.length == 1)
+    // after compaction the partial-rewrite lane reopens
+    val pv = Snapshots.erasePurgeCommit(spark, t, "id", Seq(200L).toDF("k"))
+    assert(ids(t, Some(pv)) == (0L until 400L).toSet -- Set(7L, 99L, 200L))
+    // vacuum past the fold: the erased keys' bytes leave the table
+    Snapshots.vacuum(spark, t, keepFrom = pv)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(t, "data"))
+      .iterator()
+    var survivors = List.empty[String]
+    files.forEachRemaining(p =>
+      if (p.toString.endsWith(".parquet")) survivors ::= p.toString)
+    assert(spark.read.parquet(survivors: _*)
+      .filter(col("id").isin(7L, 99L, 200L)).count() == 0)
+  }
+
   test("deleteWhereCommit keeps NULL-predicate rows regardless of " +
        "physical file placement (SQL DELETE WHERE semantics)") {
     val t = freshTable()
