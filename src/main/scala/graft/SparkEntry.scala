@@ -3196,6 +3196,28 @@ object SparkEntry {
         .unionAll(slice(Snapshots.read(s, t), "post"))
     }),
 
+    // BUCKET-OCCUPANCY point lookup through the snapshot format — the
+    // equality-pruning stat for hash-distributed keys, where per-file
+    // (min, max) spans the whole domain and prunes nothing: the table
+    // commits bucket-clustered (pmod(xxhash64(doc_id), 32)) with
+    // per-file bucket cells, and readPrunedByKey plans a 5-key lookup
+    // through them — O(keys) files opened out of the whole table, zero
+    // footer reads (SnapshotsSpec pins the <= k-of-N file count; the
+    // HASH pins that planning through the cells loses no row and the
+    // driver-side xxhash64 replay matches the executor's).
+    "q_bucket_lookup" -> ((s, dir) => {
+      val root = materializedDir("bucketlookup", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.commitOverwrite(s, t,
+          d.repartition(32, pmod(xxhash64(col("doc_id")), lit(32L))),
+          statsCols = Seq("doc_id"), bucketCols = Map("doc_id" -> 32))
+      }
+      Snapshots.readPrunedByKey(s, root + "/t", "doc_id",
+        Seq(3L, 57L, 123L, 456L, 499L))
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // MERGE-ON-READ ERASE through the snapshot format — the O(keys)
     // logical delete: eraseMoRCommit writes ONLY a tiny equality-delete
     // key file (no data file read, rewritten or moved — the move that
@@ -5080,6 +5102,11 @@ object SparkEntry {
     // latest-wins collapse, carried-by-reference files) must land the
     // IDENTICAL snapshot the logical merge computes
     "q_snapshot_merge" -> mergeCdcSql,
+    // the bucket-pruned point lookup must return exactly the keyed rows
+    // — planning through per-file bucket cells is pure metadata, so the
+    // oracle is the plain IN-list select
+    "q_bucket_lookup" -> ("SELECT doc_id, lang, CAST(n_chars AS BIGINT) " +
+      "AS n_chars FROM documents WHERE doc_id IN (3, 57, 123, 456, 499)"),
     // merge-on-read equality deletes replayed in SQL: the erase is an
     // anti-join over prior rows, the re-insert lands after it, and the
     // compacted state must equal the re-inserted one verbatim

@@ -180,14 +180,28 @@ object Snapshots {
     */
   final case class ColStat(kind: String, lo: String, hi: String)
 
+  /** Per-file committed bucket occupancy of one column: `mod` is the
+    * bucket count, `ids` the DISTINCT `pmod(xxhash64(col), mod)` values
+    * present in the file. The equality complement of (min, max) stats:
+    * on a hash-distributed (unclustered) key, min/max spans the whole
+    * domain in every file and prunes nothing, while a bucket-clustered
+    * layout gives each file one or two bucket ids — an equality key
+    * hashes to ONE bucket, so a point lookup, erase plan or merge plan
+    * touches only the files listing it. The Iceberg bucket-transform
+    * idea carried as a per-file cell.
+    */
+  final case class BucketStat(mod: Int, ids: Seq[Int])
+
   /** One manifest data entry: a relative file path, its byte length
     * (recorded at commit time from the staging listing — files are
     * immutable once committed, so the length never goes stale; None
-    * only for pre-r15 lines) and its committed per-column stats (empty
-    * for stats-less commits).
+    * only for pre-r15 lines), its committed per-column (min, max) stats
+    * and its committed per-column bucket occupancy (each empty when the
+    * commit didn't request them).
     */
   final case class Entry(path: String, size: Option[Long],
-                         stats: Map[String, ColStat])
+                         stats: Map[String, ColStat],
+                         buckets: Map[String, BucketStat] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -195,6 +209,10 @@ object Snapshots {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   private val SizeCell = "sz="
+  // bucket-occupancy cell: `~<urlenc col>=<mod>:<id,id,...>` — the `~`
+  // prefix cannot collide with a stats cell (URLEncoder escapes '~' to
+  // %7E, so an encoded column name never starts with a literal '~')
+  private val BucketCellPrefix = "~"
 
   private def parseEntry(line: String): Entry = {
     val cells = line.split('\t')
@@ -204,11 +222,24 @@ object Snapshots {
       case c if c.startsWith(SizeCell) && c.drop(SizeCell.length).forall(_.isDigit)
         && c.length > SizeCell.length => c.drop(SizeCell.length).toLong
     }
+    val buckets = cells.drop(1).flatMap { cell =>
+      if (!cell.startsWith(BucketCellPrefix)) None
+      else cell.substring(BucketCellPrefix.length).split('=') match {
+        case Array(n, v) => v.split(':') match {
+          case Array(mod, ids) if mod.forall(_.isDigit) && mod.nonEmpty =>
+            Some(dec(n) -> BucketStat(mod.toInt,
+              ids.split(',').filter(_.nonEmpty).map(_.toInt).toSeq))
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
     val stats = cells.drop(1).flatMap { cell =>
       // named multi-column cell: name=kind:lo:hi (all URL-encoded).
       // Anything else (incl. the pre-r14 anonymous `lo\thi` pair) parses
       // as no-stats — conservatively read, never wrong, only slower.
-      cell.split('=') match {
+      if (cell.startsWith(BucketCellPrefix)) None
+      else cell.split('=') match {
         case Array(n, v) => v.split(':') match {
           case Array(k, lo, hi) if Set("long", "string", "date")(k) =>
             Some(dec(n) -> ColStat(k, dec(lo), dec(hi)))
@@ -217,7 +248,7 @@ object Snapshots {
         case _ => None
       }
     }.toMap
-    Entry(cells.head, size, stats)
+    Entry(cells.head, size, stats, buckets)
   }
 
   // ----------------------------------------------------------- segments
@@ -547,8 +578,37 @@ object Snapshots {
     * file stays stats-less there and is conservatively kept by every
     * pruned read.
     */
+  /** A file listing more distinct buckets than this renders no bucket
+    * cell (conservatively always-touched): the cell must stay a few
+    * dozen bytes — a file that interleaves many buckets gains nothing
+    * from the stat anyway (cluster by the bucket expression to get 1-2
+    * per file).
+    */
+  private val BucketIdsMax = 16
+
+  /** The bucket id of column `c` under `mod` — the expression whose
+    * per-file DISTINCT values the manifest records. `xxhash64` is a
+    * specified, seed-42-stable algorithm, so [[bucketOf]] can replay it
+    * on the driver for planning.
+    */
+  private def bucketExpr(c: String, mod: Int): Column = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    pmod(xxhash64(col(c)), lit(mod.toLong))
+  }
+
+  /** Driver-side replay of [[bucketExpr]] for one literal key — the
+    * SAME catalyst expression evaluated eagerly, so the two sides
+    * cannot drift.
+    */
+  private def bucketOf(v: Any, dt: DataType, mod: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    Pmod(new XxHash64(Seq(Literal.create(v, dt))), Literal(mod.toLong))
+      .eval(null).asInstanceOf[Long].toInt
+  }
+
   private def stage(spark: SparkSession, table: String, df: DataFrame,
-                    statsCols: Seq[String] = Nil): Seq[String] = {
+                    statsCols: Seq[String] = Nil,
+                    bucketCols: Map[String, Int] = Map.empty): Seq[String] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
     df.write.parquet(new Path(table, rel).toString)
@@ -561,41 +621,55 @@ object Snapshots {
     // an empty staging set (0-partition df) has nothing to re-read: the
     // schema-less parquet read below would fail, and there are no lines
     // to attach stats to anyway
-    if (statsCols.isEmpty || rels.isEmpty) rels
+    if ((statsCols.isEmpty && bucketCols.isEmpty) || rels.isEmpty) rels
     else {
-      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      import org.apache.spark.sql.functions.{col, collect_set, input_file_name, max, min}
+      bucketCols.foreach { case (c, m) =>
+        require(m >= 2, s"bucketCols($c) needs mod >= 2, got $m") }
       val reread = spark.read.parquet(new Path(table, rel).toString)
       val kinds = statsCols.map(c =>
         c -> statKind(c, reread.schema(c).dataType)).toMap
+      val bks = bucketCols.toSeq.sortBy(_._1)
       val aggs = statsCols.flatMap(c =>
-        Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
-      val byName: Map[String, Seq[(String, ColStat)]] = reread
-        .groupBy(input_file_name().as("__f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
-            val lo = r.get(1 + 2 * i)
-            val hi = r.get(2 + 2 * i)
-            if (lo == null || hi == null) None
-            else if (kinds(c) == "string")
-              // bounded manifest cells: truncated lower prefix + bumped
-              // upper bound (see truncateUpper); an un-bumpable upper
-              // drops the column's stats for this file (conservative)
-              truncateUpper(hi.asInstanceOf[String]).map(h =>
-                c -> ColStat("string",
-                  truncateLower(lo.asInstanceOf[String]), h))
-            else Some(c -> ColStat(kinds(c), renderStat(lo), renderStat(hi)))
-          }
-          r.getString(0).split('/').last -> stats
-        }.toMap
+        Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))) ++
+        bks.map { case (c, m) =>
+          collect_set(bucketExpr(c, m).cast("int")).as(s"__bk_$c") }
+      val byName: Map[String, (Seq[(String, ColStat)], Seq[(String, BucketStat)])] =
+        reread
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+              val lo = r.get(1 + 2 * i)
+              val hi = r.get(2 + 2 * i)
+              if (lo == null || hi == null) None
+              else if (kinds(c) == "string")
+                // bounded manifest cells: truncated lower prefix + bumped
+                // upper bound (see truncateUpper); an un-bumpable upper
+                // drops the column's stats for this file (conservative)
+                truncateUpper(hi.asInstanceOf[String]).map(h =>
+                  c -> ColStat("string",
+                    truncateLower(lo.asInstanceOf[String]), h))
+              else Some(c -> ColStat(kinds(c), renderStat(lo), renderStat(hi)))
+            }
+            val base = 1 + 2 * statsCols.size
+            val bstats = bks.zipWithIndex.flatMap { case ((c, m), i) =>
+              val ids = r.getSeq[Int](base + i).sorted
+              if (ids.isEmpty || ids.size > BucketIdsMax) None
+              else Some(c -> BucketStat(m, ids))
+            }
+            r.getString(0).split('/').last -> ((stats, bstats))
+          }.toMap
       rels.map { r =>
-        val cells = byName.getOrElse(
-          r.split('\t').head.split('/').last, Seq.empty)
-        if (cells.isEmpty) r
-        else (r +: cells.map { case (c, st) =>
+        val (cells, bcells) = byName.getOrElse(
+          r.split('\t').head.split('/').last, (Seq.empty, Seq.empty))
+        if (cells.isEmpty && bcells.isEmpty) r
+        else (r +: (cells.map { case (c, st) =>
           s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
-        }).mkString("\t")
+        } ++ bcells.map { case (c, b) =>
+          s"$BucketCellPrefix${enc(c)}=${b.mod}:${b.ids.mkString(",")}"
+        })).mkString("\t")
       }
     }
   }
@@ -604,8 +678,9 @@ object Snapshots {
     * commit — empty when nothing was staged (token-only commits).
     */
   private def stageSegment(spark: SparkSession, table: String, df: DataFrame,
-                           statsCols: Seq[String]): Seq[String] = {
-    val staged = stage(spark, table, df, statsCols)
+                           statsCols: Seq[String],
+                           bucketCols: Map[String, Int] = Map.empty): Seq[String] = {
+    val staged = stage(spark, table, df, statsCols, bucketCols)
     if (staged.isEmpty) Seq.empty
     else Seq(writeSegment(spark, table, staged))
   }
@@ -673,19 +748,27 @@ object Snapshots {
   private def schemaLine(st: StructType): String = SchemaHeader + st.json
 
   private def commitOverwriteChain(spark: SparkSession, c: Chain, df: DataFrame,
-                                   statsCols: Seq[String]): Int = {
-    val body = stageSegment(spark, c.table, df, statsCols)
+                                   statsCols: Seq[String],
+                                   bucketCols: Map[String, Int] = Map.empty): Int = {
+    val body = stageSegment(spark, c.table, df, statsCols, bucketCols)
     publish(spark, c, _ => schemaLine(relaxed(df.schema)) +: body)
   }
 
   /** Commit `df` as a full replacement snapshot. Old versions remain
     * readable until vacuumed. Returns the new version number. With
     * `statsCols`, the manifest carries per-file per-column (min, max)
-    * for [[readPrunedWhere]]'s manifest-level file skipping.
+    * for [[readPrunedWhere]]'s manifest-level file skipping; with
+    * `bucketCols` (column -> bucket count) it carries per-file bucket
+    * occupancy — the EQUALITY pruning stat for unclustered keys, read
+    * by [[readPrunedByKey]], [[erasePlan]] and [[mergeTouchPlan]].
+    * Cluster the data by [[bucketExpr]]'s value (e.g.
+    * `repartition(n, pmod(xxhash64(col), lit(n)))`) for 1-2 buckets per
+    * file; a file spanning more than 16 buckets records no cell.
     */
   def commitOverwrite(spark: SparkSession, table: String, df: DataFrame,
-                      statsCols: Seq[String] = Nil): Int =
-    commitOverwriteChain(spark, mainChain(table), df, statsCols)
+                      statsCols: Seq[String] = Nil,
+                      bucketCols: Map[String, Int] = Map.empty): Int =
+    commitOverwriteChain(spark, mainChain(table), df, statsCols, bucketCols)
 
   /** The snapshot schema an append of `incoming` produces on top of
     * `head` — or a rejection. Without `evolve`, names and types must
@@ -730,12 +813,13 @@ object Snapshots {
     */
   private def appendChain(spark: SparkSession, c: Chain, df: DataFrame,
                           statsCols: Seq[String], evolve: Boolean,
-                          token: Option[String]): Int = {
+                          token: Option[String],
+                          bucketCols: Map[String, Int] = Map.empty): Int = {
     // fail fast before paying the staging write; re-validated per retry
     // inside the publish closure (the head — and its schema — may move)
     chainVersions(spark, c).lastOption.foreach(v =>
       evolvedSchema(versionSchema(spark, c, v), df.schema, evolve, c.label))
-    val segBody = stageSegment(spark, c.table, df, statsCols)
+    val segBody = stageSegment(spark, c.table, df, statsCols, bucketCols)
     publish(spark, c, head => {
       val snapshot = evolvedSchema(
         head.flatMap(versionSchema(spark, c, _)), df.schema, evolve, c.label)
@@ -751,8 +835,9 @@ object Snapshots {
     */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    statsCols: Seq[String] = Nil,
-                   evolve: Boolean = false): Int =
-    appendChain(spark, mainChain(table), df, statsCols, evolve, None)
+                   evolve: Boolean = false,
+                   bucketCols: Map[String, Int] = Map.empty): Int =
+    appendChain(spark, mainChain(table), df, statsCols, evolve, None, bucketCols)
 
   /** A requested stats range for [[readPrunedWhere]] — one per column,
     * combined as a CONJUNCTION. Bounds are inclusive. String bounds
@@ -880,6 +965,37 @@ object Snapshots {
   def readPruned(spark: SparkSession, table: String, statsCol: String,
                  lo: Long, hi: Long, version: Option[Int] = None): DataFrame =
     readPrunedWhere(spark, table, Seq(LongRange(statsCol, lo, hi)), version)
+
+  /** Point-lookup read: rows whose `keyCol` equals any of `keys`,
+    * planned through EVERY committed per-file stat — bucket occupancy
+    * (the stat that works on hash-distributed keys, where min/max
+    * spans the domain in every file) AND (min, max) where present. On
+    * a bucket-clustered table a k-key lookup opens O(k) files out of
+    * 10⁶ with zero footer reads — the "fetch these documents by id"
+    * path a curation pipeline runs constantly. `keys` is a bounded
+    * literal list (a request batch, like [[erasePlan]]'s); the
+    * predicate is re-applied per row, so stats-less files only cost
+    * speed. Composes with merge-on-read deletes.
+    */
+  def readPrunedByKey(spark: SparkSession, table: String, keyCol: String,
+                      keys: Seq[Any], version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "at least one key required")
+    val c = mainChain(table)
+    val v = resolveChainVersion(spark, c, version)
+    val ks = keys.filter(_ != null)
+    val st = chainSchema(spark, c, v).orElse(versionSchema(spark, c, v))
+    val dt = st.map(_.apply(keyCol).dataType)
+    val keep: Entry => Boolean = keyTouches(_, keyCol, ks, dt)
+    val base =
+      if (hasMorDeletes(bodyLines(spark, c, v))) morScanChain(spark, c, v, keep)
+      else {
+        val kept = manifestEntries(spark, c, v).filter(keep)
+        if (kept.isEmpty) read(spark, table, Some(v)).limit(0)
+        else scan(spark, table, st, kept)
+      }
+    base.filter(col(keyCol).isin(ks: _*))
+  }
 
   /** Exactly-once append for replayable sources (streaming foreachBatch):
     * the commit records `token` (e.g. the micro-batch id) in its
@@ -1029,30 +1145,40 @@ object Snapshots {
     RewritePlan(r, k)
   }
 
-  /** Does any erase key fall inside this entry's committed stats for
-    * `keyCol`? No stats, or a kind/type mismatch, answers true —
-    * correctness never rests on the stats.
+  /** Can any key fall inside this entry's committed metadata for
+    * `keyCol`? A key must be admitted by BOTH the (min, max) stats and
+    * the bucket occupancy to touch; either stat missing (or a
+    * kind/type mismatch) admits — correctness never rests on the stats.
+    * `keyDt` enables the bucket check (the driver replays the bucket
+    * expression on each literal key).
     */
-  private def keyTouches(e: Entry, keyCol: String, keys: Seq[Any]): Boolean =
-    e.stats.get(keyCol) match {
+  private def keyTouches(e: Entry, keyCol: String, keys: Seq[Any],
+                         keyDt: Option[DataType] = None): Boolean = {
+    def statAdmit(k: Any): Boolean = e.stats.get(keyCol) match {
       case None => true
-      case Some(cs) => keys.exists { k =>
-        (cs.kind, k) match {
-          case ("long", n: java.lang.Number) =>
-            val v = n.longValue
-            v >= cs.lo.toLong && v <= cs.hi.toLong
-          case ("string", s: String) =>
-            utf8Cmp(s, cs.lo) >= 0 && utf8Cmp(s, cs.hi) <= 0
-          case ("date", d: java.sql.Date) =>
-            val v = d.toLocalDate.toEpochDay
-            v >= cs.lo.toLong && v <= cs.hi.toLong
-          case ("date", d: java.time.LocalDate) =>
-            val v = d.toEpochDay
-            v >= cs.lo.toLong && v <= cs.hi.toLong
-          case _ => true // unexpected key type: rewrite conservatively
-        }
+      case Some(cs) => (cs.kind, k) match {
+        case ("long", n: java.lang.Number) =>
+          val v = n.longValue
+          v >= cs.lo.toLong && v <= cs.hi.toLong
+        case ("string", s: String) =>
+          utf8Cmp(s, cs.lo) >= 0 && utf8Cmp(s, cs.hi) <= 0
+        case ("date", d: java.sql.Date) =>
+          val v = d.toLocalDate.toEpochDay
+          v >= cs.lo.toLong && v <= cs.hi.toLong
+        case ("date", d: java.time.LocalDate) =>
+          val v = d.toEpochDay
+          v >= cs.lo.toLong && v <= cs.hi.toLong
+        case _ => true // unexpected key type: rewrite conservatively
       }
     }
+    def bucketAdmit(k: Any): Boolean = (e.buckets.get(keyCol), keyDt) match {
+      case (Some(b), Some(dt)) =>
+        try b.ids.contains(bucketOf(k, dt, b.mod))
+        catch { case _: Exception => true } // un-evaluable: conservative
+      case _ => true
+    }
+    keys.exists(k => statAdmit(k) && bucketAdmit(k))
+  }
 
   /** The [[erasePurgeCommit]] rewrite plan for `keys` against the head
     * (or given) version — exposed so specs and probes can pin "k of N
@@ -1068,7 +1194,8 @@ object Snapshots {
     // request batch (bounded), and the same values broadcast into the
     // rewrite scan anyway
     val ks = keys.distinct().collect().map(_.get(0)).filter(_ != null).toSeq
-    splitByTouch(manifestEntries(spark, c, v), keyTouches(_, keyCol, ks))
+    splitByTouch(manifestEntries(spark, c, v),
+      keyTouches(_, keyCol, ks, Some(keys.schema.head.dataType)))
   }
 
   /** Shared tail of the stats-pruned delete commits: rewrite only
@@ -1113,6 +1240,8 @@ object Snapshots {
     (e.path +: (e.size.map(SizeCell + _).toSeq ++
       e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
         s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
+      } ++ e.buckets.toSeq.sortBy(_._1).map { case (c, b) =>
+        s"$BucketCellPrefix${enc(c)}=${b.mod}:${b.ids.mkString(",")}"
       })).mkString("\t")
 
   /** Row-level erasure, the PHYSICAL half (GDPR "right to be forgotten"):
@@ -1311,9 +1440,23 @@ object Snapshots {
     if (band.isEmpty && es.forall(_.stats.contains(keyCol)))
       // an all-NULL (or empty) batch matches nothing; es with stats prove it
       return RewritePlan(Seq.empty, es)
+    // committed bucket occupancy prunes candidates by EQUALITY, which a
+    // global band cannot on an unclustered key: one tiny distinct-agg of
+    // the batch's bucket ids per mod in use (driver rows <= mod), then a
+    // set-intersection test per entry
+    val mods = es.flatMap(_.buckets.get(keyCol)).map(_.mod).distinct
+    val batchBuckets: Map[Int, Set[Int]] = mods.map { m =>
+      m -> keys.select(bucketExpr(k, m).cast("int")).na.drop().distinct()
+        .collect().map(_.getInt(0)).toSet
+    }.toMap
+    def bucketCand(e: Entry): Boolean = e.buckets.get(keyCol) match {
+      case Some(b) => batchBuckets.get(b.mod).forall(s => b.ids.exists(s))
+      case None => true
+    }
     val (cand, carry0) = band match {
-      case Some(b) => es.partition(e => overlaps(e.stats.get(keyCol), b))
-      case None => (es, Seq.empty[Entry])
+      case Some(b) =>
+        es.partition(e => overlaps(e.stats.get(keyCol), b) && bucketCand(e))
+      case None => es.partition(bucketCand)
     }
     if (cand.isEmpty) return RewritePlan(Seq.empty, es)
     // move 2: executor-side touch probe over the candidates only.

@@ -748,6 +748,61 @@ class SnapshotsSpec extends SparkTestBase {
     assert(got.filter(col("id").isNull).select("v").as[String].head() == "n")
   }
 
+  test("bucket occupancy stats: equality pruning on a hash-distributed " +
+       "key where min/max stats are useless") {
+    val t = freshTable()
+    // bucket-clustered layout: each of 16 files holds 1+ full hash
+    // buckets; ids inside a file span nearly the whole [0, 8000) domain,
+    // so (min, max) alone can prune almost nothing
+    val df = spark.range(0, 8000).toDF("id").withColumn("v", col("id") * 7)
+      .repartition(16, pmod(xxhash64(col("id")), lit(16L)))
+    Snapshots.commitOverwrite(spark, t, df,
+      statsCols = Seq("id"), bucketCols = Map("id" -> 16))
+    // bucket values collide across hash partitions, so <= 16 files; all
+    // non-empty files carry a bucket cell
+    val es = Snapshots.entries(spark, t)
+    val bucketed = es.filter(_.buckets.contains("id"))
+    assert(bucketed.size >= 8 && bucketed.size == es.count(_.stats.contains("id")))
+    // min/max really is useless here: every file's band spans >90% of
+    // the domain, so a 3-key erase would touch every file without the
+    // bucket cells
+    assert(bucketed.forall(e => {
+      val cs = e.stats("id"); cs.hi.toLong - cs.lo.toLong > 7200
+    }))
+    val keys = Seq(5L, 9L, 4242L).toDF("k")
+    val plan = Snapshots.erasePlan(spark, t, "id", keys)
+    assert(plan.rewrite.size <= 3 && plan.carry.size >= es.size - 3)
+    // point lookup plans through the same cells: <= 3 of 16 files open
+    val got = Snapshots.readPrunedByKey(spark, t, "id", Seq(5L, 9L, 4242L))
+    assert(got.inputFiles.length <= 3)
+    assert(got.select("id").as[Long].collect().toSet == Set(5L, 9L, 4242L))
+    // the purge carries the unbucketed-key files BY REFERENCE with their
+    // cells intact: a second plan on the purge head is still sharp
+    val headFiles = Snapshots.read(spark, t).inputFiles.toSet
+    val pv = Snapshots.erasePurgeCommit(spark, t, "id", keys)
+    assert(Snapshots.read(spark, t, Some(pv)).inputFiles.toSet
+      .intersect(headFiles).size >= headFiles.size - 3)
+    assert(Snapshots.read(spark, t, Some(pv)).count() == 7997)
+    val plan2 = Snapshots.erasePlan(spark, t, "id", Seq(77L).toDF("k"), Some(pv))
+    assert(plan2.rewrite.size <= 2) // 77's original file + maybe the rewritten one
+    // merge planning uses the cells too: a 2-key update batch rewrites
+    // at most the 2 matched files, and the insert key forces none
+    val src = Seq((5000L, -1L), (5001L, -2L), (90000L, -3L)).toDF("id", "v")
+    val mplan = Snapshots.mergeTouchPlan(spark, t, "id", src.select("id"))
+    assert(mplan.rewrite.size <= 2)
+    val mv = Snapshots.mergeIntoCommit(spark, t, "id", src)
+    val after = Snapshots.read(spark, t, Some(mv))
+    assert(after.filter(col("id").isin(5000L, 5001L, 90000L))
+      .select("v").as[Long].collect().toSet == Set(-1L, -2L, -3L))
+    // a file spanning too many buckets records no cell: conservative
+    val t2 = freshTable()
+    Snapshots.commitOverwrite(spark, t2,
+      spark.range(0, 1000).toDF("id").coalesce(1),
+      bucketCols = Map("id" -> 64))
+    assert(Snapshots.entries(spark, t2).forall(_.buckets.isEmpty))
+    assert(Snapshots.readPrunedByKey(spark, t2, "id", Seq(3L)).count() == 1)
+  }
+
   test("eraseMoRCommit: O(keys) logical delete — no data movement, " +
        "re-inserts survive, deletes stack, pruned reads compose") {
     val t = freshTable()
