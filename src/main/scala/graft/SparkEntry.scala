@@ -3196,6 +3196,30 @@ object SparkEntry {
         .unionAll(slice(Snapshots.read(s, t), "post"))
     }),
 
+    // METADATA-ONLY count(*) through the snapshot format — every commit
+    // whose stats pass runs records a per-file `rc=` row count, so
+    // rowCount answers from a driver-side sum over the parsed manifest:
+    // zero files opened, zero jobs (the lakehouse numRecords contract;
+    // SnapshotsSpec pins the metadata path, the carry-by-reference
+    // preservation, and the MoR/stats-less fallbacks). Two states
+    // hashed — the time-travel count and the head count after an
+    // append — so a stale, double-counted, or dropped rc cell breaks
+    // the hash.
+    "q_meta_count" -> ((s, dir) => {
+      import s.implicits._
+      val root = materializedDir("metacount", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, t, d.filter(col("doc_id") % 3 === 0),
+          statsCols = Seq("doc_id"))
+        Snapshots.commitAppend(s, t, d.filter(col("doc_id") % 3 =!= 0),
+          statsCols = Seq("doc_id"))
+      }
+      val t = root + "/t"
+      Seq(("v1", Snapshots.rowCount(s, t, Some(1))),
+          ("head", Snapshots.rowCount(s, t))).toDF("state", "n_rows")
+    }),
+
     // BUCKET-OCCUPANCY point lookup through the snapshot format — the
     // equality-pruning stat for hash-distributed keys, where per-file
     // (min, max) spans the whole domain and prunes nothing: the table
@@ -5102,6 +5126,10 @@ object SparkEntry {
     // latest-wins collapse, carried-by-reference files) must land the
     // IDENTICAL snapshot the logical merge computes
     "q_snapshot_merge" -> mergeCdcSql,
+    // the metadata-only counts must equal the scan counts exactly
+    "q_meta_count" -> ("SELECT 'v1' AS state, count(*)::BIGINT AS n_rows " +
+      "FROM documents WHERE doc_id % 3 = 0 UNION ALL " +
+      "SELECT 'head', count(*)::BIGINT FROM documents"),
     // the bucket-pruned point lookup must return exactly the keyed rows
     // — planning through per-file bucket cells is pure metadata, so the
     // oracle is the plain IN-list select

@@ -201,7 +201,8 @@ object Snapshots {
     */
   final case class Entry(path: String, size: Option[Long],
                          stats: Map[String, ColStat],
-                         buckets: Map[String, BucketStat] = Map.empty)
+                         buckets: Map[String, BucketStat] = Map.empty,
+                         rows: Option[Long] = None)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -213,6 +214,9 @@ object Snapshots {
   // prefix cannot collide with a stats cell (URLEncoder escapes '~' to
   // %7E, so an encoded column name never starts with a literal '~')
   private val BucketCellPrefix = "~"
+  // per-file row count, recorded whenever a commit's stats pass runs
+  // (same reserved-prefix discipline as `sz=`)
+  private val RowsCell = "rc="
 
   private def parseEntry(line: String): Entry = {
     val cells = line.split('\t')
@@ -221,6 +225,10 @@ object Snapshots {
     val size = cells.drop(1).collectFirst {
       case c if c.startsWith(SizeCell) && c.drop(SizeCell.length).forall(_.isDigit)
         && c.length > SizeCell.length => c.drop(SizeCell.length).toLong
+    }
+    val rows = cells.drop(1).collectFirst {
+      case c if c.startsWith(RowsCell) && c.drop(RowsCell.length).forall(_.isDigit)
+        && c.length > RowsCell.length => c.drop(RowsCell.length).toLong
     }
     val buckets = cells.drop(1).flatMap { cell =>
       if (!cell.startsWith(BucketCellPrefix)) None
@@ -248,7 +256,7 @@ object Snapshots {
         case _ => None
       }
     }.toMap
-    Entry(cells.head, size, stats, buckets)
+    Entry(cells.head, size, stats, buckets, rows)
   }
 
   // ----------------------------------------------------------- segments
@@ -623,7 +631,7 @@ object Snapshots {
     // to attach stats to anyway
     if ((statsCols.isEmpty && bucketCols.isEmpty) || rels.isEmpty) rels
     else {
-      import org.apache.spark.sql.functions.{col, collect_set, input_file_name, max, min}
+      import org.apache.spark.sql.functions.{col, collect_set, count, input_file_name, lit, max, min}
       bucketCols.foreach { case (c, m) =>
         require(m >= 2, s"bucketCols($c) needs mod >= 2, got $m") }
       val reread = spark.read.parquet(new Path(table, rel).toString)
@@ -633,8 +641,9 @@ object Snapshots {
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))) ++
         bks.map { case (c, m) =>
-          collect_set(bucketExpr(c, m).cast("int")).as(s"__bk_$c") }
-      val byName: Map[String, (Seq[(String, ColStat)], Seq[(String, BucketStat)])] =
+          collect_set(bucketExpr(c, m).cast("int")).as(s"__bk_$c") } :+
+        count(lit(1)).as("__rc") // row count rides the same pass for free
+      val byName: Map[String, (Seq[(String, ColStat)], Seq[(String, BucketStat)], Long)] =
         reread
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
@@ -659,17 +668,20 @@ object Snapshots {
               if (ids.isEmpty || ids.size > BucketIdsMax) None
               else Some(c -> BucketStat(m, ids))
             }
-            r.getString(0).split('/').last -> ((stats, bstats))
+            r.getString(0).split('/').last ->
+              ((stats, bstats, r.getLong(base + bks.size)))
           }.toMap
       rels.map { r =>
-        val (cells, bcells) = byName.getOrElse(
-          r.split('\t').head.split('/').last, (Seq.empty, Seq.empty))
-        if (cells.isEmpty && bcells.isEmpty) r
-        else (r +: (cells.map { case (c, st) =>
+        // a staged file absent from the grouped pass holds zero rows
+        // (an empty part file): its row count is a true 0
+        val (cells, bcells, rc) = byName.getOrElse(
+          r.split('\t').head.split('/').last,
+          (Seq.empty[(String, ColStat)], Seq.empty[(String, BucketStat)], 0L))
+        (r +: (s"$RowsCell$rc" +: (cells.map { case (c, st) =>
           s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
         } ++ bcells.map { case (c, b) =>
           s"$BucketCellPrefix${enc(c)}=${b.mod}:${b.ids.mkString(",")}"
-        })).mkString("\t")
+        }))).mkString("\t")
       }
     }
   }
@@ -966,6 +978,27 @@ object Snapshots {
                  lo: Long, hi: Long, version: Option[Int] = None): DataFrame =
     readPrunedWhere(spark, table, Seq(LongRange(statsCol, lo, hi)), version)
 
+  /** `count(*)` from manifest metadata ALONE when every entry of the
+    * version carries a committed per-file row count (any commit whose
+    * stats pass ran — `statsCols` or `bucketCols` — records one): a
+    * driver-side sum over the parsed manifest, zero files opened, zero
+    * jobs. The metadata-only count the lakehouse formats answer
+    * `SELECT count(*)` with. Falls back to an honest scan-count when
+    * any entry predates row counts or merge-on-read deletes pend (their
+    * removed-row count is not knowable from metadata).
+    */
+  def rowCount(spark: SparkSession, table: String,
+               version: Option[Int] = None): Long = {
+    val c = mainChain(table)
+    val v = resolveChainVersion(spark, c, version)
+    if (!hasMorDeletes(bodyLines(spark, c, v))) {
+      val es = manifestEntries(spark, c, v)
+      if (es.isEmpty) return 0L
+      if (es.forall(_.rows.isDefined)) return es.flatMap(_.rows).sum
+    }
+    read(spark, table, Some(v)).count()
+  }
+
   /** Point-lookup read: rows whose `keyCol` equals any of `keys`,
     * planned through EVERY committed per-file stat — bucket occupancy
     * (the stat that works on hash-distributed keys, where min/max
@@ -1103,10 +1136,25 @@ object Snapshots {
       statsCols = Seq(orderCol))
   }
 
+  /** OPTIMIZE for bucket layouts: compaction + re-cluster by the bucket
+    * expression + bucket-cell (and stats) refresh in ONE committed
+    * version. The maintenance move after appends fragment a bucketed
+    * table — appended files interleave buckets (or lack cells
+    * entirely), so [[readPrunedByKey]]'s pruning decays until a
+    * re-cluster makes each file hold few buckets again.
+    */
+  def compactCommitBucketed(spark: SparkSession, table: String,
+                            targetFileBytes: Long, keyCol: String, mod: Int,
+                            statsCols: Seq[String] = Nil): Int =
+    maintenanceCommit(spark, table, targetFileBytes,
+      (df, n) => df.repartition(n, bucketExpr(keyCol, mod)),
+      statsCols, Map(keyCol -> mod))
+
   private def maintenanceCommit(spark: SparkSession, table: String,
                                 targetFileBytes: Long,
                                 arrange: (DataFrame, Int) => DataFrame,
-                                statsCols: Seq[String]): Int = {
+                                statsCols: Seq[String],
+                                bucketCols: Map[String, Int] = Map.empty): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val c = mainChain(table)
     val head = chainVersions(spark, c).lastOption
@@ -1120,7 +1168,7 @@ object Snapshots {
       else es.map(e => f.getFileStatus(new Path(table, e.path)).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val source = read(spark, table, Some(head))
-    val body = stageSegment(spark, table, arrange(source, n), statsCols)
+    val body = stageSegment(spark, table, arrange(source, n), statsCols, bucketCols)
     // commit on TOP OF the head we compacted: if someone else committed
     // meanwhile, compacting over it would silently drop their commit —
     // fail instead (compaction is maintenance; rerun it)
@@ -1238,6 +1286,7 @@ object Snapshots {
 
   private def renderEntry(e: Entry): String =
     (e.path +: (e.size.map(SizeCell + _).toSeq ++
+      e.rows.map(RowsCell + _).toSeq ++
       e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
         s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
       } ++ e.buckets.toSeq.sortBy(_._1).map { case (c, b) =>

@@ -803,6 +803,60 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readPrunedByKey(spark, t2, "id", Seq(3L)).count() == 1)
   }
 
+  test("rowCount: metadata-only count(*) where row counts are committed; " +
+       "honest fallback where they are not") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 800).toDF("id")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    assert(Snapshots.entries(spark, t).forall(_.rows.isDefined))
+    assert(Snapshots.rowCount(spark, t) == 800L)
+    // a partial rewrite carries row counts by reference and restates
+    // them for the rewritten segment: still metadata-only, still right
+    val pv = Snapshots.erasePurgeCommit(spark, t, "id",
+      Seq(150L, 450L).toDF("k"), statsCols = Seq("id"))
+    assert(Snapshots.entries(spark, t, Some(pv)).forall(_.rows.isDefined))
+    assert(Snapshots.rowCount(spark, t, Some(pv)) == 798L)
+    // a pending merge-on-read delete makes metadata counts unknowable:
+    // the fallback scan-count stays correct
+    Snapshots.eraseMoRCommit(spark, t, "id", Seq(7L).toDF("k"))
+    assert(Snapshots.rowCount(spark, t) == 797L)
+    // a stats-less commit records no counts: honest fallback
+    val t2 = freshTable()
+    Snapshots.commitOverwrite(spark, t2, spark.range(0, 99).toDF("id"))
+    assert(Snapshots.entries(spark, t2).forall(_.rows.isEmpty))
+    assert(Snapshots.rowCount(spark, t2) == 99L)
+  }
+
+  test("compactCommitBucketed restores decayed point-lookup pruning; " +
+       "a replayed merge is idempotent in effect") {
+    val t = freshTable()
+    val df = spark.range(0, 4000).toDF("id").withColumn("v", col("id") * 3)
+    Snapshots.commitOverwrite(spark, t,
+      df.repartition(16, pmod(xxhash64(col("id")), lit(16L))),
+      statsCols = Seq("id"), bucketCols = Map("id" -> 16))
+    // cell-less appends decay pruning: lookups must now read them all
+    (0 until 3).foreach(i => Snapshots.commitAppend(spark, t,
+      spark.range(4000 + i * 100, 4100 + i * 100).toDF("id")
+        .withColumn("v", col("id") * 3).repartition(4)))
+    val decayed = Snapshots.readPrunedByKey(spark, t, "id", Seq(5L))
+    assert(decayed.inputFiles.length > 12) // appended files all read
+    val cv = Snapshots.compactCommitBucketed(spark, t,
+      targetFileBytes = 8L << 10, keyCol = "id", mod = 16)
+    val sharp = Snapshots.readPrunedByKey(spark, t, "id", Seq(5L), Some(cv))
+    assert(sharp.inputFiles.length <= 3)
+    assert(sharp.select("id").as[Long].collect().toSeq == Seq(5L))
+    assert(Snapshots.rowCount(spark, t, Some(cv)) == 4300L)
+    // merge replay: same batch twice -> same snapshot content (updates
+    // rewrite the same values, former inserts now match as updates)
+    val src = Seq((5L, -5L), (99999L, -9L)).toDF("id", "v")
+    Snapshots.mergeIntoCommit(spark, t, "id", src)
+    val once = Snapshots.read(spark, t).as[(Long, Long)].collect().toSet
+    Snapshots.mergeIntoCommit(spark, t, "id", src)
+    assert(Snapshots.read(spark, t).as[(Long, Long)].collect().toSet == once)
+  }
+
   test("eraseMoRCommit: O(keys) logical delete — no data movement, " +
        "re-inserts survive, deletes stack, pruned reads compose") {
     val t = freshTable()
