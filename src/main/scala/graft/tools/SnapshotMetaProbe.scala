@@ -101,17 +101,73 @@ object SnapshotMetaProbe {
         f"${fileListBytes / files}%10d $metaMs%8d $planMs%8d $deltaMs%14d")
     }
 
+    // merge-on-read erase on the 10⁴-file table: the O(keys) logical
+    // delete — metadata written is one key file + one version file,
+    // regardless of the 10⁴ data files
+    val morManifests = s"$base/t/_manifests"
+    def dirBytes(d: String): Long = {
+      var s = 0L
+      java.nio.file.Files.list(java.nio.file.Paths.get(d)).iterator()
+        .forEachRemaining(p => s += java.nio.file.Files.size(p))
+      s
+    }
+    val preBytes = dirBytes(morManifests) + segmentBytes()
+    import spark.implicits._
+    val (mv, morMs) = timeMs {
+      Snapshots.eraseMoRCommit(spark, t, "id",
+        spark.range(0, 1000, 10).toDF("key"))
+    }
+    val morMeta = dirBytes(morManifests) + segmentBytes() - preBytes
+    val (morPlanned, morPlanMs) = timeMs(
+      Snapshots.read(spark, t).inputFiles.length)
+    println(s"mor_erase at $files files: commit_ms=$morMs " +
+      s"commit_meta_B=$morMeta (vs $files data files untouched), " +
+      s"head_plan_ms=$morPlanMs planned=$morPlanned v=$mv")
+
     // erase pruning: keys in 2 of 16 disjoint bands
     val e = s"$base/erase"
     Snapshots.commitOverwrite(spark, e,
       spark.range(0, 1600).toDF("id")
         .repartitionByRange(16, col("id")).sortWithinPartitions("id"),
       statsCols = Seq("id"))
-    import spark.implicits._
     val plan = Snapshots.erasePlan(spark, e, "id",
       Seq(150L, 160L, 950L).toDF("key"))
     println(s"erase_plan: rewrite=${plan.rewrite.size} of 16, " +
       s"carried_by_reference=${plan.carry.size}")
+
+    // merge planning on the same clustered table: updates in 2 bands +
+    // inserts beyond every band — the executor touch probe narrows the
+    // rewrite to the matched files only
+    val msrc = Seq(150L, 160L, 950L, 99999L, 99998L).toDF("id")
+    val mplan = Snapshots.mergeTouchPlan(spark, e, "id", msrc)
+    println(s"merge_plan: rewrite=${mplan.rewrite.size} of 16, " +
+      s"carried_by_reference=${mplan.carry.size} (2 update bands, " +
+      "2 insert keys beyond all bands)")
+
+    // bucket occupancy vs min/max on a HASH-DISTRIBUTED key: same data,
+    // same layout, with and without bucket cells — the equality-pruning
+    // evidence (min/max alone must rewrite everything)
+    val b1 = s"$base/bucketed"
+    val b0 = s"$base/unbucketed"
+    val bdf = spark.range(0, 100000).toDF("id")
+      .repartition(64, org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("id")),
+        org.apache.spark.sql.functions.lit(64L)))
+    Snapshots.commitOverwrite(spark, b1, bdf,
+      statsCols = Seq("id"), bucketCols = Map("id" -> 64))
+    Snapshots.commitOverwrite(spark, b0, bdf, statsCols = Seq("id"))
+    val bkeys = Seq(5L, 777L, 54321L).toDF("key")
+    val bp1 = Snapshots.erasePlan(spark, b1, "id", bkeys)
+    val bp0 = Snapshots.erasePlan(spark, b0, "id", bkeys)
+    val nb = Snapshots.entries(spark, b1).size
+    println(s"bucket_plan: 3-key erase on hash-distributed id over $nb " +
+      s"files: with bucket cells rewrite=${bp1.rewrite.size}, " +
+      s"min/max only rewrite=${bp0.rewrite.size}")
+    val (lkFiles, lkMs) = timeMs(
+      Snapshots.readPrunedByKey(spark, b1, "id", Seq(5L, 777L, 54321L))
+        .inputFiles.length)
+    println(s"bucket_lookup: 3-key point read plans $lkFiles of $nb files " +
+      s"in ${lkMs}ms")
     spark.stop()
   }
 }
