@@ -3196,6 +3196,57 @@ object SparkEntry {
         .unionAll(slice(Snapshots.read(s, t), "post"))
     }),
 
+    // STREAMING CDC UPSERT SINK — the change log arrives as three
+    // mtime-ordered micro-batches (seq 1 updates; seq 2 updates; seq 3
+    // updates + the seq-4 deletes + the inserts) and each trigger
+    // applies its batch through the format-level mergeIntoCommit.
+    // Sequential seq-ordered merges ≡ the one-shot latest-wins apply,
+    // so the head shares q_merge_cdc's oracle VERBATIM. Exactly-once
+    // EFFECTS without tokens: merge is idempotent in effect, and each
+    // trigger PROVES it by re-running its merge and requiring a
+    // row-level diff of the two versions to be empty — the contract an
+    // at-least-once foreachBatch retry leans on.
+    "q_stream_merge_sink" -> ((s, dir) => {
+      val runner = graft.streaming.StreamRunner
+      val (d, changes) = cdcDocsAndChanges(s, dir)
+      val srcDir = materializedDir("streammergesrc", dir) { inPath =>
+        val base = new java.io.File(inPath)
+        base.mkdirs()
+        val t0 = System.currentTimeMillis() - 600000L
+        dumpBatchFile(base, changes.filter(col("seq") === 1L &&
+          col("doc_id") < 10000000L), "b0", t0)
+        dumpBatchFile(base, changes.filter(col("seq") === 2L), "b1",
+          t0 + 60000L)
+        dumpBatchFile(base, changes.filter(col("seq") >= 3L)
+          .unionByName(changes.filter(col("doc_id") >= 10000000L)), "b2",
+          t0 + 120000L)
+      }
+      val root = materializedDir("streammerge", dir) { outPath =>
+        val t = outPath + "/t"
+        Snapshots.commitOverwrite(s, t,
+          d.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+          statsCols = Seq("doc_id"))
+        val src = runner.fileSource(s, srcDir, StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("source", StringType), StructField("n_chars", LongType),
+          StructField("seq", LongType), StructField("op", StringType))),
+          maxFilesPerTrigger = Some(1))
+        runner.foreachBatchSink(src, (batch, batchId) => {
+          val v1 = Snapshots.mergeIntoCommit(s, t, "doc_id", batch,
+            seqCol = Some("seq"), opCol = Some("op"), statsCols = Seq("doc_id"))
+          val v2 = Snapshots.mergeIntoCommit(s, t, "doc_id", batch,
+            seqCol = Some("seq"), opCol = Some("op"), statsCols = Seq("doc_id"))
+          require(Snapshots.diff(Snapshots.read(s, t, Some(v1)),
+            Snapshots.read(s, t, Some(v2)), Seq("doc_id")).isEmpty,
+            s"batch $batchId replayed merge changed the snapshot")
+        }, trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+          .awaitTermination()
+      }
+      Snapshots.read(s, root + "/t")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // METADATA-ONLY count(*) through the snapshot format — every commit
     // whose stats pass runs records a per-file `rc=` row count, so
     // rowCount answers from a driver-side sum over the parsed manifest:
@@ -5126,6 +5177,9 @@ object SparkEntry {
     // latest-wins collapse, carried-by-reference files) must land the
     // IDENTICAL snapshot the logical merge computes
     "q_snapshot_merge" -> mergeCdcSql,
+    // sequential seq-ordered streamed merges must land the identical
+    // snapshot the one-shot logical merge computes
+    "q_stream_merge_sink" -> mergeCdcSql,
     // the metadata-only counts must equal the scan counts exactly
     "q_meta_count" -> ("SELECT 'v1' AS state, count(*)::BIGINT AS n_rows " +
       "FROM documents WHERE doc_id % 3 = 0 UNION ALL " +

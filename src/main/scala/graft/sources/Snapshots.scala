@@ -1136,6 +1136,54 @@ object Snapshots {
       statsCols = Seq(orderCol))
   }
 
+  /** INCREMENTAL compaction — the maintenance move that scales: rewrite
+    * only files smaller than `smallFileBytes` into `targetFileBytes`-
+    * sized packed files and carry every already-right-sized file BY
+    * REFERENCE (stats, buckets and row counts intact). A streaming sink
+    * appending every trigger leaves thousands of tiny files; the full
+    * [[compactCommit]] pays an O(table) rewrite to fix them, which at
+    * 100 TB is not a routine maintenance cost — this pays O(small
+    * files) only. Entries without a committed size conservatively count
+    * as small (pre-r15 lines — compacting them also upgrades their
+    * metadata). Statistics for the packed segment are recomputed when
+    * `statsCols`/`bucketCols` are passed; refuses while merge-on-read
+    * deletes pend (same resurrection hazard as every partial rewrite —
+    * fold with [[compactCommit]] first, which also resets the body).
+    * No-ops (returns the head unchanged) when fewer than two small
+    * files exist — one small file cannot pack into fewer.
+    */
+  def compactSmallFilesCommit(spark: SparkSession, table: String,
+                              targetFileBytes: Long, smallFileBytes: Long,
+                              statsCols: Seq[String] = Nil,
+                              bucketCols: Map[String, Int] = Map.empty): Int = {
+    require(targetFileBytes > 0 && smallFileBytes > 0 &&
+      smallFileBytes <= targetFileBytes,
+      "need 0 < smallFileBytes <= targetFileBytes")
+    val c = mainChain(table)
+    val head = chainVersions(spark, c).lastOption
+      .getOrElse(sys.error(s"$table has no committed versions"))
+    requireNoMorDeletes(spark, c, head)
+    val es = manifestEntries(spark, c, head)
+    val (small, big) = es.partition(_.size.forall(_ < smallFileBytes))
+    if (small.size < 2) return head
+    val schema = versionSchema(spark, c, head)
+    val bytes = small.flatMap(_.size).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val packed = scan(spark, table, schema, small).repartition(n)
+    val body = stageSegment(spark, table, packed, statsCols, bucketCols)
+    val carryBody =
+      if (big.isEmpty) Seq.empty
+      else Seq(writeSegment(spark, table, big.map(renderEntry)))
+    publish(spark, c, h => {
+      require(h.contains(head),
+        s"concurrent commit during small-file compaction (head moved " +
+          s"$head -> $h); rerun")
+      schemaLine(relaxed(schema.getOrElse(
+        sys.error(s"$table v$head has no schema to compact under")))) +:
+        (carryBody ++ body)
+    })
+  }
+
   /** OPTIMIZE for bucket layouts: compaction + re-cluster by the bucket
     * expression + bucket-cell (and stats) refresh in ONE committed
     * version. The maintenance move after appends fragment a bucketed

@@ -803,6 +803,41 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readPrunedByKey(spark, t2, "id", Seq(3L)).count() == 1)
   }
 
+  test("compactSmallFilesCommit packs only the small files; right-sized " +
+       "files carry by reference with their stats") {
+    val t = freshTable()
+    // one big base file + 12 tiny appended files
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 20000).toDF("id").coalesce(1), statsCols = Seq("id"))
+    (0 until 12).foreach(i => Snapshots.commitAppend(spark, t,
+      spark.range(20000 + i * 10, 20010 + i * 10).toDF("id").coalesce(1),
+      statsCols = Seq("id")))
+    val bigFile = Snapshots.read(spark, t, Some(1)).inputFiles.head
+    assert(Snapshots.read(spark, t).inputFiles.length == 13)
+    val cv = Snapshots.compactSmallFilesCommit(spark, t,
+      targetFileBytes = 1L << 30, smallFileBytes = 8L << 10,
+      statsCols = Seq("id"))
+    val after = Snapshots.read(spark, t, Some(cv))
+    // 12 tiny files -> 1 packed; the big base file untouched, by reference
+    assert(after.inputFiles.length == 2)
+    assert(after.inputFiles.contains(bigFile))
+    assert(after.select("id").as[Long].collect().toSet ==
+      (0L until 20120L).toSet)
+    // stats survived on both sides: carried (big) + recomputed (packed)
+    assert(Snapshots.entries(spark, t, Some(cv)).forall(_.stats.contains("id")))
+    assert(Snapshots.rowCount(spark, t, Some(cv)) == 20120L)
+    // old fragmented version still readable (snapshot isolation)
+    assert(Snapshots.read(spark, t, Some(13)).inputFiles.length == 13)
+    // fewer than two small files: a no-op that returns the head
+    assert(Snapshots.compactSmallFilesCommit(spark, t,
+      targetFileBytes = 1L << 30, smallFileBytes = 8L << 10) == cv)
+    // pending MoR deletes refuse (the shared partial-rewrite hazard)
+    Snapshots.eraseMoRCommit(spark, t, "id", Seq(5L).toDF("k"))
+    intercept[IllegalArgumentException] {
+      Snapshots.compactSmallFilesCommit(spark, t, 1L << 30, 8L << 10)
+    }
+  }
+
   test("rowCount: metadata-only count(*) where row counts are committed; " +
        "honest fallback where they are not") {
     val t = freshTable()
