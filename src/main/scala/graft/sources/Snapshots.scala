@@ -124,6 +124,12 @@ object Snapshots {
   private val TokenHeader = "# token="
   private val SchemaHeader = "# schema="
   private val ForkHeader = "# fork="
+  // wall-clock commit time, stamped by publish() on every version file:
+  // drives AS-OF timestamp resolution and the history metadata table.
+  // Advisory like any wall clock (not the serialization order source —
+  // version numbers are), but monotone in practice since commits
+  // serialize through the slot.
+  private val TimeHeader = "# ts="
   private val SegRef = "@"
   // a merge-on-read EQUALITY-DELETE segment reference:
   // `@-<urlenc keyCol>:<segment>` — the segment's entries are parquet
@@ -522,6 +528,74 @@ object Snapshots {
   def read(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame =
     readChain(spark, mainChain(table), version)
 
+  private def chainCommitTime(spark: SparkSession, c: Chain, v: Int): Option[Long] =
+    manifestLines(spark, c, v).collectFirst {
+      case l if l.startsWith(TimeHeader) => l.substring(TimeHeader.length).toLong
+    }
+
+  /** (version, commit wall-clock millis) per main-chain version, in
+    * version order. None for versions written before commit times were
+    * stamped.
+    */
+  def commitTimes(spark: SparkSession, table: String): Seq[(Int, Option[Long])] = {
+    val c = mainChain(table)
+    chainVersions(spark, c).map(v => v -> chainCommitTime(spark, c, v))
+  }
+
+  /** AS-OF read: the snapshot that was the head at wall-clock
+    * `tsMillis` — the latest version whose committed timestamp is <=
+    * the bound. The "read what production read at 14:30" contract;
+    * version-pinned reads ([[read]] with a version, or [[tagVersion]])
+    * remain the REPRODUCIBLE contract, since wall clocks are advisory.
+    * Versions predating commit timestamps cannot be time-resolved and
+    * are skipped with the same conservatism as any missing metadata;
+    * fails loudly when no version is old enough.
+    */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val c = mainChain(table)
+    val at = chainVersions(spark, c)
+      .filter(v => chainCommitTime(spark, c, v).exists(_ <= tsMillis))
+      .lastOption
+      .getOrElse(sys.error(s"$table has no version committed at or before " +
+        s"$tsMillis (${java.time.Instant.ofEpochMilli(tsMillis)})"))
+    read(spark, table, Some(at))
+  }
+
+  /** The history metadata table: one row per main-chain version —
+    * (version, committed_at, token, n_segments). The operational
+    * audit surface ("what landed when, under which idempotency
+    * token"); costs one small version-file read per version, never a
+    * segment expand.
+    */
+  def historyDf(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val c = mainChain(table)
+    chainVersions(spark, c).map { v =>
+      val lines = manifestLines(spark, c, v)
+      (v,
+        lines.collectFirst { case l if l.startsWith(TimeHeader) =>
+          new java.sql.Timestamp(l.substring(TimeHeader.length).toLong) }.orNull,
+        lines.collectFirst { case l if l.startsWith(TokenHeader) =>
+          l.substring(TokenHeader.length) }.orNull,
+        lines.count(!_.startsWith("#")))
+    }.toDF("version", "committed_at", "token", "n_segments")
+  }
+
+  /** The files metadata table of one version: (path, size_bytes,
+    * row_count, stats, buckets) per data file — [[entries]] as a
+    * DataFrame, stats rendered `kind:lo:hi` and buckets `mod:id,id`.
+    * What an external scheduler or a debugging session joins against.
+    */
+  def filesDf(spark: SparkSession, table: String,
+              version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    entries(spark, table, version).map { e =>
+      (e.path, e.size, e.rows,
+        e.stats.map { case (c, s) => c -> s"${s.kind}:${s.lo}:${s.hi}" },
+        e.buckets.map { case (c, b) => c -> s"${b.mod}:${b.ids.mkString(",")}" })
+    }.toDF("path", "size_bytes", "row_count", "stats", "buckets")
+  }
+
   /** Manifest string stats are TRUNCATED like parquet's column-index
     * bounds — a stats column over long text would otherwise copy whole
     * documents into every manifest line (a segment must stay a
@@ -749,7 +823,7 @@ object Snapshots {
     while (attempt < 50) {
       val head = chainVersions(spark, c).lastOption
       val next = head.getOrElse(0) + 1
-      val lines = base(head)
+      val lines = (TimeHeader + System.currentTimeMillis()) +: base(head)
       val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
       if (createExclusive(f, c.manifestPath(next), bytes)) return next
       attempt += 1

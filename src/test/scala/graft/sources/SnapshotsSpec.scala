@@ -803,6 +803,41 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readPrunedByKey(spark, t2, "id", Seq(3L)).count() == 1)
   }
 
+  test("readAsOf + metadata tables: timestamp resolution, history and " +
+       "files surfaces") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Thread.sleep(25)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(25)
+    Snapshots.commitAppendOnce(spark, t, Seq(2L).toDF("id"), "tok-2")
+    assert(Snapshots.readAsOf(spark, t, mid).select("id").as[Long]
+      .collect().toSet == Set(1L))
+    assert(Snapshots.readAsOf(spark, t, System.currentTimeMillis())
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    intercept[RuntimeException] { Snapshots.readAsOf(spark, t, 1000L) }
+    val ts = Snapshots.commitTimes(spark, t)
+    assert(ts.map(_._1) == Seq(1, 2) && ts.forall(_._2.isDefined))
+    assert(ts(0)._2.get <= ts(1)._2.get)
+    val h = Snapshots.historyDf(spark, t).orderBy("version")
+      .collect()
+    assert(h.length == 2)
+    assert(h(0).getAs[java.sql.Timestamp]("committed_at") != null)
+    assert(h(0).getAs[String]("token") == null &&
+      h(1).getAs[String]("token") == "tok-2")
+    assert(h.map(_.getAs[Int]("n_segments")).toSeq == Seq(1, 2))
+    // files table: one row per data file with sizes, counts and stats
+    val t2 = freshTable()
+    Snapshots.commitOverwrite(spark, t2,
+      spark.range(0, 100).toDF("id").repartition(4), statsCols = Seq("id"))
+    val f = Snapshots.filesDf(spark, t2).collect()
+    assert(f.length == 4)
+    assert(f.map(_.getAs[Long]("row_count")).sum == 100L)
+    assert(f.forall(_.getAs[Long]("size_bytes") > 0))
+    assert(f.forall(_.getAs[Map[String, String]]("stats")("id")
+      .startsWith("long:")))
+  }
+
   test("compactSmallFilesCommit packs only the small files; right-sized " +
        "files carry by reference with their stats") {
     val t = freshTable()
