@@ -3196,6 +3196,38 @@ object SparkEntry {
         .unionAll(slice(Snapshots.read(s, t), "post"))
     }),
 
+    // UPDATE ... SET ... WHERE through the snapshot format — the third
+    // DML verb beside deleteWhereCommit and mergeIntoCommit, same
+    // stats-pruned partial-rewrite shape: only the files overlapping
+    // the WHERE conjunction rewrite (matched rows get every SET
+    // expression applied against the PRE-update row — simultaneous
+    // assignment; unmatched and NULL-conjunction rows pass through
+    // unchanged), the rest carry BY REFERENCE (SnapshotsSpec pins the
+    // k-of-N split). Pre- and post-update states both hashed.
+    "q_update_where" -> ((s, dir) => {
+      val root = materializedDir("updatewhere", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.commitOverwrite(s, t,
+          d.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+          statsCols = Seq("doc_id"))
+        Snapshots.updateWhereCommit(s, t,
+          Seq(Snapshots.LongRange("doc_id", 100L, 499L),
+            Snapshots.StringRange("lang", "de", "en")),
+          set = Map("n_chars" -> (col("n_chars") + lit(1000L)),
+            "lang" -> concat(lit("u-"), col("lang"))),
+          statsCols = Seq("doc_id"))
+      }
+      val t = root + "/t"
+      def slice(df: DataFrame, tag: String) =
+        df.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(tag).as("state"), col("lang"), col("n_docs"),
+            col("sum_chars"))
+      slice(Snapshots.read(s, t, Some(1)), "pre")
+        .unionAll(slice(Snapshots.read(s, t), "post"))
+    }),
+
     // STREAMING CDC UPSERT SINK — the change log arrives as three
     // mtime-ordered micro-batches (seq 1 updates; seq 2 updates; seq 3
     // updates + the seq-4 deletes + the inserts) and each trigger
@@ -5180,6 +5212,20 @@ object SparkEntry {
     // sequential seq-ordered streamed merges must land the identical
     // snapshot the one-shot logical merge computes
     "q_stream_merge_sink" -> mergeCdcSql,
+    // UPDATE WHERE replayed as CASE WHEN over the same conjunction —
+    // both SET expressions read the pre-update row on both engines
+    "q_update_where" -> ("""WITH upd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id BETWEEN 100 AND 499 AND lang BETWEEN 'de' AND 'en'
+      |         THEN 'u-' || lang ELSE lang END AS lang,
+      |    CASE WHEN doc_id BETWEEN 100 AND 499 AND lang BETWEEN 'de' AND 'en'
+      |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents)
+      |SELECT 'pre' AS state, lang, count(*)::BIGINT AS n_docs,
+      |       sum(n_chars)::BIGINT AS sum_chars FROM documents GROUP BY lang
+      |UNION ALL
+      |SELECT 'post', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
+      |FROM upd GROUP BY lang""".stripMargin),
     // the metadata-only counts must equal the scan counts exactly
     "q_meta_count" -> ("SELECT 'v1' AS state, count(*)::BIGINT AS n_rows " +
       "FROM documents WHERE doc_id % 3 = 0 UNION ALL " +

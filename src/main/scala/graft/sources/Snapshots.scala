@@ -1555,6 +1555,92 @@ object Snapshots {
       statsCols)
   }
 
+  /** WRITE-AUDIT-PUBLISH — the publish-or-nothing append a production
+    * ingest runs so a bad batch can NEVER be observed on main, even
+    * transiently:
+    *
+    *   1. WRITE: the batch appends to a throwaway branch (zero main
+    *      visibility; the branch fork is O(commits) metadata);
+    *   2. AUDIT: the checks run against the BRANCH HEAD's appended
+    *      delta as committed — the exact bytes main would serve, after
+    *      parquet serialization, not the in-memory DataFrame;
+    *   3. PUBLISH: clean → [[fastForwardMerge]] to main (atomic through
+    *      the slot; fails cleanly if main moved since the fork — rerun);
+    *      violations → the branch is dropped and the commit NEVER
+    *      happened on main; the violating rows come back for triage.
+    *
+    * Returns Right(main version) on publish, Left(violations DataFrame
+    * — input schema + `violations` array, materialized BEFORE the
+    * branch drops) on audit failure. The audited-ingest counterpart of
+    * [[graft.operators.IncrementalPipeline]]'s quarantine gate: there
+    * the bad rows land in a quarantine table and the good half
+    * publishes; here the unit of publication is the WHOLE batch.
+    */
+  def auditedAppendCommit(spark: SparkSession, table: String, df: DataFrame,
+                          checks: Seq[graft.operators.Expectations.Check],
+                          statsCols: Seq[String] = Nil,
+                          evolve: Boolean = false): Either[DataFrame, Int] = {
+    val name = s"wap-${java.util.UUID.randomUUID()}"
+    createBranch(spark, table, name)
+    try {
+      val forkHead = branchFork(spark, table, name)
+      commitAppendToBranch(spark, table, name, df, statsCols, evolve)
+      // the committed delta: branch head minus the fork point — read
+      // back through the format, not trusted from the caller's df
+      val committed = readBranch(spark, table, name)
+        .exceptAll(read(spark, table, Some(forkHead)))
+      val (_, bad) = graft.operators.Expectations.gate(committed, checks)
+      if (bad.isEmpty) Right(fastForwardMerge(spark, table, name))
+      else {
+        import spark.implicits._
+        // materialize before the branch (and its files) can vacuum
+        val rows = bad.collect().toSeq
+        Left(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), bad.schema))
+      }
+    } finally dropBranch(spark, table, name)
+  }
+
+  /** UPDATE ... SET ... WHERE as a committed version — the third DML
+    * verb beside [[deleteWhereCommit]] and [[mergeIntoCommit]], same
+    * stats-pruned partial-rewrite shape: only files whose committed
+    * stats can overlap the WHERE conjunction rewrite (each matching row
+    * gets every `set` expression applied; non-matching rows in those
+    * files pass through byte-identical in value), every other file
+    * carries BY REFERENCE. SQL UPDATE semantics for NULLs: a row where
+    * the conjunction evaluates NULL is NOT matched and keeps its
+    * values. `set` maps column name -> expression over the row's
+    * CURRENT values (all assignments read the pre-update row, like
+    * SQL's simultaneous assignment). Set columns must exist — UPDATE
+    * never changes the schema (that is evolution's job). Returns the
+    * new version.
+    */
+  def updateWhereCommit(spark: SparkSession, table: String,
+                        ranges: Seq[StatRange], set: Map[String, Column],
+                        statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "at least one SET assignment required")
+    val c = mainChain(table)
+    val head = chainVersions(spark, c).lastOption
+      .getOrElse(sys.error(s"$table has no committed versions"))
+    val schema = versionSchema(spark, c, head)
+      .getOrElse(sys.error(s"$table v$head has no schema to update under"))
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"SET column $k is not a column of $table (${schema.fieldNames.mkString(",")})"))
+    val plan = deletePlan(spark, table, ranges, Some(head))
+    val matched = coalesce(ranges.map(rowPredicate).reduce(_ && _), lit(false))
+    partialRewriteCommit(spark, table, head, plan,
+      src => src.select(schema.fieldNames.toSeq.map { f =>
+        // simultaneous assignment: every RHS reads the pre-update row
+        // (select evaluates all exprs against the input), matched rows
+        // cast back to the column's committed type so an UPDATE cannot
+        // drift the schema
+        set.get(f).map(e => when(matched, e.cast(schema(f).dataType))
+          .otherwise(col(f)).as(f)).getOrElse(col(f))
+      }: _*),
+      statsCols)
+  }
+
   // -------------------------------------------------------- merge into
 
   /** The [[mergeIntoCommit]] rewrite plan: which head files hold at least

@@ -803,6 +803,73 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readPrunedByKey(spark, t2, "id", Seq(3L)).count() == 1)
   }
 
+  test("auditedAppendCommit: publish-or-nothing — clean batches merge " +
+       "to main, dirty batches never touch it") {
+    import graft.operators.Expectations
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "en")).toDF("id", "lang"))
+    val checks = Seq(
+      Expectations.Check("lang_known", col("lang").isin("en", "de")),
+      Expectations.Check("id_positive", col("id") > 0L))
+    // clean batch: published atomically, branch gone
+    val r1 = Snapshots.auditedAppendCommit(spark, t,
+      Seq((2L, "de"), (3L, "en")).toDF("id", "lang"), checks)
+    assert(r1 == Right(2))
+    assert(Snapshots.read(spark, t).count() == 3)
+    assert(Snapshots.branches(spark, t).isEmpty)
+    // dirty batch: main NEVER sees it — no new version, branch dropped,
+    // the violating rows (only) come back with their failed checks
+    val r2 = Snapshots.auditedAppendCommit(spark, t,
+      Seq((4L, "en"), (-5L, "xx")).toDF("id", "lang"), checks)
+    assert(r2.isLeft)
+    val bad = r2.left.toOption.get.collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[Long]("id") == -5L)
+    assert(bad.head.getAs[scala.collection.Seq[String]]("violations").toSeq ==
+      Seq("lang_known", "id_positive"))
+    assert(Snapshots.versions(spark, t) == Seq(1, 2))
+    assert(Snapshots.read(spark, t).count() == 3)
+    assert(Snapshots.branches(spark, t).isEmpty)
+  }
+
+  test("updateWhereCommit: SET over the matched band only, partial " +
+       "rewrite, NULL-predicate rows untouched, schema never drifts") {
+    val t = freshTable()
+    val rows = Seq[(Long, String)]((150L, null), (700L, null)) ++
+      (0L until 800L by 1L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
+    Snapshots.commitOverwrite(spark, t,
+      rows.toDF("id", "lang")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    val headFiles = Snapshots.read(spark, t).inputFiles.toSet
+    val v = Snapshots.updateWhereCommit(spark, t,
+      Seq(Snapshots.LongRange("id", 100L, 299L),
+        Snapshots.StringRange("lang", "aa", "fr")),
+      set = Map("lang" -> concat(lit("u-"), col("lang")),
+        "id" -> (col("id") + 10000L)),
+      statsCols = Seq("id"))
+    val got = Snapshots.read(spark, t, Some(v))
+    // matched: en rows in [100,299] — both SETs applied, reading the
+    // PRE-update row (simultaneous assignment)
+    assert(got.filter(col("lang") === "u-en").count() == 100)
+    assert(got.filter(col("lang") === "u-en").select("id").as[Long]
+      .collect().forall(i => i >= 10100L && i <= 10298L))
+    // unmatched rows in REWRITTEN files unchanged (zz lang outside the
+    // string range), NULL-lang row at 150 untouched (NULL conjunction)
+    assert(got.filter(col("lang") === "zz" && col("id").between(100, 299))
+      .count() == 100)
+    assert(got.filter(col("id") === 150L && col("lang").isNull).count() == 1)
+    // partial rewrite: only the bands overlapping [100, 299] moved (2-3
+    // files — the range partitioner's sampled boundaries may straddle)
+    assert(got.inputFiles.toSet.intersect(headFiles).size >= headFiles.size - 3)
+    assert(got.count() == 802)
+    // a SET of an unknown column fails loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhereCommit(spark, t,
+        Seq(Snapshots.LongRange("id", 0L, 1L)), Map("nope" -> lit(1)))
+    }
+  }
+
   test("readAsOf + metadata tables: timestamp resolution, history and " +
        "files surfaces") {
     val t = freshTable()
