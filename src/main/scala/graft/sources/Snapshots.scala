@@ -236,13 +236,19 @@ object Snapshots {
       case c if c.startsWith(RowsCell) && c.drop(RowsCell.length).forall(_.isDigit)
         && c.length > RowsCell.length => c.drop(RowsCell.length).toLong
     }
+    // same degradation contract as the stats parser below: anything
+    // malformed (bitrot, hand edits, an out-of-Int-range mod) parses as
+    // no-cell — conservatively read, never wrong, only slower
+    def smallInt(s: String): Boolean =
+      s.nonEmpty && s.length <= 9 && s.forall(_.isDigit)
     val buckets = cells.drop(1).flatMap { cell =>
       if (!cell.startsWith(BucketCellPrefix)) None
       else cell.substring(BucketCellPrefix.length).split('=') match {
         case Array(n, v) => v.split(':') match {
-          case Array(mod, ids) if mod.forall(_.isDigit) && mod.nonEmpty =>
+          case Array(mod, ids) if smallInt(mod) &&
+            ids.split(',').forall(smallInt) =>
             Some(dec(n) -> BucketStat(mod.toInt,
-              ids.split(',').filter(_.nonEmpty).map(_.toInt).toSeq))
+              ids.split(',').map(_.toInt).toSeq))
           case _ => None
         }
         case _ => None
@@ -573,8 +579,7 @@ object Snapshots {
     chainVersions(spark, c).map { v =>
       val lines = manifestLines(spark, c, v)
       (v,
-        lines.collectFirst { case l if l.startsWith(TimeHeader) =>
-          new java.sql.Timestamp(l.substring(TimeHeader.length).toLong) }.orNull,
+        chainCommitTime(spark, c, v).map(new java.sql.Timestamp(_)).orNull,
         lines.collectFirst { case l if l.startsWith(TokenHeader) =>
           l.substring(TokenHeader.length) }.orNull,
         lines.count(!_.startsWith("#")))
@@ -1364,8 +1369,16 @@ object Snapshots {
     // request batch (bounded), and the same values broadcast into the
     // rewrite scan anyway
     val ks = keys.distinct().collect().map(_.get(0)).filter(_ != null).toSeq
+    // bucket replay must hash under the TABLE column's type: xxhash64 of
+    // a 4-byte int differs from the 8-byte long the cells were computed
+    // from, so hashing a mis-typed request's values under its own type
+    // would prune the WRONG files silently. Under the table type, a
+    // physically mismatched request value fails Literal conversion and
+    // bucketAdmit's catch answers conservatively — never wrong
+    val tableDt = versionSchema(spark, c, v)
+      .flatMap(st => st.fields.find(_.name == keyCol)).map(_.dataType)
     splitByTouch(manifestEntries(spark, c, v),
-      keyTouches(_, keyCol, ks, Some(keys.schema.head.dataType)))
+      keyTouches(_, keyCol, ks, tableDt))
   }
 
   /** Shared tail of the stats-pruned delete commits: rewrite only
@@ -1495,20 +1508,36 @@ object Snapshots {
     require(want == got,
       s"delete keys must be ${want.simpleString} like $table.$keyCol, " +
         s"got ${got.simpleString}")
-    val staged = stage(spark, table,
-      keys.toDF(DelKeyCol).na.drop().distinct().coalesce(1))
+    val cleaned = keys.toDF(DelKeyCol).na.drop().distinct().coalesce(1)
+    // the no-op check must be on KEY ROWS, not staged files: an empty
+    // 1-partition DataFrame still writes one zero-row part file, and a
+    // delete reference over an empty key file would needlessly block
+    // every partial-rewrite commit and incremental read until a
+    // compaction folds it
     val delBody =
-      if (staged.isEmpty) Seq.empty // an empty request: a no-op version
+      if (cleaned.isEmpty) Seq.empty // an empty request: a no-op version
       else {
-        val seg = writeSegment(spark, table, staged)
+        val seg = writeSegment(spark, table, stage(spark, table, cleaned))
         Seq(DelRef + enc(keyCol) + ":" + seg.substring(SegRef.length))
       }
     // append-shaped publish: the delete applies to everything before it
     // in body order, INCLUDING commits that raced in ahead of us — for
     // an erasure request ("these keys, gone") that is the semantics you
-    // want; schema evolution is additive, so keyCol exists at any head
+    // want. Additive evolution keeps keyCol at any head, but a racing
+    // OVERWRITE may drop or retype it — re-validate per retry, or the
+    // published head would be unreadable (morScanChain resolves the
+    // delete key's type from the version's own schema)
     publish(spark, c, headOpt => {
       val h = headOpt.getOrElse(sys.error(s"$table lost its versions mid-commit"))
+      if (delBody.nonEmpty) {
+        val hs = versionSchema(spark, c, h).getOrElse(
+          sys.error(s"$table v$h has no schema"))
+        require(hs.fieldNames.contains(keyCol) &&
+          relaxType(hs(keyCol).dataType) == want,
+          s"$table's head moved to v$h whose schema lost or retyped " +
+            s"$keyCol (a concurrent overwrite); re-run the erase against " +
+            "the new shape")
+      }
       chainSchema(spark, c, h).map(schemaLine).toSeq ++
         bodyLines(spark, c, h) ++ delBody
     })
@@ -1583,12 +1612,20 @@ object Snapshots {
     val name = s"wap-${java.util.UUID.randomUUID()}"
     createBranch(spark, table, name)
     try {
-      val forkHead = branchFork(spark, table, name)
-      commitAppendToBranch(spark, table, name, df, statsCols, evolve)
-      // the committed delta: branch head minus the fork point — read
-      // back through the format, not trusted from the caller's df
-      val committed = readBranch(spark, table, name)
-        .exceptAll(read(spark, table, Some(forkHead)))
+      val bv = commitAppendToBranch(spark, table, name, df, statsCols, evolve)
+      // the committed delta, read back through the format (audit what
+      // main WOULD serve, not the caller's in-memory df) at O(batch):
+      // the branch head's body is its predecessor's plus exactly the
+      // appended segment, so only the new segment's files are scanned —
+      // a full-table except would re-scan the whole base per batch and
+      // break under additive evolution (column counts differ)
+      val bc = branchChain(table, name)
+      val beforeSet = bodyLines(spark, bc, bv - 1).toSet
+      val added = expand(spark, table,
+        bodyLines(spark, bc, bv).filterNot(beforeSet)).map(parseEntry)
+      val committed =
+        if (added.isEmpty) readBranch(spark, table, name).limit(0)
+        else scan(spark, table, chainSchema(spark, bc, bv), added)
       val (_, bad) = graft.operators.Expectations.gate(committed, checks)
       if (bad.isEmpty) Right(fastForwardMerge(spark, table, name))
       else {
@@ -1676,19 +1713,31 @@ object Snapshots {
     val c = mainChain(table)
     val v = resolveChainVersion(spark, c, version)
     val es = manifestEntries(spark, c, v)
-    val k = keys.columns.head
+    val k0 = keys.columns.head
+    // plan under the TABLE column's type: a mis-typed batch (int keys
+    // against a long column) would band-compare and — worse — xxhash64
+    // under the wrong width, silently pruning files that DO hold
+    // matches. The cast is value-preserving for the sanctioned widths;
+    // an uncastable batch yields NULL keys, which match nothing
+    val keysT = versionSchema(spark, c, v)
+      .flatMap(st => st.fields.find(_.name == keyCol)).map(_.dataType) match {
+      case Some(dt) if dt != keys.schema.head.dataType =>
+        keys.select(col(k0).cast(dt).as(k0))
+      case _ => keys
+    }
+    val k = k0
     // move 1: the batch's global key band — one 2-scalar driver action
-    val band: Option[StatRange] = keys.schema.head.dataType match {
+    val band: Option[StatRange] = keysT.schema.head.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        val r = keys.agg(min(col(k)).cast("long"), max(col(k)).cast("long")).head()
+        val r = keysT.agg(min(col(k)).cast("long"), max(col(k)).cast("long")).head()
         if (r.isNullAt(0)) None
         else Some(LongRange(keyCol, r.getLong(0), r.getLong(1)))
       case StringType =>
-        val r = keys.agg(min(col(k)), max(col(k))).head()
+        val r = keysT.agg(min(col(k)), max(col(k))).head()
         if (r.isNullAt(0)) None
         else Some(StringRange(keyCol, r.getString(0), r.getString(1)))
       case DateType =>
-        val r = keys.agg(min(col(k)), max(col(k))).head()
+        val r = keysT.agg(min(col(k)), max(col(k))).head()
         if (r.isNullAt(0)) None
         else Some(DateRange(keyCol, r.getDate(0).toLocalDate,
           r.getDate(1).toLocalDate))
@@ -1703,7 +1752,7 @@ object Snapshots {
     // set-intersection test per entry
     val mods = es.flatMap(_.buckets.get(keyCol)).map(_.mod).distinct
     val batchBuckets: Map[Int, Set[Int]] = mods.map { m =>
-      m -> keys.select(bucketExpr(k, m).cast("int")).na.drop().distinct()
+      m -> keysT.select(bucketExpr(k, m).cast("int")).na.drop().distinct()
         .collect().map(_.getInt(0)).toSet
     }.toMap
     def bucketCand(e: Entry): Boolean = e.buckets.get(keyCol) match {
@@ -1724,7 +1773,7 @@ object Snapshots {
     val schema = chainSchema(spark, c, v)
     val touched = scan(spark, table, schema, cand)
       .select(col(keyCol), input_file_name().as("__graft_f"))
-      .join(keys.toDF(keyCol), Seq(keyCol), "left_semi")
+      .join(keysT.toDF(keyCol), Seq(keyCol), "left_semi")
       .select("__graft_f").distinct().collect()
       .map(r => tail2(r.getString(0))).toSet
     val (rewrite, untouched) = cand.partition(e => touched.contains(tail2(e.path)))

@@ -803,6 +803,63 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readPrunedByKey(spark, t2, "id", Seq(3L)).count() == 1)
   }
 
+  test("review regressions: mis-typed requests stay conservative, empty " +
+       "MoR requests are true no-ops, malformed bucket cells degrade") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 8000).toDF("id")
+        .repartition(16, pmod(xxhash64(col("id")), lit(16L))),
+      statsCols = Seq("id"), bucketCols = Map("id" -> 16))
+    // an INT-typed request against the LONG column: xxhash64 of a
+    // 4-byte int differs from the long hash the cells hold, so the
+    // bucket replay must NOT prune under the request's own type — the
+    // plan stays conservative and the purge still erases the row
+    val intKeys = Seq(150).toDF("k") // IntegerType
+    val pv = Snapshots.erasePurgeCommit(spark, t, "id", intKeys)
+    assert(Snapshots.read(spark, t, Some(pv)).filter(col("id") === 150L)
+      .count() == 0)
+    // mergeTouchPlan casts a mis-typed batch to the table type: the
+    // probe must still find the matched file
+    val mp = Snapshots.mergeTouchPlan(spark, t, "id", Seq(99).toDF("k"),
+      Some(pv))
+    assert(mp.rewrite.nonEmpty)
+    // empty and all-NULL MoR erase requests commit a version with NO
+    // delete reference: partial rewrites stay allowed and incremental
+    // reads across it keep working
+    val v0 = Snapshots.eraseMoRCommit(spark, t, "id",
+      spark.range(0).toDF("k"))
+    Snapshots.eraseMoRCommit(spark, t, "id",
+      Seq(null.asInstanceOf[java.lang.Long]).toDF("k"))
+    assert(Snapshots.readChangesBetween(spark, t, v0).count() == 0)
+    Snapshots.deleteWhereCommit(spark, t, Seq(Snapshots.LongRange("id", 0, 0)))
+    // a damaged bucket cell parses as no-cell (conservatively read),
+    // never crashes reads or plans
+    val segDir = java.nio.file.Paths.get(t, "_segments")
+    val seg = java.nio.file.Files.list(segDir).iterator().next()
+    val junk = new String(java.nio.file.Files.readAllBytes(seg), "UTF-8")
+      .replaceAll("~id=16:[0-9,]+", "~id=16:1,x")
+    java.nio.file.Files.write(seg, junk.getBytes("UTF-8"))
+    assert(Snapshots.read(spark, t, Some(1)).count() == 8000)
+    assert(Snapshots.erasePlan(spark, t, "id", Seq(5L).toDF("k"), Some(1))
+      .rewrite.nonEmpty)
+  }
+
+  test("auditedAppendCommit evolves: an additive-schema batch audits " +
+       "against its committed delta and publishes") {
+    import graft.operators.Expectations
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "en")).toDF("id", "lang"))
+    val r = Snapshots.auditedAppendCommit(spark, t,
+      Seq((2L, "de", 9L)).toDF("id", "lang", "score"),
+      Seq(Expectations.Check("score_ok", col("score") > 0L)),
+      evolve = true)
+    assert(r.isRight)
+    val head = Snapshots.read(spark, t)
+    assert(head.columns.toSeq == Seq("id", "lang", "score"))
+    assert(head.count() == 2) // old row null-fills the evolved column
+    assert(head.filter(col("id") === 1L).select("score").head().isNullAt(0))
+  }
+
   test("auditedAppendCommit: publish-or-nothing — clean batches merge " +
        "to main, dirty batches never touch it") {
     import graft.operators.Expectations
