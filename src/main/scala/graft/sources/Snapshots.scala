@@ -2279,6 +2279,86 @@ object Snapshots {
     * than any source's replay horizon (a streaming checkpoint bounds
     * replays far tighter in practice).
     */
+  /** What [[vacuum]] WOULD do, without doing it: the versions it would
+    * drop, the segment files it would delete, and the data files (by
+    * relative path) it would reclaim. The dry run an operator checks
+    * before an irreversible horizon move — identical liveness logic to
+    * the real vacuum (tags, consumer floors, branch pins, delete-key
+    * files), spec-pinned to agree with it.
+    */
+  final case class VacuumPlan(dropVersions: Seq[Int], dropSegments: Seq[String],
+                              dropFiles: Seq[String])
+
+  def vacuumPlan(spark: SparkSession, table: String, keepFrom: Int): VacuumPlan = {
+    val f = fs(spark, table)
+    val main = mainChain(table)
+    val pinned = tags(spark, table).values.toSet
+    val consumerFloor = consumers(spark, table).values
+      .minOption.getOrElse(Int.MaxValue)
+    val (drop, keep) = chainVersions(spark, main)
+      .partition(v => v < keepFrom && v < consumerFloor && !pinned.contains(v))
+    require(keep.nonEmpty, s"vacuum would drop every version of $table")
+    val live: Seq[(Chain, Int)] = keep.map((main, _)) ++
+      branches(spark, table).flatMap { b =>
+        val c = branchChain(table, b)
+        chainVersions(spark, c).map((c, _))
+      }
+    val liveBody = live.flatMap { case (c, v) => bodyLines(spark, c, v) }
+    val liveSegs = liveBody.collect {
+      case l if l.startsWith(DelRef) => l.substring(l.indexOf(':') + 1)
+      case l if l.startsWith(SegRef) => l.substring(SegRef.length)
+    }.toSet
+    val delKeyLines = liveBody.filter(_.startsWith(DelRef)).distinct
+      .flatMap(l => segmentLines(spark, table, l.substring(l.indexOf(':') + 1)))
+    val referenced = (expand(spark, table, liveBody.distinct) ++ delKeyLines)
+      .map(parseEntry(_).path).toSet
+    val segRoot = new Path(table, SegmentsDir)
+    val dropSegs =
+      if (!f.exists(segRoot)) Seq.empty
+      else f.listStatus(segRoot).filter(_.isFile).map(_.getPath.getName)
+        .filterNot(liveSegs.contains).sorted.toSeq
+    val dataRoot = new Path(table, DataDir)
+    val dropFiles =
+      if (!f.exists(dataRoot)) Seq.empty
+      else f.listStatus(dataRoot).filter(_.isDirectory).flatMap { d =>
+        f.listStatus(d.getPath).filter(_.isFile).map(s =>
+          s"$DataDir/${d.getPath.getName}/${s.getPath.getName}")
+      }.filterNot(referenced.contains).sorted.toSeq
+    VacuumPlan(drop, dropSegs, dropFiles)
+  }
+
+  /** Consistency check — the `fsck` a table operator runs after an
+    * incident: verify every data file the head (or given) version
+    * references exists with exactly its committed byte length. Returns
+    * one row per PROBLEM file (path, status ∈ missing / size_mismatch,
+    * expected_bytes, actual_bytes) — empty means the manifest and the
+    * filesystem agree. Metadata-only (one FileStatus per referenced
+    * file, no data read); delete-key files of pending MoR deletes are
+    * checked too.
+    */
+  def fsck(spark: SparkSession, table: String,
+           version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val c = mainChain(table)
+    val v = resolveChainVersion(spark, c, version)
+    val f = fs(spark, table)
+    val (groups, deletes) = morPartition(bodyLines(spark, c, v))
+    val all = groups.flatMap(ls => expand(spark, c.table, ls).map(parseEntry)) ++
+      deletes.flatMap { case (_, seg) =>
+        segmentLines(spark, c.table, seg).map(parseEntry) }
+    all.flatMap { e =>
+      val p = new Path(table, e.path)
+      if (!f.exists(p))
+        Some((e.path, "missing", e.size, None: Option[Long]))
+      else {
+        val len = f.getFileStatus(p).getLen
+        if (e.size.exists(_ != len))
+          Some((e.path, "size_mismatch", e.size, Some(len)))
+        else None
+      }
+    }.toDF("path", "status", "expected_bytes", "actual_bytes")
+  }
+
   def vacuum(spark: SparkSession, table: String, keepFrom: Int): Int = {
     val f = fs(spark, table)
     val main = mainChain(table)

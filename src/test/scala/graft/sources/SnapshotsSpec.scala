@@ -803,6 +803,46 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readPrunedByKey(spark, t2, "id", Seq(3L)).count() == 1)
   }
 
+  test("vacuumPlan is an exact dry run of vacuum; fsck reports missing " +
+       "and size-drifted files") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitOverwrite(spark, t, Seq(2L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    // orphan from a crashed commit: reclaimable, invisible to reads
+    Seq(9L).toDF("id").write.parquet(s"$t/data/orphan-dir")
+    val plan = Snapshots.vacuumPlan(spark, t, keepFrom = 2)
+    assert(plan.dropVersions == Seq(1))
+    assert(plan.dropFiles.nonEmpty) // v1's file + the orphan
+    // the dry run and the real vacuum agree exactly
+    val survivorsBefore = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(t, "data")).iterator()
+    var all = Set.empty[String]
+    survivorsBefore.forEachRemaining(p =>
+      if (p.toString.endsWith(".parquet"))
+        all += p.toString.substring(t.length + 1))
+    val deleted = Snapshots.vacuum(spark, t, keepFrom = 2)
+    assert(deleted == plan.dropFiles.size)
+    val after = all -- plan.dropFiles
+    plan.dropFiles.foreach(p =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, p))))
+    after.foreach(p =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t, p))))
+    // fsck: clean table reports nothing
+    assert(Snapshots.fsck(spark, t).count() == 0)
+    // truncate one referenced file -> size_mismatch; delete one -> missing
+    val refs = Snapshots.entries(spark, t).map(_.path)
+    val f0 = java.nio.file.Paths.get(t, refs.head)
+    val bytes = java.nio.file.Files.readAllBytes(f0)
+    java.nio.file.Files.write(f0, bytes.dropRight(1))
+    val report = Snapshots.fsck(spark, t).collect()
+    assert(report.length == 1 &&
+      report.head.getAs[String]("status") == "size_mismatch")
+    java.nio.file.Files.delete(f0)
+    assert(Snapshots.fsck(spark, t).collect()
+      .head.getAs[String]("status") == "missing")
+  }
+
   test("review regressions: mis-typed requests stay conservative, empty " +
        "MoR requests are true no-ops, malformed bucket cells degrade") {
     val t = freshTable()
