@@ -873,12 +873,20 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readChangesBetween(spark, t, v0).count() == 0)
     Snapshots.deleteWhereCommit(spark, t, Seq(Snapshots.LongRange("id", 0, 0)))
     // a damaged bucket cell parses as no-cell (conservatively read),
-    // never crashes reads or plans
-    val segDir = java.nio.file.Paths.get(t, "_segments")
-    val seg = java.nio.file.Files.list(segDir).iterator().next()
+    // never crashes reads or plans — corrupt exactly v1's own segment
+    // (resolved from its manifest body, not a directory listing) and
+    // drop the local-FS checksum sidecar so the edit is readable
+    val v1body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_manifests", "v00000001.txt")), "UTF-8")
+    val segName = v1body.linesIterator
+      .find(l => l.startsWith("@") && !l.startsWith("@-")).get.substring(1)
+    val seg = java.nio.file.Paths.get(t, "_segments", segName)
     val junk = new String(java.nio.file.Files.readAllBytes(seg), "UTF-8")
       .replaceAll("~id=16:[0-9,]+", "~id=16:1,x")
+    assert(junk.contains("~id=16:1,x")) // the corruption really landed
     java.nio.file.Files.write(seg, junk.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "_segments", s".$segName.crc"))
     assert(Snapshots.read(spark, t, Some(1)).count() == 8000)
     assert(Snapshots.erasePlan(spark, t, "id", Seq(5L).toDF("k"), Some(1))
       .rewrite.nonEmpty)
