@@ -3325,6 +3325,42 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
     }),
 
+    // CHANGE DATA FEED across merge-on-read deletes — the ordered
+    // row-level change stream readChangesBetween cannot give once a
+    // delete enters the range: op='u' rows for appends, op='d' key
+    // rows for equality deletes, _seq = commit order. The query pins
+    // BOTH faces: the feed's own op slices, and THE LAW — applying the
+    // feed to the from-snapshot through the existing Merge.applyChanges
+    // operator must reproduce the head exactly (delete-then-reinsert
+    // ordering included), which is what lets a downstream table follow
+    // a source across GDPR erases instead of failing its ticks.
+    "q_change_feed" -> ((s, dir) => {
+      val root = materializedDir("changefeed", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, t, d)
+        Snapshots.eraseMoRCommit(s, t, "doc_id",
+          d.filter(col("doc_id") % 9 === 3).select("doc_id"))
+        Snapshots.commitAppend(s, t,
+          d.filter(col("doc_id") % 27 === 3)
+            .select(col("doc_id"), lit("re").as("lang")))
+      }
+      val t = root + "/t"
+      val feed = Snapshots.changeFeed(s, t, 1)
+      val applied = graft.operators.Merge.applyChanges(
+        Snapshots.read(s, t, Some(1)), feed, Seq("doc_id"), "_seq", "_op")
+      def slice(df: DataFrame, tag: String, byLang: Boolean) = {
+        val g = if (byLang) df.groupBy(col("lang")) else
+          df.groupBy(lit("all").as("lang"))
+        g.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .select(lit(tag).as("state"), col("lang"), col("n_docs"),
+            col("id_sum"))
+      }
+      slice(applied, "applied", byLang = true)
+        .unionAll(slice(feed.filter(col("_op") === "d"), "feed_d", byLang = false))
+        .unionAll(slice(feed.filter(col("_op") === "u"), "feed_u", byLang = true))
+    }),
+
     // MERGE-ON-READ ERASE through the snapshot format — the O(keys)
     // logical delete: eraseMoRCommit writes ONLY a tiny equality-delete
     // key file (no data file read, rewritten or moved — the move that
@@ -5235,6 +5271,20 @@ object SparkEntry {
     // oracle is the plain IN-list select
     "q_bucket_lookup" -> ("SELECT doc_id, lang, CAST(n_chars AS BIGINT) " +
       "AS n_chars FROM documents WHERE doc_id IN (3, 57, 123, 456, 499)"),
+    // the applied feed must equal the logical erase+reinsert state; the
+    // feed's own op slices pin the emitted change rows
+    "q_change_feed" -> ("""WITH base AS (SELECT doc_id, lang FROM documents),
+      |erased AS (SELECT * FROM base WHERE doc_id % 9 <> 3),
+      |re AS (SELECT doc_id, 're' AS lang FROM base WHERE doc_id % 27 = 3),
+      |reins AS (SELECT * FROM erased UNION ALL SELECT * FROM re)
+      |SELECT 'applied' AS state, lang, count(*)::BIGINT AS n_docs,
+      |       sum(doc_id)::BIGINT AS id_sum FROM reins GROUP BY lang
+      |UNION ALL
+      |SELECT 'feed_d', 'all', count(*)::BIGINT, sum(doc_id)::BIGINT
+      |FROM base WHERE doc_id % 9 = 3
+      |UNION ALL
+      |SELECT 'feed_u', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+      |FROM re GROUP BY lang""".stripMargin),
     // merge-on-read equality deletes replayed in SQL: the erase is an
     // anti-join over prior rows, the re-insert lands after it, and the
     // compacted state must equal the re-inserted one verbatim

@@ -1184,6 +1184,75 @@ object Snapshots {
     else scan(spark, table, chainSchema(spark, c, to), added)
   }
 
+  /** CHANGE DATA FEED: the ORDERED row-level changes between two
+    * versions — what [[readChangesBetween]] cannot give once
+    * merge-on-read deletes enter the range (it rejects them loudly,
+    * because "new files = new rows" breaks). One output row per
+    * change, in COMMIT ORDER via `_seq` (the body position of the
+    * change's segment):
+    *
+    *   - `_op = 'u'`: an appended row, all columns populated;
+    *   - `_op = 'd'`: an equality-delete key — the delete's key column
+    *     holds the key, every other column is NULL.
+    *
+    * Downstream application IS the existing merge operator: for a
+    * key-unique table,
+    * `Merge.applyChanges(read(from), feed, Seq(keyCol), "_seq", "_op")`
+    * reproduces `read(to)` exactly — later sequence wins, so a delete
+    * followed by a re-insert lands the re-insert, matching the MoR
+    * read semantics (spec-pinned as a law, and the op codes are
+    * applyChanges' own). Planning is O(delta + commits): only the
+    * delta's segments are opened. Rejects non-append-shaped ranges
+    * (overwrite/compaction) like readChangesBetween. The feed itself
+    * is exact row-wise for ANY table; the apply-law additionally needs
+    * key-uniqueness (a multiset table has no keyed CDC semantics).
+    */
+  def changeFeed(spark: SparkSession, table: String, fromVersion: Int,
+                 toVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val c = mainChain(table)
+    val vs = chainVersions(spark, c)
+    val to = toVersion.getOrElse(vs.last)
+    require(vs.contains(fromVersion) && vs.contains(to) && fromVersion <= to,
+      s"need committed versions from<=to, got $fromVersion..$to of ${vs.mkString(",")}")
+    val before = bodyLines(spark, c, fromVersion)
+    val after = bodyLines(spark, c, to)
+    val afterSet = after.toSet
+    require(before.forall(afterSet),
+      s"$table v$fromVersion..v$to is not append-shaped (an overwrite or " +
+        "compaction rewrote history); read full snapshots instead")
+    val beforeSet = before.toSet
+    val schema = chainSchema(spark, c, to).orElse(versionSchema(spark, c, to))
+      .getOrElse(sys.error(s"$table v$to has no schema"))
+    def feedCols(row: Map[String, Column]): Seq[Column] =
+      schema.fields.toSeq.map(f =>
+        row.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name))
+    val parts = after.zipWithIndex.filterNot { case (l, _) => beforeSet(l) }
+      .flatMap {
+        case (l, idx) if l.startsWith(DelRef) =>
+          val rest = l.substring(DelRef.length)
+          val i = rest.indexOf(':')
+          val kc = dec(rest.substring(0, i))
+          val kes = segmentLines(spark, table, rest.substring(i + 1)).map(parseEntry)
+          val kst = StructType(Seq(org.apache.spark.sql.types.StructField(
+            DelKeyCol, relaxType(schema(kc).dataType), nullable = true)))
+          Some(scan(spark, table, Some(kst), kes)
+            .select(feedCols(Map(kc -> col(DelKeyCol))) :+
+              lit("d").as("_op") :+ lit(idx).as("_seq"): _*))
+        case (l, idx) =>
+          val es = expand(spark, table, Seq(l)).map(parseEntry)
+          if (es.isEmpty) None
+          else Some(scan(spark, table, Some(schema), es)
+            .select(feedCols(schema.fieldNames.map(n => n -> col(n)).toMap) :+
+              lit("u").as("_op") :+ lit(idx).as("_seq"): _*))
+      }
+    if (parts.isEmpty)
+      emptyOf(spark, StructType(relaxed(schema).fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_op", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_seq", IntegerType, nullable = false))))
+    else parts.reduce(_ unionByName _)
+  }
+
   /** Snapshot-isolated compaction: rewrite the head snapshot into
     * `ceil(bytes / targetFileBytes)` files and commit the result as a
     * NEW version. Unlike [[Layout.compactSmallFiles]]' rename swap there

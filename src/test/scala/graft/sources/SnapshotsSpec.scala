@@ -803,6 +803,50 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readPrunedByKey(spark, t2, "id", Seq(3L)).count() == 1)
   }
 
+  test("changeFeed: ordered row-level changes across MoR deletes; " +
+       "applying the feed reproduces the target snapshot (law)") {
+    val t = freshTable()
+    val base = spark.range(0, 100).toDF("id")
+      .withColumn("lang", concat(lit("l"), col("id") % 3))
+    Snapshots.commitOverwrite(spark, t, base)
+    Snapshots.commitAppend(spark, t,
+      Seq((200L, "new"), (201L, "new")).toDF("id", "lang"))
+    Snapshots.eraseMoRCommit(spark, t, "id", Seq(7L, 200L).toDF("k"))
+    Snapshots.commitAppend(spark, t, Seq((200L, "re")).toDF("id", "lang"))
+    val feed = Snapshots.changeFeed(spark, t, 1)
+    // 2 appends (u), 2 delete keys (d), 1 re-insert (u), in commit order
+    assert(feed.filter(col("_op") === "u").count() == 3)
+    assert(feed.filter(col("_op") === "d").select("id").as[Long]
+      .collect().toSet == Set(7L, 200L))
+    val dSeq = feed.filter(col("_op") === "d").select("_seq")
+      .as[Int].head()
+    val reSeq = feed.filter(col("_op") === "u" && col("lang") === "re")
+      .select("_seq").as[Int].head()
+    assert(dSeq < reSeq) // the re-insert sorts after the delete
+    // THE LAW: applyChanges(v1, feed) == read(head), including the
+    // delete-then-reinsert ordering
+    val applied = graft.operators.Merge.applyChanges(
+      Snapshots.read(spark, t, Some(1)), feed, Seq("id"), "_seq", "_op")
+      .as[(Long, String)].collect().toSet
+    val head = Snapshots.read(spark, t).as[(Long, String)].collect().toSet
+    assert(applied == head)
+    assert(head.contains((200L, "re")) && !head.exists(_._1 == 7L))
+    // a pure-append range matches readChangesBetween with op='u'
+    val f12 = Snapshots.changeFeed(spark, t, 1, Some(2))
+    assert(f12.filter(col("_op") === "d").count() == 0)
+    assert(f12.select("id").as[Long].collect().toSet ==
+      Snapshots.readChangesBetween(spark, t, 1, Some(2))
+        .select("id").as[Long].collect().toSet)
+    // empty range: empty feed with the feed schema
+    assert(Snapshots.changeFeed(spark, t, 4, Some(4)).columns.toSeq ==
+      Seq("id", "lang", "_op", "_seq"))
+    // an overwrite breaks append shape: loud
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      Snapshots.changeFeed(spark, t, 1)
+    }
+  }
+
   test("vacuumPlan is an exact dry run of vacuum; fsck reports missing " +
        "and size-drifted files") {
     val t = freshTable()
