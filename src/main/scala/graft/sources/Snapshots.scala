@@ -2229,7 +2229,29 @@ object Snapshots {
     * incremental meaning; re-register the consumer).
     */
   def consumeChanges(spark: SparkSession, table: String, name: String)
-                    (process: (DataFrame, String) => Unit): Option[Int] = {
+                    (process: (DataFrame, String) => Unit): Option[Int] =
+    consumeTick(spark, table, name,
+      (b, t) => readChangesBetween(spark, table, b, Some(t)), process)
+
+  /** The DELETE-TOLERANT consumption tick: identical exactly-once
+    * plan/process/commit machinery to [[consumeChanges]], but the
+    * window arrives as a [[changeFeed]] — op='u' rows and op='d'
+    * delete keys in commit order — so a registered consumer keeps
+    * ticking across merge-on-read erases instead of failing until an
+    * operator intervenes. A downstream replica applies each window
+    * with `Merge.applyChanges(replica, feed, key, "_seq", "_op")`
+    * (spec-pinned: sequential tick applications ≡ the head).
+    * Overwrite/compaction windows still fail loudly — a rewritten
+    * history has no row-level change semantics.
+    */
+  def consumeFeed(spark: SparkSession, table: String, name: String)
+                 (process: (DataFrame, String) => Unit): Option[Int] =
+    consumeTick(spark, table, name,
+      (b, t) => changeFeed(spark, table, b, Some(t)), process)
+
+  private def consumeTick(spark: SparkSession, table: String, name: String,
+                          delta: (Int, Int) => DataFrame,
+                          process: (DataFrame, String) => Unit): Option[Int] = {
     val ogens = consumerGen(spark, table, name, "o")
     require(ogens.nonEmpty, s"$table has no consumer '$name'")
     val k = ogens.last
@@ -2247,8 +2269,7 @@ object Snapshots {
           (head.toString + "\n").getBytes("UTF-8"))
         readConsumerFile(spark, table, name, "p", k + 1)
       }
-    process(readChangesBetween(spark, table, base, Some(target)),
-      s"$name:g${k + 1}")
+    process(delta(base, target), s"$name:g${k + 1}")
     val f = fs(spark, table)
     createExclusive(f, consumerFile(spark, table, name, "o", k + 1),
       (target.toString + "\n").getBytes("UTF-8"))

@@ -19,6 +19,40 @@ class SnapshotConsumerSpec extends SparkTestBase {
   private def sink(dest: String): (org.apache.spark.sql.DataFrame, String) => Unit =
     (df, token) => { Snapshots.commitAppendOnce(spark, dest, df, token); () }
 
+  test("consumeFeed ticks across merge-on-read deletes; sequential " +
+       "applied windows reproduce the head; consumeChanges stays loud") {
+    val root = fresh()
+    val src = root + "/src"
+    Snapshots.commitOverwrite(spark, src,
+      spark.range(0, 50).toDF("id").withColumn("lang", lit("en")))
+    Snapshots.registerConsumer(spark, src, "feed", startVersion = 1)
+    Snapshots.registerConsumer(spark, src, "plain", startVersion = 1)
+    // a local downstream replica maintained purely from feed windows
+    var replica = Snapshots.read(spark, src, Some(1))
+    def feedTick() = Snapshots.consumeFeed(spark, src, "feed")((f, _) => {
+      replica = graft.operators.Merge.applyChanges(
+        replica, f, Seq("id"), "_seq", "_op")
+    })
+    Snapshots.commitAppend(spark, src,
+      Seq((100L, "de"), (101L, "de")).toDF("id", "lang"))
+    assert(feedTick().contains(2))
+    assert(Snapshots.consumeChanges(spark, src, "plain")((_, _) => ())
+      .contains(2))
+    // the erase: the feed consumer keeps following, the plain one fails
+    // its tick loudly until an operator intervenes
+    Snapshots.eraseMoRCommit(spark, src, "id", Seq(7L, 100L).toDF("k"))
+    Snapshots.commitAppend(spark, src, Seq((100L, "re")).toDF("id", "lang"))
+    assert(feedTick().contains(4))
+    intercept[IllegalArgumentException] {
+      Snapshots.consumeChanges(spark, src, "plain")((_, _) => ())
+    }
+    assert(feedTick().isEmpty) // caught up
+    val want = Snapshots.read(spark, src)
+      .as[(Long, String)].collect().toSet
+    assert(replica.as[(Long, String)].collect().toSet == want)
+    assert(want.contains((100L, "re")) && !want.exists(_._1 == 7L))
+  }
+
   test("tick consumes exactly the delta, batches multiple commits, " +
        "and no-ops when caught up") {
     val root = fresh()
