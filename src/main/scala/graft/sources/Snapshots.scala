@@ -109,6 +109,29 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
   * sharing the table's data files and segments (the fork copies segment
   * REFERENCES, never data); [[vacuum]] treats every branch version as
   * live, so branch snapshots pin their files like tags do.
+  * [[auditedAppendCommit]] composes branches into write-audit-publish:
+  * a batch is gated against its COMMITTED bytes on a throwaway branch
+  * and either merges atomically or never touches main.
+  *
+  * DML: [[mergeIntoCommit]] (keyed upsert+delete, two-pass touch
+  * planning — no source key reaches the driver), [[updateWhereCommit]]
+  * and [[deleteWhereCommit]] (conjunction-matched rows, simultaneous
+  * SET assignment / SQL NULL semantics), all as stats-pruned PARTIAL
+  * rewrites: only files whose committed stats can hold a matched row
+  * rewrite, the rest carry by reference. [[eraseMoRCommit]] is the
+  * O(keys) merge-on-read logical delete (readers anti-join in commit
+  * order; [[compactCommit]] folds). Equality pruning on UNCLUSTERED
+  * keys comes from per-file bucket-occupancy cells
+  * (`bucketCols`, [[readPrunedByKey]]); per-file row counts give
+  * [[rowCount]] metadata-only `count(*)`.
+  *
+  * Change consumption: [[readChangesBetween]] (append ranges,
+  * O(delta)), [[changeFeed]] (ordered row-level changes ACROSS
+  * merge-on-read deletes, applied downstream by `Merge.applyChanges`),
+  * and the exactly-once consumer groups [[consumeChanges]] /
+  * [[consumeFeed]]. Operations: [[readAsOf]] / [[commitTimes]] /
+  * [[historyDf]] / [[filesDf]] / [[vacuumPlan]] / [[fsck]] /
+  * [[rollbackCommit]] / [[compactSmallFilesCommit]].
   *
   * Kept deliberately out: multi-table transactions, three-way merges
   * (a non-fast-forward merge is a data decision, not a format one).
@@ -2447,6 +2470,27 @@ object Snapshots {
         else None
       }
     }.toDF("path", "status", "expected_bytes", "actual_bytes")
+  }
+
+  /** Time-based retention — the `expireSnapshots(olderThan)` every
+    * format ships as the routine maintenance call: resolve the numeric
+    * horizon from committed timestamps (the first version stamped
+    * AFTER the cutoff, or the head when every version predates it) and
+    * [[vacuum]] below it. All of vacuum's pins hold — tags, consumer
+    * floors, branch versions survive any cutoff. Versions without a
+    * commit timestamp (pre-feature history) are conservatively KEPT:
+    * an undatable snapshot is never silently expired. Returns deleted
+    * data-file count.
+    */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      olderThanMillis: Long): Int = {
+    val c = mainChain(table)
+    val vs = chainVersions(spark, c)
+    require(vs.nonEmpty, s"$table has no committed versions")
+    val keepFrom = vs.find(v =>
+      chainCommitTime(spark, c, v).forall(_ > olderThanMillis))
+      .getOrElse(vs.last)
+    vacuum(spark, table, keepFrom)
   }
 
   def vacuum(spark: SparkSession, table: String, keepFrom: Int): Int = {

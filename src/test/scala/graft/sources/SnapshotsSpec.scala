@@ -803,6 +803,24 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readPrunedByKey(spark, t2, "id", Seq(3L)).count() == 1)
   }
 
+  test("expireSnapshots: time-based retention from committed timestamps") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Thread.sleep(25)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(25)
+    Snapshots.commitOverwrite(spark, t, Seq(2L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    val deleted = Snapshots.expireSnapshots(spark, t, olderThanMillis = cut)
+    assert(deleted >= 1) // v1's file reclaimed
+    assert(Snapshots.versions(spark, t) == Seq(2, 3))
+    assert(ids(t) == Set(2L, 3L))
+    // a cutoff beyond every commit keeps the head (never drops everything)
+    Snapshots.expireSnapshots(spark, t, System.currentTimeMillis() + 10000)
+    assert(Snapshots.versions(spark, t) == Seq(3))
+    assert(ids(t) == Set(2L, 3L))
+  }
+
   test("changeFeed: ordered row-level changes across MoR deletes; " +
        "applying the feed reproduces the target snapshot (law)") {
     val t = freshTable()
