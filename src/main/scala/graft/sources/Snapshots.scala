@@ -453,6 +453,74 @@ object Snapshots {
   private def emptyOf(spark: SparkSession, st: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), st)
 
+  /** The last two path components (commit-uuid dir + part file) —
+    * unique per data file by construction, and scheme/qualification-
+    * proof where comparing full URIs is not.
+    */
+  private def pathTail2(p: String): String =
+    p.split('/').takeRight(2).mkString("/")
+
+  /** Per-file admit for Spark's PUSHED data filters — what makes a
+    * plain `Snapshots.read(t).filter(col("id") === 5)` skip files at
+    * PLANNING time with zero extra API: Spark hands the scan's
+    * FileIndex its pushed predicate conjunction, and this function
+    * answers each file from the manifest's committed (min, max) stats
+    * and bucket-occupancy cells — the explicit [[readPrunedWhere]] /
+    * [[readPrunedByKey]] surfaces stay for callers that want the
+    * planned file list pinned, but the pruning itself now rides every
+    * filtered read automatically, like partition pruning does.
+    * Conservative everywhere: unknown filter shapes, missing stats,
+    * kind/type mismatches all admit; string bounds honor truncation
+    * (lo is a prefix ≤ the true min, hi a strict upper bound).
+    */
+  private def filterAdmit(st: StructType, entries: Seq[Entry])
+      : (String, Seq[org.apache.spark.sql.sources.Filter]) => Boolean = {
+    import org.apache.spark.sql.sources._
+    val byTail = entries.map(e => pathTail2(e.path) -> e).toMap
+    def dt(c: String) = st.fields.find(_.name == c).map(_.dataType)
+    // Some(cmp) of a committed bound against a filter value, None on
+    // any kind/type mismatch (callers treat None as admit)
+    def cmpBound(kind: String, bound: String, v: Any): Option[Int] = (kind, v) match {
+      case ("long", n: java.lang.Number) =>
+        Some(java.lang.Long.compare(bound.toLong, n.longValue))
+      case ("string", s: String) => Some(utf8Cmp(bound, s))
+      case ("date", d: java.sql.Date) =>
+        Some(java.lang.Long.compare(bound.toLong, d.toLocalDate.toEpochDay))
+      case ("date", d: java.time.LocalDate) =>
+        Some(java.lang.Long.compare(bound.toLong, d.toEpochDay))
+      case _ => None
+    }
+    def admits(e: Entry, f: Filter): Boolean = f match {
+      case EqualTo(c, v) if v != null => keyTouches(e, c, Seq(v), dt(c))
+      case EqualNullSafe(c, v) if v != null => keyTouches(e, c, Seq(v), dt(c))
+      case In(c, vs) =>
+        val real = vs.filter(_ != null).toSeq
+        real.isEmpty || keyTouches(e, c, real, dt(c))
+      // a file survives `col > v` iff its max can exceed v: exact for
+      // long/date bounds; string his are bumped STRICTLY ABOVE the true
+      // max, so pruning on hi <= v is safe and hi > v conservatively keeps
+      case GreaterThan(c, v) =>
+        e.stats.get(c).forall(cs => cmpBound(cs.kind, cs.hi, v).forall(_ > 0))
+      case GreaterThanOrEqual(c, v) =>
+        e.stats.get(c).forall(cs => cmpBound(cs.kind, cs.hi, v).forall(_ >= 0))
+      case LessThan(c, v) =>
+        e.stats.get(c).forall(cs => cmpBound(cs.kind, cs.lo, v).forall(_ < 0))
+      case LessThanOrEqual(c, v) =>
+        e.stats.get(c).forall(cs => cmpBound(cs.kind, cs.lo, v).forall(_ <= 0))
+      case And(a, b) => admits(e, a) && admits(e, b)
+      case Or(a, b) => admits(e, a) || admits(e, b)
+      case _ => true
+    }
+    (path, filters) => byTail.get(pathTail2(path)) match {
+      case None => true
+      // a committed zero-row file (rc=0 — e.g. an empty hash-partition
+      // slot) can match nothing; its absence of per-column cells must
+      // not readmit it conservatively
+      case Some(e) if e.rows.contains(0L) => false
+      case Some(e) => filters.forall(admits(e, _))
+    }
+  }
+
   /** Plan the scan of `entries`. With a committed schema AND committed
     * file lengths (every post-r15 commit), the scan plans from manifest
     * metadata ALONE through [[graftbridge.Bridge.manifestParquetScan]] —
@@ -471,7 +539,11 @@ object Snapshots {
         org.apache.spark.sql.graftbridge.Bridge.manifestParquetScan(
           spark, st, f.makeQualified(new Path(table)),
           entries.map(e =>
-            (f.makeQualified(new Path(table, e.path)), e.size.get)))
+            (f.makeQualified(new Path(table, e.path)), e.size.get)),
+          admit =
+            if (entries.exists(e => e.stats.nonEmpty || e.buckets.nonEmpty))
+              filterAdmit(st, entries)
+            else (_, _) => true)
       // explicit schema: no footer read at planning time, and files that
       // predate an evolved-in column null-fill it at scan time
       case (Some(st), false) =>
@@ -1857,18 +1929,15 @@ object Snapshots {
       case None => es.partition(bucketCand)
     }
     if (cand.isEmpty) return RewritePlan(Seq.empty, es)
-    // move 2: executor-side touch probe over the candidates only.
-    // Filenames match manifest entries by their last two path components
-    // (commit-uuid dir + part file — unique by construction), which is
-    // scheme/qualification-proof where comparing full URIs is not.
-    def tail2(p: String): String = p.split('/').takeRight(2).mkString("/")
+    // move 2: executor-side touch probe over the candidates only,
+    // matched back to entries via pathTail2 (scheme-proof)
     val schema = chainSchema(spark, c, v)
     val touched = scan(spark, table, schema, cand)
       .select(col(keyCol), input_file_name().as("__graft_f"))
       .join(keysT.toDF(keyCol), Seq(keyCol), "left_semi")
       .select("__graft_f").distinct().collect()
-      .map(r => tail2(r.getString(0))).toSet
-    val (rewrite, untouched) = cand.partition(e => touched.contains(tail2(e.path)))
+      .map(r => pathTail2(r.getString(0))).toSet
+    val (rewrite, untouched) = cand.partition(e => touched.contains(pathTail2(e.path)))
     RewritePlan(rewrite, carry0 ++ untouched)
   }
 

@@ -57,9 +57,11 @@ object Bridge {
   def manifestParquetScan(spark: SparkSession,
                           schema: org.apache.spark.sql.types.StructType,
                           rootPath: org.apache.hadoop.fs.Path,
-                          files: Seq[(org.apache.hadoop.fs.Path, Long)])
+                          files: Seq[(org.apache.hadoop.fs.Path, Long)],
+                          admit: (String, Seq[org.apache.spark.sql.sources.Filter]) => Boolean =
+                            (_, _) => true)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+    import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Expression
     import org.apache.spark.sql.types.StructType
@@ -71,9 +73,23 @@ object Bridge {
     }.toArray
     val index = new FileIndex {
       override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(rootPath)
+      // `dataFilters` is Spark's own pushdown handing the scan its
+      // conjunction of data predicates — translating them to public
+      // `sources.Filter`s and asking the caller's `admit` per file is
+      // what turns the manifest's committed stats into AUTOMATIC
+      // planning-time file skipping for a plain `.filter(...)`, the
+      // same mechanism partition pruning uses. `admit` must be
+      // conservative (true when unsure): correctness stays with the
+      // row-level predicate Spark re-applies anyway.
       override def listFiles(partitionFilters: Seq[Expression],
-                             dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-        Seq(PartitionDirectory(InternalRow.empty, statuses))
+                             dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+        val fs = dataFilters.flatMap(e =>
+          DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
+        val kept =
+          if (fs.isEmpty) statuses
+          else statuses.filter(s => admit(s.getPath.toString, fs))
+        Seq(PartitionDirectory(InternalRow.empty, kept))
+      }
       override def inputFiles: Array[String] = files.map(_._1.toString).toArray
       override def refresh(): Unit = ()
       override def sizeInBytes: Long = files.map(_._2).sum

@@ -803,6 +803,46 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readPrunedByKey(spark, t2, "id", Seq(3L)).count() == 1)
   }
 
+  test("pushed data filters prune files at PLANNING time through the " +
+       "manifest stats — a plain .filter() needs no explicit pruned read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f
+      }.getOrElse(sys.error("no file scan in plan"))
+      scan.metrics("numFiles").value
+    }
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 800).toDF("id").withColumn("v", col("id") * 2)
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id"))
+    // equality: one band file planned, correct row back
+    val eq = Snapshots.read(spark, t).filter(col("id") === 150L)
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(150L))
+    assert(scannedFiles(eq) == 1)
+    // range: the tail band only (collect executes THIS df's plan — the
+    // numFiles metric lives on it, while .count() builds its own)
+    val rng = Snapshots.read(spark, t).filter(col("id") >= 700L)
+    assert(rng.collect().length == 100)
+    assert(scannedFiles(rng) <= 2 && scannedFiles(rng) >= 1)
+    // unfiltered: every file
+    val all = Snapshots.read(spark, t)
+    assert(all.collect().length == 800)
+    assert(scannedFiles(all) == 8)
+    // bucket cells answer equality on a hash-distributed key the same
+    // way — automatically
+    val tb = freshTable()
+    Snapshots.commitOverwrite(spark, tb,
+      spark.range(0, 4000).toDF("id")
+        .repartition(16, pmod(xxhash64(col("id")), lit(16L))),
+      statsCols = Seq("id"), bucketCols = Map("id" -> 16))
+    val nFiles = Snapshots.entries(spark, tb).size
+    val beq = Snapshots.read(spark, tb).filter(col("id").isin(5L, 99L))
+    assert(beq.collect().map(_.getLong(0)).toSet == Set(5L, 99L))
+    assert(scannedFiles(beq) <= 2 && nFiles >= 8)
+  }
+
   test("expireSnapshots: time-based retention from committed timestamps") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
