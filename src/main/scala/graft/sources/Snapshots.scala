@@ -631,8 +631,14 @@ object Snapshots {
 
   private def chainCommitTime(spark: SparkSession, c: Chain, v: Int): Option[Long] =
     manifestLines(spark, c, v).collectFirst {
-      case l if l.startsWith(TimeHeader) => l.substring(TimeHeader.length).toLong
-    }
+      case l if l.startsWith(TimeHeader) => l.substring(TimeHeader.length)
+    }.filter(s => s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
+      .map(_.toLong)
+      // same degradation contract as the sz=/rc= cell parsers: a
+      // bitrotted or hand-edited timestamp header parses as NO
+      // timestamp (readAsOf skips the version, expireSnapshots keeps
+      // it conservatively) instead of throwing NumberFormatException
+      // for the whole table's history surface
 
   /** (version, commit wall-clock millis) per main-chain version, in
     * version order. None for versions written before commit times were
@@ -1319,6 +1325,16 @@ object Snapshots {
     val beforeSet = before.toSet
     val schema = chainSchema(spark, c, to).orElse(versionSchema(spark, c, to))
       .getOrElse(sys.error(s"$table v$to has no schema"))
+    // `_op`/`_seq` are the feed's OWN columns — a table already carrying
+    // either would emit duplicate names and break the downstream
+    // Merge.applyChanges(replica, feed, key, "_seq", "_op") contract on
+    // ambiguous references (same reserved-name discipline as DelKeyCol)
+    schema.fieldNames.toSeq.intersect(Seq("_op", "_seq")) match {
+      case Seq() => ()
+      case taken => sys.error(s"$table carries reserved change-feed " +
+        s"column name(s) ${taken.mkString(", ")}; rename them before " +
+        "consuming a change feed")
+    }
     def feedCols(row: Map[String, Column]): Seq[Column] =
       schema.fields.toSeq.map(f =>
         row.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name))
@@ -1519,20 +1535,44 @@ object Snapshots {
     keys.exists(k => statAdmit(k) && bucketAdmit(k))
   }
 
+  /** The default [[erasePlan]] key cap — 1M distinct keys is a few tens
+    * of MB on the driver, far above any human-scale erasure batch and
+    * far below OOM territory.
+    */
+  val ErasePlanMaxKeys: Int = 1000000
+
   /** The [[erasePurgeCommit]] rewrite plan for `keys` against the head
     * (or given) version — exposed so specs and probes can pin "k of N
     * files rewritten" without paying the rewrite.
+    *
+    * CONTRACT: `keys` is an erasure REQUEST batch, and the plan replays
+    * each key against the manifest cells on the driver — the collect
+    * here is the point (the same values broadcast into the rewrite scan
+    * anyway), but it is guarded by `maxKeys` so a caller that
+    * mistakenly routes a data-scale key set through the erasure lane
+    * fails loudly instead of OOM-ing the driver. Bulk keyed deletes
+    * belong to [[mergeIntoCommit]] (op='d' rows) or [[eraseMoRCommit]]:
+    * both plan through [[mergeTouchPlan]]'s executor-side probe /
+    * the merge-on-read lane and never move a key to the driver.
     */
   def erasePlan(spark: SparkSession, table: String, keyCol: String,
-                keys: DataFrame, version: Option[Int] = None): RewritePlan = {
+                keys: DataFrame, version: Option[Int] = None,
+                maxKeys: Int = ErasePlanMaxKeys): RewritePlan = {
     require(keys.columns.length == 1,
       s"keys must be a single-column request list, got ${keys.columns.mkString(",")}")
     val c = mainChain(table)
     val v = resolveChainVersion(spark, c, version)
-    // a driver-side collect is the CONTRACT here: keys is an erasure
-    // request batch (bounded), and the same values broadcast into the
-    // rewrite scan anyway
-    val ks = keys.distinct().collect().map(_.get(0)).filter(_ != null).toSeq
+    // limit(maxKeys + 1) bounds the driver materialization BEFORE the
+    // collect — an over-cap batch ships at most cap+1 rows, never the
+    // whole set
+    val ks0 = keys.distinct().limit(maxKeys + 1).collect()
+    require(ks0.length <= maxKeys,
+      s"erasePlan got more than $maxKeys distinct keys — that is a " +
+        "data-scale key set, not an erasure request batch; route it " +
+        "through mergeIntoCommit (op='d') or eraseMoRCommit, whose " +
+        "planning never collects keys to the driver (or raise maxKeys " +
+        "explicitly if the batch really is a bounded request)")
+    val ks = ks0.map(_.get(0)).filter(_ != null).toSeq
     // bucket replay must hash under the TABLE column's type: xxhash64 of
     // a 4-byte int differs from the 8-byte long the cells were computed
     // from, so hashing a mis-typed request's values under its own type
@@ -1762,9 +1802,18 @@ object Snapshots {
     *      violations → the branch is dropped and the commit NEVER
     *      happened on main; the violating rows come back for triage.
     *
-    * Returns Right(main version) on publish, Left(violations DataFrame
-    * — input schema + `violations` array, materialized BEFORE the
-    * branch drops) on audit failure. The audited-ingest counterpart of
+    * Returns Right(main version) on publish, Left([[AuditViolations]])
+    * on audit failure: the violating rows (input schema + `violations`
+    * array) are staged to a QUARANTINE parquet directory under the
+    * table BEFORE the branch drops, and the result carries the
+    * quarantine path, per-check violation counts, the total, a bounded
+    * driver-side sample (first [[AuditSampleRows]] rows, for error
+    * messages and triage UIs) and a DataFrame reading the quarantined
+    * set — so a production-scale batch failing its audit costs O(1)
+    * driver memory, never a full-batch collect. The quarantine
+    * directory is the caller's to reclaim (vacuum never touches
+    * `_quarantine/`); its name is the WAP branch's, for log
+    * correlation. The audited-ingest counterpart of
     * [[graft.operators.IncrementalPipeline]]'s quarantine gate: there
     * the bad rows land in a quarantine table and the good half
     * publishes; here the unit of publication is the WHOLE batch.
@@ -1772,7 +1821,8 @@ object Snapshots {
   def auditedAppendCommit(spark: SparkSession, table: String, df: DataFrame,
                           checks: Seq[graft.operators.Expectations.Check],
                           statsCols: Seq[String] = Nil,
-                          evolve: Boolean = false): Either[DataFrame, Int] = {
+                          evolve: Boolean = false): Either[AuditViolations, Int] = {
+    import org.apache.spark.sql.functions.{col, explode}
     val name = s"wap-${java.util.UUID.randomUUID()}"
     createBranch(spark, table, name)
     try {
@@ -1793,14 +1843,37 @@ object Snapshots {
       val (_, bad) = graft.operators.Expectations.gate(committed, checks)
       if (bad.isEmpty) Right(fastForwardMerge(spark, table, name))
       else {
-        import spark.implicits._
-        // materialize before the branch (and its files) can vacuum
-        val rows = bad.collect().toSeq
-        Left(spark.createDataFrame(
-          spark.sparkContext.parallelize(rows), bad.schema))
+        // stage the violating rows DURABLY (executor-side write, driver
+        // sees no row) before the branch — and its data files — can
+        // drop; everything below reads the small quarantine parquet
+        val qPath = new Path(table, s"$QuarantineDir/$name").toString
+        bad.write.parquet(qPath)
+        val q = spark.read.parquet(qPath)
+        val counts = q.select(explode(col("violations")).as("check"))
+          .groupBy("check").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        Left(AuditViolations(qPath, counts, q.count(),
+          q.limit(AuditSampleRows).collect().toSeq, q))
       }
     } finally dropBranch(spark, table, name)
   }
+
+  private val QuarantineDir = "_quarantine"
+
+  /** Bound on [[AuditViolations.sample]] — enough for an error message
+    * and a triage glance, O(1) driver memory however large the batch.
+    */
+  val AuditSampleRows: Int = 20
+
+  /** An audit failure's triage surface: where the full violating set
+    * was quarantined, how many rows failed which check, a bounded
+    * sample, and a DataFrame over the quarantined parquet for
+    * distributed follow-up. `counts` sums can exceed `total` (one row
+    * can fail several checks).
+    */
+  final case class AuditViolations(quarantinePath: String,
+                                   counts: Map[String, Long], total: Long,
+                                   sample: Seq[Row], violations: DataFrame)
 
   /** UPDATE ... SET ... WHERE as a committed version — the third DML
     * verb beside [[deleteWhereCommit]] and [[mergeIntoCommit]], same
@@ -2001,7 +2074,7 @@ object Snapshots {
       s"$table (merge source)")
     val row = struct(targetCols.filterNot(_ == keyCol).map(col) :+
       col("__graft_op"): _*)
-    val collapsed = (seqCol match {
+    val collapsed0 = (seqCol match {
       case Some(_) =>
         aligned.groupBy(col(keyCol))
           .agg(max_by(row, struct(col("__graft_seq"), row)).as("__graft_w"))
@@ -2016,7 +2089,19 @@ object Snapshots {
     }).select(col(keyCol) +:
       targetCols.filterNot(_ == keyCol).map(n => col(s"__graft_w.$n").as(n)) :+
       col("__graft_w.__graft_op").as("__graft_op"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // DURABLE staging, not a persist: the touch probe (step 2) and the
+    // rewrite/anti-join (step 3) must observe the SAME collapsed batch,
+    // or a non-deterministic source recomputed after cache eviction
+    // could leave a matched key's old row alive in a file the probe
+    // declared untouched (a silent duplicate). A MEMORY_AND_DISK
+    // persist is best-effort — evicted/lost partitions recompute — so
+    // the batch is written to a temp parquet under the table and both
+    // passes re-read the frozen bytes. Costs one extra O(delta)
+    // write+read; a crash before the cleanup leaves `_tmp/merge-*`
+    // debris (safe to delete any time — nothing references it).
+    val stagedBatch = new Path(table, s"$TmpDir/merge-${java.util.UUID.randomUUID()}")
+    collapsed0.write.parquet(stagedBatch.toString)
+    val collapsed = spark.read.schema(collapsed0.schema).parquet(stagedBatch.toString)
     try {
       val keys = collapsed.select(col(keyCol))
       val plan = mergeTouchPlan(spark, table, keyCol, keys, Some(head))
@@ -2036,8 +2121,10 @@ object Snapshots {
           s"concurrent commit during merge (head moved $head -> $h); rerun")
         schemaLine(relaxed(headSchema)) +: (carryBody ++ body)
       })
-    } finally collapsed.unpersist()
+    } finally { fs(spark, table).delete(stagedBatch, true); () }
   }
+
+  private val TmpDir = "_tmp"
 
   /** Row-level diff of two keyed DataFrames: one row per changed key
     * with `change` ∈ insert / delete / update — unchanged keys are not

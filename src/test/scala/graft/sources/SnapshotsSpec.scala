@@ -1029,14 +1029,49 @@ class SnapshotsSpec extends SparkTestBase {
     val r2 = Snapshots.auditedAppendCommit(spark, t,
       Seq((4L, "en"), (-5L, "xx")).toDF("id", "lang"), checks)
     assert(r2.isLeft)
-    val bad = r2.left.toOption.get.collect()
+    val av = r2.left.toOption.get
+    val bad = av.violations.collect()
     assert(bad.length == 1)
     assert(bad.head.getAs[Long]("id") == -5L)
     assert(bad.head.getAs[scala.collection.Seq[String]]("violations").toSeq ==
       Seq("lang_known", "id_positive"))
+    assert(av.total == 1L)
+    assert(av.counts == Map("lang_known" -> 1L, "id_positive" -> 1L))
+    assert(av.sample.map(_.getAs[Long]("id")) == Seq(-5L))
     assert(Snapshots.versions(spark, t) == Seq(1, 2))
     assert(Snapshots.read(spark, t).count() == 3)
     assert(Snapshots.branches(spark, t).isEmpty)
+  }
+
+  test("auditedAppendCommit quarantines a violating-MAJORITY batch with " +
+       "O(1) driver materialization: bounded sample, per-check counts, " +
+       "the full set durable in _quarantine and readable after the " +
+       "branch (and a vacuum) are gone") {
+    import graft.operators.Expectations
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "en")).toDF("id", "lang"))
+    val batch = (2L until 5002L).map(i =>
+      (if (i % 10 == 0) i else -i, if (i % 3 == 0) "xx" else "en"))
+      .toDF("id", "lang")
+    val r = Snapshots.auditedAppendCommit(spark, t, batch, Seq(
+      Expectations.Check("lang_known", col("lang").isin("en", "de")),
+      Expectations.Check("id_positive", col("id") > 0L)))
+    assert(r.isLeft)
+    val av = r.left.toOption.get
+    // the driver-side footprint is the SAMPLE bound, not the batch size
+    assert(av.sample.size == Snapshots.AuditSampleRows)
+    assert(av.total == 5000L - 500L + 166L) // neg ids ∪ xx langs (pos, %3=0 among %10=0)
+    assert(av.counts("id_positive") == 4500L)
+    assert(av.counts("lang_known") == (2L until 5002L).count(_ % 3 == 0))
+    // main untouched, branch gone, but the quarantined set survives —
+    // under the table, outside vacuum's reach
+    assert(Snapshots.versions(spark, t) == Seq(1))
+    assert(Snapshots.branches(spark, t).isEmpty)
+    assert(av.quarantinePath.contains("_quarantine"))
+    Snapshots.vacuum(spark, t, keepFrom = 1)
+    val q = spark.read.parquet(av.quarantinePath)
+    assert(q.count() == av.total)
+    assert(q.columns.toSeq == Seq("id", "lang", "violations"))
   }
 
   test("updateWhereCommit: SET over the matched band only, partial " +
@@ -1440,5 +1475,52 @@ class SnapshotsSpec extends SparkTestBase {
     // a file dropped into data/ by hand never enters any plan
     Seq(99L).toDF("id").write.parquet(s"$t/data/not-committed")
     assert(Snapshots.read(spark, t, Some(2)).inputFiles.toSet === v2Files)
+  }
+
+  test("a bitrotted `# ts=` header degrades to no-timestamp (commitTimes " +
+       "None, readAsOf skips, expireSnapshots keeps) instead of throwing " +
+       "for the whole table") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    // hand-corrupt v1's timestamp header (the bitrot/hand-edit case)
+    val p = java.nio.file.Paths.get(t, "_manifests", "v00000001.txt")
+    val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replaceAll("(?m)^# ts=\\d+", "# ts=17x5garbage")
+    java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "_manifests", ".v00000001.txt.crc"))
+    val times = Snapshots.commitTimes(spark, t).toMap
+    assert(times(1).isEmpty && times(2).nonEmpty)
+    // readAsOf resolves through v2's intact timestamp; the undatable v1
+    // is skipped with the standard missing-metadata conservatism
+    assert(Snapshots.readAsOf(spark, t, times(2).get)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // expireSnapshots keeps the undatable version (never silently expired)
+    Snapshots.expireSnapshots(spark, t, olderThanMillis = Long.MaxValue)
+    assert(Snapshots.versions(spark, t) == Seq(1, 2))
+  }
+
+  test("changeFeed refuses a table whose schema already carries the " +
+       "reserved _op/_seq feed columns") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "u")).toDF("id", "_op"))
+    Snapshots.commitAppend(spark, t, Seq((2L, "u")).toDF("id", "_op"))
+    val e = intercept[RuntimeException] { Snapshots.changeFeed(spark, t, 1) }
+    assert(e.getMessage.contains("_op"))
+  }
+
+  test("erasePlan caps its driver-side key collect: an over-cap key set " +
+       "fails loudly pointing at the executor-side lanes") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L, 2L, 3L).toDF("id"))
+    val keys = (0L until 50L).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.erasePlan(spark, t, "id", keys, maxKeys = 10)
+    }
+    assert(e.getMessage.contains("mergeIntoCommit"))
+    // at or under the cap: the plan goes through
+    assert(Snapshots.erasePlan(spark, t, "id", keys, maxKeys = 50)
+      .rewrite.nonEmpty)
   }
 }
