@@ -231,7 +231,8 @@ object Snapshots {
   final case class Entry(path: String, size: Option[Long],
                          stats: Map[String, ColStat],
                          buckets: Map[String, BucketStat] = Map.empty,
-                         rows: Option[Long] = None)
+                         rows: Option[Long] = None,
+                         nulls: Map[String, Long] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -246,6 +247,13 @@ object Snapshots {
   // per-file row count, recorded whenever a commit's stats pass runs
   // (same reserved-prefix discipline as `sz=`)
   private val RowsCell = "rc="
+  // per-file per-column NULL count: `!<urlenc col>=<n>` — the `!` prefix
+  // cannot collide with a stats cell (URLEncoder escapes '!' to %21).
+  // Recorded for every stats column, INCLUDING n = 0: zero nulls is the
+  // side that prunes IS NULL, and nulls = rows prunes IS NOT NULL — the
+  // one case min/max can never answer (an all-NULL column has no
+  // min/max cell at all)
+  private val NullsCellPrefix = "!"
 
   private def parseEntry(line: String): Entry = {
     val cells = line.split('\t')
@@ -277,11 +285,20 @@ object Snapshots {
         case _ => None
       }
     }.toMap
+    val nulls = cells.drop(1).flatMap { cell =>
+      if (!cell.startsWith(NullsCellPrefix)) None
+      else cell.substring(NullsCellPrefix.length).split('=') match {
+        case Array(n, v) if v.nonEmpty && v.length <= 18 && v.forall(_.isDigit) =>
+          Some(dec(n) -> v.toLong)
+        case _ => None // malformed: no-cell, conservatively read
+      }
+    }.toMap
     val stats = cells.drop(1).flatMap { cell =>
       // named multi-column cell: name=kind:lo:hi (all URL-encoded).
       // Anything else (incl. the pre-r14 anonymous `lo\thi` pair) parses
       // as no-stats — conservatively read, never wrong, only slower.
-      if (cell.startsWith(BucketCellPrefix)) None
+      if (cell.startsWith(BucketCellPrefix) ||
+        cell.startsWith(NullsCellPrefix)) None
       else cell.split('=') match {
         case Array(n, v) => v.split(':') match {
           case Array(k, lo, hi) if Set("long", "string", "date")(k) =>
@@ -291,7 +308,7 @@ object Snapshots {
         case _ => None
       }
     }.toMap
-    Entry(cells.head, size, stats, buckets, rows)
+    Entry(cells.head, size, stats, buckets, rows, nulls)
   }
 
   // ----------------------------------------------------------- segments
@@ -507,6 +524,24 @@ object Snapshots {
         e.stats.get(c).forall(cs => cmpBound(cs.kind, cs.lo, v).forall(_ < 0))
       case LessThanOrEqual(c, v) =>
         e.stats.get(c).forall(cs => cmpBound(cs.kind, cs.lo, v).forall(_ <= 0))
+      // the null-count cell answers what min/max never can: a file with
+      // zero nulls has no IS NULL row, a file that is ALL nulls (which
+      // records no min/max cell at all) has no IS NOT NULL row — the
+      // latter matters because Spark pushes an implicit IsNotNull for
+      // every predicated column
+      case IsNull(c) => e.nulls.get(c).forall(_ > 0)
+      case IsNotNull(c) =>
+        !e.nulls.get(c).exists(n => e.rows.contains(n))
+      // `col LIKE 'p%'`: every matching string is >= p and < bump(p)
+      // (p with its last incrementable char incremented — the same
+      // order argument as truncateUpper). hi < p prunes whether hi is
+      // the exact max or the strictly-above truncated bound; lo is a
+      // prefix <= the true min, so lo >= bump(p) proves min > all
+      // matches. An un-bumpable prefix only prunes on the hi side.
+      case StringStartsWith(c, p) =>
+        e.stats.get(c).forall(cs => cs.kind != "string" ||
+          (utf8Cmp(cs.hi, p) >= 0 &&
+            bumpAbove(p).forall(u => utf8Cmp(cs.lo, u) < 0)))
       case And(a, b) => admits(e, a) && admits(e, b)
       case Or(a, b) => admits(e, a) || admits(e, b)
       case _ => true
@@ -541,7 +576,8 @@ object Snapshots {
           entries.map(e =>
             (f.makeQualified(new Path(table, e.path)), e.size.get)),
           admit =
-            if (entries.exists(e => e.stats.nonEmpty || e.buckets.nonEmpty))
+            if (entries.exists(e =>
+              e.stats.nonEmpty || e.buckets.nonEmpty || e.nulls.nonEmpty))
               filterAdmit(st, entries)
             else (_, _) => true)
       // explicit schema: no footer read at planning time, and files that
@@ -723,9 +759,14 @@ object Snapshots {
   private def truncateLower(s: String): String =
     if (s.length <= StatsMaxChars) s else s.substring(0, StatsMaxChars)
 
-  private def truncateUpper(s: String): Option[String] = {
-    if (s.length <= StatsMaxChars) return Some(s)
-    val p = s.substring(0, StatsMaxChars).toCharArray
+  /** The smallest string strictly above `s` AND every extension of `s`
+    * in UTF-8 byte order: the rightmost incrementable char incremented,
+    * the tail dropped. None when no position is incrementable. Shared
+    * by [[truncateUpper]] (bounding a truncated max) and
+    * [[filterAdmit]]'s StringStartsWith (bounding a LIKE-prefix band).
+    */
+  private def bumpAbove(s: String): Option[String] = {
+    val p = s.toCharArray
     var i = p.length - 1
     while (i >= 0) {
       // c+1 must be a real non-surrogate code point whose UTF-8 encoding
@@ -740,6 +781,10 @@ object Snapshots {
     }
     None
   }
+
+  private def truncateUpper(s: String): Option[String] =
+    if (s.length <= StatsMaxChars) Some(s)
+    else bumpAbove(s.substring(0, StatsMaxChars))
 
   private def renderStat(v: Any): String = v match {
     case n: java.lang.Number => n.toString
@@ -821,9 +866,12 @@ object Snapshots {
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))) ++
         bks.map { case (c, m) =>
-          collect_set(bucketExpr(c, m).cast("int")).as(s"__bk_$c") } :+
-        count(lit(1)).as("__rc") // row count rides the same pass for free
-      val byName: Map[String, (Seq[(String, ColStat)], Seq[(String, BucketStat)], Long)] =
+          collect_set(bucketExpr(c, m).cast("int")).as(s"__bk_$c") } ++
+        // row count + per-column non-null counts ride the same pass for
+        // free (nulls = rc - non-null, the IS [NOT] NULL pruning cell)
+        (count(lit(1)).as("__rc") +:
+          statsCols.map(c => count(col(c)).as(s"__nn_$c")))
+      val byName: Map[String, (Seq[(String, ColStat)], Seq[(String, BucketStat)], Long, Seq[(String, Long)])] =
         reread
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
@@ -848,19 +896,26 @@ object Snapshots {
               if (ids.isEmpty || ids.size > BucketIdsMax) None
               else Some(c -> BucketStat(m, ids))
             }
-            r.getString(0).split('/').last ->
-              ((stats, bstats, r.getLong(base + bks.size)))
+            val rc = r.getLong(base + bks.size)
+            val nulls = statsCols.zipWithIndex.map { case (c, j) =>
+              c -> (rc - r.getLong(base + bks.size + 1 + j))
+            }
+            r.getString(0).split('/').last -> ((stats, bstats, rc, nulls))
           }.toMap
       rels.map { r =>
         // a staged file absent from the grouped pass holds zero rows
-        // (an empty part file): its row count is a true 0
-        val (cells, bcells, rc) = byName.getOrElse(
+        // (an empty part file): its row count is a true 0 — and so is
+        // every per-column null count
+        val (cells, bcells, rc, ncells) = byName.getOrElse(
           r.split('\t').head.split('/').last,
-          (Seq.empty[(String, ColStat)], Seq.empty[(String, BucketStat)], 0L))
+          (Seq.empty[(String, ColStat)], Seq.empty[(String, BucketStat)], 0L,
+            statsCols.map(_ -> 0L)))
         (r +: (s"$RowsCell$rc" +: (cells.map { case (c, st) =>
           s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
         } ++ bcells.map { case (c, b) =>
           s"$BucketCellPrefix${enc(c)}=${b.mod}:${b.ids.mkString(",")}"
+        } ++ ncells.map { case (c, n) =>
+          s"$NullsCellPrefix${enc(c)}=$n"
         }))).mkString("\t")
       }
     }
@@ -1630,6 +1685,8 @@ object Snapshots {
         s"${enc(c)}=${st.kind}:${enc(st.lo)}:${enc(st.hi)}"
       } ++ e.buckets.toSeq.sortBy(_._1).map { case (c, b) =>
         s"$BucketCellPrefix${enc(c)}=${b.mod}:${b.ids.mkString(",")}"
+      } ++ e.nulls.toSeq.sortBy(_._1).map { case (c, n) =>
+        s"$NullsCellPrefix${enc(c)}=$n"
       })).mkString("\t")
 
   /** Row-level erasure, the PHYSICAL half (GDPR "right to be forgotten"):

@@ -843,6 +843,49 @@ class SnapshotsSpec extends SparkTestBase {
     assert(scannedFiles(beq) <= 2 && nFiles >= 8)
   }
 
+  test("null-count cells prune IS NULL / IS NOT NULL, and string stats " +
+       "prune LIKE-prefix bands, at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f
+      }.getOrElse(sys.error("no file scan in plan"))
+      scan.metrics("numFiles").value
+    }
+    val t = freshTable()
+    // 8 id-banded files; `s` is NULL for the low-id band (so low files
+    // are ALL-null: no min/max cell at all, only the nulls cell) and a
+    // zero-padded key above (string order == id order)
+    Snapshots.commitOverwrite(spark, t,
+      spark.range(0, 800).toDF("id")
+        .withColumn("s", when(col("id") < 300, lit(null))
+          .otherwise(format_string("k%04d", col("id"))))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      statsCols = Seq("id", "s"))
+    val es = Snapshots.entries(spark, t)
+    assert(es.size == 8)
+    assert(es.forall(_.nulls.contains("s"))) // nc recorded, 0 included
+    assert(es.exists(e => e.nulls("s") == 0L))
+    assert(es.exists(e => e.nulls("s") == e.rows.get && e.rows.get > 0))
+    // IS NULL: only files overlapping the null band plan (nc=0 prunes)
+    val isn = Snapshots.read(spark, t).filter(col("s").isNull)
+    assert(isn.collect().length == 300)
+    assert(scannedFiles(isn) <= 4)
+    // IS NOT NULL: the all-null files prune (nc = rc) — the cell that
+    // matters because those files record NO min/max for `s` at all
+    val nn = Snapshots.read(spark, t).filter(col("s").isNotNull)
+    assert(nn.collect().length == 500)
+    assert(scannedFiles(nn) <= 6)
+    // LIKE-prefix: the [k0700, k0800) band lives in 1-2 tail files
+    val sw = Snapshots.read(spark, t).filter(col("s").startsWith("k07"))
+    assert(sw.collect().length == 100)
+    assert(scannedFiles(sw) <= 2)
+    // conservative on a prefix above every value: zero files planned is
+    // fine, rows must be zero either way
+    assert(Snapshots.read(spark, t).filter(col("s").startsWith("zz"))
+      .collect().isEmpty)
+  }
+
   test("expireSnapshots: time-based retention from committed timestamps") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
