@@ -3084,6 +3084,53 @@ object SparkEntry {
         .unionAll(slice(Snapshots.read(s, t), "main_merged"))
     }),
 
+    // DIVERGED-BRANCH MERGE — the append-append case fastForwardMerge
+    // refuses: main and the branch BOTH appended since the fork, and
+    // because each commit is an immutable segment reference the merge
+    // is a pure metadata union (main's body + the branch's appended
+    // references; zero data movement — the builder proves main rejects
+    // the fast-forward first). A conflicting branch-side rewrite is
+    // rejected LOUDLY and leaves no version behind. Three states
+    // hashed — pre-merge main, branch head, merged head — so a merge
+    // that drops either side's delta, doubles the shared base, or a
+    // rejected conflict that half-commits all break the hash.
+    "q_snapshot_merge_diverged" -> ((s, dir) => {
+      val root = materializedDir("snapmergediv", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, t, d.filter(col("doc_id") % 3 === 0))
+        Snapshots.createBranch(s, t, "exp")
+        Snapshots.commitAppend(s, t, d.filter(col("doc_id") % 3 === 1))
+        Snapshots.commitAppendToBranch(s, t, "exp",
+          d.filter(col("doc_id") % 3 === 2))
+        val ffRejected =
+          try { Snapshots.fastForwardMerge(s, t, "exp"); false }
+          catch { case _: IllegalArgumentException => true }
+        require(ffRejected, "fastForwardMerge must reject a diverged main")
+        Snapshots.mergeBranch(s, t, "exp")
+        // the conflict face: a branch that rewrote its history since
+        // forking is a data decision, not a merge — and the rejection
+        // must leave main exactly where it was
+        Snapshots.createBranch(s, t, "bad")
+        Snapshots.commitOverwriteToBranch(s, t, "bad",
+          d.filter(col("doc_id") === 0))
+        val headBefore = Snapshots.versions(s, t).last
+        val rejected =
+          try { Snapshots.mergeBranch(s, t, "bad"); false }
+          catch { case _: IllegalArgumentException => true }
+        require(rejected && Snapshots.versions(s, t).last == headBefore,
+          "a conflicting rewrite must reject without committing")
+        Snapshots.dropBranch(s, t, "bad")
+      }
+      val t = root + "/t"
+      def slice(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .select(lit(tag).as("state"), col("n_docs"), col("id_sum"))
+      slice(Snapshots.read(s, t, Some(2)), "main_pre")
+        .unionAll(slice(Snapshots.readBranch(s, t, "exp"), "branch_head"))
+        .unionAll(slice(Snapshots.read(s, t), "merged"))
+    }),
+
     // GDPR ERASE through the snapshot format — the three-move deletion
     // protocol over the q_merge_on_read table: (1) LOGICAL delete now —
     // op='d' tombstones for the %9=3 keys append through the
@@ -5130,6 +5177,16 @@ object SparkEntry {
       "UNION ALL SELECT 'diff_insert', count(*)::BIGINT, " +
       "CAST(sum(doc_id) AS BIGINT) FROM documents WHERE doc_id % 3 <> 0 " +
       "UNION ALL SELECT 'main_merged', count(*)::BIGINT, " +
+      "CAST(sum(doc_id) AS BIGINT) FROM documents"),
+    // pre-merge main = the %3 0∪1 slices; the branch = 0∪2; the merged
+    // head = the union of both deltas over the shared base, exactly
+    // once each — a dropped delta or a doubled base breaks the hash
+    "q_snapshot_merge_diverged" -> ("SELECT 'main_pre' AS state, " +
+      "count(*)::BIGINT AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents WHERE doc_id % 3 IN (0, 1) " +
+      "UNION ALL SELECT 'branch_head', count(*)::BIGINT, " +
+      "CAST(sum(doc_id) AS BIGINT) FROM documents WHERE doc_id % 3 IN (0, 2) " +
+      "UNION ALL SELECT 'merged', count(*)::BIGINT, " +
       "CAST(sum(doc_id) AS BIGINT) FROM documents"),
     // tagged v2 = the first two slices; head v3 = the overwrite slice
     "q_snapshot_tag" -> ("SELECT 'tagged_v2' AS state, " +

@@ -2361,6 +2361,86 @@ object Snapshots {
     })
   }
 
+  /** Merge a branch into a DIVERGED main — the append-append case
+    * [[fastForwardMerge]] rejects. Segment references make this a pure
+    * METADATA UNION: when both sides only APPENDED since the fork
+    * (each body is the fork body plus its own new segment references),
+    * the merged head is main's body plus the branch's appended
+    * references — zero data movement, O(commits) metadata, and every
+    * row lands exactly once because the two deltas reference disjoint
+    * segments by construction (segment names are fresh UUIDs).
+    *
+    * Anything else is a DATA CONFLICT and fails loudly, never
+    * silently: a side that overwrote/compacted/rolled back (its body no
+    * longer extends the fork body) rewrote history the other side
+    * built on, and a merge-on-read DELETE in either delta is scoped by
+    * body order, which the merge would re-interleave — whether the
+    * other side's appends should fall inside the delete's scope is an
+    * operator decision (re-run the erase after merging, or rebase).
+    *
+    * Schemas reconcile by the same additive-evolution contract as
+    * appends: identical shapes merge, one side extending the other with
+    * trailing nullable columns merges under the longer shape (the
+    * shorter side's files null-fill at read), anything else rejects.
+    *
+    * The decision re-runs INSIDE the publish slot against the head the
+    * winning racer left, so a main commit racing the merge either
+    * serializes cleanly before it (the merge re-plans on top) or the
+    * publish retries — the merge can never drop a concurrent append.
+    * The branch survives (drop it separately once merged). Returns the
+    * new main version.
+    */
+  def mergeBranch(spark: SparkSession, table: String, name: String): Int = {
+    val main = mainChain(table)
+    val bc = branchChain(table, name)
+    val bvs = chainVersions(spark, bc)
+    require(bvs.nonEmpty, s"$table has no branch '$name'")
+    val bhead = bvs.last
+    val fork = branchFork(spark, table, name)
+    val forkBody = bodyLines(spark, main, fork)
+    val branchBody = bodyLines(spark, bc, bhead)
+    require(branchBody.startsWith(forkBody),
+      s"$table branch '$name' rewrote its history since forking at " +
+        s"v$fork (overwrite/compaction on the branch) — not an " +
+        "append-append merge; commitOverwrite the decision instead")
+    val branchDelta = branchBody.drop(forkBody.length)
+    require(branchDelta.forall(!_.startsWith(DelRef)),
+      s"$table branch '$name' committed merge-on-read deletes since the " +
+        "fork; a delete's scope is its body order, which a merge would " +
+        "re-interleave with main's appends — merge the appends from a " +
+        "clean branch and re-run the erase on the merged head")
+    val bSchema = versionSchema(spark, bc, bhead).getOrElse(
+      sys.error(s"${bc.label} v$bhead has no schema"))
+    def shape(st: StructType) =
+      relaxed(st).fields.map(f => (f.name, f.dataType)).toSeq
+    publish(spark, main, hOpt => {
+      val h = hOpt.getOrElse(sys.error(s"$table lost its versions mid-merge"))
+      val mainBody = bodyLines(spark, main, h)
+      require(mainBody.startsWith(forkBody),
+        s"$table main rewrote history since branch '$name' forked at " +
+          s"v$fork (overwrite/compaction/rollback by v$h) — not an " +
+          "append-append merge; rebase the branch from the new head")
+      val mainDelta = mainBody.drop(forkBody.length)
+      require(mainDelta.forall(!_.startsWith(DelRef)),
+        s"$table main committed merge-on-read deletes since branch " +
+          s"'$name' forked; whether the branch's rows fall inside their " +
+          "scope is a data decision — re-run the erase on the merged " +
+          "head if it must cover them (fold main's deletes + rebase " +
+          "otherwise)")
+      val mSchema = versionSchema(spark, main, h).getOrElse(
+        sys.error(s"$table v$h has no schema"))
+      val (ms, bs) = (shape(mSchema), shape(bSchema))
+      val merged =
+        if (bs.startsWith(ms)) relaxed(bSchema)
+        else if (ms.startsWith(bs)) relaxed(mSchema)
+        else sys.error(s"$table branch '$name' and main diverged to " +
+          s"incompatible schemas (${bs.mkString(",")} vs " +
+          s"${ms.mkString(",")}); only additive trailing-column " +
+          "evolution merges")
+      schemaLine(merged) +: (mainBody ++ branchDelta)
+    })
+  }
+
   /** Delete a branch ref and its chain. Its data files and segments
     * stay until the next [[vacuum]] finds them unreferenced.
     */

@@ -1507,6 +1507,89 @@ class SnapshotsSpec extends SparkTestBase {
     assert(created.get() == 1)
   }
 
+  test("mergeBranch: append-append divergence merges as a metadata " +
+       "union; rewrites and merge-on-read deletes reject loudly") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
+    Snapshots.createBranch(spark, t, "exp")
+    // BOTH sides move after the fork — fastForwardMerge refuses this
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    Snapshots.commitAppendToBranch(spark, t, "exp", Seq(4L, 5L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      Snapshots.fastForwardMerge(spark, t, "exp")
+    }
+    val preFiles = Snapshots.read(spark, t).inputFiles.toSet ++
+      Snapshots.readBranch(spark, t, "exp").inputFiles.toSet
+    val mv = Snapshots.mergeBranch(spark, t, "exp")
+    assert(ids(t, Some(mv)) == Set(1L, 2L, 3L, 4L, 5L))
+    // pure metadata union: the merged head reads EXACTLY the files the
+    // two sides already had — nothing rewritten, nothing staged
+    assert(Snapshots.read(spark, t).inputFiles.toSet == preFiles)
+    assert(ids(t, Some(2)) == Set(1L, 2L, 3L)) // history intact
+    Snapshots.dropBranch(spark, t, "exp")
+
+    // additive evolution on the branch side merges under the longer shape
+    Snapshots.createBranch(spark, t, "evo")
+    Snapshots.commitAppend(spark, t, Seq(6L).toDF("id"))
+    Snapshots.commitAppendToBranch(spark, t, "evo",
+      Seq((7L, "x")).toDF("id", "tag"), evolve = true)
+    val ev = Snapshots.mergeBranch(spark, t, "evo")
+    val head = Snapshots.read(spark, t, Some(ev))
+    assert(head.columns.toSeq == Seq("id", "tag"))
+    assert(head.count() == 7)
+    assert(head.filter(col("id") === 6L).select("tag").head().isNullAt(0))
+    Snapshots.dropBranch(spark, t, "evo")
+
+    // a branch that overwrote its history is a loud data conflict
+    Snapshots.createBranch(spark, t, "rw")
+    Snapshots.commitAppend(spark, t, Seq(8L).toDF("id"), evolve = true)
+    Snapshots.commitOverwriteToBranch(spark, t, "rw", Seq(99L).toDF("id"))
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, t, "rw")
+    }
+    assert(e1.getMessage.contains("rewrote its history"))
+    Snapshots.dropBranch(spark, t, "rw")
+
+    // a main that rewrote history since the fork rejects too
+    val t2 = freshTable()
+    Snapshots.commitOverwrite(spark, t2, Seq(1L).toDF("id"))
+    Snapshots.createBranch(spark, t2, "b")
+    Snapshots.commitAppendToBranch(spark, t2, "b", Seq(2L).toDF("id"))
+    Snapshots.commitOverwrite(spark, t2, Seq(50L).toDF("id"))
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, t2, "b")
+    }
+    assert(e2.getMessage.contains("main rewrote history"))
+
+    // merge-on-read deletes in either delta reject (scope = body order)
+    val t3 = freshTable()
+    Snapshots.commitOverwrite(spark, t3, Seq(1L, 2L, 3L).toDF("id"))
+    Snapshots.createBranch(spark, t3, "b")
+    Snapshots.commitAppendToBranch(spark, t3, "b", Seq(4L).toDF("id"))
+    Snapshots.eraseMoRCommit(spark, t3, "id", Seq(2L).toDF("k"))
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.mergeBranch(spark, t3, "b")
+    }
+    assert(e3.getMessage.contains("merge-on-read deletes"))
+  }
+
+  test("mergeBranch racing a main append: the publish slot serializes " +
+       "both — neither the append nor the branch delta is ever lost") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(0L).toDF("id"))
+    Snapshots.createBranch(spark, t, "m")
+    Snapshots.commitAppendToBranch(spark, t, "m", Seq(100L).toDF("id"))
+    val appenders = (1 to 4).map(i => new Thread(() => {
+      Snapshots.commitAppend(spark, t, Seq(i.toLong).toDF("id")); ()
+    }))
+    val merger = new Thread(() => {
+      Snapshots.mergeBranch(spark, t, "m"); ()
+    })
+    (appenders :+ merger).foreach(_.start())
+    (appenders :+ merger).foreach(_.join())
+    assert(ids(t) == Set(0L, 1L, 2L, 3L, 4L, 100L))
+  }
+
   test("read plan scans exactly the manifest's closed file list") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
