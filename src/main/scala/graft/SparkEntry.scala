@@ -3326,6 +3326,111 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"))
     }),
 
+    // STREAMING *FROM* THE SNAPSHOT TABLE — the format as a first-class
+    // Structured Streaming SOURCE (readStream.format("graft-snapshot")):
+    // offsets are table versions, each micro-batch a manifest-planned
+    // window (initial load = the v1 snapshot, then one version per
+    // trigger), flowing THROUGH the reference's Connect chain
+    // (DropField$Value on the nested meta struct) into a tokened
+    // snapshot sink. The worst crash window is SIMULATED mid-query: the
+    // sink's effect is durable but Spark's commit-log entry for the
+    // last batch is deleted; the restart must replay the SAME window
+    // into the SAME batch id, so the commitAppendOnce token no-ops —
+    // the builder requires exactly one sink generation per logical
+    // batch, and the hash breaks on any skipped, doubled, or
+    // mis-windowed row. A post-crash commit then flows incrementally.
+    "q_stream_from_snapshot" -> ((s, dir) => {
+      val root = materializedDir("streamfromsnap", dir) { path =>
+        val src = path + "/src"
+        val dst = path + "/dst"
+        val ckpt = path + "/ckpt"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          struct(col("source").as("src"),
+            col("n_chars").cast("long").as("nc")).as("meta"))
+        Snapshots.commitOverwrite(s, src, d.filter(col("doc_id") % 4 === 0))
+        Snapshots.commitAppend(s, src, d.filter(col("doc_id") % 4 === 1))
+        Snapshots.commitAppend(s, src, d.filter(col("doc_id") % 4 === 2))
+        def run(): Unit = {
+          val stream = s.readStream.format("graft-snapshot")
+            .option("maxVersionsPerTrigger", "1")
+            .option("pinConsumer", "repl").load(src)
+          val shaped = graft.streaming.StreamRunner.applyChain(stream, Map(
+            "transforms" -> "dropSrc",
+            "transforms.dropSrc.type" -> "DropField$Value",
+            "transforms.dropSrc.column" -> "meta",
+            "transforms.dropSrc.fields" -> "src"))
+          val q = shaped.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              Snapshots.commitAppendOnce(s, dst, b, s"sink:$id"); ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        run() // batches 0 (snapshot@v1), 1 (v2), 2 (v3)
+        require(Snapshots.versions(s, dst).size == 3,
+          "one sink generation per micro-batch")
+        // the crash: sink effect durable, Spark's commit-log entry torn
+        val commits = new java.io.File(s"$ckpt/commits").listFiles()
+          .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+        require(commits.last.delete(), "crash simulation needs the commit log")
+        new java.io.File(commits.last.getParent,
+          s".${commits.last.getName}.crc").delete()
+        Snapshots.commitAppend(s, src, d.filter(col("doc_id") % 4 === 3))
+        run() // replays batch 2 with the same token (no-op), then batch 3
+        require(Snapshots.versions(s, dst).size == 4,
+          "the replayed window must token-dedup; the new version must flow")
+      }
+      Snapshots.read(s, root + "/dst")
+        .select(col("doc_id"), col("lang"), col("meta.nc").as("n_chars"))
+    }),
+
+    // FEED-MODE STREAMING from the table ACROSS a merge-on-read erase:
+    // the change feed (op='u' rows, op='d' delete keys, _seq = commit
+    // order) arrives as per-version micro-batches and a downstream
+    // REPLICA applies each window through Merge.applyChanges — the
+    // replicate-across-GDPR-erases contract, now driven by Spark's own
+    // readStream instead of the format-level consumer ticker
+    // (q_snapshot_consume). The replica's final state must equal
+    // q_change_feed's applied law: a delete that leaks, a re-insert
+    // that dies, or a mis-sequenced window all break the per-lang hash.
+    "q_stream_from_snapshot_feed" -> ((s, dir) => {
+      val root = materializedDir("streamfromsnapfeed", dir) { path =>
+        val src = path + "/src"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, src, d)
+        Snapshots.eraseMoRCommit(s, src, "doc_id",
+          d.filter(col("doc_id") % 9 === 3).select("doc_id"))
+        Snapshots.commitAppend(s, src,
+          d.filter(col("doc_id") % 27 === 3)
+            .select(col("doc_id"), lit("re").as("lang")))
+        val stream = s.readStream.format("graft-snapshot")
+          .option("feed", "true").option("maxVersionsPerTrigger", "1")
+          .load(src)
+        val q = stream.writeStream
+          .option("checkpointLocation", path + "/ckpt")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            // fold each window into the replica parquet; overwrite-by-
+            // batch-id keeps a replayed trigger idempotent
+            val prev = (0L until id).reverse
+              .map(i => new java.io.File(path, s"replica$i"))
+              .find(_.exists())
+            val next = prev match {
+              case None => b.filter(col("_op") === "u").drop("_op", "_seq")
+              case Some(p) => Merge.applyChanges(
+                s.read.parquet(p.getAbsolutePath), b,
+                Seq("doc_id"), "_seq", "_op")
+            }
+            next.write.mode("overwrite").parquet(path + s"/replica$id")
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val last = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("replica"))
+        .maxBy(_.getName.stripPrefix("replica").toInt)
+      s.read.parquet(last.getAbsolutePath).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // METADATA-ONLY count(*) through the snapshot format — every commit
     // whose stats pass runs records a per-file `rc=` row count, so
     // rowCount answers from a driver-side sum over the parsed manifest:
@@ -5305,6 +5410,19 @@ object SparkEntry {
     // sequential seq-ordered streamed merges must land the identical
     // snapshot the one-shot logical merge computes
     "q_stream_merge_sink" -> mergeCdcSql,
+    // the tokened sink must hold every source row EXACTLY once after
+    // the initial load + per-version windows + the crash replay — the
+    // chain only drops meta.src, so (doc_id, lang, n_chars) survive
+    "q_stream_from_snapshot" -> ("SELECT doc_id, lang, " +
+      "n_chars::BIGINT AS n_chars FROM documents"),
+    // the streamed replica must land q_change_feed's applied law: base
+    // minus the erased %9=3 keys plus the re-inserted %27=3 as 're'
+    "q_stream_from_snapshot_feed" -> ("""WITH reins AS (
+      |  SELECT doc_id, lang FROM documents WHERE doc_id % 9 <> 3
+      |  UNION ALL
+      |  SELECT doc_id, 're' AS lang FROM documents WHERE doc_id % 27 = 3)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |       sum(doc_id)::BIGINT AS id_sum FROM reins GROUP BY lang""".stripMargin),
     // UPDATE WHERE replayed as CASE WHEN over the same conjunction —
     // both SET expressions read the pre-update row on both engines
     "q_update_where" -> ("""WITH upd AS (

@@ -1,0 +1,228 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** The snapshot table format as a FIRST-CLASS Structured Streaming
+  * source — `spark.readStream.format("graft-snapshot").load(table)`
+  * turns a table's commit log into an unbounded DataFrame, completing
+  * the format's streaming story: [[Snapshots.commitAppendOnce]] streams
+  * INTO the table exactly-once, this streams OUT of it. The same
+  * integration shape the log-structured lakehouse formats use (a V1
+  * `Source` whose `getBatch` returns a manifest-planned DataFrame —
+  * Spark's own file stream source works this way), so every batch is
+  * the stock parquet scan: vectorized reading, column pruning and the
+  * manifest's stats pushdown all apply per micro-batch.
+  *
+  * OFFSETS ARE TABLE VERSIONS: offset v = "all data through committed
+  * version v". Each micro-batch is the window `(v, v']` planned from
+  * the immutable manifests — [[Snapshots.streamBatch]]: O(delta +
+  * commits) metadata, only the window's segments expanded — which
+  * makes replay DETERMINISTIC (same window, same files, forever), the
+  * property Spark's offset-log/commit-log recovery contract needs.
+  * Exactly-once state lives where Spark puts it: the query CHECKPOINT
+  * owns (start, end] per batch id; a crashed trigger replays the same
+  * window into the same batch id, so an idempotent sink (foreachBatch
+  * + [[Snapshots.commitAppendOnce]] keyed by batch id, or any
+  * overwrite-by-batch-id sink) yields end-to-end exactly-once — the
+  * format-level [[Snapshots.consumeChanges]] machinery is the same
+  * dance for NON-Spark consumers and stays independent.
+  *
+  * Options:
+  *  - `path` (or `.load(path)`): the table root;
+  *  - `startingVersion`: `earliest` (default — the INITIAL LOAD is the
+  *    full snapshot, then deltas; the lakehouse convention), `latest`
+  *    (only commits after stream start), or a committed version number
+  *    (changes strictly AFTER it — the [[Snapshots.registerConsumer]]
+  *    convention);
+  *  - `maxVersionsPerTrigger`: admission control — at most this many
+  *    versions per micro-batch (the initial load counts as the window
+  *    up to its bound);
+  *  - `feed`: `true` streams the row-level CHANGE FEED — table columns
+  *    plus `_op` ('u'/'d') and `_seq` (commit order within the window)
+  *    — so the stream keeps flowing across merge-on-read erases and a
+  *    replica applies each batch with `Merge.applyChanges`; default
+  *    streams append deltas only and FAILS LOUDLY on a delete in the
+  *    window (an append-only consumer silently missing deletes would
+  *    diverge);
+  *  - `pinConsumer`: a consumer name advanced (via
+  *    [[Snapshots.advanceConsumer]]) as Spark commits batches, so the
+  *    table's VACUUM floor tracks the stream and retention never
+  *    reclaims versions the stream still needs. Lags by at most the
+  *    in-flight batch (the safe direction).
+  *
+  * Overwrites/compactions inside a window fail the stream loudly
+  * (rewritten history has no incremental meaning — restart from a
+  * fresh startingVersion), matching the format's consumer contract.
+  *
+  * SCHEMA IS PINNED AT STREAM START (Spark streams are fixed-schema):
+  * each batch projects onto the declared schema by name — a column
+  * added by additive evolution mid-stream stays invisible until
+  * restart, a batch omitting a declared trailing column null-fills.
+  *
+  * Restart correctness without touching Spark internals: the source
+  * persists a HIGH-WATER mark (the largest offset any `getBatch`
+  * window reached) as create-once marker files under its checkpoint
+  * `metadataPath`, and `getOffset` never offers below it. Without
+  * this, a restarted source's first `getOffset` under
+  * `maxVersionsPerTrigger` could offer an offset BELOW the
+  * checkpoint's committed one — V1 compares offsets by equality, so
+  * Spark would plan the inverted window `(committed, lower]` and fail.
+  * Written BEFORE `getBatch` returns: every offset Spark could have
+  * logged is covered, and a crash between the marker write and the
+  * offset log write only makes the next window start one version
+  * higher than strictly necessary — never skipping data, because the
+  * next window still opens at the checkpoint's committed offset.
+  */
+class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), SnapshotStreamSource.resolveSchema(
+      ctx.sparkSession, parameters))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = ctx.sparkSession
+    val table = SnapshotStreamSource.tablePath(parameters)
+    val declared = schema.getOrElse(
+      SnapshotStreamSource.resolveSchema(spark, parameters))
+    val feed = SnapshotStreamSource.feedMode(parameters)
+    val vs = Snapshots.versions(spark, table)
+    val start = parameters.getOrElse("startingVersion", "earliest") match {
+      case "earliest" => 0L
+      case "latest" => vs.last.toLong
+      case n =>
+        val v = n.toLong
+        require(v == 0L || vs.contains(v.toInt),
+          s"startingVersion $v is not 0/earliest/latest or a committed " +
+            s"version of $table (have ${vs.mkString(",")})")
+        v
+    }
+    val maxV = parameters.get("maxVersionsPerTrigger").map { m =>
+      val v = m.toInt; require(v >= 1, s"maxVersionsPerTrigger must be >= 1, got $v"); v
+    }
+    new SnapshotSource(spark, table, declared, feed, start, maxV,
+      parameters.get("pinConsumer"), metadataPath)
+  }
+}
+
+object SnapshotStreamSource {
+  private[sources] def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", sys.error(
+      "graft-snapshot source needs a table root: .load(path) or .option(\"path\", ...)"))
+
+  private[sources] def feedMode(parameters: Map[String, String]): Boolean =
+    parameters.get("feed").exists(_.toBoolean)
+
+  private[sources] def resolveSchema(spark: SparkSession,
+                                     parameters: Map[String, String]): StructType = {
+    val table = tablePath(parameters)
+    val vs = Snapshots.versions(spark, table)
+    require(vs.nonEmpty, s"$table has no committed versions to stream from")
+    val st = Snapshots.committedSchema(spark, table, vs.last).getOrElse(
+      sys.error(s"$table v${vs.last} has no committed schema header; " +
+        "streaming needs the committed-schema contract (any commit made " +
+        "by this library records it)"))
+    if (!feedMode(parameters)) st
+    else {
+      val taken = st.fieldNames.toSeq.intersect(Seq("_op", "_seq"))
+      require(taken.isEmpty, s"$table carries reserved change-feed column " +
+        s"name(s) ${taken.mkString(", ")}; rename them before streaming " +
+        "the feed")
+      StructType(st.fields ++ Seq(
+        StructField("_op", StringType, nullable = false),
+        StructField("_seq", IntegerType, nullable = false)))
+    }
+  }
+}
+
+/** One live stream's source instance — see [[SnapshotStreamSource]] for
+  * the contract. Single-threaded per stream (Spark's microbatch driver
+  * loop), so the `known` var needs no synchronization.
+  */
+private class SnapshotSource(spark: SparkSession, table: String,
+                             declared: StructType, feed: Boolean,
+                             startOffset: Long, maxVersions: Option[Int],
+                             pinConsumer: Option[String],
+                             metadataPath: String) extends Source {
+
+  private val hadoopFs =
+    new Path(metadataPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Largest offset any handed-out window reached: max(startOffset,
+    * persisted high-water marks). Marker files are create-once
+    * (`hw-<offset>`), so a crashed write never tears; stale markers are
+    * pruned best-effort after each advance.
+    */
+  private var known: Long = {
+    val dir = new Path(metadataPath)
+    val persisted =
+      if (!hadoopFs.exists(dir)) Seq.empty[Long]
+      else hadoopFs.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("hw-") &&
+          n.substring(3).forall(_.isDigit) => n.substring(3).toLong }.toSeq
+    (startOffset +: persisted).max
+  }
+
+  private def recordHighWater(to: Long): Unit = if (to > known) {
+    val dir = new Path(metadataPath)
+    hadoopFs.mkdirs(dir)
+    val out = hadoopFs.create(new Path(dir, s"hw-$to"), false)
+    out.close()
+    hadoopFs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("hw-") && n.substring(3).forall(_.isDigit) &&
+        n.substring(3).toLong < to) hadoopFs.delete(p, false)
+    }
+    known = to
+  }
+
+  override def schema: StructType = declared
+
+  private def offsetValue(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset after restart
+  }
+
+  override def getOffset: Option[Offset] = {
+    val head = Snapshots.versions(spark, table).lastOption
+      .map(_.toLong).getOrElse(0L)
+    val target = maxVersions.fold(head)(m => math.min(head, known + m))
+    val off = math.max(target, known)
+    if (off <= 0L) None else Some(LongOffset(off))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val from = start.map(offsetValue).getOrElse(startOffset)
+    val to = offsetValue(end)
+    recordHighWater(to)
+    val batch = Snapshots.streamBatch(spark, table, from.toInt, to.toInt, feed)
+    // project onto the DECLARED schema by name: evolution-added columns
+    // stay invisible until restart, omitted trailing columns null-fill
+    val have = batch.columns.toSet
+    val shaped = batch.select(declared.fields.toSeq.map { f =>
+      (if (have(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+    org.apache.spark.sql.graftbridge.Bridge.asStreaming(shaped)
+  }
+
+  override def commit(end: Offset): Unit =
+    pinConsumer.foreach(n =>
+      Snapshots.advanceConsumer(spark, table, n, offsetValue(end).toInt))
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"SnapshotStreamSource[$table${if (feed) ", feed" else ""}]"
+}

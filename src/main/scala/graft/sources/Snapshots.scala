@@ -1307,14 +1307,15 @@ object Snapshots {
     * `toVersion`'s schema, so a range crossing an additive schema
     * evolution null-fills old-shape rows.
     */
-  def readChangesBetween(spark: SparkSession, table: String,
-                         fromVersion: Int,
-                         toVersion: Option[Int] = None): DataFrame = {
+  /** The append-range delta's data entries between two committed
+    * versions — the shared planning core of [[readChangesBetween]] and
+    * [[streamBatch]]: validates the range is append-shaped (no
+    * overwrite/compaction, no merge-on-read delete) and expands ONLY
+    * the delta's segments.
+    */
+  private def appendRangeAdded(spark: SparkSession, table: String,
+                               fromVersion: Int, to: Int): Seq[Entry] = {
     val c = mainChain(table)
-    val vs = chainVersions(spark, c)
-    val to = toVersion.getOrElse(vs.last)
-    require(vs.contains(fromVersion) && vs.contains(to) && fromVersion <= to,
-      s"need committed versions from<=to, got $fromVersion..$to of ${vs.mkString(",")}")
     val before = bodyLines(spark, c, fromVersion)
     val after = bodyLines(spark, c, to)
     val afterSet = after.toSet
@@ -1334,10 +1335,105 @@ object Snapshots {
     // only the delta's segments are expanded — the base's file lines are
     // never read, which is what keeps a high-frequency incremental
     // consumer O(delta) on a 10⁶-file table
-    val added = expand(spark, table, after.filterNot(beforeSet)).map(parseEntry)
+    expand(spark, table, after.filterNot(beforeSet)).map(parseEntry)
+  }
+
+  def readChangesBetween(spark: SparkSession, table: String,
+                         fromVersion: Int,
+                         toVersion: Option[Int] = None): DataFrame = {
+    val c = mainChain(table)
+    val vs = chainVersions(spark, c)
+    val to = toVersion.getOrElse(vs.last)
+    require(vs.contains(fromVersion) && vs.contains(to) && fromVersion <= to,
+      s"need committed versions from<=to, got $fromVersion..$to of ${vs.mkString(",")}")
+    val added = appendRangeAdded(spark, table, fromVersion, to)
     if (added.isEmpty) // legitimate: token-only or empty-batch commits
       read(spark, table, Some(to)).limit(0)
     else scan(spark, table, chainSchema(spark, c, to), added)
+  }
+
+  /** One STREAMING-SOURCE micro-batch window: the rows of `(fromVersion,
+    * toVersion]` under offset semantics "offset v = all data through
+    * version v consumed". `fromVersion = 0` is the INITIAL LOAD — the
+    * full snapshot at `toVersion` (what a new stream with
+    * startingVersion=earliest sees first, chunked by the trigger's
+    * version bound like every later window); `fromVersion >= 1` is the
+    * append-range delta ([[readChangesBetween]] semantics) or, with
+    * `feed = true`, the ordered row-level [[changeFeed]] (op='u' rows
+    * and op='d' delete keys, so the stream keeps flowing across
+    * merge-on-read erases). Empty windows return an empty LOCAL
+    * relation (never a limit(0) plan — the streaming wrapper marks
+    * every node of the returned plan streaming, and a Limit inside a
+    * streaming plan is not incrementalizable). Used by
+    * [[SnapshotStreamSource]]; callers outside streaming want
+    * [[readChangesBetween]] / [[changeFeed]] directly.
+    */
+  def streamBatch(spark: SparkSession, table: String, fromVersion: Int,
+                  toVersion: Int, feed: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val c = mainChain(table)
+    val vs = chainVersions(spark, c)
+    require(fromVersion >= 0 && vs.contains(toVersion) &&
+      fromVersion <= toVersion,
+      s"need 0 <= from <= committed to, got $fromVersion..$toVersion " +
+        s"of ${vs.mkString(",")}")
+    def feedCols(df: DataFrame): DataFrame =
+      df.select(df.columns.map(col) :+
+        lit("u").as("_op") :+ lit(0).as("_seq"): _*)
+    if (fromVersion == 0) {
+      val snap = read(spark, table, Some(toVersion))
+      if (feed) feedCols(snap) else snap
+    } else if (fromVersion == toVersion) {
+      val st = versionSchema(spark, c, toVersion).getOrElse(
+        sys.error(s"$table v$toVersion has no schema"))
+      val withFeed = if (!feed) relaxed(st) else StructType(
+        relaxed(st).fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_op", StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_seq", IntegerType, nullable = false)))
+      emptyOf(spark, withFeed)
+    } else if (feed) {
+      changeFeed(spark, table, fromVersion, Some(toVersion))
+    } else {
+      val added = appendRangeAdded(spark, table, fromVersion, toVersion)
+      if (added.isEmpty)
+        emptyOf(spark, relaxed(versionSchema(spark, c, toVersion).getOrElse(
+          sys.error(s"$table v$toVersion has no schema"))))
+      else scan(spark, table, chainSchema(spark, c, toVersion), added)
+    }
+  }
+
+  /** Advance (registering on first call) consumer `name`'s committed
+    * offset to `toVersion` — MONOTONE (a lagging or repeated call
+    * no-ops). This is the STREAMING-SOURCE vacuum pin: a Spark
+    * structured stream reading the table owns its exactly-once offsets
+    * in its own checkpoint, but [[vacuum]] knows nothing about
+    * checkpoints — advancing a named consumer as batches commit keeps
+    * the format-level consumer floor in step so retention never
+    * reclaims versions an attached stream still needs (lagging on a
+    * crash pins MORE, the safe direction). NOT a consumption API: a
+    * consumer name is owned by ONE mode — either the exactly-once
+    * [[consumeChanges]]/[[consumeFeed]] tickers or this pin — never
+    * both.
+    */
+  def advanceConsumer(spark: SparkSession, table: String, name: String,
+                      toVersion: Int): Unit = {
+    require(name.matches(RefName), s"consumer name must be $RefName, got '$name'")
+    val f = fs(spark, table)
+    val ogens = consumerGen(spark, table, name, "o")
+    if (ogens.isEmpty) {
+      createExclusive(f, consumerFile(spark, table, name, "o", 1),
+        (toVersion.toString + "\n").getBytes("UTF-8"))
+      ()
+    } else {
+      val k = ogens.last
+      if (toVersion > readConsumerFile(spark, table, name, "o", k)) {
+        createExclusive(f, consumerFile(spark, table, name, "o", k + 1),
+          (toVersion.toString + "\n").getBytes("UTF-8"))
+        // lag-1 prune, like consumeTick: bounded state per consumer
+        consumerGen(spark, table, name, "o").filter(_ < k).foreach(g =>
+          f.delete(consumerFile(spark, table, name, "o", g), false))
+      }
+    }
   }
 
   /** CHANGE DATA FEED: the ORDERED row-level changes between two

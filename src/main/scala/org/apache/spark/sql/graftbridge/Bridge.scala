@@ -102,6 +102,29 @@ object Bridge {
       LogicalRelation(relation, isStreaming = false))
   }
 
+  /** Re-root a BATCH DataFrame as a streaming micro-batch plan: every
+    * leaf relation is marked `isStreaming = true`. This is the V1
+    * streaming-source contract (the same move Spark's own
+    * FileStreamSource and the lakehouse sources make): `Source.getBatch`
+    * returns a DataFrame whose plan the MicroBatchExecution splices in
+    * place of the stream's logical relation, and it ASSERTS the plan is
+    * streaming. The batch plans handed in here are manifest-planned
+    * parquet scans (LogicalRelation leaves) plus projections/unions/
+    * anti-joins above them, and empty windows are LocalRelations — both
+    * leaf kinds carry the flag natively.
+    */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+      case l: LocalRelation if !l.isStreaming => l.copy(isStreaming = true)
+    }
+    require(plan.isStreaming,
+      s"asStreaming could not mark this plan's leaves streaming:\n$plan")
+    ofRows(df.sparkSession, plan)
+  }
+
   /** Block until the shared listener bus has delivered every queued
     * event. Audit tooling needs this between queries: the
     * QueryExecutionListener bus is ASYNC, so executions belonging to

@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.SparkTestBase
+
+/** The snapshot table as a Structured Streaming SOURCE: offsets are
+  * table versions, each micro-batch a manifest-planned window, replay
+  * deterministic — [[SnapshotStreamSource]]'s whole contract, including
+  * the crash window a real deployment hits (sink effect durable, Spark
+  * commit log torn) and the restart-under-admission-control case the
+  * high-water mark exists for.
+  */
+class SnapshotStreamSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(s"graft_ss_$name").toString
+
+  private def readStreamOf(table: String, opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.readStream.format("graft-snapshot")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load(table)
+
+  test("initial load + per-version micro-batches, exactly once, with the " +
+       "pinned consumer floor tracking the stream") {
+    val root = fresh("basic")
+    val t = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    Snapshots.commitAppend(spark, t, Seq((3L, "c")).toDF("id", "tag"))
+    Snapshots.commitAppend(spark, t, Seq((4L, "d")).toDF("id", "tag"))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val q = readStreamOf(t,
+      "maxVersionsPerTrigger" -> "1", "pinConsumer" -> "repl")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches.synchronized {
+          batches += ((id, b.select("id").as[Long].collect().toSet)); ()
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      // batch 0 = the full snapshot at v1 (initial load), then one
+      // version per trigger under the admission bound
+      assert(batches.toList == List(
+        (0L, Set(1L, 2L)), (1L, Set(3L)), (2L, Set(4L))))
+      // the vacuum pin follows the committed batches, lagging at most
+      // the in-flight one (V1 delivers commit(x) as batch x+1 starts —
+      // lagging pins MORE versions, the safe direction)
+      assert(Snapshots.consumers(spark, t)("repl") >= 2)
+      // live tail: a new commit flows as its own delta
+      Snapshots.commitAppend(spark, t, Seq((5L, "e")).toDF("id", "tag"))
+      q.processAllAvailable()
+      assert(batches.last == ((3L, Set(5L))))
+      assert(Snapshots.consumers(spark, t)("repl") >= 3)
+    } finally q.stop()
+  }
+
+  test("the worst crash window — sink effect durable, Spark commit log " +
+       "torn — replays the SAME window into the SAME batch id, so a " +
+       "tokened sink no-ops (end-to-end exactly-once)") {
+    val root = fresh("crash")
+    val t = s"$root/t"
+    val dst = s"$root/dst"
+    val ckpt = s"$root/ckpt"
+    Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(4L).toDF("id"))
+
+    def run(): Unit = {
+      val q = readStreamOf(t, "maxVersionsPerTrigger" -> "1")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Snapshots.commitAppendOnce(spark, dst, b, s"sink:$id"); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(Snapshots.read(spark, dst).as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    val gens = Snapshots.versions(spark, dst).size
+    assert(gens == 3) // one generation per batch
+
+    // the crash: processing + sink commit happened, Spark's commit log
+    // entry for the LAST batch is lost
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val lost = commits.last
+    assert(lost.delete())
+    // the local-FS checksum sidecar goes with it (a real torn write
+    // leaves neither)
+    new java.io.File(lost.getParent, s".${lost.getName}.crc").delete()
+    run() // restart: replays batch 2 = window (2,3] with the same token
+    assert(Snapshots.versions(spark, dst).size == gens) // no new generation
+    assert(Snapshots.read(spark, dst).as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+
+    // restart again with data waiting: the high-water mark keeps
+    // getOffset from offering below the committed offset, the new
+    // version flows as one clean window
+    Snapshots.commitAppend(spark, t, Seq(5L).toDF("id"))
+    run()
+    assert(Snapshots.read(spark, dst).as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L))
+    assert(Snapshots.versions(spark, dst).size == gens + 1)
+  }
+
+  test("feed mode streams row-level changes ACROSS a merge-on-read erase " +
+       "and a per-batch applyChanges replica converges to the head") {
+    val root = fresh("feed")
+    val t = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    Snapshots.commitOverwrite(spark, t,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "tag"))
+    Snapshots.eraseMoRCommit(spark, t, "id",
+      Seq(7L, 13L).toDF("k"))
+    Snapshots.commitAppend(spark, t, Seq((13L, "re")).toDF("id", "tag"))
+
+    var replica: DataFrame = null
+    val q = readStreamOf(t, "feed" -> "true", "maxVersionsPerTrigger" -> "1")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect() // test-side: materialize the tiny window
+        val batch = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), b.schema)
+        replica = Option(replica) match {
+          case None =>
+            batch.filter(col("_op") === "u").drop("_op", "_seq")
+          case Some(r) => graft.operators.Merge.applyChanges(
+            r, batch, Seq("id"), "_seq", "_op")
+        }
+        replica = spark.createDataFrame(java.util.Arrays.asList(
+          replica.collect(): _*), replica.schema)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val want = Snapshots.read(spark, t).as[(Long, String)].collect().toSet
+    assert(replica.as[(Long, String)].collect().toSet == want)
+    assert(!want.exists(_._1 == 7L) && want.contains((13L, "re")))
+  }
+
+  test("startingVersion=latest sees only post-start commits; an " +
+       "overwrite mid-stream fails the stream loudly") {
+    val root = fresh("latest")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val q = readStreamOf(t, "startingVersion" -> "latest")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized { seen ++= b.select("id").as[Long].collect() }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.isEmpty) // history before start is not replayed
+      Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(3L))
+      // an overwrite rewrites history: the next window must fail loudly
+      Snapshots.commitOverwrite(spark, t, Seq(9L).toDF("id"))
+      val e = intercept[StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(20000); ()
+      }
+      assert(e.getMessage.contains("append range") ||
+        Option(e.getCause).exists(_.getMessage.contains("append range")))
+    } finally q.stop()
+  }
+
+  test("schema is pinned at stream start: an additive-evolution commit " +
+       "mid-stream stays invisible (projected onto the declared shape) " +
+       "until restart") {
+    val root = fresh("evo")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q = readStreamOf(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized { got += b.columns.toSeq }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      Snapshots.commitAppend(spark, t,
+        Seq((2L, "b", 9L)).toDF("id", "tag", "score"), evolve = true)
+      q.processAllAvailable()
+      assert(got.nonEmpty && got.forall(_ == Seq("id", "tag")))
+    } finally q.stop()
+  }
+}
