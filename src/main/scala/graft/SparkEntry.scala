@@ -3383,6 +3383,59 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("meta.nc").as("n_chars"))
     }),
 
+    // TABLE -> TABLE IN THE PURE DATASTREAM API — the sink face of the
+    // streaming format: readStream.format("graft-snapshot") out of the
+    // source table, a narrow projection, writeStream.format(
+    // "graft-snapshot") into the destination — no foreachBatch, no
+    // hand-rolled tokens: the sink commits each micro-batch under
+    // <checkpointLocation>#b<batchId> via commitAppendOnce, so the
+    // torn-commit-log crash simulated mid-query (same move as
+    // q_stream_from_snapshot, but now the SINK's idempotence is what
+    // recovery leans on) replays into a token no-op. statsCols ride
+    // every batch commit, so the destination stays prunable as it
+    // grows — the builder requires the per-file id cells and exactly
+    // one generation per logical batch.
+    "q_stream_table_to_table" -> ((s, dir) => {
+      val root = materializedDir("streamtbl2tbl", dir) { path =>
+        val src = path + "/src"
+        val dst = path + "/dst"
+        val ckpt = path + "/ckpt"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars").cast("long").as("n_chars"))
+        Snapshots.commitOverwrite(s, src, d.filter(col("doc_id") % 4 === 0))
+        Snapshots.commitAppend(s, src, d.filter(col("doc_id") % 4 === 1))
+        Snapshots.commitAppend(s, src, d.filter(col("doc_id") % 4 === 2))
+        def run(): Unit = {
+          val q = s.readStream.format("graft-snapshot")
+            .option("maxVersionsPerTrigger", "1").load(src)
+            .drop("source")
+            .writeStream.format("graft-snapshot")
+            .option("checkpointLocation", ckpt)
+            .option("statsCols", "doc_id")
+            .start(dst)
+          try q.processAllAvailable() finally q.stop()
+        }
+        run()
+        require(Snapshots.versions(s, dst).size == 3,
+          "one sink generation per micro-batch")
+        require(Snapshots.entries(s, dst).forall(e =>
+          e.stats.contains("doc_id") && e.rows.isDefined),
+          "stats cells must ride every sink commit")
+        val commits = new java.io.File(s"$ckpt/commits").listFiles()
+          .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+        require(commits.last.delete(), "crash simulation needs the commit log")
+        new java.io.File(commits.last.getParent,
+          s".${commits.last.getName}.crc").delete()
+        Snapshots.commitAppend(s, src, d.filter(col("doc_id") % 4 === 3))
+        run() // the SINK's token must no-op the replayed batch id
+        require(Snapshots.versions(s, dst).size == 4,
+          "the replayed batch must token-dedup in the sink; the new " +
+            "version must flow")
+      }
+      Snapshots.read(s, root + "/dst")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // FEED-MODE STREAMING from the table ACROSS a merge-on-read erase:
     // the change feed (op='u' rows, op='d' delete keys, _seq = commit
     // order) arrives as per-version micro-batches and a downstream
@@ -5414,6 +5467,10 @@ object SparkEntry {
     // the initial load + per-version windows + the crash replay — the
     // chain only drops meta.src, so (doc_id, lang, n_chars) survive
     "q_stream_from_snapshot" -> ("SELECT doc_id, lang, " +
+      "n_chars::BIGINT AS n_chars FROM documents"),
+    // the sink-format pipeline must land the identical exactly-once
+    // surface (same rows, different crash site: the SINK token)
+    "q_stream_table_to_table" -> ("SELECT doc_id, lang, " +
       "n_chars::BIGINT AS n_chars FROM documents"),
     // the streamed replica must land q_change_feed's applied law: base
     // minus the erased %9=3 keys plus the re-inserted %27=3 as 're'

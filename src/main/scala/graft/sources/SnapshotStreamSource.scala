@@ -2,9 +2,10 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** The snapshot table format as a FIRST-CLASS Structured Streaming
@@ -78,9 +79,54 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * higher than strictly necessary — never skipping data, because the
   * next window still opens at the checkpoint's committed offset.
   */
-class SnapshotStreamSource extends StreamSourceProvider with DataSourceRegister {
+class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** The WRITE side — `df.writeStream.format("graft-snapshot")
+    * .option("checkpointLocation", ...).start(table)`: each micro-batch
+    * commits through [[Snapshots.commitAppendOnce]] under the
+    * deterministic token `<checkpointLocation>#b<batchId>`, so Spark's
+    * at-least-once batch delivery (a replayed trigger calls `addBatch`
+    * with the SAME batch id) lands exactly-once table effects — the
+    * packaged form of the foreachBatch + tokened-commit pattern every
+    * prior streaming-ingest query hand-rolled, now symmetric with the
+    * read side (table → readStream → transforms → writeStream → table
+    * is a pure DataStream-API pipeline). Append mode only: Update has
+    * no keyed contract here (that is `mergeIntoCommit` in foreachBatch)
+    * and Complete's overwrite-per-trigger has no idempotency token —
+    * both reject loudly. Options: `statsCols` (comma list — per-file
+    * (min,max)+nulls+rowcount cells ride every batch commit, so the
+    * table stays prunable as it grows), `evolve` (additive schema
+    * evolution per batch), `replayHorizon` (token dedup window,
+    * default 128 — matches a checkpoint's replay reality). The token
+    * prefix must be stable across restarts and unique per query:
+    * `checkpointLocation` is both (pass `tokenPrefix` explicitly when
+    * relying on the session-default checkpoint root).
+    */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val table = SnapshotStreamSource.tablePath(parameters)
+    require(outputMode == OutputMode.Append(),
+      s"graft-snapshot sink is append-only (got $outputMode): keyed " +
+        "upserts go through mergeIntoCommit in foreachBatch; " +
+        "whole-result refresh through commitOverwrite")
+    require(partitionColumns.isEmpty,
+      "graft-snapshot tables have no hive partitions; cluster via " +
+        "statsCols/bucketed maintenance commits instead")
+    val prefix = parameters.get("checkpointLocation")
+      .orElse(parameters.get("tokenPrefix"))
+      .getOrElse(sys.error("graft-snapshot sink needs a stable " +
+        "idempotency-token prefix: set .option(\"checkpointLocation\", ...) " +
+        "on the writer (recommended) or .option(\"tokenPrefix\", ...)"))
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val evolve = parameters.get("evolve").exists(_.toBoolean)
+    val horizon = parameters.get("replayHorizon").map(_.toInt).getOrElse(128)
+    new SnapshotSink(ctx.sparkSession, table, prefix, statsCols, evolve, horizon)
+  }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
@@ -143,6 +189,26 @@ object SnapshotStreamSource {
         StructField("_seq", IntegerType, nullable = false)))
     }
   }
+}
+
+/** One live stream's sink instance — see
+  * [[SnapshotStreamSource.createSink]]. `addBatch` receives the
+  * micro-batch Dataset exactly as foreachBatch does (the V1 sink
+  * contract); the tokened commit makes a replayed batch id a no-op.
+  */
+private class SnapshotSink(spark: SparkSession, table: String,
+                           tokenPrefix: String, statsCols: Seq[String],
+                           evolve: Boolean, replayHorizon: Int) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // re-root the planned micro-batch as a batch Dataset (the
+    // ForeachBatchSink move) — the raw addBatch df rejects batch writes
+    val batch = org.apache.spark.sql.graftbridge.Bridge.asBatch(data)
+    Snapshots.commitAppendOnce(spark, table, batch,
+      token = s"$tokenPrefix#b$batchId", replayHorizon = replayHorizon,
+      evolve = evolve, statsCols = statsCols)
+    ()
+  }
+  override def toString: String = s"SnapshotStreamSink[$table]"
 }
 
 /** One live stream's source instance — see [[SnapshotStreamSource]] for

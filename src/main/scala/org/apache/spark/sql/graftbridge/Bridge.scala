@@ -125,6 +125,22 @@ object Bridge {
     ofRows(df.sparkSession, plan)
   }
 
+  /** The inverse of [[asStreaming]], for a V1 streaming SINK's
+    * `addBatch` input: re-root the micro-batch's ALREADY-PLANNED
+    * execution as a batch Dataset (`LogicalRDD` over
+    * `queryExecution.toRdd`, `isStreaming = false`) so batch writers
+    * can run against it — the exact move Spark's own ForeachBatchSink
+    * makes before handing users the batch. Calling `.write` on the raw
+    * addBatch Dataset throws CALL_ON_STREAMING_DATASET_UNSUPPORTED;
+    * this also pins the batch to the one incremental execution instead
+    * of re-executing the plan per downstream action.
+    */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ofRows(df.sparkSession, org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
+
   /** Block until the shared listener bus has delivered every queued
     * event. Audit tooling needs this between queries: the
     * QueryExecutionListener bus is ASYNC, so executions belonging to

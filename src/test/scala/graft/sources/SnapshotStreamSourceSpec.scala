@@ -174,6 +174,51 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("the sink side: table-to-table replication in the pure " +
+       "DataStream API, exactly-once across a torn commit log, with " +
+       "stats cells riding every batch commit") {
+    val root = fresh("sink")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val ckpt = s"$root/ckpt"
+    Snapshots.commitOverwrite(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    Snapshots.commitAppend(spark, src, Seq((3L, "c")).toDF("id", "tag"))
+    Snapshots.commitAppend(spark, src, Seq((4L, "d")).toDF("id", "tag"))
+    def run(): Unit = {
+      val q = readStreamOf(src, "maxVersionsPerTrigger" -> "1")
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", ckpt)
+        .option("statsCols", "id")
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(Snapshots.read(spark, dst).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    val gens = Snapshots.versions(spark, dst).size
+    assert(gens == 3) // one tokened commit per micro-batch
+    // every batch commit carried the stats pass: id cells + row counts
+    assert(Snapshots.entries(spark, dst).forall(e =>
+      e.stats.contains("id") && e.rows.isDefined && e.nulls.contains("id")))
+    // torn commit log: the replayed batch id token-no-ops in the sink
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val lost = commits.last
+    assert(lost.delete())
+    new java.io.File(lost.getParent, s".${lost.getName}.crc").delete()
+    run()
+    assert(Snapshots.versions(spark, dst).size == gens)
+    assert(Snapshots.read(spark, dst).count() == 4)
+    // non-append output modes reject loudly at sink creation
+    val e = intercept[Exception] {
+      readStreamOf(src).writeStream.format("graft-snapshot")
+        .outputMode("update").option("checkpointLocation", s"$root/ckpt2")
+        .start(s"$root/dst2")
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
   test("schema is pinned at stream start: an additive-evolution commit " +
        "mid-stream stays invisible (projected onto the declared shape) " +
        "until restart") {
