@@ -39,7 +39,10 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *    full snapshot, then deltas; the lakehouse convention), `latest`
   *    (only commits after stream start), or a committed version number
   *    (changes strictly AFTER it — the [[Snapshots.registerConsumer]]
-  *    convention);
+  *    convention). Resolved ONCE per query and persisted in the
+  *    checkpoint metadata — a restart keeps the original resolution
+  *    (`latest` re-resolved per restart would bypass admission control
+  *    for the whole catch-up range and change the batch-0 replay);
   *  - `maxVersionsPerTrigger`: admission control — at most this many
   *    versions per micro-batch (the initial load counts as the window
   *    up to its bound);
@@ -50,10 +53,11 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *    streams append deltas only and FAILS LOUDLY on a delete in the
   *    window (an append-only consumer silently missing deletes would
   *    diverge);
-  *  - `pinConsumer`: a consumer name advanced (via
-  *    [[Snapshots.advanceConsumer]]) as Spark commits batches, so the
-  *    table's VACUUM floor tracks the stream and retention never
-  *    reclaims versions the stream still needs. Lags by at most the
+  *  - `pinConsumer`: a consumer name REGISTERED AT STREAM START (at the
+  *    starting offset — the initial load may run long against versions
+  *    a retention job would otherwise reclaim mid-scan) and advanced
+  *    (via [[Snapshots.advanceConsumer]]) as Spark commits batches, so
+  *    the table's VACUUM floor tracks the stream. Lags by at most the
   *    in-flight batch (the safe direction).
   *
   * Overwrites/compactions inside a window fail the stream loudly
@@ -180,13 +184,8 @@ object SnapshotStreamSource {
         "by this library records it)"))
     if (!feedMode(parameters)) st
     else {
-      val taken = st.fieldNames.toSeq.intersect(Seq("_op", "_seq"))
-      require(taken.isEmpty, s"$table carries reserved change-feed column " +
-        s"name(s) ${taken.mkString(", ")}; rename them before streaming " +
-        "the feed")
-      StructType(st.fields ++ Seq(
-        StructField("_op", StringType, nullable = false),
-        StructField("_seq", IntegerType, nullable = false)))
+      Snapshots.requireNoFeedColumns(table, st)
+      StructType(st.fields ++ Snapshots.FeedFields)
     }
   }
 }
@@ -217,38 +216,59 @@ private class SnapshotSink(spark: SparkSession, table: String,
   */
 private class SnapshotSource(spark: SparkSession, table: String,
                              declared: StructType, feed: Boolean,
-                             startOffset: Long, maxVersions: Option[Int],
+                             requestedStart: Long, maxVersions: Option[Int],
                              pinConsumer: Option[String],
                              metadataPath: String) extends Source {
 
   private val hadoopFs =
     new Path(metadataPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def markers(prefix: String): Seq[Long] = {
+    val dir = new Path(metadataPath)
+    if (!hadoopFs.exists(dir)) Seq.empty
+    else hadoopFs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) &&
+        n.substring(prefix.length).forall(_.isDigit) &&
+        n.length > prefix.length => n.substring(prefix.length).toLong }.toSeq
+  }
+
+  private def writeMarker(name: String): Unit = {
+    hadoopFs.mkdirs(new Path(metadataPath))
+    try hadoopFs.create(new Path(metadataPath, name), false).close()
+    catch { case _: java.io.IOException => () } // exists: a prior run won
+  }
+
+  /** The query's start offset, PERSISTED at first start (`start-<n>`
+    * create-once marker): `startingVersion=latest` must resolve the
+    * head exactly once per QUERY, not per restart — a restart that
+    * re-resolved it would (a) jump `known` past checkpointed-but-
+    * unprocessed versions, bypassing maxVersionsPerTrigger for the
+    * whole catch-up range, and (b) make the batch-0 replay
+    * (`getBatch(None, end)`) read a different window than the one the
+    * offset log recorded.
+    */
+  private val startOffset: Long = markers("start-").headOption.getOrElse {
+    writeMarker(s"start-$requestedStart")
+    markers("start-").headOption.getOrElse(requestedStart)
+  }
+
+  // the vacuum pin exists from STREAM START, not first commit: the
+  // initial load may run for minutes against versions a retention job
+  // would otherwise reclaim mid-scan
+  pinConsumer.foreach(n =>
+    Snapshots.advanceConsumer(spark, table, n, startOffset.toInt))
+
   /** Largest offset any handed-out window reached: max(startOffset,
     * persisted high-water marks). Marker files are create-once
     * (`hw-<offset>`), so a crashed write never tears; stale markers are
     * pruned best-effort after each advance.
     */
-  private var known: Long = {
-    val dir = new Path(metadataPath)
-    val persisted =
-      if (!hadoopFs.exists(dir)) Seq.empty[Long]
-      else hadoopFs.listStatus(dir).map(_.getPath.getName)
-        .collect { case n if n.startsWith("hw-") &&
-          n.substring(3).forall(_.isDigit) => n.substring(3).toLong }.toSeq
-    (startOffset +: persisted).max
-  }
+  private var known: Long = (startOffset +: markers("hw-")).max
 
   private def recordHighWater(to: Long): Unit = if (to > known) {
-    val dir = new Path(metadataPath)
-    hadoopFs.mkdirs(dir)
-    val out = hadoopFs.create(new Path(dir, s"hw-$to"), false)
-    out.close()
-    hadoopFs.listStatus(dir).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith("hw-") && n.substring(3).forall(_.isDigit) &&
-        n.substring(3).toLong < to) hadoopFs.delete(p, false)
-    }
+    writeMarker(s"hw-$to")
+    markers("hw-").filter(_ < to).foreach(n =>
+      hadoopFs.delete(new Path(metadataPath, s"hw-$n"), false))
     known = to
   }
 
@@ -260,11 +280,22 @@ private class SnapshotSource(spark: SparkSession, table: String,
   }
 
   override def getOffset: Option[Offset] = {
-    val head = Snapshots.versions(spark, table).lastOption
-      .map(_.toLong).getOrElse(0L)
-    val target = maxVersions.fold(head)(m => math.min(head, known + m))
+    // admission control counts COMMITTED versions, never version-number
+    // arithmetic: vacuum/expireSnapshots may have reclaimed an early or
+    // (tag-pinned history) mid-chain range, and `known + m` could then
+    // name a version that no longer exists — offering it would fail the
+    // window and crash-loop the stream one number per restart. The
+    // initial load composes: versions vacuumed below the first
+    // surviving one are subsumed by the full-snapshot window (0, v₁]
+    val after = Snapshots.versions(spark, table).filter(_ > known)
+    val target =
+      if (after.isEmpty) known
+      else maxVersions.fold(after.last.toLong)(m => after.take(m).last.toLong)
     val off = math.max(target, known)
-    if (off <= 0L) None else Some(LongOffset(off))
+    // nothing at or before startOffset is ever a window: returning None
+    // until the table moves past it avoids a spurious empty batch 0 on
+    // a caught-up-at-start stream
+    if (off <= startOffset) None else Some(LongOffset(off))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -280,7 +311,16 @@ private class SnapshotSource(spark: SparkSession, table: String,
       (if (have(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)
     }: _*)
-    org.apache.spark.sql.graftbridge.Bridge.asStreaming(shaped)
+    // in the INITIAL-LOAD window only, delete-key scans stay BATCH
+    // leaves: a snapshot with pending merge-on-read deletes anti-joins
+    // them, and only the stream-STATIC LeftAnti shape is plannable per
+    // micro-batch. Feed DELTA windows project delete keys into rows
+    // (union, not join) — there they are the window's DATA and must be
+    // streaming like any other leaf (a delete-only window would
+    // otherwise have no streaming leaf at all)
+    org.apache.spark.sql.graftbridge.Bridge.asStreaming(shaped,
+      staticLeaf =
+        if (from == 0) Snapshots.isDeleteKeySchema else _ => false)
   }
 
   override def commit(end: Offset): Unit =

@@ -1368,6 +1368,34 @@ object Snapshots {
     * [[SnapshotStreamSource]]; callers outside streaming want
     * [[readChangesBetween]] / [[changeFeed]] directly.
     */
+  /** The change feed's own output columns — ONE definition shared by
+    * [[changeFeed]], [[streamBatch]]'s initial-load/empty windows, and
+    * the streaming source's declared schema, so the feed shape cannot
+    * silently diverge between the surfaces.
+    */
+  private[sources] val FeedFields: Seq[org.apache.spark.sql.types.StructField] = Seq(
+    org.apache.spark.sql.types.StructField("_op", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("_seq", IntegerType, nullable = false))
+
+  /** The reserved-name guard shared by [[changeFeed]] and the streaming
+    * source's schema resolution (see the `_op`/`_seq` discipline there).
+    */
+  private[sources] def requireNoFeedColumns(table: String, st: StructType): Unit =
+    st.fieldNames.toSeq.intersect(FeedFields.map(_.name)) match {
+      case Seq() => ()
+      case taken => sys.error(s"$table carries reserved change-feed " +
+        s"column name(s) ${taken.mkString(", ")}; rename them before " +
+        "consuming a change feed")
+    }
+
+  /** True for the single-column schema of a merge-on-read DELETE-KEY
+    * scan — the one leaf of a snapshot read that must stay a BATCH
+    * relation when the plan is re-rooted for streaming (a stream-static
+    * anti-join is plannable; a stream-stream LeftAnti is not).
+    */
+  private[sources] def isDeleteKeySchema(st: StructType): Boolean =
+    st.fieldNames.sameElements(Array(DelKeyCol))
+
   def streamBatch(spark: SparkSession, table: String, fromVersion: Int,
                   toVersion: Int, feed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -1387,9 +1415,7 @@ object Snapshots {
       val st = versionSchema(spark, c, toVersion).getOrElse(
         sys.error(s"$table v$toVersion has no schema"))
       val withFeed = if (!feed) relaxed(st) else StructType(
-        relaxed(st).fields ++ Seq(
-          org.apache.spark.sql.types.StructField("_op", StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("_seq", IntegerType, nullable = false)))
+        relaxed(st).fields ++ FeedFields)
       emptyOf(spark, withFeed)
     } else if (feed) {
       changeFeed(spark, table, fromVersion, Some(toVersion))
@@ -1480,12 +1506,7 @@ object Snapshots {
     // either would emit duplicate names and break the downstream
     // Merge.applyChanges(replica, feed, key, "_seq", "_op") contract on
     // ambiguous references (same reserved-name discipline as DelKeyCol)
-    schema.fieldNames.toSeq.intersect(Seq("_op", "_seq")) match {
-      case Seq() => ()
-      case taken => sys.error(s"$table carries reserved change-feed " +
-        s"column name(s) ${taken.mkString(", ")}; rename them before " +
-        "consuming a change feed")
-    }
+    requireNoFeedColumns(table, schema)
     def feedCols(row: Map[String, Column]): Seq[Column] =
       schema.fields.toSeq.map(f =>
         row.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name))
@@ -1509,9 +1530,7 @@ object Snapshots {
               lit("u").as("_op") :+ lit(idx).as("_seq"): _*))
       }
     if (parts.isEmpty)
-      emptyOf(spark, StructType(relaxed(schema).fields ++ Seq(
-        org.apache.spark.sql.types.StructField("_op", StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("_seq", IntegerType, nullable = false))))
+      emptyOf(spark, StructType(relaxed(schema).fields ++ FeedFields))
     else parts.reduce(_ unionByName _)
   }
 
@@ -2479,38 +2498,43 @@ object Snapshots {
     * trailing nullable columns merges under the longer shape (the
     * shorter side's files null-fill at read), anything else rejects.
     *
-    * The decision re-runs INSIDE the publish slot against the head the
-    * winning racer left, so a main commit racing the merge either
-    * serializes cleanly before it (the merge re-plans on top) or the
-    * publish retries — the merge can never drop a concurrent append.
-    * The branch survives (drop it separately once merged). Returns the
-    * new main version.
+    * The decision re-runs INSIDE the publish slot against the heads the
+    * winning racers left — BOTH chains re-read per attempt — so a main
+    * commit racing the merge either serializes cleanly before it (the
+    * merge re-plans on top) or the publish retries, and a branch commit
+    * landing during a retry joins the merged delta instead of being
+    * snapshotted away. The unavoidable residue of merging across two
+    * independent slot chains: a branch commit whose publish interleaves
+    * AFTER the merge's winning create is NOT in the merged head — same
+    * one-writer-per-branch discipline as [[fastForwardMerge]]; quiesce
+    * branch writers before merging, or diff the branch head against the
+    * merge before [[dropBranch]]. The branch survives (drop it
+    * separately once merged). Returns the new main version.
     */
   def mergeBranch(spark: SparkSession, table: String, name: String): Int = {
     val main = mainChain(table)
     val bc = branchChain(table, name)
-    val bvs = chainVersions(spark, bc)
-    require(bvs.nonEmpty, s"$table has no branch '$name'")
-    val bhead = bvs.last
+    require(chainVersions(spark, bc).nonEmpty, s"$table has no branch '$name'")
     val fork = branchFork(spark, table, name)
     val forkBody = bodyLines(spark, main, fork)
-    val branchBody = bodyLines(spark, bc, bhead)
-    require(branchBody.startsWith(forkBody),
-      s"$table branch '$name' rewrote its history since forking at " +
-        s"v$fork (overwrite/compaction on the branch) — not an " +
-        "append-append merge; commitOverwrite the decision instead")
-    val branchDelta = branchBody.drop(forkBody.length)
-    require(branchDelta.forall(!_.startsWith(DelRef)),
-      s"$table branch '$name' committed merge-on-read deletes since the " +
-        "fork; a delete's scope is its body order, which a merge would " +
-        "re-interleave with main's appends — merge the appends from a " +
-        "clean branch and re-run the erase on the merged head")
-    val bSchema = versionSchema(spark, bc, bhead).getOrElse(
-      sys.error(s"${bc.label} v$bhead has no schema"))
     def shape(st: StructType) =
       relaxed(st).fields.map(f => (f.name, f.dataType)).toSeq
     publish(spark, main, hOpt => {
       val h = hOpt.getOrElse(sys.error(s"$table lost its versions mid-merge"))
+      val bhead = chainVersions(spark, bc).last
+      val branchBody = bodyLines(spark, bc, bhead)
+      require(branchBody.startsWith(forkBody),
+        s"$table branch '$name' rewrote its history since forking at " +
+          s"v$fork (overwrite/compaction on the branch) — not an " +
+          "append-append merge; commitOverwrite the decision instead")
+      val branchDelta = branchBody.drop(forkBody.length)
+      require(branchDelta.forall(!_.startsWith(DelRef)),
+        s"$table branch '$name' committed merge-on-read deletes since the " +
+          "fork; a delete's scope is its body order, which a merge would " +
+          "re-interleave with main's appends — merge the appends from a " +
+          "clean branch and re-run the erase on the merged head")
+      val bSchema = versionSchema(spark, bc, bhead).getOrElse(
+        sys.error(s"${bc.label} v$bhead has no schema"))
       val mainBody = bodyLines(spark, main, h)
       require(mainBody.startsWith(forkBody),
         s"$table main rewrote history since branch '$name' forked at " +

@@ -112,13 +112,29 @@ object Bridge {
     * parquet scans (LogicalRelation leaves) plus projections/unions/
     * anti-joins above them, and empty windows are LocalRelations — both
     * leaf kinds carry the flag natively.
+    *
+    * `staticLeaf` exempts leaves that must STAY batch relations: a
+    * snapshot window with pending merge-on-read deletes anti-joins its
+    * delete-key scans, and a stream-STATIC LeftAnti join is plannable
+    * per micro-batch while a stream-stream LeftAnti is not (Spark's
+    * symmetric hash join has no LeftAnti mode) — marking every leaf
+    * would crash exactly the erase-crossing streams feed mode exists
+    * for. The plan counts as streaming if ANY leaf is marked
+    * (`isStreaming` is an exists-fold), which the non-exempt data
+    * scans guarantee.
     */
-  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def asStreaming(df: org.apache.spark.sql.DataFrame,
+                  staticLeaf: org.apache.spark.sql.types.StructType => Boolean =
+                    _ => false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val plan = df.queryExecution.analyzed.transform {
-      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
-      case l: LocalRelation if !l.isStreaming => l.copy(isStreaming = true)
+      case lr: LogicalRelation if !lr.isStreaming && !staticLeaf(lr.relation.schema) =>
+        lr.copy(isStreaming = true)
+      case l: LocalRelation if !l.isStreaming &&
+        !staticLeaf(org.apache.spark.sql.catalyst.types.DataTypeUtils
+          .fromAttributes(l.output)) =>
+        l.copy(isStreaming = true)
     }
     require(plan.isStreaming,
       s"asStreaming could not mark this plan's leaves streaming:\n$plan")

@@ -219,6 +219,103 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("an initial-load window over PENDING merge-on-read deletes plans " +
+       "as a stream-static anti-join (delete-key leaves stay batch) — " +
+       "in both modes") {
+    val root = fresh("morinit")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t,
+      (0L until 30L).map(i => (i, s"v$i")).toDF("id", "tag"))
+    Snapshots.eraseMoRCommit(spark, t, "id", Seq(3L, 7L).toDF("k"))
+    // no maxVersionsPerTrigger: the FIRST window is (0, head] — the full
+    // snapshot INCLUDING the MoR anti-join (the shape that crashed when
+    // every leaf was marked streaming)
+    for (feedMode <- Seq(false, true)) {
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val q = readStreamOf(t, "feed" -> feedMode.toString)
+        .writeStream.option("checkpointLocation", s"$root/ckpt_$feedMode")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = if (feedMode) b.filter(col("_op") === "u") else b
+          seen.synchronized { seen ++= rows.select("id").as[Long].collect() }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(seen == (0L until 30L).toSet -- Set(3L, 7L),
+        s"feed=$feedMode must apply the pending deletes")
+    }
+  }
+
+  test("a table whose early history was vacuumed streams from the " +
+       "earliest SURVIVING version (admission control counts committed " +
+       "versions, never version arithmetic)") {
+    val root = fresh("vacstart")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
+    Snapshots.commitOverwrite(spark, t, Seq(1L, 2L, 3L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(4L).toDF("id"))
+    Snapshots.vacuum(spark, t, keepFrom = 3) // versions now [3, 4]
+    assert(Snapshots.versions(spark, t) == Seq(3, 4))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = readStreamOf(t, "maxVersionsPerTrigger" -> "1")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += b.select("id").as[Long].collect().toSet }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // batch 0 = the full snapshot at v3 (the initial-load window (0,3]
+    // subsumes the vacuumed range), batch 1 = the (3,4] delta
+    assert(batches.toList == List(Set(1L, 2L, 3L), Set(4L)))
+  }
+
+  test("pinConsumer registers the vacuum floor AT STREAM START, before " +
+       "any batch commits") {
+    val root = fresh("pinstart")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    val q = readStreamOf(t, "startingVersion" -> "latest",
+      "pinConsumer" -> "floor")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    try {
+      // caught up, zero batches — the floor must already exist at the
+      // start offset, so retention cannot reclaim under the stream
+      q.processAllAvailable()
+      assert(Snapshots.consumers(spark, t).get("floor").contains(2))
+    } finally q.stop()
+  }
+
+  test("startingVersion=latest is resolved ONCE per query: a restart " +
+       "keeps the original start and admission control governs the " +
+       "whole catch-up range") {
+    val root = fresh("lateststart")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def run(): Unit = {
+      val q = readStreamOf(t, "startingVersion" -> "latest",
+        "maxVersionsPerTrigger" -> "1")
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          batches.synchronized {
+            batches += b.select("id").as[Long].collect().toSet }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(batches.isEmpty) // latest: pre-start history not replayed
+    // the table races ahead while the stream is DOWN; the restart must
+    // not re-resolve 'latest' (which would skip v2-v4) and must window
+    // the catch-up one version per trigger
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(4L).toDF("id"))
+    run()
+    assert(batches.toList == List(Set(2L), Set(3L), Set(4L)))
+  }
+
   test("schema is pinned at stream start: an additive-evolution commit " +
        "mid-stream stays invisible (projected onto the declared shape) " +
        "until restart") {
