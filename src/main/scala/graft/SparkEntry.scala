@@ -242,6 +242,27 @@ object SparkEntry {
     require(dst.setLastModified(mtime), s"replay fixture: setLastModified failed for $name — replay order would be undefined")
   }
 
+  /** The CDC change stream as three mtime-ordered micro-batch files —
+    * the replay fixture shared by q_stream_merge_sink (hand-rolled
+    * foreachBatch merges) and q_stream_upsert_sink (the update-mode
+    * sink format): seq-1 updates, seq-2 updates, then seq>=3 + the
+    * deletes + the inserts.
+    */
+  private def cdcBatchDir(s: SparkSession, dir: String,
+                          changes: DataFrame): String =
+    materializedDir("streammergesrc", dir) { inPath =>
+      val base = new java.io.File(inPath)
+      base.mkdirs()
+      val t0 = System.currentTimeMillis() - 600000L
+      dumpBatchFile(base, changes.filter(col("seq") === 1L &&
+        col("doc_id") < 10000000L), "b0", t0)
+      dumpBatchFile(base, changes.filter(col("seq") === 2L), "b1",
+        t0 + 60000L)
+      dumpBatchFile(base, changes.filter(col("seq") >= 3L)
+        .unionByName(changes.filter(col("doc_id") >= 10000000L)), "b2",
+        t0 + 120000L)
+    }
+
   /** Adjacent-doc near-dup components — the shared machinery of
     * q_dedup_groups and q_leakage_split: edges between consecutive doc
     * ids with integer-arithmetic jaccard >= 1/2 (inter*2 >= union — no
@@ -3288,18 +3309,7 @@ object SparkEntry {
     "q_stream_merge_sink" -> ((s, dir) => {
       val runner = graft.streaming.StreamRunner
       val (d, changes) = cdcDocsAndChanges(s, dir)
-      val srcDir = materializedDir("streammergesrc", dir) { inPath =>
-        val base = new java.io.File(inPath)
-        base.mkdirs()
-        val t0 = System.currentTimeMillis() - 600000L
-        dumpBatchFile(base, changes.filter(col("seq") === 1L &&
-          col("doc_id") < 10000000L), "b0", t0)
-        dumpBatchFile(base, changes.filter(col("seq") === 2L), "b1",
-          t0 + 60000L)
-        dumpBatchFile(base, changes.filter(col("seq") >= 3L)
-          .unionByName(changes.filter(col("doc_id") >= 10000000L)), "b2",
-          t0 + 120000L)
-      }
+      val srcDir = cdcBatchDir(s, dir, changes)
       val root = materializedDir("streammerge", dir) { outPath =>
         val t = outPath + "/t"
         Snapshots.commitOverwrite(s, t,
@@ -3434,6 +3444,82 @@ object SparkEntry {
       }
       Snapshots.read(s, root + "/dst")
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // STREAMING MATERIALIZED VIEW INTO THE TABLE FORMAT — the sink's
+    // COMPLETE mode: a streaming aggregation re-emits its whole result
+    // per trigger and commitOverwriteOnce REPLACES the snapshot under
+    // the batch token, so the table's head is always the latest full
+    // aggregate and history keeps one version per refresh (time travel
+    // over the MV's evolution — the builder pins the per-trigger
+    // version count and that v1 equals the first batch's aggregate).
+    // Three mtime-ordered micro-batches drain under admission control;
+    // the head must equal the one-shot batch aggregate exactly.
+    "q_stream_mv_snapshot" -> ((s, dir) => {
+      val root = materializedDir("streammvsnap", dir) { path =>
+        val srcDir = path + "/in"
+        val mv = path + "/mv"
+        val base = new java.io.File(srcDir)
+        base.mkdirs()
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        val t0 = System.currentTimeMillis() - 600000L
+        dumpBatchFile(base, d.filter(col("doc_id") % 3 === 0), "b0", t0)
+        dumpBatchFile(base, d.filter(col("doc_id") % 3 === 1), "b1",
+          t0 + 60000L)
+        dumpBatchFile(base, d.filter(col("doc_id") % 3 === 2), "b2",
+          t0 + 120000L)
+        val src = graft.streaming.StreamRunner.fileSource(s, srcDir,
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("lang", StringType))), maxFilesPerTrigger = Some(1))
+        val agg = src.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        val q = agg.writeStream.format("graft-snapshot")
+          .outputMode("complete")
+          .option("checkpointLocation", path + "/ckpt").start(mv)
+        try q.processAllAvailable() finally q.stop()
+        require(Snapshots.versions(s, mv).size == 3,
+          "one MV refresh version per trigger")
+        val v1 = Snapshots.read(s, mv, Some(1))
+          .agg(sum(col("n_docs"))).head().getLong(0)
+        val all = d.filter(col("doc_id") % 3 === 0).count()
+        require(v1 == all, s"v1 must be the first batch's aggregate " +
+          s"($v1 vs $all)")
+      }
+      Snapshots.read(s, root + "/mv")
+        .select(col("lang"), col("n_docs"), col("id_sum"))
+    }),
+
+    // THE CDC-REPLICATION SINK — the sink's UPDATE mode: the change
+    // stream's batches MERGE INTO the table by key (latest-wins via
+    // mergeSeq, deletes via mergeOp) with zero user code — the
+    // format-level packaging of what q_stream_merge_sink hand-rolls in
+    // foreachBatch, over the SAME mtime-ordered batch fixture, so the
+    // head must land mergeCdcSql's snapshot verbatim.
+    "q_stream_upsert_sink" -> ((s, dir) => {
+      val (d, changes) = cdcDocsAndChanges(s, dir)
+      val srcDir = cdcBatchDir(s, dir, changes)
+      val root = materializedDir("streamupsert", dir) { outPath =>
+        val t = outPath + "/t"
+        Snapshots.commitOverwrite(s, t,
+          d.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+          statsCols = Seq("doc_id"))
+        val src = graft.streaming.StreamRunner.fileSource(s, srcDir,
+          StructType(Seq(
+            StructField("doc_id", LongType), StructField("lang", StringType),
+            StructField("source", StringType), StructField("n_chars", LongType),
+            StructField("seq", LongType), StructField("op", StringType))),
+          maxFilesPerTrigger = Some(1))
+        val q = src.writeStream.format("graft-snapshot")
+          .outputMode("update")
+          .option("checkpointLocation", outPath + "/ckpt")
+          .option("mergeKey", "doc_id").option("mergeSeq", "seq")
+          .option("mergeOp", "op").option("statsCols", "doc_id")
+          .start(t)
+        try q.processAllAvailable() finally q.stop()
+      }
+      Snapshots.read(s, root + "/t")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
     }),
 
     // FEED-MODE STREAMING from the table ACROSS a merge-on-read erase:
@@ -5472,6 +5558,13 @@ object SparkEntry {
     // surface (same rows, different crash site: the SINK token)
     "q_stream_table_to_table" -> ("SELECT doc_id, lang, " +
       "n_chars::BIGINT AS n_chars FROM documents"),
+    // the MV's head = the one-shot aggregate over the whole corpus
+    "q_stream_mv_snapshot" -> ("SELECT lang, count(*)::BIGINT AS n_docs, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY lang"),
+    // the update-mode sink must land the identical snapshot the
+    // one-shot logical merge computes (q_stream_merge_sink's contract,
+    // now with zero user code)
+    "q_stream_upsert_sink" -> mergeCdcSql,
     // the streamed replica must land q_change_feed's applied law: base
     // minus the erased %9=3 keys plus the re-inserted %27=3 as 're'
     "q_stream_from_snapshot_feed" -> ("""WITH reins AS (

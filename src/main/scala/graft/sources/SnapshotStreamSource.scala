@@ -89,23 +89,39 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
   override def shortName(): String = "graft-snapshot"
 
   /** The WRITE side — `df.writeStream.format("graft-snapshot")
-    * .option("checkpointLocation", ...).start(table)`: each micro-batch
-    * commits through [[Snapshots.commitAppendOnce]] under the
-    * deterministic token `<checkpointLocation>#b<batchId>`, so Spark's
-    * at-least-once batch delivery (a replayed trigger calls `addBatch`
-    * with the SAME batch id) lands exactly-once table effects — the
-    * packaged form of the foreachBatch + tokened-commit pattern every
-    * prior streaming-ingest query hand-rolled, now symmetric with the
-    * read side (table → readStream → transforms → writeStream → table
-    * is a pure DataStream-API pipeline). Append mode only: Update has
-    * no keyed contract here (that is `mergeIntoCommit` in foreachBatch)
-    * and Complete's overwrite-per-trigger has no idempotency token —
-    * both reject loudly. Options: `statsCols` (comma list — per-file
-    * (min,max)+nulls+rowcount cells ride every batch commit, so the
-    * table stays prunable as it grows), `evolve` (additive schema
-    * evolution per batch), `replayHorizon` (token dedup window,
-    * default 128 — matches a checkpoint's replay reality). The token
-    * prefix must be stable across restarts and unique per query:
+    * .option("checkpointLocation", ...).start(table)` — one sink, the
+    * full output-mode matrix, each mode mapped to the format commit
+    * whose semantics it IS:
+    *
+    *  - **Append** → [[Snapshots.commitAppendOnce]] under the
+    *    deterministic token `<checkpointLocation>#b<batchId>`: Spark's
+    *    at-least-once batch delivery (a replayed trigger calls
+    *    `addBatch` with the SAME batch id) lands exactly-once table
+    *    effects — the packaged form of the foreachBatch+token pattern
+    *    every prior streaming-ingest query hand-rolled;
+    *  - **Complete** → [[Snapshots.commitOverwriteOnce]] under the same
+    *    token: each trigger re-emits the whole result (a streaming
+    *    aggregation) and REPLACES the snapshot — the streaming
+    *    MATERIALIZED VIEW: the table's head is always the latest full
+    *    aggregate, history = one version per trigger (time travel over
+    *    the MV's evolution), replays version-level no-ops;
+    *  - **Update** → [[Snapshots.mergeIntoCommit]] keyed by the
+    *    required `mergeKey` option (optional `mergeSeq`/`mergeOp` map
+    *    to seqCol/opCol): each trigger's changed rows upsert/delete —
+    *    the CDC-replication sink. Requires a bootstrapped target
+    *    (merge needs a committed base — commitOverwrite the initial
+    *    snapshot first). Merge is idempotent in EFFECT (spec-pinned:
+    *    a replayed merge lands a row-identical snapshot), so replays
+    *    are content-exact; they may add a content-identical version.
+    *
+    * The read side makes table → readStream → transforms → writeStream
+    * → table a pure DataStream-API pipeline in any of the three modes.
+    * Options: `statsCols` (comma list — per-file (min,max)+nulls+
+    * rowcount cells ride every batch commit, so the table stays
+    * prunable as it grows), `evolve` (additive schema evolution per
+    * batch, Append mode), `replayHorizon` (token dedup window, default
+    * 128 — matches a checkpoint's replay reality). The token prefix
+    * must be stable across restarts and unique per query:
     * `checkpointLocation` is both (pass `tokenPrefix` explicitly when
     * relying on the session-default checkpoint root).
     */
@@ -113,10 +129,6 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
     val table = SnapshotStreamSource.tablePath(parameters)
-    require(outputMode == OutputMode.Append(),
-      s"graft-snapshot sink is append-only (got $outputMode): keyed " +
-        "upserts go through mergeIntoCommit in foreachBatch; " +
-        "whole-result refresh through commitOverwrite")
     require(partitionColumns.isEmpty,
       "graft-snapshot tables have no hive partitions; cluster via " +
         "statsCols/bucketed maintenance commits instead")
@@ -129,7 +141,22 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val evolve = parameters.get("evolve").exists(_.toBoolean)
     val horizon = parameters.get("replayHorizon").map(_.toInt).getOrElse(128)
-    new SnapshotSink(ctx.sparkSession, table, prefix, statsCols, evolve, horizon)
+    val spark = ctx.sparkSession
+    outputMode match {
+      case m if m == OutputMode.Append() =>
+        new SnapshotSink(spark, table, prefix, statsCols, evolve, horizon)
+      case m if m == OutputMode.Complete() =>
+        new SnapshotCompleteSink(spark, table, prefix, statsCols, horizon)
+      case m if m == OutputMode.Update() =>
+        val key = parameters.getOrElse("mergeKey", sys.error(
+          "graft-snapshot sink in update mode needs .option(\"mergeKey\", " +
+            "<keyCol>) — each batch's rows MERGE INTO the table by key " +
+            "(optional mergeSeq/mergeOp for latest-wins collapse and " +
+            "deletes)"))
+        new SnapshotMergeSink(spark, table, key,
+          parameters.get("mergeSeq"), parameters.get("mergeOp"), statsCols)
+      case other => sys.error(s"unsupported output mode $other")
+    }
   }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
@@ -208,6 +235,41 @@ private class SnapshotSink(spark: SparkSession, table: String,
     ()
   }
   override def toString: String = s"SnapshotStreamSink[$table]"
+}
+
+/** COMPLETE-mode sink: each trigger's whole result replaces the
+  * snapshot under the batch token — the streaming materialized view
+  * (see [[SnapshotStreamSource.createSink]]).
+  */
+private class SnapshotCompleteSink(spark: SparkSession, table: String,
+                                   tokenPrefix: String, statsCols: Seq[String],
+                                   replayHorizon: Int) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graftbridge.Bridge.asBatch(data)
+    Snapshots.commitOverwriteOnce(spark, table, batch,
+      token = s"$tokenPrefix#b$batchId", replayHorizon = replayHorizon,
+      statsCols = statsCols)
+    ()
+  }
+  override def toString: String = s"SnapshotStreamCompleteSink[$table]"
+}
+
+/** UPDATE-mode sink: each trigger's changed rows MERGE INTO the table
+  * by key — the CDC-replication sink (see
+  * [[SnapshotStreamSource.createSink]]). Replay safety is merge's own
+  * effect-idempotence (spec-pinned), not a token.
+  */
+private class SnapshotMergeSink(spark: SparkSession, table: String,
+                                keyCol: String, seqCol: Option[String],
+                                opCol: Option[String],
+                                statsCols: Seq[String]) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graftbridge.Bridge.asBatch(data)
+    Snapshots.mergeIntoCommit(spark, table, keyCol, batch,
+      seqCol = seqCol, opCol = opCol, statsCols = statsCols)
+    ()
+  }
+  override def toString: String = s"SnapshotStreamMergeSink[$table]"
 }
 
 /** One live stream's source instance — see [[SnapshotStreamSource]] for

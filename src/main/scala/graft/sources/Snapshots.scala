@@ -996,9 +996,11 @@ object Snapshots {
 
   private def commitOverwriteChain(spark: SparkSession, c: Chain, df: DataFrame,
                                    statsCols: Seq[String],
-                                   bucketCols: Map[String, Int] = Map.empty): Int = {
+                                   bucketCols: Map[String, Int] = Map.empty,
+                                   token: Option[String] = None): Int = {
     val body = stageSegment(spark, c.table, df, statsCols, bucketCols)
-    publish(spark, c, _ => schemaLine(relaxed(df.schema)) +: body)
+    publish(spark, c, _ => token.map(TokenHeader + _).toSeq ++
+      (schemaLine(relaxed(df.schema)) +: body))
   }
 
   /** Commit `df` as a full replacement snapshot. Old versions remain
@@ -1016,6 +1018,26 @@ object Snapshots {
                       statsCols: Seq[String] = Nil,
                       bucketCols: Map[String, Int] = Map.empty): Int =
     commitOverwriteChain(spark, mainChain(table), df, statsCols, bucketCols)
+
+  /** Token-idempotent OVERWRITE — [[commitAppendOnce]]'s replacement
+    * twin, the primitive a COMPLETE-output-mode streaming sink needs:
+    * each trigger re-emits the whole result and replaces the snapshot,
+    * and a replayed trigger (same token within `replayHorizon`
+    * versions) must be a version-level no-op, not a duplicate head.
+    * Returns None on a replay. One writer per token stream, like
+    * commitAppendOnce.
+    */
+  def commitOverwriteOnce(spark: SparkSession, table: String, df: DataFrame,
+                          token: String, replayHorizon: Int = 128,
+                          statsCols: Seq[String] = Nil): Option[Int] = {
+    require(!token.contains("\n") && !token.contains("\r"),
+      "token must be single-line")
+    require(replayHorizon >= 1, "replayHorizon must be >= 1")
+    if (committedTokens(spark, table, Some(replayHorizon)).contains(token))
+      None
+    else Some(commitOverwriteChain(spark, mainChain(table), df, statsCols,
+      token = Some(token)))
+  }
 
   /** The snapshot schema an append of `incoming` produces on top of
     * `head` — or a rejection. Without `evolve`, names and types must

@@ -209,14 +209,109 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     run()
     assert(Snapshots.versions(spark, dst).size == gens)
     assert(Snapshots.read(spark, dst).count() == 4)
-    // non-append output modes reject loudly at sink creation
+    // update mode without its key contract rejects loudly at creation
     val e = intercept[Exception] {
       readStreamOf(src).writeStream.format("graft-snapshot")
         .outputMode("update").option("checkpointLocation", s"$root/ckpt2")
         .start(s"$root/dst2")
     }
-    assert(e.getMessage.contains("append-only") ||
-      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    assert(e.getMessage.contains("mergeKey") ||
+      Option(e.getCause).exists(_.getMessage.contains("mergeKey")))
+  }
+
+  test("complete-mode sink is a streaming MATERIALIZED VIEW: each " +
+       "trigger's whole aggregate replaces the snapshot under the batch " +
+       "token, history keeps every refresh, replays no-op") {
+    val root = fresh("complete")
+    val srcDir = s"$root/in"
+    val dst = s"$root/mv"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    def drop(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+      val tmp = new java.io.File(srcDir, name + "_tmp")
+      rows.toDF("id", "k").coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val f = new java.io.File(srcDir, name + ".parquet")
+      java.nio.file.Files.move(part.toPath, f.toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      assert(f.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    drop("b0", Seq((1L, "a"), (2L, "b")), t0)
+    drop("b1", Seq((3L, "a"), (4L, "a")), t0 + 60000L)
+    val src = graft.streaming.StreamRunner.fileSource(spark, srcDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType))),
+      maxFilesPerTrigger = Some(1))
+    val agg = src.groupBy("k").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("graft-snapshot").outputMode("complete")
+      .option("checkpointLocation", ckpt).start(dst)
+    try q.processAllAvailable() finally q.stop()
+    // head = the FULL aggregate after both triggers
+    assert(Snapshots.read(spark, dst).as[(String, Long)].collect().toSet ==
+      Set(("a", 3L), ("b", 1L)))
+    // history = one refresh per trigger (time travel over the MV)
+    assert(Snapshots.versions(spark, dst).size == 2)
+    assert(Snapshots.read(spark, dst, Some(1)).as[(String, Long)]
+      .collect().toSet == Set(("a", 1L), ("b", 1L)))
+    // torn commit log: the replayed refresh token-no-ops
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent,
+      s".${commits.last.getName}.crc").delete()
+    val q2 = agg.writeStream.format("graft-snapshot").outputMode("complete")
+      .option("checkpointLocation", ckpt).start(dst)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Snapshots.versions(spark, dst).size == 2) // replay deduped
+    assert(Snapshots.read(spark, dst).as[(String, Long)].collect().toSet ==
+      Set(("a", 3L), ("b", 1L)))
+  }
+
+  test("update-mode sink MERGEs each batch by key into a bootstrapped " +
+       "table: upserts, deletes and latest-wins collapse — the CDC " +
+       "replication sink") {
+    val root = fresh("updsink")
+    val srcDir = s"$root/in"
+    val dst = s"$root/t"
+    new java.io.File(srcDir).mkdirs()
+    Snapshots.commitOverwrite(spark, dst,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"))
+    def drop(name: String, rows: Seq[(Long, String, Long, String)],
+             mtime: Long): Unit = {
+      val tmp = new java.io.File(srcDir, name + "_tmp")
+      rows.toDF("id", "tag", "seq", "op").coalesce(1)
+        .write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val f = new java.io.File(srcDir, name + ".parquet")
+      java.nio.file.Files.move(part.toPath, f.toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      assert(f.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    drop("b0", Seq((2L, "B2", 1L, "u"), (4L, "d4", 1L, "u")), t0)
+    drop("b1", Seq((1L, "", 2L, "d"), (2L, "B3", 2L, "u")), t0 + 60000L)
+    val src = graft.streaming.StreamRunner.fileSource(spark, srcDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType))),
+      maxFilesPerTrigger = Some(1))
+    val q = src.writeStream.format("graft-snapshot").outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("mergeKey", "id").option("mergeSeq", "seq")
+      .option("mergeOp", "op").start(dst)
+    try q.processAllAvailable() finally q.stop()
+    assert(Snapshots.read(spark, dst).as[(Long, String)].collect().toSet ==
+      Set((2L, "B3"), (3L, "c"), (4L, "d4"))) // 1 deleted, 2 updated twice
   }
 
   test("an initial-load window over PENDING merge-on-read deletes plans " +
