@@ -3522,6 +3522,42 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"))
     }),
 
+    // ZERO-CODE CDC REPLICATION, format to format: the source table's
+    // row-level change feed (readStream feed=true — op='u' rows and
+    // op='d' delete keys ACROSS a merge-on-read GDPR erase) piped
+    // STRAIGHT into the update-mode sink (mergeKey/_seq/_op) — no
+    // foreachBatch, no applyChanges, no user logic at all: the two
+    // format faces compose into a replica that must equal the applied
+    // law exactly. The per-window _seq drives latest-wins inside each
+    // batch; sequential merges across batches are the spec-pinned
+    // apply-law. Compare q_stream_from_snapshot_feed (same oracle),
+    // which maintains the replica BY HAND — this is the packaged form.
+    "q_stream_replicate" -> ((s, dir) => {
+      val root = materializedDir("streamreplicate", dir) { path =>
+        val src = path + "/src"
+        val replica = path + "/replica"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        Snapshots.commitOverwrite(s, src, d)
+        Snapshots.eraseMoRCommit(s, src, "doc_id",
+          d.filter(col("doc_id") % 9 === 3).select("doc_id"))
+        Snapshots.commitAppend(s, src,
+          d.filter(col("doc_id") % 27 === 3)
+            .select(col("doc_id"), lit("re").as("lang")))
+        // bootstrap the replica at the fork point, then follow the feed
+        Snapshots.commitOverwrite(s, replica, Snapshots.read(s, src, Some(1)))
+        val q = s.readStream.format("graft-snapshot")
+          .option("feed", "true").option("startingVersion", "1")
+          .option("maxVersionsPerTrigger", "1").load(src)
+          .writeStream.format("graft-snapshot").outputMode("update")
+          .option("checkpointLocation", path + "/ckpt")
+          .option("mergeKey", "doc_id").option("mergeSeq", "_seq")
+          .option("mergeOp", "_op").start(replica)
+        try q.processAllAvailable() finally q.stop()
+      }
+      Snapshots.read(s, root + "/replica").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // FEED-MODE STREAMING from the table ACROSS a merge-on-read erase:
     // the change feed (op='u' rows, op='d' delete keys, _seq = commit
     // order) arrives as per-version micro-batches and a downstream
@@ -5565,6 +5601,14 @@ object SparkEntry {
     // one-shot logical merge computes (q_stream_merge_sink's contract,
     // now with zero user code)
     "q_stream_upsert_sink" -> mergeCdcSql,
+    // the zero-code replica must land the applied law — same oracle as
+    // the hand-maintained q_stream_from_snapshot_feed replica
+    "q_stream_replicate" -> ("""WITH reins AS (
+      |  SELECT doc_id, lang FROM documents WHERE doc_id % 9 <> 3
+      |  UNION ALL
+      |  SELECT doc_id, 're' AS lang FROM documents WHERE doc_id % 27 = 3)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |       sum(doc_id)::BIGINT AS id_sum FROM reins GROUP BY lang""".stripMargin),
     // the streamed replica must land q_change_feed's applied law: base
     // minus the erased %9=3 keys plus the re-inserted %27=3 as 're'
     "q_stream_from_snapshot_feed" -> ("""WITH reins AS (
