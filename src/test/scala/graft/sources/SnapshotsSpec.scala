@@ -1507,6 +1507,40 @@ class SnapshotsSpec extends SparkTestBase {
     assert(created.get() == 1)
   }
 
+  test("commitOverwriteOnce: token-idempotent replacement — a replayed " +
+       "token is a version-level no-op; advanceConsumer is a monotone " +
+       "register-on-first-call floor with bounded state") {
+    val t = freshTable()
+    assert(Snapshots.commitOverwriteOnce(spark, t, Seq(1L).toDF("id"),
+      "mv#b0").contains(1))
+    assert(Snapshots.commitOverwriteOnce(spark, t, Seq(1L, 2L).toDF("id"),
+      "mv#b1").contains(2))
+    // the replay: same token, NO new version, head unchanged
+    assert(Snapshots.commitOverwriteOnce(spark, t, Seq(9L).toDF("id"),
+      "mv#b1").isEmpty)
+    assert(Snapshots.versions(spark, t) == Seq(1, 2))
+    assert(ids(t) == Set(1L, 2L))
+
+    // advanceConsumer: registers on first call, advances monotonically,
+    // lagging/repeated calls no-op, state stays bounded
+    Snapshots.advanceConsumer(spark, t, "pin", 1)
+    assert(Snapshots.consumers(spark, t)("pin") == 1)
+    Snapshots.advanceConsumer(spark, t, "pin", 2)
+    Snapshots.advanceConsumer(spark, t, "pin", 2) // repeat: no-op
+    Snapshots.advanceConsumer(spark, t, "pin", 1) // lagging: no-op
+    assert(Snapshots.consumers(spark, t)("pin") == 2)
+    (3 to 8).foreach(v => Snapshots.advanceConsumer(spark, t, "pin", v))
+    assert(Snapshots.consumers(spark, t)("pin") == 8)
+    val stateFiles = new java.io.File(s"$t/_consumers/pin").listFiles()
+      .count(_.getName.matches("[op]\\d{8}\\.txt"))
+    assert(stateFiles <= 3) // lag-1 pruning, like consumeTick
+    // a second, lagging consumer's offset is the vacuum floor: v2 holds
+    // against keepFrom=3 because the floor (2) caps the drop range
+    Snapshots.advanceConsumer(spark, t, "lag", 2)
+    Snapshots.vacuum(spark, t, keepFrom = 3)
+    assert(Snapshots.versions(spark, t) == Seq(2))
+  }
+
   test("mergeBranch: append-append divergence merges as a metadata " +
        "union; rewrites and merge-on-read deletes reject loudly") {
     val t = freshTable()
