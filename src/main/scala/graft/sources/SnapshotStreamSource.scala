@@ -64,6 +64,14 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * (rewritten history has no incremental meaning — restart from a
   * fresh startingVersion), matching the format's consumer contract.
   *
+  * Per-trigger planning cost: one `_manifests` directory LIST (head
+  * discovery — the same cost class as Spark's file stream source
+  * listing its input directory every trigger) + the window's O(delta +
+  * commits) manifest reads. Version-file count is an OPERATED bound,
+  * not an accumulating one: vacuum/expireSnapshots retire old versions
+  * on the retention horizon, so a production table holds 10³-10⁴ live
+  * versions (a few-ms LIST), not the stream's lifetime commit count.
+  *
   * SCHEMA IS PINNED AT STREAM START (Spark streams are fixed-schema):
   * each batch projects onto the declared schema by name — a column
   * added by additive evolution mid-stream stays invisible until
