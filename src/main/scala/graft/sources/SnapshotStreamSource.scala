@@ -1,10 +1,10 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
@@ -60,9 +60,14 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *    the table's VACUUM floor tracks the stream. Lags by at most the
   *    in-flight batch (the safe direction).
   *
-  * Overwrites/compactions inside a window fail the stream loudly
-  * (rewritten history has no incremental meaning — restart from a
-  * fresh startingVersion), matching the format's consumer contract.
+  * dataChange=false MAINTENANCE commits (compaction / small-file
+  * packing / metadata folds) inside a window are SKIPPED — they rewrite
+  * segment references, never logical rows — so a live stream (and its
+  * checkpointed restarts) survives routine table maintenance with zero
+  * duplicate or lost rows. Overwrites inside a window still fail the
+  * stream loudly (rewritten history has no incremental meaning —
+  * restart from a fresh startingVersion), matching the format's
+  * consumer contract.
   *
   * Per-trigger planning cost: one `_manifests` directory LIST (head
   * discovery — the same cost class as Spark's file stream source
@@ -92,9 +97,97 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * next window still opens at the checkpoint's committed offset.
   */
 class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
+    with RelationProvider with CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** The BATCH-read face — what makes snapshot tables format- and
+    * SQL-addressable: `spark.read.format("graft-snapshot").load(path)`
+    * and `CREATE [TEMPORARY] VIEW v USING graft-snapshot OPTIONS
+    * (path '...')` both land here and serve the SAME manifest-backed
+    * scan [[Snapshots.read]] plans (committed schema, zero planning
+    * filesystem calls, stats/bucket/null-count pushdown through the
+    * manifest FileIndex). Time travel rides the reader options:
+    *
+    *  - `versionAsOf`: a committed version number;
+    *  - `timestampAsOf`: epoch millis — the head as of that wall clock
+    *    ([[Snapshots.readAsOf]] resolution);
+    *  - `tag`: a [[Snapshots.tagVersion]] name (the reproducible-run pin);
+    *  - `branch`: read a branch head instead of main (combinable with
+    *    `versionAsOf` for a branch version).
+    *
+    * At most one of versionAsOf/timestampAsOf/tag. A snapshot with
+    * PENDING merge-on-read deletes fails loudly (its read is an
+    * anti-join plan, not a single relation — compact first or use
+    * `Snapshots.read`); everything else a `Snapshots.read` serves,
+    * this serves byte-identically.
+    */
+  override def createRelation(ctx: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = ctx.sparkSession
+    val table = SnapshotStreamSource.tablePath(parameters)
+    val branch = parameters.get("branch")
+    val picked = Seq("versionAsOf", "timestampAsOf", "tag")
+      .filter(parameters.contains)
+    require(picked.size <= 1,
+      s"at most one of versionAsOf/timestampAsOf/tag, got ${picked.mkString(", ")}")
+    val version: Option[Int] = picked.headOption.map {
+      case "versionAsOf" => parameters("versionAsOf").toInt
+      case "timestampAsOf" =>
+        require(branch.isEmpty, "timestampAsOf reads main-chain history; " +
+          "combine branch with versionAsOf instead")
+        Snapshots.versionAsOf(spark, table, parameters("timestampAsOf").toLong)
+      case "tag" =>
+        require(branch.isEmpty, "a tag pins a MAIN version; drop the " +
+          "branch option")
+        val name = parameters("tag")
+        Snapshots.tags(spark, table).getOrElse(name,
+          sys.error(s"$table has no tag '$name'"))
+    }
+    org.apache.spark.sql.graftbridge.Bridge.singleBaseRelation(
+      Snapshots.flatScan(spark, table, version, branch))
+  }
+
+  /** The BATCH-write face: `df.write.format("graft-snapshot")
+    * .mode(...).save(path)` maps each `SaveMode` to the format commit
+    * it IS — Append → [[Snapshots.commitAppend]] (with optional
+    * `evolve`), Overwrite → [[Snapshots.commitOverwrite]],
+    * ErrorIfExists → first commit only, Ignore → no-op on an existing
+    * table. `statsCols` / `bucketCols` (`col:mod` comma list) ride the
+    * commit so the written table is born prunable.
+    */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = ctx.sparkSession
+    val table = SnapshotStreamSource.tablePath(parameters)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val bucketCols = parameters.get("bucketCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).map { cell =>
+        cell.split(':') match {
+          case Array(c, m) => c -> m.toInt
+          case _ => sys.error(s"bucketCols cells are col:mod, got '$cell'")
+        }
+      }.toMap).getOrElse(Map.empty[String, Int])
+    val evolve = parameters.get("evolve").exists(_.toBoolean)
+    val exists = Snapshots.versions(spark, table).nonEmpty
+    mode match {
+      case SaveMode.Append =>
+        Snapshots.commitAppend(spark, table, data, statsCols, evolve, bucketCols)
+      case SaveMode.Overwrite =>
+        Snapshots.commitOverwrite(spark, table, data, statsCols, bucketCols)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"$table already has committed versions (SaveMode.ErrorIfExists)")
+        Snapshots.commitOverwrite(spark, table, data, statsCols, bucketCols)
+      case SaveMode.Ignore =>
+        if (!exists)
+          Snapshots.commitOverwrite(spark, table, data, statsCols, bucketCols)
+    }
+    createRelation(ctx, Map("path" -> table))
+  }
 
   /** The WRITE side — `df.writeStream.format("graft-snapshot")
     * .option("checkpointLocation", ...).start(table)` — one sink, the
@@ -140,8 +233,15 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
     require(partitionColumns.isEmpty,
       "graft-snapshot tables have no hive partitions; cluster via " +
         "statsCols/bucketed maintenance commits instead")
-    val prefix = parameters.get("checkpointLocation")
+    // Append/Complete REQUIRE a stable token prefix (their exactly-once
+    // story IS the token); resolved inside those branches only — update
+    // mode's merge is idempotent in effect and must not spuriously
+    // demand a prefix from a query relying on the session-default
+    // checkpoint root (Spark does not pass that default into the sink
+    // options), though it USES one as a replay fast-path when present.
+    val prefixOpt = parameters.get("checkpointLocation")
       .orElse(parameters.get("tokenPrefix"))
+    def prefix = prefixOpt
       .getOrElse(sys.error("graft-snapshot sink needs a stable " +
         "idempotency-token prefix: set .option(\"checkpointLocation\", ...) " +
         "on the writer (recommended) or .option(\"tokenPrefix\", ...)"))
@@ -162,7 +262,8 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
             "(optional mergeSeq/mergeOp for latest-wins collapse and " +
             "deletes)"))
         new SnapshotMergeSink(spark, table, key,
-          parameters.get("mergeSeq"), parameters.get("mergeOp"), statsCols)
+          parameters.get("mergeSeq"), parameters.get("mergeOp"), statsCols,
+          prefixOpt, horizon)
       case other => sys.error(s"unsupported output mode $other")
     }
   }
@@ -265,16 +366,37 @@ private class SnapshotCompleteSink(spark: SparkSession, table: String,
 /** UPDATE-mode sink: each trigger's changed rows MERGE INTO the table
   * by key — the CDC-replication sink (see
   * [[SnapshotStreamSource.createSink]]). Replay safety is merge's own
-  * effect-idempotence (spec-pinned), not a token.
+  * effect-idempotence (spec-pinned): a batch replayed after a torn
+  * commit log re-merges the same collapsed rows and lands a
+  * row-identical snapshot. That claim assumes ONE WRITER on the target
+  * table — the same one-writer-per-token-stream contract
+  * [[Snapshots.commitAppendOnce]]/[[Snapshots.commitOverwriteOnce]]
+  * pin: a foreign commit interleaving between the original merge and
+  * its replay would have the replay's stale rows re-merged over it for
+  * the shared keys, because the table stores no per-row sequence.
+  * Quiesce other writers, or route them through this stream.
+  *
+  * When the writer has a stable token prefix (checkpointLocation /
+  * tokenPrefix — present on every real query), each batch's merge is
+  * ALSO guarded by the deterministic token `<prefix>#b<batchId>`: a
+  * replayed batch id whose token already committed within the replay
+  * horizon SKIPS the merge entirely, so a crash-replay loop stops
+  * appending content-identical versions to the target's history (and
+  * the skip closes the foreign-interleave window above for every
+  * replay the horizon covers).
   */
 private class SnapshotMergeSink(spark: SparkSession, table: String,
                                 keyCol: String, seqCol: Option[String],
                                 opCol: Option[String],
-                                statsCols: Seq[String]) extends Sink {
+                                statsCols: Seq[String],
+                                tokenPrefix: Option[String],
+                                replayHorizon: Int) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = org.apache.spark.sql.graftbridge.Bridge.asBatch(data)
     Snapshots.mergeIntoCommit(spark, table, keyCol, batch,
-      seqCol = seqCol, opCol = opCol, statsCols = statsCols)
+      seqCol = seqCol, opCol = opCol, statsCols = statsCols,
+      token = tokenPrefix.map(p => s"$p#b$batchId"),
+      replayHorizon = replayHorizon)
     ()
   }
   override def toString: String = s"SnapshotStreamMergeSink[$table]"
@@ -304,8 +426,20 @@ private class SnapshotSource(spark: SparkSession, table: String,
 
   private def writeMarker(name: String): Unit = {
     hadoopFs.mkdirs(new Path(metadataPath))
-    try hadoopFs.create(new Path(metadataPath, name), false).close()
-    catch { case _: java.io.IOException => () } // exists: a prior run won
+    val p = new Path(metadataPath, name)
+    try hadoopFs.create(p, false).close()
+    catch {
+      // ONLY the create-on-exists race is benign (a prior run won).
+      // Any other write failure must surface: recordHighWater prunes
+      // older hw- markers and advances `known` in memory right after
+      // this call, so swallowing a transient FS failure here would
+      // silently erase the restart high-water protection — after a
+      // crash+restart, getOffset under maxVersionsPerTrigger could
+      // offer an offset BELOW the checkpoint's committed one (an
+      // inverted window V1 cannot plan).
+      case e: java.io.IOException if !hadoopFs.exists(p) => throw e
+      case _: java.io.IOException => ()
+    }
   }
 
   /** The query's start offset, PERSISTED at first start (`start-<n>`

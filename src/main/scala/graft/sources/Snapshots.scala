@@ -153,6 +153,18 @@ object Snapshots {
   // version numbers are), but monotone in practice since commits
   // serialize through the slot.
   private val TimeHeader = "# ts="
+  // stamped by MAINTENANCE commits (compaction / small-file packing /
+  // re-clustering / metadata folds): the version rewrote segment
+  // REFERENCES only — its logical row set equals its predecessor's.
+  // The Delta/Iceberg dataChange=false convention: incremental readers
+  // (readChangesBetween / changeFeed / consumeChanges / consumeFeed /
+  // the streaming source) SKIP such versions instead of failing, so
+  // routine small-file maintenance on a streamed table no longer forces
+  // a full re-load of every downstream consumer. A version WITHOUT this
+  // header that breaks the append-range prefix still fails loudly — the
+  // header is the maintenance commit's explicit no-rows-changed claim,
+  // never inferred.
+  private val DataChangeFalseHeader = "# dataChange=false"
   private val SegRef = "@"
   // a merge-on-read EQUALITY-DELETE segment reference:
   // `@-<urlenc keyCol>:<segment>` — the segment's entries are parquet
@@ -442,6 +454,18 @@ object Snapshots {
   def committedSchema(spark: SparkSession, table: String, v: Int): Option[StructType] =
     chainSchema(spark, mainChain(table), v)
 
+  private def isDataChangeFalse(spark: SparkSession, c: Chain, v: Int): Boolean =
+    manifestLines(spark, c, v).contains(DataChangeFalseHeader)
+
+  /** True when version `v` is a MAINTENANCE commit (compaction /
+    * small-file packing / re-clustering / metadata fold): it rewrote
+    * segment references only, its logical rows equal its predecessor's,
+    * and every incremental reader skips it. Public so operators and
+    * monitoring can tell maintenance history from data history.
+    */
+  def isMaintenanceVersion(spark: SparkSession, table: String, v: Int): Boolean =
+    isDataChangeFalse(spark, mainChain(table), v)
+
   /** Version `v`'s schema: the committed header, else ONE file footer. */
   private def versionSchema(spark: SparkSession, c: Chain, v: Int): Option[StructType] =
     chainSchema(spark, c, v).orElse(
@@ -665,6 +689,48 @@ object Snapshots {
   def read(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame =
     readChain(spark, mainChain(table), version)
 
+  /** One snapshot as a SINGLE flat parquet scan — the shape a V1
+    * `RelationProvider` can serve as a `BaseRelation` (see
+    * [[SnapshotStreamSource.createRelation]]: `spark.read
+    * .format("graft-snapshot")` and SQL `CREATE ... USING
+    * graft-snapshot`). Identical planning to [[read]] — the committed
+    * schema, the manifest-backed FileIndex, stats/bucket/null-count
+    * pushdown — EXCEPT that a snapshot with PENDING merge-on-read
+    * deletes fails loudly: its read is an anti-join plan, not a single
+    * relation, and silently serving the un-deleted superset would be a
+    * wrong answer. [[compactCommit]] folds the deletes (making the
+    * table format-addressable again), and [[read]] always serves the
+    * full semantics.
+    */
+  private[sources] def flatScan(spark: SparkSession, table: String,
+                                version: Option[Int],
+                                branch: Option[String]): DataFrame = {
+    val c = branch.fold(mainChain(table))(branchChain(table, _))
+    val v = resolveChainVersion(spark, c, version)
+    require(!hasMorDeletes(bodyLines(spark, c, v)),
+      s"${c.label} v$v has pending merge-on-read deletes — a single-" +
+        "relation batch read cannot express the delete anti-join; " +
+        "compactCommit to fold them, or read through Snapshots.read")
+    val es = manifestEntries(spark, c, v)
+    val schema = chainSchema(spark, c, v)
+    require(es.nonEmpty || schema.isDefined,
+      s"${c.label} v$v is an empty snapshot with no committed schema")
+    scan(spark, c.table, schema, es)
+  }
+
+  /** The version that was the head at wall-clock `tsMillis` — the
+    * resolution [[readAsOf]] reads; public for the format reader's
+    * `timestampAsOf` option.
+    */
+  def versionAsOf(spark: SparkSession, table: String, tsMillis: Long): Int = {
+    val c = mainChain(table)
+    chainVersions(spark, c)
+      .filter(v => chainCommitTime(spark, c, v).exists(_ <= tsMillis))
+      .lastOption
+      .getOrElse(sys.error(s"$table has no version committed at or before " +
+        s"$tsMillis (${java.time.Instant.ofEpochMilli(tsMillis)})"))
+  }
+
   private def chainCommitTime(spark: SparkSession, c: Chain, v: Int): Option[Long] =
     manifestLines(spark, c, v).collectFirst {
       case l if l.startsWith(TimeHeader) => l.substring(TimeHeader.length)
@@ -694,15 +760,8 @@ object Snapshots {
     * are skipped with the same conservatism as any missing metadata;
     * fails loudly when no version is old enough.
     */
-  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
-    val c = mainChain(table)
-    val at = chainVersions(spark, c)
-      .filter(v => chainCommitTime(spark, c, v).exists(_ <= tsMillis))
-      .lastOption
-      .getOrElse(sys.error(s"$table has no version committed at or before " +
-        s"$tsMillis (${java.time.Instant.ofEpochMilli(tsMillis)})"))
-    read(spark, table, Some(at))
-  }
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(spark, table, tsMillis)))
 
   /** The history metadata table: one row per main-chain version —
     * (version, committed_at, token, n_segments). The operational
@@ -1322,10 +1381,12 @@ object Snapshots {
     * segments are ever opened, so metadata cost is O(delta + commits),
     * never O(files) — and no per-row timestamps or CDC columns are
     * needed: the manifest diff IS the change log. Contract: valid for
-    * APPEND-range histories (append and compactCommit never remove a
-    * live row's file from later manifests without rewriting it; an
-    * OVERWRITE in the range breaks "new files = new rows" and is
-    * rejected by checking body containment). The delta reads under
+    * APPEND-range histories; dataChange=false MAINTENANCE versions
+    * (compaction/fold) inside the range are SKIPPED — they rewrite
+    * references, not rows — so routine small-file maintenance no longer
+    * breaks incremental consumers; an OVERWRITE in the range breaks
+    * "new files = new rows" and is rejected by checking body
+    * containment per maintenance-free span. The delta reads under
     * `toVersion`'s schema, so a range crossing an additive schema
     * evolution null-fills old-shape rows.
     */
@@ -1335,29 +1396,80 @@ object Snapshots {
     * overwrite/compaction, no merge-on-read delete) and expands ONLY
     * the delta's segments.
     */
-  private def appendRangeAdded(spark: SparkSession, table: String,
-                               fromVersion: Int, to: Int): Seq[Entry] = {
-    val c = mainChain(table)
+  /** The window's NEW body lines in commit order, paired with a
+    * MONOTONE sequence index (ties the change feed's `_seq` to commit
+    * order across the whole window) — and COMPACTION-TRANSPARENT: a
+    * `dataChange=false` maintenance version inside the window rewrote
+    * segment references only (logical rows unchanged), so the window
+    * segments at each maintenance commit and each maintenance-free SPAN
+    * is diffed independently; the maintenance versions themselves
+    * contribute nothing. The happy path (no maintenance in the window
+    * — the overwhelmingly common trigger window) stays the 2-version-
+    * file diff; a window that crosses maintenance pays O(spans + window
+    * commits) small version-file reads, never a data re-load. A broken
+    * prefix WITHOUT a maintenance header in the window (overwrite,
+    * rollback into the window, pre-header compaction) still fails
+    * loudly — the header is the commit's explicit no-rows-changed
+    * claim, never inferred from body shape.
+    */
+  private def appendRangeNewLines(spark: SparkSession, c: Chain,
+                                  fromVersion: Int, to: Int): Seq[(String, Int)] = {
     val before = bodyLines(spark, c, fromVersion)
     val after = bodyLines(spark, c, to)
     val afterSet = after.toSet
-    require(before.forall(afterSet),
-      s"$table v$fromVersion..v$to is not an append range (a segment of " +
-        s"v$fromVersion is gone by v$to — an overwrite or compaction " +
-        "rewrote history); read full snapshots instead")
-    val beforeSet = before.toSet
+    if (before.forall(afterSet)) {
+      // fast path (2 version reads): the whole window is append-shaped
+      val beforeSet = before.toSet
+      after.zipWithIndex.filterNot { case (l, _) => beforeSet(l) }
+    } else {
+      val wvs = chainVersions(spark, c).filter(v => v > fromVersion && v <= to)
+      val maint = wvs.filter(isDataChangeFalse(spark, c, _))
+      require(maint.nonEmpty,
+        s"${c.label} v$fromVersion..v$to is not an append range (a segment " +
+          s"of v$fromVersion is gone by v$to — an overwrite rewrote " +
+          "history); read full snapshots instead")
+      val out = Seq.newBuilder[(String, Int)]
+      var offset = 0
+      var base = fromVersion
+      def span(b: Int, e: Int): Unit = if (e > b) {
+        val sb = bodyLines(spark, c, b)
+        val sa = bodyLines(spark, c, e)
+        val saSet = sa.toSet
+        require(sb.forall(saSet),
+          s"${c.label} v$b..v$e (inside window v$fromVersion..v$to) is " +
+            "not an append range (a segment of the span base is gone — " +
+            "an overwrite rewrote history between maintenance commits); " +
+            "read full snapshots instead")
+        val sbSet = sb.toSet
+        out ++= sa.zipWithIndex.collect {
+          case (l, i) if !sbSet(l) => (l, offset + i) }
+        offset += sa.length
+      }
+      maint.foreach { m =>
+        span(base, (fromVersion +: wvs.filter(_ < m)).last)
+        base = m
+      }
+      span(base, to)
+      out.result()
+    }
+  }
+
+  private def appendRangeAdded(spark: SparkSession, table: String,
+                               fromVersion: Int, to: Int): Seq[Entry] = {
+    val added = appendRangeNewLines(spark, mainChain(table), fromVersion, to)
+      .map(_._1)
     // a merge-on-read delete in the range REMOVES rows — "new files =
     // new rows" no longer holds, and an incremental consumer that only
     // saw the adds would diverge from the snapshot. Loud, like an
     // overwrite.
-    require(after.filterNot(beforeSet).forall(!_.startsWith(DelRef)),
+    require(added.forall(!_.startsWith(DelRef)),
       s"$table v$fromVersion..v$to contains a merge-on-read delete — " +
         "not an append range; read full snapshots instead (or compact " +
         "and restart the consumer from the compacted version)")
     // only the delta's segments are expanded — the base's file lines are
     // never read, which is what keeps a high-frequency incremental
     // consumer O(delta) on a 10⁶-file table
-    expand(spark, table, after.filterNot(beforeSet)).map(parseEntry)
+    expand(spark, table, added).map(parseEntry)
   }
 
   def readChangesBetween(spark: SparkSession, table: String,
@@ -1467,21 +1579,68 @@ object Snapshots {
                       toVersion: Int): Unit = {
     require(name.matches(RefName), s"consumer name must be $RefName, got '$name'")
     val f = fs(spark, table)
-    val ogens = consumerGen(spark, table, name, "o")
-    if (ogens.isEmpty) {
-      createExclusive(f, consumerFile(spark, table, name, "o", 1),
-        (toVersion.toString + "\n").getBytes("UTF-8"))
-      ()
-    } else {
-      val k = ogens.last
-      if (toVersion > readConsumerFile(spark, table, name, "o", k)) {
-        createExclusive(f, consumerFile(spark, table, name, "o", k + 1),
-          (toVersion.toString + "\n").getBytes("UTF-8"))
-        // lag-1 prune, like consumeTick: bounded state per consumer
-        consumerGen(spark, table, name, "o").filter(_ < k).foreach(g =>
-          f.delete(consumerFile(spark, table, name, "o", g), false))
+    val bytes = (toVersion.toString + "\n").getBytes("UTF-8")
+    // bounded retry: every iteration either creates a generation file or
+    // observes a racer's strictly newer one, so two racers converge in a
+    // handful of rounds; the cap only guards a pathological filesystem
+    // readers take the LAST generation, so a write only counts if its
+    // slot is the chain head when it lands. The prune below deletes old
+    // slots, and a racer acting on a STALE listing can win a create in
+    // such a freed slot — publishing its value BELOW the real head,
+    // where no reader ever sees it (observed under suite load as
+    // o1=8, o3=6, o4=7: the maximum landed in a shadowed slot and was
+    // lost). So every successful create is VERIFIED against a fresh
+    // listing: shadowed writes loop and re-advance against the real
+    // head (where the monotone check then no-ops if already covered).
+    def headAfterCreate(g: Int): Boolean =
+      consumerGen(spark, table, name, "o").last == g
+    var attempt = 0
+    while (attempt < 50) {
+      attempt += 1
+      val ogens = consumerGen(spark, table, name, "o")
+      if (ogens.isEmpty) {
+        if (createExclusive(f, consumerFile(spark, table, name, "o", 1), bytes)
+          && headAfterCreate(1))
+          return
+        // lost the registration race (or our create landed in a pruned,
+        // shadowed slot 1): loop into the monotone branch instead of
+        // silently returning, so EVERY call lands under the same
+        // documented contract (advance when higher, no-op when lagging)
+        // rather than the first call being dropped outright. A racing
+        // LOWER floor still no-ops by that contract — sharing one pin
+        // name between two streams remains a misconfiguration (a pin is
+        // owned by ONE stream; registerConsumer is the loud create-once
+        // path).
+      } else {
+        val k = ogens.last
+        // a racer's lag-1 prune can delete generation k between our
+        // listing and this read — treat it as a stale listing and
+        // re-list (the racer's newer generation is what we must compare
+        // against), never as a failure
+        val cur =
+          try Some(readConsumerFile(spark, table, name, "o", k))
+          catch { case _: java.io.FileNotFoundException => None }
+        cur match {
+          case Some(v) if toVersion <= v => return
+          case Some(_) =>
+            if (createExclusive(f,
+              consumerFile(spark, table, name, "o", k + 1), bytes)
+              && headAfterCreate(k + 1)) {
+              // lag-1 prune, like consumeTick: bounded state per consumer
+              consumerGen(spark, table, name, "o").filter(_ < k).foreach(g =>
+                f.delete(consumerFile(spark, table, name, "o", g), false))
+              return
+            }
+          // lost an advance race (or wrote into a shadowed slot from a
+          // stale listing): re-read the new latest generation and
+          // re-check monotonicity against IT (the racer may have
+          // advanced past toVersion, making this call a no-op)
+          case None => () // generation pruned under us: re-list
+        }
       }
     }
+    sys.error(s"advanceConsumer($table, $name) could not converge " +
+      "after 50 attempts")
   }
 
   /** CHANGE DATA FEED: the ORDERED row-level changes between two
@@ -1502,8 +1661,9 @@ object Snapshots {
     * followed by a re-insert lands the re-insert, matching the MoR
     * read semantics (spec-pinned as a law, and the op codes are
     * applyChanges' own). Planning is O(delta + commits): only the
-    * delta's segments are opened. Rejects non-append-shaped ranges
-    * (overwrite/compaction) like readChangesBetween. The feed itself
+    * delta's segments are opened. dataChange=false maintenance versions
+    * in the range are skipped (like readChangesBetween); overwrites
+    * still reject loudly. The feed itself
     * is exact row-wise for ANY table; the apply-law additionally needs
     * key-uniqueness (a multiset table has no keyed CDC semantics).
     */
@@ -1515,13 +1675,6 @@ object Snapshots {
     val to = toVersion.getOrElse(vs.last)
     require(vs.contains(fromVersion) && vs.contains(to) && fromVersion <= to,
       s"need committed versions from<=to, got $fromVersion..$to of ${vs.mkString(",")}")
-    val before = bodyLines(spark, c, fromVersion)
-    val after = bodyLines(spark, c, to)
-    val afterSet = after.toSet
-    require(before.forall(afterSet),
-      s"$table v$fromVersion..v$to is not append-shaped (an overwrite or " +
-        "compaction rewrote history); read full snapshots instead")
-    val beforeSet = before.toSet
     val schema = chainSchema(spark, c, to).orElse(versionSchema(spark, c, to))
       .getOrElse(sys.error(s"$table v$to has no schema"))
     // `_op`/`_seq` are the feed's OWN columns — a table already carrying
@@ -1532,7 +1685,12 @@ object Snapshots {
     def feedCols(row: Map[String, Column]): Seq[Column] =
       schema.fields.toSeq.map(f =>
         row.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name))
-    val parts = after.zipWithIndex.filterNot { case (l, _) => beforeSet(l) }
+    // compaction-transparent window diff: dataChange=false maintenance
+    // versions inside the window are skipped (reference rewrites only —
+    // a fold of deletes the feed ALREADY EMITTED as 'd' rows at their
+    // own commit positions), overwrites still fail loudly; `_seq` stays
+    // monotone in commit order across maintenance boundaries
+    val parts = appendRangeNewLines(spark, c, fromVersion, to)
       .flatMap {
         case (l, idx) if l.startsWith(DelRef) =>
           val rest = l.substring(DelRef.length)
@@ -1629,8 +1787,9 @@ object Snapshots {
       require(h.contains(head),
         s"concurrent commit during small-file compaction (head moved " +
           s"$head -> $h); rerun")
-      schemaLine(relaxed(schema.getOrElse(
-        sys.error(s"$table v$head has no schema to compact under")))) +:
+      DataChangeFalseHeader +:
+        schemaLine(relaxed(schema.getOrElse(
+          sys.error(s"$table v$head has no schema to compact under")))) +:
         (carryBody ++ body)
     })
   }
@@ -1674,7 +1833,11 @@ object Snapshots {
     publish(spark, c, h => {
       require(h.contains(head),
         s"concurrent commit during compaction (head moved $head -> $h); rerun")
-      schemaLine(relaxed(source.schema)) +: body
+      // maintenance claim: this version's logical rows equal v(head)'s
+      // exactly — compaction reads the head snapshot (merge-on-read
+      // deletes applied, so folding them preserves the LOGICAL row set)
+      // and re-stages the same rows; incremental readers skip it
+      DataChangeFalseHeader +: schemaLine(relaxed(source.schema)) +: body
     })
   }
 
@@ -2243,9 +2406,23 @@ object Snapshots {
   def mergeIntoCommit(spark: SparkSession, table: String, keyCol: String,
                       source: DataFrame, seqCol: Option[String] = None,
                       opCol: Option[String] = None,
-                      statsCols: Seq[String] = Nil): Int = {
+                      statsCols: Seq[String] = Nil,
+                      token: Option[String] = None,
+                      replayHorizon: Int = 128): Int = {
     import org.apache.spark.sql.functions.{assert_true, col, count, lit, max_by, struct}
     val c = mainChain(table)
+    // optional replay fast-path (the streaming update-mode sink's batch
+    // token): a token already committed within the horizon means this
+    // exact batch's merge effect is durable — skip the whole pass and
+    // return the current head instead of appending a content-identical
+    // version per crash replay. Merge stays effect-idempotent without a
+    // token; the token only stops replays from GROWING the history.
+    token.foreach { t =>
+      require(!t.contains("\n") && !t.contains("\r"), "token must be single-line")
+      require(replayHorizon >= 1, "replayHorizon must be >= 1")
+    }
+    if (token.exists(committedTokens(spark, table, Some(replayHorizon)).contains))
+      return chainVersions(spark, c).last
     val head = chainVersions(spark, c).lastOption
       .getOrElse(sys.error(s"$table has no committed versions"))
     requireNoMorDeletes(spark, c, head)
@@ -2313,7 +2490,8 @@ object Snapshots {
       publish(spark, c, h => {
         require(h.contains(head),
           s"concurrent commit during merge (head moved $head -> $h); rerun")
-        schemaLine(relaxed(headSchema)) +: (carryBody ++ body)
+        token.map(TokenHeader + _).toSeq ++
+          (schemaLine(relaxed(headSchema)) +: (carryBody ++ body))
       })
     } finally { fs(spark, table).delete(stagedBatch, true); () }
   }
@@ -2644,12 +2822,27 @@ object Snapshots {
   def consumers(spark: SparkSession, table: String): Map[String, Int] = {
     val dir = new Path(table, ConsumersDir)
     val f = fs(spark, table)
+    // a consumer advancing CONCURRENTLY (a pinned stream) can prune a
+    // generation between this reader's listing and its read — re-list
+    // and retry rather than failing the whole vacuum/monitoring pass.
+    // The latest generation itself is never deleted (lag-1 prune only
+    // drops strictly older ones), so a retry always converges.
+    def offsetOf(n: String): Option[Int] = {
+      var attempt = 0
+      while (attempt < 50) {
+        attempt += 1
+        consumerGen(spark, table, n, "o").lastOption match {
+          case None => return None
+          case Some(g) =>
+            try return Some(readConsumerFile(spark, table, n, "o", g))
+            catch { case _: java.io.FileNotFoundException => () } // pruned: re-list
+        }
+      }
+      sys.error(s"consumers($table): could not read '$n' after 50 attempts")
+    }
     if (!f.exists(dir)) Map.empty
     else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .flatMap { n =>
-        consumerGen(spark, table, n, "o").lastOption
-          .map(g => n -> readConsumerFile(spark, table, n, "o", g))
-      }.toMap
+      .flatMap(n => offsetOf(n).map(n -> _)).toMap
   }
 
   /** The consumer's committed offset. */
@@ -2682,9 +2875,10 @@ object Snapshots {
     * [[commitAppendOnce]] one-writer contract); racing tickers still
     * serialize on the create-once slots. Returns the newly committed
     * offset, or None when caught up. The source windows are append
-    * ranges by [[readChangesBetween]]'s contract — an overwrite in the
-    * range fails the tick loudly (an overwritten history has no
-    * incremental meaning; re-register the consumer).
+    * ranges by [[readChangesBetween]]'s contract — dataChange=false
+    * maintenance versions in the window are skipped transparently; an
+    * overwrite in the range fails the tick loudly (an overwritten
+    * history has no incremental meaning; re-register the consumer).
     */
   def consumeChanges(spark: SparkSession, table: String, name: String)
                     (process: (DataFrame, String) => Unit): Option[Int] =

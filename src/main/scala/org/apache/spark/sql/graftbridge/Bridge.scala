@@ -102,6 +102,25 @@ object Bridge {
       LogicalRelation(relation, isStreaming = false))
   }
 
+  /** The single `BaseRelation` leaf of a planned scan — what a V1
+    * `RelationProvider.createRelation` must return. The snapshot
+    * format's batch reads plan as exactly one relation (a manifest-
+    * backed HadoopFsRelation, or the stock parquet relation on the
+    * pre-header fallbacks); anything else (joins, local relations) is
+    * a caller error surfaced loudly.
+    */
+  def singleBaseRelation(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val rels = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation
+    }
+    require(rels.size == 1,
+      s"expected exactly one relation leaf, found ${rels.size}:\n" +
+        df.queryExecution.analyzed)
+    rels.head
+  }
+
   /** Re-root a BATCH DataFrame as a streaming micro-batch plan: every
     * leaf relation is marked `isStreaming = true`. This is the V1
     * streaming-source contract (the same move Spark's own

@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The snapshot table's BATCH format addressability —
+  * [[SnapshotStreamSource.createRelation]]: `spark.read.format(
+  * "graft-snapshot")` (with time-travel options) and SQL-text reads
+  * through `CREATE TEMPORARY VIEW ... USING graft-snapshot` must serve
+  * exactly what [[Snapshots.read]] serves, and the batch WRITE face
+  * must map each SaveMode to the format commit it is.
+  */
+class SnapshotRelationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(s"graft_rel_$name").toString + "/t"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.as[(Long, String)].collect().toSet
+
+  test("format read == Snapshots.read, including versionAsOf / " +
+       "timestampAsOf / tag / branch time travel") {
+    val t = fresh("read")
+    Snapshots.commitOverwrite(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), statsCols = Seq("id"))
+    val ts1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.commitAppend(spark, t, Seq((3L, "c")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    Snapshots.tagVersion(spark, t, "run-x", 1)
+    Snapshots.createBranch(spark, t, "exp")
+    Snapshots.commitAppendToBranch(spark, t, "exp", Seq((9L, "z")).toDF("id", "tag"))
+
+    def fmt(opts: (String, String)*) =
+      opts.foldLeft(spark.read.format("graft-snapshot")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(t)
+
+    assert(rows(fmt()) == rows(Snapshots.read(spark, t)))
+    assert(rows(fmt("versionAsOf" -> "1")) ==
+      rows(Snapshots.read(spark, t, Some(1))))
+    assert(rows(fmt("timestampAsOf" -> ts1.toString)) ==
+      rows(Snapshots.read(spark, t, Some(1))))
+    assert(rows(fmt("tag" -> "run-x")) == rows(Snapshots.readTag(spark, t, "run-x")))
+    assert(rows(fmt("branch" -> "exp")) ==
+      rows(Snapshots.readBranch(spark, t, "exp")))
+    // the format read plans the SAME manifest-backed scan: committed
+    // schema (no footer reads) and the closed file list
+    assert(fmt().schema == Snapshots.read(spark, t).schema)
+    assert(fmt().inputFiles.toSet == Snapshots.read(spark, t).inputFiles.toSet)
+    // option conflicts and unknown names fail loudly
+    intercept[IllegalArgumentException] {
+      fmt("versionAsOf" -> "1", "tag" -> "run-x").collect()
+    }
+    intercept[RuntimeException] { fmt("tag" -> "nope").collect() }
+  }
+
+  test("SQL-text reads: CREATE TEMPORARY VIEW ... USING graft-snapshot " +
+       "serves the snapshot to plain spark.sql") {
+    val t = fresh("sql")
+    Snapshots.commitOverwrite(spark, t,
+      (0L until 20L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+        .toDF("id", "tag"), statsCols = Seq("id"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_sql_v " +
+      s"USING `graft-snapshot` OPTIONS (path '$t')")
+    val got = spark.sql(
+      "SELECT tag, count(*) AS n, sum(id) AS s FROM snap_sql_v " +
+        "WHERE id >= 10 GROUP BY tag ORDER BY tag")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("even", 5L, 70L), ("odd", 5L, 75L)))
+    // time travel through view options too
+    Snapshots.commitAppend(spark, t, Seq((100L, "even")).toDF("id", "tag"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_sql_v1 " +
+      s"USING `graft-snapshot` OPTIONS (path '$t', versionAsOf '1')")
+    assert(spark.sql("SELECT count(*) FROM snap_sql_v1").head().getLong(0) == 20)
+    assert(spark.sql("SELECT count(*) FROM snap_sql_v").head().getLong(0) == 20,
+      "a view resolves its relation at creation: the pinned file list " +
+        "stays the creation-time snapshot")
+  }
+
+  test("a snapshot with PENDING merge-on-read deletes refuses the " +
+       "single-relation read loudly; compaction re-opens it") {
+    val t = fresh("mor")
+    Snapshots.commitOverwrite(spark, t,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "tag"))
+    Snapshots.eraseMoRCommit(spark, t, "id", Seq(3L).toDF("k"))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").load(t).collect()
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    Snapshots.compactCommit(spark, t, 1L << 20)
+    assert(spark.read.format("graft-snapshot").load(t)
+      .select("id").as[Long].collect().toSet == (0L until 10L).toSet - 3L)
+  }
+
+  test("batch write face: SaveMode maps to the format commit — append, " +
+       "overwrite, errorIfExists, ignore — with statsCols riding") {
+    val t = fresh("write")
+    Seq((1L, "a")).toDF("id", "tag").write.format("graft-snapshot")
+      .option("statsCols", "id").mode("overwrite").save(t)
+    Seq((2L, "b")).toDF("id", "tag").write.format("graft-snapshot")
+      .option("statsCols", "id").mode("append").save(t)
+    assert(rows(Snapshots.read(spark, t)) == Set((1L, "a"), (2L, "b")))
+    assert(Snapshots.versions(spark, t) == Seq(1, 2))
+    assert(Snapshots.entries(spark, t).forall(_.stats.contains("id")),
+      "statsCols must ride the format writes")
+    intercept[IllegalArgumentException] {
+      Seq((3L, "c")).toDF("id", "tag").write.format("graft-snapshot")
+        .mode("errorIfExists").save(t)
+    }
+    Seq((3L, "c")).toDF("id", "tag").write.format("graft-snapshot")
+      .mode("ignore").save(t) // exists: no-op
+    assert(Snapshots.versions(spark, t) == Seq(1, 2))
+    // evolve option gates additive evolution like commitAppend's flag
+    intercept[IllegalArgumentException] {
+      Seq((4L, "d", 1L)).toDF("id", "tag", "score").write
+        .format("graft-snapshot").mode("append").save(t)
+    }
+    Seq((4L, "d", 1L)).toDF("id", "tag", "score").write
+      .format("graft-snapshot").option("evolve", "true").mode("append").save(t)
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("id", "tag", "score"))
+  }
+}

@@ -312,6 +312,50 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     try q.processAllAvailable() finally q.stop()
     assert(Snapshots.read(spark, dst).as[(Long, String)].collect().toSet ==
       Set((2L, "B3"), (3L, "c"), (4L, "d4"))) // 1 deleted, 2 updated twice
+
+    // token fast-path: a batch REPLAYED after a torn commit log (sink
+    // effect durable, Spark's commit-log entry lost) must leave the
+    // target's VERSION COUNT unchanged — the checkpointLocation-derived
+    // batch token skips the re-merge, so a crash-replay loop stops
+    // growing the history with content-identical versions
+    val gens = Snapshots.versions(spark, dst).size
+    val commits = new java.io.File(s"$root/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent,
+      s".${commits.last.getName}.crc").delete()
+    val q2 = src.writeStream.format("graft-snapshot").outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("mergeKey", "id").option("mergeSeq", "seq")
+      .option("mergeOp", "op").start(dst)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Snapshots.versions(spark, dst).size == gens,
+      "a replayed batch id must token-skip the merge, not append a " +
+        "content-identical version")
+    assert(Snapshots.read(spark, dst).as[(Long, String)].collect().toSet ==
+      Set((2L, "B3"), (3L, "c"), (4L, "d4")))
+  }
+
+  test("update mode does not demand a token prefix: a writer relying on " +
+       "the session-default checkpoint root still creates (merge is " +
+       "effect-idempotent without a token)") {
+    val root = fresh("updnoprefix")
+    val dst = s"$root/t"
+    Snapshots.commitOverwrite(spark, dst, Seq((1L, "a")).toDF("id", "tag"))
+    // createSink directly: Spark never passes the session-default
+    // checkpoint root into the sink options, so parameters carry only
+    // path + mergeKey — this must NOT error demanding checkpointLocation
+    val sink = new SnapshotStreamSource().createSink(
+      spark.sqlContext, Map("path" -> dst, "mergeKey" -> "id"),
+      Nil, org.apache.spark.sql.streaming.OutputMode.Update())
+    assert(sink.toString.contains("MergeSink"))
+    // append/complete DO demand it (their exactly-once story IS the token)
+    val e = intercept[RuntimeException] {
+      new SnapshotStreamSource().createSink(
+        spark.sqlContext, Map("path" -> dst), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(e.getMessage.contains("checkpointLocation"))
   }
 
   test("an initial-load window over PENDING merge-on-read deletes plans " +
@@ -338,6 +382,53 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
       assert(seen == (0L until 30L).toSet -- Set(3L, 7L),
         s"feed=$feedMode must apply the pending deletes")
     }
+  }
+
+  test("a live stream SURVIVES a mid-stream compaction: dataChange=false " +
+       "windows plan empty, no row duplicated or lost, and a restart " +
+       "whose catch-up window SPANS the compaction stays exact") {
+    val root = fresh("compact")
+    val t = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    Snapshots.commitOverwrite(spark, t,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "tag"))        // v1
+    Snapshots.commitAppend(spark, t, Seq((10L, "a")).toDF("id", "tag")) // v2
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def run(): Unit = {
+      val q = readStreamOf(t, "maxVersionsPerTrigger" -> "1")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen.synchronized { seen += b.select("id").as[Long].collect().toSet }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // initial load (v1) + the v2 delta
+    assert(seen.toList == List((0L until 10L).toSet, Set(10L)))
+    // LIVE maintenance: compact, then append — the stream must cross the
+    // compaction with an empty maintenance window and deliver only v4
+    Snapshots.compactCommit(spark, t, 1L << 20)                      // v3
+    Snapshots.commitAppend(spark, t, Seq((11L, "b")).toDF("id", "tag")) // v4
+    run()
+    assert(seen.toList.flatten.toSet == (0L to 11L).toSet &&
+      seen.toList.map(_.size).sum == 12,
+      "no row lost or duplicated across the compaction")
+    assert(seen.drop(2).flatten.toSet == Set(11L),
+      s"the maintenance window must contribute nothing, got ${seen.drop(2)}")
+    // restart catch-up window SPANNING a compaction (no admission bound:
+    // one window covers append + compaction + append)
+    Snapshots.commitAppend(spark, t, Seq((12L, "c")).toDF("id", "tag")) // v5
+    Snapshots.compactCommitOrdered(spark, t, 1L << 20, "id")            // v6
+    Snapshots.commitAppend(spark, t, Seq((13L, "d")).toDF("id", "tag")) // v7
+    val q2 = readStreamOf(t) // no maxVersionsPerTrigger: one catch-up window
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized { seen += b.select("id").as[Long].collect().toSet }
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.last == Set(12L, 13L),
+      s"the spanning window must be exactly the two appends, got ${seen.last}")
   }
 
   test("a table whose early history was vacuumed streams from the " +

@@ -1541,6 +1541,176 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.versions(spark, t) == Seq(2))
   }
 
+  test("advanceConsumer registration race: the loser falls through to " +
+       "the monotone advance — N racers on a fresh name converge to the " +
+       "maximum, none silently dropped") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val racers = (1 to 8).map(v => new Thread(() => {
+      barrier.await()
+      try Snapshots.advanceConsumer(spark, t, "raced", v)
+      catch { case e: Throwable => failures.add(e); () }
+    }))
+    racers.foreach(_.start())
+    racers.foreach(_.join())
+    assert(failures.isEmpty, s"racer threads failed: ${failures.size}, " +
+      s"first: ${Option(failures.peek()).map(_.toString)}")
+    // pre-fix, only the one createExclusive winner's value survived the
+    // first round — every loser returned silently, so the final offset
+    // was whichever racer won the o(1) create, not the monotone maximum
+    val state = new java.io.File(s"$t/_consumers/raced").listFiles()
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}=${scala.io.Source.fromFile(f).mkString.trim}")
+      .mkString(", ")
+    assert(Snapshots.consumers(spark, t)("raced") == 8, s"state: $state")
+  }
+
+  test("mergeIntoCommit token fast-path: a replayed token skips the " +
+       "merge and leaves the version count unchanged; a fresh token " +
+       "merges normally") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    val v1 = Snapshots.mergeIntoCommit(spark, t, "id",
+      Seq((2L, "B"), (3L, "c")).toDF("id", "tag"), token = Some("ck#b0"))
+    assert(v1 == 2)
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // the replay: same token, DIFFERENT (stale) source — skipped whole,
+    // head version returned, content untouched
+    val v2 = Snapshots.mergeIntoCommit(spark, t, "id",
+      Seq((2L, "STALE"), (9L, "z")).toDF("id", "tag"), token = Some("ck#b0"))
+    assert(v2 == 2)
+    assert(Snapshots.versions(spark, t) == Seq(1, 2))
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // a fresh token merges normally on top
+    val v3 = Snapshots.mergeIntoCommit(spark, t, "id",
+      Seq((3L, "C2")).toDF("id", "tag"), token = Some("ck#b1"))
+    assert(v3 == 3)
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "C2")))
+  }
+
+  test("dataChange=false: every compaction flavor stamps the maintenance " +
+       "header; data commits never do") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      (0L until 40L).map(i => (i, s"v$i")).toDF("id", "tag"))
+    Snapshots.commitAppend(spark, t, Seq((100L, "x")).toDF("id", "tag"))
+    assert(!Snapshots.isMaintenanceVersion(spark, t, 1))
+    assert(!Snapshots.isMaintenanceVersion(spark, t, 2))
+    val c1 = Snapshots.compactCommit(spark, t, targetFileBytes = 1L << 20)
+    assert(Snapshots.isMaintenanceVersion(spark, t, c1))
+    val c2 = Snapshots.compactCommitOrdered(spark, t, 1L << 20, "id")
+    assert(Snapshots.isMaintenanceVersion(spark, t, c2))
+    val c3 = Snapshots.compactCommitBucketed(spark, t, 1L << 20, "id", 8)
+    assert(Snapshots.isMaintenanceVersion(spark, t, c3))
+    // fragment with tiny appends, then pack the small files
+    (0 until 3).foreach(i =>
+      Snapshots.commitAppend(spark, t, Seq((200L + i, "s")).toDF("id", "tag")))
+    val c4 = Snapshots.compactSmallFilesCommit(spark, t,
+      targetFileBytes = 1L << 20, smallFileBytes = 1L << 19)
+    assert(c4 > c3 && Snapshots.isMaintenanceVersion(spark, t, c4))
+    // data verbs stay dataChange=true
+    val mv = Snapshots.mergeIntoCommit(spark, t, "id",
+      Seq((100L, "X")).toDF("id", "tag"))
+    assert(!Snapshots.isMaintenanceVersion(spark, t, mv))
+  }
+
+  test("readChangesBetween is COMPACTION-TRANSPARENT: dataChange=false " +
+       "versions in the window are skipped, spans around them diff " +
+       "normally, and an overwrite still fails loudly") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))     // v1
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))            // v2
+    val cv = Snapshots.compactCommit(spark, t, 1L << 20)            // v3 (maint)
+    Snapshots.commitAppend(spark, t, Seq(4L).toDF("id"))            // v4
+    assert(cv == 3)
+    def delta(a: Int, b: Int): Set[Long] =
+      Snapshots.readChangesBetween(spark, t, a, Some(b))
+        .select("id").as[Long].collect().toSet
+    // window crossing the compaction: the span BEFORE it and the span
+    // AFTER it both contribute; the compaction contributes nothing
+    assert(delta(1, 4) == Set(3L, 4L))
+    assert(delta(2, 4) == Set(4L))
+    // windows ending ON the compaction: pure reference rewrite = empty
+    assert(delta(2, 3) == Set.empty)
+    assert(delta(1, 3) == Set(3L))
+    // consecutive maintenance commits in one window
+    val cv2 = Snapshots.compactCommitOrdered(spark, t, 1L << 20, "id") // v5
+    Snapshots.commitAppend(spark, t, Seq(5L).toDF("id"))               // v6
+    assert(delta(2, 6) == Set(4L, 5L))
+    assert(delta(4, 6) == Set(5L))
+    // an overwrite in the window has NO maintenance claim: loud, with
+    // the overwrite named as the reason
+    Snapshots.commitOverwrite(spark, t, Seq(9L).toDF("id"))            // v7
+    val e = intercept[IllegalArgumentException] { delta(2, 7) }
+    assert(e.getMessage.contains("overwrite"))
+    // ... even when the window ALSO contains maintenance commits (the
+    // per-span prefix check catches the rewrite between them)
+    assert(cv2 == 5)
+  }
+
+  test("changeFeed is compaction-transparent too — including a " +
+       "compaction that FOLDS a merge-on-read erase already emitted as " +
+       "'d' rows — and the applyChanges law holds across it") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t,
+      (0L until 20L).map(i => (i, s"t$i")).toDF("id", "tag"))        // v1
+    Snapshots.commitAppend(spark, t,
+      Seq((100L, "new")).toDF("id", "tag"))                          // v2
+    Snapshots.eraseMoRCommit(spark, t, "id", Seq(3L, 7L).toDF("k"))  // v3
+    val cv = Snapshots.compactCommit(spark, t, 1L << 20)             // v4 folds
+    Snapshots.commitAppend(spark, t,
+      Seq((3L, "reinserted")).toDF("id", "tag"))                     // v5
+    assert(cv == 4)
+    val feed = Snapshots.changeFeed(spark, t, 1, Some(5))
+    // ops: the v2 add, the two v3 delete keys, the v5 re-insert; the
+    // fold contributes nothing
+    val ops = feed.select("_op").as[String].collect().toSeq
+    assert(ops.count(_ == "d") == 2 && ops.count(_ == "u") == 2)
+    // _seq stays monotone in commit order ACROSS the maintenance
+    // boundary: the re-insert must sequence after the delete keys
+    val seqOf = feed.select("id", "_op", "_seq").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(seqOf((3L, "u")) > seqOf((3L, "d")))
+    // the law: replica(v1) + feed == head
+    val applied = graft.operators.Merge.applyChanges(
+      Snapshots.read(spark, t, Some(1)), feed, Seq("id"), "_seq", "_op")
+    val head = Snapshots.read(spark, t)
+    assert(applied.select("id", "tag").as[(Long, String)].collect().toSet ==
+      head.select("id", "tag").as[(Long, String)].collect().toSet)
+    // the appends-only reader still refuses the folded-delete window
+    // (it would silently miss the erase)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readChangesBetween(spark, t, 1, Some(5))
+    }
+    assert(e.getMessage.contains("merge-on-read delete"))
+  }
+
+  test("consumeChanges ticks ACROSS a compaction: the window skips the " +
+       "maintenance version and the consumer keeps its exactly-once " +
+       "cadence") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))          // v1
+    Snapshots.registerConsumer(spark, t, "repl", 1)
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))             // v2
+    Snapshots.compactCommit(spark, t, 1L << 20)                      // v3
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))             // v4
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val r1 = Snapshots.consumeChanges(spark, t, "repl") { (df, _) =>
+      got += df.select("id").as[Long].collect().toSet; ()
+    }
+    assert(r1.contains(4))
+    assert(got.toList == List(Set(2L, 3L))) // compaction contributed nothing
+    // caught up: next tick no-ops even though the head is a post-
+    // maintenance shape
+    assert(Snapshots.consumeChanges(spark, t, "repl")((_, _) => ()).isEmpty)
+  }
+
   test("mergeBranch: append-append divergence merges as a metadata " +
        "union; rewrites and merge-on-read deletes reject loudly") {
     val t = freshTable()
