@@ -46,6 +46,17 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *  - `maxVersionsPerTrigger`: admission control — at most this many
   *    versions per micro-batch (the initial load counts as the window
   *    up to its bound);
+  *  - `maxBytesPerTrigger`: BYTE-based admission control, planned
+  *    entirely from the manifest's committed `sz=` cells (no
+  *    filesystem stats). The INITIAL LOAD splits into body-ordered
+  *    FILE CHUNKS under the cap — a table bootstrapped with one big
+  *    commit drains across many micro-batches instead of planning as
+  *    a single one — and delta windows admit versions while their
+  *    committed delta bytes fit (at least one per trigger; a version
+  *    bigger than the cap gets its own window — version granularity is
+  *    the delta floor). Offsets for chunks extend the version number
+  *    with a consumed-file count; plain version offsets keep their
+  *    pre-split json, so existing checkpoints restart unchanged;
   *  - `feed`: `true` streams the row-level CHANGE FEED — table columns
   *    plus `_op` ('u'/'d') and `_seq` (commit order within the window)
   *    — so the stream keeps flowing across merge-on-read erases and a
@@ -296,9 +307,25 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
     val maxV = parameters.get("maxVersionsPerTrigger").map { m =>
       val v = m.toInt; require(v >= 1, s"maxVersionsPerTrigger must be >= 1, got $v"); v
     }
-    new SnapshotSource(spark, table, declared, feed, start, maxV,
+    val maxB = parameters.get("maxBytesPerTrigger").map { m =>
+      val v = m.toLong; require(v >= 1, s"maxBytesPerTrigger must be >= 1, got $v"); v
+    }
+    new SnapshotSource(spark, table, declared, feed, start, maxV, maxB,
       parameters.get("pinConsumer"), metadataPath)
   }
+}
+
+/** V1 offset for the snapshot source. A consumed-through-version point
+  * renders as the BARE NUMBER — byte-identical to the LongOffset json
+  * every pre-split checkpoint logged, so existing checkpoints restart
+  * seamlessly. A mid-initial-load point (the first `files` data files
+  * of the snapshot at `version` consumed) renders as
+  * `{"v":version,"f":files}`.
+  */
+private[sources] case class SnapshotOffset(version: Long,
+                                           files: Option[Long]) extends Offset {
+  override val json: String =
+    files.fold(version.toString)(k => s"""{"v":$version,"f":$k}""")
 }
 
 object SnapshotStreamSource {
@@ -405,23 +432,60 @@ private class SnapshotMergeSink(spark: SparkSession, table: String,
 /** One live stream's source instance — see [[SnapshotStreamSource]] for
   * the contract. Single-threaded per stream (Spark's microbatch driver
   * loop), so the `known` var needs no synchronization.
+  *
+  * OFFSETS are (version, filesConsumed) pairs — [[SnapshotOffset]]:
+  * `(v, None)` = all data through version v (the only shape that
+  * existed pre-split, so old checkpoints parse unchanged); `(v, Some
+  * (k))` = the first k body-ordered data files of the INITIAL-LOAD
+  * snapshot at v. `maxBytesPerTrigger` drives both admission faces:
+  * the initial load CHUNKS one fixed snapshot version into file groups
+  * under the cap (closing the "bootstrapped big table plans as ONE
+  * micro-batch" hazard), and delta windows admit versions while their
+  * committed delta bytes (`sz=` manifest cells — metadata only) fit.
+  * Both plans are manifest-deterministic, so crash replays stay exact.
   */
 private class SnapshotSource(spark: SparkSession, table: String,
                              declared: StructType, feed: Boolean,
                              requestedStart: Long, maxVersions: Option[Int],
+                             maxBytes: Option[Long],
                              pinConsumer: Option[String],
                              metadataPath: String) extends Source {
+
+  private type Off = (Long, Option[Long])
+
+  /** Total order on offsets: by version, then a whole version above any
+    * of its chunks, chunks by file count.
+    */
+  private def cmp(a: Off, b: Off): Int =
+    if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+    else (a._2, b._2) match {
+      case (None, None) => 0
+      case (None, _) => 1
+      case (_, None) => -1
+      case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+    }
 
   private val hadoopFs =
     new Path(metadataPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def markers(prefix: String): Seq[Long] = {
+  // marker names encode an offset as <version> or <version>_<files>
+  private def renderOff(o: Off): String =
+    o._2.fold(o._1.toString)(k => s"${o._1}_$k")
+
+  private def markers(prefix: String): Seq[Off] = {
     val dir = new Path(metadataPath)
     if (!hadoopFs.exists(dir)) Seq.empty
     else hadoopFs.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith(prefix) &&
-        n.substring(prefix.length).forall(_.isDigit) &&
-        n.length > prefix.length => n.substring(prefix.length).toLong }.toSeq
+      .collect { case n if n.startsWith(prefix) && n.length > prefix.length =>
+        n.substring(prefix.length) }
+      .flatMap(_.split('_') match {
+        case Array(v) if v.nonEmpty && v.forall(_.isDigit) =>
+          Some((v.toLong, None: Option[Long]))
+        case Array(v, k) if v.nonEmpty && v.forall(_.isDigit) &&
+          k.nonEmpty && k.forall(_.isDigit) =>
+          Some((v.toLong, Some(k.toLong)))
+        case _ => None
+      }).toSeq
   }
 
   private def writeMarker(name: String): Unit = {
@@ -451,10 +515,11 @@ private class SnapshotSource(spark: SparkSession, table: String,
     * (`getBatch(None, end)`) read a different window than the one the
     * offset log recorded.
     */
-  private val startOffset: Long = markers("start-").headOption.getOrElse {
-    writeMarker(s"start-$requestedStart")
-    markers("start-").headOption.getOrElse(requestedStart)
-  }
+  private val startOffset: Long =
+    markers("start-").headOption.map(_._1).getOrElse {
+      writeMarker(s"start-$requestedStart")
+      markers("start-").headOption.map(_._1).getOrElse(requestedStart)
+    }
 
   // the vacuum pin exists from STREAM START, not first commit: the
   // initial load may run for minutes against versions a retention job
@@ -467,20 +532,61 @@ private class SnapshotSource(spark: SparkSession, table: String,
     * (`hw-<offset>`), so a crashed write never tears; stale markers are
     * pruned best-effort after each advance.
     */
-  private var known: Long = (startOffset +: markers("hw-")).max
+  private var known: Off =
+    ((startOffset, None: Option[Long]) +: markers("hw-"))
+      .reduceLeft((a, b) => if (cmp(a, b) >= 0) a else b)
 
-  private def recordHighWater(to: Long): Unit = if (to > known) {
-    writeMarker(s"hw-$to")
-    markers("hw-").filter(_ < to).foreach(n =>
-      hadoopFs.delete(new Path(metadataPath, s"hw-$n"), false))
+  private def recordHighWater(to: Off): Unit = if (cmp(to, known) > 0) {
+    writeMarker(s"hw-${renderOff(to)}")
+    markers("hw-").filter(cmp(_, to) < 0).foreach(o =>
+      hadoopFs.delete(new Path(metadataPath, s"hw-${renderOff(o)}"), false))
     known = to
   }
 
   override def schema: StructType = declared
 
-  private def offsetValue(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // SerializedOffset after restart
+  private def offsetOf(o: Offset): Off = o match {
+    case l: LongOffset => (l.offset, None)
+    case SnapshotOffset(v, f) => (v, f)
+    case other => // SerializedOffset after restart
+      val s = other.json.trim
+      if (s.nonEmpty && s.forall(_.isDigit)) (s.toLong, None)
+      else {
+        val m = java.util.regex.Pattern
+          .compile("""\{"v":(\d+),"f":(\d+)\}""").matcher(s)
+        require(m.matches(), s"unparsable snapshot offset '$s'")
+        (m.group(1).toLong, Some(m.group(2).toLong))
+      }
+  }
+
+  /** The initial-load snapshot's body-ordered per-file sizes, cached —
+    * the version is FIXED once chunking starts, so one plan serves the
+    * whole load. None sizes (pre-r15 lines) chunk as cap-breaking
+    * (their file gets its own batch).
+    */
+  private var initCache: Option[(Long, Vector[Option[Long]])] = None
+  private def initialSizes(v: Long): Vector[Option[Long]] = initCache match {
+    case Some((cv, s)) if cv == v => s
+    case _ =>
+      val s = Snapshots.orderedDataEntries(spark, table, v.toInt)
+        .map(_.size).toVector
+      initCache = Some((v, s))
+      s
+  }
+
+  /** First index > `from` such that files [from, end) fit the byte cap
+    * — always advances at least one file.
+    */
+  private def chunkEnd(sizes: Vector[Option[Long]], from: Int): Int = {
+    val cap = maxBytes.getOrElse(Long.MaxValue / 2)
+    var i = from
+    var tot = 0L
+    while (i < sizes.length &&
+      (i == from || tot + sizes(i).getOrElse(cap + 1) <= cap)) {
+      tot += sizes(i).getOrElse(cap + 1)
+      i += 1
+    }
+    i
   }
 
   override def getOffset: Option[Offset] = {
@@ -491,23 +597,86 @@ private class SnapshotSource(spark: SparkSession, table: String,
     // window and crash-loop the stream one number per restart. The
     // initial load composes: versions vacuumed below the first
     // surviving one are subsumed by the full-snapshot window (0, v₁]
-    val after = Snapshots.versions(spark, table).filter(_ > known)
-    val target =
-      if (after.isEmpty) known
-      else maxVersions.fold(after.last.toLong)(m => after.take(m).last.toLong)
-    val off = math.max(target, known)
+    val off: Off = known match {
+      case (v, Some(k)) =>
+        // mid-initial-load: keep draining the FIXED snapshot version in
+        // byte-capped file chunks
+        val sizes = initialSizes(v)
+        val k2 = chunkEnd(sizes, k.toInt)
+        if (k2 >= sizes.length) (v, None) else (v, Some(k2.toLong))
+      case (v, None) =>
+        val after = Snapshots.versions(spark, table).filter(_ > v)
+        if (after.isEmpty) known
+        else {
+          val candidates = maxVersions.fold(after)(m => after.take(m))
+          if (v == 0) {
+            // INITIAL LOAD (startingVersion=earliest on a non-empty
+            // table): the window (0, target] is the whole snapshot —
+            // under a byte cap it SPLITS into file chunks instead of
+            // planning a bootstrap-sized table as one micro-batch
+            val target = candidates.last.toLong
+            if (maxBytes.isEmpty) (target, None)
+            else {
+              val sizes = initialSizes(target)
+              val k1 = chunkEnd(sizes, 0)
+              if (k1 >= sizes.length) (target, None)
+              else (target, Some(k1.toLong))
+            }
+          } else {
+            // DELTA phase: admit versions while their committed delta
+            // bytes fit the cap (metadata-only: sz= manifest cells);
+            // always at least one. Maintenance versions cost 0 —
+            // dataChange=false windows plan empty.
+            val target = maxBytes match {
+              case None => candidates.last
+              case Some(cap) =>
+                var prev = v.toInt
+                var admitted = prev
+                var tot = 0L
+                var i = 0
+                var stop = false
+                while (i < candidates.length && !stop) {
+                  val cnd = candidates(i)
+                  val d = Snapshots.versionDeltaBytes(spark, table, prev,
+                    cnd, unknown = cap + 1)
+                  // overflow-safe cap check: d <= cap - tot (tot <= cap)
+                  if (admitted == v.toInt || d <= cap - tot) {
+                    admitted = cnd; tot += d; prev = cnd; i += 1
+                  } else stop = true
+                }
+                admitted
+            }
+            (target.toLong, None)
+          }
+        }
+    }
+    val eff = if (cmp(off, known) > 0) off else known
     // nothing at or before startOffset is ever a window: returning None
     // until the table moves past it avoids a spurious empty batch 0 on
     // a caught-up-at-start stream
-    if (off <= startOffset) None else Some(LongOffset(off))
+    if (cmp(eff, (startOffset, None)) <= 0) None
+    else Some(SnapshotOffset(eff._1, eff._2))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val from = start.map(offsetValue).getOrElse(startOffset)
-    val to = offsetValue(end)
+    val from: Off = start.map(offsetOf).getOrElse((startOffset, None))
+    val to: Off = offsetOf(end)
     recordHighWater(to)
-    val batch = Snapshots.streamBatch(spark, table, from.toInt, to.toInt, feed)
+    val batch = (from, to) match {
+      case ((fv, None), (tv, None)) =>
+        Snapshots.streamBatch(spark, table, fv.toInt, tv.toInt, feed)
+      // initial-load CHUNK windows — all three shapes the split load
+      // produces: first chunk, middle chunk, final chunk
+      case ((fv, None), (tv, Some(k2))) if fv == 0 =>
+        Snapshots.snapshotChunk(spark, table, tv.toInt, 0, k2.toInt, feed)
+      case ((fv, Some(k1)), (tv, Some(k2))) if fv == tv =>
+        Snapshots.snapshotChunk(spark, table, tv.toInt, k1.toInt, k2.toInt, feed)
+      case ((fv, Some(k1)), (tv, None)) if fv == tv =>
+        Snapshots.snapshotChunk(spark, table, tv.toInt, k1.toInt, Int.MaxValue, feed)
+      case other => sys.error(s"inconsistent snapshot offsets $other — " +
+        "a chunk window must stay within its initial-load version")
+    }
     // project onto the DECLARED schema by name: evolution-added columns
     // stay invisible until restart, omitted trailing columns null-fill
     val have = batch.columns.toSet
@@ -515,21 +684,25 @@ private class SnapshotSource(spark: SparkSession, table: String,
       (if (have(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)
     }: _*)
-    // in the INITIAL-LOAD window only, delete-key scans stay BATCH
-    // leaves: a snapshot with pending merge-on-read deletes anti-joins
-    // them, and only the stream-STATIC LeftAnti shape is plannable per
-    // micro-batch. Feed DELTA windows project delete keys into rows
-    // (union, not join) — there they are the window's DATA and must be
-    // streaming like any other leaf (a delete-only window would
-    // otherwise have no streaming leaf at all)
+    // in the INITIAL-LOAD window only (full or chunked), delete-key
+    // scans stay BATCH leaves: a snapshot with pending merge-on-read
+    // deletes anti-joins them, and only the stream-STATIC LeftAnti
+    // shape is plannable per micro-batch. Feed DELTA windows project
+    // delete keys into rows (union, not join) — there they are the
+    // window's DATA and must be streaming like any other leaf (a
+    // delete-only window would otherwise have no streaming leaf at all)
     org.apache.spark.sql.graftbridge.Bridge.asStreaming(shaped,
       staticLeaf =
-        if (from == 0) Snapshots.isDeleteKeySchema else _ => false)
+        if (from._1 == 0 || from._2.isDefined) Snapshots.isDeleteKeySchema
+        else _ => false)
   }
 
-  override def commit(end: Offset): Unit =
-    pinConsumer.foreach(n =>
-      Snapshots.advanceConsumer(spark, table, n, offsetValue(end).toInt))
+  override def commit(end: Offset): Unit = offsetOf(end) match {
+    case (v, None) =>
+      pinConsumer.foreach(n =>
+        Snapshots.advanceConsumer(spark, table, n, v.toInt))
+    case _ => () // mid-initial-load: the start pin already covers it
+  }
 
   override def stop(): Unit = ()
 

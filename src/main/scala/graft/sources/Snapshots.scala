@@ -1135,14 +1135,80 @@ object Snapshots {
     }
   }
 
+  /** Auto-fold threshold: once a head version's body carries this many
+    * reference lines (one per commit since the last fold/overwrite),
+    * the next append first publishes a [[checkpointMetadataCommit]].
+    * Keeps the O(commits) body copy every append pays BOUNDED — at 10⁴
+    * tiny commits the un-folded body is ~440 KB re-written per commit
+    * (ConsumerChainProbe) — without ever rewriting data. 256 references
+    * ≈ 11 KB body; the fold itself costs one read of every live
+    * segment (O(files) driver-side lines), amortized to O(files/256)
+    * per append.
+    */
+  private val FoldThresholdDefault = 256
+  private def foldThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("graft.snapshot.foldThreshold")
+      .map(_.toInt).getOrElse(FoldThresholdDefault)
+
+  /** METADATA CHECKPOINT: fold the head's segment-reference chain into
+    * ONE fresh segment per merge-on-read group — zero data movement
+    * (the new segment lists the same data lines verbatim: paths, sizes,
+    * stats, bucket and null cells all carried), delete references keep
+    * their body positions so MoR scoping is unchanged, and the commit
+    * is stamped dataChange=false so every incremental consumer skips
+    * it. This is what keeps append cost and consumer planning FLAT on
+    * a high-frequency streamed table WITHOUT paying [[compactCommit]]'s
+    * O(table) data rewrite (9.8 s vs zero data bytes at the probe's
+    * 10⁴-commit shape): the Delta checkpoint idea expressed in this
+    * format's segment terms. Runs automatically from the append path
+    * past the fold threshold (graft.snapshot.foldThreshold, default 256); callable directly for scheduled
+    * maintenance. No-ops (returns the head) when every group already
+    * holds at most one reference.
+    */
+  def checkpointMetadataCommit(spark: SparkSession, table: String): Int = {
+    val c = mainChain(table)
+    val head = chainVersions(spark, c).lastOption
+      .getOrElse(sys.error(s"$table has no committed versions"))
+    val body = bodyLines(spark, c, head)
+    val (groups, deletes) = morPartition(body)
+    if (groups.forall(_.size <= 1)) return head
+    val schema = versionSchema(spark, c, head).getOrElse(
+      sys.error(s"$table v$head has no schema to checkpoint under"))
+    def fold(group: Seq[String]): Seq[String] =
+      if (group.size <= 1) group
+      else Seq(writeSegment(spark, table, expand(spark, table, group)))
+    val folded = groups.map(fold)
+    val newBody = folded.head ++ deletes.zipWithIndex.flatMap {
+      case ((kc, seg), i) => (DelRef + enc(kc) + ":" + seg) +: folded(i + 1)
+    }
+    publish(spark, c, h => {
+      require(h.contains(head),
+        s"concurrent commit during metadata checkpoint (head moved " +
+          s"$head -> $h); rerun")
+      DataChangeFalseHeader +: schemaLine(relaxed(schema)) +: newBody
+    })
+  }
+
   /** The shared append path: stage once, then publish headers + the
     * head's body references + one new segment reference. Metadata cost
-    * is O(delta + commits since last overwrite), never O(files).
+    * is O(delta + commits since last overwrite), never O(files) — and
+    * BOUNDED: past the fold threshold in body lines the append first folds
+    * the head's references into a [[checkpointMetadataCommit]] (its own
+    * dataChange=false version, so a fold+append never breaks the
+    * incremental readers' span diff). Main chain only — branches are
+    * short-lived and their merge laws compare bodies against the fork.
     */
   private def appendChain(spark: SparkSession, c: Chain, df: DataFrame,
                           statsCols: Seq[String], evolve: Boolean,
                           token: Option[String],
                           bucketCols: Map[String, Int] = Map.empty): Int = {
+    if (c.dir == ManifestDir)
+      chainVersions(spark, c).lastOption.foreach { v =>
+        if (bodyLines(spark, c, v).length >= foldThreshold(spark)) {
+          checkpointMetadataCommit(spark, c.table)
+          ()
+        }
+      }
     // fail fast before paying the staging write; re-validated per retry
     // inside the publish closure (the head — and its schema — may move)
     chainVersions(spark, c).lastOption.foreach(v =>
@@ -1529,6 +1595,64 @@ object Snapshots {
     */
   private[sources] def isDeleteKeySchema(st: StructType): Boolean =
     st.fieldNames.sameElements(Array(DelKeyCol))
+
+  /** The data entries of version `v` in BODY ORDER — the deterministic
+    * file-granularity plan the streaming source chunks a split initial
+    * load over (same window, same files, same order, forever — the
+    * replay-determinism contract). Sizes come from the committed `sz=`
+    * cells; entries without one (pre-r15 lines) read back None and the
+    * source treats them conservatively under byte admission.
+    */
+  private[sources] def orderedDataEntries(spark: SparkSession, table: String,
+                                          v: Int): Seq[Entry] = {
+    val c = mainChain(table)
+    val (groups, _) = morPartition(bodyLines(spark, c, v))
+    groups.flatMap(ls => expand(spark, table, ls).map(parseEntry))
+  }
+
+  /** One INITIAL-LOAD CHUNK: snapshot `v` restricted to its data
+    * entries `[fromFile, toFile)` in body order. Merge-on-read delete
+    * sets are NOT data files and still anti-join every chunk they
+    * scope, so the union of a snapshot's chunks equals the snapshot
+    * exactly (spec-pinned) — which is what lets `maxBytesPerTrigger`
+    * split a bootstrap-sized initial load across micro-batches without
+    * changing its semantics.
+    */
+  private[sources] def snapshotChunk(spark: SparkSession, table: String,
+                                     v: Int, fromFile: Int, toFile: Int,
+                                     feed: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keepPaths = orderedDataEntries(spark, table, v)
+      .slice(fromFile, toFile).map(_.path).toSet
+    val df = morScanChain(spark, mainChain(table), v, e => keepPaths(e.path))
+    if (!feed) df
+    else df.select(df.columns.map(col) :+
+      lit("u").as("_op") :+ lit(0).as("_seq"): _*)
+  }
+
+  /** The committed bytes version `v` ADDED over `prev` — what
+    * `maxBytesPerTrigger` admission sums per candidate version. 0 for
+    * dataChange=false maintenance versions (reference rewrites plan
+    * empty windows). Conservative on every unknown: a file without a
+    * committed size, or a non-append-shaped step, counts as `unknown`
+    * so the version lands in its own micro-batch (where a genuinely
+    * broken range then fails loudly at getBatch, exactly as an
+    * unbounded window would).
+    */
+  private[sources] def versionDeltaBytes(spark: SparkSession, table: String,
+                                         prev: Int, v: Int,
+                                         unknown: Long): Long = {
+    val c = mainChain(table)
+    if (isDataChangeFalse(spark, c, v)) return 0L
+    val before = bodyLines(spark, c, prev).toSet
+    val after = bodyLines(spark, c, v)
+    if (!before.forall(after.toSet)) return unknown
+    val newLines = after.filterNot(before)
+    if (newLines.exists(_.startsWith(DelRef))) return unknown
+    expand(spark, table, newLines).map(parseEntry)
+      .map(_.size.getOrElse(unknown))
+      .foldLeft(0L)((a, b) => math.min(Long.MaxValue / 2, a + b))
+  }
 
   def streamBatch(spark: SparkSession, table: String, fromVersion: Int,
                   toVersion: Int, feed: Boolean = false): DataFrame = {
@@ -2736,11 +2860,19 @@ object Snapshots {
       val bSchema = versionSchema(spark, bc, bhead).getOrElse(
         sys.error(s"${bc.label} v$bhead has no schema"))
       val mainBody = bodyLines(spark, main, h)
-      require(mainBody.startsWith(forkBody),
-        s"$table main rewrote history since branch '$name' forked at " +
-          s"v$fork (overwrite/compaction/rollback by v$h) — not an " +
-          "append-append merge; rebase the branch from the new head")
-      val mainDelta = mainBody.drop(forkBody.length)
+      // main-side MAINTENANCE since the fork (dataChange=false folds /
+      // compactions) is fine: main's current body references the same
+      // logical rows as fork + main's appends, so appending the branch
+      // delta to it is still the exact union. Only real rewrites
+      // (overwrite/rollback — no maintenance claim) reject.
+      val mainDelta =
+        try appendRangeNewLines(spark, main, fork, h).map(_._1)
+        catch {
+          case e: IllegalArgumentException => throw new IllegalArgumentException(
+            s"$table main rewrote history since branch '$name' forked at " +
+              s"v$fork (overwrite/rollback by v$h) — not an append-append " +
+              s"merge; rebase the branch from the new head (${e.getMessage})")
+        }
       require(mainDelta.forall(!_.startsWith(DelRef)),
         s"$table main committed merge-on-read deletes since branch " +
           s"'$name' forked; whether the branch's rows fall inside their " +

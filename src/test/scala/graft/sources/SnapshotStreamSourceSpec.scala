@@ -431,6 +431,106 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
       s"the spanning window must be exactly the two appends, got ${seen.last}")
   }
 
+  test("maxBytesPerTrigger SPLITS the initial load into file chunks — a " +
+       "bootstrapped table drains in >1 batches under the cap, the " +
+       "chunk union equals the snapshot, and a torn-commit-log replay " +
+       "of a chunk window is deterministic") {
+    val root = fresh("bytesinit")
+    val t = s"$root/t"
+    val dst = s"$root/dst"
+    val ckpt = s"$root/ckpt"
+    // ONE bootstrap commit, 8 data files — the exact shape that planned
+    // as a single giant micro-batch before byte admission
+    Snapshots.commitOverwrite(spark, t,
+      (0L until 80L).map(i => (i, s"v$i")).toDF("id", "tag").repartition(8))
+    Snapshots.commitAppend(spark, t, Seq((100L, "x")).toDF("id", "tag"))
+    def run(): Unit = {
+      val q = readStreamOf(t, "maxBytesPerTrigger" -> "1")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Snapshots.commitAppendOnce(spark, dst, b, s"sink:$id"); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // cap=1 byte < every file: one chunk per file → 8 initial-load
+    // batches + the v2 delta
+    assert(Snapshots.versions(spark, dst).size == 9,
+      s"8 chunk batches + 1 delta, got ${Snapshots.versions(spark, dst).size}")
+    assert(Snapshots.read(spark, dst).select("id").as[Long].collect().toSet ==
+      ((0L until 80L).toSet + 100L), "chunk union must equal the snapshot")
+    // torn commit log: the replayed CHUNK window must re-plan the same
+    // files (token no-op), then the new version flows
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent,
+      s".${commits.last.getName}.crc").delete()
+    Snapshots.commitAppend(spark, t, Seq((101L, "y")).toDF("id", "tag"))
+    run()
+    assert(Snapshots.versions(spark, dst).size == 10,
+      "replayed chunk token-dedups; the new delta flows")
+    assert(Snapshots.read(spark, dst).select("id").as[Long].collect().toSet ==
+      ((0L until 80L).toSet + 100L + 101L))
+  }
+
+  test("a CHUNKED initial load over pending merge-on-read deletes " +
+       "anti-joins every chunk — the union is the post-delete snapshot") {
+    val root = fresh("byteschunkmor")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t,
+      (0L until 40L).map(i => (i, s"v$i")).toDF("id", "tag").repartition(4))
+    Snapshots.eraseMoRCommit(spark, t, "id", Seq(3L, 17L, 33L).toDF("k"))
+    for (feedMode <- Seq(false, true)) {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = readStreamOf(t, "maxBytesPerTrigger" -> "1",
+        "feed" -> feedMode.toString)
+        .writeStream.option("checkpointLocation", s"$root/ckpt_$feedMode")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = if (feedMode) b.filter(col("_op") === "u") else b
+          batches.synchronized {
+            batches += rows.select("id").as[Long].collect().toSet }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(batches.size >= 4, s"feed=$feedMode must chunk, got ${batches.size}")
+      assert(batches.reduce(_ ++ _) == (0L until 40L).toSet -- Set(3L, 17L, 33L),
+        s"feed=$feedMode chunk union must apply the pending deletes")
+      assert(batches.map(_.size).sum == 37,
+        s"feed=$feedMode no row may appear in two chunks")
+    }
+  }
+
+  test("byte admission bounds DELTA windows too: small versions batch " +
+       "together under a large cap, every version isolates under a " +
+       "tiny cap, and dataChange=false versions cost zero") {
+    val root = fresh("bytesdelta")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    // start at 'latest' so only deltas flow
+    def drain(ckpt: String, cap: String): Int = {
+      var n = 0
+      val q = readStreamOf(t, "startingVersion" -> "1",
+        "maxBytesPerTrigger" -> cap)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.count(); n += 1; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      n
+    }
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    Snapshots.compactCommit(spark, t, 1L << 20) // dataChange=false: free
+    Snapshots.commitAppend(spark, t, Seq(4L).toDF("id"))
+    // large cap: all four pending versions (incl. the free maintenance
+    // one) admit into ONE window
+    assert(drain(s"$root/ckptBig", (1L << 20).toString) == 1)
+    // tiny cap: every data version isolates (the maintenance version
+    // rides free with its successor or alone as an empty window)
+    val isolated = drain(s"$root/ckptTiny", "1")
+    assert(isolated >= 3, s"tiny cap must isolate data versions, got $isolated")
+  }
+
   test("a table whose early history was vacuumed streams from the " +
        "earliest SURVIVING version (admission control counts committed " +
        "versions, never version arithmetic)") {

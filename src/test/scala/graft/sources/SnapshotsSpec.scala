@@ -1594,6 +1594,94 @@ class SnapshotsSpec extends SparkTestBase {
       Set((1L, "a"), (2L, "B"), (3L, "C2")))
   }
 
+  test("checkpointMetadataCommit folds the reference chain to one " +
+       "segment per group with ZERO data movement: same rows, same " +
+       "files, stats carried, dataChange=false, incremental readers skip") {
+    val t = freshTable()
+    (0 until 6).foreach(i =>
+      Snapshots.commitAppend(spark, t,
+        Seq((i.toLong, s"t$i")).toDF("id", "tag"), statsCols = Seq("id")))
+    val preFiles = Snapshots.read(spark, t).inputFiles.toSet
+    val preEntries = Snapshots.entries(spark, t)
+    val fv = Snapshots.checkpointMetadataCommit(spark, t)
+    assert(fv == 7 && Snapshots.isMaintenanceVersion(spark, t, fv))
+    // zero data movement: the SAME files, and the manifest entries
+    // carry their stats/sizes verbatim
+    assert(Snapshots.read(spark, t).inputFiles.toSet == preFiles)
+    assert(Snapshots.entries(spark, t).toSet == preEntries.toSet)
+    // the body folded to ONE reference line
+    assert(new java.io.File(f"$t/_manifests/v$fv%08d.txt").exists())
+    val body = scala.io.Source.fromFile(
+      f"$t/_manifests/v$fv%08d.txt").getLines().filterNot(_.startsWith("#")).toList
+    assert(body.size == 1, s"folded body must be one segment ref, got $body")
+    // pruning still works off the carried stats
+    assert(Snapshots.readPrunedWhere(spark, t,
+      Seq(Snapshots.LongRange("id", 2, 2))).inputFiles.length == 1)
+    // incremental readers skip the fold; an append after it flows
+    Snapshots.commitAppend(spark, t, Seq((9L, "x")).toDF("id", "tag"))
+    assert(Snapshots.readChangesBetween(spark, t, 6)
+      .select("id").as[Long].collect().toSet == Set(9L))
+    // idempotent: an already-folded head no-ops
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    assert(Snapshots.checkpointMetadataCommit(spark, t) ==
+      Snapshots.versions(spark, t).last)
+  }
+
+  test("checkpointMetadataCommit preserves merge-on-read scoping: " +
+       "delete refs keep their body positions, a re-inserted key " +
+       "still survives, and the fold is feed-transparent") {
+    val t = freshTable()
+    Snapshots.commitAppend(spark, t,
+      (0L until 10L).map(i => (i, s"t$i")).toDF("id", "tag"))
+    Snapshots.commitAppend(spark, t, Seq((10L, "t10")).toDF("id", "tag"))
+    Snapshots.eraseMoRCommit(spark, t, "id", Seq(4L).toDF("k"))
+    Snapshots.commitAppend(spark, t, Seq((4L, "reborn")).toDF("id", "tag"))
+    Snapshots.commitAppend(spark, t, Seq((11L, "t11")).toDF("id", "tag"))
+    val pre = Snapshots.read(spark, t).as[(Long, String)].collect().toSet
+    assert(pre.contains((4L, "reborn")) && !pre.contains((4L, "t4")))
+    val fv = Snapshots.checkpointMetadataCommit(spark, t)
+    assert(Snapshots.isMaintenanceVersion(spark, t, fv))
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toSet == pre,
+      "fold must preserve MoR delete scoping exactly")
+    // the folded body: group, delete ref, group — 3 lines, not 5+
+    val body = scala.io.Source.fromFile(
+      f"$t/_manifests/v$fv%08d.txt").getLines().filterNot(_.startsWith("#")).toList
+    assert(body.size == 3, s"group/delete/group expected, got $body")
+    // feed across the fold: skipped like any maintenance version —
+    // window (4, head] spans append v5, the fold, and append v7
+    Snapshots.commitAppend(spark, t, Seq((12L, "t12")).toDF("id", "tag"))
+    val feed = Snapshots.changeFeed(spark, t, 4)
+    assert(feed.filter(col("_op") === "u").select("id").as[Long]
+      .collect().toSet == Set(11L, 12L))
+  }
+
+  test("auto-fold: appends past graft.snapshot.foldThreshold fold the " +
+       "body before appending, keeping the per-commit body copy bounded") {
+    val t = freshTable()
+    spark.conf.set("graft.snapshot.foldThreshold", "4")
+    try {
+      (0 until 10).foreach(i =>
+        Snapshots.commitAppend(spark, t, Seq(i.toLong).toDF("id")))
+      // with threshold 4 the body never exceeds ~4 reference lines
+      val heads = Snapshots.versions(spark, t)
+      val bodies = heads.map { v =>
+        scala.io.Source.fromFile(f"$t/_manifests/v$v%08d.txt")
+          .getLines().count(!_.startsWith("#"))
+      }
+      assert(bodies.max <= 5, s"auto-fold must bound the body, got $bodies")
+      // every row still present exactly once
+      assert(Snapshots.read(spark, t).as[Long].collect().sorted.toSeq ==
+        (0L until 10L).toSeq)
+      // fold versions are maintenance; appends are not
+      val maint = heads.filter(Snapshots.isMaintenanceVersion(spark, t, _))
+      assert(maint.nonEmpty, "threshold 4 over 10 appends must auto-fold")
+      // an incremental consumer registered at v1 replays the whole data
+      // history across the interleaved folds
+      assert(Snapshots.readChangesBetween(spark, t, 1)
+        .select("id").as[Long].collect().toSet == (1L until 10L).toSet)
+    } finally spark.conf.unset("graft.snapshot.foldThreshold")
+  }
+
   test("dataChange=false: every compaction flavor stamps the maintenance " +
        "header; data commits never do") {
     val t = freshTable()
