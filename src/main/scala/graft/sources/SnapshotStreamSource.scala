@@ -43,6 +43,9 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *    checkpoint metadata — a restart keeps the original resolution
   *    (`latest` re-resolved per restart would bypass admission control
   *    for the whole catch-up range and change the batch-0 replay);
+  *  - `startingTag`: a [[Snapshots.tagVersion]] name — changes strictly
+  *    after the tagged version, the reproducible-run pin reused as a
+  *    stream start (mutually exclusive with `startingVersion`);
   *  - `maxVersionsPerTrigger`: admission control — at most this many
   *    versions per micro-batch (the initial load counts as the window
   *    up to its bound);
@@ -294,16 +297,27 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
       SnapshotStreamSource.resolveSchema(spark, parameters))
     val feed = SnapshotStreamSource.feedMode(parameters)
     val vs = Snapshots.versions(spark, table)
-    val start = parameters.getOrElse("startingVersion", "earliest") match {
-      case "earliest" => 0L
-      case "latest" => vs.last.toLong
-      case n =>
-        val v = n.toLong
-        require(v == 0L || vs.contains(v.toInt),
-          s"startingVersion $v is not 0/earliest/latest or a committed " +
-            s"version of $table (have ${vs.mkString(",")})")
-        v
+    // startingTag: begin strictly AFTER a tagged version — the
+    // reproducible-run pin reused as a stream start ("replicate
+    // everything since run-2026-08's snapshot") without carrying
+    // version numbers through configs
+    val startTag = parameters.get("startingTag").map { name =>
+      require(!parameters.contains("startingVersion"),
+        "at most one of startingVersion/startingTag")
+      Snapshots.tags(spark, table).getOrElse(name,
+        sys.error(s"$table has no tag '$name'")).toLong
     }
+    val start = startTag.getOrElse(
+      parameters.getOrElse("startingVersion", "earliest") match {
+        case "earliest" => 0L
+        case "latest" => vs.last.toLong
+        case n =>
+          val v = n.toLong
+          require(v == 0L || vs.contains(v.toInt),
+            s"startingVersion $v is not 0/earliest/latest or a committed " +
+              s"version of $table (have ${vs.mkString(",")})")
+          v
+      })
     val maxV = parameters.get("maxVersionsPerTrigger").map { m =>
       val v = m.toInt; require(v >= 1, s"maxVersionsPerTrigger must be >= 1, got $v"); v
     }
@@ -541,7 +555,21 @@ private class SnapshotSource(spark: SparkSession, table: String,
     markers("hw-").filter(cmp(_, to) < 0).foreach(o =>
       hadoopFs.delete(new Path(metadataPath, s"hw-${renderOff(o)}"), false))
     known = to
+    deltaBytesCache.filterInPlace { case ((_, v), _) => v > to._1 }
   }
+
+  /** Per-version delta-bytes cache: a committed version's delta is
+    * immutable, and a LAGGING byte-capped stream re-evaluates the same
+    * un-admitted candidates every trigger — without this, getOffset on
+    * a stream N versions behind pays O(N) version-body reads per
+    * trigger instead of once per version. Pruned below `known` as
+    * windows commit.
+    */
+  private val deltaBytesCache =
+    scala.collection.mutable.Map.empty[(Int, Int), Long]
+  private def deltaBytes(prev: Int, v: Int, unknown: Long): Long =
+    deltaBytesCache.getOrElseUpdate((prev, v),
+      Snapshots.versionDeltaBytes(spark, table, prev, v, unknown))
 
   override def schema: StructType = declared
 
@@ -637,8 +665,7 @@ private class SnapshotSource(spark: SparkSession, table: String,
                 var stop = false
                 while (i < candidates.length && !stop) {
                   val cnd = candidates(i)
-                  val d = Snapshots.versionDeltaBytes(spark, table, prev,
-                    cnd, unknown = cap + 1)
+                  val d = deltaBytes(prev, cnd, unknown = cap + 1)
                   // overflow-safe cap check: d <= cap - tot (tot <= cap)
                   if (admitted == v.toInt || d <= cap - tot) {
                     admitted = cnd; tot += d; prev = cnd; i += 1

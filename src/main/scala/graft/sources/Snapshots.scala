@@ -764,10 +764,11 @@ object Snapshots {
     read(spark, table, Some(versionAsOf(spark, table, tsMillis)))
 
   /** The history metadata table: one row per main-chain version —
-    * (version, committed_at, token, n_segments). The operational
-    * audit surface ("what landed when, under which idempotency
-    * token"); costs one small version-file read per version, never a
-    * segment expand.
+    * (version, committed_at, token, n_segments, maintenance). The
+    * operational audit surface ("what landed when, under which
+    * idempotency token, and which versions are dataChange=false
+    * maintenance — compactions/folds — vs data commits"); costs one
+    * small version-file read per version, never a segment expand.
     */
   def historyDf(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
@@ -778,8 +779,9 @@ object Snapshots {
         chainCommitTime(spark, c, v).map(new java.sql.Timestamp(_)).orNull,
         lines.collectFirst { case l if l.startsWith(TokenHeader) =>
           l.substring(TokenHeader.length) }.orNull,
-        lines.count(!_.startsWith("#")))
-    }.toDF("version", "committed_at", "token", "n_segments")
+        lines.count(!_.startsWith("#")),
+        lines.contains(DataChangeFalseHeader))
+    }.toDF("version", "committed_at", "token", "n_segments", "maintenance")
   }
 
   /** The files metadata table of one version: (path, size_bytes,

@@ -602,6 +602,36 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(batches.toList == List(Set(2L), Set(3L), Set(4L)))
   }
 
+  test("startingTag begins strictly after the tagged version — the " +
+       "reproducible-run pin as a stream start") {
+    val root = fresh("starttag")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    Snapshots.tagVersion(spark, t, "run-a", 2)
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = readStreamOf(t, "startingTag" -> "run-a")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized { seen += b.select("id").as[Long].collect().toSet }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.toList == List(Set(3L)))
+    // an unknown tag fails the query loudly (createSource runs on the
+    // stream thread, so the error surfaces as the query's exception)
+    val q2 = readStreamOf(t, "startingTag" -> "nope")
+      .writeStream.option("checkpointLocation", s"$root/ckpt2")
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    val e = intercept[StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+      q2.awaitTermination(20000); ()
+    }
+    assert(e.getMessage.contains("no tag") ||
+      Option(e.getCause).exists(_.getMessage.contains("no tag")))
+  }
+
   test("schema is pinned at stream start: an additive-evolution commit " +
        "mid-stream stays invisible (projected onto the declared shape) " +
        "until restart") {

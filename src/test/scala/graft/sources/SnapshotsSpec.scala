@@ -1706,6 +1706,12 @@ class SnapshotsSpec extends SparkTestBase {
     val mv = Snapshots.mergeIntoCommit(spark, t, "id",
       Seq((100L, "X")).toDF("id", "tag"))
     assert(!Snapshots.isMaintenanceVersion(spark, t, mv))
+    // the history table exposes the claim per version
+    val hist = Snapshots.historyDf(spark, t).orderBy("version")
+      .select("version", "maintenance")
+      .as[(Int, Boolean)].collect().toMap
+    assert(Seq(c1, c2, c3, c4).forall(hist(_)))
+    assert(!hist(1) && !hist(2) && !hist(mv))
   }
 
   test("readChangesBetween is COMPACTION-TRANSPARENT: dataChange=false " +
