@@ -200,7 +200,21 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
         if (!exists)
           Snapshots.commitOverwrite(spark, table, data, statsCols, bucketCols)
     }
-    createRelation(ctx, Map("path" -> table))
+    // the returned relation is advisory (Spark's SaveIntoDataSourceCommand
+    // discards it) — build the real manifest-backed relation when the
+    // table is flat-readable, else a schema-only stub: a table with
+    // pending merge-on-read deletes is perfectly WRITABLE (appends are
+    // legal on MoR tables), and throwing here would make save() report
+    // failure AFTER the commit durably landed — a caller retrying the
+    // "failed" write would append its rows twice
+    try createRelation(ctx, Map("path" -> table))
+    catch {
+      case _: IllegalArgumentException =>
+        new BaseRelation {
+          override val sqlContext: SQLContext = ctx
+          override val schema: StructType = data.schema
+        }
+    }
   }
 
   /** The WRITE side — `df.writeStream.format("graft-snapshot")
@@ -304,8 +318,15 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
     val startTag = parameters.get("startingTag").map { name =>
       require(!parameters.contains("startingVersion"),
         "at most one of startingVersion/startingTag")
-      Snapshots.tags(spark, table).getOrElse(name,
-        sys.error(s"$table has no tag '$name'")).toLong
+      val v = Snapshots.tags(spark, table).getOrElse(name,
+        sys.error(s"$table has no tag '$name'"))
+      // same committed-version validation as the startingVersion path —
+      // a stale or hand-edited ref fails loudly at stream start, not
+      // with a raw missing-manifest error at the first delta window
+      require(vs.contains(v),
+        s"tag '$name' points at v$v, which is not a committed version " +
+          s"of $table (have ${vs.mkString(",")})")
+      v.toLong
     }
     val start = startTag.getOrElse(
       parameters.getOrElse("startingVersion", "earliest") match {

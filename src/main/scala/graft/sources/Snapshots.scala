@@ -1206,9 +1206,26 @@ object Snapshots {
                           bucketCols: Map[String, Int] = Map.empty): Int = {
     if (c.dir == ManifestDir)
       chainVersions(spark, c).lastOption.foreach { v =>
-        if (bodyLines(spark, c, v).length >= foldThreshold(spark)) {
-          checkpointMetadataCommit(spark, c.table)
-          ()
+        // trigger on FOLDABLE references — the lines a fold can actually
+        // remove (group size beyond 1 each; delete refs and singleton
+        // groups are irreducible). Counting raw body lines would make a
+        // delete-heavy table (2·deletes+1 irreducible lines past the
+        // threshold) publish a useless maintenance version on EVERY
+        // append forever.
+        val (groups, _) = morPartition(bodyLines(spark, c, v))
+        val foldable = groups.foldLeft(0)((a, g) => a + math.max(0, g.size - 1))
+        if (foldable >= foldThreshold(spark)) {
+          // best-effort: the fold publishes on top of the head it read,
+          // and a RACING commit legitimately moves it — the user's
+          // append must not die for a failed maintenance opportunity
+          // (publish()'s own retry loop keeps appends lock-free); the
+          // next append past the threshold simply tries again
+          try { checkpointMetadataCommit(spark, c.table); () }
+          catch {
+            case e: IllegalArgumentException if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit during metadata " +
+                "checkpoint") => ()
+          }
         }
       }
     // fail fast before paying the staging write; re-validated per retry

@@ -97,6 +97,28 @@ class SnapshotRelationSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet == (0L until 10L).toSet - 3L)
   }
 
+  test("the write face stays usable on a table with PENDING merge-on-read " +
+       "deletes: the commit lands once and save() does not throw on the " +
+       "advisory read-back (only the read face rejects MoR)") {
+    val t = fresh("wmor")
+    Snapshots.commitOverwrite(spark, t,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "tag"))
+    Snapshots.eraseMoRCommit(spark, t, "id", Seq(3L).toDF("k"))
+    val pre = Snapshots.versions(spark, t).size
+    // pre-fix this threw AFTER the commit landed (flatScan's MoR
+    // rejection on the advisory relation), so a retrying caller would
+    // double-append
+    Seq((100L, "x")).toDF("id", "tag").write.format("graft-snapshot")
+      .mode("append").save(t)
+    assert(Snapshots.versions(spark, t).size == pre + 1)
+    assert(Snapshots.read(spark, t).select("id").as[Long].collect().toSet ==
+      ((0L until 10L).toSet - 3L) + 100L)
+    // ignore on an existing MoR table: a true no-op, no throw
+    Seq((200L, "y")).toDF("id", "tag").write.format("graft-snapshot")
+      .mode("ignore").save(t)
+    assert(Snapshots.versions(spark, t).size == pre + 1)
+  }
+
   test("batch write face: SaveMode maps to the format commit — append, " +
        "overwrite, errorIfExists, ignore — with statsCols riding") {
     val t = fresh("write")
