@@ -3560,6 +3560,54 @@ object SparkEntry {
         |""".stripMargin)
     }),
 
+    // ZERO-COPY SHALLOW CLONE — the dev/test/experiment fork at 100 TB:
+    // a new, independently writable table whose v1 REFERENCES the
+    // source snapshot's files (absolute paths in the clone's own
+    // segments, zero bytes copied), with vacuum safety in BOTH
+    // directions — the source version is tag-pinned before any clone
+    // metadata exists, and the clone's vacuum can only reach its own
+    // root. The builder requires the zero-copy identity (same physical
+    // files at clone time), then DIVERGES both sides, vacuums the
+    // SOURCE at its head (the pin must keep the shared files alive),
+    // and outputs both sides' aggregates — the hash breaks if either
+    // side leaks into the other or vacuum reclaims shared bytes.
+    "q_snapshot_clone" -> ((s, dir) => {
+      val root = materializedDir("snapclone", dir) { path =>
+        val src = path + "/src"
+        val dst = path + "/dst"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        Snapshots.commitOverwrite(s, src, d.filter(col("doc_id") % 2 === 0),
+          statsCols = Seq("doc_id"))
+        Snapshots.commitAppend(s, src, d.filter(col("doc_id") % 2 === 1),
+          statsCols = Seq("doc_id"))
+        val info = Snapshots.cloneTable(s, src, dst)
+        require(Snapshots.read(s, dst).inputFiles.toSet ==
+          Snapshots.read(s, src).inputFiles.toSet,
+          "shallow clone must read the source's physical files")
+        // diverge: each side gains its own rows
+        Snapshots.commitAppend(s, dst,
+          d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              lit("cl").as("lang"), col("n_chars")))
+        Snapshots.commitAppend(s, src,
+          d.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 20000000L).as("doc_id"),
+              lit("sr").as("lang"), col("n_chars")))
+        // source maintenance + retention with the clone attached: the
+        // pin keeps the clone-point files; the clone must read through
+        Snapshots.vacuum(s, src, keepFrom = Snapshots.versions(s, src).last)
+        require(Snapshots.tags(s, src).contains(info.pinTag),
+          "the clone's source pin must survive vacuum")
+      }
+      val srcDf = Snapshots.read(s, root + "/src")
+        .select(lit("src").as("side"), col("lang"), col("doc_id"))
+      val cloneDf = Snapshots.read(s, root + "/dst")
+        .select(lit("clone").as("side"), col("lang"), col("doc_id"))
+      srcDf.unionAll(cloneDf).groupBy(col("side"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // STREAMING MATERIALIZED VIEW INTO THE TABLE FORMAT — the sink's
     // COMPLETE mode: a streaming aggregation re-emits its whole result
     // per trigger and commitOverwriteOnce REPLACES the snapshot under
@@ -5712,6 +5760,24 @@ object SparkEntry {
     // rows — the dataChange=false window contributes nothing
     "q_stream_across_compaction" -> ("SELECT doc_id, lang, " +
       "n_chars::BIGINT AS n_chars FROM documents"),
+    // both sides of the shallow clone after divergence: src = docs +
+    // 'sr' extras (%3), clone = docs + 'cl' extras (%5); doc_id offsets
+    // make id_sum side-sensitive — any cross-leak breaks the hash
+    "q_snapshot_clone" -> ("""WITH d AS (
+      |  SELECT doc_id, lang FROM documents),
+      |srcside AS (
+      |  SELECT lang, doc_id FROM d
+      |  UNION ALL
+      |  SELECT 'sr', doc_id + 20000000 FROM d WHERE doc_id % 3 = 0),
+      |cloneside AS (
+      |  SELECT lang, doc_id FROM d
+      |  UNION ALL
+      |  SELECT 'cl', doc_id + 10000000 FROM d WHERE doc_id % 5 = 0)
+      |SELECT 'src' AS side, lang, count(*)::BIGINT AS n_docs,
+      |       sum(doc_id)::BIGINT AS id_sum FROM srcside GROUP BY lang
+      |UNION ALL
+      |SELECT 'clone', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+      |FROM cloneside GROUP BY lang""".stripMargin),
     // the SQL-text views over the format: head = all docs (v1 evens +
     // v2 odds), the pinned view = v1's even half
     "q_snapshot_sql_read" -> ("""WITH d AS (

@@ -2717,6 +2717,81 @@ object Snapshots {
     publish(spark, c, _ => schema.map(schemaLine).toSeq ++ body)
   }
 
+  /** What [[cloneTable]] created: the clone's first version (always 1)
+    * and the tag pinned on the SOURCE that keeps the shared files safe
+    * from the source's vacuum. Dropping a clone = delete its root +
+    * [[dropTag]] the pin.
+    */
+  final case class CloneInfo(version: Int, pinTag: String)
+
+  /** SHALLOW CLONE — a new, independently writable table whose first
+    * version REFERENCES the source snapshot's files (absolute paths in
+    * the clone's own segments): zero bytes copied, O(files) metadata,
+    * the zero-copy dev/test/experiment fork at 100 TB ("try the new
+    * cleaning rule against production's table without copying it" when
+    * a [[createBranch]] inside the source table is not wanted — a clone
+    * lives in its OWN root with its own history, branches, consumers
+    * and retention). Merge-on-read structure clones faithfully (groups
+    * and delete-key sets keep their order), stats/bucket/null cells
+    * carry verbatim, and the clone point is any committed version.
+    *
+    * VACUUM SAFETY, both directions: the source version is pinned by a
+    * create-once TAG before any clone metadata is written, so the
+    * source's vacuum/expireSnapshots can never reclaim the shared files
+    * while the clone lives (drop the clone = delete its root + dropTag
+    * the pin — [[CloneInfo.pinTag]]); the clone's own vacuum only ever
+    * deletes under ITS root, and the absolute source references never
+    * match its data listing, so it cannot reach into the source.
+    *
+    * The flip side of sharing, stated plainly: a GDPR purge on the
+    * source does NOT purge the clone (the clone pins the pre-purge
+    * bytes via its tag — enumerate clone pins when erasing), and writes
+    * on either side never appear on the other (divergence is the
+    * point). A crash between the pin and the publish leaves a
+    * droppable tag and vacuumable orphan segments, never a torn clone.
+    */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+                 version: Option[Int] = None,
+                 pinTag: Option[String] = None): CloneInfo = {
+    val c = mainChain(src)
+    val v = resolveChainVersion(spark, c, version)
+    require(chainVersions(spark, mainChain(dst)).isEmpty,
+      s"$dst already has committed versions; clone into a fresh root")
+    val f = fs(spark, src)
+    val srcAbs = f.makeQualified(new Path(src)).toString
+    def absolutize(line: String): String = {
+      val cells = line.split('\t')
+      val p = cells.head
+      val abs =
+        if (p.startsWith("/") || p.contains("://")) p else s"$srcAbs/$p"
+      (abs +: cells.tail.toSeq).mkString("\t")
+    }
+    // pin BEFORE writing any clone metadata: from this point the
+    // source's vacuum keeps every file version v references
+    val tag = pinTag.getOrElse(
+      s"clone-${java.util.UUID.randomUUID().toString.take(8)}")
+    tagVersion(spark, src, tag, v)
+    val schema = chainSchema(spark, c, v)
+    val (groups, deletes) = morPartition(bodyLines(spark, c, v))
+    def cloneGroup(ls: Seq[String]): Seq[String] = {
+      val lines = expand(spark, src, ls).map(absolutize)
+      if (lines.isEmpty) Seq.empty else Seq(writeSegment(spark, dst, lines))
+    }
+    val body = cloneGroup(groups.head) ++ deletes.zipWithIndex.flatMap {
+      case ((kc, seg), i) =>
+        val keySeg = writeSegment(spark, dst,
+          segmentLines(spark, src, seg).map(absolutize))
+        (DelRef + enc(kc) + ":" + keySeg.substring(SegRef.length)) +:
+          cloneGroup(groups(i + 1))
+    }
+    val dv = publish(spark, mainChain(dst), h => {
+      require(h.isEmpty,
+        s"$dst gained commits during the clone; clone into a fresh root")
+      schema.map(schemaLine).toSeq ++ body
+    })
+    CloneInfo(dv, tag)
+  }
+
   // ----------------------------------------------------------- branches
 
   private val RefName = "[A-Za-z0-9._-]{1,64}"

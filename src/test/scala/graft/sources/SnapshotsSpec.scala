@@ -1836,6 +1836,63 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.consumeChanges(spark, t, "repl")((_, _) => ()).isEmpty)
   }
 
+  test("cloneTable: zero-copy shallow clone — same rows and files, " +
+       "independent divergence, vacuum-safe in BOTH directions, " +
+       "merge-on-read structure faithful, stats carried") {
+    val root = java.nio.file.Files.createTempDirectory("graft_clone").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Snapshots.commitOverwrite(spark, src,
+      (0L until 40L).map(i => (i, s"t$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    Snapshots.commitAppend(spark, src,
+      Seq((100L, "x")).toDF("id", "tag"), statsCols = Seq("id"))
+    Snapshots.eraseMoRCommit(spark, src, "id", Seq(7L).toDF("k"))
+    val info = Snapshots.cloneTable(spark, src, dst)
+    assert(info.version == 1)
+    val expect = (0L until 40L).toSet - 7L + 100L
+    assert(Snapshots.read(spark, dst).select("id").as[Long].collect().toSet
+      == expect, "clone must apply the source's pending MoR delete")
+    // ZERO COPY: the clone reads the source's physical files
+    assert(Snapshots.read(spark, dst).inputFiles.toSet ==
+      Snapshots.read(spark, src).inputFiles.toSet)
+    // stats carried: pruning works on the clone
+    assert(Snapshots.readPrunedWhere(spark, dst,
+      Seq(Snapshots.LongRange("id", 100, 100))).inputFiles.length <
+      Snapshots.read(spark, dst).inputFiles.length)
+    // independent divergence
+    Snapshots.commitAppend(spark, dst, Seq((500L, "c")).toDF("id", "tag"))
+    Snapshots.commitAppend(spark, src, Seq((600L, "s")).toDF("id", "tag"))
+    assert(Snapshots.read(spark, dst).select("id").as[Long].collect().toSet
+      == expect + 500L)
+    assert(Snapshots.read(spark, src).select("id").as[Long].collect().toSet
+      == expect + 600L)
+    // SOURCE vacuum: the pin tag keeps the clone point's files alive
+    assert(Snapshots.tags(spark, src).contains(info.pinTag))
+    Snapshots.vacuum(spark, src, keepFrom = Snapshots.versions(spark, src).last)
+    assert(Snapshots.read(spark, dst).select("id").as[Long].collect().toSet
+      == expect + 500L, "source vacuum must not reclaim clone-shared files")
+    // CLONE vacuum: cannot reach into the source's root
+    Snapshots.vacuum(spark, dst, keepFrom = Snapshots.versions(spark, dst).last)
+    assert(Snapshots.read(spark, src).select("id").as[Long].collect().toSet
+      == expect + 600L, "clone vacuum must never delete source bytes")
+    assert(Snapshots.read(spark, dst).select("id").as[Long].collect().toSet
+      == expect + 500L)
+    // maintenance on the clone localizes: compaction rewrites into the
+    // CLONE's root, after which it no longer reads source files
+    Snapshots.compactCommit(spark, dst, 1L << 20)
+    assert(Snapshots.read(spark, dst).inputFiles.forall(_.contains("/dst/")))
+    assert(Snapshots.read(spark, dst).select("id").as[Long].collect().toSet
+      == expect + 500L)
+    // a non-empty destination rejects loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.cloneTable(spark, src, dst)
+    }
+    // dropping the clone releases the source pin
+    Snapshots.dropTag(spark, src, info.pinTag)
+    assert(!Snapshots.tags(spark, src).contains(info.pinTag))
+  }
+
   test("mergeBranch: append-append divergence merges as a metadata " +
        "union; rewrites and merge-on-read deletes reject loudly") {
     val t = freshTable()
