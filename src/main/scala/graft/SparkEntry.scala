@@ -3560,6 +3560,45 @@ object SparkEntry {
         |""".stripMargin)
     }),
 
+    // THE BATCH/SQL FACE OVER A PENDING-MoR SNAPSHOT (r17 verdict task
+    // 3): a table mid-erase — merge-on-read delete files committed, NOT
+    // yet compacted — must answer SQL-text queries with its FULL delete
+    // semantics (the same anti-join plan Snapshots.read serves), not
+    // reject and not serve the un-deleted superset. The builder erases
+    // one key class through the MoR lane, RE-INSERTS a subset after the
+    // delete (commit-order scoping: re-inserted keys survive), and the
+    // OUTPUT is plain SQL over a CREATE TEMPORARY VIEW on the pending
+    // table; the builder also requires format-read ≡ Snapshots.read
+    // row equality mid-erase.
+    "q_snapshot_sql_read_mor" -> ((s, dir) => {
+      val root = materializedDir("snapsqlmor", dir) { path =>
+        val t = path + "/t"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        Snapshots.commitOverwrite(s, t, d, statsCols = Seq("doc_id"))
+        Snapshots.eraseMoRCommit(s, t, "doc_id",
+          d.filter(col("doc_id") % 7 === 2).select(col("doc_id")))
+        // re-insert a third of the erased keys AFTER the delete — they
+        // must survive (the delete never reaches forward)
+        Snapshots.commitAppend(s, t,
+          d.filter(col("doc_id") % 21 === 2)
+            .select(col("doc_id"), lit("rx").as("lang"), col("n_chars")))
+        val viaFormat = s.read.format("graft-snapshot").load(t)
+        val viaApi = Snapshots.read(s, t)
+        require(viaFormat.exceptAll(viaApi).isEmpty &&
+          viaApi.exceptAll(viaFormat).isEmpty,
+          "format read mid-erase must row-equal Snapshots.read")
+      }
+      val t = root + "/t"
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_snap_mor " +
+        s"USING `graft-snapshot` OPTIONS (path '$t')")
+      s.sql("""
+        |SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |       sum(doc_id) AS id_sum
+        |FROM graft_snap_mor WHERE doc_id >= 50 GROUP BY lang
+        |""".stripMargin)
+    }),
+
     // ZERO-COPY SHALLOW CLONE — the dev/test/experiment fork at 100 TB:
     // a new, independently writable table whose v1 REFERENCES the
     // source snapshot's files (absolute paths in the clone's own
@@ -5788,6 +5827,19 @@ object SparkEntry {
       |UNION ALL
       |SELECT 'v1', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
       |FROM d WHERE doc_id % 2 = 0 AND doc_id >= 100 GROUP BY lang""".stripMargin),
+    // the pending-MoR view's delete semantics: base minus the erased
+    // %7=2 keys plus the re-inserted %21=2 as 'rx' (appended after the
+    // delete — commit-order scoping keeps them)
+    "q_snapshot_sql_read_mor" -> ("""WITH live AS (
+      |  SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents
+      |  WHERE doc_id % 7 <> 2
+      |  UNION ALL
+      |  SELECT doc_id, 'rx', n_chars::BIGINT FROM documents
+      |  WHERE doc_id % 21 = 2)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |       sum(n_chars)::BIGINT AS sum_chars,
+      |       sum(doc_id)::BIGINT AS id_sum
+      |FROM live WHERE doc_id >= 50 GROUP BY lang""".stripMargin),
     // the MV's head = the one-shot aggregate over the whole corpus
     "q_stream_mv_snapshot" -> ("SELECT lang, count(*)::BIGINT AS n_docs, " +
       "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY lang"),

@@ -45,7 +45,13 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *    for the whole catch-up range and change the batch-0 replay);
   *  - `startingTag`: a [[Snapshots.tagVersion]] name — changes strictly
   *    after the tagged version, the reproducible-run pin reused as a
-  *    stream start (mutually exclusive with `startingVersion`);
+  *    stream start;
+  *  - `startingTimestamp`: changes strictly after the version that was
+  *    the head at that wall clock — the streaming twin of the batch
+  *    face's `timestampAsOf`, same resolution ([[Snapshots.versionAsOf]],
+  *    loud on a pre-history timestamp) and same accepted forms (epoch
+  *    millis / date / timestamp strings). startingVersion, startingTag
+  *    and startingTimestamp are mutually exclusive;
   *  - `maxVersionsPerTrigger`: admission control — at most this many
   *    versions per micro-batch (the initial load counts as the window
   *    up to its bound);
@@ -83,13 +89,16 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * restart from a fresh startingVersion), matching the format's
   * consumer contract.
   *
-  * Per-trigger planning cost: one `_manifests` directory LIST (head
-  * discovery — the same cost class as Spark's file stream source
-  * listing its input directory every trigger) + the window's O(delta +
-  * commits) manifest reads. Version-file count is an OPERATED bound,
-  * not an accumulating one: vacuum/expireSnapshots retire old versions
-  * on the retention horizon, so a production table holds 10³-10⁴ live
-  * versions (a few-ms LIST), not the stream's lifetime commit count.
+  * Per-trigger planning cost: O(1) head discovery via the table's
+  * head-hint file (one hint read + one existence probe — a CAUGHT-UP
+  * stream's tick never LISTs `_manifests`), plus — only when the head
+  * actually moved past the stream — one directory LIST to enumerate
+  * the catch-up window's committed versions (vacuum can leave gaps, so
+  * the window needs the real list, not number arithmetic) and the
+  * window's O(delta + commits) manifest reads. Version-file count is
+  * an OPERATED bound, not an accumulating one: vacuum/expireSnapshots
+  * retire old versions on the retention horizon, so a production table
+  * holds 10³-10⁴ live versions, not the stream's lifetime commit count.
   *
   * SCHEMA IS PINNED AT STREAM START (Spark streams are fixed-schema):
   * each batch projects onto the declared schema by name — a column
@@ -125,17 +134,32 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
     * manifest FileIndex). Time travel rides the reader options:
     *
     *  - `versionAsOf`: a committed version number;
-    *  - `timestampAsOf`: epoch millis — the head as of that wall clock
-    *    ([[Snapshots.readAsOf]] resolution);
+    *  - `timestampAsOf`: the head as of that wall clock
+    *    ([[Snapshots.readAsOf]] resolution) — epoch millis,
+    *    `yyyy-MM-dd` (local midnight) or
+    *    `yyyy-MM-dd[ T]HH:mm:ss[.fff]` (local time), see
+    *    [[SnapshotStreamSource.parseTimestampMillis]];
     *  - `tag`: a [[Snapshots.tagVersion]] name (the reproducible-run pin);
     *  - `branch`: read a branch head instead of main (combinable with
     *    `versionAsOf` for a branch version).
     *
     * At most one of versionAsOf/timestampAsOf/tag. A snapshot with
-    * PENDING merge-on-read deletes fails loudly (its read is an
-    * anti-join plan, not a single relation — compact first or use
-    * `Snapshots.read`); everything else a `Snapshots.read` serves,
-    * this serves byte-identically.
+    * PENDING merge-on-read deletes serves its FULL delete semantics:
+    * the relation computes the same anti-join plan `Snapshots.read`
+    * uses (a [[SnapshotMorRelation]] — column pruning and filters are
+    * replayed onto the plan, so manifest stats pruning still rides);
+    * flat snapshots keep the zero-copy single-relation fast path.
+    *
+    * STALENESS, stated loudly because SQL views hide it: a relation —
+    * and therefore a `CREATE [TEMPORARY] VIEW ... USING graft-snapshot`
+    * — resolves its version (head or pinned) ONCE, at CREATION time,
+    * and keeps serving that manifest's file list forever after. A
+    * "head" view does NOT advance when the table commits — it is a
+    * creation-time snapshot, exactly like a `versionAsOf` read
+    * (deliberate: the closed file list is what makes the scan immune
+    * to concurrent commits/compactions). Re-create the view — or call
+    * `spark.read.format("graft-snapshot")` per query — to see a newer
+    * head.
     */
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -151,7 +175,9 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
       case "timestampAsOf" =>
         require(branch.isEmpty, "timestampAsOf reads main-chain history; " +
           "combine branch with versionAsOf instead")
-        Snapshots.versionAsOf(spark, table, parameters("timestampAsOf").toLong)
+        Snapshots.versionAsOf(spark, table,
+          SnapshotStreamSource.parseTimestampMillis(
+            "timestampAsOf", parameters("timestampAsOf")))
       case "tag" =>
         require(branch.isEmpty, "a tag pins a MAIN version; drop the " +
           "branch option")
@@ -159,8 +185,13 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
         Snapshots.tags(spark, table).getOrElse(name,
           sys.error(s"$table has no tag '$name'"))
     }
-    org.apache.spark.sql.graftbridge.Bridge.singleBaseRelation(
-      Snapshots.flatScan(spark, table, version, branch))
+    if (Snapshots.hasPendingMorDeletes(spark, table, version, branch))
+      new SnapshotMorRelation(ctx,
+        branch.fold(Snapshots.read(spark, table, version))(b =>
+          Snapshots.readBranch(spark, table, b, version)))
+    else
+      org.apache.spark.sql.graftbridge.Bridge.singleBaseRelation(
+        Snapshots.flatScan(spark, table, version, branch))
   }
 
   /** The BATCH-write face: `df.write.format("graft-snapshot")
@@ -186,19 +217,40 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
         }
       }.toMap).getOrElse(Map.empty[String, Int])
     val evolve = parameters.get("evolve").exists(_.toBoolean)
-    val exists = Snapshots.versions(spark, table).nonEmpty
+    // ErrorIfExists/Ignore validate emptiness INSIDE the publish slot
+    // (commitFirstVersion) — a check-then-act versions().isEmpty here
+    // would let two racing first writers both pass the check, landing
+    // ErrorIfExists silently as v2 or Ignore overwriting a racer's v1
     mode match {
       case SaveMode.Append =>
         Snapshots.commitAppend(spark, table, data, statsCols, evolve, bucketCols)
       case SaveMode.Overwrite =>
         Snapshots.commitOverwrite(spark, table, data, statsCols, bucketCols)
       case SaveMode.ErrorIfExists =>
-        if (exists) throw new IllegalArgumentException(
-          s"$table already has committed versions (SaveMode.ErrorIfExists)")
-        Snapshots.commitOverwrite(spark, table, data, statsCols, bucketCols)
+        // fast-path probe only SAVES the staging write on an obviously
+        // existing table; the authoritative check is in the slot
+        if (Snapshots.versions(spark, table).nonEmpty)
+          throw new IllegalArgumentException(
+            s"$table already has committed versions (SaveMode.ErrorIfExists)")
+        try Snapshots.commitFirstVersion(spark, table, data, statsCols, bucketCols)
+        catch {
+          case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("already has committed versions") =>
+            throw new IllegalArgumentException(
+              s"$table already has committed versions (SaveMode.ErrorIfExists)")
+        }
       case SaveMode.Ignore =>
-        if (!exists)
-          Snapshots.commitOverwrite(spark, table, data, statsCols, bucketCols)
+        if (Snapshots.versions(spark, table).isEmpty)
+          try { Snapshots.commitFirstVersion(spark, table, data, statsCols, bucketCols); () }
+          catch {
+            // the table exists (a racer's publish won the slot since the
+            // probe): Ignore's contract is exactly this no-op — the
+            // racer's v1 is never overwritten
+            case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("already has committed versions") => ()
+          }
     }
     // the returned relation is advisory (Spark's SaveIntoDataSourceCommand
     // discards it) — build the real manifest-backed relation when the
@@ -315,9 +367,12 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
     // reproducible-run pin reused as a stream start ("replicate
     // everything since run-2026-08's snapshot") without carrying
     // version numbers through configs
+    val startPicked = Seq("startingVersion", "startingTag", "startingTimestamp")
+      .filter(parameters.contains)
+    require(startPicked.size <= 1,
+      s"at most one of startingVersion/startingTag/startingTimestamp, " +
+        s"got ${startPicked.mkString(", ")}")
     val startTag = parameters.get("startingTag").map { name =>
-      require(!parameters.contains("startingVersion"),
-        "at most one of startingVersion/startingTag")
       val v = Snapshots.tags(spark, table).getOrElse(name,
         sys.error(s"$table has no tag '$name'"))
       // same committed-version validation as the startingVersion path —
@@ -328,7 +383,16 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
           s"of $table (have ${vs.mkString(",")})")
       v.toLong
     }
-    val start = startTag.getOrElse(
+    // startingTimestamp: parity with the batch face's timestampAsOf —
+    // changes strictly AFTER the version that was the head at that wall
+    // clock ([[Snapshots.versionAsOf]] at-or-before resolution; a
+    // pre-history timestamp fails loudly there). Same accepted forms as
+    // timestampAsOf ([[SnapshotStreamSource.parseTimestampMillis]]).
+    val startTs = parameters.get("startingTimestamp").map { s =>
+      Snapshots.versionAsOf(spark, table,
+        SnapshotStreamSource.parseTimestampMillis("startingTimestamp", s)).toLong
+    }
+    val start = startTag.orElse(startTs).getOrElse(
       parameters.getOrElse("startingVersion", "earliest") match {
         case "earliest" => 0L
         case "latest" => vs.last.toLong
@@ -343,7 +407,13 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
       val v = m.toInt; require(v >= 1, s"maxVersionsPerTrigger must be >= 1, got $v"); v
     }
     val maxB = parameters.get("maxBytesPerTrigger").map { m =>
-      val v = m.toLong; require(v >= 1, s"maxBytesPerTrigger must be >= 1, got $v"); v
+      val v = m.toLong; require(v >= 1, s"maxBytesPerTrigger must be >= 1, got $v")
+      // clamp far below Long.MaxValue: admission uses `cap + 1` as the
+      // unknown-size sentinel and sums deltas against the cap — an
+      // unclamped near-MaxValue cap would overflow those NEGATIVE and
+      // admit unbounded windows instead of isolating unknown-size ones.
+      // No real trigger is exabytes; the clamp is semantics-free.
+      math.min(v, Long.MaxValue / 4)
     }
     new SnapshotSource(spark, table, declared, feed, start, maxV, maxB,
       parameters.get("pinConsumer"), metadataPath)
@@ -368,6 +438,35 @@ object SnapshotStreamSource {
     parameters.getOrElse("path", sys.error(
       "graft-snapshot source needs a table root: .load(path) or .option(\"path\", ...)"))
 
+  /** Parse a reader-option wall-clock bound (`timestampAsOf` /
+    * `startingTimestamp`) to epoch millis. Accepted forms, matching the
+    * lakehouse readers' convention:
+    *
+    *  - epoch milliseconds (all digits, optional leading '-');
+    *  - `yyyy-MM-dd` — local midnight;
+    *  - `yyyy-MM-dd HH:mm:ss[.fff]` or the ISO `yyyy-MM-ddTHH:mm:ss[.fff]`
+    *    — local (session JVM) time.
+    *
+    * Anything else fails loudly naming the option and the forms.
+    */
+  private[sources] def parseTimestampMillis(option: String, s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else if (t.length > 1 && t.head == '-' && t.tail.forall(_.isDigit)) t.toLong
+    else {
+      val normalized = t.replace('T', ' ')
+      try
+        if (normalized.contains(' '))
+          java.sql.Timestamp.valueOf(normalized).getTime
+        else java.sql.Date.valueOf(normalized).getTime
+      catch {
+        case _: IllegalArgumentException => throw new IllegalArgumentException(
+          s"$option: cannot parse '$s' — pass epoch millis, 'yyyy-MM-dd' " +
+            "(local midnight) or 'yyyy-MM-dd[ T]HH:mm:ss[.fff]' (local time)")
+      }
+    }
+  }
+
   private[sources] def feedMode(parameters: Map[String, String]): Boolean =
     parameters.get("feed").exists(_.toBoolean)
 
@@ -385,6 +484,60 @@ object SnapshotStreamSource {
       Snapshots.requireNoFeedColumns(table, st)
       StructType(st.fields ++ Snapshots.FeedFields)
     }
+  }
+}
+
+/** The batch-read relation for a snapshot with PENDING merge-on-read
+  * deletes: serves the SAME anti-join plan [[Snapshots.read]] computes
+  * (each data group anti-joined against the delete-key sets committed
+  * after it), so the SQL/format face returns the correct post-delete
+  * rows instead of rejecting — the first SQL user to hit a table
+  * mid-erase gets the answer, not a dead end. A `PrunedFilteredScan`:
+  * Spark's required columns and pushable filters are REPLAYED onto the
+  * DataFrame plan, where Catalyst pushes them through the anti-joins
+  * into the manifest-backed scans — committed-stats file skipping and
+  * parquet pushdown ride exactly as they do under `Snapshots.read`
+  * with the same predicate. `unhandledFilters` returns everything
+  * (Spark re-applies each filter above the scan), so a filter this
+  * translation can't express is merely unpushed, never wrong. The
+  * relation pins its version at creation like the flat fast path —
+  * same staleness contract.
+  */
+private class SnapshotMorRelation(ctx: SQLContext, df: DataFrame)
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.Column
+
+  override val sqlContext: SQLContext = ctx
+  override val schema: StructType = df.schema
+  override def needConversion: Boolean = true // Row-based scan (V1)
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case StringContains(a, p) => Some(col(a).contains(p))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None // unpushed, re-applied by Spark above
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.flatMap(toColumn).foldLeft(df)(_ filter _)
+    // empty requiredColumns (count(*)) projects to zero-column rows
+    filtered.select(requiredColumns.map(col).toSeq: _*).rdd
   }
 }
 
@@ -627,7 +780,10 @@ private class SnapshotSource(spark: SparkSession, table: String,
     * — always advances at least one file.
     */
   private def chunkEnd(sizes: Vector[Option[Long]], from: Int): Int = {
-    val cap = maxBytes.getOrElse(Long.MaxValue / 2)
+    // maxBytes is clamped to <= Long.MaxValue/4 at parse (and this
+    // defensive default matches), so the `cap + 1` unknown-size sentinel
+    // and the running `tot + sentinel` comparison can never overflow
+    val cap = maxBytes.getOrElse(Long.MaxValue / 4)
     var i = from
     var tot = 0L
     while (i < sizes.length &&
@@ -654,7 +810,14 @@ private class SnapshotSource(spark: SparkSession, table: String,
         val k2 = chunkEnd(sizes, k.toInt)
         if (k2 >= sizes.length) (v, None) else (v, Some(k2.toLong))
       case (v, None) =>
-        val after = Snapshots.versions(spark, table).filter(_ > v)
+        // caught-up fast path: head via the O(1) hint — the steady state
+        // of a live stream ticks with zero `_manifests` LISTs; only a
+        // stream with actual catch-up work pays the LIST (vacuum can
+        // leave gaps in the window, so the catch-up set needs the real
+        // committed-version list, not number arithmetic)
+        val after =
+          if (Snapshots.headVersion(spark, table).forall(_ <= v)) Seq.empty
+          else Snapshots.versions(spark, table).filter(_ > v)
         if (after.isEmpty) known
         else {
           val candidates = maxVersions.fold(after)(m => after.take(m))

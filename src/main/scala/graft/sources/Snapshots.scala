@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, Inte
   *     _manifests/v00000001.txt   -- VERSION file: header lines
   *                                -- (`# token=`, `# schema=`) + one
   *                                -- `@<segment>` reference per commit
+  *     _manifests/_head.hint      -- best-effort O(1) head hint (the
+  *                                -- Delta `_last_checkpoint` pattern);
+  *                                -- advisory, LIST is the fallback
   *     _segments/s-<uuid>.txt     -- immutable SEGMENT: one data line per
   *                                -- file staged by ONE commit:
   *                                --   relpath[\tcol=kind:lo:hi ...]
@@ -200,9 +203,92 @@ object Snapshots {
       .sorted.toSeq
   }
 
+  // best-effort HEAD HINT (the Delta `_last_checkpoint` pattern): one
+  // tiny file per chain naming a recently committed version, refreshed
+  // after every publish. Purely advisory — correctness never depends on
+  // it (the create-exclusive slot still serializes commits, and a stale
+  // hint only costs extra existence probes), but it turns head
+  // resolution from an O(live versions) directory LIST per commit/read
+  // into O(1) filesystem calls: ONE hint read + ONE existence probe on
+  // the hot path. On object stores LIST is the expensive, rate-limited
+  // call — this was the last super-linear metadata cost on the
+  // commit/read path (ConsumerChainProbe measured the append wall
+  // growing 130 -> 522 ms across 10^2 -> 10^4 commits from the LIST
+  // alone). The name cannot collide with version files (v\d{8}\.txt)
+  // so every existing LIST-based reader skips it.
+  private val HeadHintFile = "_head.hint"
+
+  private def headHintPath(c: Chain): Path =
+    new Path(c.table, s"${c.dir}/$HeadHintFile")
+
+  /** Write the hint via tmp + rename (atomic where the store provides
+    * it; the delete+rename fallback's missing-file window is covered by
+    * the reader's LIST fallback). Best-effort by contract: ANY failure
+    * — including a read-only caller — degrades to the next reader
+    * re-listing, never to a wrong answer.
+    */
+  private def writeHeadHint(f: FileSystem, c: Chain, v: Int): Unit =
+    try {
+      val tgt = headHintPath(c)
+      val tmp = new Path(c.table,
+        s"${c.dir}/.head.hint.${java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write((v.toString + "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!f.rename(tmp, tgt)) { // HDFS-style no-overwrite rename
+        f.delete(tgt, false)
+        if (!f.rename(tmp, tgt)) f.delete(tmp, false)
+      }
+    } catch { case _: java.io.IOException => () }
+
+  /** The chain's head version in O(1) filesystem calls: read the hint,
+    * verify its version file exists, probe forward past any commits the
+    * hint missed (racing committers can regress the hint by a few — the
+    * probe loop re-converges and refreshes it). A missing, unreadable,
+    * torn or dangling hint falls back to the full directory LIST and
+    * re-seeds the hint for the next caller. Every answer is an actually
+    * committed version — the hint is never trusted without its manifest
+    * existing.
+    */
+  private def chainHead(spark: SparkSession, c: Chain): Option[Int] = {
+    val f = fs(spark, c.table)
+    val hinted: Option[Int] =
+      try readSmallFile(f, headHintPath(c)).headOption.map(_.trim)
+        .filter(s => s.nonEmpty && s.length <= 9 && s.forall(_.isDigit))
+        .map(_.toInt)
+        .filter(h => h >= 1 && f.exists(c.manifestPath(h)))
+      catch { case _: java.io.IOException => None } // missing/unreadable
+    hinted match {
+      case Some(h0) =>
+        var h = h0
+        while (f.exists(c.manifestPath(h + 1))) h += 1
+        if (h != h0) writeHeadHint(f, c, h) // refresh a stale hint
+        Some(h)
+      case None =>
+        val head = chainVersions(spark, c).lastOption
+        head.foreach(writeHeadHint(f, c, _)) // seed for the next caller
+        head
+    }
+  }
+
+  /** One existence probe — the O(1) committed-version check the
+    * validation paths use instead of LIST + contains (the error paths
+    * still LIST, for the message).
+    */
+  private def isCommitted(spark: SparkSession, c: Chain, v: Int): Boolean =
+    v >= 1 && fs(spark, c.table).exists(c.manifestPath(v))
+
   /** Committed versions of the MAIN chain, ascending. */
   def versions(spark: SparkSession, table: String): Seq[Int] =
     chainVersions(spark, mainChain(table))
+
+  /** The main chain's head version in O(1) filesystem calls (hint +
+    * existence probes; see [[chainHead]]) — what the streaming source's
+    * per-trigger head discovery reads so a caught-up stream's tick
+    * never LISTs `_manifests`.
+    */
+  private[sources] def headVersion(spark: SparkSession, table: String): Option[Int] =
+    chainHead(spark, mainChain(table))
 
   private def readSmallFile(f: FileSystem, p: Path): Seq[String] = {
     val in = f.open(p)
@@ -434,11 +520,24 @@ object Snapshots {
   def committedTokens(spark: SparkSession, table: String,
                       lastK: Option[Int] = None): Set[String] = {
     val c = mainChain(table)
-    val vs = chainVersions(spark, c)
-    val scan = lastK.fold(vs)(k => vs.takeRight(k))
-    scan.flatMap(v => manifestLines(spark, c, v)
-      .collect { case l if l.startsWith(TokenHeader) =>
-        l.substring(TokenHeader.length) }).toSet
+    def tokensOf(v: Int): Seq[String] =
+      manifestLines(spark, c, v).collect {
+        case l if l.startsWith(TokenHeader) => l.substring(TokenHeader.length)
+      }
+    lastK match {
+      case None => // full-history audit: the LIST is the point
+        chainVersions(spark, c).flatMap(tokensOf).toSet
+      case Some(k) => // hot path (every tokened commit): zero LIST —
+        // head via the hint, then the horizon's version files by NUMBER;
+        // vacuumed gaps in the range read as absent (their tokens are
+        // forgotten, exactly as the dropped-manifest contract documents)
+        chainHead(spark, c).fold(Set.empty[String]) { h =>
+          (math.max(1, h - k + 1) to h).flatMap { v =>
+            try tokensOf(v)
+            catch { case _: java.io.FileNotFoundException => Seq.empty }
+          }.toSet
+        }
+    }
   }
 
   private def chainSchema(spark: SparkSession, c: Chain, v: Int): Option[StructType] =
@@ -615,12 +714,22 @@ object Snapshots {
   }
 
   private def resolveChainVersion(spark: SparkSession, c: Chain,
-                                  version: Option[Int]): Int = {
-    val vs = chainVersions(spark, c)
-    require(vs.nonEmpty, s"${c.label} has no committed versions")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"${c.label} has no version $v (have ${vs.mkString(",")})")
-    v
+                                  version: Option[Int]): Int = version match {
+    // O(1) on both faces: head via the hint, an explicit version via one
+    // existence probe; only the FAILURE messages pay a LIST (to name
+    // what the chain does have)
+    case None =>
+      chainHead(spark, c).getOrElse(
+        throw new IllegalArgumentException(
+          s"requirement failed: ${c.label} has no committed versions"))
+    case Some(v) =>
+      if (isCommitted(spark, c, v)) v
+      else {
+        val vs = chainVersions(spark, c)
+        require(vs.nonEmpty, s"${c.label} has no committed versions")
+        throw new IllegalArgumentException(s"requirement failed: " +
+          s"${c.label} has no version $v (have ${vs.mkString(",")})")
+      }
   }
 
   /** Scan version `v` under merge-on-read delete semantics: each data
@@ -716,6 +825,38 @@ object Snapshots {
     require(es.nonEmpty || schema.isDefined,
       s"${c.label} v$v is an empty snapshot with no committed schema")
     scan(spark, c.table, schema, es)
+  }
+
+  /** Whether the snapshot has PENDING merge-on-read deletes — the shape
+    * [[flatScan]] cannot serve as one relation. The format reader probes
+    * this to route such snapshots through the anti-join plan
+    * ([[read]]/[[readBranch]]) behind a computed relation instead.
+    */
+  private[sources] def hasPendingMorDeletes(spark: SparkSession, table: String,
+                                            version: Option[Int],
+                                            branch: Option[String]): Boolean = {
+    val c = branch.fold(mainChain(table))(branchChain(table, _))
+    hasMorDeletes(bodyLines(spark, c, resolveChainVersion(spark, c, version)))
+  }
+
+  /** Commit `df` as the table's FIRST version, validated INSIDE the
+    * publish slot: the emptiness check and the commit are one atomic
+    * step, so two racing first writers cannot both land (the loser's
+    * closure sees the winner's head and throws — its staged segment and
+    * data are vacuumable orphans). What the format writer's
+    * ErrorIfExists/Ignore modes need; a check-then-act
+    * `versions(...).isEmpty` outside the slot is a TOCTOU race.
+    */
+  private[sources] def commitFirstVersion(spark: SparkSession, table: String,
+                                          df: DataFrame,
+                                          statsCols: Seq[String] = Nil,
+                                          bucketCols: Map[String, Int] = Map.empty): Int = {
+    val body = stageSegment(spark, table, df, statsCols, bucketCols)
+    publish(spark, mainChain(table), h => {
+      require(h.isEmpty,
+        s"$table already has committed versions (head v${h.get})")
+      schemaLine(relaxed(df.schema)) +: body
+    })
   }
 
   /** The version that was the head at wall-clock `tsMillis` — the
@@ -1043,11 +1184,18 @@ object Snapshots {
     val f = fs(spark, c.table)
     var attempt = 0
     while (attempt < 50) {
-      val head = chainVersions(spark, c).lastOption
+      // O(1) head resolution (hint + probes). A hint stale-low is safe:
+      // the create-exclusive slot rejects the taken version and the next
+      // iteration's probe loop walks to the real head — the slot, not
+      // the hint, is what serializes commits.
+      val head = chainHead(spark, c)
       val next = head.getOrElse(0) + 1
       val lines = (TimeHeader + System.currentTimeMillis()) +: base(head)
       val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
-      if (createExclusive(f, c.manifestPath(next), bytes)) return next
+      if (createExclusive(f, c.manifestPath(next), bytes)) {
+        writeHeadHint(f, c, next) // advisory; next resolver probes forward
+        return next
+      }
       attempt += 1
     }
     sys.error(s"could not commit to ${c.label} after 50 attempts")
@@ -1169,7 +1317,7 @@ object Snapshots {
     */
   def checkpointMetadataCommit(spark: SparkSession, table: String): Int = {
     val c = mainChain(table)
-    val head = chainVersions(spark, c).lastOption
+    val head = chainHead(spark, c)
       .getOrElse(sys.error(s"$table has no committed versions"))
     val body = bodyLines(spark, c, head)
     val (groups, deletes) = morPartition(body)
@@ -1205,7 +1353,7 @@ object Snapshots {
                           token: Option[String],
                           bucketCols: Map[String, Int] = Map.empty): Int = {
     if (c.dir == ManifestDir)
-      chainVersions(spark, c).lastOption.foreach { v =>
+      chainHead(spark, c).foreach { v =>
         // trigger on FOLDABLE references — the lines a fold can actually
         // remove (group size beyond 1 each; delete refs and singleton
         // groups are irreducible). Counting raw body lines would make a
@@ -1230,7 +1378,7 @@ object Snapshots {
       }
     // fail fast before paying the staging write; re-validated per retry
     // inside the publish closure (the head — and its schema — may move)
-    chainVersions(spark, c).lastOption.foreach(v =>
+    chainHead(spark, c).foreach(v =>
       evolvedSchema(versionSchema(spark, c, v), df.schema, evolve, c.label))
     val segBody = stageSegment(spark, c.table, df, statsCols, bucketCols)
     publish(spark, c, head => {
@@ -1561,10 +1709,13 @@ object Snapshots {
                          fromVersion: Int,
                          toVersion: Option[Int] = None): DataFrame = {
     val c = mainChain(table)
-    val vs = chainVersions(spark, c)
-    val to = toVersion.getOrElse(vs.last)
-    require(vs.contains(fromVersion) && vs.contains(to) && fromVersion <= to,
-      s"need committed versions from<=to, got $fromVersion..$to of ${vs.mkString(",")}")
+    // O(1) validation (hint + existence probes) — this runs on every
+    // incremental tick; the failure message LISTs lazily
+    val to = toVersion.getOrElse(resolveChainVersion(spark, c, None))
+    require(isCommitted(spark, c, fromVersion) && isCommitted(spark, c, to) &&
+      fromVersion <= to,
+      s"need committed versions from<=to, got $fromVersion..$to of " +
+        s"${chainVersions(spark, c).mkString(",")}")
     val added = appendRangeAdded(spark, table, fromVersion, to)
     if (added.isEmpty) // legitimate: token-only or empty-batch commits
       read(spark, table, Some(to)).limit(0)
@@ -1677,11 +1828,11 @@ object Snapshots {
                   toVersion: Int, feed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val c = mainChain(table)
-    val vs = chainVersions(spark, c)
-    require(fromVersion >= 0 && vs.contains(toVersion) &&
+    // per-micro-batch validation: existence probes, never a LIST
+    require(fromVersion >= 0 && isCommitted(spark, c, toVersion) &&
       fromVersion <= toVersion,
       s"need 0 <= from <= committed to, got $fromVersion..$toVersion " +
-        s"of ${vs.mkString(",")}")
+        s"of ${chainVersions(spark, c).mkString(",")}")
     def feedCols(df: DataFrame): DataFrame =
       df.select(df.columns.map(col) :+
         lit("u").as("_op") :+ lit(0).as("_seq"): _*)
@@ -1814,10 +1965,11 @@ object Snapshots {
                  toVersion: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val c = mainChain(table)
-    val vs = chainVersions(spark, c)
-    val to = toVersion.getOrElse(vs.last)
-    require(vs.contains(fromVersion) && vs.contains(to) && fromVersion <= to,
-      s"need committed versions from<=to, got $fromVersion..$to of ${vs.mkString(",")}")
+    val to = toVersion.getOrElse(resolveChainVersion(spark, c, None))
+    require(isCommitted(spark, c, fromVersion) && isCommitted(spark, c, to) &&
+      fromVersion <= to,
+      s"need committed versions from<=to, got $fromVersion..$to of " +
+        s"${chainVersions(spark, c).mkString(",")}")
     val schema = chainSchema(spark, c, to).orElse(versionSchema(spark, c, to))
       .getOrElse(sys.error(s"$table v$to has no schema"))
     // `_op`/`_seq` are the feed's OWN columns — a table already carrying
@@ -1912,7 +2064,7 @@ object Snapshots {
       smallFileBytes <= targetFileBytes,
       "need 0 < smallFileBytes <= targetFileBytes")
     val c = mainChain(table)
-    val head = chainVersions(spark, c).lastOption
+    val head = chainHead(spark, c)
       .getOrElse(sys.error(s"$table has no committed versions"))
     requireNoMorDeletes(spark, c, head)
     val es = manifestEntries(spark, c, head)
@@ -1958,7 +2110,7 @@ object Snapshots {
                                 bucketCols: Map[String, Int] = Map.empty): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val c = mainChain(table)
-    val head = chainVersions(spark, c).lastOption
+    val head = chainHead(spark, c)
       .getOrElse(sys.error(s"$table has no committed versions"))
     val es = manifestEntries(spark, c, head)
     val f = fs(spark, table)
@@ -2156,12 +2308,20 @@ object Snapshots {
     * the rewrite scan (bounded by contract: it is a request batch, not
     * a data-scale table). NULL keys never match (erasure keys are real
     * identifiers). Returns the purge version.
+    *
+    * CLONE AWARENESS: fails loudly while the table has live clone pins
+    * — a purge the pinned pre-purge snapshots (and the clones sharing
+    * their files) can still serve is not an erasure; see
+    * [[requireNoClonePins]] for the override contract
+    * (`ignoreClonePins = true`).
     */
   def erasePurgeCommit(spark: SparkSession, table: String, keyCol: String,
-                       keys: DataFrame, statsCols: Seq[String] = Nil): Int = {
+                       keys: DataFrame, statsCols: Seq[String] = Nil,
+                       ignoreClonePins: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    requireNoClonePins(spark, table, ignoreClonePins, "erasePurgeCommit")
     val c = mainChain(table)
-    val head = chainVersions(spark, c).lastOption
+    val head = chainHead(spark, c)
       .getOrElse(sys.error(s"$table has no committed versions"))
     val plan = erasePlan(spark, table, keyCol, keys, Some(head))
     val req = broadcast(keys.toDF("__graft_erase_key").distinct())
@@ -2201,7 +2361,7 @@ object Snapshots {
     require(keys.columns.length == 1,
       s"keys must be a single-column request list, got ${keys.columns.mkString(",")}")
     val c = mainChain(table)
-    val head0 = chainVersions(spark, c).lastOption
+    val head0 = chainHead(spark, c)
       .getOrElse(sys.error(s"$table has no committed versions"))
     val st = versionSchema(spark, c, head0)
       .getOrElse(sys.error(s"$table v$head0 has no schema"))
@@ -2268,13 +2428,21 @@ object Snapshots {
     * rewritten (on a range-clustered table, the k files holding the
     * expired band); all others carry by reference with their original
     * stats. Returns the new version.
+    *
+    * Same clone awareness as [[erasePurgeCommit]]: when the retention
+    * delete is privacy-motivated, live clone pins mean the dropped
+    * rows' bytes stay served through the pinned snapshots — fail
+    * loudly with the pin list; a routine space/TTL delete on a
+    * knowingly-cloned table passes `ignoreClonePins = true`.
     */
   def deleteWhereCommit(spark: SparkSession, table: String,
                         ranges: Seq[StatRange],
-                        statsCols: Seq[String] = Nil): Int = {
+                        statsCols: Seq[String] = Nil,
+                        ignoreClonePins: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    requireNoClonePins(spark, table, ignoreClonePins, "deleteWhereCommit")
     val c = mainChain(table)
-    val head = chainVersions(spark, c).lastOption
+    val head = chainHead(spark, c)
       .getOrElse(sys.error(s"$table has no committed versions"))
     val plan = deletePlan(spark, table, ranges, Some(head))
     // SQL DELETE WHERE semantics: a row where the conjunction evaluates
@@ -2395,7 +2563,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "at least one SET assignment required")
     val c = mainChain(table)
-    val head = chainVersions(spark, c).lastOption
+    val head = chainHead(spark, c)
       .getOrElse(sys.error(s"$table has no committed versions"))
     val schema = versionSchema(spark, c, head)
       .getOrElse(sys.error(s"$table v$head has no schema to update under"))
@@ -2566,7 +2734,7 @@ object Snapshots {
     }
     if (token.exists(committedTokens(spark, table, Some(replayHorizon)).contains))
       return chainVersions(spark, c).last
-    val head = chainVersions(spark, c).lastOption
+    val head = chainHead(spark, c)
       .getOrElse(sys.error(s"$table has no committed versions"))
     requireNoMorDeletes(spark, c, head)
     val headSchema = versionSchema(spark, c, head)
@@ -2720,9 +2888,89 @@ object Snapshots {
   /** What [[cloneTable]] created: the clone's first version (always 1)
     * and the tag pinned on the SOURCE that keeps the shared files safe
     * from the source's vacuum. Dropping a clone = delete its root +
-    * [[dropTag]] the pin.
+    * [[dropClone]] the pin (tag + registry entry in one call).
     */
   final case class CloneInfo(version: Int, pinTag: String)
+
+  private val ClonesDir = "_clones"
+
+  /** One live clone pin on a source table: the pin tag, the source
+    * version it pins, and the clone's root path — the enumeration
+    * surface [[clones]] returns and the GDPR guard prints.
+    */
+  final case class ClonePin(tag: String, version: Int, dst: String)
+
+  /** The LIVE clone pins of a source table — every [[cloneTable]] call
+    * records its pin in a `_clones/<tag>.txt` registry entry (version +
+    * clone root) beside the tag itself, so clones are enumerable by
+    * MORE than tag-name convention (a custom `pinTag` is just as
+    * discoverable as an auto `clone-<uuid8>` one). An entry whose tag
+    * was [[dropTag]]ped is DEAD (the pin is the tag — no tag, no
+    * retention claim) and is filtered out here; its registry file is
+    * inert debris removed by the next [[dropClone]] of the same name or
+    * harmless forever. Pre-registry clones (auto-named `clone-*` tags
+    * without a registry file) are still reported, with an empty dst.
+    */
+  def clones(spark: SparkSession, table: String): Seq[ClonePin] = {
+    val f = fs(spark, table)
+    val live = tags(spark, table)
+    val dir = new Path(table, ClonesDir)
+    val registered: Seq[ClonePin] =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).filter(_.isFile)
+        .map(_.getPath).filter(_.getName.endsWith(".txt")).toSeq
+        .flatMap { p =>
+          val tag = p.getName.stripSuffix(".txt")
+          live.get(tag).map { v =>
+            val dst = readSmallFile(f, p).headOption
+              .map(_.split('\t')).filter(_.length == 2).map(c => dec(c(1)))
+              .getOrElse("")
+            ClonePin(tag, v, dst)
+          }
+        }
+    val regTags = registered.map(_.tag).toSet
+    val legacy = live.collect {
+      case (n, v) if n.startsWith("clone-") && !regTags(n) =>
+        ClonePin(n, v, "")
+    }.toSeq
+    (registered ++ legacy).sortBy(_.tag)
+  }
+
+  /** Release a clone's retention claim on its SOURCE: drop the pin tag
+    * and its registry entry. The clone TABLE itself (its root
+    * directory) is the caller's to delete — this only makes the shared
+    * files vacuumable again on the source, after which the clone's
+    * absolute references dangle by design.
+    */
+  def dropClone(spark: SparkSession, table: String, tag: String): Unit = {
+    dropTag(spark, table, tag)
+    fs(spark, table).delete(new Path(table, s"$ClonesDir/$tag.txt"), false)
+  }
+
+  /** The GDPR-vs-clone guard (see [[cloneTable]]'s "flip side" note): a
+    * PURGE rewrites the head so the doomed bytes can leave the table —
+    * but every live clone pin holds a pre-purge version (a clone is
+    * always cloned from history at or before the purge), so the purged
+    * keys' bytes stay readable through the pinned snapshot and through
+    * the clone that shares its files. Purging the source while clones
+    * live is therefore NOT an erasure; this fails loudly with the full
+    * pin list unless the caller explicitly acknowledges
+    * (`ignoreClonePins = true` — e.g. the clones are being erased by
+    * their own purge runs, or dropped before the vacuum deadline).
+    */
+  private def requireNoClonePins(spark: SparkSession, table: String,
+                                 ignore: Boolean, op: String): Unit =
+    if (!ignore) {
+      val pins = clones(spark, table)
+      require(pins.isEmpty,
+        s"$op on $table is not an erasure while clone pins keep the " +
+          s"pre-purge bytes alive: ${pins.map(p => s"${p.tag}@v${p.version}" +
+            (if (p.dst.nonEmpty) s" -> ${p.dst}" else "")).mkString(", ")}. " +
+          "Drop the clones first (delete each clone root + " +
+          "Snapshots.dropClone the pin), run the same erase on each " +
+          "clone, or pass ignoreClonePins = true to acknowledge that " +
+          "the pinned snapshots retain the keys until their pins drop")
+    }
 
   /** SHALLOW CLONE — a new, independently writable table whose first
     * version REFERENCES the source snapshot's files (absolute paths in
@@ -2744,11 +2992,17 @@ object Snapshots {
     * match its data listing, so it cannot reach into the source.
     *
     * The flip side of sharing, stated plainly: a GDPR purge on the
-    * source does NOT purge the clone (the clone pins the pre-purge
-    * bytes via its tag — enumerate clone pins when erasing), and writes
-    * on either side never appear on the other (divergence is the
-    * point). A crash between the pin and the publish leaves a
-    * droppable tag and vacuumable orphan segments, never a torn clone.
+    * source does NOT purge the clone — the clone pins the pre-purge
+    * bytes via its tag. That is why every clone records a `_clones/`
+    * REGISTRY entry beside its pin: [[clones]] enumerates them, and
+    * [[erasePurgeCommit]]/[[deleteWhereCommit]] REFUSE while pins live
+    * (override: `ignoreClonePins = true`), so an operator can never
+    * silently "erase" keys a clone still serves. Writes on either side
+    * never appear on the other (divergence is the point). A crash
+    * between the pin and the publish leaves a droppable tag and
+    * vacuumable orphan segments, never a torn clone; a crash between
+    * pin and registry leaves a bare `clone-*` tag [[clones]] still
+    * reports by naming convention.
     */
   def cloneTable(spark: SparkSession, src: String, dst: String,
                  version: Option[Int] = None,
@@ -2762,8 +3016,14 @@ object Snapshots {
     def absolutize(line: String): String = {
       val cells = line.split('\t')
       val p = cells.head
+      // absoluteness via the URI, not string shape: a prior clone's
+      // lines are makeQualified URIs rendered SINGLE-slash
+      // ("file:/root/.../x.parquet") — neither "/"-prefixed nor
+      // "://"-containing — and re-prefixing them would durably commit
+      // broken references in a clone of a clone
       val abs =
-        if (p.startsWith("/") || p.contains("://")) p else s"$srcAbs/$p"
+        if (p.startsWith("/") || new Path(p).toUri.getScheme != null) p
+        else s"$srcAbs/$p"
       (abs +: cells.tail.toSeq).mkString("\t")
     }
     // pin BEFORE writing any clone metadata: from this point the
@@ -2771,6 +3031,14 @@ object Snapshots {
     val tag = pinTag.getOrElse(
       s"clone-${java.util.UUID.randomUUID().toString.take(8)}")
     tagVersion(spark, src, tag, v)
+    // the pin REGISTRY entry (tag won above, so the name is ours): what
+    // makes clones enumerable by [[clones]] — and the GDPR erase guard
+    // able to name them — rather than discoverable only by tag-name
+    // convention. Written right after the pin so a crash between the
+    // two leaves a droppable bare tag, never an unpinned registry row.
+    f.mkdirs(new Path(src, ClonesDir))
+    createExclusive(f, new Path(src, s"$ClonesDir/$tag.txt"),
+      (s"$v\t${enc(f.makeQualified(new Path(dst)).toString)}\n").getBytes("UTF-8"))
     val schema = chainSchema(spark, c, v)
     val (groups, deletes) = morPartition(bodyLines(spark, c, v))
     def cloneGroup(ls: Seq[String]): Seq[String] = {
@@ -3138,7 +3406,10 @@ object Snapshots {
     val target =
       if (pgens.contains(k + 1)) readConsumerFile(spark, table, name, "p", k + 1)
       else {
-        val head = versions(spark, table).last
+        // head via the hint — the caught-up tick (the steady state of a
+        // high-frequency consumer) costs O(1) filesystem calls, no LIST
+        val head = chainHead(spark, mainChain(table)).getOrElse(
+          sys.error(s"$table has no committed versions"))
         if (head <= base) return None // caught up
         // plan-before-process: the window is durable before any effect;
         // a racing ticker's create wins once and both re-read the winner

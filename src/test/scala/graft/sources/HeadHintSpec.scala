@@ -1,0 +1,126 @@
+package graft.sources
+
+import graft.SparkTestBase
+
+/** The O(1) head-hint protocol (the Delta `_last_checkpoint` pattern):
+  * every publish refreshes `_manifests/_head.hint`, head resolution
+  * reads the hint + one existence probe instead of LISTing the whole
+  * directory, and EVERY corruption mode — missing, stale-low, torn,
+  * dangling-high, garbage — degrades to the LIST fallback or the
+  * forward-probe walk, never to a wrong answer.
+  */
+class HeadHintSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_hint").toString + "/t"
+
+  private def hintPath(t: String) =
+    java.nio.file.Paths.get(t, "_manifests", "_head.hint")
+
+  private def setHint(t: String, content: String): Unit =
+    java.nio.file.Files.write(hintPath(t), content.getBytes("UTF-8"))
+
+  private def ids(t: String, v: Option[Int] = None): Set[Long] =
+    Snapshots.read(spark, t, v).select("id").as[Long].collect().toSet
+
+  test("publish writes the hint; head reads resolve through it") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    assert(java.nio.file.Files.exists(hintPath(t)))
+    assert(new String(java.nio.file.Files.readAllBytes(hintPath(t)),
+      "UTF-8").trim === "1")
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    assert(new String(java.nio.file.Files.readAllBytes(hintPath(t)),
+      "UTF-8").trim === "2")
+    assert(ids(t) === Set(1L, 2L))
+  }
+
+  test("missing hint falls back to LIST, answers correctly, and re-seeds") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    java.nio.file.Files.delete(hintPath(t))
+    assert(ids(t) === Set(1L, 2L)) // LIST fallback
+    assert(java.nio.file.Files.exists(hintPath(t))) // re-seeded
+    assert(new String(java.nio.file.Files.readAllBytes(hintPath(t)),
+      "UTF-8").trim === "2")
+  }
+
+  test("stale-low hint advances by forward probes and self-heals") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    setHint(t, "1\n") // a racing committer regressed the hint
+    assert(ids(t) === Set(1L, 2L, 3L)) // walks 1 -> 3
+    assert(new String(java.nio.file.Files.readAllBytes(hintPath(t)),
+      "UTF-8").trim === "3") // refreshed
+  }
+
+  test("garbage and dangling-high hints fall back to LIST") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    for (bad <- Seq("not-a-number\n", "", "99\n", "-3\n", "123456789012\n")) {
+      setHint(t, bad)
+      assert(ids(t) === Set(1L, 2L), s"hint content '$bad'")
+    }
+    // appends still serialize correctly under a corrupted hint
+    setHint(t, "oops")
+    Snapshots.commitAppend(spark, t, Seq(4L).toDF("id"))
+    assert(Snapshots.versions(spark, t) === Seq(1, 2, 3))
+    assert(ids(t) === Set(1L, 2L, 4L))
+  }
+
+  test("hint survives vacuum and never resurrects dropped versions") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.commitOverwrite(spark, t, Seq(2L).toDF("id"))
+    Snapshots.commitOverwrite(spark, t, Seq(3L).toDF("id"))
+    Snapshots.vacuum(spark, t, keepFrom = 3)
+    assert(ids(t) === Set(3L)) // head via hint, unaffected by the drop
+    intercept[IllegalArgumentException] { Snapshots.read(spark, t, Some(1)) }
+    // explicit-version validation is an existence probe: the dropped
+    // version is gone whatever the hint says
+    setHint(t, "1\n")
+    intercept[IllegalArgumentException] { Snapshots.read(spark, t, Some(1)) }
+    assert(ids(t) === Set(3L))
+  }
+
+  test("branch chains hint independently of main") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Snapshots.createBranch(spark, t, "exp")
+    Snapshots.commitAppendToBranch(spark, t, "exp", Seq(2L).toDF("id"))
+    val bHint = java.nio.file.Paths.get(t, "_branches", "exp", "_head.hint")
+    assert(java.nio.file.Files.exists(bHint))
+    assert(new String(java.nio.file.Files.readAllBytes(bHint),
+      "UTF-8").trim === "2")
+    // main's hint untouched by branch commits
+    assert(new String(java.nio.file.Files.readAllBytes(hintPath(t)),
+      "UTF-8").trim === "1")
+    assert(Snapshots.readBranch(spark, t, "exp")
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(ids(t) === Set(1L))
+  }
+
+  test("tokened commits dedup across vacuumed gaps in the horizon") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(0L).toDF("id"))
+    for (i <- 1 to 5)
+      Snapshots.commitAppendOnce(spark, t, Seq(i.toLong).toDF("id"), s"tok$i")
+    Snapshots.tagVersion(spark, t, "pin", 3) // keeps v3 across the vacuum
+    Snapshots.vacuum(spark, t, keepFrom = 5) // drops v1,v2,v4 — gap at 3
+    assert(Snapshots.versions(spark, t) === Seq(3, 5, 6))
+    // horizon scan reads version NUMBERS head-k+1..head; the vacuumed
+    // v2/v4 read as absent (their tokens forgotten — the documented
+    // dropped-manifest contract), the pinned v3 still contributes
+    assert(Snapshots.committedTokens(spark, t, Some(10)) ===
+      Set("tok2", "tok4", "tok5"))
+    assert(Snapshots.commitAppendOnce(spark, t,
+      Seq(99L).toDF("id"), "tok2").isEmpty) // replay of a live token no-ops
+    assert(Snapshots.commitAppendOnce(spark, t,
+      Seq(6L).toDF("id"), "tok6").nonEmpty)
+  }
+}

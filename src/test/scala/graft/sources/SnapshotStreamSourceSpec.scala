@@ -634,15 +634,19 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
 
   test("schema is pinned at stream start: an additive-evolution commit " +
        "mid-stream stays invisible (projected onto the declared shape) " +
-       "until restart") {
+       "until restart — and its ROWS still flow") {
     val root = fresh("evo")
     val t = s"$root/t"
     Snapshots.commitOverwrite(spark, t, Seq((1L, "a")).toDF("id", "tag"))
     val got = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val q = readStreamOf(t)
       .writeStream.option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (b: DataFrame, _: Long) =>
-        got.synchronized { got += b.columns.toSeq }; ()
+        got.synchronized {
+          got += b.columns.toSeq
+          rows ++= b.select("id", "tag").as[(Long, String)].collect()
+        }; ()
       }.start()
     try {
       q.processAllAvailable()
@@ -650,6 +654,144 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
         Seq((2L, "b", 9L)).toDF("id", "tag", "score"), evolve = true)
       q.processAllAvailable()
       assert(got.nonEmpty && got.forall(_ == Seq("id", "tag")))
+      // the evolved commit's rows arrive (projected onto the pinned
+      // shape) — evolution widens the table, it never stalls the stream
+      assert(rows.toSet == Set((1L, "a"), (2L, "b")))
     } finally q.stop()
+  }
+
+  test("RESTART after an additive evolution widens the stream: the same " +
+       "checkpoint resumes at its offset, the new run's schema is the " +
+       "evolved head shape, and a later append OMITTING the new column " +
+       "null-fills") {
+    val root = fresh("evorestart")
+    val t = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    Snapshots.commitOverwrite(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    val run1 = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q1 = readStreamOf(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        run1.synchronized { run1 += b.columns.toSeq }; ()
+      }.start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(run1.toList.forall(_ == Seq("id", "tag")))
+
+    // evolution lands while the stream is DOWN
+    Snapshots.commitAppend(spark, t,
+      Seq((2L, "b", 9L)).toDF("id", "tag", "score"), evolve = true)
+
+    val run2 = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[String], Set[(Long, Option[Long])])]
+    val q2 = readStreamOf(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        run2.synchronized {
+          run2 += ((id, b.columns.toSeq,
+            b.select(col("id"), col("score"))
+              .as[(Long, Option[Long])].collect().toSet))
+        }; ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      // resumed at the checkpoint offset (no initial-load replay), under
+      // the WIDENED schema: the evolution-era row carries its score
+      assert(run2.toList.map(_._2).forall(_ == Seq("id", "tag", "score")))
+      assert(run2.flatMap(_._3).toSet == Set((2L, Some(9L))))
+      // an append OMITTING the evolved trailing column (evolve=true's
+      // omission face) null-fills in the stream exactly as in batch
+      Snapshots.commitAppend(spark, t, Seq((3L, "c")).toDF("id", "tag"),
+        evolve = true)
+      q2.processAllAvailable()
+      assert(run2.flatMap(_._3).toSet ==
+        Set((2L, Some(9L)), (3L, None)))
+    } finally q2.stop()
+  }
+
+  test("maxBytesPerTrigger near Long.MaxValue clamps instead of " +
+       "overflowing the unknown-size sentinel: admission stays sane and " +
+       "the stream drains") {
+    val root = fresh("bigcap")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t, Seq(1L, 2L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = readStreamOf(t, "maxBytesPerTrigger" -> Long.MaxValue.toString)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized { seen += b.select("id").as[Long].collect().toSet }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // an effectively-unbounded cap = the uncapped plan: ONE initial-load
+    // window with everything (a negative sentinel would instead admit
+    // chaotic windows or crash)
+    assert(seen.flatten.toSet == Set(1L, 2L, 3L))
+    assert(seen.size == 1)
+  }
+
+  test("startingTimestamp: changes strictly after the wall-clock head — " +
+       "the streaming twin of timestampAsOf; pre-history and option " +
+       "conflicts are loud; date/timestamp strings parse") {
+    val root = fresh("startts")
+    val t = s"$root/t"
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    Thread.sleep(5)
+    val betweenV1V2 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.commitAppend(spark, t, Seq(2L).toDF("id"))
+    Snapshots.commitAppend(spark, t, Seq(3L).toDF("id"))
+
+    def drain(opts: (String, String)*): List[Set[Long]] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = readStreamOf(t, opts: _*)
+        .writeStream
+        .option("checkpointLocation",
+          s"$root/ckpt${java.util.UUID.randomUUID().toString.take(8)}")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen.synchronized { seen += b.select("id").as[Long].collect().toSet }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      seen.toList
+    }
+
+    // epoch millis between v1 and v2 resolve to v1: the stream sees
+    // exactly the post-timestamp commits
+    assert(drain("startingTimestamp" -> betweenV1V2.toString)
+      .flatten.toSet == Set(2L, 3L))
+    // the local timestamp STRING form resolves identically
+    assert(drain("startingTimestamp" ->
+      new java.sql.Timestamp(betweenV1V2).toString).flatten.toSet ==
+      Set(2L, 3L))
+    // a far-future date string resolves to the head: caught up, no batch
+    assert(drain("startingTimestamp" -> "9999-12-31").isEmpty)
+
+    def failsWith(msg: String, opts: (String, String)*): Unit = {
+      val q = readStreamOf(t, opts: _*)
+        .writeStream
+        .option("checkpointLocation",
+          s"$root/ckpt${java.util.UUID.randomUUID().toString.take(8)}")
+        .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+      val e = intercept[StreamingQueryException] {
+        try q.processAllAvailable() finally q.stop()
+        q.awaitTermination(20000); ()
+      }
+      assert(e.getMessage.contains(msg) ||
+        Option(e.getCause).exists(c =>
+          c.getMessage != null && c.getMessage.contains(msg)),
+        s"expected '$msg' in: ${e.getMessage} / ${e.getCause}")
+    }
+    // pre-history: nothing was the head at that wall clock — loud, not
+    // a silent earliest
+    failsWith("no version committed at or before",
+      "startingTimestamp" -> "1")
+    // mutual exclusion with the other two start pins
+    failsWith("at most one of",
+      "startingTimestamp" -> betweenV1V2.toString,
+      "startingVersion" -> "1")
+    failsWith("at most one of",
+      "startingTimestamp" -> betweenV1V2.toString,
+      "startingTag" -> "whatever")
   }
 }
