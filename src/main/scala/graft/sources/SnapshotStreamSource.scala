@@ -78,7 +78,10 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *    a retention job would otherwise reclaim mid-scan) and advanced
   *    (via [[Snapshots.advanceConsumer]]) as Spark commits batches, so
   *    the table's VACUUM floor tracks the stream. Lags by at most the
-  *    in-flight batch (the safe direction).
+  *    in-flight batch (the safe direction). Operate retention WITH this
+  *    pin (or an equivalent floor): a restart re-plans its LAST window,
+  *    so vacuuming past that window's from-version while the stream is
+  *    down makes the restart fail on the missing manifest.
   *
   * dataChange=false MAINTENANCE commits (compaction / small-file
   * packing / metadata folds) inside a window are SKIPPED — they rewrite
@@ -185,13 +188,18 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
         Snapshots.tags(spark, table).getOrElse(name,
           sys.error(s"$table has no tag '$name'"))
     }
-    if (Snapshots.hasPendingMorDeletes(spark, table, version, branch))
+    // resolve ONCE and pin: probing the head and then re-resolving it
+    // for the scan would let a commit racing between the two flip the
+    // relation's shape (e.g. a fresh MoR erase landing after a flat
+    // probe resurrects the old loud reject)
+    val pinned = Some(Snapshots.resolveVersion(spark, table, version, branch))
+    if (Snapshots.hasPendingMorDeletes(spark, table, pinned, branch))
       new SnapshotMorRelation(ctx,
-        branch.fold(Snapshots.read(spark, table, version))(b =>
-          Snapshots.readBranch(spark, table, b, version)))
+        branch.fold(Snapshots.read(spark, table, pinned))(b =>
+          Snapshots.readBranch(spark, table, b, pinned)))
     else
       org.apache.spark.sql.graftbridge.Bridge.singleBaseRelation(
-        Snapshots.flatScan(spark, table, version, branch))
+        Snapshots.flatScan(spark, table, pinned, branch))
   }
 
   /** The BATCH-write face: `df.write.format("graft-snapshot")
@@ -362,47 +370,59 @@ class SnapshotStreamSource extends StreamSourceProvider with StreamSinkProvider
     val declared = schema.getOrElse(
       SnapshotStreamSource.resolveSchema(spark, parameters))
     val feed = SnapshotStreamSource.feedMode(parameters)
-    val vs = Snapshots.versions(spark, table)
-    // startingTag: begin strictly AFTER a tagged version — the
-    // reproducible-run pin reused as a stream start ("replicate
-    // everything since run-2026-08's snapshot") without carrying
-    // version numbers through configs
+    // option-shape validation is EAGER (a misconfigured query fails at
+    // start whatever the checkpoint holds) …
     val startPicked = Seq("startingVersion", "startingTag", "startingTimestamp")
       .filter(parameters.contains)
     require(startPicked.size <= 1,
       s"at most one of startingVersion/startingTag/startingTimestamp, " +
         s"got ${startPicked.mkString(", ")}")
-    val startTag = parameters.get("startingTag").map { name =>
-      val v = Snapshots.tags(spark, table).getOrElse(name,
-        sys.error(s"$table has no tag '$name'"))
-      // same committed-version validation as the startingVersion path —
-      // a stale or hand-edited ref fails loudly at stream start, not
-      // with a raw missing-manifest error at the first delta window
-      require(vs.contains(v),
-        s"tag '$name' points at v$v, which is not a committed version " +
-          s"of $table (have ${vs.mkString(",")})")
-      v.toLong
+    // … but start RESOLUTION is LAZY: it runs only when the checkpoint
+    // has no persisted start marker yet (the very first start of the
+    // query). A restart resumes from the checkpoint's offsets, and
+    // eagerly re-resolving here would kill a healthy long-running
+    // stream whose referent has since moved on — retention vacuuming
+    // every version at-or-before a startingTimestamp, a startingTag
+    // dropped after the run began, or an explicit startingVersion
+    // expired — even though the resolved value would be discarded.
+    val start: () => Long = () => {
+      val vs = Snapshots.versions(spark, table)
+      // startingTag: begin strictly AFTER a tagged version — the
+      // reproducible-run pin reused as a stream start ("replicate
+      // everything since run-2026-08's snapshot") without carrying
+      // version numbers through configs
+      val startTag = parameters.get("startingTag").map { name =>
+        val v = Snapshots.tags(spark, table).getOrElse(name,
+          sys.error(s"$table has no tag '$name'"))
+        // same committed-version validation as the startingVersion path —
+        // a stale or hand-edited ref fails loudly at stream start, not
+        // with a raw missing-manifest error at the first delta window
+        require(vs.contains(v),
+          s"tag '$name' points at v$v, which is not a committed version " +
+            s"of $table (have ${vs.mkString(",")})")
+        v.toLong
+      }
+      // startingTimestamp: parity with the batch face's timestampAsOf —
+      // changes strictly AFTER the version that was the head at that wall
+      // clock ([[Snapshots.versionAsOf]] at-or-before resolution; a
+      // pre-history timestamp fails loudly there). Same accepted forms as
+      // timestampAsOf ([[SnapshotStreamSource.parseTimestampMillis]]).
+      val startTs = parameters.get("startingTimestamp").map { s =>
+        Snapshots.versionAsOf(spark, table,
+          SnapshotStreamSource.parseTimestampMillis("startingTimestamp", s)).toLong
+      }
+      startTag.orElse(startTs).getOrElse(
+        parameters.getOrElse("startingVersion", "earliest") match {
+          case "earliest" => 0L
+          case "latest" => vs.last.toLong
+          case n =>
+            val v = n.toLong
+            require(v == 0L || vs.contains(v.toInt),
+              s"startingVersion $v is not 0/earliest/latest or a committed " +
+                s"version of $table (have ${vs.mkString(",")})")
+            v
+        })
     }
-    // startingTimestamp: parity with the batch face's timestampAsOf —
-    // changes strictly AFTER the version that was the head at that wall
-    // clock ([[Snapshots.versionAsOf]] at-or-before resolution; a
-    // pre-history timestamp fails loudly there). Same accepted forms as
-    // timestampAsOf ([[SnapshotStreamSource.parseTimestampMillis]]).
-    val startTs = parameters.get("startingTimestamp").map { s =>
-      Snapshots.versionAsOf(spark, table,
-        SnapshotStreamSource.parseTimestampMillis("startingTimestamp", s)).toLong
-    }
-    val start = startTag.orElse(startTs).getOrElse(
-      parameters.getOrElse("startingVersion", "earliest") match {
-        case "earliest" => 0L
-        case "latest" => vs.last.toLong
-        case n =>
-          val v = n.toLong
-          require(v == 0L || vs.contains(v.toInt),
-            s"startingVersion $v is not 0/earliest/latest or a committed " +
-              s"version of $table (have ${vs.mkString(",")})")
-          v
-      })
     val maxV = parameters.get("maxVersionsPerTrigger").map { m =>
       val v = m.toInt; require(v >= 1, s"maxVersionsPerTrigger must be >= 1, got $v"); v
     }
@@ -451,19 +471,23 @@ object SnapshotStreamSource {
     */
   private[sources] def parseTimestampMillis(option: String, s: String): Long = {
     val t = s.trim
-    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
-    else if (t.length > 1 && t.head == '-' && t.tail.forall(_.isDigit)) t.toLong
-    else {
-      val normalized = t.replace('T', ' ')
-      try
+    // every malformed input — including an all-digit string past Long
+    // range — lands on the SAME descriptive error (NumberFormatException
+    // is an IllegalArgumentException, so toLong overflow is caught too)
+    try {
+      if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+      else if (t.length > 1 && t.head == '-' && t.tail.forall(_.isDigit))
+        t.toLong
+      else {
+        val normalized = t.replace('T', ' ')
         if (normalized.contains(' '))
           java.sql.Timestamp.valueOf(normalized).getTime
         else java.sql.Date.valueOf(normalized).getTime
-      catch {
-        case _: IllegalArgumentException => throw new IllegalArgumentException(
-          s"$option: cannot parse '$s' — pass epoch millis, 'yyyy-MM-dd' " +
-            "(local midnight) or 'yyyy-MM-dd[ T]HH:mm:ss[.fff]' (local time)")
       }
+    } catch {
+      case _: IllegalArgumentException => throw new IllegalArgumentException(
+        s"$option: cannot parse '$s' — pass epoch millis, 'yyyy-MM-dd' " +
+          "(local midnight) or 'yyyy-MM-dd[ T]HH:mm:ss[.fff]' (local time)")
     }
   }
 
@@ -514,19 +538,25 @@ private class SnapshotMorRelation(ctx: SQLContext, df: DataFrame)
   override def needConversion: Boolean = true // Row-based scan (V1)
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  // Spark hands buildScan RAW attribute names; a bare col(name) would
+  // re-parse a top-level column literally named "user.id" as nested
+  // field access — quote every name (backticks doubled) instead
+  private def attr(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
-    case StringEndsWith(a, p) => Some(col(a).endsWith(p))
-    case StringContains(a, p) => Some(col(a).contains(p))
+    case EqualTo(a, v) => Some(attr(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(attr(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(attr(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(attr(a) >= lit(v))
+    case LessThan(a, v) => Some(attr(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(attr(a) <= lit(v))
+    case In(a, vs) => Some(attr(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(attr(a).isNull)
+    case IsNotNull(a) => Some(attr(a).isNotNull)
+    case StringStartsWith(a, p) => Some(attr(a).startsWith(p))
+    case StringEndsWith(a, p) => Some(attr(a).endsWith(p))
+    case StringContains(a, p) => Some(attr(a).contains(p))
     case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
     case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
     case Not(c) => toColumn(c).map(!_)
@@ -537,7 +567,7 @@ private class SnapshotMorRelation(ctx: SQLContext, df: DataFrame)
                          filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     val filtered = filters.flatMap(toColumn).foldLeft(df)(_ filter _)
     // empty requiredColumns (count(*)) projects to zero-column rows
-    filtered.select(requiredColumns.map(col).toSeq: _*).rdd
+    filtered.select(requiredColumns.map(attr).toSeq: _*).rdd
   }
 }
 
@@ -634,7 +664,8 @@ private class SnapshotMergeSink(spark: SparkSession, table: String,
   */
 private class SnapshotSource(spark: SparkSession, table: String,
                              declared: StructType, feed: Boolean,
-                             requestedStart: Long, maxVersions: Option[Int],
+                             requestedStart: () => Long,
+                             maxVersions: Option[Int],
                              maxBytes: Option[Long],
                              pinConsumer: Option[String],
                              metadataPath: String) extends Source {
@@ -701,12 +732,16 @@ private class SnapshotSource(spark: SparkSession, table: String,
     * unprocessed versions, bypassing maxVersionsPerTrigger for the
     * whole catch-up range, and (b) make the batch-0 replay
     * (`getBatch(None, end)`) read a different window than the one the
-    * offset log recorded.
+    * offset log recorded. The `requestedStart` THUNK only runs when no
+    * marker exists (first start): on restart the referent may be gone
+    * (vacuumed timestamp horizon, dropped tag) and must not be
+    * re-resolved — the marker is the resolution of record.
     */
   private val startOffset: Long =
     markers("start-").headOption.map(_._1).getOrElse {
-      writeMarker(s"start-$requestedStart")
-      markers("start-").headOption.map(_._1).getOrElse(requestedStart)
+      val rs = requestedStart()
+      writeMarker(s"start-$rs")
+      markers("start-").headOption.map(_._1).getOrElse(rs)
     }
 
   // the vacuum pin exists from STREAM START, not first commit: the

@@ -217,21 +217,36 @@ object Snapshots {
   // alone). The name cannot collide with version files (v\d{8}\.txt)
   // so every existing LIST-based reader skips it.
   private val HeadHintFile = "_head.hint"
+  // the VACUUM FLOOR: the monotone max of every vacuum's keepFrom,
+  // raised (tmp+rename) BEFORE any manifest is deleted. Soundness
+  // anchor for the hint's forward-probe: vacuum never deletes a
+  // version >= keepFrom, so [floor, head] is CONTIGUOUS — a probe walk
+  // starting at floor or above cannot stop early at a vacuum gap.
+  // Below the floor live only tag/branch/consumer-pinned islands, so a
+  // hint pointing there (a committer stalled across a vacuum regressed
+  // it) is REJECTED and the reader LISTs. Without this, a regressed
+  // hint at a pinned island would probe exists(island+1)=false and
+  // return a WRONG head — and publish() would then fork history into
+  // the freed slot above it.
+  private val VacuumFloorFile = "_vacuum.floor"
 
   private def headHintPath(c: Chain): Path =
     new Path(c.table, s"${c.dir}/$HeadHintFile")
 
-  /** Write the hint via tmp + rename (atomic where the store provides
-    * it; the delete+rename fallback's missing-file window is covered by
-    * the reader's LIST fallback). Best-effort by contract: ANY failure
-    * — including a read-only caller — degrades to the next reader
-    * re-listing, never to a wrong answer.
+  /** Write a small advisory value file via tmp + rename (atomic where
+    * the store provides rename-overwrite — POSIX/local always; stores
+    * without it should map this to their atomic put, and the brief
+    * delete+rename fallback window degrades to the reader's
+    * conservative path). Best-effort: ANY failure — including a
+    * read-only caller — degrades to re-listing, never to a wrong
+    * answer.
     */
-  private def writeHeadHint(f: FileSystem, c: Chain, v: Int): Unit =
+  private def writeAdvisory(f: FileSystem, table: String, dir: String,
+                            name: String, v: Int): Unit =
     try {
-      val tgt = headHintPath(c)
-      val tmp = new Path(c.table,
-        s"${c.dir}/.head.hint.${java.util.UUID.randomUUID()}.tmp")
+      val tgt = new Path(table, s"$dir/$name")
+      val tmp = new Path(table,
+        s"$dir/.$name.${java.util.UUID.randomUUID()}.tmp")
       val out = f.create(tmp, true)
       try out.write((v.toString + "\n").getBytes("UTF-8"))
       finally out.close()
@@ -241,23 +256,55 @@ object Snapshots {
       }
     } catch { case _: java.io.IOException => () }
 
+  private def readAdvisory(f: FileSystem, table: String, dir: String,
+                           name: String): Option[Int] =
+    try readSmallFile(f, new Path(table, s"$dir/$name")).headOption
+      .map(_.trim)
+      .filter(s => s.nonEmpty && s.length <= 9 && s.forall(_.isDigit))
+      .map(_.toInt)
+    catch { case _: java.io.IOException => None } // missing/unreadable
+
+  /** MONOTONE hint refresh: skip when the current hint is already at or
+    * above `v` (a racing committer published further) — the
+    * read-then-rename window in which a stale value can still land is
+    * microseconds, and [[chainHead]]'s floor check makes even that
+    * landing harmless.
+    */
+  private def writeHeadHint(f: FileSystem, c: Chain, v: Int): Unit =
+    if (!readAdvisory(f, c.table, c.dir, HeadHintFile).exists(_ >= v))
+      writeAdvisory(f, c.table, c.dir, HeadHintFile, v)
+
+  /** Raise the chain's vacuum floor to `keepFrom` (monotone; called by
+    * [[vacuum]] BEFORE it deletes any manifest).
+    */
+  private def raiseVacuumFloor(spark: SparkSession, c: Chain,
+                               keepFrom: Int): Unit = {
+    val f = fs(spark, c.table)
+    val cur = readAdvisory(f, c.table, c.dir, VacuumFloorFile).getOrElse(1)
+    if (keepFrom > cur)
+      writeAdvisory(f, c.table, c.dir, VacuumFloorFile, keepFrom)
+  }
+
   /** The chain's head version in O(1) filesystem calls: read the hint,
-    * verify its version file exists, probe forward past any commits the
-    * hint missed (racing committers can regress the hint by a few — the
-    * probe loop re-converges and refreshes it). A missing, unreadable,
-    * torn or dangling hint falls back to the full directory LIST and
-    * re-seeds the hint for the next caller. Every answer is an actually
-    * committed version — the hint is never trusted without its manifest
-    * existing.
+    * reject it unless it is at or above the chain's vacuum floor (below
+    * the floor sit only pinned islands — a probe walk from one would
+    * stop at the vacuum gap and answer WRONG; [floor, head] is
+    * contiguous by vacuum's keepFrom contract, so a walk from a valid
+    * hint cannot), verify its version file exists, then probe forward
+    * past any commits the hint missed (racing committers can regress
+    * the hint — the monotone write guard makes that rare, the floor
+    * check makes it harmless, and the walk re-converges and refreshes).
+    * A missing, unreadable, torn, dangling or sub-floor hint falls back
+    * to the full directory LIST and re-seeds. Every answer is an
+    * actually committed version — the hint is never trusted without its
+    * manifest existing.
     */
   private def chainHead(spark: SparkSession, c: Chain): Option[Int] = {
     val f = fs(spark, c.table)
+    val floor = readAdvisory(f, c.table, c.dir, VacuumFloorFile).getOrElse(1)
     val hinted: Option[Int] =
-      try readSmallFile(f, headHintPath(c)).headOption.map(_.trim)
-        .filter(s => s.nonEmpty && s.length <= 9 && s.forall(_.isDigit))
-        .map(_.toInt)
-        .filter(h => h >= 1 && f.exists(c.manifestPath(h)))
-      catch { case _: java.io.IOException => None } // missing/unreadable
+      readAdvisory(f, c.table, c.dir, HeadHintFile)
+        .filter(h => h >= 1 && h >= floor && f.exists(c.manifestPath(h)))
     hinted match {
       case Some(h0) =>
         var h = h0
@@ -331,6 +378,16 @@ object Snapshots {
                          buckets: Map[String, BucketStat] = Map.empty,
                          rows: Option[Long] = None,
                          nulls: Map[String, Long] = Map.empty)
+
+  /** A Column reference by RAW top-level name: `functions.col` parses
+    * dots as nested-field access, so every internal reference built
+    * from a user-supplied or schema-derived column name must quote
+    * (backticks doubled) — a table with a column literally named
+    * "user.id" is legal and must survive the MoR anti-join, the change
+    * feed, the DML key paths and the stats machinery.
+    */
+  private def qcol(name: String): Column =
+    org.apache.spark.sql.functions.col("`" + name.replace("`", "``") + "`")
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -527,12 +584,23 @@ object Snapshots {
     lastK match {
       case None => // full-history audit: the LIST is the point
         chainVersions(spark, c).flatMap(tokensOf).toSet
-      case Some(k) => // hot path (every tokened commit): zero LIST —
-        // head via the hint, then the horizon's version files by NUMBER;
-        // vacuumed gaps in the range read as absent (their tokens are
-        // forgotten, exactly as the dropped-manifest contract documents)
+      case Some(k) => // hot path (every tokened commit): zero LIST in
+        // steady state — head via the hint, then the horizon's version
+        // files by NUMBER, sound because [floor, head] is contiguous.
+        // When the numeric window reaches below the vacuum floor, fall
+        // back to the COMMITTED-version window (the pre-hint contract:
+        // the last k manifests that EXIST, so a live tag-pinned old
+        // version's token still dedups its replay) — that LIST is
+        // bounded small by construction: floor > head-k means fewer
+        // than k live versions above the floor, plus pinned islands.
         chainHead(spark, c).fold(Set.empty[String]) { h =>
-          (math.max(1, h - k + 1) to h).flatMap { v =>
+          val start = math.max(1, h - k + 1)
+          val f = fs(spark, table)
+          val floor = readAdvisory(f, table, c.dir, VacuumFloorFile).getOrElse(1)
+          val scan =
+            if (start >= floor) (start to h).toSeq
+            else chainVersions(spark, c).takeRight(k)
+          scan.flatMap { v =>
             try tokensOf(v)
             catch { case _: java.io.FileNotFoundException => Seq.empty }
           }.toSet
@@ -763,7 +831,7 @@ object Snapshots {
             scan(spark, c.table, Some(keySchema(kc)),
               segmentLines(spark, c.table, seg).map(parseEntry))
           }.reduce(_ unionByName _)
-          df.join(kes, col(kc) === col(DelKeyCol), "left_anti")
+          df.join(kes, qcol(kc) === col(DelKeyCol), "left_anti")
         })
     }
     if (parts.isEmpty) {
@@ -838,6 +906,17 @@ object Snapshots {
     val c = branch.fold(mainChain(table))(branchChain(table, _))
     hasMorDeletes(bodyLines(spark, c, resolveChainVersion(spark, c, version)))
   }
+
+  /** Resolve (head or explicit) to a pinned committed version on main
+    * or a branch — the format reader resolves ONCE and passes the pin
+    * to both the MoR probe and the scan, so a commit racing between
+    * the two cannot flip the relation's shape mid-construction.
+    */
+  private[sources] def resolveVersion(spark: SparkSession, table: String,
+                                      version: Option[Int],
+                                      branch: Option[String]): Int =
+    resolveChainVersion(spark,
+      branch.fold(mainChain(table))(branchChain(table, _)), version)
 
   /** Commit `df` as the table's FIRST version, validated INSIDE the
     * publish slot: the emptiness check and the commit are one atomic
@@ -1028,7 +1107,7 @@ object Snapshots {
     */
   private def bucketExpr(c: String, mod: Int): Column = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-    pmod(xxhash64(col(c)), lit(mod.toLong))
+    pmod(xxhash64(qcol(c)), lit(mod.toLong))
   }
 
   /** Driver-side replay of [[bucketExpr]] for one literal key — the
@@ -1066,13 +1145,13 @@ object Snapshots {
         c -> statKind(c, reread.schema(c).dataType)).toMap
       val bks = bucketCols.toSeq.sortBy(_._1)
       val aggs = statsCols.flatMap(c =>
-        Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))) ++
+        Seq(min(qcol(c)).as(s"__lo_$c"), max(qcol(c)).as(s"__hi_$c"))) ++
         bks.map { case (c, m) =>
           collect_set(bucketExpr(c, m).cast("int")).as(s"__bk_$c") } ++
         // row count + per-column non-null counts ride the same pass for
         // free (nulls = rc - non-null, the IS [NOT] NULL pruning cell)
         (count(lit(1)).as("__rc") +:
-          statsCols.map(c => count(col(c)).as(s"__nn_$c")))
+          statsCols.map(c => count(qcol(c)).as(s"__nn_$c")))
       val byName: Map[String, (Seq[(String, ColStat)], Seq[(String, BucketStat)], Long, Seq[(String, Long)])] =
         reread
           .groupBy(input_file_name().as("__f"))
@@ -1576,7 +1655,7 @@ object Snapshots {
         if (kept.isEmpty) read(spark, table, Some(v)).limit(0)
         else scan(spark, table, st, kept)
       }
-    base.filter(col(keyCol).isin(ks: _*))
+    base.filter(qcol(keyCol).isin(ks: _*))
   }
 
   /** Exactly-once append for replayable sources (streaming foreachBatch):
@@ -2001,7 +2080,7 @@ object Snapshots {
           val es = expand(spark, table, Seq(l)).map(parseEntry)
           if (es.isEmpty) None
           else Some(scan(spark, table, Some(schema), es)
-            .select(feedCols(schema.fieldNames.map(n => n -> col(n)).toMap) :+
+            .select(feedCols(schema.fieldNames.map(n => n -> qcol(n)).toMap) :+
               lit("u").as("_op") :+ lit(idx).as("_seq"): _*))
       }
     if (parts.isEmpty)
@@ -2035,7 +2114,7 @@ object Snapshots {
                            targetFileBytes: Long, orderCol: String): Int = {
     import org.apache.spark.sql.functions.col
     maintenanceCommit(spark, table, targetFileBytes,
-      (df, n) => df.repartitionByRange(n, col(orderCol))
+      (df, n) => df.repartitionByRange(n, qcol(orderCol))
         .sortWithinPartitions(orderCol),
       statsCols = Seq(orderCol))
   }
@@ -2326,7 +2405,7 @@ object Snapshots {
     val plan = erasePlan(spark, table, keyCol, keys, Some(head))
     val req = broadcast(keys.toDF("__graft_erase_key").distinct())
     partialRewriteCommit(spark, table, head, plan,
-      src => src.join(req, col(keyCol) === col("__graft_erase_key"), "left_anti"),
+      src => src.join(req, qcol(keyCol) === col("__graft_erase_key"), "left_anti"),
       statsCols)
   }
 
@@ -2355,9 +2434,20 @@ object Snapshots {
     * never match (SQL equality) and are dropped from the key file.
     * Deletes with DIFFERENT key columns stack; so do repeated deletes
     * on one column. Returns the new version.
+    *
+    * CLONE AWARENESS, same contract as [[erasePurgeCommit]]: this is
+    * the documented ENTRY POINT of the GDPR protocol (logical delete
+    * now → compact/purge → vacuum), and no step downstream of it can
+    * make the bytes leave while clone pins hold pre-delete versions —
+    * so the refusal sits HERE, at the start, where the operator still
+    * has options, not after a compaction already churned the table.
+    * A plain CDC/retention delete on a knowingly-cloned table passes
+    * `ignoreClonePins = true`.
     */
   def eraseMoRCommit(spark: SparkSession, table: String, keyCol: String,
-                     keys: DataFrame): Int = {
+                     keys: DataFrame,
+                     ignoreClonePins: Boolean = false): Int = {
+    requireNoClonePins(spark, table, ignoreClonePins, "eraseMoRCommit")
     require(keys.columns.length == 1,
       s"keys must be a single-column request list, got ${keys.columns.mkString(",")}")
     val c = mainChain(table)
@@ -2578,7 +2668,7 @@ object Snapshots {
         // cast back to the column's committed type so an UPDATE cannot
         // drift the schema
         set.get(f).map(e => when(matched, e.cast(schema(f).dataType))
-          .otherwise(col(f)).as(f)).getOrElse(col(f))
+          .otherwise(qcol(f)).as(f)).getOrElse(qcol(f))
       }: _*),
       statsCols)
   }
@@ -2674,7 +2764,7 @@ object Snapshots {
     // matched back to entries via pathTail2 (scheme-proof)
     val schema = chainSchema(spark, c, v)
     val touched = scan(spark, table, schema, cand)
-      .select(col(keyCol), input_file_name().as("__graft_f"))
+      .select(qcol(keyCol), input_file_name().as("__graft_f"))
       .join(keysT.toDF(keyCol), Seq(keyCol), "left_semi")
       .select("__graft_f").distinct().collect()
       .map(r => pathTail2(r.getString(0))).toSet
@@ -2758,17 +2848,17 @@ object Snapshots {
       col("__graft_op"): _*)
     val collapsed0 = (seqCol match {
       case Some(_) =>
-        aligned.groupBy(col(keyCol))
+        aligned.groupBy(qcol(keyCol))
           .agg(max_by(row, struct(col("__graft_seq"), row)).as("__graft_w"))
       case None =>
         // key-unique contract enforced in-flow: the count rides the same
         // aggregate and a >1 key fails the job before anything commits
-        aligned.groupBy(col(keyCol))
+        aligned.groupBy(qcol(keyCol))
           .agg(max_by(row, row).as("__graft_w"), count(lit(1)).as("__graft_n"))
           .filter(assert_true(col("__graft_n") === 1,
             lit(s"merge source has duplicate $keyCol keys; pass seqCol " +
               "for latest-wins collapse")).isNull)
-    }).select(col(keyCol) +:
+    }).select(qcol(keyCol) +:
       targetCols.filterNot(_ == keyCol).map(n => col(s"__graft_w.$n").as(n)) :+
       col("__graft_w.__graft_op").as("__graft_op"): _*)
     // DURABLE staging, not a persist: the touch probe (step 2) and the
@@ -2785,7 +2875,7 @@ object Snapshots {
     collapsed0.write.parquet(stagedBatch.toString)
     val collapsed = spark.read.schema(collapsed0.schema).parquet(stagedBatch.toString)
     try {
-      val keys = collapsed.select(col(keyCol))
+      val keys = collapsed.select(qcol(keyCol))
       val plan = mergeTouchPlan(spark, table, keyCol, keys, Some(head))
       val upserts = collapsed.filter(col("__graft_op") =!= "d")
         .select(targetCols.map(col): _*)
@@ -2940,11 +3030,18 @@ object Snapshots {
     * and its registry entry. The clone TABLE itself (its root
     * directory) is the caller's to delete — this only makes the shared
     * files vacuumable again on the source, after which the clone's
-    * absolute references dangle by design.
+    * absolute references dangle by design. Tolerates a half-dropped
+    * state (tag already removed by a hand [[dropTag]], or a crash
+    * between the two deletes): whichever half still exists is removed,
+    * and only a name with NEITHER half fails loudly.
     */
   def dropClone(spark: SparkSession, table: String, tag: String): Unit = {
-    dropTag(spark, table, tag)
-    fs(spark, table).delete(new Path(table, s"$ClonesDir/$tag.txt"), false)
+    val droppedTag =
+      try { dropTag(spark, table, tag); true }
+      catch { case _: IllegalArgumentException => false }
+    val droppedReg =
+      fs(spark, table).delete(new Path(table, s"$ClonesDir/$tag.txt"), false)
+    require(droppedTag || droppedReg, s"$table has no clone pin '$tag'")
   }
 
   /** The GDPR-vs-clone guard (see [[cloneTable]]'s "flip side" note): a
@@ -3036,9 +3133,18 @@ object Snapshots {
     // able to name them — rather than discoverable only by tag-name
     // convention. Written right after the pin so a crash between the
     // two leaves a droppable bare tag, never an unpinned registry row.
+    // Winning the create-once TAG is the ownership proof, so a registry
+    // file already present under this name is DEAD DEBRIS (a namesake
+    // pin released by a bare dropTag) — overwrite it, or clones() would
+    // report this live pin with the dead clone's root.
     f.mkdirs(new Path(src, ClonesDir))
-    createExclusive(f, new Path(src, s"$ClonesDir/$tag.txt"),
-      (s"$v\t${enc(f.makeQualified(new Path(dst)).toString)}\n").getBytes("UTF-8"))
+    val regPath = new Path(src, s"$ClonesDir/$tag.txt")
+    val regBytes =
+      (s"$v\t${enc(f.makeQualified(new Path(dst)).toString)}\n").getBytes("UTF-8")
+    if (!createExclusive(f, regPath, regBytes)) {
+      f.delete(regPath, false)
+      createExclusive(f, regPath, regBytes)
+    }
     val schema = chainSchema(spark, c, v)
     val (groups, deletes) = morPartition(bodyLines(spark, c, v))
     def cloneGroup(ls: Seq[String]): Seq[String] = {
@@ -3652,6 +3758,10 @@ object Snapshots {
       .flatMap(l => segmentLines(spark, table, l.substring(l.indexOf(':') + 1)))
     val referenced = (expand(spark, table, liveBody.distinct) ++ delKeyLines)
       .map(parseEntry(_).path).toSet
+    // raise the vacuum floor BEFORE any manifest deletion: a concurrent
+    // head-hint reader either sees the new floor (and distrusts
+    // sub-floor hints — conservative) or still finds every manifest
+    raiseVacuumFloor(spark, main, keepFrom)
     drop.foreach(v => f.delete(main.manifestPath(v), false))
     // unreferenced segments: dropped versions' exclusive segments and
     // crashed commits' orphans

@@ -51,6 +51,12 @@ class CloneGovernanceSpec extends SparkTestBase {
     // is DEAD — filtered, never resurrects a pin
     Snapshots.dropTag(spark, src, "exp-fork")
     assert(Snapshots.clones(spark, src).isEmpty)
+    // ... and dropClone is the documented debris cleanup: it removes
+    // the leftover registry half instead of throwing on the gone tag
+    Snapshots.dropClone(spark, src, "exp-fork")
+    intercept[IllegalArgumentException] {
+      Snapshots.dropClone(spark, src, "exp-fork") // nothing left: loud
+    }
   }
 
   test("erasePurgeCommit / deleteWhereCommit refuse while clone pins " +
@@ -82,6 +88,42 @@ class CloneGovernanceSpec extends SparkTestBase {
     Snapshots.dropClone(spark, src, info.pinTag)
     Snapshots.erasePurgeCommit(spark, src, "id", Seq(4L).toDF("k"))
     assert(ids(src) == (0L until 10L).toSet -- Set(3L, 4L))
+  }
+
+  test("eraseMoRCommit — the GDPR protocol's entry point — refuses on a " +
+       "cloned table too; the override lands the logical delete") {
+    val src = fresh("mor")
+    val dst = fresh("mor_c")
+    Snapshots.commitOverwrite(spark, src,
+      (0L until 10L).map(i => (i, s"u$i")).toDF("id", "name"))
+    val info = Snapshots.cloneTable(spark, src, dst)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.eraseMoRCommit(spark, src, "id", Seq(3L).toDF("k"))
+    }
+    assert(e.getMessage.contains(info.pinTag))
+    Snapshots.eraseMoRCommit(spark, src, "id", Seq(3L).toDF("k"),
+      ignoreClonePins = true)
+    assert(ids(src) == (0L until 10L).toSet - 3L)
+    assert(ids(dst) == (0L until 10L).toSet) // the clone, untouched
+  }
+
+  test("re-using a released pinTag overwrites the dead registry row: " +
+       "clones() reports the NEW clone's root, not the dropped one's") {
+    val src = fresh("reuse")
+    val dA = fresh("reuse_a")
+    val dB = fresh("reuse_b")
+    Snapshots.commitOverwrite(spark, src, Seq(1L, 2L).toDF("id"))
+    Snapshots.cloneTable(spark, src, dA, pinTag = Some("exp"))
+    // released with a BARE dropTag (the pre-registry API): the registry
+    // row stays behind as dead debris
+    Snapshots.dropTag(spark, src, "exp")
+    assert(Snapshots.clones(spark, src).isEmpty)
+    Snapshots.cloneTable(spark, src, dB, pinTag = Some("exp"))
+    val pins = Snapshots.clones(spark, src)
+    assert(pins.size == 1 && pins.head.tag == "exp")
+    assert(pins.head.dst.contains(dB.stripPrefix("/")),
+      s"the registry must name the LIVE clone's root, got ${pins.head.dst}")
+    assert(!pins.head.dst.contains(dA.stripPrefix("/")))
   }
 
   test("vacuum/expire keep EXACTLY the clone-pinned frontier under N " +

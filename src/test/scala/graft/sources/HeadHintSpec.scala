@@ -105,6 +105,49 @@ class HeadHintSpec extends SparkTestBase {
     assert(ids(t) === Set(1L))
   }
 
+  test("a hint regressed BELOW a vacuum gap cannot fork history: the " +
+       "vacuum floor rejects it, reads stay at the true head, and an " +
+       "append lands in a fresh slot — never in a freed one") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(1L).toDF("id"))
+    for (i <- 2 to 6)
+      Snapshots.commitAppend(spark, t, Seq(i.toLong).toDF("id"))
+    Snapshots.tagVersion(spark, t, "pin", 3)
+    Snapshots.vacuum(spark, t, keepFrom = 6) // drops v1,2,4,5 — gap at 4,5
+    assert(Snapshots.versions(spark, t) === Seq(3, 6))
+    // the killer scenario: a committer stalled across the vacuum
+    // regresses the hint to the pinned island v3. A naive forward probe
+    // would stop at exists(v4)=false, answer head=3 (stale reads), and
+    // the next append would createExclusive the FREED v4 slot —
+    // a forked history invisible to head readers.
+    setHint(t, "3\n")
+    assert(ids(t) === (1L to 6L).toSet) // true head via floor -> LIST
+    val v = Snapshots.commitAppend(spark, t, Seq(7L).toDF("id"))
+    assert(v === 7, s"append must land at v7, not fork into the gap (got v$v)")
+    assert(Snapshots.versions(spark, t) === Seq(3, 6, 7))
+    assert(ids(t) === (1L to 7L).toSet)
+  }
+
+  test("committedTokens(lastK) still remembers a LIVE pinned version's " +
+       "token below the numeric window (the committed-window fallback " +
+       "under the vacuum floor)") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(0L).toDF("id"))
+    Snapshots.commitAppendOnce(spark, t, Seq(1L).toDF("id"), "tok_old") // v2
+    Snapshots.tagVersion(spark, t, "pin", 2)
+    for (i <- 3 to 8)
+      Snapshots.commitAppendOnce(spark, t, Seq(i.toLong).toDF("id"), s"t$i")
+    Snapshots.vacuum(spark, t, keepFrom = 8)
+    assert(Snapshots.versions(spark, t) === Seq(2, 8))
+    // numeric window [4,8] would miss live v2; the floor (8) pushes the
+    // scan onto the committed-version window, which includes it
+    assert(Snapshots.committedTokens(spark, t, Some(5)) ===
+      Set("tok_old", "t8"))
+    assert(Snapshots.commitAppendOnce(spark, t,
+      Seq(99L).toDF("id"), "tok_old", replayHorizon = 5).isEmpty,
+      "a replay of the pinned version's token must still no-op")
+  }
+
   test("tokened commits dedup across vacuumed gaps in the horizon") {
     val t = freshTable()
     Snapshots.commitOverwrite(spark, t, Seq(0L).toDF("id"))

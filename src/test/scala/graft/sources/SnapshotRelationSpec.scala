@@ -144,6 +144,29 @@ class SnapshotRelationSpec extends SparkTestBase {
     assert(rows(at("9999-12-31")) == Set((1L, "a"), (2L, "b")))
     val e = intercept[IllegalArgumentException] { at("not a time").collect() }
     assert(e.getMessage.contains("yyyy-MM-dd"))
+    // an all-digit string past Long range gets the SAME descriptive
+    // error, not a raw NumberFormatException
+    val e2 = intercept[IllegalArgumentException] {
+      at("99999999999999999999").collect()
+    }
+    assert(e2.getMessage.contains("timestampAsOf") &&
+      e2.getMessage.contains("yyyy-MM-dd"))
+  }
+
+  test("a DOTTED top-level column name survives the pending-MoR " +
+       "relation: required columns and pushed filters are re-quoted, " +
+       "not re-parsed as nested paths") {
+    val t = fresh("dotted")
+    (0L until 8L).map(i => (i, s"n$i")).toDF("user.id", "name")
+      .write.format("graft-snapshot").mode("overwrite").save(t)
+    Snapshots.eraseMoRCommit(spark, t, "user.id", Seq(2L).toDF("k"))
+    val df = spark.read.format("graft-snapshot").load(t)
+    assert(df.columns.toSeq == Seq("user.id", "name"))
+    // projection + filter both route through buildScan with the raw
+    // dotted name — a bare col("user.id") would die resolving `user`.`id`
+    assert(df.select(col("`user.id`")).as[Long].collect().toSet ==
+      (0L until 8L).toSet - 2L)
+    assert(df.filter(col("`user.id`") >= 5).count() == 3)
   }
 
   test("the write face stays usable on a table with PENDING merge-on-read " +

@@ -786,6 +786,37 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     // a silent earliest
     failsWith("no version committed at or before",
       "startingTimestamp" -> "1")
+    // RESTART does not re-resolve the referent: a checkpointed stream
+    // keeps running even after retention vacuums every version at or
+    // before its startingTimestamp (an eager re-resolution would kill
+    // the healthy query with the pre-history error above)
+    val ckptR = s"$root/ckpt_restart"
+    def run(): List[Set[Long]] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = readStreamOf(t, "startingTimestamp" -> betweenV1V2.toString)
+        .writeStream.option("checkpointLocation", ckptR)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen.synchronized { seen += b.select("id").as[Long].collect().toSet }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      seen.toList
+    }
+    assert(run().flatten.toSet == Set(2L, 3L))
+    // advance the stream past v3 first: a restart re-plans its LAST
+    // window, so the vacuum horizon must stay at or below that window's
+    // from-version (what pinConsumer automates) — here we only reclaim
+    // v1, the timestamp's referent, far below the last window (3,4]
+    Snapshots.commitAppend(spark, t, Seq(4L).toDF("id"))
+    assert(run().flatten.toSet == Set(4L))
+    Snapshots.vacuum(spark, t, keepFrom = 2) // v1 (the ts referent) gone
+    intercept[RuntimeException] { // the referent IS gone for a NEW query
+      Snapshots.versionAsOf(spark, t, betweenV1V2)
+    }
+    Snapshots.commitAppend(spark, t, Seq(5L).toDF("id"))
+    assert(run().flatten.toSet == Set(5L),
+      "the restart must resume from the checkpoint, not re-resolve " +
+        "the vacuumed timestamp")
     // mutual exclusion with the other two start pins
     failsWith("at most one of",
       "startingTimestamp" -> betweenV1V2.toString,
