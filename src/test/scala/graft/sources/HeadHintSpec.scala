@@ -105,6 +105,35 @@ class HeadHintSpec extends SparkTestBase {
     assert(ids(t) === Set(1L))
   }
 
+  test("8 concurrent committers serialize through the slot with the " +
+       "hint racing them: no lost append, and the hint converges to " +
+       "the true head") {
+    val t = freshTable()
+    Snapshots.commitOverwrite(spark, t, Seq(0L).toDF("id"))
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          Snapshots.commitAppend(spark, t, Seq(i.toLong).toDF("id"))
+          ()
+        } catch { case _: Throwable => failures.incrementAndGet(); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failures.get() == 0)
+    assert(Snapshots.versions(spark, t) === (1 to 9).toSeq,
+      "every racer must land exactly once")
+    assert(ids(t) === (0L to 8L).toSet)
+    // the hint may briefly regress mid-race; once the dust settles a
+    // single resolution converges it to the true head
+    assert(ids(t) === (0L to 8L).toSet)
+    assert(new String(java.nio.file.Files.readAllBytes(hintPath(t)),
+      "UTF-8").trim === "9")
+  }
+
   test("a hint regressed BELOW a vacuum gap cannot fork history: the " +
        "vacuum floor rejects it, reads stay at the true head, and an " +
        "append lands in a fresh slot — never in a freed one") {
