@@ -71,11 +71,22 @@ object LinkGraph {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
     val spark = nodes.sparkSession
-    val ns0 = nodes.select(col(idCol).cast("long").as("id")).distinct()
+    val defaultP0 = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // the node table is cached, and CACHED plans keep their build-time
+    // shuffle width (AQE does not re-coalesce inside InMemoryRelation by
+    // default) — so every per-iteration stage that probes or rebuilds the
+    // rank table inherits THIS width for the whole loop. Size it like the
+    // edge table below: measured rows / target, capped at the session
+    // width. The repartition is a no-op exchange at full width (distinct
+    // already leaves hashpartitioning(id, defaultP)).
+    val nsRaw = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = ns0.count() // one bounded driver scalar; all per-iteration
+    val n = nsRaw.count() // one bounded driver scalar; all per-iteration
     // aggregates stay distributed
     require(n > 0, "empty node set")
+    val pn = math.max(1L, math.min(defaultP0.toLong, n / 1000000L + 1L)).toInt
+    val ns0 = nsRaw.repartition(pn, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // attach the personalization weight: uniform 1 without `reset`, else
     // the caller's `weight` column (absent nodes weigh 0)
     val ns = (reset match {
@@ -93,20 +104,32 @@ object LinkGraph {
     val tnum = (dampDen - dampNum) * totalScale
     val tden = dampDen * bigW
     val defaultP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // materialize the caller's edge pipeline ONCE: it feeds both the
+    // out-degree aggregate and the contribution join side, and the count
+    // sizes the loop's partitioning (same measured-width discipline as
+    // Components.connectedComponents — an iterative loop's per-round cost
+    // at small scale is task scheduling, not data, so a 10k-edge graph
+    // runs its rounds on 1 partition while a billion-edge graph still
+    // gets full parallelism at ~1M edges per partition, capped at the
+    // session's shuffle width)
+    val e1 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = e1.count()
+    val p = math.max(1L, math.min(defaultP.toLong, edgeCount / 1000000L + 1L)).toInt
     // loop-invariant big side: (src, dst, outdeg), pre-keyed by src so
     // the per-round contribution join only moves the narrow rank table
-    val deg = edges.groupBy(col(srcCol).cast("long").as("src"))
-      .agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val deg = e1.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e1
       .join(deg, "src")
-      .repartition(defaultP, col("src"))
+      .repartition(p, col("src"))
       .localCheckpoint(eager = true)
     // dangling = nodes with no out-edge; loop-invariant membership, so
     // compute it once and only re-aggregate its (changing) rank mass
     val dangling = ns.select(col("id"))
       .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
       .localCheckpoint(eager = true)
+    e1.unpersist(blocking = false)
     var ranks = ns.select(col("id"), lit(totalScale / n).as("r"))
       .localCheckpoint(eager = true)
     var iter = 0
@@ -132,6 +155,7 @@ object LinkGraph {
     }
     ns.unpersist(blocking = false)
     ns0.unpersist(blocking = false)
+    nsRaw.unpersist(blocking = false)
     ranks.select(col("id"), col("r").as("rank"))
   }
 
@@ -163,25 +187,42 @@ object LinkGraph {
            iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val spark = nodes.sparkSession
-    val ns = nodes.select(col(idCol).cast("long").as("id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val defaultP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // same measured-width discipline as [[pagerank]]: the persist also
+    // stops the caller's edge pipeline from executing once per keyed copy
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val eBySrc = e0.repartition(defaultP, col("src")).localCheckpoint(eager = true)
-    val eByDst = e0.repartition(defaultP, col("dst")).localCheckpoint(eager = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = e0.count()
+    val p = math.max(1L, math.min(defaultP.toLong, edgeCount / 1000000L + 1L)).toInt
+    val eBySrc = e0.repartition(p, col("src")).localCheckpoint(eager = true)
+    val eByDst = e0.repartition(p, col("dst")).localCheckpoint(eager = true)
+    e0.unpersist(blocking = false)
+    // node table sized to the measured width too (same rationale as
+    // [[pagerank]]: cached plans keep their build-time shuffle width, and
+    // every per-round stage inherits it)
+    val ns = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .repartition(p, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def ck(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(eager = true)
       spark.createDataFrame(c.rdd, c.schema)
     }
     // x_raw -> joined back to all nodes (absent = 0), divided by the
-    // broadcast scaled total
+    // broadcast scaled total. `raw` is persisted for the duration of the
+    // (eager) checkpoint: it feeds TWO broadcast builds — the 1-row total
+    // AND the join side itself (AQE broadcasts the small raw relation) —
+    // and Catalyst does not CSE subplans, so without the persist the
+    // whole join+aggregate subtree executes once per broadcast.
     def normalize(raw: DataFrame, outCol: String): DataFrame = {
-      val total = raw.agg(coalesce(sum("x"), lit(0L)).as("t"))
-      ck(ns.join(raw, Seq("id"), "left")
+      val r = raw.persist(StorageLevel.MEMORY_AND_DISK)
+      val total = r.agg(coalesce(sum("x"), lit(0L)).as("t"))
+      val out = ck(ns.join(r, Seq("id"), "left")
         .crossJoin(broadcast(total))
         .select(col("id"),
           expr(s"coalesce(x, 0L) div greatest(1L, t div $scale)").as(outCol)))
+      r.unpersist(blocking = false)
+      out
     }
     var hubs = ck(ns.select(col("id"), lit(scale).as("hub")))
     var auths: DataFrame = null
