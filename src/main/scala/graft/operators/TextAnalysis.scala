@@ -374,32 +374,57 @@ object TextAnalysis {
                nMerges: Int): DataFrame = {
     require(nMerges >= 1 && nMerges <= 8, "driver-bounded loop: 1..8 merges")
     val spark = df.sparkSession
-    val sep = "\u001f"
-    var cur: Column = Dedup.normText(col(textCol))
+    import spark.implicits._
+    // normalize ONCE and cache for the loop -- the cache is sample-sized
+    // (this operator trains on a deterministic sample by contract), and
+    // every round re-tokenizes from it instead of re-running the regex
+    // normalization and the deepening replace chain per round
+    val base = df.select(Dedup.normText(col(textCol)).as("__norm"))
+      .filter(col("__norm").isNotNull)
+      .as[String]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var k = 0
     var stop = false
     while (k < nMerges && !stop) {
-      // pair counting rides the proven codegen shingle stage at size 2;
-      // normText is idempotent on the re-joined single-space form, and
-      // short docs' whole-text fallback shingle has no space → filtered
-      val top = Dedup.explodedShingles(
-          df.select(col(idCol), cur.as("__bpe")), idCol, "__bpe", 2)
-        .filter(col("__sh").contains(" "))
-        .groupBy(col("__sh")).agg(count(lit(1)).as("cnt"))
+      // Round-k pair counting: ONE narrow mapPartitions -- tokenize under
+      // the already-learned merges ([[applyMergesToTokens]], the loop the
+      // deep-encoder equivalence spec pins to the chained-replace
+      // algebra), count adjacent pairs into a per-partition map, and emit
+      // (pair, partial count) rows. The shuffle then carries one row per
+      // DISTINCT pair per partition (vocabulary-sized, not corpus-sized)
+      // into a tiny sum + TakeOrdered top-1 -- exactly ONE row to the
+      // driver per round. Semantics match the previous size-2 shingle
+      // stage bit-for-bit: only docs with >= 2 symbols contribute, every
+      // adjacent occurrence counts (within-doc repeats included), and
+      // ties break on the pair string's binary order.
+      val ms = learned.map(m => (m._2, m._3)).toArray
+      val top = base.mapPartitions { it =>
+          val counts = new java.util.HashMap[String, java.lang.Long]()
+          it.foreach { norm =>
+            val toks = applyMergesToTokens(norm.split(" "), ms)
+            var i = 0
+            while (i < toks.length - 1) {
+              val key = toks(i) + " " + toks(i + 1)
+              val prev = counts.get(key)
+              counts.put(key, if (prev == null) 1L else prev.longValue + 1L)
+              i += 1
+            }
+          }
+          scala.jdk.CollectionConverters.MapHasAsScala(counts)
+            .asScala.iterator.map { case (pr, c) => (pr, c.longValue) }
+        }.toDF("__sh", "__c")
+        .groupBy(col("__sh")).agg(sum(col("__c")).as("cnt"))
         .orderBy(col("cnt").desc, col("__sh")) // plans as TakeOrdered
         .limit(1).collect()
       if (top.isEmpty) stop = true
       else {
         val Array(a, b) = top(0).getString(0).split(" ", 2)
         learned += ((k, a, b, top(0).getLong(1)))
-        val enc = concat(lit("  "), replace(cur, lit(" "), lit("  ")), lit("  "))
-        val merged = replace(enc, lit(s" $a  $b "), lit(s" $a$sep$b "))
-        cur = trim(replace(merged, lit("  "), lit(" ")))
         k += 1
       }
     }
-    import spark.implicits._
+    base.unpersist(blocking = false)
     learned.toSeq.toDF("merge_idx", "tok_a", "tok_b", "cnt")
       .select(col("merge_idx").cast("int"), col("tok_a"), col("tok_b"),
         col("cnt"))
@@ -475,38 +500,53 @@ object TextAnalysis {
                     merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sep = "\u001f"
     val ms = merges.toArray
     df.select(col(idCol).cast("long"), Dedup.normText(col(textCol)))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, norm) =>
-          var toks = norm.split(" ")
-          val nWs = toks.length.toLong
-          val present = new java.util.HashSet[String]()
-          var i = 0
-          while (i < toks.length - 1) {
-            present.add(toks(i) + " " + toks(i + 1)); i += 1
-          }
-          ms.foreach { case (a, b) =>
-            if (present.contains(a + " " + b)) {
-              val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
-              val m = a + sep + b
-              var j = 0
-              while (j < toks.length) {
-                if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
-                  if (out.nonEmpty) present.add(out.last + " " + m)
-                  out += m
-                  j += 2
-                  if (j < toks.length) present.add(m + " " + toks(j))
-                } else { out += toks(j); j += 1 }
-              }
-              toks = out.toArray
-            }
-          }
+          val toks0 = norm.split(" ")
+          val nWs = toks0.length.toLong
+          val toks = applyMergesToTokens(toks0, ms)
           (id, toks.mkString(" "), toks.length.toLong, nWs)
         }
       }.toDF(idCol, "bpe_text", "n_tokens", "n_tokens_ws")
+  }
+
+  /** The deep encoder's per-document merge loop (shared by
+    * [[bpeEncodeDeep]] and [[bpeTrain]]'s per-round tokenization): each
+    * merge, in training order, is one left-to-right non-overlapping
+    * pass; a pair-presence set gates each pass so a document touches
+    * only the merges whose pair actually occurs in it; new adjacencies
+    * created by a merge are added as they form (never pruned -- a stale
+    * entry costs one no-op scan, never correctness).
+    */
+  private[operators] def applyMergesToTokens(
+      tokens: Array[String], ms: Array[(String, String)]): Array[String] = {
+    val sep = "\u001f"
+    var toks = tokens
+    val present = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length - 1) {
+      present.add(toks(i) + " " + toks(i + 1)); i += 1
+    }
+    ms.foreach { case (a, b) =>
+      if (present.contains(a + " " + b)) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        val m = a + sep + b
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+            if (out.nonEmpty) present.add(out.last + " " + m)
+            out += m
+            j += 2
+            if (j < toks.length) present.add(m + " " + toks(j))
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.toArray
+      }
+    }
+    toks
   }
 
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,

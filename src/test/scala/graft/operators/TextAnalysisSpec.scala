@@ -260,6 +260,37 @@ class TextAnalysisSpec extends SparkTestBase {
       (("a\u001fa", "a\u001fa", 2L)))
   }
 
+  test("bpeTrain: mapPartitions pair counting equals the shingle-stage formulation") {
+    val s = spark
+    import s.implicits._
+    // messy corpus: nulls, empties, 1-token docs (no pair), within-doc
+    // repeats, whitespace runs — the cases where the old explodedShingles
+    // counting had edge semantics (null/1-token docs contribute nothing)
+    val df = Seq(
+      (1L, "x y x y x"), (2L, "x x y y"), (3L, null.asInstanceOf[String]),
+      (4L, ""), (5L, "solo"), (6L, "  x   y  "), (7L, "y x y x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "doc_id", "text", nMerges = 3)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // reference: the pre-rewrite formulation — per round, count size-2
+    // shingles of the CHAIN-encoded corpus (bpeEncode is the chained
+    // replace algebra) and take (max count, min pair)
+    var merges = Seq.empty[(String, String)]
+    val ref = (0 until 3).map { k =>
+      val enc = TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+      val top = Dedup.explodedShingles(enc.select(col("doc_id"),
+          col("bpe_text")), "doc_id", "bpe_text", 2)
+        .filter(col("__sh").contains(" "))
+        .groupBy(col("__sh")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("__sh")).limit(1).collect()(0)
+      val Array(a, b) = top.getString(0).split(" ", 2)
+      merges = merges :+ ((a, b))
+      (k, a, b, top.getLong(1))
+    }
+    assert(got.toSeq == ref)
+  }
+
   test("bpeEncode: zero merges is whitespace tokenization") {
     val s = spark
     import s.implicits._
