@@ -2056,14 +2056,19 @@ object SparkEntry {
     // calibration windows, and a recursive-CTE component spine.
     "q_er_scored" -> ((s, dir) => {
       val (names, _) = phoneticNames(s, dir)
-      // deliberately NOT persisted although four consumers re-derive it:
-      // the aggregate is 240 rows off a 3-predicate narrow scan, and a
-      // cached relation here measured WORSE (2.78 -> 3.42 s warm at
-      // sf0.1, interleaved QueryTimer) — re-materialization latency plus
-      // TableCacheQueryStage wrapping beats four cheap recomputes; the
-      // r13 cache doctrine's negative case again
+      // localCheckpoint (NOT persist — a cached relation here measured
+      // WORSE in r13, 2.78 -> 3.42 s warm: re-materialization latency
+      // plus TableCacheQueryStage wrapping beat four cheap recomputes):
+      // the checkpoint's value is PLAN TRUNCATION, not recompute
+      // avoidance. Four blocking/scoring consumers re-derive this
+      // 240-row aggregate, so without the cut the logical tree repeats
+      // the scan+derivation subtree once per consumer and the optimizer
+      // pays ~1.5 s of driver time per action on the multiplied tree
+      // (JobProfile r19: the gap before the first real job dominated the
+      // query). A LogicalRDD leaf is flat: nothing to re-optimize.
       val nn = names.groupBy("name").agg(min(col("doc_id")).as("nid"),
         min(col("doc_id") % 40).as("ent"))
+        .localCheckpoint(true)
       val cand = EntityResolution.candidatePairs(nn, "name",
         maxEdit = 1, maxPhoneticDist = 2)
       erResolve(s, dir, names, nn, cand)
@@ -2082,8 +2087,13 @@ object SparkEntry {
     // calibration over only the increment all break the hash.
     "q_er_incremental" -> ((s, dir) => {
       val (names, _) = phoneticNames(s, dir)
+      // plan-truncating checkpoint: see q_er_scored — this query's tree
+      // repeats the nn subtree SIX times (two blocking passes in each of
+      // candidatePairs + candidatePairsIncrement, plus the two scoring
+      // join-backs), so the cut matters even more here
       val nn = names.groupBy("name").agg(min(col("doc_id")).as("nid"),
         min(col("doc_id") % 40).as("ent"))
+        .localCheckpoint(true)
       val standing = nn.filter(col("ent") < 20)
       val freshNames = nn.filter(col("ent") >= 20)
       val cand = EntityResolution.candidatePairs(standing, "name",
@@ -4940,7 +4950,13 @@ object SparkEntry {
     * (the candidate complement law), so both share erScoredSql.
     */
   private def erResolve(s: SparkSession, dir: String, names: DataFrame,
-                        nn: DataFrame, cand: DataFrame): DataFrame = {
+                        nn: DataFrame, cand0: DataFrame): DataFrame = {
+    // plan-truncating checkpoint of the candidate ledger (small by the
+    // blocking design — the expensive thing is GENERATING it, and its
+    // plan is the union of two-to-four blocking-join trees): every
+    // downstream action (scoring, calibration, the component loop's
+    // edge count) would otherwise re-optimize those trees
+    val cand = cand0.localCheckpoint(true)
     val codes = Tables.embeddings(s, dir).filter(col("vec_id") < 40)
       .select(col("vec_id").cast("long").as("ent"),
         Similarity.quantize(col("embedding"),

@@ -312,6 +312,148 @@ object Dedup {
           (_, i) => !array_contains(col("__cov"), i))).as("clean_text"))
   }
 
+  // ------------------------------------------- per-doc signature kernel
+  //
+  // The signature functions below compute a whole document's signature in
+  // ONE narrow mapPartitions pass (tokenize → shingle → hash → per-lane
+  // min / digest set) instead of exploding (doc, shingle) rows through
+  // the window + hash-aggregate pipeline. Motivation (r19 ShingleProbe,
+  // sf0.1, warm): the exploded formulation pays the window sort, the
+  // generator, and the aggregate hash table per SHINGLE; the per-doc
+  // kernel pays a few array ops — 2-3× less CPU for identical output —
+  // and at cluster scale it also DELETES the aggregate (the per-doc pass
+  // needs no post-explode combine at all). Exchange count is unchanged:
+  // one fixed-width doc exchange feeds the CPU-bound kernel, exactly as
+  // it fed the window. Hashes are computed by the SAME engine primitives
+  // Spark's expressions call (java.util.regex / UTF8String.trim /
+  // UTF8String.toLowerCase / XXH64.hashUTF8String / MD5 over UTF-8
+  // bytes), so equality is by construction, and the kernel-parity spec
+  // pins it over adversarial unicode/whitespace corpora. The kernels
+  // serve integral-id inputs (the engine-wide doc_id contract); other id
+  // types fall back to the exploded formulation. Contract note: ids are
+  // keys (one row per input row) — the old aggregate MERGED rows sharing
+  // an id, which no well-formed corpus has (same key discipline as the
+  // null-key drop rule).
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** JVM twin of [[normText]]: collapse via the same java.util.regex
+    * engine regexp_replace uses, then UTF8String.trim().toLowerCase() —
+    * the very methods the trim/lower expressions call.
+    */
+  private[operators] def normTextJvm(text: String): String = {
+    val collapsed = wsPattern.matcher(text).replaceAll(" ")
+    org.apache.spark.unsafe.types.UTF8String.fromString(collapsed)
+      .trim().toLowerCase().toString
+  }
+
+  /** One document's shingle rows ([[explodedShingles]] semantics): k
+    * consecutive tokens joined by one space; a doc shorter than k tokens
+    * contributes its whole normalized text as a single shingle.
+    */
+  private[operators] def shinglesJvm(norm: String, k: Int): Array[String] = {
+    val toks = norm.split(" ", -1)
+    if (toks.length < k) Array(norm)
+    else {
+      val out = new Array[String](toks.length - k + 1)
+      val sb = new java.lang.StringBuilder
+      var s = 0
+      while (s < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(s + j)); j += 1 }
+        out(s) = sb.toString
+        s += 1
+      }
+      out
+    }
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** md5-flavor lanes for one doc: lane i = lexicographic min of the i-th
+    * 4-hex-char digest slice over the doc's shingles; optionally also the
+    * distinct shingle set (insertion order).
+    */
+  private def md5LanesJvm(md: java.security.MessageDigest, norm: String,
+                          k: Int, n: Int, withSet: Boolean)
+      : (Array[String], Array[String]) = {
+    val mins = new Array[String](n)
+    val set = if (withSet) new java.util.LinkedHashSet[String]() else null
+    shinglesJvm(norm, k).foreach { sh =>
+      if (set != null) set.add(sh)
+      val hex = md5Hex(md, sh)
+      var i = 0
+      while (i < n) {
+        val slice = hex.substring(i * 4, i * 4 + 4)
+        if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
+        i += 1
+      }
+    }
+    (mins, if (set == null) null else set.toArray(new Array[String](set.size)))
+  }
+
+  /** xxhash64-flavor lanes for one doc ([[kmLanes]] algebra: h1, then
+    * h1 XOR rotl(h2, i)); optionally also the distinct h1 digest set.
+    */
+  private def xxLanesJvm(norm: String, k: Int, n: Int, withSet: Boolean)
+      : (Array[Long], Array[Long]) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val seed2 = XXH64.hashInt(1, 42L) // xxhash64(lit(1), sh)'s running seed
+    val mins = new Array[Long](n)
+    val set = if (withSet) new java.util.LinkedHashSet[java.lang.Long]() else null
+    var first = true
+    shinglesJvm(norm, k).foreach { sh =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sh)
+      val h1 = XXH64.hashUTF8String(u, 42L)
+      val h2 = XXH64.hashUTF8String(u, seed2)
+      if (set != null) set.add(h1)
+      var i = 0
+      while (i < n) {
+        val lane = if (i == 0) h1 else h1 ^ java.lang.Long.rotateLeft(h2, i)
+        if (first || lane < mins(i)) mins(i) = lane
+        i += 1
+      }
+      first = false
+    }
+    val setArr =
+      if (set == null) null
+      else {
+        val a = new Array[Long](set.size)
+        val it = set.iterator(); var i = 0
+        while (it.hasNext) { a(i) = it.next().longValue; i += 1 }
+        a
+      }
+    (mins, setArr)
+  }
+
+  /** Integral id types served by the kernels (cast to long and back). */
+  private def integralId(df: DataFrame, idCol: String): Boolean =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+
+  private def restoreIdType(out: DataFrame, df: DataFrame, idCol: String): DataFrame =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType => out
+      case dt => out.withColumn(idCol, col(idCol).cast(dt))
+    }
+
   /** Per-lane hash columns via double hashing: TWO xxhash64 evaluations
     * per shingle expanded to `numHashes` lanes as
     * `lane_i = h1 XOR rotl(h2, i)` — the rotate-XOR variant of
@@ -339,9 +481,25 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, numHashes: Int = 16): DataFrame =
-    explodedShingles(df, idCol, textCol, shingleSize)
-      .groupBy(col(idCol))
-      .agg(array(kmLanes(col("__sh"), numHashes).map(min): _*).as("sig"))
+    if (!integralId(df, idCol))
+      explodedShingles(df, idCol, textCol, shingleSize)
+        .groupBy(col(idCol))
+        .agg(array(kmLanes(col("__sh"), numHashes).map(min): _*).as("sig"))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val (k, n) = (shingleSize, numHashes)
+      val rows = df.repartition(p, col(idCol))
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else Iterator.single((id, xxLanesJvm(normTextJvm(text), k, n,
+            withSet = false)._1.toSeq))
+        })
+      restoreIdType(rows.toDF(idCol, "sig"), df, idCol)
+    }
 
   /** Portable signature flavor: ONE `md5(shingle)` per exploded row, with
     * lane `i` = lexicographic min of the digest's i-th disjoint 4-hex-char
@@ -366,14 +524,37 @@ object Dedup {
   }
 
   def minhashSignatureMd5(df: DataFrame, idCol: String, textCol: String,
-                          shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
-    val aggs = md5LaneAggs(numHashes)
-    explodedShingles(df, idCol, textCol, shingleSize)
-      // digest once per shingle in a projection so no aggregate re-hashes
-      .select(col(idCol), md5(col("__sh")).as("__d"))
-      .groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-  }
+                          shingleSize: Int = 3, numHashes: Int = 8): DataFrame =
+    if (!integralId(df, idCol)) {
+      val aggs = md5LaneAggs(numHashes)
+      explodedShingles(df, idCol, textCol, shingleSize)
+        // digest once per shingle in a projection so no aggregate re-hashes
+        .select(col(idCol), md5(col("__sh")).as("__d"))
+        .groupBy(col(idCol))
+        .agg(aggs.head, aggs.tail: _*)
+    } else {
+      require(numHashes * 4 <= 32, "md5 is 32 hex chars: at most 8 disjoint 4-char lanes")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val (k, n) = (shingleSize, numHashes)
+      val rows = df.repartition(p, col(idCol))
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else Iterator.single((id,
+              md5LanesJvm(md, normTextJvm(text), k, n, withSet = false)._1.toSeq))
+          }
+        }
+      restoreIdType(
+        rows.toDF(idCol, "__lanes")
+          .select(col(idCol) +:
+            (0 until n).map(i => col("__lanes")(i).as(s"mh$i")): _*),
+        df, idCol)
+    }
 
   /** [[minhashSignatureMd5]] plus each doc's exact distinct shingle set
     * (`sh`), from ONE exploded pass and one aggregate — the shape a
@@ -381,13 +562,39 @@ object Dedup {
     * twice (and never through the ~10× slower interpreted array path).
     */
   def minhashSignatureMd5WithSets(df: DataFrame, idCol: String, textCol: String,
-                                  shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
-    val aggs = md5LaneAggs(numHashes) :+ collect_set(col("__sh")).as("sh")
-    explodedShingles(df, idCol, textCol, shingleSize)
-      .select(col(idCol), col("__sh"), md5(col("__sh")).as("__d"))
-      .groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-  }
+                                  shingleSize: Int = 3, numHashes: Int = 8): DataFrame =
+    if (!integralId(df, idCol)) {
+      val aggs = md5LaneAggs(numHashes) :+ collect_set(col("__sh")).as("sh")
+      explodedShingles(df, idCol, textCol, shingleSize)
+        .select(col(idCol), col("__sh"), md5(col("__sh")).as("__d"))
+        .groupBy(col(idCol))
+        .agg(aggs.head, aggs.tail: _*)
+    } else {
+      require(numHashes * 4 <= 32, "md5 is 32 hex chars: at most 8 disjoint 4-char lanes")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val (k, n) = (shingleSize, numHashes)
+      val rows = df.repartition(p, col(idCol))
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else {
+              val (lanes, set) = md5LanesJvm(md, normTextJvm(text), k, n,
+                withSet = true)
+              Iterator.single((id, lanes.toSeq, set.toSeq))
+            }
+          }
+        }
+      restoreIdType(
+        rows.toDF(idCol, "__lanes", "sh")
+          .select(col(idCol) +:
+            (0 until n).map(i => col("__lanes")(i).as(s"mh$i")) :+ col("sh"): _*),
+        df, idCol)
+    }
 
   /** Exact Jaccard between two docs' shingle sets (verification step —
     * only ever run on LSH candidate pairs, never all pairs).
@@ -415,14 +622,36 @@ object Dedup {
     // branches reference it (banding + both candidate join-backs) and
     // Catalyst does not CSE subplans — at cluster scale this is the
     // table you would checkpoint anyway.
-    val base = explodedShingles(df.select(col(idCol).as("__id"), col(textCol)),
-      "__id", textCol, shingleSize)
-      .groupBy(col("__id"))
-      .agg(
-        array(kmLanes(col("__sh"), numHashes).map(min): _*).as("sig"),
-        collect_set(xxhash64(col("__sh"))).as("__shset"))
-      .transform(d => tracker.own(
-        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    val base = {
+      // fast path pinned to LONG ids here (no restore point for the pair
+      // outputs' id columns, unlike the signature functions)
+      if (df.schema(idCol).dataType != org.apache.spark.sql.types.LongType)
+        explodedShingles(df.select(col(idCol).as("__id"), col(textCol)),
+          "__id", textCol, shingleSize)
+          .groupBy(col("__id"))
+          .agg(
+            array(kmLanes(col("__sh"), numHashes).map(min): _*).as("sig"),
+            collect_set(xxhash64(col("__sh"))).as("__shset"))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val p = spark.sparkContext.defaultParallelism
+        val (k, n) = (shingleSize, numHashes)
+        df.repartition(p, col(idCol))
+          .select(col(idCol).cast("long"), col(textCol).cast("string"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else {
+              val (lanes, set) = xxLanesJvm(normTextJvm(text), k, n,
+                withSet = true)
+              Iterator.single((id, lanes.toSeq, set.toSeq))
+            }
+          })
+          .toDF("__id", "sig", "__shset")
+      }
+    }.transform(d => tracker.own(
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     val banded = base.select(col("__id"),
       // full-signature hash: the chain sort key for oversized buckets —
       // identical signatures (true dup clusters) sort adjacent.
