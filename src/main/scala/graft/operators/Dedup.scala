@@ -871,6 +871,22 @@ object Dedup {
     // on natural text. The id-hash partitioning satisfies the (id, token)
     // clustering (id is a subset of the keys), so neither groupBy adds an
     // exchange: one shuffle total, as before.
+    if (integralId(df, idCol)) {
+      // per-doc kernel flavor (same rationale and parity discipline as
+      // the minhash signature kernels above): distinct-token counts,
+      // votes and the bit assembly all happen inside one narrow pass
+      val spark = df.sparkSession
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val rows = df.repartition(p, col(idCol))
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else Iterator.single((id, simhashVotesJvm(normTextJvm(text))))
+        })
+      return restoreIdType(rows.toDF(idCol, "simhash"), df, idCol)
+    }
     val p = df.sparkSession.sparkContext.defaultParallelism
     val tok = df.repartition(p, col(idCol))
       .select(col(idCol),
@@ -888,6 +904,69 @@ object Dedup {
     agg.select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** One document's 64 SimHash bit-votes folded to the final BIGINT
+    * value — [[simhash]]'s xxhash64 algebra verbatim.
+    */
+  private def simhashVotesJvm(norm: String): Long = {
+    val counts = new java.util.HashMap[String, Int]()
+    norm.split(" ", -1).foreach { t =>
+      counts.put(t, counts.get(t) + 1) // unboxToInt(null) == 0
+    }
+    val votes = new Array[Long](64)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey), 42L)
+      val c = e.getValue.toLong
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) c else -c)
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** One document's portable SimHash: 64 votes from the first 16 hex
+    * chars of md5(token), emitted as the 16-hex-char string —
+    * [[simhashMd5]]'s algebra verbatim.
+    */
+  private def simhashHexJvm(md: java.security.MessageDigest,
+                            norm: String): String = {
+    val counts = new java.util.HashMap[String, Int]()
+    norm.split(" ", -1).foreach { t =>
+      counts.put(t, counts.get(t) + 1) // unboxToInt(null) == 0
+    }
+    val votes = new Array[Long](64)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val hex = md5Hex(md, e.getKey)
+      val c = e.getValue.toLong
+      var j = 0
+      while (j < 64) {
+        val ch = hex.charAt(j / 4)
+        val nib = if (ch >= 'a') ch - 87 else ch - 48
+        votes(j) += (if (((nib >> (j % 4)) & 1) == 1) c else -c)
+        j += 1
+      }
+    }
+    val out = new Array[Char](16)
+    var h = 0
+    while (h < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) { if (votes(4 * h + b) > 0) nib |= (1 << b); b += 1 }
+      out(h) = hexChars(nib)
+      h += 1
+    }
+    new String(out)
+  }
+
   private def pow2(j: Int): Column = lit(if (j == 63) Long.MinValue else 1L << j)
 
   /** Portable SimHash flavor: 64 bit-votes from the first 16 hex chars of
@@ -903,6 +982,24 @@ object Dedup {
     // fixed-width repartition guard + count-weighted distinct-token votes
     // (±count ≡ per-occurrence ±1) — see simhash; md5 dominates this
     // stage, so hashing once per distinct token per doc is the whole win
+    if (integralId(df, idCol)) {
+      // per-doc kernel flavor (same parity discipline as the minhash
+      // signature kernels)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val pk = spark.sparkContext.defaultParallelism
+      val rows = df.repartition(pk, col(idCol))
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else Iterator.single((id, simhashHexJvm(md, normTextJvm(text))))
+          }
+        }
+      return restoreIdType(rows.toDF(idCol, "simhash_hex"), df, idCol)
+    }
     val p = df.sparkSession.sparkContext.defaultParallelism
     val tok = df.repartition(p, col(idCol))
       .select(col(idCol),

@@ -80,6 +80,24 @@ class SignatureKernelParitySpec extends SparkTestBase {
     fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
   }
 
+  test("simhash (xxhash64): kernel equals exploded formulation") {
+    val fast = Dedup.simhash(viaKernel, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.simhash(viaExploded, "doc_id", "text")
+      .collect().map(r => r.getString(0).drop(1).toLong -> r.getLong(1)).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
+  }
+
+  test("simhashMd5: kernel equals exploded formulation") {
+    val fast = Dedup.simhashMd5(viaKernel, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val slow = Dedup.simhashMd5(viaExploded, "doc_id", "text")
+      .collect().map(r => r.getString(0).drop(1).toLong -> r.getString(1)).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
+  }
+
   test("normTextJvm equals the normText column over the adversarial corpus") {
     val viaCol = corpus.select(col("doc_id"), Dedup.normText(col("text")))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
