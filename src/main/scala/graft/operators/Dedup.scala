@@ -128,12 +128,73 @@ object Dedup {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 4, window: Int = 5): DataFrame =
-    winnowFingerprintRows(df, idCol, textCol, shingleSize, window)
+    if (integralId(df, idCol)) {
+      // per-doc kernel (same rationale and parity discipline as the
+      // minhash signature kernels below): fingerprints, the distinct
+      // set, the sort and the digest are all doc-local, so the whole
+      // output row folds into one narrow pass — no window, no aggregate
+      require(shingleSize >= 1 && window >= 1, "shingle and window must be >= 1")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val (k, w) = (shingleSize, window)
+      val rows = df.repartition(p, col(idCol))
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else {
+              val fps = winnowMinsJvm(md, normTextJvm(text), k, w)
+              if (fps.isEmpty) Iterator.empty
+              else {
+                val distinct = fps.distinct.sorted
+                Iterator.single((id, distinct.length.toLong,
+                  md5Hex(md, distinct.mkString(","))))
+              }
+            }
+          }
+        }
+      restoreIdType(rows.toDF(idCol, "n_fp", "fp_md5"), df, idCol)
+    } else winnowFingerprintRows(df, idCol, textCol, shingleSize, window)
       .groupBy(col(idCol))
       .agg(size(collect_set(col("fp"))).cast("long").as("n_fp"),
         md5(concat_ws(",",
           sort_array(collect_set(col("fp"))).cast("array<string>")))
           .as("fp_md5"))
+
+  /** One document's kept winnowing window minima, in window order (with
+    * repeats — the [[winnowFingerprintRows]] row set for one doc): shingle
+    * hash = first 8 md5 hex chars as a long, window w minima over full
+    * windows only. Empty when the doc is shorter than w + k - 1 tokens.
+    */
+  private def winnowMinsJvm(md: java.security.MessageDigest, norm: String,
+                            k: Int, w: Int): Array[Long] = {
+    val toks = norm.split(" ", -1)
+    val m = toks.length - k + 1
+    if (m < w) return Array.emptyLongArray
+    val h = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    while (s < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(s + j)); j += 1 }
+      h(s) = java.lang.Long.parseLong(md5Hex(md, sb.toString).substring(0, 8), 16)
+      s += 1
+    }
+    val out = new Array[Long](m - w + 1)
+    var p0 = 0
+    while (p0 <= m - w) {
+      var mn = h(p0)
+      var j = 1
+      while (j < w) { if (h(p0 + j) < mn) mn = h(p0 + j); j += 1 }
+      out(p0) = mn
+      p0 += 1
+    }
+    out
+  }
 
   /** The exploded face of [[winnowFingerprints]]: one (`idCol`, `fp`)
     * row per kept window minimum (NOT deduplicated — the digest flavor
@@ -204,8 +265,31 @@ object Dedup {
     // and each tier re-runs only its post-shuffle bucket-count window.
     // (The old double persist re-ran nothing but materialized two
     // corpus-proportional caches and still shuffled fp rows once.)
-    val r = winnowFingerprintRows(df, idCol, textCol, shingleSize, window)
-      .distinct().filter(col("fp").isNotNull)
+    val r =
+      if (integralId(df, idCol)) {
+        // per-doc kernel: (id, fp) duplicates can only arise WITHIN a
+        // document (two windows sharing a minimum), so the distinct is
+        // doc-local too — one narrow pass emits each (id, fp) once and
+        // the corpus-wide distinct exchange disappears
+        val spark = df.sparkSession
+        import spark.implicits._
+        val p = spark.sparkContext.defaultParallelism
+        val (k, w) = (shingleSize, window)
+        restoreIdType(
+          df.repartition(p, col(idCol))
+            .select(col(idCol).cast("long"), col(textCol).cast("string"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              it.flatMap { case (id, text) =>
+                if (text == null) Iterator.empty
+                else winnowMinsJvm(md, normTextJvm(text), k, w)
+                  .distinct.iterator.map(fp => (id, fp))
+              }
+            }.toDF(idCol, "fp"),
+          df, idCol)
+      } else winnowFingerprintRows(df, idCol, textCol, shingleSize, window)
+        .distinct().filter(col("fp").isNotNull)
     val wcnt = Window.partitionBy(col("fp"))
     val withCnt = r.withColumn("__cnt", count(lit(1)).over(wcnt))
     val small = withCnt.filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
@@ -273,10 +357,6 @@ object Dedup {
       .filter(col(idCol).isNotNull && col("__ts").isNotNull &&
         size(col("__ts")) > 0)
       .repartition(p, col(idCol))
-    val posTok = based
-      .select(col(idCol), posexplode(col("__ts")).as(Seq("__pos", "__t")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val leads = (1 until k).map(j => lead(col("__t"), j).over(w))
     // deliberately NOT persisted even though two branches read the gram
     // rows: the cache would hold (id, pos, digest) per TOKEN — a
     // corpus-sized working set — and a cached plan is AQE-wrapped with
@@ -284,12 +364,39 @@ object Dedup {
     // repartitioned base (both gram branches and the rebuild join below)
     // carry canonically identical exchange subtrees, so AQE stage-reuses
     // ONE text shuffle across them and each branch re-runs only the
-    // partition-local explode + lead-window + md5 above it.
-    val grams = posTok
-      .withColumn("__g", md5(concat_ws(" ", (col("__t") +: leads): _*)))
-      .withColumn("__last", leads.last) // window exprs can't sit in filter()
-      .filter(col("__last").isNotNull)
-      .select(col(idCol), col("__pos"), col("__g"))
+    // partition-local gram pass above it (the per-doc kernel on integral
+    // ids — same parity discipline as the signature kernels — or the
+    // explode + lead-window + md5 formulation otherwise).
+    val grams =
+      if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        based.select(col(idCol).cast("long"), col("__ts"))
+          .as[(Long, Seq[String])]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val sb = new java.lang.StringBuilder
+            it.flatMap { case (id, ts) =>
+              if (ts.length < k) Iterator.empty
+              else (0 to ts.length - k).iterator.map { s =>
+                sb.setLength(0)
+                var j = 0
+                while (j < k) { if (j > 0) sb.append(' '); sb.append(ts(s + j)); j += 1 }
+                (id, s, md5Hex(md, sb.toString))
+              }
+            }
+          }.toDF(idCol, "__pos", "__g")
+      } else {
+        val posTok = based
+          .select(col(idCol), posexplode(col("__ts")).as(Seq("__pos", "__t")))
+        val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+        val leads = (1 until k).map(j => lead(col("__t"), j).over(w))
+        posTok
+          .withColumn("__g", md5(concat_ws(" ", (col("__t") +: leads): _*)))
+          .withColumn("__last", leads.last) // window exprs can't sit in filter()
+          .filter(col("__last").isNotNull)
+          .select(col(idCol), col("__pos"), col("__g"))
+      }
     val dup = grams.groupBy(col("__g"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .select(col("__g"))

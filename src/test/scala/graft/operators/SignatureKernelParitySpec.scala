@@ -98,6 +98,38 @@ class SignatureKernelParitySpec extends SparkTestBase {
     fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
   }
 
+  test("winnowFingerprints: kernel equals window formulation") {
+    val fast = Dedup.winnowFingerprints(viaKernel, "doc_id", "text", 2, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val slow = Dedup.winnowFingerprints(viaExploded, "doc_id", "text", 2, 3)
+      .collect().map(r => r.getString(0).drop(1).toLong ->
+        (r.getLong(1), r.getString(2))).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
+  }
+
+  test("winnowOverlapPairs: kernel equals window formulation") {
+    val fast = Dedup.winnowOverlapPairs(viaKernel, "doc_id", "text", 2, 3,
+        minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val slow = Dedup.winnowOverlapPairs(viaExploded, "doc_id", "text", 2, 3,
+        minShared = 1L)
+      .collect().map(r => (r.getString(0).drop(1).toLong,
+        r.getString(1).drop(1).toLong, r.getLong(2))).toSet
+    assert(fast == slow)
+  }
+
+  test("exciseDuplicateSpans: kernel equals window formulation") {
+    val fast = Dedup.exciseDuplicateSpans(viaKernel, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val slow = Dedup.exciseDuplicateSpans(viaExploded, "doc_id", "text", k = 3)
+      .collect().map(r => r.getString(0).drop(1).toLong ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
+  }
+
   test("normTextJvm equals the normText column over the adversarial corpus") {
     val viaCol = corpus.select(col("doc_id"), Dedup.normText(col("text")))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
