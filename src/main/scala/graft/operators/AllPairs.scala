@@ -70,9 +70,33 @@ object AllPairs {
       tPerMille: Int,
       shingleSize: Int = 1,
       tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
-    val elems = Dedup.explodedShingles(docs, idCol, textCol, shingleSize)
-      .select(col(idCol).as("__id"), col("__sh").as("__el"))
-      .distinct()
+    // (id, element) duplicates can only arise WITHIN a document, so the
+    // distinct is doc-local: on long ids one narrow per-doc pass emits
+    // each element once (the signature-kernel discipline — see
+    // Dedup.shinglesJvm and the kernel-parity spec), skipping the window
+    // and the distinct aggregate outright; other id types keep the
+    // exploded window formulation.
+    val elems =
+      if (docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val p = spark.sparkContext.defaultParallelism
+        val k = shingleSize
+        docs.repartition(p, col(idCol))
+          .select(col(idCol).cast("long"), col(textCol).cast("string"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else {
+              val set = new java.util.LinkedHashSet[String]()
+              Dedup.shinglesJvm(Dedup.normTextJvm(text), k).foreach(set.add)
+              scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+                .asScala.map(el => (id, el))
+            }
+          }).toDF("__id", "__el")
+      } else Dedup.explodedShingles(docs, idCol, textCol, shingleSize)
+        .select(col(idCol).as("__id"), col("__sh").as("__el"))
+        .distinct()
     cosinePairsOnElements(elems, tPerMille, tracker)
   }
 

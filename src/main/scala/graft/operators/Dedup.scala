@@ -151,7 +151,7 @@ object Dedup {
               else {
                 val distinct = fps.distinct.sorted
                 Iterator.single((id, distinct.length.toLong,
-                  md5Hex(md, distinct.mkString(","))))
+                  md5HexJvm(md, distinct.mkString(","))))
               }
             }
           }
@@ -181,7 +181,7 @@ object Dedup {
       sb.setLength(0)
       var j = 0
       while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(s + j)); j += 1 }
-      h(s) = java.lang.Long.parseLong(md5Hex(md, sb.toString).substring(0, 8), 16)
+      h(s) = java.lang.Long.parseLong(md5HexJvm(md, sb.toString).substring(0, 8), 16)
       s += 1
     }
     val out = new Array[Long](m - w + 1)
@@ -382,7 +382,7 @@ object Dedup {
                 sb.setLength(0)
                 var j = 0
                 while (j < k) { if (j > 0) sb.append(' '); sb.append(ts(s + j)); j += 1 }
-                (id, s, md5Hex(md, sb.toString))
+                (id, s, md5HexJvm(md, sb.toString))
               }
             }
           }.toDF(idCol, "__pos", "__g")
@@ -478,7 +478,7 @@ object Dedup {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
-  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+  private[operators] def md5HexJvm(md: java.security.MessageDigest, s: String): String = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val out = new Array[Char](32)
@@ -502,7 +502,7 @@ object Dedup {
     val set = if (withSet) new java.util.LinkedHashSet[String]() else null
     shinglesJvm(norm, k).foreach { sh =>
       if (set != null) set.add(sh)
-      val hex = md5Hex(md, sh)
+      val hex = md5HexJvm(md, sh)
       var i = 0
       while (i < n) {
         val slice = hex.substring(i * 4, i * 4 + 4)
@@ -1052,7 +1052,7 @@ object Dedup {
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val hex = md5Hex(md, e.getKey)
+      val hex = md5HexJvm(md, e.getKey)
       val c = e.getValue.toLong
       var j = 0
       while (j < 64) {

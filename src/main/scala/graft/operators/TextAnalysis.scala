@@ -240,8 +240,33 @@ object TextAnalysis {
     // stays exchange-free on the shingle stage's doc-id clustering, and
     // the df-count window — this pipeline's one corpus-wide shuffle —
     // moves 16-byte md5s instead of raw gram text
-    val grams = Dedup.explodedShingles(df, idCol, textCol, shingleSize)
-      .select(col(idCol), md5(col("__sh")).as("__g")).distinct()
+    val grams =
+      if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+        // per-doc kernel: (doc, gram-digest) duplicates are doc-local, so
+        // one narrow pass emits each digest once per doc — no window, no
+        // distinct aggregate (signature-kernel discipline, parity-spec'd)
+        val spark = df.sparkSession
+        import spark.implicits._
+        val pk = spark.sparkContext.defaultParallelism
+        val k = shingleSize
+        df.repartition(pk, col(idCol))
+          .select(col(idCol).cast("long"), col(textCol).cast("string"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.flatMap { case (id, text) =>
+              if (text == null) Iterator.empty
+              else {
+                val set = new java.util.LinkedHashSet[String]()
+                Dedup.shinglesJvm(Dedup.normTextJvm(text), k)
+                  .foreach(sh => set.add(Dedup.md5HexJvm(md, sh)))
+                scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+                  .asScala.map(g => (id, g))
+              }
+            }
+          }.toDF(idCol, "__g")
+      } else Dedup.explodedShingles(df, idCol, textCol, shingleSize)
+        .select(col(idCol), md5(col("__sh")).as("__g")).distinct()
     grams
       // rows are distinct per (doc, gram), so the per-gram partition count
       // IS the gram's document frequency
@@ -687,6 +712,98 @@ object TextAnalysis {
     * by document length, independent of corpus size.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // every signal in the bundle is DOC-LOCAL (within-doc gram counts,
+    // within-doc repeated-5-gram coverage) — on long ids the whole bundle
+    // folds into one narrow per-doc pass (the signature-kernel discipline,
+    // see Dedup's kernel section and the kernel-parity spec): no windows,
+    // no grouped counts, no assembling joins, just the fixed-width doc
+    // exchange feeding a CPU-bound map
+    if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val pk = spark.sparkContext.defaultParallelism
+      val rows = df.filter(col(idCol).isNotNull)
+        .repartition(pk, col(idCol))
+        .select(col(idCol), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = graft.operators.Dedup.normTextJvm(text).split(" ", -1)
+            def top(n: Int): (Long, Long) = {
+              if (toks.length < n) (0L, 0L)
+              else {
+                val counts = new java.util.HashMap[String, Long]()
+                val sb = new java.lang.StringBuilder
+                var i = 0
+                while (i <= toks.length - n) {
+                  sb.setLength(0)
+                  var j = 0
+                  while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+                  val g = sb.toString
+                  counts.put(g, counts.get(g) + 1L) // unboxToLong(null) == 0
+                  i += 1
+                }
+                var mc = 0L; var mchars = 0L
+                val it = counts.entrySet().iterator()
+                while (it.hasNext) {
+                  val e = it.next()
+                  val c = e.getValue
+                  if (c > mc) mc = c
+                  val chars = c * e.getKey.codePointCount(0, e.getKey.length)
+                  if (chars > mchars) mchars = chars
+                }
+                (mc, mchars)
+              }
+            }
+            val (t2c, t2ch) = top(2)
+            val (t3c, t3ch) = top(3)
+            // repeated 5-grams: occurrence total + distinct covered starts
+            var dup5Starts = 0L
+            var dup5Cov = 0L
+            if (toks.length >= 5) {
+              val first = new java.util.HashMap[String, Int]()
+              val reps = new java.util.HashMap[String, java.util.ArrayList[Int]]()
+              val sb = new java.lang.StringBuilder
+              var i = 0
+              while (i <= toks.length - 5) {
+                sb.setLength(0)
+                var j = 0
+                while (j < 5) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+                val g = sb.toString
+                val r = reps.get(g)
+                if (r != null) r.add(i)
+                else if (first.containsKey(g)) {
+                  val lst = new java.util.ArrayList[Int]()
+                  lst.add(first.get(g)); lst.add(i)
+                  reps.put(g, lst)
+                } else first.put(g, i)
+                i += 1
+              }
+              if (!reps.isEmpty) {
+                val covered = new java.util.HashSet[Int]()
+                val it = reps.values().iterator()
+                while (it.hasNext) {
+                  val lst = it.next()
+                  dup5Starts += lst.size
+                  var x = 0
+                  while (x < lst.size) {
+                    val s = lst.get(x)
+                    var d = 0
+                    while (d < 5) { covered.add(s + d); d += 1 }
+                    x += 1
+                  }
+                }
+                dup5Cov = covered.size.toLong
+              }
+            }
+            Iterator.single((id, toks.length.toLong, t2c, t2ch, t3c, t3ch,
+              dup5Starts, dup5Cov))
+          }
+        })
+      return rows.toDF(idCol, "n_tokens", "top2_count", "top2_chars",
+        "top3_count", "top3_chars", "dup5_starts", "dup5_cov")
+    }
     val p = df.sparkSession.sparkContext.defaultParallelism
     // explicit isnotnull(id) mirrors what the assembling left-joins infer
     // for their RIGHT sides only: without it the n_tokens branch (the

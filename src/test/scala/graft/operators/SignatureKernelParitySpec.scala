@@ -130,6 +130,40 @@ class SignatureKernelParitySpec extends SparkTestBase {
     fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
   }
 
+  test("AllPairs.cosinePairs: kernel element rows equal exploded formulation") {
+    val fast = AllPairs.cosinePairs(viaKernel, "doc_id", "text", 300, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val slow = AllPairs.cosinePairs(viaExploded, "doc_id", "text", 300, 2)
+      .collect().map(r => (r.getString(0).drop(1).toLong,
+        r.getString(1).drop(1).toLong, r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // ids order differently as strings ("k10" < "k2") — compare as
+    // unordered pairs plus evidence
+    def canon(s: Set[(Long, Long, Long, Long, Long)]) =
+      s.map { case (a, b, na, nb, c) =>
+        if (a < b) (a, b, na, nb, c) else (b, a, nb, na, c) }
+    assert(canon(fast) == canon(slow))
+  }
+
+  test("repetitionSignals: kernel equals window formulation") {
+    val fast = TextAnalysis.repetitionSignals(viaKernel, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val slow = TextAnalysis.repetitionSignals(viaExploded, "doc_id", "text")
+      .collect().map(r => r.getString(0).drop(1).toLong -> r.toSeq.tail).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
+  }
+
+  test("boilerplateStats: kernel equals window formulation") {
+    val fast = TextAnalysis.boilerplateStats(viaKernel, "doc_id", "text", 2, 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val slow = TextAnalysis.boilerplateStats(viaExploded, "doc_id", "text", 2, 2)
+      .collect().map(r => r.getString(0).drop(1).toLong -> r.toSeq.tail).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
+  }
+
   test("normTextJvm equals the normText column over the adversarial corpus") {
     val viaCol = corpus.select(col("doc_id"), Dedup.normText(col("text")))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
