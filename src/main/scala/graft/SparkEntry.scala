@@ -2322,11 +2322,12 @@ object SparkEntry {
     // merge-candidate table a byte-pair-encoding trainer consumes each
     // round. Reuses the codegen'd shingle stage at size 2 (a "pair" is a
     // 2-gram); map-side partial counts; top-k plans as TakeOrdered.
+    // (r19) the counting stage is the trainer's mapPartitions kernel:
+    // per-partition pair partials, vocabulary-sized shuffle, TakeOrdered.
+    // Only docs with >= 2 tokens contribute, as before (a 1-token doc has
+    // no adjacent pair).
     "q_bpe_pairs" -> ((s, dir) =>
-      Dedup.explodedShingles(docs(s, dir), "doc_id", "text", shingleSize = 2)
-        .filter(col("__sh").contains(" ")) // short docs fall back to a 1-token whole-text shingle — not a pair
-        .groupBy(col("__sh").as("pair"))
-        .agg(count(lit(1)).as("cnt"))
+      TextAnalysis.adjacentPairCounts(docs(s, dir), "text")
         .orderBy(col("cnt").desc, col("pair"))
         .limit(50)),
     // ...and the full trainer loop on top: six sequential merge rounds,

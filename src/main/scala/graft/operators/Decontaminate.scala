@@ -25,12 +25,14 @@ object Decontaminate {
     */
   def overlapCounts(corpus: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
-    val evalGrams = Dedup.explodedShingles(
+    // digest rows via the per-doc kernel face (Dedup.distinctGramDigests
+    // — window+distinct fallback for non-long ids); the eval side still
+    // reduces to a GLOBAL distinct digest set (benchmark-sized)
+    val evalGrams = Dedup.distinctGramDigests(
       eval.select(col(idCol), col(textCol)), idCol, textCol, n)
-      .select(md5(col("__sh")).as("__g")).distinct()
-    val corpusGrams = Dedup.explodedShingles(
+      .select(col("__g")).distinct()
+    val corpusGrams = Dedup.distinctGramDigests(
       corpus.select(col(idCol), col(textCol)), idCol, textCol, n)
-      .select(col(idCol), md5(col("__sh")).as("__g")).distinct()
     corpusGrams.join(evalGrams, "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
@@ -52,13 +54,14 @@ object Decontaminate {
     */
   def evalContamination(corpus: DataFrame, eval: DataFrame, idCol: String,
                         textCol: String, n: Int = 8): DataFrame = {
-    val evalGrams = Dedup.explodedShingles(
+    val evalGrams = Dedup.distinctGramDigests(
       eval.select(col(idCol), col(textCol)), idCol, textCol, n)
-      .select(col(idCol), md5(col("__sh")).as("__g")).distinct()
     val totals = evalGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val corpusDigests = Dedup.explodedShingles(
+    // per-doc-distinct corpus digests (the downstream hit set is distinct
+    // anyway, so doc-local dedup only shrinks the probe volume)
+    val corpusDigests = Dedup.distinctGramDigests(
       corpus.select(col(idCol), col(textCol)), idCol, textCol, n)
-      .select(md5(col("__sh")).as("__g"))
+      .select(col("__g"))
     val hits = corpusDigests.join(broadcast(evalGrams), "__g")
       .select(col(idCol), col("__g")).distinct()
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))

@@ -561,6 +561,38 @@ object Dedup {
       case dt => out.withColumn(idCol, col(idCol).cast(dt))
     }
 
+  /** Distinct (`idCol`, `__g` = md5(shingle)) rows per document — the
+    * digest face the decontamination and boilerplate pipelines share.
+    * (id, digest) duplicates are doc-local, so on long ids one narrow
+    * per-doc pass emits each digest once (kernel discipline above);
+    * other id types run the exploded window + distinct formulation.
+    */
+  def distinctGramDigests(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int): DataFrame =
+    if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val k = shingleSize
+      df.repartition(p, col(idCol))
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
+            else {
+              val set = new java.util.LinkedHashSet[String]()
+              shinglesJvm(normTextJvm(text), k)
+                .foreach(sh => set.add(md5HexJvm(md, sh)))
+              scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+                .asScala.map(g => (id, g))
+            }
+          }
+        }.toDF(idCol, "__g")
+    } else explodedShingles(df, idCol, textCol, shingleSize)
+      .select(col(idCol), md5(col("__sh")).as("__g")).distinct()
+
   /** Per-lane hash columns via double hashing: TWO xxhash64 evaluations
     * per shingle expanded to `numHashes` lanes as
     * `lane_i = h1 XOR rotl(h2, i)` — the rotate-XOR variant of

@@ -240,33 +240,7 @@ object TextAnalysis {
     // stays exchange-free on the shingle stage's doc-id clustering, and
     // the df-count window — this pipeline's one corpus-wide shuffle —
     // moves 16-byte md5s instead of raw gram text
-    val grams =
-      if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
-        // per-doc kernel: (doc, gram-digest) duplicates are doc-local, so
-        // one narrow pass emits each digest once per doc — no window, no
-        // distinct aggregate (signature-kernel discipline, parity-spec'd)
-        val spark = df.sparkSession
-        import spark.implicits._
-        val pk = spark.sparkContext.defaultParallelism
-        val k = shingleSize
-        df.repartition(pk, col(idCol))
-          .select(col(idCol).cast("long"), col(textCol).cast("string"))
-          .as[(Long, String)]
-          .mapPartitions { it =>
-            val md = java.security.MessageDigest.getInstance("MD5")
-            it.flatMap { case (id, text) =>
-              if (text == null) Iterator.empty
-              else {
-                val set = new java.util.LinkedHashSet[String]()
-                Dedup.shinglesJvm(Dedup.normTextJvm(text), k)
-                  .foreach(sh => set.add(Dedup.md5HexJvm(md, sh)))
-                scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
-                  .asScala.map(g => (id, g))
-              }
-            }
-          }.toDF(idCol, "__g")
-      } else Dedup.explodedShingles(df, idCol, textCol, shingleSize)
-        .select(col(idCol), md5(col("__sh")).as("__g")).distinct()
+    val grams = Dedup.distinctGramDigests(df, idCol, textCol, shingleSize)
     grams
       // rows are distinct per (doc, gram), so the per-gram partition count
       // IS the gram's document frequency
@@ -424,21 +398,8 @@ object TextAnalysis {
       // adjacent occurrence counts (within-doc repeats included), and
       // ties break on the pair string's binary order.
       val ms = learned.map(m => (m._2, m._3)).toArray
-      val top = base.mapPartitions { it =>
-          val counts = new java.util.HashMap[String, java.lang.Long]()
-          it.foreach { norm =>
-            val toks = applyMergesToTokens(norm.split(" "), ms)
-            var i = 0
-            while (i < toks.length - 1) {
-              val key = toks(i) + " " + toks(i + 1)
-              val prev = counts.get(key)
-              counts.put(key, if (prev == null) 1L else prev.longValue + 1L)
-              i += 1
-            }
-          }
-          scala.jdk.CollectionConverters.MapHasAsScala(counts)
-            .asScala.iterator.map { case (pr, c) => (pr, c.longValue) }
-        }.toDF("__sh", "__c")
+      val top = base.mapPartitions(it => pairCountPartials(it, ms))
+        .toDF("__sh", "__c")
         .groupBy(col("__sh")).agg(sum(col("__c")).as("cnt"))
         .orderBy(col("cnt").desc, col("__sh")) // plans as TakeOrdered
         .limit(1).collect()
@@ -453,6 +414,46 @@ object TextAnalysis {
     learned.toSeq.toDF("merge_idx", "tok_a", "tok_b", "cnt")
       .select(col("merge_idx").cast("int"), col("tok_a"), col("tok_b"),
         col("cnt"))
+  }
+
+  /** Per-partition adjacent-pair count partials of normalized token
+    * streams under a merge list — [[bpeTrain]]'s per-round counting
+    * stage. Emits one (pair, partial count) row per DISTINCT pair per
+    * partition, so the downstream shuffle is vocabulary-sized.
+    */
+  private def pairCountPartials(it: Iterator[String],
+                                ms: Array[(String, String)]): Iterator[(String, Long)] = {
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    it.foreach { norm =>
+      val toks = applyMergesToTokens(norm.split(" "), ms)
+      var i = 0
+      while (i < toks.length - 1) {
+        val key = toks(i) + " " + toks(i + 1)
+        val prev = counts.get(key)
+        counts.put(key, if (prev == null) 1L else prev.longValue + 1L)
+        i += 1
+      }
+    }
+    scala.jdk.CollectionConverters.MapHasAsScala(counts)
+      .asScala.iterator.map { case (pr, c) => (pr, c.longValue) }
+  }
+
+  /** Corpus-wide adjacent-pair frequencies of the normalized token
+    * stream — the merge-candidate table a BPE trainer consumes each
+    * round (round 0 exposed here; [[bpeTrain]] runs the same counting
+    * under its learned merges). Same kernel shape as the trainer: one
+    * narrow mapPartitions emitting per-partition partials, then a
+    * vocabulary-sized sum. Output: (pair, cnt).
+    */
+  def adjacentPairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(Dedup.normText(col(textCol)).as("__norm"))
+      .filter(col("__norm").isNotNull)
+      .as[String]
+      .mapPartitions(it => pairCountPartials(it, Array.empty))
+      .toDF("__sh", "__c")
+      .groupBy(col("__sh").as("pair")).agg(sum(col("__c")).as("cnt"))
   }
 
   /** Apply a trained merge list ([[bpeTrain]] output order) to encode a
