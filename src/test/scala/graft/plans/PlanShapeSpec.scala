@@ -47,13 +47,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(countOf(p, "Exchange") == 0, s"narrow projection expected:\n$p")
   }
 
-  test("dedup_minhash: exactly one real exchange tree (repartition reused by window + agg)") {
+  test("dedup_minhash: one doc exchange feeds the per-doc signature kernel") {
+    // r19: signatures are computed doc-locally in one mapPartitions kernel
+    // (tokenize → shingle → per-lane min), replacing the exploded-shingle
+    // window + partial_min aggregate — the ONLY exchange left is the
+    // fixed-width doc repartition feeding the kernel; shingle rows never
+    // materialize, so there is nothing to aggregate or re-shuffle.
     val p = plan("dedup_minhash")
-    // one explicit repartition exchange; the window and signature groupBy
-    // reuse its (doc_id) clustering rather than re-shuffling
     val exchanges = countOf(p, "Exchange hashpartitioning")
-    assert(exchanges <= 2, s"minhash should not cascade shuffles, got $exchanges:\n$p")
-    assert(p.contains("partial_min"), s"map-side partial min expected:\n$p")
+    assert(exchanges == 1, s"exactly the doc repartition, got $exchanges:\n$p")
+    assert(p.contains("MapPartitions"), s"per-doc signature kernel expected:\n$p")
+    assert(!p.contains("Window"), s"no exploded-shingle window expected:\n$p")
   }
 
   test("ann_cosine: corpus side never exchanges (query side broadcast)") {
@@ -278,11 +282,23 @@ class PlanShapeSpec extends SparkTestBase {
     val expected = Seq( // (query, live exchanges, reused branches)
       ("dedup_e2e", 0, 1), // cached pair plan: live exchanges sit in eager execs
       ("dedup_e2e_md5", 0, 1),
-      ("q_decontam_report", 4, 1),
-      ("q_gopher_repeat", 1, 3), // ONE doc-keyed exchange serves all four signals
+      // r19 kernel shape: 2 doc repartitions feeding the gram-digest
+      // kernels (eval + corpus — doc-LOCAL dedup replaced the corpus-wide
+      // (id, __g) distinct exchange, so the rows shuffled here are already
+      // per-doc distinct digests), the (doc_id, __g) hit distinct, and the
+      // two per-doc count aggregates; the eval kernel subtree is reused
+      // between the broadcast gram set and the totals branch
+      ("q_decontam_report", 5, 1),
+      // r19: the whole repetition bundle is computed doc-locally in one
+      // kernel pass — the ONE exchange is the doc repartition feeding it;
+      // nothing is left to reuse (no grouped-count branches, no joins)
+      ("q_gopher_repeat", 1, 0),
       ("q_ngram_fluency", 3, 2),
       ("q_paragraph_dedup", 2, 1),
-      ("q_span_dedup", 2, 2),
+      // r19: the gram stage runs in the per-doc kernel; its doc repartition
+      // is a third live exchange, but the rows it carries are doc-local
+      // gram digests (the corpus-wide gram distinct is gone)
+      ("q_span_dedup", 3, 2),
       ("q_tfidf", 2, 1),
       ("q_winnow_pairs", 3, 2)) // one fp exchange serves all three tiers
     expected.foreach { case (name, wantLive, wantReused) =>
