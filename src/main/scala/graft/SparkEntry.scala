@@ -2466,10 +2466,13 @@ object SparkEntry {
       val paras = transform(
         sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(paraTokens)),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(paraTokens))))
-      val withBoiler = docs(s, dir).select(col("doc_id"),
+      // paras passed as an EXPRESSION: the interpreted transform/slice
+      // construction evaluates above the operator's doc exchange at
+      // session width, not at the (1-task) scan width — see
+      // dropRepeatedParagraphsExpr (r19)
+      Dedup.dropRepeatedParagraphsExpr(docs(s, dir), "doc_id",
         when(col("doc_id") % 7 === 0, concat(paras, array(lit(boilerPara))))
-          .otherwise(paras).as("paras"))
-      Dedup.dropRepeatedParagraphs(withBoiler, "doc_id", "paras", paraMinCount)
+          .otherwise(paras), paraMinCount)
     }),
     "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -2635,12 +2638,13 @@ object SparkEntry {
     // minhash pipeline's exploded-shingle stage — total vs distinct counts
     // of the SAME rows, one aggregate.
     "q_ngram_repeat" -> ((s, dir) => Dedup
-      .explodedShingles(docs(s, dir), "doc_id", "text", shingleSize = 3)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("total_3grams"),
-        countDistinct(col("__sh")).as("distinct_3grams"))
-      .select(col("doc_id"), col("total_3grams"), col("distinct_3grams"),
-        expr("(total_3grams - distinct_3grams) * 1000 div total_3grams")
+      // doc-local total/distinct shingle counts — per-doc kernel on long
+      // ids (r19; exploded groupBy + countDistinct before)
+      .shingleRepeatStats(docs(s, dir), "doc_id", "text", shingleSize = 3)
+      .select(col("doc_id"),
+        col("total_shingles").as("total_3grams"),
+        col("distinct_shingles").as("distinct_3grams"),
+        expr("(total_shingles - distinct_shingles) * 1000 div total_shingles")
           .as("dup_permille"))),
 
     // overlapping token-window chunking: the RAG/pretraining windowing op

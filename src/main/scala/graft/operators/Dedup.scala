@@ -593,6 +593,40 @@ object Dedup {
     } else explodedShingles(df, idCol, textCol, shingleSize)
       .select(col(idCol), md5(col("__sh")).as("__g")).distinct()
 
+  /** Per-doc TOTAL and DISTINCT shingle counts ([[explodedShingles]]
+    * semantics — short docs contribute their whole text as one shingle,
+    * null text drops the doc). Both aggregates are DOC-LOCAL, so on long
+    * ids the whole computation runs as one narrow per-doc kernel pass —
+    * no exploded shingle rows, no countDistinct hash aggregate over the
+    * corpus; other id types keep the exploded formulation (the parity
+    * reference, pinned in SignatureKernelParitySpec).
+    * Output: (`idCol`, `total_shingles`, `distinct_shingles`).
+    */
+  def shingleRepeatStats(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int): DataFrame =
+    if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val k = shingleSize
+      df.repartition(p, col(idCol))
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val sh = shinglesJvm(normTextJvm(text), k)
+            val set = new java.util.HashSet[String]()
+            var i = 0
+            while (i < sh.length) { set.add(sh(i)); i += 1 }
+            Iterator.single((id, sh.length.toLong, set.size.toLong))
+          }
+        }).toDF(idCol, "total_shingles", "distinct_shingles")
+    } else explodedShingles(df, idCol, textCol, shingleSize)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_shingles"),
+        countDistinct(col("__sh")).as("distinct_shingles"))
+
   /** Per-lane hash columns via double hashing: TWO xxhash64 evaluations
     * per shingle expanded to `numHashes` lanes as
     * `lane_i = h1 XOR rotl(h2, i)` — the rotate-XOR variant of
@@ -968,28 +1002,57 @@ object Dedup {
     */
   def dropRepeatedParagraphs(df: DataFrame, idCol: String, parasCol: String,
                              minCount: Long, sep: String = " ",
-                             tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
-    // fixed-width repartition guard, as in explodedShingles: the explode +
-    // md5 stage is CPU-bound and must not inherit a single-file scan's
-    // partition count
+                             tracker: CacheTracker = CacheTracker.unmanaged): DataFrame =
+    dropRepeatedParagraphsExpr(df, idCol, col(parasCol), minCount, sep, tracker)
+
+  /** Column-expression flavor of [[dropRepeatedParagraphs]]: `paras` is
+    * EVALUATED ABOVE the fixed-width doc exchange, so an expensive
+    * construction expression (the interpreted `transform`/`slice` token
+    * windowing callers use) runs at the session's width instead of the
+    * scan's — measured 1-task/0.8 s vs 32-way on a single-file local
+    * scan. r19 shape: the digest branch carries only (id, pos, md5);
+    * docs are REBUILT by filtering the original paragraph array against
+    * the (dup-doc-sized, AQE-broadcast) blocked-position set — no
+    * corpus-wide collect_list aggregate, and the one exchange that moves
+    * text is stage-reused between the digest branch and the rebuild.
+    * Null-id rows are dropped (the non-null key contract every dedup
+    * operator here follows).
+    */
+  def dropRepeatedParagraphsExpr(df: DataFrame, idCol: String, paras: Column,
+                                 minCount: Long, sep: String = " ",
+                                 tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val ex = df.repartition(p, col(idCol))
-      .select(col(idCol), size(col(parasCol)).cast("long").as("__np"),
-        posexplode(col(parasCol)).as(Seq("__pos", "__para")))
-      .withColumn("__h", md5(col("__para")))
+    // one filter + repartition subtree shared by BOTH consumers (digest
+    // branch and rebuild) — canonically identical, so AQE stage-reuses
+    // the single text shuffle (the exciseDuplicateSpans discipline)
+    val based = df.filter(col(idCol).isNotNull)
+      .repartition(p, col(idCol))
+      .select(col(idCol), paras.as("__paras"))
+      .filter(col("__paras").isNotNull && size(col("__paras")) > 0)
+    val ex = based
+      .select(col(idCol), posexplode(col("__paras")).as(Seq("__pos", "__para")))
+      .select(col(idCol), col("__pos"), md5(col("__para")).as("__h"))
     val blocklist = ex.select(col("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
       .select(col("__h"))
-    // no broadcast hint — blocklist size is data-dependent (see scaladoc);
-    // AQE picks broadcast when the materialized size allows it
-    ex.join(blocklist, Seq("__h"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(max(col("__np")).as("n_paras"),
-        count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
-            x => x.getField("__para")), sep).as("clean_text"))
+    // per-doc blocked POSITIONS (dup docs only — small); null-hash paras
+    // (null elements) never match the inner join, so they are kept, as
+    // the old anti-join kept them
+    val blocked = ex.join(blocklist, Seq("__h"))
+      .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__bpos"))
+    // no broadcast hint — blocked size is data-dependent; AQE picks
+    // broadcast when the materialized size allows it
+    based.join(blocked, Seq(idCol), "left")
+      .withColumn("__bp", coalesce(col("__bpos"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__paras")).cast("long").as("n_paras"),
+        (size(col("__paras")) - size(col("__bp"))).cast("long").as("n_kept"),
+        array_join(filter(col("__paras"),
+          (_, i) => !array_contains(col("__bp"), i)), sep).as("clean_text"))
+      // a doc whose every paragraph was blocked yields no row (the old
+      // groupBy-over-anti-join semantics)
+      .filter(col("n_kept") > 0)
   }
 
   // -------------------------------------------------------------- simhash

@@ -164,6 +164,18 @@ class SignatureKernelParitySpec extends SparkTestBase {
     fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
   }
 
+  test("shingleRepeatStats: kernel equals exploded formulation") {
+    val fast = Dedup.shingleRepeatStats(viaKernel, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val slow = Dedup.shingleRepeatStats(viaExploded, "doc_id", "text", 3)
+      .collect().map(r => r.getString(0).drop(1).toLong -> r.toSeq.tail).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
+    assert(!fast.contains(7L)) // null text drops out on both paths
+    // within-doc repeats: 8 tokens → 6 shingles, "a a a" ×3 collapses
+    assert(fast(11L) == Seq(6L, 4L))
+  }
+
   test("normTextJvm equals the normText column over the adversarial corpus") {
     val viaCol = corpus.select(col("doc_id"), Dedup.normText(col("text")))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -121,10 +121,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"group-limit must prune the ranking input:\n$p")
   }
 
-  test("q_ngram_repeat: shingle window + distinct-count aggregate in one exchange") {
+  test("q_ngram_repeat: one doc exchange feeds the per-doc repeat-stats kernel") {
+    // r19: total/distinct shingle counts are doc-local — computed in one
+    // mapPartitions pass (no exploded shingle rows, no countDistinct
+    // expansion); the only exchange is the doc repartition feeding it
     val p = plan("q_ngram_repeat")
     assert(countOf(p, "Exchange hashpartitioning") == 1,
-      s"everything clusters by doc_id off one shuffle:\n$p")
+      s"exactly the doc repartition:\n$p")
+    assert(p.contains("MapPartitions"), s"per-doc kernel expected:\n$p")
+    assert(!p.contains("Window"), s"no exploded-shingle window expected:\n$p")
   }
 
   test("q_filter_funnel: one scan, zero exchanges, partial aggregation") {
@@ -186,14 +191,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("q_paragraph_dedup: blocklist broadcasts into a left-anti join") {
-    // no broadcast HINT anymore (a boilerplate-heavy corpus can outgrow
-    // it) — this asserts the planner still picks broadcast from the
-    // blocklist's own stats at benchmark scale, where it is tiny
+  test("q_paragraph_dedup: blocklist broadcasts into the digest join; rebuild rides the doc exchange") {
+    // r19 shape: the digest branch carries only (id, pos, md5) — the
+    // blocklist (no broadcast HINT — a boilerplate-heavy corpus can
+    // outgrow it; the planner picks broadcast from its own stats at
+    // benchmark scale) joins INNER against the digest rows to produce
+    // the per-doc blocked-position set, and the rebuild joins that back
+    // to the original paragraph arrays on the SAME doc exchange (stage
+    // reuse) instead of re-aggregating text through a corpus-wide
+    // collect_list.
     val p = plan("q_paragraph_dedup")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+    assert(p.contains("BroadcastHashJoin"),
       s"planner should broadcast the tiny blocklist at this scale:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"no shuffled join expected:\n$p")
+    assert(!p.contains("collect_list"),
+      s"rebuild must filter the original arrays, not re-aggregate text:\n$p")
   }
 
   test("variant mutations and image decode: narrow maps, zero exchanges") {
@@ -294,7 +305,9 @@ class PlanShapeSpec extends SparkTestBase {
       // nothing is left to reuse (no grouped-count branches, no joins)
       ("q_gopher_repeat", 1, 0),
       ("q_ngram_fluency", 3, 2),
-      ("q_paragraph_dedup", 2, 1),
+      // r19: doc repartition + blocklist digest agg live; the doc
+      // exchange is reused TWICE (digest branch + array rebuild)
+      ("q_paragraph_dedup", 2, 2),
       // r19: the gram stage runs in the per-doc kernel; its doc repartition
       // is a third live exchange, but the rows it carries are doc-local
       // gram digests (the corpus-wide gram distinct is gone)
