@@ -112,18 +112,22 @@ object AllPairs {
     val t2 = tPerMille.toLong * tPerMille // t²·10⁶
     val M = 1000000L
 
-    // persisted: FOUR branches consume the distinct element rows on
-    // DIFFERENT keys (element-df count, the rank/size windows by id,
-    // and the two verify joins by id_a/id_b), so no single exchange can
-    // be reused across them and Catalyst does not CSE subplans. The
-    // cached rows are NARROW (id, element) columnar — measured 4.0 →
-    // 2.3 s warm at sf0.1 against a stable interleaved reference query.
-    // (The per-doc ARRAY formulation's cache was the opposite — 2-8×
-    // SLOWER than recompute: object serialization + broadcast-reuse
-    // loss. What gets cached matters more than whether.) Ownership:
-    // [[CacheTracker]].
-    val el = tracker.own(elems
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialized ONCE and lineage-cut: FOUR branches consume the
+    // distinct element rows on DIFFERENT keys (element-df count, the
+    // rank/size windows by id, and the two verify joins by id_a/id_b),
+    // so no single exchange can be reused across them and Catalyst does
+    // not CSE subplans. The rows are NARROW (id, element). r19: eager
+    // localCheckpoint instead of persist — same one-materialization
+    // recompute avoidance (MEMORY_AND_DISK blocks either way), but the
+    // four consumers now plan against a FLAT LogicalRDD leaf instead of
+    // four InMemoryRelation-wrapped copies of the kernel subtree, which
+    // removed ~1 s of measured driver planning gap (JobProfile) per run;
+    // the checkpoint also keeps the doc-hash partitioning, so the window
+    // branch still rides it without a new exchange. (The per-doc ARRAY
+    // formulation's cache was 2-8× SLOWER than recompute: object
+    // serialization + broadcast-reuse loss. What gets materialized
+    // matters more than whether.)
+    val el = elems.localCheckpoint(true)
 
     // global document frequency -> total order (df asc, element asc);
     // per-element rank AND set size from two window passes sharing ONE

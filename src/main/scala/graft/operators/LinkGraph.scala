@@ -214,17 +214,24 @@ object LinkGraph {
     // AND the join side itself (AQE broadcasts the small raw relation) —
     // and Catalyst does not CSE subplans, so without the persist the
     // whole join+aggregate subtree executes once per broadcast.
+    // r19: the loop carries only nodes with NONZERO raw sums. A node
+    // absent from the per-round aggregate would normalize to 0 and
+    // contribute 0 to the next round's sums — algebra-identical to
+    // carrying it — so the per-round join back to ALL nodes (a full
+    // node-table join + checkpoint every half-round, measured as ~5
+    // jobs/half-round of pure scheduling at small scale) happens ONCE at
+    // the end instead. What gets checkpointed per half-round is the RAW
+    // aggregate (one narrow (id, x) table); the normalized view is a
+    // flat projection over that LogicalRDD + the broadcast 1-row total,
+    // cheap for both consumers (next round's join, final output).
     def normalize(raw: DataFrame, outCol: String): DataFrame = {
-      val r = raw.persist(StorageLevel.MEMORY_AND_DISK)
+      val r = ck(raw)
       val total = r.agg(coalesce(sum("x"), lit(0L)).as("t"))
-      val out = ck(ns.join(r, Seq("id"), "left")
-        .crossJoin(broadcast(total))
+      r.crossJoin(broadcast(total))
         .select(col("id"),
-          expr(s"coalesce(x, 0L) div greatest(1L, t div $scale)").as(outCol)))
-      r.unpersist(blocking = false)
-      out
+          expr(s"x div greatest(1L, t div $scale)").as(outCol))
     }
-    var hubs = ck(ns.select(col("id"), lit(scale).as("hub")))
+    var hubs = ns.select(col("id"), lit(scale).as("hub"))
     var auths: DataFrame = null
     var iter = 0
     while (iter < iters) {
@@ -238,7 +245,16 @@ object LinkGraph {
         "hub")
       iter += 1
     }
+    // absent = zero, attached once: a node no hub/authority mass ever
+    // reached scores 0 under the carried-zeros formulation too. The
+    // assembly is checkpointed (one job) so `ns` can be unpinned — the
+    // returned plan must not reference the unpersisted cache.
+    val out = ck(ns
+      .join(hubs, Seq("id"), "left")
+      .join(auths, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("authority"), lit(0L)).as("authority")))
     ns.unpersist(blocking = false)
-    hubs.join(auths, Seq("id"))
+    out
   }
 }
