@@ -50,6 +50,129 @@ object NgramLm {
   private def toks(c: Column): Column =
     split(lower(TextAnalysis.normWs(c)), " ")
 
+  /** Per-partition tagged gram-count partials over normalized token
+    * streams (r19, the [[TextAnalysis.adjacentPairCounts]] kernel shape
+    * extended to orders 1..maxOrder in ONE tokenize pass): emits
+    * (order, w1, w2, w3, partial count) with one row per distinct gram
+    * per partition, so the downstream shuffle is vocabulary-sized —
+    * replacing three interpreted arrays_zip/slice explodes and three
+    * corpus-sized count exchanges. Tokens cannot contain spaces (they
+    * come from whitespace splitting), so the space-joined composite map
+    * key is unambiguous.
+    */
+  private def gramCountPartials(it: Iterator[String], maxOrder: Int)
+      : Iterator[(Int, String, String, String, Long)] = {
+    val maps = Array.fill(maxOrder)(new java.util.HashMap[String, java.lang.Long]())
+    def bump(o: Int, k: String): Unit = {
+      val prev = maps(o).get(k)
+      maps(o).put(k, if (prev == null) 1L else prev.longValue + 1L)
+    }
+    val sb = new java.lang.StringBuilder
+    it.foreach { norm =>
+      val t = norm.split(" ")
+      var i = 0
+      while (i < t.length) {
+        bump(0, t(i))
+        if (maxOrder >= 2 && i + 1 < t.length) {
+          sb.setLength(0)
+          sb.append(t(i)).append(' ').append(t(i + 1))
+          bump(1, sb.toString)
+          if (maxOrder >= 3 && i + 2 < t.length) {
+            sb.append(' ').append(t(i + 2))
+            bump(2, sb.toString)
+          }
+        }
+        i += 1
+      }
+    }
+    (0 until maxOrder).iterator.flatMap { o =>
+      scala.jdk.CollectionConverters.MapHasAsScala(maps(o)).asScala.iterator
+        .map { case (k, c) =>
+          val p = k.split(" ", -1)
+          (o + 1, p(0), if (o >= 1) p(1) else null, if (o >= 2) p(2) else null,
+            c.longValue)
+        }
+    }
+  }
+
+  /** Exact corpus gram counts for orders 1..maxOrder as ONE checkpointed
+    * vocabulary-sized table (__o, w1, w2, w3, c). The eager
+    * localCheckpoint is load-bearing twice over: the order filters below
+    * would otherwise push past the aggregate and split the shared
+    * exchange into per-order copies (re-running the corpus pass once per
+    * model table), and the scoring joins' broadcast builds plan against
+    * a flat leaf. The kernel stays NARROW over the scan (no repartition:
+    * shuffling the train corpus to parallelize a JVM-fast count pass
+    * costs more than it saves at any scale — measured here, and at
+    * 100 TB it would be a full corpus exchange).
+    */
+  private def gramCounts(docs: DataFrame, textCol: String,
+                         maxOrder: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(Dedup.normText(col(textCol)).as("__norm"))
+      .filter(col("__norm").isNotNull)
+      .as[String]
+      .mapPartitions(it => gramCountPartials(it, maxOrder))
+      .toDF("__o", "w1", "w2", "w3", "__c")
+      .groupBy("__o", "w1", "w2", "w3").agg(sum("__c").as("c"))
+      .localCheckpoint(true)
+  }
+
+  /** Per-doc gram rows with doc-local OCCURRENCE counts — the scoring
+    * input. On long ids one narrow per-doc kernel pass (the signature-
+    * kernel discipline; repeated grams collapse to one row with __occ,
+    * shrinking the model joins); other id types keep the exploded
+    * formulation with __occ = 1 per occurrence row (the parity
+    * reference). Output: (idCol, w1[, w2[, w3]], __occ). NARROW on both
+    * paths — the old explode shape never exchanged text and neither
+    * does the kernel: the win is JVM tokenization (the interpreted
+    * arrays_zip/slice explode measured ~0.6 s/task) plus doc-local
+    * occurrence collapsing ahead of the model joins.
+    */
+  private def docGramCounts(docs: DataFrame, idCol: String, textCol: String,
+                            order: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      val rows = docs
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val t = Dedup.normTextJvm(text).split(" ")
+            val m = new java.util.HashMap[String, java.lang.Long]()
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i + order - 1 < t.length) {
+              sb.setLength(0)
+              var j = 0
+              while (j < order) {
+                if (j > 0) sb.append(' '); sb.append(t(i + j)); j += 1
+              }
+              val k = sb.toString
+              val prev = m.get(k)
+              m.put(k, if (prev == null) 1L else prev.longValue + 1L)
+              i += 1
+            }
+            scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.iterator
+              .map { case (k, c) => (id, k, c.longValue) }
+          }
+        }).toDF(idCol, "__g", "__occ")
+      val parts = split(col("__g"), " ")
+      rows.select(col(idCol) +: (0 until order).map(j =>
+        parts.getItem(j).as(s"w${j + 1}")) :+ col("__occ"): _*)
+    } else {
+      val g = if (order == 3) trigrams(toks(col(textCol)))
+        else bigrams(toks(col(textCol)))
+      val cols = (1 to order).map(j => col(s"g.w$j").as(s"w$j"))
+      docs.select(col(idCol), explode(g).as("g"))
+        .select(col(idCol) +: cols: _*)
+        .withColumn("__occ", lit(1L))
+    }
+  }
+
   /** Adjacent-bigram struct array of a token array: zip the array with
     * itself shifted by one. Docs with fewer than two tokens produce an
     * empty array (slice length 0) and vanish at the explode.
@@ -72,16 +195,18 @@ object NgramLm {
     * pipeline scores many candidate batches against.
     */
   def trainBigram(docs: DataFrame, textCol: String): (DataFrame, DataFrame) = {
-    val t = docs.select(toks(col(textCol)).as("__toks"))
-    val uniCounts = t.select(explode(col("__toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
+    // r19: one kernel pass + one vocabulary-sized exchange for BOTH
+    // count tables (was: two interpreted explodes + two corpus-sized
+    // count exchanges); see gramCounts
+    val counts = gramCounts(docs, textCol, maxOrder = 2)
+    val uniCounts = counts.filter(col("__o") === 1)
+      .select(col("w1").as("w"), col("c").as("cw"))
     val total = uniCounts.agg(sum("cw").as("__total"))
     val uni = uniCounts.crossJoin(broadcast(total))
       .select(col("w"), col("cw"),
         expr(s"(2 * ${Scale}L * cw) div (5 * __total)").as("uni_score"))
-    val bi = t.select(explode(bigrams(col("__toks"))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val bi = counts.filter(col("__o") === 2)
+      .select(col("w1"), col("w2"), col("c").as("c12"))
       .join(uniCounts.select(col("w").as("w1"), col("cw").as("__c1")), "w1")
       .select(col("w1"), col("w2"), col("c12"),
         expr(s"(${Scale}L * c12) div __c1").as("bi_score"))
@@ -113,23 +238,24 @@ object NgramLm {
     */
   def trainTrigram(docs: DataFrame, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val t = docs.select(toks(col(textCol)).as("__toks"))
-    val uniCounts = t.select(explode(col("__toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
+    // r19: one kernel pass + one vocabulary-sized exchange for all THREE
+    // count tables (was: three interpreted explodes + three corpus-sized
+    // count exchanges); see gramCounts
+    val counts = gramCounts(docs, textCol, maxOrder = 3)
+    val uniCounts = counts.filter(col("__o") === 1)
+      .select(col("w1").as("w"), col("c").as("cw"))
     val total = uniCounts.agg(sum("cw").as("__total"))
     val uni = uniCounts.crossJoin(broadcast(total))
       .select(col("w"), col("cw"),
         expr(s"(4 * ${Scale}L * cw) div (25 * __total)").as("uni2_score"))
-    val biCounts = t.select(explode(bigrams(col("__toks"))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val biCounts = counts.filter(col("__o") === 2)
+      .select(col("w1"), col("w2"), col("c").as("c12"))
     val bi = biCounts
       .join(uniCounts.select(col("w").as("w1"), col("cw").as("__c1")), "w1")
       .select(col("w1"), col("w2"), col("c12"),
         expr(s"(2 * ${Scale}L * c12) div (5 * __c1)").as("bi2_score"))
-    val tri = t.select(explode(trigrams(col("__toks"))).as("g"))
-      .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val tri = counts.filter(col("__o") === 3)
+      .select(col("w1"), col("w2"), col("w3"), col("c").as("c123"))
       .join(biCounts.select(col("w1"), col("w2").as("w2"), col("c12").as("__c12")),
         Seq("w1", "w2"))
       .select(col("w1"), col("w2"), col("w3"), col("c123"),
@@ -153,19 +279,21 @@ object NgramLm {
       "uni2_score", "n_trigrams", "score_sum", "score_avg", "__s")
     require(!reserved.contains(idCol),
       s"idCol '$idCol' collides with an internal/output column of scoreTrigram")
-    docs
-      .select(col(idCol), explode(trigrams(toks(col(textCol)))).as("g"))
-      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"),
-        col("g.w3").as("w3"))
+    // r19: doc-local occurrence counts from the per-doc kernel — a
+    // repeated trigram joins the model ONCE and re-enters the sums with
+    // weight __occ; Σ __occ = the old per-occurrence count and
+    // Σ __occ·score = the old per-occurrence sum, exactly
+    docGramCounts(docs, idCol, textCol, order = 3)
       .join(tri.select(col("w1"), col("w2"), col("w3"), col("tri_score")),
         Seq("w1", "w2", "w3"), "left")
       .join(bi.select(col("w1").as("w2"), col("w2").as("w3"), col("bi2_score")),
         Seq("w2", "w3"), "left")
       .join(uni.select(col("w").as("w3"), col("uni2_score")), Seq("w3"), "left")
-      .select(col(idCol),
+      .select(col(idCol), col("__occ"),
         coalesce(col("tri_score"), col("bi2_score"), col("uni2_score"), lit(0L)).as("__s"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_trigrams"), sum("__s").as("score_sum"))
+      .agg(sum("__occ").as("n_trigrams"),
+        sum(col("__occ") * col("__s")).as("score_sum"))
       .withColumn("score_avg", expr("score_sum div n_trigrams"))
   }
 
@@ -184,16 +312,15 @@ object NgramLm {
       "n_bigrams", "score_sum", "score_avg", "__s")
     require(!reserved.contains(idCol),
       s"idCol '$idCol' collides with an internal/output column of scoreBigram")
-    val pairs = docs
-      .select(col(idCol), explode(bigrams(toks(col(textCol)))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    pairs
+    // r19: doc-local occurrence counts — see scoreTrigram
+    docGramCounts(docs, idCol, textCol, order = 2)
       .join(bi.select(col("w1"), col("w2"), col("bi_score")), Seq("w1", "w2"), "left")
       .join(uni.select(col("w").as("w2"), col("uni_score")), Seq("w2"), "left")
-      .select(col(idCol),
+      .select(col(idCol), col("__occ"),
         coalesce(col("bi_score"), col("uni_score"), lit(0L)).as("__s"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum("__s").as("score_sum"))
+      .agg(sum("__occ").as("n_bigrams"),
+        sum(col("__occ") * col("__s")).as("score_sum"))
       .withColumn("score_avg", expr("score_sum div n_bigrams"))
   }
 }

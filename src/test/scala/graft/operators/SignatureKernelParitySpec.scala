@@ -176,6 +176,23 @@ class SignatureKernelParitySpec extends SparkTestBase {
     assert(fast(11L) == Seq(6L, 4L))
   }
 
+  test("NgramLm scoring: per-doc gram kernel equals the exploded formulation") {
+    val (tri, bi, uni) = NgramLm.trainTrigram(viaKernel, "text")
+    val fast = NgramLm.scoreTrigram(viaKernel, "doc_id", "text", tri, bi, uni)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val slow = NgramLm.scoreTrigram(viaExploded, "doc_id", "text", tri, bi, uni)
+      .collect().map(r => r.getString(0).drop(1).toLong -> r.toSeq.tail).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.keys.foreach(k => assert(fast(k) == slow(k), s"doc $k"))
+    val (bi2, uni2) = NgramLm.trainBigram(viaKernel, "text")
+    val fastB = NgramLm.scoreBigram(viaKernel, "doc_id", "text", bi2, uni2)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val slowB = NgramLm.scoreBigram(viaExploded, "doc_id", "text", bi2, uni2)
+      .collect().map(r => r.getString(0).drop(1).toLong -> r.toSeq.tail).toMap
+    assert(fastB.keySet == slowB.keySet)
+    fastB.keys.foreach(k => assert(fastB(k) == slowB(k), s"doc $k"))
+  }
+
   test("normTextJvm equals the normText column over the adversarial corpus") {
     val viaCol = corpus.select(col("doc_id"), Dedup.normText(col("text")))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
