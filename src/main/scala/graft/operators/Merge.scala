@@ -132,6 +132,11 @@ object Merge {
       else if (nonNull.isEmpty) col(partCol).isNull
       else col(partCol).isin(nonNull: _*) || col(partCol).isNull
     val snap = spark.read.parquet(snapshotDir).filter(partPred)
+    // NOT persisted even though the survivor collect and the overwrite
+    // write both execute the merge: the survivor pass is column-PRUNED
+    // to partCol (far cheaper than a full pass), while a cache pin would
+    // force one full-width materialization plus a cache round-trip —
+    // measured ~1 s/apply SLOWER at sf0.1 (r19).
     val merged = applyChanges(snap, changes, key, seqCol, opCol)
     val survivors = merged.select(col(partCol).cast("string")).distinct()
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet

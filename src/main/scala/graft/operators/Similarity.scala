@@ -500,11 +500,15 @@ object Similarity {
                maxCluster: Int = 10000,
                tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
     // referenced several times (self-join sides, overflow path, final
-    // join) and Catalyst does not CSE subplans; ownership: [[CacheTracker]]
-    val base = tracker.own(
-      df.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"),
+    // join) and Catalyst does not CSE subplans. r19: eager
+    // localCheckpoint instead of persist — same one-materialization
+    // blocks, but the five consumers plan against a flat LogicalRDD leaf
+    // instead of five InMemoryRelation-wrapped copies of the
+    // assign+norm subtree (the AllPairs planning-gap finding).
+    val base = df.select(col(idCol), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n"),
         ivfCellCol(col(vecCol), centroids).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint(true)
     // cluster occupancy: at most `centroids.length` rows after map-side
     // partials, so it broadcast-joins back — the corpus itself never
     // shuffles for the size check (a per-cluster count WINDOW would have
