@@ -548,14 +548,14 @@ object Dedup {
   }
 
   /** Integral id types served by the kernels (cast to long and back). */
-  private def integralId(df: DataFrame, idCol: String): Boolean =
+  private[operators] def integralId(df: DataFrame, idCol: String): Boolean =
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
 
-  private def restoreIdType(out: DataFrame, df: DataFrame, idCol: String): DataFrame =
+  private[operators] def restoreIdType(out: DataFrame, df: DataFrame, idCol: String): DataFrame =
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType => out
       case dt => out.withColumn(idCol, col(idCol).cast(dt))

@@ -54,44 +54,74 @@ object NgramLm {
     * streams (r19, the [[TextAnalysis.adjacentPairCounts]] kernel shape
     * extended to orders 1..maxOrder in ONE tokenize pass): emits
     * (order, w1, w2, w3, partial count) with one row per distinct gram
-    * per partition, so the downstream shuffle is vocabulary-sized —
-    * replacing three interpreted arrays_zip/slice explodes and three
-    * corpus-sized count exchanges. Tokens cannot contain spaces (they
-    * come from whitespace splitting), so the space-joined composite map
-    * key is unambiguous.
+    * per partition PER FLUSH, so the downstream shuffle is
+    * vocabulary-sized — replacing three interpreted arrays_zip/slice
+    * explodes and three corpus-sized count exchanges. Tokens cannot
+    * contain spaces (they come from whitespace splitting), so the
+    * space-joined composite map key is unambiguous.
+    *
+    * Memory bound (r20): the partial maps FLUSH whenever their combined
+    * distinct-gram count reaches `flushEntries` — the rows emit and the
+    * maps clear, so a coarse-partitioned or single-file train scan can
+    * never concentrate a corpus-sized trigram vocabulary in one task's
+    * heap (the maps replace Spark's spillable hash aggregate, so they
+    * must bound themselves). Downstream re-aggregates by gram, so a
+    * gram split across flushes merges back exactly; the only cost of a
+    * flush is duplicate partial rows on the wire. Default cap 2²¹
+    * entries ≈ low hundreds of MB of String keys — far below executor
+    * heap, far above any per-partition vocabulary a healthy layout
+    * produces (flushes simply never fire there).
     */
-  private def gramCountPartials(it: Iterator[String], maxOrder: Int)
+  private[operators] def gramCountPartials(it: Iterator[String], maxOrder: Int,
+      flushEntries: Int = 1 << 21)
       : Iterator[(Int, String, String, String, Long)] = {
     val maps = Array.fill(maxOrder)(new java.util.HashMap[String, java.lang.Long]())
+    var entries = 0
     def bump(o: Int, k: String): Unit = {
       val prev = maps(o).get(k)
-      maps(o).put(k, if (prev == null) 1L else prev.longValue + 1L)
+      if (prev == null) { maps(o).put(k, 1L); entries += 1 }
+      else maps(o).put(k, prev.longValue + 1L)
+    }
+    // snapshot + clear: the buffer materializes one flush's entries (the
+    // same bound the maps were just holding), then the maps restart empty
+    def drain(): Iterator[(Int, String, String, String, Long)] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[
+        (Int, String, String, String, Long)](entries)
+      var o = 0
+      while (o < maxOrder) {
+        val mit = maps(o).entrySet().iterator()
+        while (mit.hasNext) {
+          val e = mit.next()
+          val p = e.getKey.split(" ", -1)
+          buf += ((o + 1, p(0), if (o >= 1) p(1) else null,
+            if (o >= 2) p(2) else null, e.getValue.longValue))
+        }
+        maps(o).clear()
+        o += 1
+      }
+      entries = 0
+      buf.iterator
     }
     val sb = new java.lang.StringBuilder
-    it.foreach { norm =>
-      val t = norm.split(" ")
-      var i = 0
-      while (i < t.length) {
-        bump(0, t(i))
-        if (maxOrder >= 2 && i + 1 < t.length) {
-          sb.setLength(0)
-          sb.append(t(i)).append(' ').append(t(i + 1))
-          bump(1, sb.toString)
-          if (maxOrder >= 3 && i + 2 < t.length) {
-            sb.append(' ').append(t(i + 2))
-            bump(2, sb.toString)
+    (it.map(Option(_)) ++ Iterator(None)).flatMap {
+      case Some(norm) =>
+        val t = norm.split(" ")
+        var i = 0
+        while (i < t.length) {
+          bump(0, t(i))
+          if (maxOrder >= 2 && i + 1 < t.length) {
+            sb.setLength(0)
+            sb.append(t(i)).append(' ').append(t(i + 1))
+            bump(1, sb.toString)
+            if (maxOrder >= 3 && i + 2 < t.length) {
+              sb.append(' ').append(t(i + 2))
+              bump(2, sb.toString)
+            }
           }
+          i += 1
         }
-        i += 1
-      }
-    }
-    (0 until maxOrder).iterator.flatMap { o =>
-      scala.jdk.CollectionConverters.MapHasAsScala(maps(o)).asScala.iterator
-        .map { case (k, c) =>
-          val p = k.split(" ", -1)
-          (o + 1, p(0), if (o >= 1) p(1) else null, if (o >= 2) p(2) else null,
-            c.longValue)
-        }
+        if (entries >= flushEntries) drain() else Iterator.empty
+      case None => drain()
     }
   }
 
@@ -134,8 +164,15 @@ object NgramLm {
                             order: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    if (docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+    // r20: same integral-id dispatch as the Dedup kernels (int ids take
+    // the kernel too, cast to long and restored below), and null ids are
+    // DROPPED explicitly before the non-nullable encoder — a null id
+    // carries no identity to aggregate under, and the old behavior was a
+    // runtime encoder error on the kernel path vs a null group on the
+    // exploded path (divergent failure modes, ADVICE r19)
+    if (Dedup.integralId(docs, idCol)) {
       val rows = docs
+        .filter(col(idCol).isNotNull)
         .select(col(idCol).cast("long"), col(textCol).cast("string"))
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
@@ -161,8 +198,10 @@ object NgramLm {
           }
         }).toDF(idCol, "__g", "__occ")
       val parts = split(col("__g"), " ")
-      rows.select(col(idCol) +: (0 until order).map(j =>
-        parts.getItem(j).as(s"w${j + 1}")) :+ col("__occ"): _*)
+      Dedup.restoreIdType(
+        rows.select(col(idCol) +: (0 until order).map(j =>
+          parts.getItem(j).as(s"w${j + 1}")) :+ col("__occ"): _*),
+        docs, idCol)
     } else {
       val g = if (order == 3) trigrams(toks(col(textCol)))
         else bigrams(toks(col(textCol)))
@@ -276,7 +315,8 @@ object NgramLm {
       bi: DataFrame,
       uni: DataFrame): DataFrame = {
     val reserved = Set("w1", "w2", "w3", "tri_score", "bi2_score",
-      "uni2_score", "n_trigrams", "score_sum", "score_avg", "__s")
+      "uni2_score", "n_trigrams", "score_sum", "score_avg", "__s",
+      "__g", "__occ") // __g/__occ: docGramCounts kernel internals
     require(!reserved.contains(idCol),
       s"idCol '$idCol' collides with an internal/output column of scoreTrigram")
     // r19: doc-local occurrence counts from the per-doc kernel — a
@@ -309,7 +349,8 @@ object NgramLm {
       bi: DataFrame,
       uni: DataFrame): DataFrame = {
     val reserved = Set("w1", "w2", "bi_score", "uni_score",
-      "n_bigrams", "score_sum", "score_avg", "__s")
+      "n_bigrams", "score_sum", "score_avg", "__s",
+      "__g", "__occ") // __g/__occ: docGramCounts kernel internals
     require(!reserved.contains(idCol),
       s"idCol '$idCol' collides with an internal/output column of scoreBigram")
     // r19: doc-local occurrence counts — see scoreTrigram

@@ -98,4 +98,57 @@ class NgramLmSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("gramCountPartials: capped flushes re-aggregate to the uncapped counts") {
+    // r20 memory bound: a flush emits the maps and clears them; the
+    // downstream groupBy must merge split partials back exactly. Cap 1
+    // forces a flush after (nearly) every token — the adversarial case.
+    val corpus = Seq("a b a b c", "b c d", "", "x", "a a a a",
+      "d e f g h i", "c b a")
+    def agg(flush: Int): Map[(Int, String, String, String), Long] =
+      NgramLm.gramCountPartials(corpus.iterator, maxOrder = 3, flushEntries = flush)
+        .toSeq.groupBy(t => (t._1, t._2, t._3, t._4))
+        .map { case (k, v) => k -> v.map(_._5).sum }
+    val uncapped = agg(Int.MaxValue)
+    for (cap <- Seq(1, 2, 5))
+      assert(agg(cap) === uncapped, s"flushEntries=$cap diverged")
+    // sanity: the capped run really did emit MORE partial rows
+    assert(NgramLm.gramCountPartials(corpus.iterator, 3, 1).size >
+      NgramLm.gramCountPartials(corpus.iterator, 3, Int.MaxValue).size)
+  }
+
+  test("scoreBigram/scoreTrigram: kernel-internal __g/__occ id names fail fast") {
+    val (bi, uni) = model
+    val docs = Seq((1L, "a b c")).toDF("__occ", "text")
+    intercept[IllegalArgumentException] {
+      NgramLm.scoreBigram(docs, "__occ", "text", bi, uni)
+    }
+    val docs2 = Seq((1L, "a b c")).toDF("__g", "text")
+    intercept[IllegalArgumentException] {
+      NgramLm.scoreTrigram(docs2, "__g", "text", bi, bi, uni)
+    }
+  }
+
+  test("scoreBigram: int ids take the kernel and keep their type; null ids drop") {
+    val (bi, uni) = model
+    val longDocs = Seq((1L, "a b c a"), (2L, "z z")).toDF("id", "text")
+    val intDocs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1, "a b c a"),
+        org.apache.spark.sql.Row(2, "z z"),
+        org.apache.spark.sql.Row(null, "a b c a")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType, nullable = true),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val got = NgramLm.scoreBigram(intDocs, "id", "text", bi, uni)
+    assert(got.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val gotMap = got.collect()
+      .map(r => r.getInt(0).toLong -> ((r.getLong(1), r.getLong(2)))).toMap
+    val wantMap = NgramLm.scoreBigram(longDocs, "id", "text", bi, uni)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotMap === wantMap) // null-id doc dropped, int ids scored identically
+  }
 }
