@@ -45,11 +45,17 @@ object EntityResolution {
     val ss = strings.select(col(strCol)).filter(col(strCol).isNotNull).distinct()
     val a = ss.select(col(strCol).as("str_a"))
     val b = ss.select(col(strCol).as("str_b"))
-    val fuzzy = FuzzyJoin.fuzzyJoin(a, b, "str_a", "str_b", maxEdit)
+    // string-pairs faces, not the payload joins (r20): both sides here
+    // are the same DISTINCT name universe, so fuzzyJoin/phoneticJoin's
+    // payload re-attach would be an identity join per side — two join
+    // stages per blocking pass carrying nothing, at any scale
+    val fuzzy = FuzzyJoin.fuzzyStringPairs(a, b, "str_a", "str_b", maxEdit,
+        "str_a", "str_b", dedup = false) // the groupBy below dedups
       .filter(col("str_a") < col("str_b"))
       .select(col("str_a"), col("str_b"), col("dist").cast("int").as("dist"),
         lit(1).as("via_fuzzy"), lit(0).as("via_phonetic"))
-    val phonetic = Phonetic.phoneticJoin(a, b, "str_a", "str_b", maxPhoneticDist)
+    val phonetic = Phonetic.phoneticStringPairs(a, b, "str_a", "str_b",
+        maxPhoneticDist, "str_a", "str_b")
       .filter(col("str_a") < col("str_b"))
       .select(col("str_a"), col("str_b"), col("dist").cast("int").as("dist"),
         lit(0).as("via_fuzzy"), lit(1).as("via_phonetic"))
@@ -103,10 +109,14 @@ object EntityResolution {
         lit(fuzzyFlag).as("via_fuzzy"), lit(1 - fuzzyFlag).as("via_phonetic"))
     val nl = n.select(col(strCol).as("__er_l"))
     val ar = all.select(col(strCol).as("__er_r"))
+    // string-pairs faces: both sides are distinct name projections —
+    // see candidatePairs (r20)
     val fuzzy = oriented(
-      FuzzyJoin.fuzzyJoin(nl, ar, "__er_l", "__er_r", maxEdit), 1)
+      FuzzyJoin.fuzzyStringPairs(nl, ar, "__er_l", "__er_r", maxEdit,
+        "__er_l", "__er_r", dedup = false), 1) // the groupBy below dedups
     val phonetic = oriented(
-      Phonetic.phoneticJoin(nl, ar, "__er_l", "__er_r", maxPhoneticDist), 0)
+      Phonetic.phoneticStringPairs(nl, ar, "__er_l", "__er_r",
+        maxPhoneticDist, "__er_l", "__er_r"), 0)
     // a new-new pair surfaces from both orientations (and possibly both
     // passes): the group-by collapses it to ONE row with merged flags,
     // exactly candidatePairs' output contract

@@ -71,6 +71,42 @@ object FuzzyJoin {
   private val RS = "_graft_fj_r"
   private val FK = "_graft_fj_k"
 
+  /** The matched DISTINCT-STRING pairs only — (`leftOut`, `rightOut`,
+    * `dist`), one row per distinct (left string, right string) pair
+    * within `maxDist` edits. This is [[fuzzyJoin]] WITHOUT the payload
+    * re-attach joins: when the caller's sides are already distinct
+    * single-string tables (the entity-resolution candidate-generation
+    * shape), re-attaching is an identity join per side — two join
+    * stages that add nothing at any scale — so callers in that shape
+    * use this face directly (r20).
+    *
+    * `dedup = false` skips the pair-dedup exchange and may emit the
+    * same pair more than once (once per shared deletion key — bounded
+    * by the neighborhood size): for callers whose next step is itself a
+    * pair-keyed aggregate (EntityResolution.candidatePairs' groupBy),
+    * the dedup here is a redundant full exchange of the pair ledger.
+    */
+  private[operators] def fuzzyStringPairs(
+      left: DataFrame,
+      right: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDist: Int,
+      leftOut: String,
+      rightOut: String,
+      dedup: Boolean = true): DataFrame = {
+    val ls = left.select(left(leftCol).as(LS)).filter(col(LS).isNotNull).distinct()
+    val rs = right.select(right(rightCol).as(RS)).filter(col(RS).isNotNull).distinct()
+    val verified = ls.withColumn(FK, explode(deletionKeys(LS, maxDist)))
+      .join(rs.withColumn(FK, explode(deletionKeys(RS, maxDist))), FK)
+      .withColumn("dist", levenshtein(col(LS), col(RS), maxDist))
+      .filter(col("dist") =!= -1)
+      .drop(FK)
+    // narrow: (left string, right string, dist) only
+    (if (dedup) verified.distinct() else verified)
+      .select(col(LS).as(leftOut), col(RS).as(rightOut), col("dist"))
+  }
+
   def fuzzyJoin(
       left: DataFrame,
       right: DataFrame,
@@ -85,14 +121,7 @@ object FuzzyJoin {
 
     // distinct join strings only — the explode and the candidate join
     // never see payload columns or value-duplicate multiplicity
-    val ls = left.select(left(leftCol).as(LS)).filter(col(LS).isNotNull).distinct()
-    val rs = right.select(right(rightCol).as(RS)).filter(col(RS).isNotNull).distinct()
-    val pairs = ls.withColumn(FK, explode(deletionKeys(LS, maxDist)))
-      .join(rs.withColumn(FK, explode(deletionKeys(RS, maxDist))), FK)
-      .withColumn("dist", levenshtein(col(LS), col(RS), maxDist))
-      .filter(col("dist") =!= -1)
-      .drop(FK)
-      .distinct() // narrow: (left string, right string, dist) only
+    val pairs = fuzzyStringPairs(left, right, leftCol, rightCol, maxDist, LS, RS)
     // join payloads back by string; dataset aliases break the self-join
     // lineage (pairs derives from both inputs)
     def q(alias: String, name: String) = col(alias + "." + quoted(name))

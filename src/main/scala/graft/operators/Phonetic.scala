@@ -132,17 +132,28 @@ object Phonetic {
     * the equivalence on random corpora), without the bucket-quadratic
     * blowup a 10⁵-name universe hits on 4-char sound classes.
     */
-  def phoneticJoin(left: DataFrame, right: DataFrame,
-                   leftCol: String, rightCol: String,
-                   maxDist: Int = 2): DataFrame = {
-    val overlap = left.columns.toSet.intersect(right.columns.toSet)
-    require(overlap.isEmpty, s"column sets must be disjoint, both have $overlap")
-    val reserved = Set(LS, RS, PK, "dist")
-    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
-    require(clash.isEmpty, s"inputs must not contain reserved columns $clash")
-
+  /** The verified DISTINCT-STRING pairs only — (`leftOut`, `rightOut`,
+    * `dist`) for every distinct pair sharing a phonetic key within
+    * `maxDist` edits. [[phoneticJoin]] without the payload re-attach
+    * joins — same rationale as [[FuzzyJoin.fuzzyStringPairs]] (r20):
+    * entity-resolution candidate generation feeds already-distinct
+    * name-only sides, for which re-attachment is an identity join.
+    */
+  private[operators] def phoneticStringPairs(
+      left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String,
+      maxDist: Int, leftOut: String, rightOut: String): DataFrame = {
     val ls = left.select(left(leftCol).as(LS)).filter(col(LS).isNotNull).distinct()
     val rs = right.select(right(rightCol).as(RS)).filter(col(RS).isNotNull).distinct()
+    verifiedPairs(ls, rs, maxDist)
+      .select(col(LS).as(leftOut), col(RS).as(rightOut), col("dist"))
+  }
+
+  /** Shared core: phonetic-blocked, levenshtein-verified (LS, RS, dist)
+    * rows over distinct single-string sides.
+    */
+  private def verifiedPairs(ls: DataFrame, rs: DataFrame,
+                            maxDist: Int): DataFrame = {
     val verified0 =
       if (maxDist < 0)
         ls.withColumn(PK, key(col(LS)))
@@ -158,10 +169,23 @@ object Phonetic {
           rk.filter(length(col(RS)) < maxDist + 1), PK).drop(PK)
         segmentedCandidates(lk, rk, maxDist).unionByName(short)
       }
-    val verified =
-      if (maxDist < 0) verified0.withColumn("dist", levenshtein(col(LS), col(RS)))
-      else verified0.withColumn("dist", levenshtein(col(LS), col(RS), maxDist))
-        .filter(col("dist") =!= -1)
+    if (maxDist < 0) verified0.withColumn("dist", levenshtein(col(LS), col(RS)))
+    else verified0.withColumn("dist", levenshtein(col(LS), col(RS), maxDist))
+      .filter(col("dist") =!= -1)
+  }
+
+  def phoneticJoin(left: DataFrame, right: DataFrame,
+                   leftCol: String, rightCol: String,
+                   maxDist: Int = 2): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column sets must be disjoint, both have $overlap")
+    val reserved = Set(LS, RS, PK, "dist")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"inputs must not contain reserved columns $clash")
+
+    val ls = left.select(left(leftCol).as(LS)).filter(col(LS).isNotNull).distinct()
+    val rs = right.select(right(rightCol).as(RS)).filter(col(RS).isNotNull).distinct()
+    val verified = verifiedPairs(ls, rs, maxDist)
     def q(alias: String, name: String) = col(alias + "." + quoted(name))
     left.as("_graft_ph_lt")
       .join(verified.as("_graft_ph_p"),

@@ -117,6 +117,40 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(out.collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("fuzzyStringPairs equals fuzzyJoin's pair set on distinct string sides") {
+    val sp = spark
+    import sp.implicits._
+    // random-ish short strings, duplicates removed — the ER candidate shape
+    val names = (0 until 60).map(i => s"nm${('a' + i % 7).toChar}${('a' + (i / 7) % 5).toChar}")
+      .distinct
+    val a = names.toDF("na")
+    val b = names.toDF("nb")
+    val ref = FuzzyJoin.fuzzyJoin(a, b, "na", "nb", 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val got = FuzzyJoin.fuzzyStringPairs(a, b, "na", "nb", 1, "na", "nb")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === ref)
+    // dedup=false may repeat pairs but never adds or loses one, and the
+    // repeats carry identical dist (dist is a function of the pair)
+    val loose = FuzzyJoin.fuzzyStringPairs(a, b, "na", "nb", 1, "na", "nb",
+      dedup = false).collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(loose.toSet === ref)
+  }
+
+  test("phoneticStringPairs equals phoneticJoin's pair set on distinct string sides") {
+    val sp = spark
+    import sp.implicits._
+    val names = Seq("smith", "smyth", "philips", "phillips", "nmab", "nmaf",
+      "jonson", "johnson", "x", "")
+    val a = names.toDF("na")
+    val b = names.toDF("nb")
+    val ref = Phonetic.phoneticJoin(a, b, "na", "nb", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val got = Phonetic.phoneticStringPairs(a, b, "na", "nb", 2, "na", "nb")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === ref)
+  }
+
   test("column names needing backticks work; reserved internal names are rejected") {
     val sp = spark
     import sp.implicits._
