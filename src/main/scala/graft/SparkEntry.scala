@@ -171,6 +171,25 @@ object SparkEntry {
     }
   }
 
+  /** Scale-gated scan widening for CPU-heavy narrow maps (r20, guide
+    * §2 "derive partitioning from input size"): round-robin-repartition
+    * to the session parallelism ONLY when the plan's existing width is
+    * below it. A single-row-group parquet file plans one scan task no
+    * matter what `maxPartitionBytes` says, so per-row-expensive work
+    * (variant/JSON parsing, per-doc kernels, Expand aggregates)
+    * serializes on one core while the rest idle — the shape PERF_r19's
+    * scaling column flagged (8→32 cores barely moved the top queries).
+    * At production scale any real scan plans >= the session width and
+    * this adds NOTHING (no exchange in the plan), so it is not a
+    * local-mode constant: the exchange exists exactly when the input is
+    * smaller than the machine. Row order changes under the round-robin,
+    * so callers are limited to order-insensitive pipelines (integer/
+    * long aggregates, per-row maps, keyed windows) — every adopting
+    * query is oracle-gated.
+    */
+  private def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.Widen(df)
+
   /** Process-unique bucketed orders+customer tables for q_bucketed_join,
     * registered in `s`'s catalog and written once per (session, sfDir).
     * Gated on catalog existence (not just the path) because a fresh
@@ -469,14 +488,16 @@ object SparkEntry {
 
     // ---- parity: StructuredSchemalessToJsonString, SURVEY §2.1 #3
     "to_json_map" -> ((s, dir) => {
-      val in = events(s, dir).select(col("event_id"),
+      val in = widen(events(s, dir)).select(col("event_id"),
         from_json(col("props"), MapType(StringType, LongType)).as("m"))
       StructuredToJsonString("m")(in).select(col("event_id"), col("m").as("j"))
     }),
 
     // ---- Spark 4 Variant: schemaless extraction without re-parsing
     "variant_extract" -> ((s, dir) => {
-      val withV = transforms.VariantOps.withVariant(events(s, dir), "props", "v")
+      // widen (r20): variant parse + two extracts per row on a
+      // single-row-group scan — see the widen scaladoc
+      val withV = transforms.VariantOps.withVariant(widen(events(s, dir)), "props", "v")
       withV.select(col("event_id"),
         transforms.VariantOps.extract(col("v"), "$.k", "bigint").as("k_val"),
         transforms.VariantOps.extractLenient(col("v"), "$.missing", "bigint").as("missing_val"))
@@ -488,7 +509,7 @@ object SparkEntry {
     // sorted order, so payload keys are chosen pre-sorted and the oracle
     // string-builds the same canonical text.
     "drop_variant" -> ((s, dir) => {
-      val in = events(s, dir).select(col("event_id"),
+      val in = widen(events(s, dir)).select(col("event_id"),
         transforms.VariantOps.parseJson(to_json(struct(
           col("event_id").as("k"),
           struct(col("event_type").as("t"), col("user_id").as("u")).as("meta"))))
@@ -498,7 +519,12 @@ object SparkEntry {
           .as("dropped"))
     }),
     "hoist_variant" -> ((s, dir) => {
-      val in = events(s, dir).select(col("event_id"),
+      // widen (r20): r19 left this 1-task variant map alone because
+      // parallelizing "needs a corpus exchange that is pure loss at
+      // 100 TB" — the SCALE-GATED widen dissolves that objection: the
+      // exchange exists only when the scan plans narrower than the
+      // session (never at 100 TB)
+      val in = widen(events(s, dir)).select(col("event_id"),
         transforms.VariantOps.parseJson(to_json(struct(
           col("event_id").as("id"), col("event_type").as("t"),
           col("user_id").as("u")))).as("v"))
@@ -939,6 +965,9 @@ object SparkEntry {
         col("g_rf"), col("g_ls"), col("sum_qty_cents"), col("cnt"))),
     // cube: all four grouping combinations in one pass (rollup's superset;
     // Catalyst plans ONE Expand + one aggregate — not four scans)
+    // NOT widened (r20, measured): the cost here is the parquet decimal
+    // decode in the scan itself, so a widening exchange just re-ships
+    // what the scan already paid for (0.89 s -> 1.21 s profiled)
     "q_cube" -> ((s, dir) => Tables.lineitem(s, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
@@ -1294,8 +1323,11 @@ object SparkEntry {
             struct(lit("etype").as("key"), encode(col("event_type"), "UTF-8").as("value")))
             .as(Envelope.HeadersCol))
           .write.mode("overwrite").parquet(out))
-      // Kafka delivers bytes: decode key/value, then run the chain
-      val decoded = s.read.parquet(path)
+      // Kafka delivers bytes: decode key/value, then run the chain.
+      // widen: the materialized envelope parquet is one row group, so
+      // the decode → chain → from_json per-row work (measured 0.88 s of
+      // single-task CPU, JobProfile r20) otherwise serializes
+      val decoded = widen(s.read.parquet(path))
         .withColumn(Envelope.KeyCol, decode(col(Envelope.KeyCol), "UTF-8"))
         .withColumn(Envelope.ValueCol, decode(col(Envelope.ValueCol), "UTF-8"))
       val chain = ConnectProps.compile(Map(
@@ -2402,7 +2434,7 @@ object SparkEntry {
       val feats = TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
       docs(s, dir).select(col("doc_id") +: feats: _*)
     }),
-    "text_langid" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
+    "text_langid" -> ((s, dir) => widen(docs(s, dir)).select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"))),
     "q_filter_funnel" -> ((s, dir) => {
       // Gopher-style curation funnel: survivors after each cumulative
@@ -2421,7 +2453,7 @@ object SparkEntry {
     // tokens, quality stats) in a single projection — how the text suite
     // actually runs at 100 TB (one pass, not one scan per feature)
     "text_analyze_all" -> ((s, dir) =>
-      TextAnalysis.analyze(docs(s, dir), "doc_id", "text")),
+      TextAnalysis.analyze(widen(docs(s, dir)), "doc_id", "text")),
     // classifier-shaped quality filter: a linear model with integer
     // weights over the quality features — one narrow codegen'd
     // projection, zero shuffles; `keep` as 0/1 so the output stays
@@ -2582,7 +2614,7 @@ object SparkEntry {
     // match counts, mask, and fingerprint the masked text — all narrow
     // codegen'd regexp work, zero shuffle.
     "q_pii_redact" -> ((s, dir) => {
-      val withPii = docs(s, dir).select(col("doc_id"),
+      val withPii = widen(docs(s, dir)).select(col("doc_id"),
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com or 555-"), col("doc_id"), lit(".")).as("t"))
       withPii.select(col("doc_id"),

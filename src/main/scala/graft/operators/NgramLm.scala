@@ -133,8 +133,9 @@ object NgramLm {
     * model table), and the scoring joins' broadcast builds plan against
     * a flat leaf. The kernel stays NARROW over the scan (no repartition:
     * shuffling the train corpus to parallelize a JVM-fast count pass
-    * costs more than it saves at any scale — measured here, and at
-    * 100 TB it would be a full corpus exchange).
+    * costs more than it saves at any scale — measured in r19 AND
+    * re-measured in r20 with a [[Widen]]-gated exchange, still slower;
+    * at 100 TB it would be a full corpus exchange).
     */
   private def gramCounts(docs: DataFrame, textCol: String,
                          maxOrder: Int): DataFrame = {
@@ -158,7 +159,11 @@ object NgramLm {
     * paths — the old explode shape never exchanged text and neither
     * does the kernel: the win is JVM tokenization (the interpreted
     * arrays_zip/slice explode measured ~0.6 s/task) plus doc-local
-    * occurrence collapsing ahead of the model joins.
+    * occurrence collapsing ahead of the model joins. (r20: a
+    * [[Widen]]-gated kernel input was tried and REVERTED — the widening
+    * exchange plus the extra per-partition partials measured slower
+    * than the narrow pass at bench scale, confirming the r19 finding;
+    * at 100 TB the scan is wide on its own.)
     */
   private def docGramCounts(docs: DataFrame, idCol: String, textCol: String,
                             order: Int): DataFrame = {

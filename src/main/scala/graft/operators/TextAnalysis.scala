@@ -649,6 +649,15 @@ object TextAnalysis {
     */
   def bigramFluency(df: DataFrame, idCol: String, textCol: String,
                     tracker: CacheTracker = CacheTracker.unmanaged): DataFrame = {
+    // NOT kernelized (r20, measured): an occurrence-weighted
+    // NgramLm.docGramCounts formulation (doc-local __occ collapsing the
+    // model joins, algebraically exact under long sums) was tried both
+    // narrow-over-scan and above a reused doc exchange, and BOTH
+    // measured ~0.4-0.6 s SLOWER than this exploded window at bench
+    // scale — the window's per-shingle cost here is already wide and
+    // its two consumers stage-reuse the one text shuffle, so the kernel
+    // only added exchanges/serialized passes. Negative result recorded
+    // in OPTIMIZATION_r20.md.
     val p = df.sparkSession.sparkContext.defaultParallelism
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos"))

@@ -207,11 +207,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"rebuild must filter the original arrays, not re-aggregate text:\n$p")
   }
 
-  test("variant mutations and image decode: narrow maps, zero exchanges") {
-    Seq("drop_variant", "hoist_variant", "multimodal_decode").foreach { q =>
+  test("variant mutations and image decode: narrow maps, zero keyed exchanges") {
+    // r20: the variant queries carry ONE scale-gated round-robin widen
+    // (Widen — the exchange exists only because this test scale's scan
+    // plans narrower than the session; at width >= parallelism it
+    // vanishes). Nothing may shuffle by KEY, and the decode stays
+    // exchange-free entirely.
+    Seq("drop_variant", "hoist_variant").foreach { q =>
       val p = plan(q)
-      assert(countOf(p, "Exchange") == 0, s"$q must stay a narrow map:\n$p")
+      assert(countOf(p, "Exchange hashpartitioning") == 0,
+        s"$q must never shuffle by key:\n$p")
+      assert(countOf(p, "Exchange") <= 1,
+        s"$q: at most the one widen exchange:\n$p")
     }
+    val pd = plan("multimodal_decode")
+    assert(countOf(pd, "Exchange") == 0,
+      s"multimodal_decode must stay a narrow map:\n$pd")
   }
 
   test("q_mix_sources / q_token_budget: one rank window exchange each, config broadcasts") {
