@@ -696,7 +696,7 @@ object SparkEntry {
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
           .awaitTermination()
       }
-      s.read.parquet(out)
+      Tables.readCached(s, out)
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("event_type"), col("n").as("n_events"),
           col("sum_value").as("sum_value_cents"))
@@ -751,7 +751,7 @@ object SparkEntry {
           deleteRecursively(new java.io.File(outPath + "_ckpt")))
         runner.fileSink(agg, outPath, outPath + "_ckpt").awaitTermination()
       }
-      s.read.parquet(out)
+      Tables.readCached(s, out)
         .select(unix_micros(col("win_start")).as("win_start_us"),
           col("event_type"), col("n").as("n_events"),
           col("sum_value").as("sum_value_cents"))
@@ -819,7 +819,7 @@ object SparkEntry {
           joined.select(col("p_event_id"), unix_micros(col("e_ts")).as("err_us")),
           outPath, outPath + "_ckpt").awaitTermination()
       }
-      s.read.parquet(out).select(col("p_event_id").as("event_id"), col("err_us"))
+      Tables.readCached(s, out).select(col("p_event_id").as("event_id"), col("err_us"))
     }),
 
     // LEFT-OUTER flavor of the stream-stream interval join: purchases
@@ -894,7 +894,7 @@ object SparkEntry {
             coalesce(unix_micros(col("e_ts")), lit(-1L)).as("err_us")),
           outPath, outPath + "_ckpt").awaitTermination()
       }
-      s.read.parquet(out).filter(col("p_event_id") >= 0)
+      Tables.readCached(s, out).filter(col("p_event_id") >= 0)
         .select(col("p_event_id").as("event_id"), col("err_us"))
     }),
 
@@ -947,7 +947,7 @@ object SparkEntry {
           .awaitTermination()
         tracker.release()
       }
-      s.read.parquet(out).groupBy("doc_id")
+      Tables.readCached(s, out).groupBy("doc_id")
         .agg(min(col("dup_of")).as("dup_of"),
           count(lit(1)).as("n_appends"))
     }),
@@ -1184,7 +1184,7 @@ object SparkEntry {
         graft.sources.Layout.compactSmallFiles(s, out,
           targetFileBytes = 4L << 20): Unit
       }
-      s.read.parquet(path)
+      Tables.readCached(s, path)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
@@ -1327,7 +1327,7 @@ object SparkEntry {
       // widen: the materialized envelope parquet is one row group, so
       // the decode → chain → from_json per-row work (measured 0.88 s of
       // single-task CPU, JobProfile r20) otherwise serializes
-      val decoded = widen(s.read.parquet(path))
+      val decoded = widen(Tables.readCached(s, path))
         .withColumn(Envelope.KeyCol, decode(col(Envelope.KeyCol), "UTF-8"))
         .withColumn(Envelope.ValueCol, decode(col(Envelope.ValueCol), "UTF-8"))
       val chain = ConnectProps.compile(Map(
@@ -1847,7 +1847,7 @@ object SparkEntry {
         upd.unionByName(del),
         upd.withColumn("sum_cents", col("sum_cents") + 10000L),
         Seq("user_id", "event_type"), Seq("sum_cents"), "n")
-      graft.operators.IncrementalAgg.applyDelta(s.read.parquet(stored),
+      graft.operators.IncrementalAgg.applyDelta(Tables.readCached(s, stored),
         delta, Seq("user_id", "event_type"), Seq("sum_cents"), "n")
     }),
     // the MV fold ON A STREAM: the same signed delta rows replayed as 3
@@ -2006,7 +2006,7 @@ object SparkEntry {
         }, trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
           .awaitTermination()
       }
-      s.read.parquet(out).groupBy(col("doc_id"), col("violations"))
+      Tables.readCached(s, out).groupBy(col("doc_id"), col("violations"))
         .agg(count(lit(1)).as("n_appends"))
     }),
     // the one-pass table profile beside the row gate: counts, exact
@@ -3850,7 +3850,7 @@ object SparkEntry {
       val last = new java.io.File(root).listFiles()
         .filter(_.getName.startsWith("replica"))
         .maxBy(_.getName.stripPrefix("replica").toInt)
-      s.read.parquet(last.getAbsolutePath).groupBy("lang")
+      Tables.readCached(s, last.getAbsolutePath).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     }),
 
@@ -4335,7 +4335,7 @@ object SparkEntry {
           .awaitTermination()
         tracker.release()
       }
-      s.read.parquet(out).groupBy("modality", "doc_id")
+      Tables.readCached(s, out).groupBy("modality", "doc_id")
         .agg(min(col("dup_of")).as("dup_of"), count(lit(1)).as("n_appends"))
     }))
 

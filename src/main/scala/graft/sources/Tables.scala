@@ -68,11 +68,42 @@ object Tables {
       case _ => df
     }
 
+  /** Raw reader schema per (path, mtime, length) — inferred ONCE per
+    * process and file version (r20). Parquet schema inference runs a
+    * footer-reading Spark JOB at every `read.parquet` call; with ~3
+    * table reads per query that job plus its scheduling gap was a
+    * measured ~0.1 s of fixed cost per query execution (JobProfile:
+    * three `parquet at Tables.scala` jobs leading every profile).
+    * Passing the cached schema skips inference entirely; the stat-keyed
+    * key invalidates if a fixture is ever rewritten in-process. The
+    * cache holds StructTypes only — never data, never results — so
+    * every execution still computes from the parquet bytes.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      org.apache.spark.sql.types.StructType]()
+
+  /** `spark.read.parquet(path)` with the same stat-keyed schema cache
+    * as [[table]] (no event-time normalization): for process-written,
+    * write-once materialized inputs whose schema can't change under us.
+    * A rewritten path changes the stat key and re-infers.
+    */
+  def readCached(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val schema = schemaCache.computeIfAbsent((path, f.lastModified, f.length),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // the only session conf this layer touches: read-side decode of
     // legacy TIMESTAMP(NANOS) files (dynamic, harmless for other files)
     spark.conf.set(NanosConf, "true")
-    normalizeEventTime(spark.read.parquet(s"$sfDir/$name.parquet"))
+    val path = s"$sfDir/$name.parquet"
+    val f = new java.io.File(path)
+    val schema = schemaCache.computeIfAbsent((path, f.lastModified, f.length),
+      _ => spark.read.parquet(path).schema)
+    normalizeEventTime(spark.read.schema(schema).parquet(path))
   }
 
   /** All star-schema table names present in an sf directory. */
