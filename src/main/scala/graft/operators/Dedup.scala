@@ -367,6 +367,12 @@ object Dedup {
     // partition-local gram pass above it (the per-doc kernel on integral
     // ids — same parity discipline as the signature kernels — or the
     // explode + lead-window + md5 formulation otherwise).
+    // gram digests ride as 16-byte MD5 BINARY, not 32-char hex (r20):
+    // __g only ever meets equality tests (the duplicate count and the
+    // starts join), so the hex encoding bought nothing — the binary
+    // form halves the per-token shuffle's digest bytes and skips the
+    // hex conversion in the kernel's hot loop. Both formulations
+    // change together (parity pinned).
     val grams =
       if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
         val spark = df.sparkSession
@@ -382,7 +388,9 @@ object Dedup {
                 sb.setLength(0)
                 var j = 0
                 while (j < k) { if (j > 0) sb.append(' '); sb.append(ts(s + j)); j += 1 }
-                (id, s, md5HexJvm(md, sb.toString))
+                md.reset()
+                (id, s, md.digest(
+                  sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
               }
             }
           }.toDF(idCol, "__pos", "__g")
@@ -392,7 +400,7 @@ object Dedup {
         val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
         val leads = (1 until k).map(j => lead(col("__t"), j).over(w))
         posTok
-          .withColumn("__g", md5(concat_ws(" ", (col("__t") +: leads): _*)))
+          .withColumn("__g", unhex(md5(concat_ws(" ", (col("__t") +: leads): _*))))
           .withColumn("__last", leads.last) // window exprs can't sit in filter()
           .filter(col("__last").isNotNull)
           .select(col(idCol), col("__pos"), col("__g"))
