@@ -2432,7 +2432,7 @@ object SparkEntry {
         expr("substring(norm, length(norm) - 9, 10)").as("tail"))),
     "text_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
-      docs(s, dir).select(col("doc_id") +: feats: _*)
+      widen(docs(s, dir)).select(col("doc_id") +: feats: _*)
     }),
     "text_langid" -> ((s, dir) => widen(docs(s, dir)).select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -2460,7 +2460,7 @@ object SparkEntry {
     // integer-typed in every reader
     "q_quality_score" -> ((s, dir) => {
       val score = TextAnalysis.linearQualityScore(col("text"), qualityWeights)
-      docs(s, dir).select(col("doc_id"), score.as("q_score"),
+      widen(docs(s, dir)).select(col("doc_id"), score.as("q_score"),
         when(score >= 600L, 1L).otherwise(0L).as("keep"))
     }),
     // PER-SOURCE SCORE CALIBRATION: raw quality scores are not
@@ -2711,6 +2711,9 @@ object SparkEntry {
     "q_curation_e2e" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val score = TextAnalysis.linearQualityScore(col("text"), qualityWeights)
+      // NOT widened (r20, measured): the md5-dedup window exchanges the
+      // text right after the score filter anyway, so a widen just adds
+      // a second text exchange — flat-to-worse in the A/B
       val scored = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
         .filter(score >= 600L)
       val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
@@ -2742,9 +2745,17 @@ object SparkEntry {
     // form with no image library — a frame-order, palette, or
     // multi-image-read bug hash-fails. (The byte-slice sampleFrames
     // operator remains, spec-tested — this query is the decode proof.)
+    // widen (r20): media bytes are SYNTHESIZED from (doc_id, text)
+    // inside the map, so widening the narrow input parallelizes the
+    // encode/decode CPU while payload bytes still never shuffle.
+    // Adopted ONLY where the A/B won (frames -0.25 s, resize/decode
+    // small wins); the perceptual-hash bases and the audio synth
+    // measured WORSE widened (their pair queries persist and self-join
+    // the hash tables — the extra exchange cost more than the
+    // parallelism) and stay narrow.
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameStats(
-        Multimodal.attachSyntheticGifs(docs(s, dir), "doc_id", 8, 5, 4),
+        Multimodal.attachSyntheticGifs(widen(docs(s, dir)), "doc_id", 8, 5, 4),
         "doc_id")),
     // REAL image decode round trip: synthesize a 30×17 BMP per doc (30
     // exercises the 4-byte row padding), decode it with javax.imageio,
@@ -2755,7 +2766,7 @@ object SparkEntry {
     // partition.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.imageStats(
-        Multimodal.attachSyntheticImages(docs(s, dir), "doc_id", 30, 17),
+        Multimodal.attachSyntheticImages(widen(docs(s, dir)), "doc_id", 30, 17),
         "doc_id")),
     // REAL audio decode round trip, same shape as multimodal_decode:
     // synthesize a 400-sample 16-bit PCM WAV per doc, decode it with
@@ -2777,7 +2788,7 @@ object SparkEntry {
     // shuffles; payload bytes never leave the partition.
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizedImageStats(
-        Multimodal.attachSyntheticImages(docs(s, dir), "doc_id", 32, 16),
+        Multimodal.attachSyntheticImages(widen(docs(s, dir)), "doc_id", 32, 16),
         "doc_id", 8, 4)),
     // Perceptual image hash (aHash) from REAL decode: 200 pattern 32×16
     // BMPs (near-independent hashes via a per-cell Knuth mix) + 20

@@ -127,7 +127,9 @@ object AllPairs {
     // formulation's cache was 2-8× SLOWER than recompute: object
     // serialization + broadcast-reuse loss. What gets materialized
     // matters more than whether.)
-    val el = elems.localCheckpoint(true)
+    // tracked (r20): release() frees the checkpoint's blocks — see
+    // CacheTracker.ownCheckpointed for the lineage/lifecycle tradeoffs
+    val el = tracker.ownCheckpointed(elems.localCheckpoint(true))
 
     // global document frequency -> total order (df asc, element asc);
     // per-element rank AND set size from two window passes sharing ONE

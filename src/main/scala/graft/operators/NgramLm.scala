@@ -131,7 +131,13 @@ object NgramLm {
     * would otherwise push past the aggregate and split the shared
     * exchange into per-order copies (re-running the corpus pass once per
     * model table), and the scoring joins' broadcast builds plan against
-    * a flat leaf. The kernel stays NARROW over the scan (no repartition:
+    * a flat leaf. Lifecycle note (ADVICE r19): the checkpoint's blocks
+    * are freed only when the backing RDD is GC'd — trainBigram/
+    * trainTrigram expose no tracker because the model tables they
+    * return REFERENCE the checkpoint (releasing it would break them);
+    * a long-lived session rotates models by dropping references and
+    * letting GC reclaim, same as any derived table.
+    * The kernel stays NARROW over the scan (no repartition:
     * shuffling the train corpus to parallelize a JVM-fast count pass
     * costs more than it saves at any scale — measured in r19 AND
     * re-measured in r20 with a [[Widen]]-gated exchange, still slower;

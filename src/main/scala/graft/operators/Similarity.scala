@@ -505,10 +505,13 @@ object Similarity {
     // blocks, but the five consumers plan against a flat LogicalRDD leaf
     // instead of five InMemoryRelation-wrapped copies of the
     // assign+norm subtree (the AllPairs planning-gap finding).
-    val base = df.select(col(idCol), col(vecCol).as("__v"),
-        norm(col(vecCol)).as("__n"),
-        ivfCellCol(col(vecCol), centroids).as("cluster"))
-      .localCheckpoint(true)
+    // tracked (r20): release() frees the checkpoint's blocks — see
+    // CacheTracker.ownCheckpointed for the lineage/lifecycle tradeoffs
+    val base = tracker.ownCheckpointed(
+      df.select(col(idCol), col(vecCol).as("__v"),
+          norm(col(vecCol)).as("__n"),
+          ivfCellCol(col(vecCol), centroids).as("cluster"))
+        .localCheckpoint(true))
     // cluster occupancy: at most `centroids.length` rows after map-side
     // partials, so it broadcast-joins back — the corpus itself never
     // shuffles for the size check (a per-cluster count WINDOW would have

@@ -101,6 +101,21 @@ class AllPairsSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("tracker.release() frees the checkpointed element blocks") {
+    val docs = (0 until 40).map(i => (i.toLong, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 7}"))
+      .toDF("id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val tracker = new CacheTracker
+    AllPairs.cosinePairs(docs, "id", "text", 500, tracker = tracker)
+      .write.mode("overwrite").format("noop").save()
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "the element checkpoint should pin blocks")
+    tracker.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"release() must unpersist the checkpointed RDDs, still pinned: $after")
+  }
+
   test("threshold bounds are enforced") {
     val docs = Seq((1L, "a")).toDF("id", "text")
     intercept[IllegalArgumentException] {
