@@ -49,19 +49,30 @@ object Components {
     val e0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the size check counts RAW pairs (r20): union-find is direction-
+    // and duplicate-insensitive (find/union touch both endpoints and
+    // re-unions are no-ops), so the small path collects the raw pair
+    // list directly — the symmetrize-union, its corpus-wide distinct
+    // exchange, and its persist existed only for the DISTRIBUTED loop
+    // and now build exclusively on that path. The driver-memory bound
+    // is unchanged (≤ localThreshold rows collected); the threshold's
+    // meaning shifts from distinct-sym edges to raw pairs — strictly
+    // more conservative (raw ≥ distinct-sym/2, and pair generators
+    // upstream already dedup pairs).
+    val rawCount = e0.count()
+    if (rawCount <= localThreshold) {
+      val result = localUnionFind(e0.collect().map(r => (r.getLong(0), r.getLong(1))))
+      e0.unpersist(blocking = false)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return result.toSeq.toDF("id", "component")
+    }
     val symRaw = e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = symRaw.count() // materializes symRaw — e0 is done
     e0.unpersist(blocking = false)
-    if (edgeCount <= localThreshold) {
-      val result = localUnionFind(symRaw.collect().map(r => (r.getLong(0), r.getLong(1))))
-      symRaw.unpersist(blocking = false)
-      val spark = edges.sparkSession
-      import spark.implicits._
-      return result.toSeq.toDF("id", "component")
-    }
     val defaultP = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val p = math.max(1L, math.min(defaultP.toLong, edgeCount / 1000000L + 1L)).toInt
     // localCheckpoint (not just persist) on the loop-invariant edge table:
@@ -148,7 +159,9 @@ object Components {
 
   /** Union-find with path halving; roots are always the component MIN id
     * (unions link the larger root under the smaller), so `find` yields
-    * the same component labels as the distributed loop.
+    * the same component labels as the distributed loop. Direction- and
+    * duplicate-insensitive: raw (a, b) pairs need no symmetrize/distinct
+    * (r20 — the small path feeds them directly).
     */
   private def localUnionFind(sym: Array[(Long, Long)]): Array[(Long, Long)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
