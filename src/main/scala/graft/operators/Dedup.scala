@@ -181,7 +181,11 @@ object Dedup {
       sb.setLength(0)
       var j = 0
       while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(s + j)); j += 1 }
-      h(s) = java.lang.Long.parseLong(md5HexJvm(md, sb.toString).substring(0, 8), 16)
+      // == Long.parseLong(hex.substring(0, 8), 16): the first 8 hex
+      // chars are the first 4 digest bytes, unsigned big-endian (r20)
+      val d = md5Bytes(md, sb.toString)
+      h(s) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       s += 1
     }
     val out = new Array[Long](m - w + 1)
@@ -486,6 +490,17 @@ object Dedup {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
+  /** Raw MD5 digest bytes — the byte-level twin of [[md5HexJvm]] for
+    * kernel inner loops that only need slices of the digest: hex char
+    * 2i/2i+1 of the hex form IS the high/low nibble of byte i, so any
+    * hex-substring comparison or parse is bit-identical byte math (r20
+    * — skips the 32-char string build per shingle/token).
+    */
+  private def md5Bytes(md: java.security.MessageDigest, s: String): Array[Byte] = {
+    md.reset()
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private[operators] def md5HexJvm(md: java.security.MessageDigest, s: String): String = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -506,19 +521,35 @@ object Dedup {
   private def md5LanesJvm(md: java.security.MessageDigest, norm: String,
                           k: Int, n: Int, withSet: Boolean)
       : (Array[String], Array[String]) = {
-    val mins = new Array[String](n)
+    // lane i's 4-hex-char slice is digest bytes (2i, 2i+1) as an
+    // unsigned 16-bit int, and fixed-length lowercase hex orders
+    // lexicographically exactly as the int orders numerically — so the
+    // per-shingle min runs on ints and the hex forms are built ONCE per
+    // doc at the end (r20; was a substring alloc + string compare per
+    // lane per shingle)
+    val mins = new Array[Int](n)
+    java.util.Arrays.fill(mins, -1)
     val set = if (withSet) new java.util.LinkedHashSet[String]() else null
     shinglesJvm(norm, k).foreach { sh =>
       if (set != null) set.add(sh)
-      val hex = md5HexJvm(md, sh)
+      val d = md5Bytes(md, sh)
       var i = 0
       while (i < n) {
-        val slice = hex.substring(i * 4, i * 4 + 4)
-        if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
+        val v = ((d(2 * i) & 0xff) << 8) | (d(2 * i + 1) & 0xff)
+        if (mins(i) == -1 || v < mins(i)) mins(i) = v
         i += 1
       }
     }
-    (mins, if (set == null) null else set.toArray(new Array[String](set.size)))
+    val minHex = mins.map { v =>
+      if (v == -1) null
+      else {
+        val c = new Array[Char](4)
+        c(0) = hexChars((v >> 12) & 0xf); c(1) = hexChars((v >> 8) & 0xf)
+        c(2) = hexChars((v >> 4) & 0xf); c(3) = hexChars(v & 0xf)
+        new String(c)
+      }
+    }
+    (minHex, if (set == null) null else set.toArray(new Array[String](set.size)))
   }
 
   /** xxhash64-flavor lanes for one doc ([[kmLanes]] algebra: h1, then
@@ -1155,12 +1186,14 @@ object Dedup {
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val hex = md5HexJvm(md, e.getKey)
+      // hex char j/4 == nibble (high for even index) of byte j/8 —
+      // byte math replaces the per-token 32-char hex build (r20)
+      val d = md5Bytes(md, e.getKey)
       val c = e.getValue.toLong
       var j = 0
       while (j < 64) {
-        val ch = hex.charAt(j / 4)
-        val nib = if (ch >= 'a') ch - 87 else ch - 48
+        val hi = j / 4
+        val nib = if ((hi & 1) == 0) (d(hi >> 1) >> 4) & 0xf else d(hi >> 1) & 0xf
         votes(j) += (if (((nib >> (j % 4)) & 1) == 1) c else -c)
         j += 1
       }
