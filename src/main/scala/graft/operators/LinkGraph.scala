@@ -87,22 +87,6 @@ object LinkGraph {
     val pn = math.max(1L, math.min(defaultP0.toLong, n / 1000000L + 1L)).toInt
     val ns0 = nsRaw.repartition(pn, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // attach the personalization weight: uniform 1 without `reset`, else
-    // the caller's `weight` column (absent nodes weigh 0)
-    val ns = (reset match {
-      case Some(r) =>
-        ns0.join(
-          r.select(col(idCol).cast("long").as("id"),
-            col("weight").cast("long").as("w")), Seq("id"), "left")
-          .select(col("id"), coalesce(col("w"), lit(0L)).as("w"))
-      case None => ns0.select(col("id"), lit(1L).as("w"))
-    }).persist(StorageLevel.MEMORY_AND_DISK)
-    val bigW = ns.agg(coalesce(sum("w"), lit(0L)).as("s")).head.getLong(0)
-    require(bigW > 0, "total reset weight must be positive")
-    // driver-side long constants so the SQL literals below never ride on
-    // 32-bit intermediate arithmetic (ANSI mode faults int overflow)
-    val tnum = (dampDen - dampNum) * totalScale
-    val tden = dampDen * bigW
     val defaultP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // materialize the caller's edge pipeline ONCE: it feeds both the
     // out-degree aggregate and the contribution join side, and the count
@@ -124,28 +108,51 @@ object LinkGraph {
       .join(deg, "src")
       .repartition(p, col("src"))
       .localCheckpoint(eager = true)
-    // dangling = nodes with no out-edge; loop-invariant membership, so
-    // compute it once and only re-aggregate its (changing) rank mass
-    val dangling = ns.select(col("id"))
-      .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint(eager = true)
+    // attach the personalization weight (uniform 1 without `reset`, else
+    // the caller's `weight` column; absent nodes weigh 0) AND the
+    // dangling flag. r20: dangling MEMBERSHIP is loop-invariant, so it
+    // rides the node table as a boolean and each round's mass is a
+    // flat filtered aggregate over the checkpointed ranks — the old
+    // per-round `dangling ⋈ ranks` join (one join + exchange per
+    // iteration) is gone.
+    val withW = reset match {
+      case Some(r) =>
+        ns0.join(
+          r.select(col(idCol).cast("long").as("id"),
+            col("weight").cast("long").as("w")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("w"), lit(0L)).as("w"))
+      case None => ns0.select(col("id"), lit(1L).as("w"))
+    }
+    val ns = withW
+      .join(deg.select(col("src").as("id"), lit(true).as("__has_out")),
+        Seq("id"), "left")
+      .select(col("id"), col("w"), col("__has_out").isNull.as("__dang"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bigW = ns.agg(coalesce(sum("w"), lit(0L)).as("s")).head.getLong(0)
+    require(bigW > 0, "total reset weight must be positive")
+    // driver-side long constants so the SQL literals below never ride on
+    // 32-bit intermediate arithmetic (ANSI mode faults int overflow)
+    val tnum = (dampDen - dampNum) * totalScale
+    val tden = dampDen * bigW
     e1.unpersist(blocking = false)
-    var ranks = ns.select(col("id"), lit(totalScale / n).as("r"))
+    var ranks = ns.select(col("id"), col("__dang"), lit(totalScale / n).as("r"))
       .localCheckpoint(eager = true)
     var iter = 0
     while (iter < iters) {
       val contribs = edgesDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
       // 1-row mass aggregate, broadcast back in — sum of an empty set is
-      // NULL, so a dangling-free graph coalesces to 0
-      val dm = dangling.join(ranks, "id")
-        .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+      // NULL, so a dangling-free graph coalesces to 0; the flag makes it
+      // a scan of the checkpointed ranks, never a join (r20)
+      val dm = ranks.agg(
+        coalesce(sum(org.apache.spark.sql.functions.when(col("__dang"), col("r"))),
+          lit(0L)).as("dm"))
       val next = ns
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(dm))
-        .select(col("id"),
+        .select(col("id"), col("__dang"),
           (expr(s"($tnum * w) div $tden") +
             expr(s"($dampNum * (coalesce(c, 0L) + ((dm * w) div $bigW)))" +
               s" div $dampDen")).as("r"))
